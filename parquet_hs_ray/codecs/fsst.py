@@ -1,0 +1,260 @@
+"""FSST-style string compression (Fast Static Symbol Table).
+
+Public-knowledge design after Boncz, Neumann & Leis, "FSST: Fast Random
+Access String Compression" (PVLDB 13(9), 2020): a per-column-chunk table of
+up to 255 byte symbols (length 1-8) built from a sample; the encoded stream
+replaces each longest-matching symbol with a 1-byte code; bytes with no
+symbol are escaped. No reference counterpart (parquet-hs has no string
+compression) — mandated by the north rule.
+
+Layout difference from classic FSST, chosen for vectorized decode: instead
+of interleaving escape literals into the code stream (which makes decode
+sequential — a literal can itself be 0xFF), we store THREE parallel
+sections::
+
+    varint n_syms | n_syms * u8 sym_len | concat(sym_bytes)
+    varint n_rows | FOR-encoded per-row code counts
+    varint total_codes | code bytes (0..n_syms-1 = symbol, 255 = escape)
+    varint n_literals | literal bytes (one per escape code, in order)
+
+Same compressed size as interleaved FSST (one code byte + one literal byte
+per escape), but decode is two ragged gathers and encode needs no
+byte-interleaving scatter.
+
+Both directions are numpy-vectorized; the only Python-level loop is the
+greedy-parse frontier (one iteration per output symbol *rank*, i.e.
+~len(longest string)/avg_symbol_len iterations, each processing every
+still-active row at once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .intpack import decode_int, encode_int
+from .varint import decode_varint, encode_varint
+
+ESCAPE = 255
+MAX_SYMS = 255
+MAX_SYM_LEN = 8
+# safety valve for the frontier loop: rows still active after this many
+# symbols have their tails escaped wholesale (valid, just less compressed)
+_MAX_TOKENS_PER_ROW = 1 << 14
+
+
+def build_symbol_table(sample_values: list[bytes]) -> list[bytes]:
+    """Greedy frequency-gain table construction from sampled values."""
+    from collections import Counter
+
+    singles: Counter = Counter()
+    multis: Counter = Counter()
+    budget = 1 << 16
+    used = 0
+    for s in sample_values:
+        if used >= budget:
+            break
+        s = s[: budget - used]
+        used += len(s)
+        singles.update(s)
+        n = len(s)
+        for L in range(2, MAX_SYM_LEN + 1):
+            for i in range(n - L + 1):
+                multis[s[i : i + L]] += 1
+    table: list[bytes] = [bytes([b]) for b, _ in singles.most_common()]
+    slots = MAX_SYMS - len(table)
+    ranked = sorted(multis.items(), key=lambda kv: (-(len(kv[0]) - 1) * kv[1], kv[0]))
+    for sym, cnt in ranked:
+        if slots <= 0:
+            break
+        if (len(sym) - 1) * cnt < 8:  # not worth a code
+            break
+        table.append(sym)
+        slots -= 1
+    return table
+
+
+def _match_tables(table: list[bytes]):
+    """Per-length sorted hash arrays for vectorized lookup."""
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for L in range(1, MAX_SYM_LEN + 1):
+        pairs = [(int.from_bytes(s, "little"), c) for c, s in enumerate(table) if len(s) == L]
+        if pairs:
+            pairs.sort()
+            hashes = np.asarray([p[0] for p in pairs], dtype=np.uint64)
+            codes = np.asarray([p[1] for p in pairs], dtype=np.uint8)
+            by_len[L] = (hashes, codes)
+    return by_len
+
+
+def _encode_with_table(
+    lens: np.ndarray, raw: bytes, table: list[bytes]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy longest-match parse. Returns (code_counts per row, codes u8,
+    literals u8)."""
+    n_rows = len(lens)
+    data = np.frombuffer(raw, dtype=np.uint8)
+    nd = len(data)
+    if nd == 0:
+        return np.zeros(n_rows, dtype=np.int64), np.empty(0, np.uint8), np.empty(0, np.uint8)
+
+    by_len = _match_tables(table)
+    # 8-byte little-endian window at every position (padded)
+    padded = np.concatenate([data, np.zeros(MAX_SYM_LEN, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:nd].copy().view(np.uint64).reshape(nd)
+
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens, dtype=np.int64)])
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    remaining = np.repeat(offsets[1:], lens) - np.arange(nd, dtype=np.int64)
+
+    sym_len = np.zeros(nd, dtype=np.uint8)  # 0 = escape (consumes 1 byte)
+    sym_code = np.full(nd, ESCAPE, dtype=np.uint8)
+    for L in range(MAX_SYM_LEN, 0, -1):
+        if L not in by_len:
+            continue
+        hashes, codes = by_len[L]
+        h = win & np.uint64((1 << (8 * L)) - 1)
+        loc = np.searchsorted(hashes, h)
+        loc[loc == len(hashes)] = 0
+        hit = (hashes[loc] == h) & (remaining >= L) & (sym_len == 0)
+        sym_len[hit] = L
+        sym_code[hit] = codes[loc[hit]]
+
+    adv = np.maximum(sym_len, 1).astype(np.int64)
+
+    # frontier parse: iteration k emits token k of every still-active row
+    active_pos = offsets[:-1].copy()
+    active_row = np.arange(n_rows, dtype=np.int64)
+    alive = lens > 0
+    active_pos = active_pos[alive]
+    active_row = active_row[alive]
+    codes_parts, lit_parts, row_parts = [], [], []
+    count_per_row = np.zeros(n_rows, dtype=np.int64)
+    it = 0
+    while len(active_pos):
+        c = sym_code[active_pos]
+        codes_parts.append(c)
+        row_parts.append(active_row)
+        esc = c == ESCAPE
+        if esc.any():
+            lit_parts.append(data[active_pos[esc]])
+            # remember which rows got the literal, in emission order
+        count_per_row[active_row] += 1
+        nxt = active_pos + adv[active_pos]
+        keep = nxt < offsets[active_row + 1]
+        active_pos = nxt[keep]
+        active_row = active_row[keep]
+        it += 1
+        if it >= _MAX_TOKENS_PER_ROW and len(active_pos):
+            # escape the tails wholesale
+            for p, r in zip(active_pos.tolist(), active_row.tolist()):
+                end = int(offsets[r + 1])
+                tail = data[p:end]
+                codes_parts.append(np.full(len(tail), ESCAPE, dtype=np.uint8))
+                row_parts.append(np.full(len(tail), r, dtype=np.int64))
+                lit_parts.append(tail)
+                count_per_row[r] += len(tail)
+            break
+
+    all_codes = np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
+    all_rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    # emission is iteration-major; reorder to row-major (stable by iteration)
+    order = np.argsort(all_rows, kind="stable")
+    codes = all_codes[order]
+    # literals were emitted iteration-major too; reorder them consistently:
+    # literal j corresponds to the j-th ESCAPE in emission order.
+    if lit_parts:
+        lits_emit = np.concatenate(lit_parts)
+        esc_mask_emit = all_codes == ESCAPE
+        # position of each emitted escape in the row-major code stream
+        rank_in_sorted = np.empty(len(all_codes), dtype=np.int64)
+        rank_in_sorted[order] = np.arange(len(all_codes))
+        esc_sorted_pos = rank_in_sorted[esc_mask_emit]
+        lit_order = np.argsort(esc_sorted_pos, kind="stable")
+        literals = lits_emit[lit_order]
+    else:
+        literals = np.empty(0, np.uint8)
+    return count_per_row, codes, literals
+
+
+def encode_fsst(lens: np.ndarray, raw: bytes, table: list[bytes] | None = None) -> bytes:
+    """Encode a variable-binary column (per-value ``lens`` + contiguous
+    ``raw`` bytes) with FSST."""
+    if table is None:
+        table = build_symbol_table(_deterministic_sample(lens, raw))
+    counts, codes, literals = _encode_with_table(np.asarray(lens, dtype=np.int64), raw, table)
+    parts = [encode_varint(len(table))]
+    parts.append(bytes(len(s) for s in table))
+    parts.append(b"".join(table))
+    enc_counts = encode_int(counts, "for")
+    parts.append(encode_varint(len(enc_counts)))
+    parts.append(enc_counts)
+    parts.append(encode_varint(len(codes)))
+    parts.append(codes.tobytes())
+    parts.append(encode_varint(len(literals)))
+    parts.append(literals.tobytes())
+    return b"".join(parts)
+
+
+def decode_fsst(data: bytes, pos: int = 0) -> tuple[np.ndarray, bytes]:
+    """Decode an FSST payload. Returns (per-row byte lengths int64, raw)."""
+    n_syms, pos = decode_varint(data, pos)
+    sym_lens = np.frombuffer(data, dtype=np.uint8, count=n_syms, offset=pos).astype(np.int64)
+    pos += n_syms
+    total_sym_bytes = int(sym_lens.sum())
+    sym_bytes = np.frombuffer(data, dtype=np.uint8, count=total_sym_bytes, offset=pos)
+    pos += total_sym_bytes
+    sym_offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(sym_lens)])
+
+    clen, pos = decode_varint(data, pos)
+    counts, used = decode_int(data, np.int64, pos)
+    if used - pos != clen:
+        raise ValueError("fsst counts size mismatch")
+    pos = used
+    n_codes, pos = decode_varint(data, pos)
+    codes = np.frombuffer(data, dtype=np.uint8, count=n_codes, offset=pos)
+    pos += n_codes
+    n_lit, pos = decode_varint(data, pos)
+    literals = np.frombuffer(data, dtype=np.uint8, count=n_lit, offset=pos)
+
+    esc = codes == ESCAPE
+    exp_len = np.ones(n_codes, dtype=np.int64)
+    if n_syms:
+        exp_len[~esc] = sym_lens[codes[~esc]]
+    out_total = int(exp_len.sum())
+    dest_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(exp_len)])
+    out = np.empty(out_total, dtype=np.uint8)
+    # escapes: single literal bytes
+    out[dest_off[:-1][esc]] = literals
+    # symbols: ragged gather from the symbol buffer
+    sym_idx = codes[~esc]
+    from .hybrid_columnar import _ragged_indices
+
+    src = _ragged_indices(sym_offs[sym_idx], sym_lens[sym_idx])
+    dst = _ragged_indices(dest_off[:-1][~esc], exp_len[~esc])
+    out[dst] = sym_bytes[src]
+
+    # per-row decoded lengths: segment-sum exp_len by counts
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    out_lens = np.bincount(row_of, weights=exp_len, minlength=len(counts)).astype(np.int64)
+    return out_lens, out.tobytes()
+
+
+def _deterministic_sample(lens: np.ndarray, raw: bytes, max_vals: int = 384) -> list[bytes]:
+    n = len(lens)
+    if n == 0:
+        return []
+    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(np.asarray(lens, dtype=np.int64))])
+    stride = max(1, n // max_vals)
+    return [bytes(raw[offs[i] : offs[i + 1]]) for i in range(0, n, stride)][:max_vals]
+
+
+def trial_ratio(sample_values: list[bytes]) -> float:
+    """Compression ratio estimate for the selector: trial-encode the sample."""
+    raw = b"".join(sample_values)
+    if not raw:
+        return 1.0
+    table = build_symbol_table(sample_values)
+    lens = np.asarray([len(s) for s in sample_values], dtype=np.int64)
+    counts, codes, literals = _encode_with_table(lens, raw, table)
+    table_bytes = sum(len(s) for s in table) + len(table)
+    return (len(codes) + len(literals) + table_bytes) / len(raw)

@@ -1,0 +1,165 @@
+"""Codec auto-selector: per column chunk, sample cardinality / run length /
+range / byte entropy and pick the codec with minimum predicted size.
+
+North-rule mandate (no reference counterpart — the reference only *parses*
+`Statistics` and never computes them, `/root/reference/src/Parquet/Types/
+Primitives.hs:79-87`): "driven by a per-partition codec auto-selector
+(cardinality/run-length/entropy sampling per Arrow column chunk)".
+
+The selector is deterministic (stride sampling, no RNG) so re-encoding a
+partition after a task retry yields byte-identical blocks — required for
+idempotent resume. Estimates are cheap upper-bound formulas, not trial
+encodes (except FSST, which trial-encodes the sample because its gain is
+table-dependent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codecs.bitpack import bit_width_of
+
+SAMPLE_MAX = 1 << 16
+
+# codec ids shared with format.py frames
+PLAIN, DICT, RLE, BITPACK, FOR, FSST = 0, 1, 2, 3, 4, 5
+CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for", 5: "fsst"}
+
+# a dictionary larger than this is never attempted (scale guard: the dict is
+# per-column-chunk state held by the encoder actor)
+_DICT_MAX_CARD = 1 << 16
+
+# deterministic tie-break: run-aware codecs first
+_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "fsst": 4, "plain": 5}
+
+
+def _sample(values: np.ndarray) -> np.ndarray:
+    n = len(values)
+    if n <= SAMPLE_MAX:
+        return values
+    stride = n // SAMPLE_MAX
+    return values[:: stride][:SAMPLE_MAX]
+
+
+@dataclass
+class ColumnStats:
+    """Per-column-chunk stats recorded into the partition manifest (our
+    analogue of the reference's parsed-but-unused `Statistics`
+    min/max/null_count, `/root/reference/src/Parquet/Types/Primitives.hs:79-87`)."""
+
+    n: int = 0
+    null_count: int = 0
+    min: float | int | None = None
+    max: float | int | None = None
+    card_est: int | None = None
+    mean_run_est: float | None = None
+    entropy_bits: float | None = None
+    codec: str = "plain"
+    predicted: dict = field(default_factory=dict)
+
+
+def _run_stats(sample: np.ndarray) -> tuple[int, float]:
+    if len(sample) < 2:
+        return len(sample), float(len(sample))
+    n_runs = 1 + int(np.count_nonzero(sample[1:] != sample[:-1]))
+    return n_runs, len(sample) / n_runs
+
+
+def select_int_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
+    """Pick PLAIN / DICT / RLE / BITPACK / FOR for an integer array."""
+    n = len(values)
+    stats = ColumnStats(n=n)
+    if n == 0:
+        stats.codec = "for"
+        return FOR, stats
+    vmin = int(values.min())
+    vmax = int(values.max())
+    stats.min, stats.max = vmin, vmax
+    sample = _sample(values)
+    n_runs, mean_run = _run_stats(sample)
+    stats.mean_run_est = round(mean_run, 2)
+    uniq = np.unique(sample)
+    card = len(uniq)
+    stats.card_est = card
+    itemsize = values.dtype.itemsize
+
+    width_for = bit_width_of(vmax - vmin) if vmax >= vmin else 0
+    est = {}
+    est["plain"] = n * itemsize
+    # hybrid (FOR framing): per sampled run, min(RLE cost, BP cost)
+    run_ratio = n_runs / max(1, len(sample))
+    fw = (width_for + 7) // 8
+    est_rle_runs = run_ratio * n * (4 + fw)  # word + value per run
+    est_bp = n * width_for / 8
+    est["for"] = min(est_bp, est_rle_runs) + 10
+    est["rle"] = est_rle_runs + 10
+    est["bitpack"] = est_bp + 10
+    if card <= _DICT_MAX_CARD and card < max(2, len(sample) // 4):
+        idx_width = bit_width_of(card - 1)
+        # indices inherit the run structure of the values
+        idx_bp = n * idx_width / 8
+        idx_rle = run_ratio * n * (4 + (idx_width + 7) // 8)
+        est["dict"] = card * itemsize + min(idx_bp, idx_rle) + 16
+    choice = min(est, key=lambda k: (est[k], _TIE_PRIORITY[k]))
+    stats.predicted = {k: int(v) for k, v in est.items()}
+    stats.codec = choice
+    return {"plain": PLAIN, "dict": DICT, "rle": RLE, "bitpack": BITPACK, "for": FOR}[choice], stats
+
+
+def select_float_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
+    n = len(values)
+    stats = ColumnStats(n=n)
+    if n == 0:
+        stats.codec = "plain"
+        return PLAIN, stats
+    stats.min = float(np.min(values))
+    stats.max = float(np.max(values))
+    sample = _sample(values)
+    card = len(np.unique(sample))
+    stats.card_est = card
+    itemsize = values.dtype.itemsize
+    est = {"plain": n * itemsize}
+    if card <= _DICT_MAX_CARD and card < max(2, len(sample) // 4):
+        est["dict"] = card * itemsize + n * bit_width_of(card - 1) / 8 + 16
+    choice = min(est, key=lambda k: (est[k], k))
+    stats.predicted = {k: int(v) for k, v in est.items()}
+    stats.codec = choice
+    return {"plain": PLAIN, "dict": DICT}[choice], stats
+
+
+def select_binary_codec(
+    lengths: np.ndarray, data_nbytes: int, sample_values: list[bytes], fsst_trial=None
+) -> tuple[int, ColumnStats]:
+    """Pick PLAIN / DICT / FSST for a variable-binary column.
+
+    ``sample_values`` is a deterministic sample of the value bytes;
+    ``fsst_trial`` is an optional callable ``sample -> compressed_ratio``
+    supplied by the FSST codec (trial-encode on the sample)."""
+    n = len(lengths)
+    stats = ColumnStats(n=n)
+    if n == 0:
+        stats.codec = "plain"
+        return PLAIN, stats
+    card = len(set(sample_values)) if sample_values else 1
+    stats.card_est = card
+    avg_len = data_nbytes / max(1, n)
+    # byte entropy on a bounded sample of the data
+    if sample_values:
+        cat = b"".join(sample_values[:256])[:65536]
+        if cat:
+            counts = np.bincount(np.frombuffer(cat, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(cat)
+            stats.entropy_bits = round(float(-(p * np.log2(p)).sum()), 2)
+    est = {"plain": data_nbytes + 2 * n}  # data + compressed lengths (rough)
+    if card <= _DICT_MAX_CARD and card < max(2, len(sample_values) // 4):
+        est["dict"] = card * (avg_len + 4) + n * bit_width_of(max(0, card - 1)) / 8 + 16
+    if fsst_trial is not None and avg_len >= 4 and card > len(sample_values) // 4:
+        ratio = fsst_trial(sample_values)
+        if ratio < 0.95:
+            est["fsst"] = data_nbytes * ratio + 2 * n + 2048
+    choice = min(est, key=lambda k: (est[k], k))
+    stats.predicted = {k: int(v) for k, v in est.items()}
+    stats.codec = choice
+    return {"plain": PLAIN, "dict": DICT, "fsst": FSST}[choice], stats

@@ -1,0 +1,135 @@
+"""Property-based encode->decode identity for the bit-level kernels (the
+reference imports QuickCheck but ships no property tests — Spec.hs:13; we
+add them)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_hs_ray.codecs.bitpack import bit_width_of, pack_bits_le, unpack_bits_le
+from parquet_hs_ray.codecs.rle_hybrid import decode_hybrid, encode_hybrid, encode_rle_only
+from parquet_hs_ray.codecs.varint import decode_varint, encode_varint, zigzag_decode, zigzag_encode
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip(n):
+    v, pos = decode_varint(encode_varint(n))
+    assert v == n
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_zigzag_roundtrip(n):
+    assert zigzag_decode(zigzag_encode(n)) == n
+    assert zigzag_encode(n) >= 0
+
+
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=0, max_value=2**32),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_bits_le_roundtrip(width, groups, seed):
+    rng = np.random.default_rng(seed)
+    n = 8 * groups
+    hi = (1 << width) - 1
+    vals = rng.integers(0, hi + 1 if hi < 2**63 else 2**63, size=n, dtype=np.uint64)
+    if width == 64:
+        vals = vals.astype(np.uint64) | (rng.integers(0, 2, size=n, dtype=np.uint64) << np.uint64(63))
+    packed = pack_bits_le(vals, width)
+    out, pos = unpack_bits_le(packed, width, n)
+    assert pos == len(packed) == n * width // 8
+    np.testing.assert_array_equal(out, vals)
+
+
+@given(
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=2**32),
+    st.integers(min_value=0, max_value=2000),
+    st.floats(min_value=0.0, max_value=0.99),
+)
+@settings(max_examples=80, deadline=None)
+def test_hybrid_roundtrip(width, seed, n, run_prob):
+    """Mixed run/random data: encode_hybrid -> decode_hybrid identity."""
+    rng = np.random.default_rng(seed)
+    hi = 1 << width
+    vals = rng.integers(0, hi, size=n, dtype=np.uint64) if width else np.zeros(n, dtype=np.uint64)
+    # inject runs: with probability run_prob, repeat the previous value
+    if n > 1:
+        rep = rng.random(n) < run_prob
+        rep[0] = False
+        idx = np.arange(n)
+        idx[rep] = 0
+        np.maximum.accumulate(idx, out=idx)
+        vals = vals[idx]
+    enc = encode_hybrid(vals, width)
+    out, pos = decode_hybrid(enc, width, n)
+    assert pos == len(enc)
+    np.testing.assert_array_equal(out, vals)
+
+
+@given(st.integers(min_value=0, max_value=2**32), st.integers(min_value=0, max_value=500))
+@settings(max_examples=40, deadline=None)
+def test_rle_only_roundtrip(seed, n):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 8, size=n, dtype=np.uint64)
+    width = 3
+    enc = encode_rle_only(vals, width)
+    out, _ = decode_hybrid(enc, width, n)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_bit_width_of():
+    assert bit_width_of(0) == 0
+    assert bit_width_of(1) == 1
+    assert bit_width_of(7) == 3
+    assert bit_width_of(8) == 4
+    assert bit_width_of(2**32 - 1) == 32
+
+
+# --- columnar hybrid container (engine hot path) ---
+
+from parquet_hs_ray.codecs.hybrid_columnar import (  # noqa: E402
+    decode_hybrid_columnar,
+    encode_hybrid_columnar,
+)
+
+
+@given(
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=2**32),
+    st.integers(min_value=0, max_value=3000),
+    st.floats(min_value=0.0, max_value=0.99),
+)
+@settings(max_examples=120, deadline=None)
+def test_hybrid_columnar_roundtrip(width, seed, n, run_prob):
+    rng = np.random.default_rng(seed)
+    hi = 1 << width
+    vals = rng.integers(0, hi, size=n, dtype=np.uint64) if width else np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        rep = rng.random(n) < run_prob
+        rep[0] = False
+        idx = np.arange(n)
+        idx[rep] = 0
+        np.maximum.accumulate(idx, out=idx)
+        vals = vals[idx]
+    enc = encode_hybrid_columnar(vals, width)
+    out, pos = decode_hybrid_columnar(enc, dtype=np.uint64)
+    assert pos == len(enc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_hybrid_columnar_adjacent_runs():
+    """Two adjacent long runs (bp span of zero between them)."""
+    vals = np.array([3] * 20 + [5] * 30 + [1, 2, 3] + [7] * 40, dtype=np.uint32)
+    enc = encode_hybrid_columnar(vals, 3)
+    out, _ = decode_hybrid_columnar(enc, dtype=np.uint32)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_hybrid_columnar_uint32_dtype():
+    vals = np.arange(100, dtype=np.int32) % 7
+    enc = encode_hybrid_columnar(vals, 3)
+    out, _ = decode_hybrid_columnar(enc, dtype=np.uint32)
+    assert out.dtype == np.uint32
+    np.testing.assert_array_equal(out, vals.astype(np.uint32))

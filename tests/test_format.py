@@ -1,0 +1,157 @@
+"""Frame/blob round-trip tests: every codec, every testdata table, the
+synthetic F1 table with nulls and skew (FIXTURES.md F1/F1-null/F4)."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_hs_ray.format import decode_array, decode_table, encode_array, encode_table
+from parquet_hs_ray.selector import BITPACK, DICT, FOR, FSST, PLAIN, RLE
+from parquet_hs_ray.sources.synth import gen_batch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def roundtrip_array(arr: pa.Array, codec=None):
+    frame, stats = encode_array(arr, codec)
+    out, pos = decode_array(frame, 0, arr.type)
+    assert pos == len(frame)
+    assert out.equals(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr), (
+        f"codec={stats.codec}"
+    )
+    return frame, stats
+
+
+def test_int_codecs_roundtrip():
+    vals = pa.array(np.arange(1000, dtype=np.int64) % 37, pa.int64())
+    for codec in [PLAIN, DICT, RLE, BITPACK, FOR]:
+        roundtrip_array(vals, codec)
+
+
+def test_negative_and_extreme_ints():
+    vals = pa.array([-(2**63), 2**63 - 1, 0, -1, 42] * 10, pa.int64())
+    for codec in [PLAIN, FOR, BITPACK, RLE]:
+        roundtrip_array(vals, codec)
+
+
+def test_int_with_nulls():
+    vals = pa.array([1, None, 3, None, 5] * 100, pa.int64())
+    for codec in [PLAIN, DICT, FOR]:
+        roundtrip_array(vals, codec)
+
+
+def test_string_codecs_roundtrip():
+    vals = pa.array((["alpha", "beta", None, "", "gamma-very-long-string"] * 50), pa.string())
+    for codec in [PLAIN, DICT, FSST]:
+        roundtrip_array(vals, codec)
+
+
+def test_float_roundtrip():
+    rng = np.random.default_rng(7)
+    vals = pa.array(rng.normal(size=500), pa.float64())
+    roundtrip_array(vals, PLAIN)
+    lowcard = pa.array(rng.choice([1.5, 2.5, 3.5], size=500), pa.float64())
+    roundtrip_array(lowcard, DICT)
+
+
+def test_bool_roundtrip():
+    vals = pa.array([True, False, None, True] * 100, pa.bool_())
+    roundtrip_array(vals)
+
+
+def test_timestamp_roundtrip():
+    vals = pa.array(np.arange(1_600_000_000_000_000, 1_600_000_100_000_000, 200_000), pa.timestamp("us"))
+    roundtrip_array(vals)
+
+
+def test_list_int32_roundtrip():
+    tokens = pa.array([[1, 2, 3], [], None, [7, 7, 7, 7], [50256]], pa.list_(pa.int32()))
+    roundtrip_array(tokens)
+
+
+def test_list_float_roundtrip():
+    emb = pa.array([[0.1, 0.2], [0.3, 0.4, 0.5], []], pa.list_(pa.float32()))
+    roundtrip_array(emb)
+
+
+def test_empty_and_all_null():
+    roundtrip_array(pa.array([], pa.int64()))
+    roundtrip_array(pa.array([], pa.string()))
+    roundtrip_array(pa.array([None, None, None], pa.int64()))
+    roundtrip_array(pa.array([None, None], pa.string()))
+    roundtrip_array(pa.array([None, None], pa.list_(pa.int32())))
+
+
+@pytest.mark.parametrize(
+    "name", ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+)
+def test_testdata_table_roundtrip(name):
+    tbl = pq.read_table(f"{SF_DIR}/{name}.parquet")
+    blob, stats = encode_table(tbl)
+    out = decode_table(blob)
+    assert out.equals(tbl.combine_chunks()), name
+
+
+def test_f1_roundtrip_and_compression_bound():
+    """North rule: encoded size <= pyarrow parquet (dict on, UNCOMPRESSED —
+    the reference's only codec world, Stream/Reader.hs:316-322)."""
+    import io
+
+    tbl = gen_batch(2000, seed=42)
+    blob, stats = encode_table(tbl)
+    out = decode_table(blob)
+    assert out.equals(tbl)
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, compression="NONE", use_dictionary=True)
+    assert len(blob) <= buf.tell(), f"ours={len(blob)} parquet={buf.tell()}"
+
+
+def test_f1_null_roundtrip():
+    tbl = gen_batch(1000, seed=42, nulls=True)
+    assert tbl["tokens"].null_count > 0
+    blob, _ = encode_table(tbl)
+    out = decode_table(blob)
+    assert out.equals(tbl)
+
+
+def test_f1_skew_roundtrip():
+    tbl = gen_batch(500, seed=42, skew=True)
+    blob, _ = encode_table(tbl)
+    assert decode_table(blob).equals(tbl)
+
+
+def test_column_pruning():
+    tbl = gen_batch(100, seed=42)
+    blob, _ = encode_table(tbl)
+    out = decode_table(blob, columns=["n_tok", "source"])
+    assert out.column_names == ["n_tok", "source"]
+    assert out["n_tok"].combine_chunks().equals(tbl["n_tok"].combine_chunks())
+
+
+def test_selector_corner_tables():
+    """FIXTURES.md F4: expected winning codecs."""
+    rng = np.random.default_rng(42)
+    const = pa.array(np.full(1000, 7, dtype=np.int64))
+    _, st = encode_array(const)
+    assert st.codec in ("rle", "for")  # FOR collapses to one RLE run too
+
+    lowcard = pa.array(rng.integers(0, 16, 1000, dtype=np.int64))
+    _, st = encode_array(lowcard)
+    assert st.codec in ("dict", "bitpack", "for")
+
+    clustered = pa.array(rng.integers(1_000_000, 1_000_256, 1000, dtype=np.int64))
+    _, st = encode_array(clustered)
+    assert st.codec in ("for", "bitpack", "dict")
+    frame, _ = encode_array(clustered)
+    assert len(frame) < 1000 * 8 / 4  # at least 4x better than plain
+
+    strings = pa.array([f"https://example.com/{rng.integers(0, 10**9)}/page" for _ in range(500)])
+    _, st = encode_array(strings)
+    assert st.codec == "fsst"
+
+    lowcard_s = pa.array([["a", "b", "c", "d"][i % 4] for i in range(1000)])
+    _, st = encode_array(lowcard_s)
+    assert st.codec == "dict"
