@@ -1,0 +1,98 @@
+"""CLI: encode / decode / verify / plan / summary.
+
+The reference's CLI decodes one hardcoded file to stdout
+(`/root/reference/src/Main.hs:15-18`); ours drives the distributed jobs.
+This module OWNS a Ray session (guarded init + shutdown) — library code
+never initializes Ray (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="parquet_hs_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode parquet input to blocks + manifest")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--token-col", default="n_tok")
+    enc.add_argument("--token-budget", type=int, default=4_000_000)
+    enc.add_argument("--concurrency", type=int, default=None)
+    enc.add_argument("--force", action="store_true", help="wipe output dir first")
+    enc.add_argument("--no-resume", action="store_true")
+
+    dec = sub.add_parser("decode", help="decode blocks back to parquet")
+    dec.add_argument("--encoded", required=True)
+    dec.add_argument("--out", required=True)
+    dec.add_argument("--columns", default=None, help="comma-separated column subset")
+
+    ver = sub.add_parser("verify", help="per-partition round-trip equality vs input")
+    ver.add_argument("--encoded", required=True)
+    ver.add_argument("--input", required=False, help="(lineage in plan.json is used)")
+
+    sub.add_parser("synth-help")
+    summ = sub.add_parser("summary")
+    summ.add_argument("--encoded", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "summary":
+        from .state import manifest as mf
+
+        print(json.dumps(mf.summary(args.encoded), indent=2))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "encode":
+            from .pipelines.encode_job import encode_dataset
+
+            if args.force and os.path.isdir(args.out):
+                shutil.rmtree(args.out)
+            tc = args.token_col if args.token_col not in ("", "none") else None
+            res = encode_dataset(
+                args.input, args.out, token_col=tc, token_budget=args.token_budget,
+                concurrency=args.concurrency, resume=not args.no_resume,
+            )
+            print(json.dumps(res))
+        elif args.cmd == "decode":
+            from .pipelines.encode_job import decode_dataset
+
+            cols = args.columns.split(",") if args.columns else None
+            ds = decode_dataset(args.encoded, columns=cols)
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "verify":
+            from .pipelines.encode_job import verify_roundtrip
+
+            res = verify_roundtrip(args.input, args.encoded)
+            print(json.dumps(res))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Encode / decode / verify jobs — Ray Data orchestration.
+
+Lifecycle (SURVEY.md §3.5): plan (n_tok-pruned scan, skew-aware token
+budget) -> resume-filter on manifest -> control Dataset of partitions ->
+``map_batches(EncoderStage, concurrency=pool)`` actor pool -> blobs +
+per-partition manifest. Decode is the inverse: manifest -> Dataset ->
+``map_batches(DecoderStage)`` -> Arrow tables streaming onward.
+
+These functions do NOT call ray.init()/shutdown() (driver contract); they
+assume a session exists (Ray Data auto-inits local otherwise).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import ray.data
+
+from ..plan import DEFAULT_TOKEN_BUDGET, Partition, build_plan, load_plan, save_plan
+from ..stages.decode import DecoderStage
+from ..stages.encode import EncoderStage
+from ..state import manifest as mf
+
+
+def _expand_paths(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, (list, tuple)):
+        return sorted(input_path)
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return sorted(glob.glob(input_path)) or [input_path]
+
+
+def encode_dataset(
+    input_path: str | list[str],
+    out_dir: str,
+    token_col: str | None = "n_tok",
+    token_budget: int = DEFAULT_TOKEN_BUDGET,
+    concurrency: int | None = None,
+    resume: bool = True,
+    batch_size: int = 1,
+) -> dict:
+    """Run the encode job; returns the manifest summary. Safe to re-run:
+    finished partitions are skipped (checkpoint resume)."""
+    paths = _expand_paths(input_path)
+    mf.ensure_dirs(out_dir)
+    plan_path = os.path.join(out_dir, "plan.json")
+    if resume and os.path.exists(plan_path):
+        plan = load_plan(plan_path)
+    else:
+        plan = build_plan(paths, token_col=token_col, token_budget=token_budget)
+        save_plan(plan, plan_path)
+
+    done = mf.finished_ids(out_dir) if resume else set()
+    todo = [p for p in plan if p.partition_id not in done]
+    result = {"planned": len(plan), "skipped_finished": len(done), "encoded": len(todo)}
+    if not todo:
+        result.update(mf.summary(out_dir))
+        return result
+
+    items = [
+        {"partition_id": p.partition_id, "path": p.path, "row_start": p.row_start,
+         "row_count": p.row_count, "est_tokens": p.est_tokens}
+        for p in todo
+    ]
+    ds = ray.data.from_items(items)
+    if concurrency is None:
+        import ray as _ray
+
+        concurrency = max(2, int(_ray.available_resources().get("CPU", 4)) - 1)
+    concurrency = max(1, min(concurrency, len(items)))
+    out = ds.map_batches(
+        EncoderStage,
+        fn_constructor_kwargs={"out_dir": out_dir, "token_col": token_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="numpy",
+    )
+    # consume: the stage wrote blobs+manifest; this materializes only the
+    # small per-partition metrics rows
+    metrics = out.to_pandas()
+    result["encoded"] = len(metrics)
+    result.update(mf.summary(out_dir))
+    return result
+
+
+def decode_dataset(out_dir: str, columns: list[str] | None = None,
+                   concurrency: int | None = None, batch_size: int = 1) -> "ray.data.Dataset":
+    """Lazy decode Dataset over all finished partitions (streaming)."""
+    entries = mf.load_manifest(out_dir)
+    items = [{"partition_id": e["partition_id"]} for e in entries if e.get("status") == "done"]
+    ds = ray.data.from_items(items)
+    return ds.map_batches(
+        DecoderStage,
+        fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
+        batch_size=batch_size,
+        concurrency=concurrency or 8,
+        num_cpus=1,
+        batch_format="numpy",
+    )
+
+
+def verify_roundtrip(input_path: str | list[str], out_dir: str) -> dict:
+    """Distributed per-partition equality check: decode each blob and compare
+    with the exact input slice it came from (per-row token-array equality =
+    full Arrow table equality). Returns counts; raises on mismatch."""
+    plan = load_plan(os.path.join(out_dir, "plan.json"))
+    items = [
+        {"partition_id": p.partition_id, "path": p.path, "row_start": p.row_start,
+         "row_count": p.row_count, "est_tokens": p.est_tokens}
+        for p in plan
+    ]
+
+    def check(batch: dict) -> dict:
+        import numpy as np
+
+        from ..format import decode_table
+        from ..stages.encode import read_slice
+
+        ok, rows = [], []
+        for i in range(len(batch["partition_id"])):
+            pid = int(batch["partition_id"][i])
+            with open(mf.blob_path(out_dir, pid), "rb") as f:
+                decoded = decode_table(f.read())
+            original = read_slice(str(batch["path"][i]), int(batch["row_start"][i]),
+                                  int(batch["row_count"][i]))
+            ok.append(decoded.equals(original.combine_chunks()))
+            rows.append(decoded.num_rows)
+        return {"partition_id": batch["partition_id"],
+                "ok": np.asarray(ok), "rows": np.asarray(rows)}
+
+    res = ray.data.from_items(items).map_batches(check, batch_format="numpy").to_pandas()
+    bad = res[~res["ok"]]
+    summary = {"partitions": len(res), "rows": int(res["rows"].sum()),
+               "mismatched_partitions": int(len(bad))}
+    if len(bad):
+        raise AssertionError(f"round-trip mismatch in partitions {bad['partition_id'].tolist()[:10]}")
+    return summary

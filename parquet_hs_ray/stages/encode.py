@@ -1,0 +1,96 @@
+"""Encoder stage: a stateful actor-pool ``map_batches`` class.
+
+One batch = one (or a few) partition plan rows; the actor reads its exact
+input slice (row-group-aligned, column-complete), encodes every column via
+the auto-selected codec, writes the blob atomically, and emits the
+manifest row. State held per actor (built once in ``__init__``, reused
+across partitions): nothing model-sized yet, but the actor boundary is
+where per-partition dict/FSST symbol tables live during a call — the
+Ray-idiomatic home of the reference's threaded-through-recursion dictionary
+state (`/root/reference/src/Parquet/Stream/Reader.hs:346-372`).
+
+Restart-safety: encoding is deterministic (selector uses stride sampling,
+no RNG) and the blob write is temp+rename keyed by partition id, so a
+retried task overwrites with byte-identical content — idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..format import encode_table
+from ..plan import Partition
+from ..state import manifest as mf
+
+
+def read_slice(path: str, row_start: int, row_count: int, columns=None) -> pa.Table:
+    """Read exactly rows [row_start, row_start+row_count) of a parquet file,
+    touching only the row groups that overlap the range."""
+    f = pq.ParquetFile(path)
+    base = 0
+    rgs = []
+    first_base = None
+    for rg in range(f.num_row_groups):
+        n = f.metadata.row_group(rg).num_rows
+        if base + n > row_start and base < row_start + row_count:
+            if first_base is None:
+                first_base = base
+            rgs.append(rg)
+        base += n
+        if base >= row_start + row_count:
+            break
+    if not rgs:
+        return f.schema_arrow.empty_table()
+    tbl = f.read_row_groups(rgs, columns=columns)
+    return tbl.slice(row_start - first_base, row_count)
+
+
+class EncoderStage:
+    """Callable class for ``map_batches(EncoderStage, concurrency=N)`` over
+    a control dataset of partition plan rows."""
+
+    def __init__(self, out_dir: str, token_col: str | None = "n_tok", columns=None):
+        self.out_dir = out_dir
+        self.token_col = token_col
+        self.columns = columns
+        mf.ensure_dirs(out_dir)
+
+    def encode_partition(self, part: Partition) -> dict:
+        t0 = time.perf_counter()
+        tbl = read_slice(part.path, part.row_start, part.row_count, self.columns)
+        blob, stats = encode_table(tbl)
+        mf.write_blob_atomic(self.out_dir, part.partition_id, blob)
+        if self.token_col and self.token_col in tbl.column_names:
+            col = tbl[self.token_col].combine_chunks()
+            n_tokens = int(pa.compute.sum(col).as_py() or 0) if tbl.num_rows else 0
+            n_tokens = max(0, n_tokens)
+        else:
+            n_tokens = 0
+        entry = mf.make_entry(
+            part, blob, raw_bytes=tbl.nbytes, n_rows=tbl.num_rows, n_tokens=n_tokens,
+            col_stats=stats, wall_ms=(time.perf_counter() - t0) * 1e3,
+        )
+        mf.write_entry(self.out_dir, entry)
+        return entry
+
+    def __call__(self, batch: dict) -> dict:
+        out = {"partition_id": [], "row_count": [], "n_tokens": [], "raw_bytes": [],
+               "encoded_bytes": [], "wall_ms": []}
+        n = len(batch["partition_id"])
+        for i in range(n):
+            part = Partition(
+                partition_id=int(batch["partition_id"][i]),
+                path=str(batch["path"][i]),
+                row_start=int(batch["row_start"][i]),
+                row_count=int(batch["row_count"][i]),
+                est_tokens=int(batch["est_tokens"][i]),
+            )
+            e = self.encode_partition(part)
+            for k in out:
+                out[k].append(e[k])
+        return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,126 @@
+"""Ray Data pipeline tests: plan, encode job, decode, verify, resume, skew."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_hs_ray.plan import build_plan, plan_file
+from parquet_hs_ray.sources.synth import write_dataset
+from parquet_hs_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def f1_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("f1"))
+    write_dataset(d, 3000, seed=42, n_files=4)
+    return d
+
+
+def test_plan_token_budget(f1_dir):
+    paths = sorted(glob.glob(f"{f1_dir}/*.parquet"))
+    plan = build_plan(paths, token_budget=200_000, parallel=False)
+    assert len(plan) > 4
+    ids = [p.partition_id for p in plan]
+    assert ids == list(range(len(plan)))
+    # budget respected except single-row overflows
+    for p in plan:
+        assert p.est_tokens <= 200_000 or p.row_count == 1
+    # coverage: rows partition the files exactly
+    by_file = {}
+    for p in plan:
+        by_file.setdefault(p.path, []).append((p.row_start, p.row_count))
+    for path, ranges in by_file.items():
+        ranges.sort()
+        expect = 0
+        for start, count in ranges:
+            assert start == expect
+            expect = start + count
+        assert expect == pq.ParquetFile(path).metadata.num_rows
+
+
+def test_plan_skew_single_row_partition(tmp_path):
+    """A single row over budget must get its own partition (F1-skew)."""
+    tok = pa.array([[1] * 100, [2] * 50_000, [3] * 100], pa.list_(pa.int32()))
+    tbl = pa.table({"tokens": tok, "n_tok": pa.array([100, 50_000, 100], pa.int32())})
+    path = str(tmp_path / "skew.parquet")
+    pq.write_table(tbl, path)
+    plan = plan_file(path, token_budget=10_000)
+    assert any(p["row_count"] == 1 and p["est_tokens"] == 50_000 for p in plan)
+    assert sum(p["row_count"] for p in plan) == 3
+
+
+def test_encode_decode_verify_resume(ray_session, f1_dir, tmp_path):
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset, verify_roundtrip
+
+    out = str(tmp_path / "enc")
+    res = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    assert res["planned"] == res["encoded"] + res["skipped_finished"]
+    assert res["rows"] == 3000
+    assert res["encoded_bytes"] > 0
+
+    # verify: per-partition round-trip equality (token-array invariant)
+    vres = verify_roundtrip(f1_dir, out)
+    assert vres["rows"] == 3000 and vres["mismatched_partitions"] == 0
+
+    # decode as a Dataset and compare a column aggregate with the input
+    ds = decode_dataset(out)
+    total_decoded = ds.count()
+    assert total_decoded == 3000
+
+    # resume: delete one manifest entry + blob -> only that partition re-encodes
+    plan = json.load(open(os.path.join(out, "plan.json")))
+    victim = plan[0]["partition_id"]
+    os.remove(mf.entry_path(out, victim))
+    os.remove(mf.blob_path(out, victim))
+    blob_before = {p["partition_id"]: os.path.getmtime(mf.blob_path(out, p["partition_id"]))
+                   for p in plan if p["partition_id"] != victim}
+    res2 = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    assert res2["encoded"] == 1
+    assert res2["skipped_finished"] == len(plan) - 1
+    for pid, mtime in blob_before.items():
+        assert os.path.getmtime(mf.blob_path(out, pid)) == mtime  # untouched
+    assert verify_roundtrip(f1_dir, out)["mismatched_partitions"] == 0
+
+
+def test_retry_idempotent_blob(ray_session, f1_dir, tmp_path):
+    """Re-encoding a finished partition yields byte-identical output."""
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset
+
+    out = str(tmp_path / "enc")
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    pid = 0
+    with open(mf.blob_path(out, pid), "rb") as f:
+        before = f.read()
+    os.remove(mf.entry_path(out, pid))
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    with open(mf.blob_path(out, pid), "rb") as f:
+        after = f.read()
+    assert before == after
+
+
+def test_encode_generic_table_without_ntok(ray_session, tmp_path):
+    """Tables without n_tok fall back to byte/row-weighted planning."""
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset, verify_roundtrip
+
+    out = str(tmp_path / "enc_li")
+    res = encode_dataset("/root/testdata/sf0.001/lineitem.parquet", out,
+                         token_col=None, concurrency=2)
+    assert res["rows"] == pq.ParquetFile("/root/testdata/sf0.001/lineitem.parquet").metadata.num_rows
+    assert verify_roundtrip(None, out)["mismatched_partitions"] == 0
+
+
+def test_decode_column_pruning(ray_session, f1_dir, tmp_path):
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+    out = str(tmp_path / "enc")
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    ds = decode_dataset(out, columns=["n_tok", "source"])
+    tbl = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    assert set(tbl.column_names) == {"n_tok", "source"}
+    assert tbl.num_rows == 3000
