@@ -49,12 +49,14 @@ from .codecs.bitpack import bit_width_of
 from .codecs.intpack import decode_int, encode_int
 from .codecs.plain import decode_binary, decode_plain_fixed, encode_binary, encode_plain_fixed
 from .codecs.varint import decode_varint, encode_varint
+from .codecs.pfor import decode_pfor, encode_pfor
 from .selector import (
     BITPACK,
     CODEC_NAMES,
     DICT,
     FOR,
     FSST,
+    PFOR,
     PLAIN,
     RLE,
     ColumnStats,
@@ -142,13 +144,24 @@ def _sample_binary(lens: np.ndarray, raw: bytes, max_vals: int = 512) -> list[by
     return out
 
 
+def _dict_encode_np(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Hash-based dictionary encode (order of first appearance) via Arrow —
+    O(n), unlike np.unique's argsort."""
+    denc = pc.dictionary_encode(pa.array(vals))
+    uniq = denc.dictionary.to_numpy(zero_copy_only=False).astype(vals.dtype, copy=False)
+    inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint32)
+    return uniq, inv
+
+
 def _encode_int_payload(vals: np.ndarray, codec: int) -> bytes:
     if codec == PLAIN:
         return encode_plain_fixed(vals)
+    if codec == PFOR:
+        return encode_pfor(vals)
     if codec == DICT:
-        uniq, inv = np.unique(vals, return_inverse=True)
+        uniq, inv = _dict_encode_np(vals)
         width = bit_width_of(len(uniq) - 1) if len(uniq) > 1 else 0
-        idx = encode_hybrid_columnar(inv.astype(np.uint32), width)
+        idx = encode_hybrid_columnar(inv, width)
         return (
             encode_varint(len(uniq))
             + encode_varint(uniq.nbytes)
@@ -162,6 +175,8 @@ def _decode_int_payload(data: bytes, pos: int, codec: int, dt: np.dtype, n: int)
     if codec == PLAIN:
         vals, pos = decode_plain_fixed(data, dt, n, pos)
         return vals, pos
+    if codec == PFOR:
+        return decode_pfor(data, dt, pos)
     if codec == DICT:
         card, pos = decode_varint(data, pos)
         nbytes, pos = decode_varint(data, pos)
@@ -284,13 +299,13 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
 
 def _encode_float_payload(vals: np.ndarray, codec: int) -> bytes:
     if codec == DICT:
-        uniq, inv = np.unique(vals, return_inverse=True)
+        uniq, inv = _dict_encode_np(vals)
         width = bit_width_of(len(uniq) - 1) if len(uniq) > 1 else 0
         return (
             encode_varint(len(uniq))
             + encode_varint(uniq.nbytes)
             + encode_plain_fixed(uniq)
-            + encode_hybrid_columnar(inv.astype(np.uint32), width)
+            + encode_hybrid_columnar(inv, width)
         )
     return encode_plain_fixed(vals)
 

@@ -24,15 +24,15 @@ from .codecs.bitpack import bit_width_of
 SAMPLE_MAX = 1 << 16
 
 # codec ids shared with format.py frames
-PLAIN, DICT, RLE, BITPACK, FOR, FSST = 0, 1, 2, 3, 4, 5
-CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for", 5: "fsst"}
+PLAIN, DICT, RLE, BITPACK, FOR, FSST, PFOR = 0, 1, 2, 3, 4, 5, 6
+CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for", 5: "fsst", 6: "pfor"}
 
 # a dictionary larger than this is never attempted (scale guard: the dict is
 # per-column-chunk state held by the encoder actor)
 _DICT_MAX_CARD = 1 << 16
 
 # deterministic tie-break: run-aware codecs first
-_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "fsst": 4, "plain": 5}
+_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "pfor": 4, "fsst": 5, "plain": 6}
 
 
 def _sample(values: np.ndarray) -> np.ndarray:
@@ -96,6 +96,9 @@ def select_int_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
     est["for"] = min(est_bp, est_rle_runs) + 10
     est["rle"] = est_rle_runs + 10
     est["bitpack"] = est_bp + 10
+    from .codecs.pfor import estimate_pfor
+
+    est["pfor"] = estimate_pfor(sample, n)
     if card <= _DICT_MAX_CARD and card < max(2, len(sample) // 4):
         idx_width = bit_width_of(card - 1)
         # indices inherit the run structure of the values
@@ -105,7 +108,7 @@ def select_int_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
     choice = min(est, key=lambda k: (est[k], _TIE_PRIORITY[k]))
     stats.predicted = {k: int(v) for k, v in est.items()}
     stats.codec = choice
-    return {"plain": PLAIN, "dict": DICT, "rle": RLE, "bitpack": BITPACK, "for": FOR}[choice], stats
+    return {"plain": PLAIN, "dict": DICT, "rle": RLE, "bitpack": BITPACK, "for": FOR, "pfor": PFOR}[choice], stats
 
 
 def select_float_codec(values: np.ndarray) -> tuple[int, ColumnStats]:

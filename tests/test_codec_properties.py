@@ -133,3 +133,44 @@ def test_hybrid_columnar_uint32_dtype():
     out, _ = decode_hybrid_columnar(enc, dtype=np.uint32)
     assert out.dtype == np.uint32
     np.testing.assert_array_equal(out, vals.astype(np.uint32))
+
+
+# --- PFOR ---
+
+from parquet_hs_ray.codecs.pfor import decode_pfor, encode_pfor  # noqa: E402
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32),
+    st.integers(min_value=0, max_value=4000),
+    st.sampled_from(["zipf", "uniform", "const", "bigrange"]),
+)
+@settings(max_examples=80, deadline=None)
+def test_pfor_roundtrip(seed, n, shape):
+    rng = np.random.default_rng(seed)
+    if shape == "zipf":
+        vals = (rng.pareto(1.1, size=n) * 25).astype(np.int64) % 50257
+    elif shape == "uniform":
+        vals = rng.integers(-(2**40), 2**40, size=n, dtype=np.int64)
+    elif shape == "const":
+        vals = np.full(n, 42, dtype=np.int64)
+    else:
+        vals = rng.choice([-(2**63), 2**63 - 1, 0], size=n).astype(np.int64)
+    enc = encode_pfor(vals)
+    out, pos = decode_pfor(enc, np.int64)
+    assert pos == len(enc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_pfor_int32():
+    vals = np.array([1, 5, 100000, 2, 3, -7], dtype=np.int32)
+    out, _ = decode_pfor(encode_pfor(vals), np.int32)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_pfor_beats_for_on_zipf():
+    from parquet_hs_ray.codecs.intpack import encode_int
+
+    rng = np.random.default_rng(0)
+    vals = (rng.pareto(1.1, size=200_000) * 25).astype(np.int64) % 50257
+    assert len(encode_pfor(vals)) < 0.8 * len(encode_int(vals, "for"))
