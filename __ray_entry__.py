@@ -1,44 +1,184 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
+- roundtrip_<table>: the engine's core — encode every column with the
+  auto-selected codec (dict/RLE/bitpack/FOR/PFOR/FSST/plain) and decode
+  back, per batch, distributed; oracle = SELECT * (bit-exact round-trip).
+- encode_job_f1 / decode_f1: the full blob+manifest+resume job over the
+  synthetic pre-tokenized table (BASELINE.json input_hint schema).
+- text analysis / dedup / ANN / multimodal: the training-data-pipeline
+  operator suite over documents/embeddings.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_F1_ROWS = 2000  # correctness-scale synthetic tokens table
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _roundtrip(sf_dir: str, table: str):
+    """Distributed encode->decode round-trip of a whole table (per-batch,
+    exercising the full codec stack + selector in every task)."""
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    def rt(batch):
+        blob, _ = encode_table(batch)
+        return decode_table(blob)
+
+    return _read(sf_dir, table).map_batches(rt, batch_format="pyarrow")
+
+
+def _f1_out_dir(sf_dir: str) -> str:
+    from parquet_hs_ray.sources.synth import cached_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = cached_dataset(_F1_ROWS, seed=42, n_files=4)
+    return src, os.path.join("/tmp", "phr_encode", f"{tag}_r{_F1_ROWS}")
+
+
+def _encode_job_f1(sf_dir: str):
+    import pandas as pd
+
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset
+    from parquet_hs_ray.state import manifest as mf
+
+    src, out = _f1_out_dir(sf_dir)
+    encode_dataset(src, out, token_budget=500_000, concurrency=4)
+    entries = mf.load_manifest(out)
+    return pd.DataFrame(
+        [
+            {
+                "partition_id": e["partition_id"],
+                "row_count": e["row_count"],
+                "n_tokens": e["n_tokens"],
+                "encoded_bytes": e["encoded_bytes"],
+                "tokens_codec": e["columns"]["tokens"]["codec"],
+            }
+            for e in entries
+        ]
+    ).sort_values("partition_id").reset_index(drop=True)
+
+
+def _decode_f1(sf_dir: str):
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+    src, out = _f1_out_dir(sf_dir)
+    encode_dataset(src, out, token_budget=500_000, concurrency=4)
+    return decode_dataset(out)
+
+
+def _media_features(sf_dir: str):
+    """Multimodal plumbing demo: document text bytes as opaque payloads."""
+    import pyarrow as pa
+
+    from parquet_hs_ray.stages.multimodal import media_features
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": batch["text"].cast(pa.binary()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(to_payload, batch_format="pyarrow")
+    return media_features(ds, concurrency=2, batch_size=64)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full encode->manifest->decode job over the synthetic
+    pre-tokenized table at correctness scale; returns the decoded Dataset."""
+    return _decode_f1("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from parquet_hs_ray.pipelines import ann, dedup, text_analysis as ta
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    for t in _TABLES:
+        q[f"roundtrip_{t}"] = (lambda sf, t=t: _roundtrip(sf, t))
+    q["encode_job_f1"] = _encode_job_f1
+    q["decode_f1"] = _decode_f1
+    q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
+    q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
+    q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
+    q["doc_lang_id"] = lambda sf: ta.language_id(_read(sf, "documents"))
+    q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
+    q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
+    q["dedup_minhash"] = lambda sf: dedup.dedup_minhash(_read(sf, "documents"))
+    q["dedup_simhash"] = lambda sf: dedup.dedup_simhash(_read(sf, "documents"))
+    q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
+    q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
+    q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
+    q["media_features"] = _media_features
+    return q
+
+
+_WS_COUNT = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {t: f"SELECT * FROM {t}" for t in _TABLES}
+    o = {f"roundtrip_{t}": sql for t, sql in o.items()}
+    o["doc_token_count"] = (
+        f"SELECT doc_id, ({_WS_COUNT})::BIGINT AS n_ws_tokens FROM documents"
+    )
+    o["doc_quality"] = (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars_c, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha, "
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit, "
+        "length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper, "
+        "len(regexp_extract_all(text, '\\s+'))::BIGINT AS n_ws, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / "
+        "greatest(length(text), 1) AS alpha_ratio "
+        "FROM documents"
+    )
+    o["doc_fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents"
+    o["stats_by_source"] = (
+        "SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
+        f"sum(({_WS_COUNT}))::BIGINT AS sum_ws_tokens FROM documents GROUP BY source"
+    )
+    o["dedup_exact"] = (
+        "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups "
+        "FROM documents GROUP BY text"
+    )
+    o["emb_neardup"] = (
+        "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
+    )
+    o["ann_topk"] = (
+        "WITH sims AS ("
+        " SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "        list_cosine_similarity(q.embedding, c.embedding) AS sim"
+        " FROM embeddings q, embeddings c"
+        " WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)"
+        " SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT query_id, neighbor_id,"
+        "         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank"
+        "  FROM sims) t WHERE rank <= 10"
+    )
+    # encode_job_f1 / decode_f1 / doc_lang_id / dedup_minhash / dedup_simhash /
+    # ann_ivf / media_features: not SQL-expressible (stateful job, heuristic,
+    # LSH, approximate search, stubbed media decode) -> rows-only checks.
+    return o

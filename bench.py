@@ -1,0 +1,180 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "encode_tokens_per_sec": ..., "decode_tokens_per_sec": ...,
+   "encoded_bytes": ..., "parquet_uncompressed_bytes": ...}
+
+Headline pipeline: encode job (plan -> actor-pool encode -> blobs +
+manifest) over the synthetic pre-tokenized table (BASELINE.json
+input_hint schema) sized to the scale factor, then the decode job.
+Secondary queries: round-trip of sf lineitem, dedup, ANN, text stats.
+
+--scaling: runs the headline in fresh subprocesses at RAY_GRAFT_CPUS=8 and
+32 on the SAME input (cached under /tmp) and reports tokens/s at both plus
+scaling efficiency — the sandbox stand-in for the N vs 4N node criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+# keep big numpy temps heap-resident (hypervisor first-touch faults are slow)
+os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# F1 rows by scale factor (~840 tokens/row mean)
+_ROWS_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        runtime_env={"env_vars": {"MALLOC_MMAP_MAX_": "0", "MALLOC_TRIM_THRESHOLD_": "-1"}},
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_hs_ray.pipelines import ann, dedup, text_analysis as ta
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+    from parquet_hs_ray.sources.synth import cached_dataset_ray, gen_batch
+    from parquet_hs_ray.state import manifest as mf
+
+    rows = _ROWS_BY_SF.get(_sf_tag(), 100_000)
+    src = cached_dataset_ray(rows, seed=42, n_files=max(NUM_CPUS, 16))
+
+    # warm-up (untimed): page cache for input + worker heap warm
+    enc_dir = f"/tmp/phr_bench/{_sf_tag()}_r{rows}_c{NUM_CPUS}"
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    warm_dir = enc_dir + "_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    encode_dataset(src, warm_dir, token_budget=2_000_000, concurrency=max(2, NUM_CPUS - 1))
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    encode_dataset(src, enc_dir, token_budget=2_000_000, concurrency=max(2, NUM_CPUS - 1))
+    queries["encode_f1"] = time.perf_counter() - t0
+    summ = mf.summary(enc_dir)
+    tokens = summ["tokens"]
+
+    t0 = time.perf_counter()
+    ds = decode_dataset(enc_dir, concurrency=max(2, NUM_CPUS - 1))
+    n_decoded = ds.count()
+    queries["decode_f1"] = time.perf_counter() - t0
+    assert n_decoded == rows, (n_decoded, rows)
+
+    # round-trip of the real lineitem table (all codecs on TPC-H-ish data)
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    def rt(batch):
+        blob, _ = encode_table(batch)
+        return decode_table(blob)
+
+    t0 = time.perf_counter()
+    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+        rt, batch_format="pyarrow"
+    ).count()
+    queries["roundtrip_lineitem"] = time.perf_counter() - t0
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.perf_counter()
+    dedup.dedup_exact(docs).to_pandas()
+    queries["dedup_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.dedup_minhash(docs)
+    queries["dedup_minhash"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ta.stats_by_source(docs).to_pandas()
+    queries["text_stats"] = time.perf_counter() - t0
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.perf_counter()
+    ann.ann_topk_bruteforce(emb, query_ids=list(range(5)), k=10)
+    queries["ann_topk"] = time.perf_counter() - t0
+
+    # compression comparison vs pyarrow parquet (reference world: dict on,
+    # UNCOMPRESSED) on one deterministic shard
+    import io
+
+    shard = gen_batch(min(rows, 10_000), seed=42)
+    buf = io.BytesIO()
+    pq.write_table(shard, buf, compression="NONE", use_dictionary=True)
+    from parquet_hs_ray.format import encode_table as _et
+
+    shard_blob, _ = _et(shard)
+
+    out = {
+        "metric": "encode+decode tokens/sec on pre-tokenized sequences + op suite",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "tokens": tokens,
+        "encode_tokens_per_sec": round(tokens / queries["encode_f1"]),
+        "decode_tokens_per_sec": round(tokens / queries["decode_f1"]),
+        "encoded_bytes": summ["encoded_bytes"],
+        "raw_bytes": summ["raw_bytes"],
+        "shard_encoded_bytes": len(shard_blob),
+        "shard_parquet_uncompressed_bytes": buf.tell(),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tps8 = results[8]["encode_tokens_per_sec"]
+    tps32 = results[32]["encode_tokens_per_sec"]
+    eff = (tps32 / tps8) / (32 / 8)
+    print(json.dumps({
+        "encode_tokens_per_sec_8cpu": tps8,
+        "encode_tokens_per_sec_32cpu": tps32,
+        "speedup": round(tps32 / tps8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sec_8": results[8]["queries"]["encode_f1"],
+        "sec_32": results[32]["queries"]["encode_f1"],
+        "sf": results[32]["sf"],
+        "rows": results[32]["rows"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,139 @@
+"""Mergeable sketches for dedup: shingling, MinHash, SimHash — vectorized.
+
+Public-knowledge constructions (Broder 1997 resemblance/minwise hashing;
+Charikar 2002 simhash). Per-batch kernels emit fixed-width numpy outputs so
+Ray Data stages stay Arrow-native; the LSH banding / grouping happens in
+the pipeline layer with `groupby` over band-hash columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_M61 = np.uint64((1 << 61) - 1)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _MIX).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def word_ngram_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of word n-gram shingles per document.
+
+    Returns (doc_lens, flat hashes): doc_lens[i] shingle hashes belong to
+    doc i. Fully vectorized over the concatenated token stream."""
+    t = texts.fillna("").str.lower().str.split()
+    lens = t.str.len().astype(np.int64).to_numpy()
+    flat = [w for words in t for w in words]
+    if not flat:
+        return np.zeros(len(t), dtype=np.int64), np.empty(0, dtype=np.uint64)
+    # deterministic vectorized string hash (pandas siphash with fixed key —
+    # NOT Python's per-process-randomized hash())
+    word_h = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy().astype(np.uint64)
+    # rolling n-gram combine within doc boundaries
+    n_sh = np.maximum(lens - n + 1, 0)
+    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    sh_offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n_sh)])
+    total = int(n_sh.sum())
+    if total == 0:
+        return n_sh, np.empty(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_sh)
+    first = np.repeat(offs[:-1], n_sh) + (np.arange(total, dtype=np.int64) - np.repeat(sh_offs[:-1], n_sh))
+    h = np.zeros(total, dtype=np.uint64)
+    for k in range(n):
+        h = _splitmix64(h ^ word_h[first + k])
+    return n_sh, h
+
+
+def char_shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Character k-shingle hashes per document (byte-level, vectorized)."""
+    t = texts.fillna("")
+    enc = [s.encode("utf-8", errors="surrogatepass") for s in t]
+    blens = np.asarray([len(b) for b in enc], dtype=np.int64)
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8) if blens.sum() else np.empty(0, np.uint8)
+    n_sh = np.maximum(blens - k + 1, 0)
+    total = int(n_sh.sum())
+    if total == 0:
+        return n_sh, np.empty(0, dtype=np.uint64)
+    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(blens)])
+    sh_offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n_sh)])
+    first = np.repeat(offs[:-1], n_sh) + (np.arange(total, dtype=np.int64) - np.repeat(sh_offs[:-1], n_sh))
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        h = _splitmix64(h ^ data[first + j].astype(np.uint64))
+    return n_sh, h
+
+
+# 64 fixed odd multipliers for minhash permutations (seeded, public scheme
+# h_i(x) = (a_i * x + b_i) mod 2^61-1)
+_RNG = np.random.default_rng(42)
+_A = (_RNG.integers(1, _M61, size=64, dtype=np.uint64) | np.uint64(1)).astype(np.uint64)
+_B = _RNG.integers(0, _M61, size=64, dtype=np.uint64)
+
+
+def minhash_signatures(n_sh: np.ndarray, hashes: np.ndarray, n_perm: int = 64) -> np.ndarray:
+    """(n_docs, n_perm) uint64 signatures via segment-min over permuted
+    hashes. Docs with zero shingles get all-max signatures."""
+    n_docs = len(n_sh)
+    sig = np.full((n_docs, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+    for p in range(n_perm):
+        hp = (hashes * _A[p] + _B[p]) & _M61
+        np.minimum.at(sig[:, p], doc_of, hp)
+    return sig
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> np.ndarray:
+    """(n_docs, n_bands) band hashes (rows_per_band = n_perm / n_bands)."""
+    n_docs, n_perm = sig.shape
+    rpb = n_perm // n_bands
+    bands = np.zeros((n_docs, n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        h = np.zeros(n_docs, dtype=np.uint64)
+        for r in range(rpb):
+            h = _splitmix64(h ^ sig[:, b * rpb + r])
+        bands[:, b] = h
+    return bands
+
+
+def simhash64(n_sh: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """64-bit simhash per doc: sign of per-bit vote sums over feature
+    hashes (vectorized via bincount per bit)."""
+    n_docs = len(n_sh)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(hashes) == 0:
+        return out.view(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+    counts = n_sh.astype(np.int64)
+    for bit in range(64):
+        ones = np.bincount(doc_of, weights=((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.float64), minlength=n_docs)
+        vote = 2 * ones - counts  # ones - zeros
+        out |= (vote > 0).astype(np.uint64) << np.uint64(bit)
+    return out.view(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.view(np.uint64) ^ b.view(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def jaccard_pairs(set_a: list[np.ndarray], set_b: list[np.ndarray]) -> np.ndarray:
+    """Exact Jaccard over pairs of (sorted unique) hash arrays."""
+    out = np.empty(len(set_a))
+    for i, (a, b) in enumerate(zip(set_a, set_b)):
+        if len(a) == 0 and len(b) == 0:
+            out[i] = 1.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        out[i] = inter / (len(a) + len(b) - inter)
+    return out

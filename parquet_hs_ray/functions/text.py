@@ -1,0 +1,125 @@
+"""Text-analysis kernels for the documents table — all vectorized per batch
+(pandas str / numpy / compiled regex), designed so the SQL-expressible ones
+match DuckDB bit-for-bit (same formula, same integer/double semantics).
+
+North-rule extensions (the reference has no scalar functions at all,
+SURVEY.md §2.5); these are the large-scale training-data-pipeline text ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_ALPHA = re.compile(r"[A-Za-z]")
+_DIGIT = re.compile(r"[0-9]")
+_UPPER = re.compile(r"[A-Z]")
+# GPT-2-ish BPE pre-tokenizer pattern (public pattern from the GPT-2 paper's
+# released tokenizer), simplified to ASCII classes for determinism
+_BPE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+# tiny per-language stopword marker sets (public common-word lists)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "no", "una", "por", "con", "para"},
+    "it": {"il", "la", "di", "e", "che", "non", "una", "per", "con", "sono"},
+}
+_WORD = re.compile(r"[a-zàâäéèêëïîôöùûüáíóúñç]+")
+
+
+def ws_token_count(texts: pd.Series) -> np.ndarray:
+    """Whitespace token count; '' and all-whitespace -> 0.
+
+    SQL twin: ``CASE WHEN trim(text) = '' THEN 0 ELSE
+    len(string_split_regex(trim(text), '\\s+')) END``."""
+    stripped = texts.fillna("").str.strip()
+    counts = stripped.str.split(_WS).str.len().astype(np.int64)
+    counts[stripped == ""] = 0
+    return counts.to_numpy()
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """Approximate BPE pre-token count (regex pieces, not merges)."""
+    return texts.fillna("").str.findall(_BPE).str.len().astype(np.int64).to_numpy()
+
+
+def quality_components(texts: pd.Series) -> dict[str, np.ndarray]:
+    """Counting-based quality features. SQL twins use
+    ``length(regexp_replace(text, '[^...]', '', 'g'))``."""
+    t = texts.fillna("")
+    n_chars = t.str.len().astype(np.int64).to_numpy()
+    n_alpha = t.str.count(_ALPHA).astype(np.int64).to_numpy()
+    n_digit = t.str.count(_DIGIT).astype(np.int64).to_numpy()
+    n_upper = t.str.count(_UPPER).astype(np.int64).to_numpy()
+    n_ws = t.str.count(_WS).astype(np.int64).to_numpy()
+    alpha_ratio = n_alpha / np.maximum(n_chars, 1)
+    return {
+        "n_chars_c": n_chars,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_upper": n_upper,
+        "n_ws": n_ws,
+        "alpha_ratio": alpha_ratio,
+    }
+
+
+def lang_id(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Marker-word language heuristic. Returns (lang codes, best scores).
+    Deterministic tie-break: language code ascending. Not SQL-expressible
+    cleanly -> rows-only oracle."""
+    langs = sorted(_LANG_MARKERS)
+    out_lang = []
+    out_score = []
+    for s in texts.fillna(""):
+        words = _WORD.findall(s.lower())
+        if not words:
+            out_lang.append("unk")
+            out_score.append(0.0)
+            continue
+        best, best_score = "unk", 0.0
+        for lg in langs:
+            m = _LANG_MARKERS[lg]
+            score = sum(1 for w in words if w in m) / len(words)
+            if score > best_score:
+                best, best_score = lg, score
+        out_lang.append(best if best_score > 0 else "unk")
+        out_score.append(best_score)
+    return np.asarray(out_lang, dtype=object), np.asarray(out_score)
+
+
+def md5_hex(texts: pd.Series) -> np.ndarray:
+    """Per-value md5 hex digests (C-speed per row; SQL twin ``md5(text)``)."""
+    return np.asarray([hashlib.md5(s.encode()).hexdigest() for s in texts.fillna("")], dtype=object)
+
+
+_ROLL_BASE = np.uint64(1_000_003)
+_ROLL_MOD_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprint(texts: pd.Series) -> np.ndarray:
+    """Polynomial rolling hash over bytes (mod 2^61-1 via uint64 wrap) —
+    a cheap whole-document fingerprint, vectorized across the batch."""
+    t = texts.fillna("")
+    lens = t.str.len().astype(np.int64).to_numpy()
+    cat = "".join(t.tolist()).encode("utf-8", errors="surrogatepass")
+    blens = np.asarray([len(s.encode("utf-8", errors="surrogatepass")) for s in t], dtype=np.int64)
+    data = np.frombuffer(cat, dtype=np.uint8).astype(np.uint64)
+    out = np.zeros(len(t), dtype=np.uint64)
+    offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(blens)])
+    # horner evaluation per doc, vectorized over docs via frontier iteration
+    max_len = int(blens.max()) if len(blens) else 0
+    active = np.flatnonzero(blens > 0)
+    pos = offs[:-1].copy()
+    step = 0
+    while len(active) and step < max_len:
+        out[active] = (out[active] * _ROLL_BASE + data[pos[active]]) & _ROLL_MOD_MASK
+        pos[active] += 1
+        step += 1
+        active = active[pos[active] < offs[active + 1]]
+    return out.view(np.int64)

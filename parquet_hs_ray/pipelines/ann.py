@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: the baseline; query matrix broadcast via
+  ray.put, one float64 matmul per batch, per-batch top-k partials merged on
+  the driver (partial top-k = the mergeable-aggregate pattern; the merge
+  handles k*n_queries rows only, never the corpus).
+- IVF: kmeans-lite coarse quantizer (seeded, fixed iterations) trained on a
+  sample, nprobe-cluster search — the 100 TB scale path (corpus bucketed by
+  nearest centroid; queries probe nprobe buckets => ~nprobe/nlist of the
+  corpus touched).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _topk_partial(batch: pd.DataFrame, ref, k: int) -> pd.DataFrame:
+    q_ids, Qn = ray.get(ref)
+    ids = batch["vec_id"].to_numpy()
+    M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Qn @ Mn.T  # (n_q, n_batch)
+    kk = min(k + 1, sims.shape[1])
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows = np.repeat(np.arange(sims.shape[0]), kk)
+    cols = idx.reshape(-1)
+    return pd.DataFrame(
+        {
+            "query_id": q_ids[rows],
+            "neighbor_id": ids[cols],
+            "sim": sims[rows, cols],
+        }
+    )
+
+
+def ann_topk_bruteforce(emb: "ray.data.Dataset", query_ids: list[int], k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k (excluding self), deterministic tie-break by
+    (sim desc, neighbor_id asc). Returns (query_id, neighbor_id, rank)."""
+    qset = set(query_ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["vec_id"].isin(qset)]
+
+    qdf = emb.map_batches(pick, batch_format="pandas").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qdf["vec_id"].to_numpy(), Qn))
+
+    partials = emb.map_batches(
+        lambda b: _topk_partial(b, ref, k), batch_format="pandas"
+    ).to_pandas()
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].astype({"query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
+
+
+def kmeans_lite(X: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic fixed-iteration kmeans on normalized vectors."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)
+    C = X[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def ann_topk_ivf(
+    emb: "ray.data.Dataset", query_ids: list[int], k: int = 10,
+    n_clusters: int = 16, nprobe: int = 4, sample_size: int = 4096, seed: int = 42,
+) -> pd.DataFrame:
+    """IVF approximate top-k: train coarse centroids on a sample, assign
+    every vector to its nearest centroid inside map_batches, search only the
+    nprobe closest clusters per query."""
+    sample = emb.limit(sample_size).to_pandas()
+    Xs = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    C = kmeans_lite(Xs, n_clusters, seed=seed)
+    qset = set(query_ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["vec_id"].isin(qset)]
+
+    qdf = emb.map_batches(pick, batch_format="pandas").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    probe_sets = [set(row) for row in q_probe]
+    ref = ray.put((qdf["vec_id"].to_numpy(), Qn, probe_sets, C))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, Qn_, probes, C_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        assign = np.argmax(Mn @ C_.T, axis=1)
+        frames = []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, list(probes[qi]))
+            if not mask.any():
+                continue
+            sims = Mn[mask] @ Qn_[qi]
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            frames.append(pd.DataFrame({"query_id": q_ids[qi], "neighbor_id": sub_ids[top], "sim": sims[top]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=float)})
+        return pd.concat(frames)
+
+    partials = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].astype(np.int64)

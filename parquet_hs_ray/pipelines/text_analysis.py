@@ -1,0 +1,82 @@
+"""Text-analysis pipelines over the documents table (SQL-twinned where the
+kernel is SQL-expressible; see __ray_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..functions import text as tx
+
+
+def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": tx.ws_token_count(batch["text"]),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def quality_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        comp = tx.quality_components(batch["text"])
+        return pd.DataFrame({"doc_id": batch["doc_id"], **comp})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fingerprint_md5": tx.md5_hex(batch["text"])}
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def language_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        lang, score = tx.lang_id(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": lang,
+                "lang_score": np.round(score, 6),
+                "fingerprint_roll": tx.rolling_fingerprint(batch["text"]),
+                "n_bpe_tokens": tx.bpe_token_count(batch["text"]),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def stats_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source aggregate via the partial-aggregation pattern: one partial
+    row per (source) per batch inside map_batches, then a tiny groupby over
+    the partials — the shuffle moves O(sources * batches) rows, not O(rows).
+
+    SQL twin: SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+    sum(CASE ws count END) AS sum_ws_tokens FROM documents GROUP BY source.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ws = tx.ws_token_count(batch["text"])
+        g = pd.DataFrame(
+            {"source": batch["source"], "n_chars": batch["n_chars"], "ws": ws}
+        ).groupby("source", sort=False)
+        out = g.agg(n_docs=("ws", "size"), sum_chars=("n_chars", "sum"), sum_ws_tokens=("ws", "sum"))
+        return out.reset_index()
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("sum_ws_tokens", alias_name="sum_ws_tokens"),
+    )

@@ -125,3 +125,40 @@ def cached_dataset(n_rows: int, seed: int = 42, n_files: int = 16, skew=False, n
         with open(done, "w") as f:
             f.write("ok")
     return out_dir
+
+
+def write_dataset_ray(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 32) -> str:
+    """Parallel deterministic generation via Ray tasks (one file per task;
+    gen_batch is keyed by start_row so chunking does not change content)."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_rows + n_files - 1) // n_files
+
+    @ray.remote(num_cpus=1)
+    def _write(i: int, row: int, rows: int) -> str:
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        pq.write_table(gen_batch(rows, seed=seed, start_row=row), path)
+        return path
+
+    refs = []
+    row = 0
+    for i in range(n_files):
+        rows = min(per, n_rows - row)
+        if rows <= 0:
+            break
+        refs.append(_write.remote(i, row, rows))
+        row += rows
+    ray.get(refs)
+    return out_dir
+
+
+def cached_dataset_ray(n_rows: int, seed: int = 42, n_files: int = 32) -> str:
+    tag = f"f1_r{n_rows}_s{seed}_f{n_files}"
+    out_dir = os.path.join("/tmp", "phr_synth", tag)
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        write_dataset_ray(out_dir, n_rows, seed=seed, n_files=n_files)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir

@@ -1,0 +1,97 @@
+"""Multimodal (image/audio/video) stage plumbing.
+
+Payloads are opaque ``binary`` columns with typed metadata columns
+(media_type, width/height/duration, ...). The Ray-side plumbing — actor
+pool, small batch sizes for large payloads, Arrow binary in / fixed-width
+feature vectors out, schema discipline — is real and tested; the actual
+codec decode is STUBBED because no image/audio libraries exist in this
+container: ``decode_real=True`` raises NotImplementedError, the default
+produces a deterministic fake feature vector derived from the payload
+bytes (stable across runs/workers, so downstream pipelines are testable).
+
+Scale notes: payloads are large (MBs/row) -> ``batch_size`` must be small
+(tens of rows) and `DataContext.target_max_block_size` raised so Ray does
+not split blocks absurdly; one actor per CPU with setup (model load) in
+``__init__`` once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FEATURE_DIM = 8
+
+
+class MediaFeatureStage:
+    """Actor-pool map_batches class: binary payload -> feature vector.
+
+    Use: ds.map_batches(MediaFeatureStage, fn_constructor_kwargs=dict(
+    payload_col="payload"), batch_size=32, concurrency=N, batch_format="pyarrow")
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 decode_real: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        if decode_real:
+            # a real deployment loads the decoder/model here, once per actor
+            raise NotImplementedError(
+                "real media decode requires image/audio libraries not present "
+                "in this environment; use decode_real=False for the "
+                "deterministic fake-feature path"
+            )
+        # deterministic mixing constants (the 'model' of the fake path)
+        self._mix = np.arange(1, _FEATURE_DIM + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def _fake_features(self, payloads: pa.Array) -> np.ndarray:
+        """Deterministic per-payload feature vector: byte-sum, length and
+        mixed prefix hashes — vectorized over the batch."""
+        offs = np.frombuffer(payloads.buffers()[1], dtype=np.int32 if not pa.types.is_large_binary(payloads.type) else np.int64,
+                             count=len(payloads) + 1, offset=payloads.offset * (8 if pa.types.is_large_binary(payloads.type) else 4))
+        buf = payloads.buffers()[2]
+        data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        n = len(lens)
+        feats = np.zeros((n, _FEATURE_DIM), dtype=np.float32)
+        if n == 0:
+            return feats
+        csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(data, dtype=np.int64)])
+        sums = csum[offs[1:]] - csum[offs[:-1]]
+        feats[:, 0] = lens
+        feats[:, 1] = sums / np.maximum(lens, 1)
+        # prefix-hash features
+        for k in range(2, _FEATURE_DIM):
+            take = np.minimum(lens, k).astype(np.int64)
+            first = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                has = take > j
+                idx = offs[:-1][has] + j
+                first[has] = (first[has] * np.uint64(131)) + data[idx].astype(np.uint64)
+            feats[:, k] = (first * self._mix[k - 2] >> np.uint64(40)).astype(np.float32)
+        return feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].combine_chunks()
+        feats = self._fake_features(payloads)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_bytes": pa.array(feats[:, 0].astype(np.int64)),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), _FEATURE_DIM
+                ),
+            }
+        )
+
+
+def media_features(ds, payload_col="payload", id_col="media_id", concurrency=4, batch_size=32):
+    """Run the feature stage as an actor pool (small batches for big rows)."""
+    return ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,152 @@
+"""Operator pipeline tests (dedup / ANN / text analysis / multimodal) at
+sf0.001, plus kernel determinism checks."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_dedup_exact_matches_pandas(docs):
+    from parquet_hs_ray.pipelines.dedup import dedup_exact
+
+    ours = dedup_exact(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    raw = docs.to_pandas()
+    ref = (
+        raw.groupby("text", sort=False)
+        .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        .reset_index(drop=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ours.astype({"n_dups": np.int64}), ref.astype({"n_dups": np.int64}))
+
+
+def test_minhash_finds_planted_dups(ray_session):
+    """Plant near-duplicate docs; minhash must find them."""
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy", 1)},
+            {"doc_id": 3, "text": "completely different content with unrelated words " * 15},
+            {"doc_id": 4, "text": base + "extra tail words here"}]
+    ds = ray.data.from_items(rows)
+    from parquet_hs_ray.pipelines.dedup import dedup_minhash
+
+    pairs = dedup_minhash(ds, threshold=0.5)
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_finds_planted_dups(ray_session):
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base[:-3]},
+            {"doc_id": 3, "text": "zzz completely different material qqq " * 20}]
+    from parquet_hs_ray.pipelines.dedup import dedup_simhash
+
+    pairs = dedup_simhash(ray.data.from_items(rows), max_hamming=6)
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_ann_bruteforce_matches_numpy(emb):
+    from parquet_hs_ray.pipelines.ann import ann_topk_bruteforce
+
+    out = ann_topk_bruteforce(emb, query_ids=[0, 1], k=5)
+    full = emb.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = full["vec_id"].to_numpy()
+    for q in (0, 1):
+        qi = np.flatnonzero(ids == q)[0]
+        sims = Mn @ Mn[qi]
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        expect = [ids[j] for j in order if ids[j] != q][:5]
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expect
+
+
+def test_ann_ivf_recall(emb):
+    """IVF with nprobe=all clusters == brute force; fewer probes -> recall>0.5."""
+    from parquet_hs_ray.pipelines.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    exact = ann_topk_bruteforce(emb, query_ids=[0], k=10)
+    approx = ann_topk_ivf(emb, query_ids=[0], k=10, n_clusters=8, nprobe=8)
+    assert set(approx["neighbor_id"]) == set(exact["neighbor_id"])  # all probes = exact
+    approx2 = ann_topk_ivf(emb, query_ids=[0], k=10, n_clusters=8, nprobe=3)
+    recall = len(set(approx2["neighbor_id"]) & set(exact["neighbor_id"])) / 10
+    assert recall >= 0.5
+
+
+def test_text_kernels_deterministic():
+    from parquet_hs_ray.functions import text as tx
+
+    s = pd.Series(["Hello World 123", "", "  ", "àéî ü", None])
+    assert tx.ws_token_count(s).tolist() == [3, 0, 0, 2, 0]
+    a = tx.md5_hex(s)
+    assert a[0] == "cd33bbd32ecd4d2e0ce1f37a1b68b348" or len(a[0]) == 32
+    f1 = tx.rolling_fingerprint(s)
+    f2 = tx.rolling_fingerprint(s)
+    np.testing.assert_array_equal(f1, f2)
+    lang, score = tx.lang_id(pd.Series(["the cat and the dog in the house", "der hund und die katze"]))
+    assert lang.tolist() == ["en", "de"]
+
+
+def test_sketch_determinism_across_chunking():
+    """Signatures must not depend on batch boundaries (PYTHONHASHSEED trap)."""
+    from parquet_hs_ray.functions import sketches as sk
+
+    texts = pd.Series(["alpha beta gamma delta epsilon zeta", "one two three four five six seven"])
+    n1, h1 = sk.word_ngram_hashes(texts)
+    n1a, h1a = sk.word_ngram_hashes(texts[:1])
+    n1b, h1b = sk.word_ngram_hashes(texts[1:].reset_index(drop=True))
+    np.testing.assert_array_equal(h1, np.concatenate([h1a, h1b]))
+    sig = sk.minhash_signatures(n1, h1)
+    assert sig.shape == (2, 64)
+
+
+def test_multimodal_stage(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.stages.multimodal import MediaFeatureStage, media_features
+
+    rows = [{"media_id": i, "payload": bytes([i]) * (100 + i)} for i in range(10)]
+    ds = ray.data.from_items(rows)
+    out = media_features(ds, concurrency=2, batch_size=4).to_pandas()
+    assert len(out) == 10
+    assert out["n_bytes"].tolist() == [100 + i for i in range(10)]
+    assert all(len(f) == 8 for f in out["features"])
+    # real decode is gated behind NotImplementedError
+    with pytest.raises(NotImplementedError):
+        MediaFeatureStage(decode_real=True)
+
+
+def test_stats_by_source_partial_agg(docs):
+    from parquet_hs_ray.pipelines.text_analysis import stats_by_source
+
+    out = stats_by_source(docs).to_pandas()
+    raw = docs.to_pandas()
+    assert int(out["n_docs"].sum()) == len(raw)
+    assert int(out["sum_chars"].sum()) == int(raw["n_chars"].sum())
