@@ -66,8 +66,19 @@ def encode_hybrid_columnar(values: np.ndarray, width: int, min_run: int | None =
         words = np.asarray([n << 1], dtype="<u4")
         return header + encode_varint(1) + words.tobytes()
 
+    # cheap pre-check: if almost every adjacent pair differs, no run can
+    # reach min_run often enough to matter — take the single-BP-span path
+    # without allocating the O(n) int64 run-boundary arrays
+    neq = values[1:] != values[:-1]
+    n_repeats = n - 1 - int(np.count_nonzero(neq))
+    if n_repeats < max(min_run, n // 32):
+        words = np.asarray([(n << 1) | 1], dtype="<u4")
+        pad = (-n) % 8
+        padded = np.concatenate([values, np.zeros(pad, dtype=values.dtype)]) if pad else values
+        return header + encode_varint(1) + words.tobytes() + pack_bits_le(padded, width)
+
     # maximal equal-value runs
-    boundaries = np.flatnonzero(values[1:] != values[:-1]) + 1
+    boundaries = np.flatnonzero(neq) + 1
     starts = np.concatenate([np.zeros(1, dtype=np.int64), boundaries])
     ends = np.concatenate([boundaries, np.asarray([n], dtype=np.int64)])
     lens = ends - starts

@@ -86,16 +86,18 @@ def encode_pfor(values: np.ndarray) -> bytes:
     # suboptimal width only costs bytes, never correctness)
     sample = deltas[:: max(1, n // (1 << 20))]
     w, _ = choose_base_width(sample)
-    du64 = deltas.astype(np.uint64, copy=False)
-    if w >= 64:
-        base = du64
+    wbits = 8 * deltas.dtype.itemsize
+    if w >= wbits:
+        w = wbits
+        base = deltas
         exc_pos = np.empty(0, dtype=np.int64)
         exc_high = np.empty(0, dtype=np.uint64)
     else:
-        base = du64 & np.uint64((1 << w) - 1)
-        high = du64 >> np.uint64(w)
+        # native-dtype masking/shifts (no widening: memory traffic matters)
+        base = deltas & deltas.dtype.type((1 << w) - 1)
+        high = deltas >> deltas.dtype.type(w)
         exc_pos = np.flatnonzero(high)
-        exc_high = high[exc_pos]
+        exc_high = high[exc_pos].astype(np.uint64)
     pad = (-n) % 8
     if pad:
         base = np.concatenate([base, np.zeros(pad, dtype=base.dtype)])

@@ -404,6 +404,9 @@ def encode_table(
     table: pa.Table, codec_overrides: dict[str, int] | None = None
 ) -> tuple[bytes, dict[str, ColumnStats]]:
     """Encode a table into one blob. Returns (blob, {col: stats})."""
+    from .memtune import ensure_process_tuned
+
+    ensure_process_tuned()
     codec_overrides = codec_overrides or {}
     schema_bytes = table.schema.serialize().to_pybytes()
     parts = [MAGIC, VERSION.to_bytes(2, "little"), len(schema_bytes).to_bytes(4, "little"), schema_bytes]
@@ -424,6 +427,9 @@ def encode_table(
 def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     """Decode a blob back to an Arrow table; ``columns`` prunes frames
     without decoding them (length-delimited skip)."""
+    from .memtune import ensure_process_tuned
+
+    ensure_process_tuned()
     if blob[:4] != MAGIC:
         raise ValueError("bad magic")
     pos = 4 + 2

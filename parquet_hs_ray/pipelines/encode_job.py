@@ -40,9 +40,16 @@ def encode_dataset(
     concurrency: int | None = None,
     resume: bool = True,
     batch_size: int = 1,
+    use_actors: bool | None = None,
 ) -> dict:
     """Run the encode job; returns the manifest summary. Safe to re-run:
-    finished partitions are skipped (checkpoint resume)."""
+    finished partitions are skipped (checkpoint resume).
+
+    ``use_actors``: None = auto. Encoding state is per-partition (symbol
+    tables are rebuilt deterministically), so the stage is valid both as an
+    actor pool and as plain tasks. Actors win when each amortizes its
+    process warm-up over many partitions (real-scale jobs); tasks win for
+    small jobs because Ray REUSES warm worker processes across stages."""
     paths = _expand_paths(input_path)
     mf.ensure_dirs(out_dir)
     plan_path = os.path.join(out_dir, "plan.json")
@@ -65,19 +72,28 @@ def encode_dataset(
         for p in todo
     ]
     ds = ray.data.from_items(items)
-    if concurrency is None:
-        import ray as _ray
+    import ray as _ray
 
-        concurrency = max(2, int(_ray.available_resources().get("CPU", 4)) - 1)
-    concurrency = max(1, min(concurrency, len(items)))
-    out = ds.map_batches(
-        EncoderStage,
-        fn_constructor_kwargs={"out_dir": out_dir, "token_col": token_col},
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-        batch_format="numpy",
-    )
+    cpus = int(_ray.available_resources().get("CPU", 4))
+    if use_actors is None:
+        use_actors = len(items) >= cpus * 16
+    if use_actors:
+        if concurrency is None:
+            concurrency = max(2, min(cpus - 1, len(items) // 4 or 1))
+        concurrency = max(1, min(concurrency, len(items)))
+        out = ds.map_batches(
+            EncoderStage,
+            fn_constructor_kwargs={"out_dir": out_dir, "token_col": token_col},
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+            batch_format="numpy",
+        )
+    else:
+        stage = EncoderStage(out_dir, token_col)
+        out = ds.map_batches(
+            stage, batch_size=batch_size, num_cpus=1, batch_format="numpy"
+        )
     # consume: the stage wrote blobs+manifest; this materializes only the
     # small per-partition metrics rows
     metrics = out.to_pandas()
@@ -92,14 +108,17 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     entries = mf.load_manifest(out_dir)
     items = [{"partition_id": e["partition_id"]} for e in entries if e.get("status") == "done"]
     ds = ray.data.from_items(items)
-    return ds.map_batches(
-        DecoderStage,
-        fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
-        batch_size=batch_size,
-        concurrency=concurrency or 8,
-        num_cpus=1,
-        batch_format="numpy",
-    )
+    if len(items) >= 256:
+        return ds.map_batches(
+            DecoderStage,
+            fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
+            batch_size=batch_size,
+            concurrency=concurrency or 8,
+            num_cpus=1,
+            batch_format="numpy",
+        )
+    stage = DecoderStage(out_dir, columns)
+    return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 
 def verify_roundtrip(input_path: str | list[str], out_dir: str) -> dict:

@@ -25,6 +25,9 @@ class DecoderStage:
     ``columns`` prunes frames at the byte level (length-delimited skip)."""
 
     def __init__(self, out_dir: str, columns: list[str] | None = None):
+        from ..memtune import ensure_process_tuned
+
+        ensure_process_tuned()
         self.out_dir = out_dir
         self.columns = columns
 

@@ -55,16 +55,25 @@ class EncoderStage:
     a control dataset of partition plan rows."""
 
     def __init__(self, out_dir: str, token_col: str | None = "n_tok", columns=None):
+        t0 = time.perf_counter()
+        from ..memtune import ensure_process_tuned
+
+        ensure_process_tuned()  # pay the page-fault storm once per actor
         self.out_dir = out_dir
         self.token_col = token_col
         self.columns = columns
+        self.init_ms = round((time.perf_counter() - t0) * 1e3, 1)
+        self.first = True
         mf.ensure_dirs(out_dir)
 
     def encode_partition(self, part: Partition) -> dict:
         t0 = time.perf_counter()
         tbl = read_slice(part.path, part.row_start, part.row_count, self.columns)
+        t1 = time.perf_counter()
         blob, stats = encode_table(tbl)
+        t2 = time.perf_counter()
         mf.write_blob_atomic(self.out_dir, part.partition_id, blob)
+        t3 = time.perf_counter()
         if self.token_col and self.token_col in tbl.column_names:
             col = tbl[self.token_col].combine_chunks()
             n_tokens = int(pa.compute.sum(col).as_py() or 0) if tbl.num_rows else 0
@@ -75,6 +84,12 @@ class EncoderStage:
             part, blob, raw_bytes=tbl.nbytes, n_rows=tbl.num_rows, n_tokens=n_tokens,
             col_stats=stats, wall_ms=(time.perf_counter() - t0) * 1e3,
         )
+        entry["read_ms"] = round((t1 - t0) * 1e3, 1)
+        entry["encode_ms"] = round((t2 - t1) * 1e3, 1)
+        entry["write_ms"] = round((t3 - t2) * 1e3, 1)
+        if self.first:
+            entry["actor_init_ms"] = self.init_ms
+            self.first = False
         mf.write_entry(self.out_dir, entry)
         return entry
 

@@ -155,3 +155,24 @@ def test_selector_corner_tables():
     lowcard_s = pa.array([["a", "b", "c", "d"][i % 4] for i in range(1000)])
     _, st = encode_array(lowcard_s)
     assert st.codec == "dict"
+
+
+def test_reference_golden_parquet_via_our_kernels():
+    """FIXTURES.md F3: the reference's committed golden file
+    (/root/reference/tests/integration/test.parquet, Spark 3.2.0,
+    UNCOMPRESSED, RLE levels + PLAIN INT64) must decode bit-identically
+    through OUR kernels vs PyArrow's independent decode."""
+    path = "/root/reference/tests/integration/test.parquet"
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    ours = read_parquet_via_kernels(path)
+    theirs = pq.read_table(path)
+    for name in theirs.column_names:
+        assert ours[name].combine_chunks().equals(theirs[name].combine_chunks()), name
+
+
+def test_f3_roundtrip_through_our_format():
+    """The same nested-null shape through our own encode/decode."""
+    tbl = pq.read_table("/root/reference/tests/integration/test.parquet")
+    blob, _ = encode_table(tbl)
+    assert decode_table(blob).equals(tbl.combine_chunks())

@@ -124,3 +124,13 @@ def test_decode_column_pruning(ray_session, f1_dir, tmp_path):
     tbl = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     assert set(tbl.column_names) == {"n_tok", "source"}
     assert tbl.num_rows == 3000
+
+
+def test_encode_actor_pool_mode(ray_session, f1_dir, tmp_path):
+    """Force the actor-pool path (the default at real scale)."""
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset, verify_roundtrip
+
+    out = str(tmp_path / "enc_actors")
+    res = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2, use_actors=True)
+    assert res["rows"] == 3000
+    assert verify_roundtrip(f1_dir, out)["mismatched_partitions"] == 0
