@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["media_features"] = _media_features
+    from parquet_hs_ray.pipelines import windows as win
+
+    q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
+    q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
     return q
 
 
@@ -177,6 +181,22 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT query_id, neighbor_id,"
         "         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank"
         "  FROM sims) t WHERE rank <= 10"
+    )
+    o["events_window"] = (
+        "SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY user_id, win"
+    )
+    o["events_sessions"] = (
+        "WITH gaps AS ("
+        " SELECT user_id, ts, "
+        "        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "             (PARTITION BY user_id ORDER BY ts) > 1800000000 "
+        "        THEN 1 ELSE 0 END AS brk"
+        " FROM events)"
+        " SELECT user_id, (sum(brk) + 1)::BIGINT AS n_sessions, "
+        "        count(*)::BIGINT AS n_events"
+        " FROM gaps GROUP BY user_id"
     )
     # encode_job_f1 / decode_f1 / doc_lang_id / dedup_minhash / dedup_simhash /
     # ann_ivf / media_features: not SQL-expressible (stateful job, heuristic,

@@ -36,7 +36,8 @@ BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "full")
 _ROWS_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 # scaling-mode input: big enough that per-core compute dominates fixed
 # overheads (C >= ~22x overhead for the 2-vs-8 pair; see BASELINE.md)
-_SCALING_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 1_300_000}
+_SCALING_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 400_000}
+_SCALING_ROWS_ENV = os.environ.get("GRAFT_SCALE_ROWS")
 
 
 def _sf_tag() -> str:
@@ -69,6 +70,8 @@ def main() -> None:
     rows = (_SCALING_ROWS_BY_SF if BENCH_MODE == "scaling" else _ROWS_BY_SF).get(
         _sf_tag(), 100_000
     )
+    if BENCH_MODE == "scaling" and _SCALING_ROWS_ENV:
+        rows = int(_SCALING_ROWS_ENV)
     src = cached_dataset_ray(rows, seed=42, n_files=32)
 
     # warm-up (untimed): input page cache + worker arena warm (workers are

@@ -150,3 +150,45 @@ def test_stats_by_source_partial_agg(docs):
     raw = docs.to_pandas()
     assert int(out["n_docs"].sum()) == len(raw)
     assert int(out["sum_chars"].sum()) == int(raw["n_chars"].sum())
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import tumbling_window
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    ours = tumbling_window(ev).to_pandas().sort_values(["user_id", "win"]).reset_index(drop=True)
+    raw = ev.to_pandas()
+    raw["win"] = raw["ts"].astype("int64") // 3_600_000_000
+    ref = (raw.groupby(["user_id", "win"])
+              .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+              .reset_index().sort_values(["user_id", "win"]).reset_index(drop=True))
+    ref["sum_value"] = ref["sum_value"].round(6)
+    assert len(ours) == len(ref)
+    pd.testing.assert_frame_equal(
+        ours.astype({"n_events": np.int64}), ref.astype({"n_events": np.int64}),
+        check_like=True, atol=1e-6,
+    )
+
+
+def test_sessionize_counts(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import sessionize
+
+    rows = [
+        {"user_id": 1, "ts": 0, "value": 1.0},
+        {"user_id": 1, "ts": 10, "value": 1.0},
+        {"user_id": 1, "ts": 10**12, "value": 1.0},  # new session (gap > 30min)
+        {"user_id": 2, "ts": 5, "value": 1.0},
+    ]
+    import pyarrow as pa
+
+    tbl = pa.table({"user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+                    "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                    "value": pa.array([r["value"] for r in rows])})
+    ds = ray.data.from_arrow(tbl)
+    out = sessionize(ds).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "n_sessions"] == 1
