@@ -132,6 +132,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
     q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
+
+    def golden_parquet_decode(sf):
+        # reference-parity path: the reference's committed golden file
+        # decoded through OUR page/level/value kernels (rows-only check;
+        # bit-exactness vs pyarrow is asserted in tests/test_format.py)
+        from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+        return read_parquet_via_kernels("/root/reference/tests/integration/test.parquet")
+
+    q["golden_parquet_decode"] = golden_parquet_decode
     return q
 
 

@@ -95,3 +95,58 @@ def media_features(ds, payload_col="payload", id_col="media_id", concurrency=4, 
         num_cpus=1,
         batch_format="pyarrow",
     )
+
+
+class ImageResizeStage:
+    """Actor-pool stage shape for image resize: binary payload in, binary
+    payload + dims out. Real decode/resize requires an image library not
+    present in this container — gated exactly like MediaFeatureStage; the
+    deterministic fake path truncates payload bytes to the target 'area'
+    so the Ray plumbing (schema, batch sizing, actor signature) is real
+    and testable."""
+
+    def __init__(self, width: int = 224, height: int = 224, decode_real: bool = False):
+        if decode_real:
+            raise NotImplementedError("image decode libraries unavailable; fake path only")
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        area = self.width * self.height
+        out = [bytes(p.as_py()[:area]) if p.is_valid else None for p in payloads]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([self.width] * len(batch), pa.int32()),
+                "height": pa.array([self.height] * len(batch), pa.int32()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage shape for video frame sampling: one input row ->
+    n_frames output rows (payload slices as fake frames)."""
+
+    def __init__(self, n_frames: int = 4, decode_real: bool = False):
+        if decode_real:
+            raise NotImplementedError("video decode libraries unavailable; fake path only")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for mid, p in zip(batch["media_id"], batch["payload"]):
+            data = p.as_py() or b""
+            step = max(1, len(data) // self.n_frames)
+            for k in range(self.n_frames):
+                ids.append(mid.as_py())
+                idxs.append(k)
+                frames.append(bytes(data[k * step : k * step + step]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )

@@ -192,3 +192,23 @@ def test_sessionize_counts(ray_session):
     out = sessionize(ds).to_pandas().set_index("user_id")
     assert out.loc[1, "n_sessions"] == 2 and out.loc[1, "n_events"] == 3
     assert out.loc[2, "n_sessions"] == 1
+
+
+def test_resize_and_frame_sample_stages(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.stages.multimodal import FrameSampleStage, ImageResizeStage
+
+    rows = [{"media_id": i, "payload": bytes(range(256)) * 300} for i in range(6)]
+    ds = ray.data.from_items(rows)
+    resized = ds.map_batches(ImageResizeStage, fn_constructor_kwargs={"width": 16, "height": 16},
+                             batch_size=3, concurrency=2, batch_format="pyarrow").to_pandas()
+    assert len(resized) == 6 and all(len(p) == 256 for p in resized["payload"])
+    frames = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
+                            batch_size=3, concurrency=2, batch_format="pyarrow").to_pandas()
+    assert len(frames) == 24
+    assert sorted(frames["frame_index"].unique()) == [0, 1, 2, 3]
+    with pytest.raises(NotImplementedError):
+        ImageResizeStage(decode_real=True)
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(decode_real=True)
