@@ -74,16 +74,30 @@ def build_symbol_table(sample_values: list[bytes]) -> list[bytes]:
 
 
 def _match_tables(table: list[bytes]):
-    """Per-length sorted hash arrays for vectorized lookup."""
+    """Lookup structures: direct tables for 1/2-byte symbols (one gather
+    each), per-length sorted hash arrays for 3..8-byte symbols, plus a
+    65536-entry prefix gate so long-symbol matching only touches positions
+    whose first two bytes can start a long symbol."""
+    len1 = np.full(256, ESCAPE, dtype=np.uint8)
+    len2 = np.full(65536, ESCAPE, dtype=np.uint8)
+    prefix_gate = np.zeros(65536, dtype=bool)
     by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for L in range(1, MAX_SYM_LEN + 1):
+    for L in range(3, MAX_SYM_LEN + 1):
         pairs = [(int.from_bytes(s, "little"), c) for c, s in enumerate(table) if len(s) == L]
         if pairs:
             pairs.sort()
-            hashes = np.asarray([p[0] for p in pairs], dtype=np.uint64)
-            codes = np.asarray([p[1] for p in pairs], dtype=np.uint8)
-            by_len[L] = (hashes, codes)
-    return by_len
+            by_len[L] = (
+                np.asarray([p[0] for p in pairs], dtype=np.uint64),
+                np.asarray([p[1] for p in pairs], dtype=np.uint8),
+            )
+    for c, s in enumerate(table):
+        if len(s) == 1:
+            len1[s[0]] = c
+        elif len(s) == 2:
+            len2[int.from_bytes(s, "little")] = c
+        else:
+            prefix_gate[int.from_bytes(s[:2], "little")] = True
+    return len1, len2, prefix_gate, by_len
 
 
 def _encode_with_table(
@@ -97,27 +111,51 @@ def _encode_with_table(
     if nd == 0:
         return np.zeros(n_rows, dtype=np.int64), np.empty(0, np.uint8), np.empty(0, np.uint8)
 
-    by_len = _match_tables(table)
-    # 8-byte little-endian window at every position (padded)
+    len1, len2, prefix_gate, by_len = _match_tables(table)
     padded = np.concatenate([data, np.zeros(MAX_SYM_LEN, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:nd].copy().view(np.uint64).reshape(nd)
-
     offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens, dtype=np.int64)])
-    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-    remaining = np.repeat(offsets[1:], lens) - np.arange(nd, dtype=np.int64)
+    remaining = (np.repeat(offsets[1:], lens) - np.arange(nd, dtype=np.int64)).astype(np.int32)
 
     sym_len = np.zeros(nd, dtype=np.uint8)  # 0 = escape (consumes 1 byte)
     sym_code = np.full(nd, ESCAPE, dtype=np.uint8)
-    for L in range(MAX_SYM_LEN, 0, -1):
-        if L not in by_len:
-            continue
-        hashes, codes = by_len[L]
-        h = win & np.uint64((1 << (8 * L)) - 1)
-        loc = np.searchsorted(hashes, h)
-        loc[loc == len(hashes)] = 0
-        hit = (hashes[loc] == h) & (remaining >= L) & (sym_len == 0)
-        sym_len[hit] = L
-        sym_code[hit] = codes[loc[hit]]
+
+    # two-byte little-endian window: one gather covers len-1/len-2 lookup
+    # and the long-symbol prefix gate
+    win2 = padded[:nd].astype(np.uint16) | (padded[1 : nd + 1].astype(np.uint16) << 8)
+
+    # long symbols (3..8): only at gated candidate positions, longest first
+    cand = np.flatnonzero(prefix_gate[win2] & (remaining >= 3))
+    if len(cand):
+        cand_free = np.ones(len(cand), dtype=bool)
+        for L in range(MAX_SYM_LEN, 2, -1):
+            if L not in by_len or not cand_free.any():
+                continue
+            hashes, codes = by_len[L]
+            idx = cand[cand_free]
+            idx = idx[remaining[idx] >= L]
+            if not len(idx):
+                continue
+            h = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(L - 1, -1, -1):
+                h = (h << np.uint64(8)) | padded[idx + j].astype(np.uint64)
+            loc = np.searchsorted(hashes, h)
+            loc[loc == len(hashes)] = 0
+            hit = hashes[loc] == h
+            hit_idx = idx[hit]
+            sym_len[hit_idx] = L
+            sym_code[hit_idx] = codes[loc[hit]]
+            cand_free &= sym_len[cand] == 0
+
+    # len-2 then len-1 direct tables on everything still unmatched
+    free = sym_len == 0
+    ok2 = free & (remaining >= 2) & (len2[win2] != ESCAPE)
+    sym_len[ok2] = 2
+    sym_code[ok2] = len2[win2[ok2]]
+    free &= ~ok2
+    c1 = len1[data]
+    ok1 = free & (c1 != ESCAPE)
+    sym_len[ok1] = 1
+    sym_code[ok1] = c1[ok1]
 
     adv = np.maximum(sym_len, 1).astype(np.int64)
 

@@ -49,10 +49,12 @@ from .codecs.bitpack import bit_width_of
 from .codecs.intpack import decode_int, encode_int
 from .codecs.plain import decode_binary, decode_plain_fixed, encode_binary, encode_plain_fixed
 from .codecs.varint import decode_varint, encode_varint
+from .codecs.delta import decode_delta, encode_delta
 from .codecs.pfor import decode_pfor, encode_pfor
 from .selector import (
     BITPACK,
     CODEC_NAMES,
+    DELTA,
     DICT,
     FOR,
     FSST,
@@ -158,6 +160,8 @@ def _encode_int_payload(vals: np.ndarray, codec: int) -> bytes:
         return encode_plain_fixed(vals)
     if codec == PFOR:
         return encode_pfor(vals)
+    if codec == DELTA:
+        return encode_delta(vals)
     if codec == DICT:
         uniq, inv = _dict_encode_np(vals)
         width = bit_width_of(len(uniq) - 1) if len(uniq) > 1 else 0
@@ -177,6 +181,8 @@ def _decode_int_payload(data: bytes, pos: int, codec: int, dt: np.dtype, n: int)
         return vals, pos
     if codec == PFOR:
         return decode_pfor(data, dt, pos)
+    if codec == DELTA:
+        return decode_delta(data, dt, pos)
     if codec == DICT:
         card, pos = decode_varint(data, pos)
         nbytes, pos = decode_varint(data, pos)

@@ -24,15 +24,15 @@ from .codecs.bitpack import bit_width_of
 SAMPLE_MAX = 1 << 16
 
 # codec ids shared with format.py frames
-PLAIN, DICT, RLE, BITPACK, FOR, FSST, PFOR = 0, 1, 2, 3, 4, 5, 6
-CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for", 5: "fsst", 6: "pfor"}
+PLAIN, DICT, RLE, BITPACK, FOR, FSST, PFOR, DELTA = 0, 1, 2, 3, 4, 5, 6, 7
+CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for", 5: "fsst", 6: "pfor", 7: "delta"}
 
 # a dictionary larger than this is never attempted (scale guard: the dict is
 # per-column-chunk state held by the encoder actor)
 _DICT_MAX_CARD = 1 << 16
 
 # deterministic tie-break: run-aware codecs first
-_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "pfor": 4, "fsst": 5, "plain": 6}
+_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "pfor": 4, "delta": 5, "fsst": 6, "plain": 7}
 
 
 def _sample(values: np.ndarray) -> np.ndarray:
@@ -41,6 +41,15 @@ def _sample(values: np.ndarray) -> np.ndarray:
         return values
     stride = n // SAMPLE_MAX
     return values[:: stride][:SAMPLE_MAX]
+
+
+def _sample_windows(values: np.ndarray, n_windows: int = 4, window: int = 16_384) -> np.ndarray:
+    """Contiguous windows (order-preserving) for delta estimation."""
+    n = len(values)
+    if n <= n_windows * window:
+        return values
+    step = n // n_windows
+    return np.concatenate([values[i * step : i * step + window] for i in range(n_windows)])
 
 
 @dataclass
@@ -99,6 +108,9 @@ def select_int_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
     from .codecs.pfor import estimate_pfor
 
     est["pfor"] = estimate_pfor(sample, n)
+    from .codecs.delta import estimate_delta
+
+    est["delta"] = estimate_delta(_sample_windows(values), n)
     if card <= _DICT_MAX_CARD and card < max(2, len(sample) // 4):
         idx_width = bit_width_of(card - 1)
         # indices inherit the run structure of the values
@@ -108,7 +120,7 @@ def select_int_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
     choice = min(est, key=lambda k: (est[k], _TIE_PRIORITY[k]))
     stats.predicted = {k: int(v) for k, v in est.items()}
     stats.codec = choice
-    return {"plain": PLAIN, "dict": DICT, "rle": RLE, "bitpack": BITPACK, "for": FOR, "pfor": PFOR}[choice], stats
+    return {"plain": PLAIN, "dict": DICT, "rle": RLE, "bitpack": BITPACK, "for": FOR, "pfor": PFOR, "delta": DELTA}[choice], stats
 
 
 def select_float_codec(values: np.ndarray) -> tuple[int, ColumnStats]:

@@ -174,3 +174,43 @@ def test_pfor_beats_for_on_zipf():
     rng = np.random.default_rng(0)
     vals = (rng.pareto(1.1, size=200_000) * 25).astype(np.int64) % 50257
     assert len(encode_pfor(vals)) < 0.8 * len(encode_int(vals, "for"))
+
+
+# --- DELTA ---
+
+from parquet_hs_ray.codecs.delta import decode_delta, encode_delta  # noqa: E402
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32),
+    st.integers(min_value=0, max_value=3000),
+    st.sampled_from(["sorted", "steps", "random", "extreme"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_delta_roundtrip(seed, n, shape):
+    rng = np.random.default_rng(seed)
+    if shape == "sorted":
+        vals = np.cumsum(rng.integers(0, 5, size=n)).astype(np.int64)
+    elif shape == "steps":
+        vals = (np.arange(n, dtype=np.int64) * 1000) + rng.integers(-3, 4, size=n)
+    elif shape == "random":
+        vals = rng.integers(-(2**40), 2**40, size=n, dtype=np.int64)
+    else:
+        vals = rng.choice([-(2**63), 2**63 - 1, 0, 1], size=n).astype(np.int64)
+    enc = encode_delta(vals)
+    out, pos = decode_delta(enc, np.int64)
+    assert pos == len(enc)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_delta_int32_and_timestamps():
+    vals = np.arange(1_600_000_000, 1_600_100_000, 7, dtype=np.int64)
+    enc = encode_delta(vals)
+    out, _ = decode_delta(enc, np.int64)
+    np.testing.assert_array_equal(out, vals)
+    # sorted keys compress hard: constant stride -> single tiny run
+    assert len(enc) < len(vals) * 8 / 50
+
+    v32 = np.arange(0, 100000, 3, dtype=np.int32)
+    out32, _ = decode_delta(encode_delta(v32), np.int32)
+    np.testing.assert_array_equal(out32, v32)
