@@ -48,7 +48,7 @@ def build_symbol_table(sample_values: list[bytes]) -> list[bytes]:
 
     singles: Counter = Counter()
     multis: Counter = Counter()
-    budget = 1 << 16
+    budget = 1 << 14  # table quality saturates fast; build cost is per chunk
     used = 0
     for s in sample_values:
         if used >= budget:
