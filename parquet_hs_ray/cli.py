@@ -83,7 +83,9 @@ def main(argv=None):
             cols = args.columns.split(",") if args.columns else None
             ds = decode_dataset(args.encoded, columns=cols)
             ds.write_parquet(args.out)
-            print(json.dumps({"rows": ds.count(), "out": args.out}))
+            from .state import manifest as mf
+
+            print(json.dumps({"rows": mf.summary(args.encoded)["rows"], "out": args.out}))
         elif args.cmd == "verify":
             from .pipelines.encode_job import verify_roundtrip
 

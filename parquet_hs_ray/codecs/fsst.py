@@ -233,8 +233,8 @@ def encode_fsst(lens: np.ndarray, raw: bytes, table: list[bytes] | None = None) 
     return b"".join(parts)
 
 
-def decode_fsst(data: bytes, pos: int = 0) -> tuple[np.ndarray, bytes]:
-    """Decode an FSST payload. Returns (per-row byte lengths int64, raw)."""
+def decode_fsst(data: bytes, pos: int = 0) -> tuple[np.ndarray, bytes, int]:
+    """Decode an FSST payload. Returns (per-row lengths int64, raw, pos)."""
     n_syms, pos = decode_varint(data, pos)
     sym_lens = np.frombuffer(data, dtype=np.uint8, count=n_syms, offset=pos).astype(np.int64)
     pos += n_syms
@@ -274,7 +274,7 @@ def decode_fsst(data: bytes, pos: int = 0) -> tuple[np.ndarray, bytes]:
     # per-row decoded lengths: segment-sum exp_len by counts
     row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     out_lens = np.bincount(row_of, weights=exp_len, minlength=len(counts)).astype(np.int64)
-    return out_lens, out.tobytes()
+    return out_lens, out.tobytes(), pos
 
 
 def _deterministic_sample(lens: np.ndarray, raw: bytes, max_vals: int = 384) -> list[bytes]:
@@ -286,12 +286,22 @@ def _deterministic_sample(lens: np.ndarray, raw: bytes, max_vals: int = 384) -> 
     return [bytes(raw[offs[i] : offs[i + 1]]) for i in range(0, n, stride)][:max_vals]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def table_for_sample(sample_key: tuple) -> list:
+    """Memoized table construction so the selector's trial encode and the
+    real encode of the same column chunk share one build."""
+    return build_symbol_table(list(sample_key))
+
+
 def trial_ratio(sample_values: list[bytes]) -> float:
     """Compression ratio estimate for the selector: trial-encode the sample."""
     raw = b"".join(sample_values)
     if not raw:
         return 1.0
-    table = build_symbol_table(sample_values)
+    table = table_for_sample(tuple(sample_values))
     lens = np.asarray([len(s) for s in sample_values], dtype=np.int64)
     counts, codes, literals = _encode_with_table(lens, raw, table)
     table_bytes = sum(len(s) for s in table) + len(table)

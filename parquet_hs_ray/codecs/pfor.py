@@ -41,12 +41,19 @@ def _bit_lengths(deltas: np.ndarray) -> np.ndarray:
     if nz.any():
         f = np.log2(d[nz].astype(np.float64))
         approx = f.astype(np.uint8) + 1
-        # correct off-by-one at boundaries: value must be < 2**bl and >= 2**(bl-1)
+        # correct off-by-one at boundaries: value must be < 2**bl and
+        # >= 2**(bl-1). All shifts are clamped to <= 63 (shift-by-width is
+        # undefined; numpy's result is platform-dependent): a shift that
+        # would be 64 means the value provably fits (approx == 64 is the
+        # max true bit length), handled by masking the comparison instead.
         v = d[nz]
-        too_small = v >> np.minimum(approx, 64).astype(np.uint64) > 0
+        s_up = np.minimum(approx, 63).astype(np.uint64)
+        too_small = (approx < 64) & ((v >> s_up) > 0)
         approx = approx + too_small.astype(np.uint8)
-        shift = (approx - 1).astype(np.uint64)
-        too_big = (v >> shift) == 0
+        # float log2 of values near 2**64 rounds up to exactly 64.0 -> 65
+        approx = np.minimum(approx, 64)
+        s_down = (approx - 1).astype(np.uint64)  # <= 63 after the clamp
+        too_big = (v >> s_down) == 0
         approx = approx - too_big.astype(np.uint8)
         bl[nz] = approx
     return bl

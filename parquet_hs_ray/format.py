@@ -255,6 +255,7 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
 
     if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         lens_np, raw = _binary_parts(arr, valid)
+        sample = None
         if codec_override is None:
             sample = _sample_binary(lens_np, raw)
             codec, stats = select_binary_codec(lens_np, len(raw), sample, fsst_trial=fsst_codec.trial_ratio)
@@ -273,7 +274,8 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
                 + encode_hybrid_columnar(didx, width)
             )
         elif codec == FSST:
-            payload = fsst_codec.encode_fsst(lens_np, raw)
+            table = fsst_codec.table_for_sample(tuple(sample)) if sample else None
+            payload = fsst_codec.encode_fsst(lens_np, raw, table=table)
         else:
             codec = PLAIN
             payload = encode_binary(lens_np, raw)
@@ -372,14 +374,13 @@ def decode_array(data: bytes, pos: int, t: pa.DataType) -> tuple[pa.Array, int]:
             out_raw = data_np[idx]
             out_lens = dlens[inv]
         elif codec == FSST:
-            out_lens, out_bytes = fsst_codec.decode_fsst(data, pos)
-            pos = end
+            out_lens, out_bytes, pos = fsst_codec.decode_fsst(data, pos)
             out_raw = np.frombuffer(out_bytes, dtype=np.uint8)
         else:
             out_lens, raw, pos = decode_binary(data, pos)
             out_raw = np.frombuffer(raw, dtype=np.uint8) if raw else np.empty(0, np.uint8)
         if pos != end:
-            pos = end
+            raise ValueError(f"binary frame payload size mismatch: {pos} != {end}")
         big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
         off_dt = np.int64 if big else np.int32
         offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(out_lens)]).astype(off_dt)

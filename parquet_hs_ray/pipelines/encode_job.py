@@ -19,6 +19,36 @@ import os
 import ray.data
 
 from ..plan import DEFAULT_TOKEN_BUDGET, Partition, build_plan, load_plan, save_plan
+
+
+def tables_bitwise_equal(a, b) -> bool:
+    """Arrow equality that treats NaN slots with identical bit patterns as
+    equal (Table.equals follows IEEE NaN != NaN, which would flag a
+    bit-perfect float round-trip as a mismatch)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = a.combine_chunks() if isinstance(a, pa.Table) else a
+    b = b.combine_chunks() if isinstance(b, pa.Table) else b
+    if a.schema != b.schema or a.num_rows != b.num_rows:
+        return False
+    for name in a.column_names:
+        ca, cb = a[name].combine_chunks(), b[name].combine_chunks()
+        t = ca.type
+        if pa.types.is_floating(t):
+            va = pc.is_valid(ca).to_numpy(zero_copy_only=False)
+            vb = pc.is_valid(cb).to_numpy(zero_copy_only=False)
+            if not np.array_equal(va, vb):
+                return False
+            itemsize = np.dtype(t.to_pandas_dtype()).itemsize
+            ua = np.frombuffer(ca.buffers()[1], dtype=f"u{itemsize}", count=len(ca), offset=ca.offset * itemsize)
+            ub = np.frombuffer(cb.buffers()[1], dtype=f"u{itemsize}", count=len(cb), offset=cb.offset * itemsize)
+            if not np.array_equal(ua[va], ub[va]):
+                return False
+        elif not ca.equals(cb):
+            return False
+    return True
 from ..stages.decode import DecoderStage
 from ..stages.encode import EncoderStage
 from ..state import manifest as mf
@@ -55,6 +85,13 @@ def encode_dataset(
     plan_path = os.path.join(out_dir, "plan.json")
     if resume and os.path.exists(plan_path):
         plan = load_plan(plan_path)
+        plan_paths = sorted({p.path for p in plan})
+        if input_path is not None and plan_paths != sorted(paths):
+            raise ValueError(
+                f"out_dir {out_dir} holds a plan for different input files "
+                f"({len(plan_paths)} vs {len(paths)} requested); pass a fresh "
+                "out_dir or resume=False / --force"
+            )
     else:
         plan = build_plan(paths, token_col=token_col, token_budget=token_budget)
         save_plan(plan, plan_path)
@@ -145,7 +182,7 @@ def verify_roundtrip(input_path: str | list[str], out_dir: str) -> dict:
                 decoded = decode_table(f.read())
             original = read_slice(str(batch["path"][i]), int(batch["row_start"][i]),
                                   int(batch["row_count"][i]))
-            ok.append(decoded.equals(original.combine_chunks()))
+            ok.append(tables_bitwise_equal(decoded, original))
             rows.append(decoded.num_rows)
         return {"partition_id": batch["partition_id"],
                 "ok": np.asarray(ok), "rows": np.asarray(rows)}

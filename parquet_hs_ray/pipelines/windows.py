@@ -21,6 +21,14 @@ import ray.data
 _HOUR_US = 3_600_000_000
 
 
+def _ts_us(series: pd.Series) -> np.ndarray:
+    """Epoch microseconds regardless of the column's datetime unit (a
+    timestamp[ns] input would otherwise be interpreted 1000x off)."""
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return series.astype("datetime64[us]").astype("int64").to_numpy()
+    return series.astype("int64").to_numpy()
+
+
 def tumbling_window(events: "ray.data.Dataset", window_us: int = _HOUR_US) -> "ray.data.Dataset":
     """Per (user_id, tumbling window): event count and value sum.
 
@@ -29,7 +37,7 @@ def tumbling_window(events: "ray.data.Dataset", window_us: int = _HOUR_US) -> "r
     aggregates, not events."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        win = (batch["ts"].astype("int64") // window_us).astype(np.int64)
+        win = _ts_us(batch["ts"]) // window_us
         g = pd.DataFrame(
             {"user_id": batch["user_id"], "win": win, "value": batch["value"]}
         ).groupby(["user_id", "win"], sort=False)
@@ -60,7 +68,7 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
     canonical Ray Data sessionization shape for an unordered log."""
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        ts = np.sort(_ts_us(g["ts"]))
         breaks = int(np.count_nonzero(np.diff(ts) > gap_us)) if len(ts) > 1 else 0
         return pd.DataFrame(
             {"user_id": [g["user_id"].iloc[0]], "n_sessions": [breaks + 1],

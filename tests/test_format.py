@@ -3,6 +3,9 @@ synthetic F1 table with nulls and skew (FIXTURES.md F1/F1-null/F4)."""
 
 import glob
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -176,3 +179,48 @@ def test_f3_roundtrip_through_our_format():
     tbl = pq.read_table("/root/reference/tests/integration/test.parquet")
     blob, _ = encode_table(tbl)
     assert decode_table(blob).equals(tbl.combine_chunks())
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=40, deadline=None)
+def test_random_table_roundtrip(seed):
+    """Fuzz: random schemas/values/nulls through encode_table/decode_table."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 300))
+    cols, names = [], []
+    for ci in range(int(rng.integers(1, 5))):
+        kind = rng.choice(["i32", "i64", "f64", "str", "ts", "bool", "li32", "lf32"])
+        null_p = float(rng.choice([0.0, 0.1]))
+        mask = rng.random(n) < null_p
+        if kind == "i32":
+            v = rng.integers(-(2**31), 2**31, size=n, dtype=np.int64).astype(np.int32)
+            arr = pa.array(v, pa.int32(), mask=mask)
+        elif kind == "i64":
+            v = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+            arr = pa.array(v, pa.int64(), mask=mask)
+        elif kind == "f64":
+            arr = pa.array(rng.normal(size=n), pa.float64(), mask=mask)
+        elif kind == "str":
+            words = ["", "a", "xyzzy", "longer-string-value", "0" * 50]
+            arr = pa.array([None if m else words[int(i)] for m, i in zip(mask, rng.integers(0, len(words), n))], pa.string())
+        elif kind == "ts":
+            arr = pa.array(rng.integers(0, 2**60, size=n, dtype=np.int64), pa.timestamp("us"), mask=mask)
+        elif kind == "bool":
+            arr = pa.array(rng.random(n) < 0.5, pa.bool_(), mask=mask)
+        elif kind == "li32":
+            lens = rng.integers(0, 6, size=n)
+            vals = rng.integers(0, 1000, size=int(lens.sum()), dtype=np.int64).astype(np.int32)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(vals, pa.int32()),
+                                           mask=pa.array(mask) if mask.any() else None)
+        else:
+            lens = rng.integers(0, 4, size=n)
+            vals = rng.normal(size=int(lens.sum())).astype(np.float32)
+            offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(vals, pa.float32()),
+                                           mask=pa.array(mask) if mask.any() else None)
+        cols.append(arr)
+        names.append(f"c{ci}")
+    tbl = pa.table(cols, names=names)
+    blob, _ = encode_table(tbl)
+    assert decode_table(blob).equals(tbl)

@@ -134,3 +134,28 @@ def test_encode_actor_pool_mode(ray_session, f1_dir, tmp_path):
     res = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2, use_actors=True)
     assert res["rows"] == 3000
     assert verify_roundtrip(f1_dir, out)["mismatched_partitions"] == 0
+
+
+def test_verify_handles_nan_floats(ray_session, tmp_path):
+    """NaN slots with identical bit patterns must verify as equal
+    (Table.equals treats NaN != NaN)."""
+    import math
+
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset, verify_roundtrip
+
+    tbl = pa.table({"x": pa.array([math.nan, -0.0, 0.0, 1.5] * 100, pa.float64()),
+                    "k": pa.array(range(400), pa.int64())})
+    path = str(tmp_path / "nan.parquet")
+    pq.write_table(tbl, path)
+    out = str(tmp_path / "enc_nan")
+    encode_dataset(path, out, token_col=None, concurrency=2)
+    assert verify_roundtrip(None, out)["mismatched_partitions"] == 0
+
+
+def test_encode_rejects_stale_plan_for_different_input(ray_session, f1_dir, tmp_path):
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset
+
+    out = str(tmp_path / "enc_stale")
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    with pytest.raises(ValueError, match="different input"):
+        encode_dataset("/root/testdata/sf0.001/lineitem.parquet", out, token_col=None, concurrency=2)
