@@ -80,6 +80,7 @@ def _read_compact_struct(buf: bytes, pos: int) -> tuple[dict[int, object], int]:
 
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_BIT_PACKED = 0, 2, 3, 4
+_ENC_RLE_DICT = 8  # same data-page wire format as PLAIN_DICTIONARY
 
 
 def _decode_levels(buf: bytes, pos: int, n: int, max_level: int) -> tuple[np.ndarray, int]:
@@ -153,7 +154,7 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
         n_present = int(np.count_nonzero(dfl == max_def))
         if enc == _ENC_PLAIN:
             vals, p = _decode_plain_values(body, p, n_present, meta.physical_type)
-        elif enc == _ENC_PLAIN_DICT:
+        elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
             if dictionary is None:
                 raise ValueError("PLAIN_DICTIONARY page without dictionary page")
             width = body[p]
