@@ -191,16 +191,26 @@ def scaling() -> None:
     scaling, which is what adding NODES (each with its own memory) buys on
     a real cluster. The 8-vs-32 pair saturates the single box's RAM wall
     and understates multi-node scaling; run SCALE_PAIR=8,32 to see it.
+
+    Each level runs GRAFT_SCALE_TRIALS times (default 2) and reports the
+    best: the hypervisor's fault storms are one-sided noise that only ever
+    slows a run down, so peak throughput is the stable estimator here.
     """
     lo, hi = (int(x) for x in os.environ.get("SCALE_PAIR", "2,8").split(","))
-    results = {}
-    for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="scaling")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    all_runs = {lo: [], hi: []}
+    for _ in range(trials):
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="scaling")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"scaling leg num_cpus={ncpu} failed rc={proc.returncode}")
+            all_runs[ncpu].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    results = {n: max(rs, key=lambda r: r["encode_tokens_per_sec"]) for n, rs in all_runs.items()}
     tps_lo = results[lo]["encode_tokens_per_sec"]
     tps_hi = results[hi]["encode_tokens_per_sec"]
     eff = (tps_hi / tps_lo) / (hi / lo)
@@ -215,6 +225,9 @@ def scaling() -> None:
         "sf": results[hi]["sf"],
         "rows": results[hi]["rows"],
         "tokens": results[hi]["tokens"],
+        "trials_per_level": trials,
+        "all_tokens_per_sec": {str(n): [r["encode_tokens_per_sec"] for r in rs]
+                               for n, rs in all_runs.items()},
     }))
 
 
