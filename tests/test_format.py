@@ -271,3 +271,21 @@ def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict):
         theirs = pq.read_table(path)
     for name in theirs.column_names:
         assert ours[name].combine_chunks().equals(theirs[name].combine_chunks()), name
+
+
+def test_sliced_array_roundtrip():
+    """Non-zero Arrow offsets (sliced arrays/tables) must encode correctly
+    (buffer reads honor arr.offset)."""
+    base = gen_batch(500, seed=7)
+    sliced = base.slice(123, 250)
+    blob, _ = encode_table(sliced)
+    assert decode_table(blob).equals(sliced.combine_chunks())
+    for col in base.column_names:
+        arr = base[col].combine_chunks().slice(50, 77)
+        frame, _ = encode_array(arr)
+        out, _ = decode_array(frame, 0, arr.type)
+        assert out.equals(arr), col
+    # sliced with nulls
+    nb = gen_batch(300, seed=9, nulls=True).slice(31, 200)
+    blob, _ = encode_table(nb)
+    assert decode_table(blob).equals(nb.combine_chunks())
