@@ -60,7 +60,10 @@ def build_symbol_table(sample_values: list[bytes]) -> list[bytes]:
         for L in range(2, MAX_SYM_LEN + 1):
             for i in range(n - L + 1):
                 multis[s[i : i + L]] += 1
-    table: list[bytes] = [bytes([b]) for b, _ in singles.most_common()]
+    # cap singles at MAX_SYMS: with all 256 byte values present the last
+    # single would get code 255 == ESCAPE (silent invariant break, dead
+    # payload weight) — the rarest byte is escaped instead
+    table: list[bytes] = [bytes([b]) for b, _ in singles.most_common(MAX_SYMS)]
     slots = MAX_SYMS - len(table)
     ranked = sorted(multis.items(), key=lambda kv: (-(len(kv[0]) - 1) * kv[1], kv[0]))
     for sym, cnt in ranked:
@@ -253,6 +256,7 @@ def decode_fsst(data: bytes, pos: int = 0) -> tuple[np.ndarray, bytes, int]:
     pos += n_codes
     n_lit, pos = decode_varint(data, pos)
     literals = np.frombuffer(data, dtype=np.uint8, count=n_lit, offset=pos)
+    pos += n_lit
 
     esc = codes == ESCAPE
     exp_len = np.ones(n_codes, dtype=np.int64)

@@ -54,6 +54,8 @@ def write_entry(out_dir: str, entry: dict) -> str:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
     return path
 
@@ -85,8 +87,14 @@ def load_manifest(out_dir: str) -> list[dict]:
     entries = []
     for fn in sorted(os.listdir(mdir)):
         if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                entries.append(json.load(f))
+            try:
+                with open(os.path.join(mdir, fn)) as f:
+                    entries.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                # torn/zero-length entry from a crash mid-write: treat the
+                # partition as unfinished (it will be re-encoded) rather
+                # than failing the whole resume
+                continue
     return entries
 
 

@@ -214,3 +214,80 @@ def test_delta_int32_and_timestamps():
     v32 = np.arange(0, 100000, 3, dtype=np.int32)
     out32, _ = decode_delta(encode_delta(v32), np.int32)
     np.testing.assert_array_equal(out32, v32)
+
+
+# --- FSST (ADVICE r1: escape-byte regression — decode must advance past the
+# literals section, or any payload with escapes fails downstream size checks) ---
+from parquet_hs_ray.codecs.fsst import (  # noqa: E402
+    ESCAPE,
+    MAX_SYMS,
+    build_symbol_table,
+    decode_fsst,
+    encode_fsst,
+)
+
+
+def _fsst_roundtrip(values: list[bytes], table=None):
+    lens = np.asarray([len(v) for v in values], dtype=np.int64)
+    raw = b"".join(values)
+    enc = encode_fsst(lens, raw, table)
+    out_lens, out_raw, pos = decode_fsst(enc)
+    assert pos == len(enc), "decode must consume the full payload (incl. literals)"
+    np.testing.assert_array_equal(out_lens, lens)
+    assert out_raw == raw
+
+
+def test_fsst_escape_bytes_roundtrip():
+    """Bytes absent from the sampled rows force escapes; the decoded stream
+    and final position must still be exact (regression: pos never advanced
+    past literals, so every escaped payload failed the frame size check)."""
+    # table built from a sample that lacks 0xF0..0xFF entirely
+    sample = [b"hello world common text"] * 10
+    table = build_symbol_table(sample)
+    values = [b"hello \xf0\xf1\xf2 world", b"\xff\xfe", b"", b"common \xf5 text"]
+    _fsst_roundtrip(values, table)
+    # and with auto-built table where later rows escape (stride sampling
+    # skips them when many rows exist)
+    vals = [b"the quick brown fox jumps"] * 400 + [bytes([b]) for b in range(256)]
+    _fsst_roundtrip(vals)
+
+
+def test_fsst_all_256_bytes_singles_cap():
+    """All 256 byte values present: singles must be truncated to MAX_SYMS so
+    no symbol gets code 255 == ESCAPE."""
+    vals = [bytes([b]) * 3 for b in range(256)]
+    table = build_symbol_table(vals)
+    assert len(table) <= MAX_SYMS
+    _fsst_roundtrip(vals, table)
+
+
+@given(st.integers(0, 2**32), st.integers(1, 60))
+@settings(max_examples=40, deadline=None)
+def test_fsst_roundtrip_random_bytes(seed, n):
+    rng = np.random.default_rng(seed)
+    values = []
+    for _ in range(n):
+        ln = int(rng.integers(0, 40))
+        # mix of texty and raw bytes so some escape, some hit symbols
+        if rng.random() < 0.5:
+            values.append(bytes(rng.choice(list(b"abcdef gh"), ln)))
+        else:
+            values.append(bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
+    _fsst_roundtrip(values)
+
+
+def test_fsst_escapes_through_table_roundtrip():
+    """End-to-end: a string column whose tail rows contain bytes absent from
+    the sampled head must survive encode_table → decode_table (ADVICE r1
+    repro)."""
+    import pyarrow as pa
+
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    texts = [f"https://example.com/{i}/page" for i in range(500)]
+    texts += ["café ☃ über"]  # multi-byte UTF-8 absent from sample
+    t = pa.table({"s": pa.array(texts)})
+    blob, stats = encode_table(t)
+    assert stats["s"].codec == "fsst"
+    back = decode_table(blob)
+    assert back.equals(t)
