@@ -54,9 +54,24 @@ from ..stages.encode import EncoderStage
 from ..state import manifest as mf
 
 
-def _expand_paths(input_path: str | list[str]) -> list[str]:
+def _expand_paths(input_path: str | list[str], filesystem=None) -> list[str]:
     if isinstance(input_path, (list, tuple)):
         return sorted(input_path)
+    if filesystem is not None or "://" in input_path:
+        # URI / explicit-fs input: expand a directory into its *.parquet
+        import posixpath
+
+        import pyarrow.fs as pafs
+
+        from ..state import fsio
+
+        fs, p = fsio.resolve(input_path, filesystem)
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.Directory:
+            names = [n for n in fsio.list_files(p, fs) if n.endswith(".parquet")]
+            prefix = input_path.rstrip("/")
+            return [f"{prefix}/{n}" for n in names]
+        return [input_path]
     if os.path.isdir(input_path):
         return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     return sorted(glob.glob(input_path)) or [input_path]
@@ -71,20 +86,29 @@ def encode_dataset(
     resume: bool = True,
     batch_size: int = 1,
     use_actors: bool | None = None,
+    filesystem=None,
+    input_filesystem=None,
 ) -> dict:
     """Run the encode job; returns the manifest summary. Safe to re-run:
     finished partitions are skipped (checkpoint resume).
+
+    ``filesystem`` / ``input_filesystem``: optional ``pyarrow.fs``
+    filesystems for the encoded output and the source parquet (paths may
+    also simply be URIs) — on a multi-node cluster the output MUST be on
+    shared storage.
 
     ``use_actors``: None = auto. Encoding state is per-partition (symbol
     tables are rebuilt deterministically), so the stage is valid both as an
     actor pool and as plain tasks. Actors win when each amortizes its
     process warm-up over many partitions (real-scale jobs); tasks win for
     small jobs because Ray REUSES warm worker processes across stages."""
-    paths = _expand_paths(input_path)
-    mf.ensure_dirs(out_dir)
-    plan_path = os.path.join(out_dir, "plan.json")
-    if resume and os.path.exists(plan_path):
-        plan = load_plan(plan_path)
+    from ..state import fsio
+
+    paths = _expand_paths(input_path, input_filesystem)
+    mf.ensure_dirs(out_dir, filesystem)
+    plan_path = fsio.join(out_dir, "plan.json")
+    if resume and fsio.exists(plan_path, filesystem):
+        plan = load_plan(plan_path, filesystem)
         plan_paths = sorted({p.path for p in plan})
         if input_path is not None and plan_paths != sorted(paths):
             raise ValueError(
@@ -93,14 +117,15 @@ def encode_dataset(
                 "out_dir or resume=False / --force"
             )
     else:
-        plan = build_plan(paths, token_col=token_col, token_budget=token_budget)
-        save_plan(plan, plan_path)
+        plan = build_plan(paths, token_col=token_col, token_budget=token_budget,
+                          filesystem=input_filesystem)
+        save_plan(plan, plan_path, filesystem)
 
-    done = mf.finished_ids(out_dir) if resume else set()
+    done = mf.finished_ids(out_dir, filesystem) if resume else set()
     todo = [p for p in plan if p.partition_id not in done]
     result = {"planned": len(plan), "skipped_finished": len(done), "encoded": len(todo)}
     if not todo:
-        result.update(mf.summary(out_dir))
+        result.update(mf.summary(out_dir, filesystem))
         return result
 
     items = [
@@ -120,14 +145,17 @@ def encode_dataset(
         concurrency = max(1, min(concurrency, len(items)))
         out = ds.map_batches(
             EncoderStage,
-            fn_constructor_kwargs={"out_dir": out_dir, "token_col": token_col},
+            fn_constructor_kwargs={"out_dir": out_dir, "token_col": token_col,
+                                   "filesystem": filesystem,
+                                   "input_filesystem": input_filesystem},
             batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
             batch_format="numpy",
         )
     else:
-        stage = EncoderStage(out_dir, token_col)
+        stage = EncoderStage(out_dir, token_col, filesystem=filesystem,
+                             input_filesystem=input_filesystem)
         out = ds.map_batches(
             stage, batch_size=batch_size, num_cpus=1, batch_format="numpy"
         )
@@ -135,34 +163,39 @@ def encode_dataset(
     # small per-partition metrics rows
     metrics = out.to_pandas()
     result["encoded"] = len(metrics)
-    result.update(mf.summary(out_dir))
+    result.update(mf.summary(out_dir, filesystem))
     return result
 
 
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
-                   concurrency: int | None = None, batch_size: int = 1) -> "ray.data.Dataset":
+                   concurrency: int | None = None, batch_size: int = 1,
+                   filesystem=None) -> "ray.data.Dataset":
     """Lazy decode Dataset over all finished partitions (streaming)."""
-    entries = mf.load_manifest(out_dir)
+    entries = mf.load_manifest(out_dir, filesystem)
     items = [{"partition_id": e["partition_id"]} for e in entries if e.get("status") == "done"]
     ds = ray.data.from_items(items)
     if len(items) >= 256:
         return ds.map_batches(
             DecoderStage,
-            fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
+            fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
+                                   "filesystem": filesystem},
             batch_size=batch_size,
             concurrency=concurrency or 8,
             num_cpus=1,
             batch_format="numpy",
         )
-    stage = DecoderStage(out_dir, columns)
+    stage = DecoderStage(out_dir, columns, filesystem=filesystem)
     return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 
-def verify_roundtrip(input_path: str | list[str], out_dir: str) -> dict:
+def verify_roundtrip(input_path: str | list[str], out_dir: str,
+                     filesystem=None, input_filesystem=None) -> dict:
     """Distributed per-partition equality check: decode each blob and compare
     with the exact input slice it came from (per-row token-array equality =
     full Arrow table equality). Returns counts; raises on mismatch."""
-    plan = load_plan(os.path.join(out_dir, "plan.json"))
+    from ..state import fsio
+
+    plan = load_plan(fsio.join(out_dir, "plan.json"), filesystem)
     items = [
         {"partition_id": p.partition_id, "path": p.path, "row_start": p.row_start,
          "row_count": p.row_count, "est_tokens": p.est_tokens}
@@ -178,10 +211,9 @@ def verify_roundtrip(input_path: str | list[str], out_dir: str) -> dict:
         ok, rows = [], []
         for i in range(len(batch["partition_id"])):
             pid = int(batch["partition_id"][i])
-            with open(mf.blob_path(out_dir, pid), "rb") as f:
-                decoded = decode_table(f.read())
+            decoded = decode_table(mf.read_blob(out_dir, pid, filesystem))
             original = read_slice(str(batch["path"][i]), int(batch["row_start"][i]),
-                                  int(batch["row_count"][i]))
+                                  int(batch["row_count"][i]), filesystem=input_filesystem)
             ok.append(tables_bitwise_equal(decoded, original))
             rows.append(decoded.num_rows)
         return {"partition_id": batch["partition_id"],

@@ -24,7 +24,6 @@ dropped).
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -44,9 +43,11 @@ class Partition:
 
 
 def plan_file(path: str, token_col: str | None = "n_tok", token_budget: int = DEFAULT_TOKEN_BUDGET,
-              row_budget: int = DEFAULT_ROW_BUDGET) -> list[dict]:
+              row_budget: int = DEFAULT_ROW_BUDGET, filesystem=None) -> list[dict]:
     """Plan one parquet file into partition dicts (partition_id assigned later)."""
-    f = pq.ParquetFile(path)
+    from .state import fsio
+
+    f = pq.ParquetFile(fsio.open_parquet_input(path, filesystem))
     has_tok = token_col is not None and token_col in f.schema_arrow.names
     out: list[dict] = []
     cur_start = 0
@@ -100,7 +101,8 @@ def plan_file(path: str, token_col: str | None = "n_tok", token_budget: int = DE
 
 
 def build_plan(paths: list[str], token_col: str | None = "n_tok",
-               token_budget: int = DEFAULT_TOKEN_BUDGET, parallel: bool = True) -> list[Partition]:
+               token_budget: int = DEFAULT_TOKEN_BUDGET, parallel: bool = True,
+               filesystem=None) -> list[Partition]:
     """Plan all input files. Uses a Ray Data control dataset when a Ray
     session is up (per-file planning fans out; each task reads only the
     token column), else runs locally."""
@@ -119,23 +121,23 @@ def build_plan(paths: list[str], token_col: str | None = "n_tok",
 
         @ray.remote(num_cpus=1)
         def _plan(p):
-            return plan_file(p, token_col, token_budget)
+            return plan_file(p, token_col, token_budget, filesystem=filesystem)
 
         for chunk in ray.get([_plan.remote(p) for p in paths]):
             entries.extend(chunk)
     else:
         for p in paths:
-            entries.extend(plan_file(p, token_col, token_budget))
+            entries.extend(plan_file(p, token_col, token_budget, filesystem=filesystem))
     return [Partition(partition_id=i, **e) for i, e in enumerate(entries)]
 
 
-def save_plan(plan: list[Partition], path: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump([asdict(p) for p in plan], f)
-    os.replace(tmp, path)
+def save_plan(plan: list[Partition], path: str, filesystem=None) -> None:
+    from .state import fsio
+
+    fsio.write_atomic(path, json.dumps([asdict(p) for p in plan]).encode(), filesystem)
 
 
-def load_plan(path: str) -> list[Partition]:
-    with open(path) as f:
-        return [Partition(**e) for e in json.load(f)]
+def load_plan(path: str, filesystem=None) -> list[Partition]:
+    from .state import fsio
+
+    return [Partition(**e) for e in json.loads(fsio.read_bytes(path, filesystem))]

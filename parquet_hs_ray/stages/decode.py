@@ -24,18 +24,18 @@ class DecoderStage:
 
     ``columns`` prunes frames at the byte level (length-delimited skip)."""
 
-    def __init__(self, out_dir: str, columns: list[str] | None = None):
+    def __init__(self, out_dir: str, columns: list[str] | None = None, filesystem=None):
         from ..memtune import ensure_process_tuned
 
         ensure_process_tuned()
         self.out_dir = out_dir
         self.columns = columns
+        self.filesystem = filesystem
 
     def __call__(self, batch: dict) -> pa.Table:
         tables = []
         for pid in batch["partition_id"]:
-            with open(mf.blob_path(self.out_dir, int(pid)), "rb") as f:
-                blob = f.read()
+            blob = mf.read_blob(self.out_dir, int(pid), self.filesystem)
             tables.append(decode_table(blob, self.columns))
         if not tables:
             return pa.table({})

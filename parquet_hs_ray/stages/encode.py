@@ -28,10 +28,13 @@ from ..plan import Partition
 from ..state import manifest as mf
 
 
-def read_slice(path: str, row_start: int, row_count: int, columns=None) -> pa.Table:
-    """Read exactly rows [row_start, row_start+row_count) of a parquet file,
-    touching only the row groups that overlap the range."""
-    f = pq.ParquetFile(path)
+def read_slice(path: str, row_start: int, row_count: int, columns=None, filesystem=None) -> pa.Table:
+    """Read exactly rows [row_start, row_start+row_count) of a parquet file
+    (local path or URI / explicit pyarrow filesystem), touching only the row
+    groups that overlap the range."""
+    from ..state import fsio
+
+    f = pq.ParquetFile(fsio.open_parquet_input(path, filesystem))
     base = 0
     rgs = []
     first_base = None
@@ -54,7 +57,8 @@ class EncoderStage:
     """Callable class for ``map_batches(EncoderStage, concurrency=N)`` over
     a control dataset of partition plan rows."""
 
-    def __init__(self, out_dir: str, token_col: str | None = "n_tok", columns=None):
+    def __init__(self, out_dir: str, token_col: str | None = "n_tok", columns=None,
+                 filesystem=None, input_filesystem=None):
         t0 = time.perf_counter()
         from ..memtune import ensure_process_tuned
 
@@ -62,17 +66,20 @@ class EncoderStage:
         self.out_dir = out_dir
         self.token_col = token_col
         self.columns = columns
+        self.filesystem = filesystem  # output (blobs + manifest)
+        self.input_filesystem = input_filesystem  # source parquet
         self.init_ms = round((time.perf_counter() - t0) * 1e3, 1)
         self.first = True
-        mf.ensure_dirs(out_dir)
+        mf.ensure_dirs(out_dir, filesystem)
 
     def encode_partition(self, part: Partition) -> dict:
         t0 = time.perf_counter()
-        tbl = read_slice(part.path, part.row_start, part.row_count, self.columns)
+        tbl = read_slice(part.path, part.row_start, part.row_count, self.columns,
+                         self.input_filesystem)
         t1 = time.perf_counter()
         blob, stats = encode_table(tbl)
         t2 = time.perf_counter()
-        mf.write_blob_atomic(self.out_dir, part.partition_id, blob)
+        mf.write_blob_atomic(self.out_dir, part.partition_id, blob, self.filesystem)
         t3 = time.perf_counter()
         if self.token_col and self.token_col in tbl.column_names:
             col = tbl[self.token_col].combine_chunks()
@@ -90,7 +97,7 @@ class EncoderStage:
         if self.first:
             entry["actor_init_ms"] = self.init_ms
             self.first = False
-        mf.write_entry(self.out_dir, entry)
+        mf.write_entry(self.out_dir, entry, self.filesystem)
         return entry
 
     def __call__(self, batch: dict) -> dict:

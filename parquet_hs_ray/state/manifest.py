@@ -4,10 +4,15 @@ Our analogue of the reference's footer metadata
 (`readMetadata`, `/root/reference/src/Parquet/Reader.hs:197-213`): the
 manifest is the authoritative description of what encoded data exists.
 Unlike the reference's single monolithic footer, it is one JSON file per
-partition, written atomically (temp + rename) AFTER the partition's blob is
-durable — so a killed job leaves only complete partitions visible and
-``finished_ids`` is exactly the resume filter (north rule: "resumable from
-checkpoint with per-partition lineage + metrics").
+partition, written atomically (temp + rename, or atomic put on object
+stores) AFTER the partition's blob is durable — so a killed job leaves
+only complete partitions visible and ``finished_ids`` is exactly the
+resume filter (north rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+All paths may be URIs or be paired with an explicit ``pyarrow.fs``
+``filesystem=`` (see ``state/fsio.py``) so the same job runs against
+shared storage on a multi-node cluster.
 
 Entry fields: partition lineage (input path, row range), row/token counts,
 raw vs encoded bytes, per-column codec + stats (min/max/null_count/
@@ -19,44 +24,40 @@ checksum, wall-clock ms.
 from __future__ import annotations
 
 import json
-import os
 import zlib
 from dataclasses import asdict
 
+from . import fsio
+
 
 def blob_path(out_dir: str, partition_id: int) -> str:
-    return os.path.join(out_dir, "blobs", f"part-{partition_id:08d}.blob")
+    return fsio.join(out_dir, "blobs", f"part-{partition_id:08d}.blob")
 
 
 def entry_path(out_dir: str, partition_id: int) -> str:
-    return os.path.join(out_dir, "manifest", f"part-{partition_id:08d}.json")
+    return fsio.join(out_dir, "manifest", f"part-{partition_id:08d}.json")
 
 
-def ensure_dirs(out_dir: str) -> None:
-    os.makedirs(os.path.join(out_dir, "blobs"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+def ensure_dirs(out_dir: str, filesystem=None) -> None:
+    fsio.mkdirs(fsio.join(out_dir, "blobs"), filesystem)
+    fsio.mkdirs(fsio.join(out_dir, "manifest"), filesystem)
 
 
-def write_blob_atomic(out_dir: str, partition_id: int, blob: bytes) -> str:
-    """Idempotent under retries: temp file keyed by pid + rename."""
+def write_blob_atomic(out_dir: str, partition_id: int, blob: bytes, filesystem=None) -> str:
+    """Idempotent under retries: content is deterministic per partition and
+    the write is atomic-visible (rename locally, put on object stores)."""
     path = blob_path(out_dir, partition_id)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    fsio.write_atomic(path, blob, filesystem)
     return path
 
 
-def write_entry(out_dir: str, entry: dict) -> str:
+def read_blob(out_dir: str, partition_id: int, filesystem=None) -> bytes:
+    return fsio.read_bytes(blob_path(out_dir, partition_id), filesystem)
+
+
+def write_entry(out_dir: str, entry: dict, filesystem=None) -> str:
     path = entry_path(out_dir, entry["partition_id"])
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    fsio.write_atomic(path, json.dumps(entry).encode(), filesystem)
     return path
 
 
@@ -80,16 +81,13 @@ def make_entry(partition, blob: bytes, raw_bytes: int, n_rows: int, n_tokens: in
     }
 
 
-def load_manifest(out_dir: str) -> list[dict]:
-    mdir = os.path.join(out_dir, "manifest")
-    if not os.path.isdir(mdir):
-        return []
+def load_manifest(out_dir: str, filesystem=None) -> list[dict]:
+    mdir = fsio.join(out_dir, "manifest")
     entries = []
-    for fn in sorted(os.listdir(mdir)):
+    for fn in fsio.list_files(mdir, filesystem):
         if fn.endswith(".json"):
             try:
-                with open(os.path.join(mdir, fn)) as f:
-                    entries.append(json.load(f))
+                entries.append(json.loads(fsio.read_bytes(fsio.join(mdir, fn), filesystem)))
             except (json.JSONDecodeError, OSError):
                 # torn/zero-length entry from a crash mid-write: treat the
                 # partition as unfinished (it will be re-encoded) rather
@@ -98,17 +96,18 @@ def load_manifest(out_dir: str) -> list[dict]:
     return entries
 
 
-def finished_ids(out_dir: str) -> set[int]:
+def finished_ids(out_dir: str, filesystem=None) -> set[int]:
     """Partitions whose manifest entry AND blob both exist."""
     done = set()
-    for e in load_manifest(out_dir):
-        if e.get("status") == "done" and os.path.exists(blob_path(out_dir, e["partition_id"])):
+    blob_names = set(fsio.list_files(fsio.join(out_dir, "blobs"), filesystem))
+    for e in load_manifest(out_dir, filesystem):
+        if e.get("status") == "done" and f"part-{e['partition_id']:08d}.blob" in blob_names:
             done.add(e["partition_id"])
     return done
 
 
-def summary(out_dir: str) -> dict:
-    entries = load_manifest(out_dir)
+def summary(out_dir: str, filesystem=None) -> dict:
+    entries = load_manifest(out_dir, filesystem)
     return {
         "partitions": len(entries),
         "rows": sum(e["row_count"] for e in entries),
