@@ -79,17 +79,31 @@ def kmeans_lite(X: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42) 
     return C
 
 
+def _train_centroids(emb: "ray.data.Dataset", n_clusters: int, sample_size: int,
+                     seed: int) -> np.ndarray:
+    """Seeded UNBIASED sample -> kmeans-lite centroids. ``random_sample``
+    (not ``limit``: the first blocks of a source-ordered corpus would bias
+    the centroids and silently sink recall — VERDICT r1)."""
+    n = emb.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample = emb.random_sample(frac, seed=seed).to_pandas()
+    if len(sample) < n_clusters:  # tiny dataset: take everything
+        sample = emb.to_pandas()
+    Xs = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    return kmeans_lite(Xs, n_clusters, seed=seed)
+
+
 def ann_topk_ivf(
     emb: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     n_clusters: int = 16, nprobe: int = 4, sample_size: int = 4096, seed: int = 42,
 ) -> pd.DataFrame:
     """IVF approximate top-k: train coarse centroids on a sample, assign
     every vector to its nearest centroid inside map_batches, search only the
-    nprobe closest clusters per query."""
-    sample = emb.limit(sample_size).to_pandas()
-    Xs = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
-    C = kmeans_lite(Xs, n_clusters, seed=seed)
+    nprobe closest clusters per query. For repeated queries over the same
+    corpus, build the assignment ONCE with ``ivf_build_index`` and search
+    with ``ann_topk_ivf_indexed`` (reads ~nprobe/nlist of the data)."""
+    C = _train_centroids(emb, n_clusters, sample_size, seed)
     qset = set(query_ids)
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
@@ -130,3 +144,101 @@ def ann_topk_ivf(
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+
+def ivf_build_index(
+    emb: "ray.data.Dataset", index_dir: str, n_clusters: int = 16,
+    sample_size: int = 4096, seed: int = 42,
+) -> np.ndarray:
+    """Persist the IVF bucketing (VERDICT r1 #8): assign every vector to its
+    nearest centroid and write the corpus as parquet PARTITIONED BY CLUSTER,
+    plus the centroid matrix. Searches then read only the probed clusters'
+    files (~nprobe/nlist of the data) instead of scanning everything and
+    filtering. Returns the centroids."""
+    import json
+    import os
+
+    C = _train_centroids(emb, n_clusters, sample_size, seed)
+    ref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        C_ = ray.get(ref)
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = batch.copy()
+        out["cluster"] = np.argmax(Mn @ C_.T, axis=1).astype(np.int32)
+        # hive partitioning moves `cluster` into the path; keep an in-file
+        # copy so probe filtering works when reading file paths directly
+        out["cluster_id"] = out["cluster"]
+        return out
+
+    emb.map_batches(assign, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["cluster"]
+    )
+    from ..state import fsio
+
+    fsio.write_atomic(os.path.join(index_dir, "centroids.json"),
+                      json.dumps(C.tolist()).encode())
+    return C
+
+
+def ann_topk_ivf_indexed(
+    index_dir: str, query_ids: np.ndarray, query_vecs: np.ndarray,
+    k: int = 10, nprobe: int = 4,
+) -> pd.DataFrame:
+    """Search a persisted IVF index: read ONLY the nprobe closest clusters'
+    partitions per query (union across queries), brute-force within them.
+    ``attrs['clusters_read']`` / ``attrs['n_clusters']`` document the
+    partial scan."""
+    import json
+    import os
+
+    from ..state import fsio
+
+    C = np.asarray(json.loads(fsio.read_bytes(os.path.join(index_dir, "centroids.json"))))
+    Qn = np.asarray(query_vecs, dtype=np.float64)
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probed = sorted(set(q_probe.reshape(-1).tolist()))
+    import glob as _glob
+
+    dirs = [os.path.join(index_dir, "data", f"cluster={c}") for c in probed]
+    dirs = [p for p in dirs if os.path.isdir(p)]  # empty clusters write no dir
+    paths = sorted(f for d in dirs for f in _glob.glob(os.path.join(d, "*.parquet")))
+    probe_sets = [set(row) for row in q_probe]
+    q_ids = np.asarray(query_ids)
+    ref = ray.put((q_ids, Qn, probe_sets))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids_, Qn_, probes = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        clusters = batch["cluster_id"].to_numpy().astype(np.int64)
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        frames = []
+        for qi in range(len(q_ids_)):
+            mask = np.isin(clusters, list(probes[qi]))
+            if not mask.any():
+                continue
+            sims = Mn[mask] @ Qn_[qi]
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            frames.append(pd.DataFrame({"query_id": q_ids_[qi],
+                                        "neighbor_id": sub_ids[top], "sim": sims[top]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=float)})
+        return pd.concat(frames)
+
+    ds = ray.data.read_parquet(paths)
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+    out.attrs["clusters_read"] = len(dirs)
+    out.attrs["n_clusters"] = len(C)
+    return out

@@ -214,3 +214,66 @@ def test_resize_and_frame_sample_stages(ray_session):
         ImageResizeStage(decode_real=True)
     with pytest.raises(NotImplementedError):
         FrameSampleStage(decode_real=True)
+
+
+def test_lsh_giant_bucket_star_fallback(ray_session):
+    """Over-cap LSH buckets must not silently drop (VERDICT r1 #10): the
+    star fallback keeps every member reachable via the bucket min, and the
+    result counts the affected pairs in attrs."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import dedup_minhash, dedup_simhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [{"doc_id": i, "text": base} for i in range(12)]
+    ds = ray.data.from_items(rows)
+
+    pairs = dedup_minhash(ds, threshold=0.9, bucket_cap=8)
+    # star: doc 0 paired with every other doc; identical texts -> jaccard 1
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert got == {(0, i) for i in range(1, 12)}
+    assert pairs.attrs["n_giant_bucket_pairs"] == len(pairs)
+
+    spairs = dedup_simhash(ds, max_hamming=3, bucket_cap=8)
+    sgot = {(int(a), int(b)) for a, b in zip(spairs["a"], spairs["b"])}
+    assert sgot == {(0, i) for i in range(1, 12)}
+    assert spairs.attrs["n_giant_bucket_pairs"] >= len(spairs)
+
+    # under-cap: full all-pairs, nothing flagged
+    full = dedup_minhash(ds, threshold=0.9, bucket_cap=100)
+    assert len(full) == 12 * 11 // 2
+    assert full.attrs["n_giant_bucket_pairs"] == 0
+
+
+def test_ivf_persisted_index(emb, tmp_path):
+    """ivf_build_index writes cluster-partitioned parquet + centroids; the
+    indexed search reads only probed clusters and matches the exact top-k
+    when probing everything."""
+    import numpy as np
+
+    from parquet_hs_ray.pipelines.ann import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_indexed,
+        ivf_build_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    C = ivf_build_index(emb, idx, n_clusters=8)
+    assert C.shape[0] == 8
+    import os
+    parts = [d for d in os.listdir(f"{idx}/data") if d.startswith("cluster=")]
+    assert 1 < len(parts) <= 8
+
+    full = emb.to_pandas()
+    qrow = full[full["vec_id"] == 0].iloc[0]
+    qv = np.asarray([qrow["embedding"]], dtype=np.float64)
+
+    exact = ann_topk_bruteforce(emb, query_ids=[0], k=10)
+    allprobe = ann_topk_ivf_indexed(idx, np.asarray([0]), qv, k=10, nprobe=8)
+    assert set(allprobe["neighbor_id"]) == set(exact["neighbor_id"])
+    assert allprobe.attrs["clusters_read"] == len(parts)
+
+    few = ann_topk_ivf_indexed(idx, np.asarray([0]), qv, k=10, nprobe=2)
+    assert few.attrs["clusters_read"] <= 2  # partial scan, by construction
+    recall = len(set(few["neighbor_id"]) & set(exact["neighbor_id"])) / 10
+    assert recall >= 0.3
