@@ -83,32 +83,99 @@ _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_BIT_PACKED = 0, 2, 3, 4
 _ENC_RLE_DICT = 8  # same data-page wire format as PLAIN_DICTIONARY
 
 
-def _decode_levels(buf: bytes, pos: int, n: int, max_level: int) -> tuple[np.ndarray, int]:
+def _decode_levels(buf: bytes, pos: int, n: int, max_level: int,
+                   encoding: int = _ENC_RLE) -> tuple[np.ndarray, int]:
     """Level stream: absent (max_level==0) -> zeros (`fill_level_default`,
-    Stream/Reader.hs:122-125); RLE -> u32-LE length prefix + hybrid."""
+    Stream/Reader.hs:122-125); else a u32-LE length prefix followed by the
+    header-declared encoding — RLE/BP hybrid runs or deprecated BIT_PACKED
+    (big-endian groups-of-8, `decodeLevel`, Stream/Reader.hs:264-282; the
+    D4 kernel). Unknown level encodings raise, mirroring the reference."""
     if max_level == 0:
         return np.zeros(n, dtype=np.uint32), pos
     width = int(max_level).bit_length()
     ln = int.from_bytes(buf[pos : pos + 4], "little")
     pos += 4
-    vals, used = decode_hybrid(buf, width, n, pos)
+    if encoding == _ENC_RLE:
+        vals, used = decode_hybrid(buf, width, n, pos)
+    elif encoding == _ENC_BIT_PACKED:
+        from ..codecs.bitpack import decode_bpbe
+
+        vals, used = decode_bpbe(buf, width, pos)
+        vals = vals[:n]  # groups of 8 may overshoot num_values
+    else:
+        raise ValueError(
+            f"unsupported level encoding {encoding} (only RLE and BIT_PACKED, "
+            "Stream/Reader.hs:282)"
+        )
     if used - pos > ln:
         raise ValueError("level stream overran its length prefix")
     return vals.astype(np.uint32), pos + ln
 
 
-def _decode_plain_values(buf: bytes, pos: int, n: int, physical: str) -> tuple[np.ndarray | list, int]:
+class ByteArrayValues:
+    """Columnar BYTE_ARRAY values: per-value lengths + one contiguous byte
+    buffer (never a Python list of bytes). Dictionary gather and Arrow
+    construction are single ragged gathers / zero-copy buffer builds."""
+
+    __slots__ = ("lens", "data")
+
+    def __init__(self, lens: np.ndarray, data: np.ndarray):
+        self.lens = lens
+        self.data = data
+
+    def __len__(self) -> int:
+        return len(self.lens)
+
+    def take(self, idx: np.ndarray) -> "ByteArrayValues":
+        from ..codecs.hybrid_columnar import _ragged_indices
+
+        offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(self.lens)])
+        idx = np.asarray(idx, dtype=np.int64)
+        lens = self.lens[idx]
+        return ByteArrayValues(lens, self.data[_ragged_indices(offs[idx], lens)])
+
+    @staticmethod
+    def concat(parts: list["ByteArrayValues"]) -> "ByteArrayValues":
+        return ByteArrayValues(
+            np.concatenate([p.lens for p in parts]),
+            np.concatenate([p.data for p in parts]),
+        )
+
+    def to_arrow(self, t: pa.DataType) -> pa.Array:
+        big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+        off_dt = np.int64 if big else np.int32
+        offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(self.lens)]).astype(off_dt)
+        return pa.Array.from_buffers(
+            t, len(self.lens),
+            [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(self.data))],
+        )
+
+    def tolist(self) -> list[bytes]:
+        offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(self.lens)])
+        raw = self.data.tobytes()
+        return [raw[offs[i] : offs[i + 1]] for i in range(len(self.lens))]
+
+
+def _decode_plain_values(buf: bytes, pos: int, n: int, physical: str):
     if physical == "INT64":
         vals = np.frombuffer(buf, dtype="<i8", count=n, offset=pos)
         return vals, pos + 8 * n
     if physical == "BYTE_ARRAY":
-        out = []
-        for _ in range(n):
-            ln = int.from_bytes(buf[pos : pos + 4], "little")
-            pos += 4
-            out.append(buf[pos : pos + ln])
-            pos += ln
-        return out, pos
+        # boundary scan is inherently sequential in Parquet v1 (each length
+        # prefix positions the next); the loop does only that scan — payload
+        # movement is one vectorized ragged gather afterwards
+        lens = np.empty(n, dtype=np.int64)
+        starts = np.empty(n, dtype=np.int64)
+        u32 = int.from_bytes
+        for i in range(n):
+            ln = u32(buf[pos : pos + 4], "little")
+            starts[i] = pos + 4
+            lens[i] = ln
+            pos += 4 + ln
+        from ..codecs.hybrid_columnar import _ragged_indices
+
+        data = np.frombuffer(buf, dtype=np.uint8)
+        return ByteArrayValues(lens, data[_ragged_indices(starts, lens)]), pos
     raise ValueError(f"unsupported physical type {physical} (reference scope: INT64/BYTE_ARRAY)")
 
 
@@ -129,8 +196,19 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
         fh.seek(start)
         chunk = fh.read(meta.total_compressed_size)
 
+    rep, dfl, vals = decode_column_chunk_pages(chunk, meta.num_values, meta.physical_type,
+                                              max_rep, max_def)
+    return rep, dfl, vals, max_rep, max_def
+
+
+def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
+                              max_rep: int, max_def: int):
+    """Page loop over one column chunk's raw bytes -> (rep, def, values).
+    Level encodings come from the DataPageHeader
+    (definition_level_encoding = field 3, repetition_level_encoding =
+    field 4 of parquet-format's thrift DataPageHeader) — RLE or the
+    deprecated BIT_PACKED, per `decodeLevel` (Stream/Reader.hs:264-282)."""
     pos = 0
-    n_total = meta.num_values
     dictionary = None
     reps, defs, values = [], [], []
     seen = 0
@@ -142,26 +220,28 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
         pos += page_len
         if ptype == _PAGE_DICT:
             dph = header[7]
-            dictionary, _ = _decode_plain_values(body, 0, dph[1], meta.physical_type)
+            dictionary, _ = _decode_plain_values(body, 0, dph[1], physical)
             continue
         if ptype != _PAGE_DATA:
             raise ValueError(f"unsupported page type {ptype}")
         dph = header[5]
         n_vals, enc = dph[1], dph[2]
+        def_enc = dph.get(3, _ENC_RLE)
+        rep_enc = dph.get(4, _ENC_RLE)
         p = 0
-        rep, p = _decode_levels(body, p, n_vals, max_rep)
-        dfl, p = _decode_levels(body, p, n_vals, max_def)
+        rep, p = _decode_levels(body, p, n_vals, max_rep, rep_enc)
+        dfl, p = _decode_levels(body, p, n_vals, max_def, def_enc)
         n_present = int(np.count_nonzero(dfl == max_def))
         if enc == _ENC_PLAIN:
-            vals, p = _decode_plain_values(body, p, n_present, meta.physical_type)
+            vals, p = _decode_plain_values(body, p, n_present, physical)
         elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
             if dictionary is None:
                 raise ValueError("PLAIN_DICTIONARY page without dictionary page")
             width = body[p]
             p += 1
             idx, p = decode_hybrid(body, width, n_present, p)
-            if isinstance(dictionary, list):
-                vals = [dictionary[i] for i in idx]
+            if isinstance(dictionary, ByteArrayValues):
+                vals = dictionary.take(idx.astype(np.int64))
             else:
                 vals = dictionary[idx.astype(np.int64)]
         else:
@@ -172,11 +252,11 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
         seen += n_vals
     rep = np.concatenate(reps) if reps else np.empty(0, np.uint32)
     dfl = np.concatenate(defs) if defs else np.empty(0, np.uint32)
-    if values and isinstance(values[0], list):
-        vals = [v for chunk_vals in values for v in chunk_vals]
+    if values and isinstance(values[0], ByteArrayValues):
+        vals = ByteArrayValues.concat(values)
     else:
         vals = np.concatenate(values) if values else np.empty(0, "<i8")
-    return rep, dfl, vals, max_rep, max_def
+    return rep, dfl, vals
 
 
 def assemble_optional_list_chain(rep, dfl, values, depth: int, n_records: int, value_type=pa.int64()):
@@ -188,7 +268,10 @@ def assemble_optional_list_chain(rep, dfl, values, depth: int, n_records: int, v
     ancestor didn't cut the path short); the level-l value is non-null iff
     ``def >= 2l+1``; a level-l list is non-empty iff ``def >= 2l+2``.
     Vectorized offsets/validity construction, no per-record interpreter."""
-    arr = pa.array(values if isinstance(values, list) else values.tolist(), value_type)
+    if isinstance(values, ByteArrayValues):
+        arr = values.to_arrow(value_type)
+    else:
+        arr = pa.array(values if isinstance(values, list) else values.tolist(), value_type)
     rep = np.asarray(rep, dtype=np.int64)
     dfl = np.asarray(dfl, dtype=np.int64)
 

@@ -289,3 +289,72 @@ def test_sliced_array_roundtrip():
     nb = gen_batch(300, seed=9, nulls=True).slice(31, 200)
     blob, _ = encode_table(nb)
     assert decode_table(blob).equals(nb.combine_chunks())
+
+
+# --- BIT_PACKED level decoding in the page path (VERDICT r1 #4) ---
+
+def _compact_struct(fields):
+    """Minimal thrift compact-protocol struct writer for test fixtures:
+    fields = [(field_id, kind, value)] with kind in {"i32", "struct"}."""
+    from parquet_hs_ray.codecs.varint import encode_varint, zigzag_encode
+
+    out = b""
+    last = 0
+    for fid, kind, val in fields:
+        delta = fid - last
+        assert 0 < delta <= 15
+        last = fid
+        if kind == "i32":
+            out += bytes([(delta << 4) | 5]) + encode_varint(zigzag_encode(val))
+        elif kind == "struct":
+            out += bytes([(delta << 4) | 12]) + val
+        else:
+            raise AssertionError(kind)
+    return out + b"\x00"
+
+
+def _data_page_v1(n_values, value_enc, def_enc, rep_enc, body):
+    hdr = _compact_struct([
+        (1, "i32", 0),            # PageType DATA_PAGE
+        (2, "i32", len(body)),    # uncompressed_page_size
+        (3, "i32", len(body)),    # compressed_page_size
+        (5, "struct", _compact_struct([
+            (1, "i32", n_values),
+            (2, "i32", value_enc),
+            (3, "i32", def_enc),
+            (4, "i32", rep_enc),
+        ])),
+    ])
+    return hdr + body
+
+
+def test_bit_packed_levels_in_page_path():
+    """A data page whose definition levels use the deprecated BIT_PACKED
+    encoding (u32-LE length prefix + big-endian groups of 8, the reference's
+    decodeLevel BIT_PACKED branch, Stream/Reader.hs:264-282) must decode
+    bit-identically to the RLE encoding of the same levels."""
+    from parquet_hs_ray.codecs.bitpack import encode_bpbe
+    from parquet_hs_ray.codecs.rle_hybrid import encode_hybrid
+    from parquet_hs_ray.sources.parquet_pages import decode_column_chunk_pages
+
+    dfl = np.array([1, 0, 1, 1, 0, 1, 1, 1], dtype=np.uint64)
+    present = np.array([10, 20, 30, 40, 50, 60], dtype="<i8")  # 6 non-null
+
+    bp = encode_bpbe(dfl, 1)
+    body_bp = len(bp).to_bytes(4, "little") + bp + present.tobytes()
+    page_bp = _data_page_v1(8, 0, 4, 3, body_bp)  # PLAIN, def=BIT_PACKED
+
+    rle = encode_hybrid(dfl.astype(np.uint32), 1)
+    body_rle = len(rle).to_bytes(4, "little") + rle + present.tobytes()
+    page_rle = _data_page_v1(8, 0, 3, 3, body_rle)  # PLAIN, def=RLE
+
+    for page in (page_bp, page_rle):
+        rep, d, vals = decode_column_chunk_pages(page, 8, "INT64", 0, 1)
+        np.testing.assert_array_equal(d, dfl.astype(np.uint32))
+        np.testing.assert_array_equal(vals, present)
+        assert len(rep) == 8 and not rep.any()
+
+    # unknown level encoding must raise, not mis-decode
+    page_bad = _data_page_v1(8, 0, 0, 3, body_rle)  # PLAIN as a LEVEL encoding
+    with pytest.raises(ValueError, match="level encoding"):
+        decode_column_chunk_pages(page_bad, 8, "INT64", 0, 1)
