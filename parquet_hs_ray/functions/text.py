@@ -71,26 +71,27 @@ def quality_components(texts: pd.Series) -> dict[str, np.ndarray]:
 
 def lang_id(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Marker-word language heuristic. Returns (lang codes, best scores).
-    Deterministic tie-break: language code ascending. Not SQL-expressible
-    cleanly -> rows-only oracle."""
+    Deterministic tie-break: language code ascending (argmax keeps the
+    first maximum). Not SQL-expressible cleanly -> rows-only oracle.
+
+    Vectorized: one word extraction pass, then a (doc x lang) marker-hit
+    matrix via hashed ``Series.isin`` + ``bincount`` segment sums — no
+    per-row/per-language Python scoring loop (VERDICT r1 #7)."""
     langs = sorted(_LANG_MARKERS)
-    out_lang = []
-    out_score = []
-    for s in texts.fillna(""):
-        words = _WORD.findall(s.lower())
-        if not words:
-            out_lang.append("unk")
-            out_score.append(0.0)
-            continue
-        best, best_score = "unk", 0.0
-        for lg in langs:
-            m = _LANG_MARKERS[lg]
-            score = sum(1 for w in words if w in m) / len(words)
-            if score > best_score:
-                best, best_score = lg, score
-        out_lang.append(best if best_score > 0 else "unk")
-        out_score.append(best_score)
-    return np.asarray(out_lang, dtype=object), np.asarray(out_score)
+    words_per_doc = texts.fillna("").str.lower().str.findall(_WORD)
+    lens = words_per_doc.str.len().astype(np.int64).to_numpy()
+    n = len(lens)
+    flat = pd.Series([w for ws in words_per_doc for w in ws], dtype=object)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hits = np.zeros((n, len(langs)))
+    for i, lg in enumerate(langs):
+        m = flat.isin(_LANG_MARKERS[lg]).to_numpy() if len(flat) else np.empty(0, bool)
+        hits[:, i] = np.bincount(doc_of, weights=m, minlength=n)
+    scores = hits / np.maximum(lens, 1)[:, None]
+    best = np.argmax(scores, axis=1) if len(langs) else np.zeros(n, np.int64)
+    best_score = scores[np.arange(n), best] if n else np.empty(0)
+    out_lang = np.where(best_score > 0, np.asarray(langs, dtype=object)[best], "unk")
+    return out_lang.astype(object), best_score
 
 
 def md5_hex(texts: pd.Series) -> np.ndarray:

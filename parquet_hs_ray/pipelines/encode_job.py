@@ -167,15 +167,73 @@ def encode_dataset(
     return result
 
 
+def _normalize_predicate(predicate):
+    """Predicate spec: a single (col, op, value) or an AND-list of them,
+    op in {"==", "<", "<=", ">", ">=", "between"} ("between" takes a
+    (lo, hi) tuple, inclusive)."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple) and len(predicate) == 3 and isinstance(predicate[0], str):
+        return [predicate]
+    return list(predicate)
+
+
+def _stats_can_match(entry: dict, preds: list) -> bool:
+    """False only when the partition's manifest min/max PROVE no row can
+    satisfy the conjunction — the payoff for the per-column stats the
+    reference parses but never uses (Types/Primitives.hs:79-87)."""
+    for col, op, v in preds:
+        st = entry.get("columns", {}).get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            continue  # no stats -> cannot prune
+        mn, mx = st["min"], st["max"]
+        if (op == "==" and (v < mn or v > mx)) or \
+           (op == ">" and mx <= v) or (op == ">=" and mx < v) or \
+           (op == "<" and mn >= v) or (op == "<=" and mn > v) or \
+           (op == "between" and (mx < v[0] or mn > v[1])):
+            return False
+    return True
+
+
+def pruned_partition_ids(out_dir: str, predicate, filesystem=None) -> tuple[list[int], int]:
+    """(kept partition ids, total finished) for a predicate."""
+    preds = _normalize_predicate(predicate)
+    entries = [e for e in mf.load_manifest(out_dir, filesystem) if e.get("status") == "done"]
+    kept = [e["partition_id"] for e in entries if _stats_can_match(e, preds)]
+    return kept, len(entries)
+
+
+def _apply_predicate_exact(ds: "ray.data.Dataset", preds: list) -> "ray.data.Dataset":
+    import pyarrow.compute as pc
+
+    def filt(t):
+        mask = None
+        for col, op, v in preds:
+            c = t[col]
+            m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                 ">": pc.greater, ">=": pc.greater_equal}.get(op)
+            part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]), pc.less_equal(c, v[1]))
+            mask = part if mask is None else pc.and_(mask, part)
+        return t.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    concurrency: int | None = None, batch_size: int = 1,
-                   filesystem=None) -> "ray.data.Dataset":
-    """Lazy decode Dataset over all finished partitions (streaming)."""
+                   filesystem=None, predicate=None) -> "ray.data.Dataset":
+    """Lazy decode Dataset over all finished partitions (streaming).
+
+    ``predicate`` (see ``_normalize_predicate``) prunes whole partitions by
+    manifest min/max stats BEFORE any blob is opened, then applies the
+    exact row filter after decode — same semantics, ~selectivity× less IO."""
+    preds = _normalize_predicate(predicate)
     entries = mf.load_manifest(out_dir, filesystem)
-    items = [{"partition_id": e["partition_id"]} for e in entries if e.get("status") == "done"]
+    items = [{"partition_id": e["partition_id"]} for e in entries
+             if e.get("status") == "done" and _stats_can_match(e, preds)]
     ds = ray.data.from_items(items)
     if len(items) >= 256:
-        return ds.map_batches(
+        out = ds.map_batches(
             DecoderStage,
             fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
                                    "filesystem": filesystem},
@@ -184,8 +242,12 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             num_cpus=1,
             batch_format="numpy",
         )
-    stage = DecoderStage(out_dir, columns, filesystem=filesystem)
-    return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
+    else:
+        stage = DecoderStage(out_dir, columns, filesystem=filesystem)
+        out = ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
+    if preds:
+        out = _apply_predicate_exact(out, preds)
+    return out
 
 
 def verify_roundtrip(input_path: str | list[str], out_dir: str,

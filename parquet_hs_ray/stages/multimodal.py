@@ -23,6 +23,27 @@ import pyarrow as pa
 _FEATURE_DIM = 8
 
 
+def _binary_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(starts, lens, data) numpy views over a Binary/LargeBinary array —
+    the zero-copy substrate for offset-sliced payload transforms. Null
+    slots have len 0."""
+    big = pa.types.is_large_binary(arr.type)
+    off_dt, off_sz = (np.int64, 8) if big else (np.int32, 4)
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dt, count=len(arr) + 1,
+                         offset=arr.offset * off_sz).astype(np.int64)
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    return offs[:-1], offs[1:] - offs[:-1], data
+
+
+def _binary_from_parts(lens: np.ndarray, data: np.ndarray, validity=None) -> pa.Array:
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(lens),
+        [validity, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(data))],
+    )
+
+
 class MediaFeatureStage:
     """Actor-pool map_batches class: binary payload -> feature vector.
 
@@ -114,13 +135,26 @@ class ImageResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].combine_chunks()
         area = self.width * self.height
-        out = [bytes(p.as_py()[:area]) if p.is_valid else None for p in payloads]
+        # offset slicing, no per-row as_py loop: truncate = ragged gather
+        starts, lens, data = _binary_view(payloads)
+        new_lens = np.minimum(lens, area)
+        from ..codecs.hybrid_columnar import _ragged_indices
+
+        if payloads.null_count:
+            # rebuild validity at offset 0 (the source bitmap is bit-shifted
+            # for sliced arrays; reusing its buffer would misalign)
+            valid = pa.compute.is_valid(payloads).to_numpy(zero_copy_only=False)
+            validity = pa.py_buffer(np.packbits(valid, bitorder="little"))
+        else:
+            validity = None
+        out = _binary_from_parts(new_lens, data[_ragged_indices(starts, new_lens)],
+                                 validity=validity)
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "payload": pa.array(out, pa.binary()),
-                "width": pa.array([self.width] * len(batch), pa.int32()),
-                "height": pa.array([self.height] * len(batch), pa.int32()),
+                "payload": out,
+                "width": pa.array(np.full(len(batch), self.width, dtype=np.int32)),
+                "height": pa.array(np.full(len(batch), self.height, dtype=np.int32)),
             }
         )
 
@@ -135,18 +169,24 @@ class FrameSampleStage:
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, idxs = [], [], []
-        for mid, p in zip(batch["media_id"], batch["payload"]):
-            data = p.as_py() or b""
-            step = max(1, len(data) // self.n_frames)
-            for k in range(self.n_frames):
-                ids.append(mid.as_py())
-                idxs.append(k)
-                frames.append(bytes(data[k * step : k * step + step]))
+        payloads = batch["payload"].combine_chunks()
+        n, F = len(payloads), self.n_frames
+        starts, lens, data = _binary_view(payloads)
+        step = np.maximum(1, lens // F)  # (n,)
+        k = np.arange(F, dtype=np.int64)
+        f_start = (starts[:, None] + k[None, :] * step[:, None]).reshape(-1)
+        f_len = np.clip(lens[:, None] - k[None, :] * step[:, None], 0,
+                        step[:, None]).reshape(-1)
+        from ..codecs.hybrid_columnar import _ragged_indices
+
+        frames = _binary_from_parts(f_len, data[_ragged_indices(f_start, f_len)])
+        ids = batch["media_id"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), F))
+        )
         return pa.table(
             {
-                "media_id": pa.array(ids),
-                "frame_index": pa.array(idxs, pa.int32()),
-                "frame": pa.array(frames, pa.binary()),
+                "media_id": ids,
+                "frame_index": pa.array(np.tile(k.astype(np.int32), n)),
+                "frame": frames,
             }
         )

@@ -277,3 +277,32 @@ def test_ivf_persisted_index(emb, tmp_path):
     assert few.attrs["clusters_read"] <= 2  # partial scan, by construction
     recall = len(set(few["neighbor_id"]) & set(exact["neighbor_id"])) / 10
     assert recall >= 0.3
+
+
+def test_resize_frame_content_equality(ray_session):
+    """Vectorized offset-slicing must reproduce the per-row slicing
+    semantics exactly (variable lengths, empty payloads, sliced arrays)."""
+    import pyarrow as pa
+
+    from parquet_hs_ray.stages.multimodal import FrameSampleStage, ImageResizeStage
+
+    payloads = [bytes(range(256)) * 3, b"", b"short", bytes(1000), b"x" * 300]
+    t = pa.table({"media_id": pa.array(range(5), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    # exercise non-zero offset too
+    for tbl in (t, t.slice(1)):
+        r = ImageResizeStage(width=4, height=4)(tbl)
+        ids = tbl["media_id"].to_pylist()
+        want = [p[:16] for p in tbl["payload"].to_pylist()]
+        assert r["payload"].to_pylist() == want
+        assert r["media_id"].to_pylist() == ids
+
+        f = FrameSampleStage(n_frames=3)(tbl)
+        got = list(zip(f["media_id"].to_pylist(), f["frame_index"].to_pylist(),
+                       f["frame"].to_pylist()))
+        want_f = []
+        for mid, p in zip(ids, tbl["payload"].to_pylist()):
+            step = max(1, len(p) // 3)
+            for k in range(3):
+                want_f.append((mid, k, p[k * step : k * step + step]))
+        assert got == want_f
