@@ -19,6 +19,8 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+from parquet_hs_ray.functions.text import _LANG_MARKERS
+
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -120,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
     q["doc_lang_id"] = lambda sf: ta.language_id(_read(sf, "documents"))
+    q["doc_text_stats"] = lambda sf: ta.text_stats(_read(sf, "documents"))
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_minhash"] = lambda sf: dedup.dedup_minhash(_read(sf, "documents"))
@@ -168,6 +171,41 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
     o["doc_fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents"
+    # decode_f1: the decoded blob store must equal the synthetic source
+    # table bit-for-bit; the source is deterministic and cached on disk, so
+    # DuckDB can read it directly (VERDICT r1 #6).
+    from parquet_hs_ray.sources.synth import cached_dataset
+
+    f1_src = cached_dataset(_F1_ROWS, seed=42, n_files=4)
+    o["decode_f1"] = f"SELECT * FROM read_parquet('{f1_src}/*.parquet')"
+    # doc_lang_id: full SQL re-implementation of the marker-word heuristic
+    # (word split, per-language hit ratio, argmax with ascending-code
+    # tie-break, zero-word docs -> 'unk').
+    markers = ", ".join(
+        f"('{lg}', '{w}')"
+        for lg in sorted(_LANG_MARKERS)
+        for w in sorted(_LANG_MARKERS[lg])
+    )
+    o["doc_lang_id"] = (
+        "WITH words AS ("
+        " SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-zàâäéèêëïîôöùûüáíóúñç]+')) AS w FROM documents),"
+        f" markers(lang, w) AS (VALUES {markers}),"
+        " counts AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),"
+        " hits AS (SELECT words.doc_id, markers.lang, count(*) AS h"
+        "   FROM words JOIN markers ON words.w = markers.w GROUP BY words.doc_id, markers.lang),"
+        " scored AS (SELECT c.doc_id, l.lang,"
+        "   coalesce(h.h, 0)::DOUBLE / c.n_words AS score"
+        "   FROM counts c CROSS JOIN (SELECT DISTINCT lang FROM markers) l"
+        "   LEFT JOIN hits h ON h.doc_id = c.doc_id AND h.lang = l.lang),"
+        " best AS (SELECT doc_id, lang, score,"
+        "   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn"
+        "   FROM scored)"
+        " SELECT d.doc_id,"
+        "  CASE WHEN coalesce(b.score, 0.0) > 0 THEN b.lang ELSE 'unk' END AS lang_pred,"
+        "  coalesce(b.score, 0.0) AS lang_score"
+        " FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"
+    )
     o["stats_by_source"] = (
         "SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
         f"sum(({_WS_COUNT}))::BIGINT AS sum_ws_tokens FROM documents GROUP BY source"
@@ -208,7 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "        count(*)::BIGINT AS n_events"
         " FROM gaps GROUP BY user_id"
     )
-    # encode_job_f1 / decode_f1 / doc_lang_id / dedup_minhash / dedup_simhash /
-    # ann_ivf / media_features: not SQL-expressible (stateful job, heuristic,
-    # LSH, approximate search, stubbed media decode) -> rows-only checks.
+    # encode_job_f1 / doc_text_stats / dedup_minhash / dedup_simhash /
+    # ann_ivf / media_features: not SQL-expressible (manifest metadata,
+    # uint64-wrap + lookahead-regex kernels, LSH/simhash signature math,
+    # approximate search, stubbed media decode) -> rows-only checks.
     return o

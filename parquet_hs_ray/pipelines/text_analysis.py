@@ -40,13 +40,34 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def language_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, lang_pred, lang_score) — SQL-expressible (marker-word hit
+    ratio + argmax with ascending-code tie-break), so it carries a hard
+    DuckDB oracle (VERDICT r1 #6 direction)."""
+
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         lang, score = tx.lang_id(batch["text"])
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": lang,
-                "lang_score": np.round(score, 6),
+                # raw double ratio: bit-identical to DuckDB's k/n division
+                # (no rounding — round() tie-break rules differ across engines)
+                "lang_score": score,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def text_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Rolling fingerprint + BPE-ish token count. Not SQL-expressible
+    (uint64 wraparound math; RE2 has no lookahead for the BPE pattern) —
+    rows-only oracle; kernel determinism is unit-tested."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
                 "fingerprint_roll": tx.rolling_fingerprint(batch["text"]),
                 "n_bpe_tokens": tx.bpe_token_count(batch["text"]),
             }
