@@ -72,6 +72,7 @@ MAGIC = b"PHR1"
 VERSION = 1
 
 _KIND_FIXED, _KIND_BINARY, _KIND_LIST, _KIND_BOOL = 0, 1, 2, 3
+_KIND_STRUCT, _KIND_FSL = 4, 5
 
 _INT_POLICY = {RLE: "rle", BITPACK: "bitpack", FOR: "for"}
 
@@ -243,6 +244,32 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         stats.min, stats.max = child_stats.min, child_stats.max
         return finish(_KIND_LIST, stats)
 
+    if pa.types.is_map(t):
+        # a map is list<struct<key,value>> on the wire; encode through the
+        # list+struct machinery, decode_array casts back by schema type
+        as_list = arr.cast(pa.list_(pa.struct([pa.field("key", t.key_type),
+                                               pa.field("value", t.item_type)])))
+        return encode_array(as_list, codec_override)
+
+    if pa.types.is_struct(t):
+        # recursive per-field frames; the reference parses the full nested
+        # type universe (Types/Enums.hs:45-109) — we encode it
+        child_codecs = []
+        for i in range(t.num_fields):
+            child_frame, child_stats = encode_array(arr.field(i), codec_override)
+            body.append(child_frame)
+            child_codecs.append(child_stats.codec)
+        return finish(_KIND_STRUCT, ColumnStats(codec=f"struct<{','.join(child_codecs)}>"))
+
+    if pa.types.is_fixed_size_list(t):
+        sz = t.list_size
+        child = arr.values.slice(arr.offset * sz, n * sz)
+        child_frame, child_stats = encode_array(child, codec_override)
+        body.append(child_frame)
+        stats = ColumnStats(codec=f"fsl<{child_stats.codec}>")
+        stats.min, stats.max = child_stats.min, child_stats.max
+        return finish(_KIND_FSL, stats)
+
     if pa.types.is_boolean(t):
         vals = arr.cast(pa.uint8())
         vals_np = _fixed_values_np(vals, valid)
@@ -331,6 +358,14 @@ def _decode_float_payload(data: bytes, pos: int, codec: int, dt: np.dtype, n: in
 
 def decode_array(data: bytes, pos: int, t: pa.DataType) -> tuple[pa.Array, int]:
     """Decode one frame back into an Arrow array of type ``t``."""
+    if pa.types.is_map(t):
+        lt = pa.list_(pa.struct([pa.field("key", t.key_type, nullable=False),
+                                 pa.field("value", t.item_type)]))
+        tmp, pos = decode_array(data, pos, lt)
+        # no cast kernel list->map exists; the physical layouts are identical
+        arr = pa.Array.from_buffers(t, len(tmp), [tmp.buffers()[0], tmp.buffers()[1]],
+                                    null_count=tmp.null_count, children=[tmp.values])
+        return arr, pos
     kind = data[pos]
     pos += 1
     n, pos = decode_varint(data, pos)
@@ -355,6 +390,19 @@ def decode_array(data: bytes, pos: int, t: pa.DataType) -> tuple[pa.Array, int]:
         arr = pa.Array.from_buffers(
             t, n, [validity_buf, pa.py_buffer(offs)], null_count=nc, children=[child]
         )
+        return arr, pos
+
+    if kind == _KIND_STRUCT:
+        children = []
+        for f in t:
+            child, pos = decode_array(data, pos, f.type)
+            children.append(child)
+        arr = pa.Array.from_buffers(t, n, [validity_buf], null_count=nc, children=children)
+        return arr, pos
+
+    if kind == _KIND_FSL:
+        child, pos = decode_array(data, pos, t.value_type)
+        arr = pa.Array.from_buffers(t, n, [validity_buf], null_count=nc, children=[child])
         return arr, pos
 
     codec = data[pos]

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -40,12 +41,16 @@ def _topk_partial(batch: pd.DataFrame, ref, k: int) -> pd.DataFrame:
 def ann_topk_bruteforce(emb: "ray.data.Dataset", query_ids: list[int], k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k (excluding self), deterministic tie-break by
     (sim desc, neighbor_id asc). Returns (query_id, neighbor_id, rank)."""
-    qset = set(query_ids)
+    qset = sorted(set(query_ids))
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["vec_id"].isin(qset)]
+    def pick(t):
+        import pyarrow.compute as pc
 
-    qdf = emb.map_batches(pick, batch_format="pandas").to_pandas().sort_values("vec_id")
+        # pyarrow filter: empty outputs keep concrete types (a pandas
+        # object-dtype empty frame makes Ray's size estimator noisy)
+        return t.filter(pc.is_in(t["vec_id"], value_set=pa.array(qset, t["vec_id"].type)))
+
+    qdf = emb.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     ref = ray.put((qdf["vec_id"].to_numpy(), Qn))
@@ -104,12 +109,16 @@ def ann_topk_ivf(
     corpus, build the assignment ONCE with ``ivf_build_index`` and search
     with ``ann_topk_ivf_indexed`` (reads ~nprobe/nlist of the data)."""
     C = _train_centroids(emb, n_clusters, sample_size, seed)
-    qset = set(query_ids)
+    qset = sorted(set(query_ids))
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["vec_id"].isin(qset)]
+    def pick(t):
+        import pyarrow.compute as pc
 
-    qdf = emb.map_batches(pick, batch_format="pandas").to_pandas().sort_values("vec_id")
+        # pyarrow filter: empty outputs keep concrete types (a pandas
+        # object-dtype empty frame makes Ray's size estimator noisy)
+        return t.filter(pc.is_in(t["vec_id"], value_set=pa.array(qset, t["vec_id"].type)))
+
+    qdf = emb.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)

@@ -358,3 +358,41 @@ def test_bit_packed_levels_in_page_path():
     page_bad = _data_page_v1(8, 0, 0, 3, body_rle)  # PLAIN as a LEVEL encoding
     with pytest.raises(ValueError, match="level encoding"):
         decode_column_chunk_pages(page_bad, 8, "INT64", 0, 1)
+
+
+def test_struct_map_fixed_size_list_roundtrip():
+    """Nested non-list types round-trip through the blob format (r1 gap:
+    a struct column previously crashed the fixed-width branch)."""
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    n = 200
+    rng = np.random.default_rng(7)
+    struct = pa.array(
+        [{"x": int(i), "y": f"s{i % 17}"} if i % 11 else None for i in range(n)],
+        pa.struct([("x", pa.int64()), ("y", pa.string())]),
+    )
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(rng.standard_normal(n * 4), pa.float32()), 4
+    )
+    mp = pa.array(
+        [{f"k{j}": j * i for j in range(i % 4)} for i in range(n)],
+        pa.map_(pa.string(), pa.int64()),
+    )
+    nested = pa.array(
+        [{"inner": {"a": i}, "l": list(range(i % 3))} for i in range(n)],
+        pa.struct([("inner", pa.struct([("a", pa.int64())])),
+                   ("l", pa.list_(pa.int64()))]),
+    )
+    t = pa.table({"s": struct, "f": fsl, "m": mp, "nested": nested,
+                  "k": pa.array(np.arange(n))})
+    blob, stats = encode_table(t)
+    assert stats["s"].codec.startswith("struct<")
+    assert stats["f"].codec.startswith("fsl<")
+    back = decode_table(blob)
+    assert back.equals(t)
+    # sliced (non-zero offset) input
+    blob2, _ = encode_table(t.slice(3, 100))
+    assert decode_table(blob2).equals(t.slice(3, 100).combine_chunks())
+    # column pruning still skips frames
+    only = decode_table(blob, columns=["m", "k"])
+    assert only.column_names == ["m", "k"] and only["m"].equals(t["m"])
