@@ -306,3 +306,22 @@ def test_resize_frame_content_equality(ray_session):
             for k in range(3):
                 want_f.append((mid, k, p[k * step : k * step + step]))
         assert got == want_f
+
+
+def test_minhash_join_verify_path(ray_session):
+    """Force the hash-join verify strategy (broadcast_threshold=0) and
+    check it agrees with the broadcast strategy."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import dedup_minhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy", 1)},
+            {"doc_id": 3, "text": "completely different content with unrelated words " * 15},
+            {"doc_id": 4, "text": base + "extra tail words here"}]
+    ds = ray.data.from_items(rows)
+    via_join = dedup_minhash(ds, threshold=0.5, broadcast_threshold=0)
+    via_bcast = dedup_minhash(ds, threshold=0.5)
+    pd.testing.assert_frame_equal(via_join, via_bcast)
+    assert {(1, 2), (1, 4), (2, 4)} <= {(int(a), int(b)) for a, b in zip(via_join["a"], via_join["b"])}
