@@ -64,15 +64,76 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
     """Per user: number of sessions (a session breaks when the gap between
     consecutive events exceeds ``gap_us``) and total events.
 
-    ``groupby(user).map_groups`` with a ts-sort inside each group — the
-    canonical Ray Data sessionization shape for an unordered log."""
+    Scale shape (replaces the r1 ``groupby(user).map_groups`` one-frame-
+    per-user pattern — 10^8 users meant 10^8 pandas constructions):
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(_ts_us(g["ts"]))
-        breaks = int(np.count_nonzero(np.diff(ts) > gap_us)) if len(ts) > 1 else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [breaks + 1],
-             "n_events": [len(ts)]}
-        )
+    1. global ``sort((user_id, ts))`` — range-partitioned sorted blocks,
+       so each block is per-user time-disjoint from every other block;
+       the shuffle carries only (user_id, ts).
+    2. one VECTORIZED partial row per (user, block): event count, break
+       count (numpy diff over the sorted block), min/max ts.
+    3. ``groupby(user).aggregate(Sum)`` over partials — no map_groups.
+    4. users straddling a block boundary (at most 2x #blocks of them)
+       get a junction correction: their partial rows (tiny) are pulled
+       once, adjacent-gap breaks counted, and the per-user correction is
+       broadcast into the finishing map_batches.
+    """
+    s = events.select_columns(["user_id", "ts"]).sort(["user_id", "ts"])
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy()
+        ts = _ts_us(batch["ts"])
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({"user_id": u[:0], "n_events": np.empty(0, np.int64),
+                                 "n_breaks": np.empty(0, np.int64),
+                                 "min_ts": np.empty(0, np.int64), "max_ts": np.empty(0, np.int64)})
+        order = np.lexsort((ts, u))  # defensive; a sorted block is a no-op
+        u, ts = u[order], ts[order]
+        newu = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(newu)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        brk = (~newu[1:]) & (np.diff(ts) > gap_us)
+        cs = np.concatenate([[0], np.cumsum(brk)])
+        b_per = cs[starts + counts - 1] - cs[starts]
+        return pd.DataFrame({"user_id": u[starts], "n_events": counts.astype(np.int64),
+                             "n_breaks": b_per.astype(np.int64),
+                             "min_ts": ts[starts], "max_ts": ts[starts + counts - 1]})
+
+    partials = s.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
+    from ray.data.aggregate import Count, Sum
+
+    agg = partials.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_breaks", alias_name="n_breaks"),
+        Count(alias_name="n_parts"),
+    )
+
+    # junction corrections for block-straddling users (tiny by construction)
+    straddlers = agg.map_batches(
+        lambda b: b.loc[b["n_parts"] > 1, ["user_id"]], batch_format="pandas"
+    ).to_pandas()
+    corr: dict = {}
+    if len(straddlers):
+        sset = set(straddlers["user_id"])
+        rows = partials.map_batches(
+            lambda b: b[b["user_id"].isin(sset)], batch_format="pandas"
+        ).to_pandas()
+        for uid, g in rows.groupby("user_id"):
+            g = g.sort_values("min_ts")
+            gaps = g["min_ts"].to_numpy()[1:] - g["max_ts"].to_numpy()[:-1]
+            corr[uid] = int((gaps > gap_us).sum())
+    import ray
+
+    corr_ref = ray.put(corr)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(corr_ref)
+        junction = batch["user_id"].map(c).fillna(0).astype(np.int64) if c else 0
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "n_sessions": (batch["n_breaks"] + junction + 1).astype(np.int64),
+            "n_events": batch["n_events"].astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -325,3 +325,27 @@ def test_minhash_join_verify_path(ray_session):
     via_bcast = dedup_minhash(ds, threshold=0.5)
     pd.testing.assert_frame_equal(via_join, via_bcast)
     assert {(1, 2), (1, 4), (2, 4)} <= {(int(a), int(b)) for a, b in zip(via_join["a"], via_join["b"])}
+
+
+def test_sessionize_matches_pandas_across_blocks(ray_session):
+    """The sort+partials sessionize must match a single-process reference
+    even when users straddle many blocks (junction-correction path)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet").repartition(16)
+    ours = sessionize(ev).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    raw = ray.data.read_parquet(f"{SF}/events.parquet").to_pandas()
+    ts = raw["ts"].astype("datetime64[us]").astype("int64")
+    ref_rows = []
+    for uid, g in pd.DataFrame({"user_id": raw["user_id"], "t": ts}).groupby("user_id"):
+        t = np.sort(g["t"].to_numpy())
+        breaks = int((np.diff(t) > 30 * 60 * 1_000_000).sum()) if len(t) > 1 else 0
+        ref_rows.append({"user_id": uid, "n_sessions": breaks + 1, "n_events": len(t)})
+    ref = pd.DataFrame(ref_rows).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ours.astype({"n_sessions": np.int64, "n_events": np.int64}),
+        ref.astype({"n_sessions": np.int64, "n_events": np.int64}),
+    )
