@@ -15,6 +15,23 @@ import shutil
 import sys
 
 
+def _parse_where(spec: str) -> tuple:
+    """'col OP value' -> (col, op, typed value)."""
+    for op in ("<=", ">=", "==", "<", ">"):
+        if op in spec:
+            col, _, raw = spec.partition(op)
+            raw = raw.strip()
+            try:
+                val: object = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw
+            return (col.strip(), op, val)
+    raise SystemExit(f"bad --where {spec!r}: expected 'col OP value'")
+
+
 def _ray_session(num_cpus: int | None):
     import ray
 
@@ -47,6 +64,10 @@ def main(argv=None):
     dec.add_argument("--encoded", required=True)
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None, help="comma-separated column subset")
+    dec.add_argument("--where", default=None, action="append",
+                     help="predicate 'col OP value' (OP in ==,<,<=,>,>=; value "
+                          "int/float/string; repeatable = AND). Partitions whose "
+                          "manifest min/max exclude it are never opened.")
 
     ver = sub.add_parser("verify", help="per-partition round-trip equality vs input")
     ver.add_argument("--encoded", required=True)
@@ -81,11 +102,19 @@ def main(argv=None):
             from .pipelines.encode_job import decode_dataset
 
             cols = args.columns.split(",") if args.columns else None
-            ds = decode_dataset(args.encoded, columns=cols)
+            preds = [_parse_where(w) for w in args.where] if args.where else None
+            ds = decode_dataset(args.encoded, columns=cols, predicate=preds)
             ds.write_parquet(args.out)
-            from .state import manifest as mf
+            if preds:
+                from .pipelines.encode_job import pruned_partition_ids
 
-            print(json.dumps({"rows": mf.summary(args.encoded)["rows"], "out": args.out}))
+                kept, total = pruned_partition_ids(args.encoded, preds)
+                print(json.dumps({"rows": ds.count(), "out": args.out,
+                                  "partitions_read": len(kept), "partitions_total": total}))
+            else:
+                from .state import manifest as mf
+
+                print(json.dumps({"rows": mf.summary(args.encoded)["rows"], "out": args.out}))
         elif args.cmd == "verify":
             from .pipelines.encode_job import verify_roundtrip
 
