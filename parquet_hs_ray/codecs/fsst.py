@@ -162,14 +162,20 @@ def _encode_with_table(
 
     adv = np.maximum(sym_len, 1).astype(np.int64)
 
-    # frontier parse: iteration k emits token k of every still-active row
+    # frontier parse: iteration k emits token k of every still-active row.
+    # Work-optimal (active set at iteration k == rows with >= k tokens, so
+    # total element-ops == total tokens); per-token cost is the handful of
+    # numpy kernels below — row ends ride along through the keep-compress
+    # (no re-gather) and per-row counts come from one bincount at the end
+    # (no per-iteration scatter-add).
     active_pos = offsets[:-1].copy()
     active_row = np.arange(n_rows, dtype=np.int64)
+    active_end = offsets[1:].copy()
     alive = lens > 0
     active_pos = active_pos[alive]
     active_row = active_row[alive]
+    active_end = active_end[alive]
     codes_parts, lit_parts, row_parts = [], [], []
-    count_per_row = np.zeros(n_rows, dtype=np.int64)
     it = 0
     while len(active_pos):
         c = sym_code[active_pos]
@@ -179,25 +185,24 @@ def _encode_with_table(
         if esc.any():
             lit_parts.append(data[active_pos[esc]])
             # remember which rows got the literal, in emission order
-        count_per_row[active_row] += 1
         nxt = active_pos + adv[active_pos]
-        keep = nxt < offsets[active_row + 1]
+        keep = nxt < active_end
         active_pos = nxt[keep]
         active_row = active_row[keep]
+        active_end = active_end[keep]
         it += 1
         if it >= _MAX_TOKENS_PER_ROW and len(active_pos):
             # escape the tails wholesale
-            for p, r in zip(active_pos.tolist(), active_row.tolist()):
-                end = int(offsets[r + 1])
+            for p, r, end in zip(active_pos.tolist(), active_row.tolist(), active_end.tolist()):
                 tail = data[p:end]
                 codes_parts.append(np.full(len(tail), ESCAPE, dtype=np.uint8))
                 row_parts.append(np.full(len(tail), r, dtype=np.int64))
                 lit_parts.append(tail)
-                count_per_row[r] += len(tail)
             break
 
     all_codes = np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
     all_rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    count_per_row = np.bincount(all_rows, minlength=n_rows).astype(np.int64)
     # emission is iteration-major; reorder to row-major (stable by iteration)
     order = np.argsort(all_rows, kind="stable")
     codes = all_codes[order]
