@@ -203,51 +203,33 @@ def pruned_partition_ids(out_dir: str, predicate, filesystem=None) -> tuple[list
     return kept, len(entries)
 
 
-def _apply_predicate_exact(ds: "ray.data.Dataset", preds: list) -> "ray.data.Dataset":
-    import pyarrow.compute as pc
-
-    def filt(t):
-        mask = None
-        for col, op, v in preds:
-            c = t[col]
-            m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
-                 ">": pc.greater, ">=": pc.greater_equal}.get(op)
-            part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]), pc.less_equal(c, v[1]))
-            mask = part if mask is None else pc.and_(mask, part)
-        return t.filter(mask)
-
-    return ds.map_batches(filt, batch_format="pyarrow")
-
-
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    concurrency: int | None = None, batch_size: int = 1,
                    filesystem=None, predicate=None) -> "ray.data.Dataset":
     """Lazy decode Dataset over all finished partitions (streaming).
 
     ``predicate`` (see ``_normalize_predicate``) prunes whole partitions by
-    manifest min/max stats BEFORE any blob is opened, then applies the
-    exact row filter after decode — same semantics, ~selectivity× less IO."""
+    manifest min/max stats BEFORE any blob is opened; surviving partitions
+    decode the predicate columns FIRST (byte-level frame skip), full-decode
+    only on a match, and filter exactly — same semantics, ~selectivity×
+    less IO and decode work."""
     preds = _normalize_predicate(predicate)
     entries = mf.load_manifest(out_dir, filesystem)
     items = [{"partition_id": e["partition_id"]} for e in entries
              if e.get("status") == "done" and _stats_can_match(e, preds)]
     ds = ray.data.from_items(items)
     if len(items) >= 256:
-        out = ds.map_batches(
+        return ds.map_batches(
             DecoderStage,
             fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
-                                   "filesystem": filesystem},
+                                   "filesystem": filesystem, "predicate": preds},
             batch_size=batch_size,
             concurrency=concurrency or 8,
             num_cpus=1,
             batch_format="numpy",
         )
-    else:
-        stage = DecoderStage(out_dir, columns, filesystem=filesystem)
-        out = ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
-    if preds:
-        out = _apply_predicate_exact(out, preds)
-    return out
+    stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds)
+    return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 
 def verify_roundtrip(input_path: str | list[str], out_dir: str,

@@ -24,19 +24,46 @@ class DecoderStage:
 
     ``columns`` prunes frames at the byte level (length-delimited skip)."""
 
-    def __init__(self, out_dir: str, columns: list[str] | None = None, filesystem=None):
+    def __init__(self, out_dir: str, columns: list[str] | None = None, filesystem=None,
+                 predicate: list | None = None):
         from ..memtune import ensure_process_tuned
 
         ensure_process_tuned()
         self.out_dir = out_dir
         self.columns = columns
         self.filesystem = filesystem
+        self.predicate = predicate or []
+
+    def _mask(self, t: pa.Table):
+        import pyarrow.compute as pc
+
+        mask = None
+        for col, op, v in self.predicate:
+            c = t[col]
+            m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                 ">": pc.greater, ">=": pc.greater_equal}.get(op)
+            part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]), pc.less_equal(c, v[1]))
+            mask = part if mask is None else pc.and_(mask, part)
+        return mask
 
     def __call__(self, batch: dict) -> pa.Table:
+        import pyarrow.compute as pc
+
         tables = []
         for pid in batch["partition_id"]:
             blob = mf.read_blob(self.out_dir, int(pid), self.filesystem)
-            tables.append(decode_table(blob, self.columns))
+            if self.predicate:
+                # two-phase: decode only the predicate columns (byte-level
+                # frame skip), full-decode only partitions with matches
+                pred_cols = sorted({p[0] for p in self.predicate})
+                mask = self._mask(decode_table(blob, pred_cols))
+                n_match = int(pc.sum(mask).as_py() or 0)
+                if n_match == 0:
+                    continue
+                t = decode_table(blob, self.columns)
+                tables.append(t if n_match == t.num_rows else t.filter(mask))
+            else:
+                tables.append(decode_table(blob, self.columns))
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables)
