@@ -87,18 +87,19 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # timed encode: best of three passes — passes after warm-up are still
+    # timed encode: best of N passes — passes after warm-up are still
     # faulting worker arenas on this host (one-sided noise); steady state
     # (the regime a long-running job lives in) is what the best pass measures
-    best = None
-    for _ in range(3):
+    n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "3"))
+    pass_times = []
+    for _ in range(n_passes):
         shutil.rmtree(enc_dir, ignore_errors=True)
         t0 = time.perf_counter()
         encode_dataset(src, enc_dir, token_budget=2_000_000,
                        concurrency=max(2, NUM_CPUS - 1), use_actors=False)
-        el = time.perf_counter() - t0
-        best = el if best is None else min(best, el)
-    queries["encode_f1"] = best
+        pass_times.append(time.perf_counter() - t0)
+    queries["encode_f1"] = min(pass_times)
+    encode_passes = [round(t, 3) for t in pass_times]
     summ = mf.summary(enc_dir)
     tokens = summ["tokens"]
 
@@ -116,6 +117,7 @@ def main() -> None:
             "num_cpus": NUM_CPUS,
             "rows": rows,
             "tokens": tokens,
+            "encode_passes": encode_passes,
             "encode_tokens_per_sec": round(tokens / queries["encode_f1"]),
             "decode_tokens_per_sec": round(tokens / queries["decode_f1"]),
         }
