@@ -215,7 +215,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     less IO and decode work."""
     preds = _normalize_predicate(predicate)
     entries = mf.load_manifest(out_dir, filesystem)
-    items = [{"partition_id": e["partition_id"]} for e in entries
+    items = [{"partition_id": e["partition_id"], "crc32": e.get("checksum_crc32", -1)}
+             for e in entries
              if e.get("status") == "done" and _stats_can_match(e, preds)]
     ds = ray.data.from_items(items)
     if len(items) >= 256:

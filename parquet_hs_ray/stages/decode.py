@@ -47,11 +47,19 @@ class DecoderStage:
         return mask
 
     def __call__(self, batch: dict) -> pa.Table:
+        import zlib
+
         import pyarrow.compute as pc
 
+        crcs = batch.get("crc32")
         tables = []
-        for pid in batch["partition_id"]:
+        for i, pid in enumerate(batch["partition_id"]):
             blob = mf.read_blob(self.out_dir, int(pid), self.filesystem)
+            if crcs is not None and int(crcs[i]) >= 0 and zlib.crc32(blob) != int(crcs[i]):
+                raise ValueError(
+                    f"partition {int(pid)}: blob checksum mismatch (corrupt or "
+                    f"partially written blob; manifest crc32={int(crcs[i])})"
+                )
             if self.predicate:
                 # two-phase: decode only the predicate columns (byte-level
                 # frame skip), full-decode only partitions with matches

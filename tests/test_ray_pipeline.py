@@ -205,3 +205,19 @@ def test_decode_predicate_prunes_partitions(ray_session, tmp_path):
     ref = tbl.to_pandas()
     ref = ref[(ref["k"] >= 2500) & (ref["k"] <= 4500)].reset_index(drop=True)
     assert got.equals(ref)
+
+
+def test_decode_detects_corrupt_blob(ray_session, tmp_path):
+    """A flipped byte in a blob must fail decode loudly via the manifest
+    crc32, not return garbage."""
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    out = str(tmp_path / "enc")
+    encode_dataset(src, out, token_col=None)
+    blob_file = f"{out}/blobs/part-00000000.blob"
+    data = bytearray(open(blob_file, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(blob_file, "wb").write(bytes(data))
+    with pytest.raises(Exception, match="checksum mismatch"):
+        decode_dataset(out).to_pandas()
