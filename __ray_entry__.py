@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
     q["doc_lang_id"] = lambda sf: ta.language_id(_read(sf, "documents"))
     q["doc_text_stats"] = lambda sf: ta.text_stats(_read(sf, "documents"))
+    q["top_terms"] = lambda sf: ta.top_terms(_read(sf, "documents"), k=50)
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_minhash"] = lambda sf: dedup.dedup_minhash(_read(sf, "documents"))
@@ -171,6 +172,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
     o["doc_fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents"
+    o["top_terms"] = (
+        "WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word"
+        " FROM documents),"
+        " c AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word)"
+        " SELECT word, n FROM c ORDER BY n DESC, word LIMIT 50"
+    )
     # decode_f1: the decoded blob store must equal the synthetic source
     # table bit-for-bit; the source is deterministic and cached on disk, so
     # DuckDB can read it directly (VERDICT r1 #6).

@@ -101,3 +101,44 @@ def stats_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         Sum("sum_chars", alias_name="sum_chars"),
         Sum("sum_ws_tokens", alias_name="sum_ws_tokens"),
     )
+
+
+def top_terms(docs: "ray.data.Dataset", k: int = 50) -> pd.DataFrame:
+    """Corpus-wide top-k term frequencies.
+
+    Partial-agg pattern: per-batch word counts (one np.unique per batch),
+    ``groupby(word).aggregate(Sum)`` — the shuffle carries (word, count)
+    partials, never text — then distributed per-block top-k with only
+    k rows per block reaching the driver merge. Tie-break (n desc, word
+    asc) matches the SQL oracle exactly.
+
+    SQL twin: regexp_extract_all(lower(text), '[a-z0-9]+') -> unnest ->
+    GROUP BY -> ORDER BY n DESC, word LIMIT k.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        flat = [w for ws in words for w in ws]
+        if not flat:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    agg = docs.map_batches(partial, batch_format="pandas").groupby("word").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if "word" not in batch.columns or not len(batch):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return batch.sort_values(["n", "word"], ascending=[False, True]).head(k)
+
+    # words are unique after the aggregate, so the global top-k is contained
+    # in the union of per-block top-ks: only k rows/block reach the driver
+    cands = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = cands.sort_values(["n", "word"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"n": np.int64})

@@ -349,3 +349,16 @@ def test_sessionize_matches_pandas_across_blocks(ray_session):
         ours.astype({"n_sessions": np.int64, "n_events": np.int64}),
         ref.astype({"n_sessions": np.int64, "n_events": np.int64}),
     )
+
+
+def test_top_terms_matches_pandas(docs):
+    from parquet_hs_ray.pipelines.text_analysis import top_terms
+
+    out = top_terms(docs, k=10)
+    raw = docs.to_pandas()
+    words = raw["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    flat = pd.Series([w for ws in words for w in ws])
+    ref = (flat.value_counts().rename_axis("word").reset_index(name="n")
+           .sort_values(["n", "word"], ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype({"n": np.int64}), ref.astype({"n": np.int64}))
