@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
     q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
+    q["events_hopping"] = lambda sf: win.hopping_window(_read(sf, "events"))
 
     def golden_parquet_decode(sf):
         # reference-parity path: the reference's committed golden file
@@ -241,6 +242,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "
         "count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY user_id, win"
+    )
+    o["events_hopping"] = (
+        "SELECT user_id, win, count(*)::BIGINT AS n_events, "
+        "round(sum(value), 6) AS sum_value FROM ("
+        " SELECT user_id, value, (epoch_us(ts) // 1800000000) - i AS win"
+        " FROM events, range(2) t(i))"
+        " GROUP BY user_id, win"
     )
     o["events_sessions"] = (
         "WITH gaps AS ("

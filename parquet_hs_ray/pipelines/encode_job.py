@@ -88,6 +88,7 @@ def encode_dataset(
     use_actors: bool | None = None,
     filesystem=None,
     input_filesystem=None,
+    append: bool = False,
 ) -> dict:
     """Run the encode job; returns the manifest summary. Safe to re-run:
     finished partitions are skipped (checkpoint resume).
@@ -111,11 +112,24 @@ def encode_dataset(
         plan = load_plan(plan_path, filesystem)
         plan_paths = sorted({p.path for p in plan})
         if input_path is not None and plan_paths != sorted(paths):
-            raise ValueError(
-                f"out_dir {out_dir} holds a plan for different input files "
-                f"({len(plan_paths)} vs {len(paths)} requested); pass a fresh "
-                "out_dir or resume=False / --force"
-            )
+            new_files = sorted(set(paths) - set(plan_paths))
+            missing = sorted(set(plan_paths) - set(paths))
+            if append and new_files and not missing:
+                # extend the dataset: plan only the new files, partition ids
+                # continue after the existing plan (old partitions, blobs and
+                # lineage are untouched — an append never rewrites)
+                extra = build_plan(new_files, token_col=token_col,
+                                   token_budget=token_budget, filesystem=input_filesystem)
+                base = max(p.partition_id for p in plan) + 1
+                plan = plan + [Partition(base + p.partition_id, p.path, p.row_start,
+                                         p.row_count, p.est_tokens) for p in extra]
+                save_plan(plan, plan_path, filesystem)
+            else:
+                raise ValueError(
+                    f"out_dir {out_dir} holds a plan for different input files "
+                    f"({len(plan_paths)} vs {len(paths)} requested); pass a fresh "
+                    "out_dir, resume=False / --force, or append=True to add new files"
+                )
     else:
         plan = build_plan(paths, token_col=token_col, token_budget=token_budget,
                           filesystem=input_filesystem)

@@ -137,3 +137,45 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
+                   hop_us: int = _HOUR_US // 2) -> "ray.data.Dataset":
+    """Per (user_id, hopping window): event count and value sum. A window
+    w (indexed by start//hop) covers [w*hop, w*hop + window); each event
+    lands in window/hop consecutive windows.
+
+    Same partial-agg shape as ``tumbling_window``: the per-batch explode
+    is numpy repeat/tile, the shuffle carries (user, win) partials only.
+    ``window_us`` must be a multiple of ``hop_us``.
+    """
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    nwin = window_us // hop_us
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = _ts_us(batch["ts"]) // hop_us
+        n = len(batch)
+        win = np.repeat(base, nwin) - np.tile(np.arange(nwin, dtype=np.int64), n)
+        g = pd.DataFrame({
+            "user_id": np.repeat(batch["user_id"].to_numpy(), nwin),
+            "win": win,
+            "value": np.repeat(batch["value"].to_numpy(), nwin),
+        }).groupby(["user_id", "win"], sort=False)
+        out = g.agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        return out.reset_index()
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["user_id", "win"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype(np.int64)
+        batch["sum_value"] = batch["sum_value"].round(6)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")

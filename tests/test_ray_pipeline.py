@@ -6,6 +6,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -221,3 +222,55 @@ def test_decode_detects_corrupt_blob(ray_session, tmp_path):
     open(blob_file, "wb").write(bytes(data))
     with pytest.raises(Exception, match="checksum mismatch"):
         decode_dataset(out).to_pandas()
+
+
+def test_encode_append_new_files(ray_session, f1_dir, tmp_path):
+    """append=True extends an encoded dataset with new input files without
+    touching existing partitions; a changed/removed old file still raises."""
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+    out = str(tmp_path / "enc")
+    res1 = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    n1 = res1["planned"]
+
+    extra_dir = str(tmp_path / "extra")
+    write_dataset(extra_dir, 1000, seed=99, n_files=2)
+    all_files = sorted(glob.glob(f"{f1_dir}/*.parquet") + glob.glob(f"{extra_dir}/*.parquet"))
+
+    # without append: rejected
+    with pytest.raises(ValueError, match="different input"):
+        encode_dataset(all_files, out, token_budget=300_000, concurrency=2)
+
+    mtimes = {p: os.path.getmtime(mf.blob_path(out, p)) for p in range(n1)}
+    res2 = encode_dataset(all_files, out, token_budget=300_000, concurrency=2, append=True)
+    assert res2["planned"] > n1 and res2["skipped_finished"] == n1
+    for p, t in mtimes.items():
+        assert os.path.getmtime(mf.blob_path(out, p)) == t  # untouched
+    assert decode_dataset(out).count() == 4000
+
+
+def test_hopping_window_matches_pandas(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import hopping_window
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ours = (hopping_window(ev, window_us=3_600_000_000, hop_us=1_800_000_000)
+            .to_pandas().sort_values(["user_id", "win"]).reset_index(drop=True))
+    raw = ev.to_pandas()
+    t = raw["ts"].astype("datetime64[us]").astype("int64")
+    frames = []
+    for i in range(2):
+        frames.append(pd.DataFrame({"user_id": raw["user_id"],
+                                    "win": t // 1_800_000_000 - i,
+                                    "value": raw["value"]}))
+    allw = pd.concat(frames)
+    ref = (allw.groupby(["user_id", "win"])
+               .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+               .reset_index().sort_values(["user_id", "win"]).reset_index(drop=True))
+    ref["sum_value"] = ref["sum_value"].round(6)
+    pd.testing.assert_frame_equal(
+        ours.astype({"n_events": np.int64, "win": np.int64}),
+        ref.astype({"n_events": np.int64, "win": np.int64}),
+        check_like=True, atol=1e-6,
+    )
