@@ -411,3 +411,34 @@ def embedding_neardup_pairs(emb: "ray.data.Dataset", tau: float = 0.5,
     if len(out) == 0 or "a" not in out.columns:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dedup_assign(docs: "ray.data.Dataset", num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-document canonical assignment for exact dedup: every doc maps to
+    min(doc_id) among docs with identical text.
+
+    SQL twin: SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS
+    canonical_id FROM documents.
+
+    Shape: hash inside map_batches (shuffle carries 32-B hex hashes, not
+    text), Min-aggregate per hash, then a hash JOIN of (doc_id, h) with
+    (h, canonical_id) — the downstream keep/drop decision is then a pure
+    column compare (keep iff doc_id == canonical_id)."""
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.available_resources().get("CPU", 4))))
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(batch["text"])})
+
+    from ray.data.aggregate import Min
+
+    idt = _id_type(docs, "doc_id")
+    hashed = _enforce_schema(docs.map_batches(add_hash, batch_format="pandas"),
+                             pa.schema([("doc_id", idt), ("h", pa.string())]))
+    mapping = hashed.groupby("h").aggregate(Min("doc_id", alias_name="canonical_id"))
+    mapping = _enforce_schema(mapping, pa.schema([("h", pa.string()), ("canonical_id", idt)]))
+    mapping = _drop_empty_blocks(mapping.materialize())
+    if mapping is None:
+        return hashed.select_columns(["doc_id"])
+    j = hashed.join(mapping, join_type="inner", num_partitions=num_partitions, on=("h",))
+    return j.select_columns(["doc_id", "canonical_id"])

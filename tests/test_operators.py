@@ -362,3 +362,18 @@ def test_top_terms_matches_pandas(docs):
            .sort_values(["n", "word"], ascending=[False, True]).head(10)
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(out.astype({"n": np.int64}), ref.astype({"n": np.int64}))
+
+
+def test_dedup_assign_matches_pandas(docs):
+    from parquet_hs_ray.pipelines.dedup import dedup_assign
+
+    out = dedup_assign(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    raw = docs.to_pandas()
+    ref = pd.DataFrame({
+        "doc_id": raw["doc_id"],
+        "canonical_id": raw.groupby("text")["doc_id"].transform("min"),
+    }).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    # keep/drop decision: kept docs = one per distinct text
+    kept = out[out["doc_id"] == out["canonical_id"]]
+    assert len(kept) == raw["text"].nunique()
