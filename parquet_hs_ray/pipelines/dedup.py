@@ -442,3 +442,58 @@ def dedup_assign(docs: "ray.data.Dataset", num_partitions: int | None = None) ->
         return hashed.select_columns(["doc_id"])
     j = hashed.join(mapping, join_type="inner", num_partitions=num_partitions, on=("h",))
     return j.select_columns(["doc_id", "canonical_id"])
+
+
+def embedding_neardup_pairs_ivf(emb: "ray.data.Dataset", tau: float = 0.5,
+                                n_clusters: int = 16, nprobe: int = 2,
+                                sample_size: int = 4096, seed: int = 42) -> pd.DataFrame:
+    """APPROXIMATE near-dup pairs, sub-quadratic: assign every vector to its
+    ``nprobe`` nearest coarse centroids (multi-assignment gives boundary
+    overlap), compute all-pairs cosine only WITHIN each cluster bucket via
+    ``groupby(cluster).map_groups``, and dedupe pairs found in several
+    buckets. Work drops from O(n^2) to ~O(sum of bucket^2) ~ O(n^2 *
+    nprobe^2 / n_clusters); recall is high but not guaranteed (a pair is
+    found iff the two vectors share an assigned cluster) — use the exact
+    ``embedding_neardup_pairs`` when completeness is required."""
+    from .ann import _train_centroids
+
+    C = _train_centroids(emb, n_clusters, sample_size, seed)
+    ref = ray.put(C)
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        C_ = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        k = min(nprobe, len(C_))
+        top = np.argsort(-(Mn @ C_.T), axis=1)[:, :k]
+        n, d = Mn.shape
+        Mrep = np.repeat(Mn, k, axis=0)
+        offs = (np.arange(n * k + 1, dtype=np.int32) * d * 8)
+        embarr = pa.BinaryArray.from_buffers(
+            pa.binary(), n * k,
+            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(Mrep).view(np.uint8))],
+        )
+        return pa.table({
+            "cluster": pa.array(top.reshape(-1).astype(np.int32)),
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "emb": embarr,
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        M = np.frombuffer(b"".join(g["emb"]), dtype=np.float64).reshape(len(ids), -1)
+        sims = M @ M.T
+        ii, jj = np.nonzero(sims >= tau)
+        m = ids[ii] < ids[jj]
+        return pd.DataFrame({"a": ids[ii][m], "b": ids[jj][m]})
+
+    pairs = (emb.map_batches(explode, batch_format="pandas")
+                .groupby("cluster").map_groups(bucket_pairs, batch_format="pandas"))
+    out = pairs.to_pandas()
+    if len(out) == 0 or "a" not in out.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+    return (out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+               .reset_index(drop=True).astype(np.int64))

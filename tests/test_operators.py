@@ -377,3 +377,23 @@ def test_dedup_assign_matches_pandas(docs):
     # keep/drop decision: kept docs = one per distinct text
     kept = out[out["doc_id"] == out["canonical_id"]]
     assert len(kept) == raw["text"].nunique()
+
+
+def test_emb_neardup_ivf_recall(emb):
+    """The bucketed approximate path must find most (here: all, with full
+    probing) of the exact pairs and no false positives."""
+    from parquet_hs_ray.pipelines.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_ivf,
+    )
+
+    exact = embedding_neardup_pairs(emb, tau=0.3)
+    exact_set = set(zip(exact["a"], exact["b"]))
+    approx = embedding_neardup_pairs_ivf(emb, tau=0.3, n_clusters=8, nprobe=8)
+    approx_set = set(zip(approx["a"], approx["b"]))
+    assert approx_set == exact_set  # nprobe == n_clusters -> every pair shares a bucket
+    few = embedding_neardup_pairs_ivf(emb, tau=0.3, n_clusters=8, nprobe=2)
+    few_set = set(zip(few["a"], few["b"]))
+    assert few_set <= exact_set  # no false positives ever
+    if exact_set:
+        assert len(few_set) / len(exact_set) >= 0.5
