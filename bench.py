@@ -140,7 +140,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
-        rt, batch_format="pyarrow"
+        rt, batch_format="pyarrow", batch_size=None
     ).count()
     queries["roundtrip_lineitem"] = time.perf_counter() - t0
 
