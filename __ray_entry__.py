@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_assign"] = lambda sf: dedup.dedup_assign(_read(sf, "documents"))
+    q["dedup_norm"] = lambda sf: dedup.dedup_normalized(_read(sf, "documents"))
     q["dedup_minhash"] = lambda sf: dedup.dedup_minhash(_read(sf, "documents"))
     q["dedup_simhash"] = lambda sf: dedup.dedup_simhash(_read(sf, "documents"))
     q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
@@ -225,6 +226,10 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = (
         "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups "
         "FROM documents GROUP BY text"
+    )
+    o["dedup_norm"] = (
+        "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups FROM documents "
+        "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     )
     o["dedup_assign"] = (
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id "

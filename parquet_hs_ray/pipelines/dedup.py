@@ -497,3 +497,26 @@ def embedding_neardup_pairs_ivf(emb: "ray.data.Dataset", tau: float = 0.5,
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
     return (out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
                .reset_index(drop=True).astype(np.int64))
+
+
+def dedup_normalized(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact dedup modulo case + whitespace: one row per normalized text
+    (lowercase, runs of whitespace collapsed to one space, trimmed) with
+    the min doc_id and the duplicate count — a deterministic near-dup
+    variant that keeps a full SQL oracle, unlike the probabilistic LSH
+    paths.
+
+    SQL twin: GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')).
+    """
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = (batch["text"].fillna("").str.lower()
+                .str.replace(r"\s+", " ", regex=True).str.strip())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(norm)})
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    agg = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"),
+                                        Count(alias_name="n_dups"))
+    return agg.select_columns(["doc_id", "n_dups"])

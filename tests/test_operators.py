@@ -397,3 +397,17 @@ def test_emb_neardup_ivf_recall(emb):
     assert few_set <= exact_set  # no false positives ever
     if exact_set:
         assert len(few_set) / len(exact_set) >= 0.5
+
+
+def test_dedup_normalized(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import dedup_normalized
+
+    rows = [{"doc_id": 1, "text": "Hello   World"},
+            {"doc_id": 2, "text": "hello world"},
+            {"doc_id": 3, "text": " HELLO\tWORLD \n"},
+            {"doc_id": 4, "text": "different"}]
+    out = dedup_normalized(ray.data.from_items(rows)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 4]
+    assert out["n_dups"].tolist() == [3, 1]
