@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lang_id"] = lambda sf: ta.language_id(_read(sf, "documents"))
     q["doc_text_stats"] = lambda sf: ta.text_stats(_read(sf, "documents"))
     q["top_terms"] = lambda sf: ta.top_terms(_read(sf, "documents"), k=50)
+    q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_assign"] = lambda sf: dedup.dedup_assign(_read(sf, "documents"))
@@ -178,6 +179,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
     o["doc_fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents"
+    o["doc_top_terms"] = (
+        "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS w FROM documents),"
+        " tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM words GROUP BY doc_id, w),"
+        " df AS (SELECT w, count(*)::BIGINT AS df FROM"
+        "   (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),"
+        " ranked AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,"
+        "   row_number() OVER (PARTITION BY tf.doc_id"
+        "     ORDER BY tf.tf DESC, df.df ASC, tf.w) AS rank"
+        "   FROM tf JOIN df ON tf.w = df.w)"
+        " SELECT doc_id, w AS word, tf, df, rank::BIGINT AS rank"
+        " FROM ranked WHERE rank <= 3"
+    )
     o["top_terms"] = (
         "WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word"
         " FROM documents),"

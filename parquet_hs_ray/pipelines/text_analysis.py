@@ -142,3 +142,55 @@ def top_terms(docs: "ray.data.Dataset", k: int = 50) -> pd.DataFrame:
     cands = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
     out = cands.sort_values(["n", "word"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"n": np.int64})
+
+
+def doc_top_terms(docs: "ray.data.Dataset", k: int = 3) -> "ray.data.Dataset":
+    """Top-k distinguishing terms per document, ranked by (term frequency
+    desc, document frequency asc, word asc) — the tf-idf ordering with
+    integer-only keys, so the DuckDB twin hashes bit-exact (no float log).
+
+    Scale shape: tf is doc-local (computed inside the batch, no shuffle);
+    df is one vocabulary-sized Count aggregate over distinct (doc, word)
+    pairs, broadcast once via ray.put; ranking is vectorized per batch.
+    """
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = np.asarray([w for ws in words for w in ws], dtype=object)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        key = pd.DataFrame({"d": doc_of, "w": flat}).drop_duplicates()
+        return pd.DataFrame({"word": key["w"].to_numpy(),
+                             "one": np.ones(len(key), dtype=np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    df_ds = (docs.map_batches(distinct_pairs, batch_format="pandas")
+                 .groupby("word").aggregate(Sum("one", alias_name="df")))
+    # the df table is vocabulary-sized (not corpus-sized); at true web scale
+    # swap this broadcast for a hash join on word
+    df_pdf = df_ds.to_pandas()
+    df_map = dict(zip(df_pdf["word"], df_pdf["df"])) if len(df_pdf) else {}
+    import ray as _ray
+
+    df_ref = _ray.put(df_map)
+
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        dfm = _ray.get(df_ref)
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        out_rows = []
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = np.asarray([w for ws in words for w in ws], dtype=object)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        tf = (pd.DataFrame({"i": doc_of, "word": flat})
+              .groupby(["i", "word"], sort=False).size().reset_index(name="tf"))
+        tf["df"] = tf["word"].map(dfm).astype(np.int64)
+        tf = tf.sort_values(["i", "tf", "df", "word"],
+                            ascending=[True, False, True, True])
+        tf["rank"] = tf.groupby("i").cumcount() + 1
+        tf = tf[tf["rank"] <= k]
+        tf["doc_id"] = batch["doc_id"].to_numpy()[tf["i"].to_numpy()]
+        return tf[["doc_id", "word", "tf", "df", "rank"]].astype(
+            {"tf": np.int64, "df": np.int64, "rank": np.int64})
+
+    return docs.map_batches(topk, batch_format="pandas")

@@ -411,3 +411,22 @@ def test_dedup_normalized(ray_session):
     out = dedup_normalized(ray.data.from_items(rows)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == [1, 4]
     assert out["n_dups"].tolist() == [3, 1]
+
+
+def test_doc_top_terms(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import doc_top_terms
+
+    rows = [{"doc_id": 1, "text": "apple apple banana cherry"},
+            {"doc_id": 2, "text": "banana banana banana apple"},
+            {"doc_id": 3, "text": ""}]
+    out = doc_top_terms(ray.data.from_items(rows), k=2).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    # doc 1: apple tf=2; then banana vs cherry tf=1 each -> banana df=2 > cherry df=1,
+    # asc df prefers cherry
+    d1 = out[out["doc_id"] == 1]
+    assert d1["word"].tolist() == ["apple", "cherry"]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["word"].tolist() == ["banana", "apple"]
+    assert 3 not in set(out["doc_id"])  # empty doc -> no rows
