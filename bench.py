@@ -35,8 +35,9 @@ BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "full")
 # F1 rows by scale factor (~840 tokens/row mean)
 _ROWS_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 # scaling-mode input: big enough that per-core compute dominates fixed
-# overheads (C >= ~22x overhead for the 2-vs-8 pair; see BASELINE.md)
-_SCALING_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 400_000}
+# overheads for the 2-vs-8 pair, small enough that a 2-CPU leg finishes in
+# minutes on this host (see BASELINE.md round-2 notes)
+_SCALING_ROWS_BY_SF = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 200_000}
 _SCALING_ROWS_ENV = os.environ.get("GRAFT_SCALE_ROWS")
 
 
