@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_text_stats"] = lambda sf: ta.text_stats(_read(sf, "documents"))
     q["top_terms"] = lambda sf: ta.top_terms(_read(sf, "documents"), k=50)
     q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
+    q["doc_mix"] = lambda sf: ta.deterministic_mix(
+        _read(sf, "documents"), {"src1": 50, "src2": 25, "src3": 0})
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_assign"] = lambda sf: dedup.dedup_assign(_read(sf, "documents"))
@@ -179,6 +181,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
     o["doc_fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents"
+    o["doc_mix"] = (
+        "SELECT * FROM documents WHERE"
+        " (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) <"
+        " (CASE source WHEN 'src1' THEN 50 WHEN 'src2' THEN 25"
+        "  WHEN 'src3' THEN 0 ELSE 100 END)"
+    )
     o["doc_top_terms"] = (
         "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
         " '[a-z0-9]+')) AS w FROM documents),"

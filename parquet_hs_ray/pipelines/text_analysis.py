@@ -194,3 +194,20 @@ def doc_top_terms(docs: "ray.data.Dataset", k: int = 3) -> "ray.data.Dataset":
             {"tf": np.int64, "df": np.int64, "rank": np.int64})
 
     return docs.map_batches(topk, batch_format="pandas")
+
+
+def deterministic_mix(docs: "ray.data.Dataset", weights: dict[str, int],
+                      default_pct: int = 100) -> "ray.data.Dataset":
+    """Data mixing: keep each document with a per-source percentage, decided
+    by a DETERMINISTIC content-independent hash of doc_id (first 8 md5 hex
+    chars mod 100) — reproducible across runs/cluster sizes, no RNG state,
+    and exactly expressible in SQL (hash-exact oracle), unlike seeded
+    samplers. ``weights``: source -> keep percentage 0..100."""
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray([int(x[:8], 16) for x in tx.md5_hex(batch["doc_id"].astype(str))],
+                       dtype=np.int64) % 100
+        pct = batch["source"].map(weights).fillna(default_pct).astype(np.int64).to_numpy()
+        return batch[h < pct]
+
+    return docs.map_batches(keep, batch_format="pandas")

@@ -430,3 +430,20 @@ def test_doc_top_terms(ray_session):
     d2 = out[out["doc_id"] == 2]
     assert d2["word"].tolist() == ["banana", "apple"]
     assert 3 not in set(out["doc_id"])  # empty doc -> no rows
+
+
+def test_deterministic_mix(docs):
+    from parquet_hs_ray.pipelines.text_analysis import deterministic_mix
+
+    raw = docs.to_pandas()
+    src0 = raw["source"].iloc[0]
+    out = deterministic_mix(docs, {src0: 0}).to_pandas()
+    assert src0 not in set(out["source"])  # pct 0 drops the source entirely
+    # determinism: same result twice
+    out2 = deterministic_mix(docs, {src0: 0}).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # half-rate keeps roughly half (hash-uniform)
+    half = deterministic_mix(docs, {}, default_pct=50).to_pandas()
+    assert 0.3 < len(half) / len(raw) < 0.7
