@@ -118,6 +118,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in _TABLES:
         q[f"roundtrip_{t}"] = (lambda sf, t=t: _roundtrip(sf, t))
+    def pack_f1(sf):
+        import ray.data
+
+        from parquet_hs_ray.pipelines.packing import pack_sequences
+
+        f1_src, _ = _f1_out_dir(sf)
+        # pinned blocking -> deterministic chunk count for the rows-only check
+        ds = ray.data.read_parquet(f1_src, override_num_blocks=4)
+        return pack_sequences(ds, context_len=2048)
+
+    q["pack_sequences"] = pack_f1
     q["encode_job_f1"] = _encode_job_f1
     q["decode_f1"] = _decode_f1
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))

@@ -447,3 +447,26 @@ def test_deterministic_mix(docs):
     # half-rate keeps roughly half (hash-uniform)
     half = deterministic_mix(docs, {}, default_pct=50).to_pandas()
     assert 0.3 < len(half) / len(raw) < 0.7
+
+
+def test_pack_sequences(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(0, 1000, rng.integers(1, 700)).astype(np.int32).tolist()
+            for _ in range(200)]
+    t = pa.table({"tokens": pa.array(docs, pa.list_(pa.int32())),
+                  "n_tok": pa.array([len(d) for d in docs], pa.int32())})
+    ds = ray.data.from_arrow(t)
+    out = pack_sequences(ds, context_len=512).to_pandas()
+    # every token preserved, in order within the block
+    got = np.concatenate([np.asarray(x) for x in out["tokens"]])
+    want = np.concatenate([np.asarray(d) for d in docs])
+    np.testing.assert_array_equal(got, want)
+    # all chunks full except the final remainder
+    lens = out["n_tok"].to_numpy()
+    assert (lens[:-1] == 512).all() and 0 < lens[-1] <= 512
+    assert (out["tokens"].apply(len).to_numpy() == lens).all()
