@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = lambda sf: dedup.dedup_simhash(_read(sf, "documents"))
     q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
     q["emb_neardup_ivf"] = lambda sf: dedup.embedding_neardup_pairs_ivf(_read(sf, "embeddings"), tau=0.5)
+
+    def emb_quantize(sf):
+        return ann.quantize_embeddings(_read(sf, "embeddings")).drop_columns(["codes"])
+
+    q["emb_quantize"] = emb_quantize
     q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["media_features"] = _media_features

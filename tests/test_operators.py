@@ -470,3 +470,22 @@ def test_pack_sequences(ray_session):
     lens = out["n_tok"].to_numpy()
     assert (lens[:-1] == 512).all() and 0 < lens[-1] <= 512
     assert (out["tokens"].apply(len).to_numpy() == lens).all()
+
+
+def test_embedding_quantization_roundtrip(emb):
+    from parquet_hs_ray.pipelines.ann import dequantize_embeddings, quantize_embeddings
+
+    q = quantize_embeddings(emb)
+    back = dequantize_embeddings(q).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    raw = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    M0 = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    M1 = np.stack(back["embedding"].to_numpy()).astype(np.float64)
+    assert M0.shape == M1.shape
+    # int8 grid: relative error bounded by half a step of max|x|
+    err = np.abs(M0 - M1).max(axis=1)
+    bound = np.abs(M0).max(axis=1) / 127.0
+    assert (err <= bound * 0.5 + 1e-12).all()
+    # cosine neighborhoods survive quantization
+    a = M0 / np.linalg.norm(M0, axis=1, keepdims=True)
+    b = M1 / np.linalg.norm(M1, axis=1, keepdims=True)
+    assert float((a * b).sum(axis=1).min()) > 0.995
