@@ -72,7 +72,7 @@ MAGIC = b"PHR1"
 VERSION = 1
 
 _KIND_FIXED, _KIND_BINARY, _KIND_LIST, _KIND_BOOL = 0, 1, 2, 3
-_KIND_STRUCT, _KIND_FSL = 4, 5
+_KIND_STRUCT, _KIND_FSL, _KIND_NULL = 4, 5, 6
 
 _INT_POLICY = {RLE: "rle", BITPACK: "bitpack", FOR: "for"}
 
@@ -201,6 +201,14 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
     n = len(arr)
     nc = arr.null_count
     t = arr.type
+    if pa.types.is_null(t):
+        # all-null typeless column (a common inference artifact): nothing
+        # but the row count on the wire (nc encoded as 0 — nullness is
+        # implied by the kind, and NullArray has no validity buffer)
+        frame = bytes([_KIND_NULL]) + encode_varint(n) + encode_varint(0)
+        st = ColumnStats(codec="null")
+        st.n, st.null_count = n, n
+        return frame, st
     valid = _validity_np(arr) if nc else None
     head = bytearray()
     body: list[bytes] = []
@@ -391,6 +399,9 @@ def decode_array(data: bytes, pos: int, t: pa.DataType) -> tuple[pa.Array, int]:
             t, n, [validity_buf, pa.py_buffer(offs)], null_count=nc, children=[child]
         )
         return arr, pos
+
+    if kind == _KIND_NULL:
+        return pa.nulls(n), pos
 
     if kind == _KIND_STRUCT:
         children = []

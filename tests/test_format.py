@@ -396,3 +396,67 @@ def test_struct_map_fixed_size_list_roundtrip():
     # column pruning still skips frames
     only = decode_table(blob, columns=["m", "k"])
     assert only.column_names == ["m", "k"] and only["m"].equals(t["m"])
+
+
+# --- property fuzz over the whole blob format, incl. round-2 nested kinds ---
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@hst.composite
+def _tables(draw):
+    n = draw(hst.integers(0, 120))
+    rng = np.random.default_rng(draw(hst.integers(0, 2**31)))
+    cols = {}
+    kinds = draw(hst.lists(
+        hst.sampled_from(["i64", "i32", "f64", "bool", "str", "bin",
+                          "list_i32", "struct", "fsl", "map"]),
+        min_size=1, max_size=4))
+    for ci, kind in enumerate(kinds):
+        name = f"c{ci}_{kind}"
+        nulls = rng.random(n) < 0.15
+        if kind in ("i64", "i32"):
+            v = rng.integers(-10**9, 10**9, n)
+            arr = pa.array([None if m else int(x) for m, x in zip(nulls, v)],
+                           pa.int64() if kind == "i64" else pa.int32())
+        elif kind == "f64":
+            v = rng.standard_normal(n)
+            arr = pa.array([None if m else float(x) for m, x in zip(nulls, v)], pa.float64())
+        elif kind == "bool":
+            arr = pa.array([None if m else bool(x) for m, x in zip(nulls, rng.integers(0, 2, n))])
+        elif kind == "str":
+            words = ["alpha", "beta", "☃unicode", "", "x" * 50]
+            arr = pa.array([None if m else words[int(i)] for m, i in
+                            zip(nulls, rng.integers(0, len(words), n))], pa.string())
+        elif kind == "bin":
+            arr = pa.array([None if m else bytes(rng.integers(0, 256, int(l), dtype=np.uint8))
+                            for m, l in zip(nulls, rng.integers(0, 20, n))], pa.binary())
+        elif kind == "list_i32":
+            arr = pa.array([None if m else rng.integers(0, 100, int(l)).tolist()
+                            for m, l in zip(nulls, rng.integers(0, 8, n))],
+                           pa.list_(pa.int32()))
+        elif kind == "struct":
+            arr = pa.array([None if m else {"a": int(x), "s": f"v{x % 7}"}
+                            for m, x in zip(nulls, rng.integers(0, 1000, n))],
+                           pa.struct([("a", pa.int64()), ("s", pa.string())]))
+        elif kind == "fsl":
+            flat = pa.array(rng.standard_normal(n * 3).astype(np.float32))
+            arr = pa.FixedSizeListArray.from_arrays(flat, 3)
+        else:  # map
+            arr = pa.array([{f"k{j}": int(j * x) for j in range(int(l))}
+                            for l, x in zip(rng.integers(0, 4, n), rng.integers(0, 50, n))],
+                           pa.map_(pa.string(), pa.int64()))
+        cols[name] = arr
+    t = pa.table(cols)
+    off = draw(hst.integers(0, max(0, n - 1))) if n else 0
+    return t.slice(off) if draw(hst.booleans()) else t
+
+
+@given(_tables())
+@settings(max_examples=120, deadline=None)
+def test_blob_format_fuzz_roundtrip(t):
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    blob, _ = encode_table(t)
+    back = decode_table(blob)
+    assert back.equals(t.combine_chunks())
