@@ -155,6 +155,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_quantize"] = emb_quantize
     q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
+
+    def ann_ivf_indexed(sf):
+        import numpy as np
+
+        tag = os.path.basename(os.path.normpath(sf)) or "sf"
+        idx = os.path.join("/tmp", "phr_ivf", tag)
+        if not os.path.exists(os.path.join(idx, "centroids.json")):
+            ann.ivf_build_index(_read(sf, "embeddings"), idx, n_clusters=8)
+        import pyarrow.compute as pc
+
+        qrows = (_read(sf, "embeddings")
+                 .map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                              batch_format="pyarrow")
+                 .to_pandas().sort_values("vec_id"))
+        return ann.ann_topk_ivf_indexed(
+            idx, qrows["vec_id"].to_numpy(),
+            np.stack(qrows["embedding"].to_numpy()), k=10, nprobe=4)
+
+    q["ann_ivf_indexed"] = ann_ivf_indexed
     q["media_features"] = _media_features
     from parquet_hs_ray.pipelines import windows as win
 
