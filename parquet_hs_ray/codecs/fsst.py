@@ -126,21 +126,26 @@ def _encode_with_table(
     # and the long-symbol prefix gate
     win2 = padded[:nd].astype(np.uint16) | (padded[1 : nd + 1].astype(np.uint16) << 8)
 
-    # long symbols (3..8): only at gated candidate positions, longest first
+    # long symbols (3..8): only at gated candidate positions, longest first.
+    # ONE 8-byte little-endian window per candidate; the length-L hash is
+    # just a low-bit mask of it (int.from_bytes(s[:L], 'little')), so the
+    # per-L work is one mask + one searchsorted instead of L gathers.
     cand = np.flatnonzero(prefix_gate[win2] & (remaining >= 3))
     if len(cand):
+        win8 = np.zeros(len(cand), dtype=np.uint64)
+        for j in range(MAX_SYM_LEN - 1, -1, -1):
+            win8 = (win8 << np.uint64(8)) | padded[cand + j].astype(np.uint64)
         cand_free = np.ones(len(cand), dtype=bool)
         for L in range(MAX_SYM_LEN, 2, -1):
             if L not in by_len or not cand_free.any():
                 continue
             hashes, codes = by_len[L]
-            idx = cand[cand_free]
-            idx = idx[remaining[idx] >= L]
-            if not len(idx):
+            sel = cand_free & (remaining[cand] >= L)
+            if not sel.any():
                 continue
-            h = np.zeros(len(idx), dtype=np.uint64)
-            for j in range(L - 1, -1, -1):
-                h = (h << np.uint64(8)) | padded[idx + j].astype(np.uint64)
+            idx = cand[sel]
+            mask = np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+            h = win8[sel] & mask
             loc = np.searchsorted(hashes, h)
             loc[loc == len(hashes)] = 0
             hit = hashes[loc] == h
@@ -162,12 +167,12 @@ def _encode_with_table(
 
     adv = np.maximum(sym_len, 1).astype(np.int64)
 
-    # frontier parse: iteration k emits token k of every still-active row.
+    # frontier parse: iteration k visits token k of every still-active row.
     # Work-optimal (active set at iteration k == rows with >= k tokens, so
-    # total element-ops == total tokens); per-token cost is the handful of
-    # numpy kernels below — row ends ride along through the keep-compress
-    # (no re-gather) and per-row counts come from one bincount at the end
-    # (no per-iteration scatter-add).
+    # total element-ops == total tokens). The loop appends only POSITIONS;
+    # codes, escapes and literals are all derived from the visited-position
+    # stream in single vectorized passes afterwards, so each iteration is
+    # just one gather-add, one compare and three compresses.
     active_pos = offsets[:-1].copy()
     active_row = np.arange(n_rows, dtype=np.int64)
     active_end = offsets[1:].copy()
@@ -175,16 +180,12 @@ def _encode_with_table(
     active_pos = active_pos[alive]
     active_row = active_row[alive]
     active_end = active_end[alive]
-    codes_parts, lit_parts, row_parts = [], [], []
+    pos_parts, row_parts = [], []
+    forced_codes, forced_rows, forced_lits = [], [], []
     it = 0
     while len(active_pos):
-        c = sym_code[active_pos]
-        codes_parts.append(c)
+        pos_parts.append(active_pos)
         row_parts.append(active_row)
-        esc = c == ESCAPE
-        if esc.any():
-            lit_parts.append(data[active_pos[esc]])
-            # remember which rows got the literal, in emission order
         nxt = active_pos + adv[active_pos]
         keep = nxt < active_end
         active_pos = nxt[keep]
@@ -192,16 +193,22 @@ def _encode_with_table(
         active_end = active_end[keep]
         it += 1
         if it >= _MAX_TOKENS_PER_ROW and len(active_pos):
-            # escape the tails wholesale
+            # escape the tails wholesale (cannot go through sym_code: these
+            # are raw byte runs, not greedy-parse positions)
             for p, r, end in zip(active_pos.tolist(), active_row.tolist(), active_end.tolist()):
                 tail = data[p:end]
-                codes_parts.append(np.full(len(tail), ESCAPE, dtype=np.uint8))
-                row_parts.append(np.full(len(tail), r, dtype=np.int64))
-                lit_parts.append(tail)
+                forced_codes.append(np.full(len(tail), ESCAPE, dtype=np.uint8))
+                forced_rows.append(np.full(len(tail), r, dtype=np.int64))
+                forced_lits.append(tail)
             break
 
-    all_codes = np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
-    all_rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    main_pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+    main_rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    main_codes = sym_code[main_pos]
+    main_esc = main_codes == ESCAPE
+    lit_parts = [data[main_pos[main_esc]]] + forced_lits if main_esc.any() else forced_lits
+    all_codes = np.concatenate([main_codes] + forced_codes) if forced_codes else main_codes
+    all_rows = np.concatenate([main_rows] + forced_rows) if forced_rows else main_rows
     count_per_row = np.bincount(all_rows, minlength=n_rows).astype(np.int64)
     # emission is iteration-major; reorder to row-major (stable by iteration)
     order = np.argsort(all_rows, kind="stable")
