@@ -460,3 +460,27 @@ def test_blob_format_fuzz_roundtrip(t):
     blob, _ = encode_table(t)
     back = decode_table(blob)
     assert back.equals(t.combine_chunks())
+
+
+@given(hst.integers(0, 2**31), hst.floats(0.01, 0.99))
+@settings(max_examples=60, deadline=None)
+def test_truncated_blob_never_returns_garbage(seed, frac):
+    """Any prefix truncation of a valid blob must raise (ValueError /
+    ArrowInvalid / struct errors), never silently return a wrong table."""
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    rng = np.random.default_rng(seed)
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 1000, 200)),
+        "s": pa.array([f"row-{i}" for i in range(200)]),
+        "l": pa.array([rng.integers(0, 50, int(x)).tolist() for x in rng.integers(0, 5, 200)],
+                      pa.list_(pa.int64())),
+    })
+    blob, _ = encode_table(t)
+    cut = blob[: max(1, int(len(blob) * frac))]
+    try:
+        out = decode_table(cut)
+    except Exception:
+        return  # loud failure: correct
+    # decoding a strict prefix must not silently produce the full table
+    assert not out.equals(t.combine_chunks())
