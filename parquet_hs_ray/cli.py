@@ -64,6 +64,9 @@ def main(argv=None):
     dec.add_argument("--encoded", required=True)
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None, help="comma-separated column subset")
+    dec.add_argument("--partition-cols", default=None,
+                     help="comma-separated columns to hive-partition the "
+                          "decoded parquet output by (resumable-output layout)")
     dec.add_argument("--where", default=None, action="append",
                      help="predicate 'col OP value' (OP in ==,<,<=,>,>=; value "
                           "int/float/string; repeatable = AND). Partitions whose "
@@ -104,7 +107,11 @@ def main(argv=None):
             cols = args.columns.split(",") if args.columns else None
             preds = [_parse_where(w) for w in args.where] if args.where else None
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds)
-            ds.write_parquet(args.out)
+            pcols = args.partition_cols.split(",") if args.partition_cols else None
+            if pcols:
+                ds.write_parquet(args.out, partition_cols=pcols)
+            else:
+                ds.write_parquet(args.out)
             if preds:
                 from .pipelines.encode_job import pruned_partition_ids
 
