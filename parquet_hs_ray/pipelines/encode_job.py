@@ -285,3 +285,48 @@ def verify_roundtrip(input_path: str | list[str], out_dir: str,
     if len(bad):
         raise AssertionError(f"round-trip mismatch in partitions {bad['partition_id'].tolist()[:10]}")
     return summary
+
+
+def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = None,
+                      predicate=None, filesystem=None, dest_filesystem=None) -> dict:
+    """RESUMABLE decode-to-parquet: one output file per encoded partition
+    (``part-<id>.parquet``), written atomically; partitions whose output
+    already exists are skipped, so a killed export continues where it
+    stopped — the brief's "resumable output" layout (never one giant
+    file)."""
+    from ..state import fsio
+
+    preds = _normalize_predicate(predicate)
+    entries = [e for e in mf.load_manifest(out_dir, filesystem)
+               if e.get("status") == "done" and _stats_can_match(e, preds)]
+    fsio.mkdirs(dest_dir, dest_filesystem)
+    existing = set(fsio.list_files(dest_dir, dest_filesystem))
+    todo = [e for e in entries
+            if f"part-{e['partition_id']:08d}.parquet" not in existing]
+    result = {"partitions": len(entries), "skipped_finished": len(entries) - len(todo),
+              "written": len(todo)}
+    if not todo:
+        return result
+
+    def export(batch: dict) -> dict:
+        import io
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds)
+        done = []
+        for pid, crc in zip(batch["partition_id"], batch["crc32"]):
+            t = stage({"partition_id": [pid], "crc32": [crc]})
+            buf = io.BytesIO()
+            pq.write_table(t, buf)
+            fsio.write_atomic(fsio.join(dest_dir, f"part-{int(pid):08d}.parquet"),
+                              buf.getvalue(), dest_filesystem)
+            done.append(int(pid))
+        return {"partition_id": np.asarray(done)}
+
+    items = [{"partition_id": e["partition_id"], "crc32": e.get("checksum_crc32", -1)}
+             for e in todo]
+    ray.data.from_items(items).map_batches(export, batch_size=1, num_cpus=1,
+                                           batch_format="numpy").count()
+    return result

@@ -274,3 +274,28 @@ def test_hopping_window_matches_pandas(ray_session):
         ref.astype({"n_events": np.int64, "win": np.int64}),
         check_like=True, atol=1e-6,
     )
+
+
+def test_decode_to_parquet_resumable(ray_session, f1_dir, tmp_path):
+    """Exported parquet is one file per partition; a second run skips all
+    finished files; deleting one re-exports exactly it; content matches."""
+    from parquet_hs_ray.pipelines.encode_job import decode_to_parquet, encode_dataset
+
+    out = str(tmp_path / "enc")
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    dest = str(tmp_path / "export")
+    r1 = decode_to_parquet(out, dest)
+    assert r1["written"] == r1["partitions"] > 1 and r1["skipped_finished"] == 0
+    files = sorted(os.listdir(dest))
+    assert len(files) == r1["partitions"]
+
+    r2 = decode_to_parquet(out, dest)
+    assert r2["written"] == 0 and r2["skipped_finished"] == r1["partitions"]
+
+    os.remove(os.path.join(dest, files[0]))
+    r3 = decode_to_parquet(out, dest)
+    assert r3["written"] == 1
+
+    got = pq.read_table(dest).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = pq.read_table(f1_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(src) and got["doc_id"].equals(src["doc_id"])
