@@ -64,6 +64,9 @@ def main(argv=None):
     dec.add_argument("--encoded", required=True)
     dec.add_argument("--out", required=True)
     dec.add_argument("--columns", default=None, help="comma-separated column subset")
+    dec.add_argument("--resumable", action="store_true",
+                     help="write one parquet file per encoded partition and "
+                          "skip already-exported ones (restartable export)")
     dec.add_argument("--partition-cols", default=None,
                      help="comma-separated columns to hive-partition the "
                           "decoded parquet output by (resumable-output layout)")
@@ -106,6 +109,13 @@ def main(argv=None):
 
             cols = args.columns.split(",") if args.columns else None
             preds = [_parse_where(w) for w in args.where] if args.where else None
+            if args.resumable:
+                from .pipelines.encode_job import decode_to_parquet
+
+                res = decode_to_parquet(args.encoded, args.out, columns=cols,
+                                        predicate=preds)
+                print(json.dumps(res))
+                return 0
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds)
             pcols = args.partition_cols.split(",") if args.partition_cols else None
             if pcols:
