@@ -10,9 +10,12 @@ manifest) over the synthetic pre-tokenized table (BASELINE.json
 input_hint schema) sized to the scale factor, then the decode job.
 Secondary queries: round-trip of sf lineitem, dedup, ANN, text stats.
 
---scaling: runs the headline in fresh subprocesses at RAY_GRAFT_CPUS=8 and
-32 on the SAME input (cached under /tmp) and reports tokens/s at both plus
-scaling efficiency — the sandbox stand-in for the N vs 4N node criterion.
+--scaling: runs the headline in fresh subprocesses at two CPU levels
+(SCALE_PAIR, default 2,8) on the SAME input (cached under /tmp),
+GRAFT_SCALE_TRIALS interleaved trials per level (default 4), and reports
+the per-level MEDIAN tokens/s plus scaling efficiency — the sandbox
+stand-in for the N vs 4N node criterion. GRAFT_BENCH_PASSES controls
+timed passes per leg; encode_passes in the output exposes them.
 """
 
 from __future__ import annotations
