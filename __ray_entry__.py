@@ -7,10 +7,18 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
 - roundtrip_<table>: the engine's core — encode every column with the
   auto-selected codec (dict/RLE/bitpack/FOR/PFOR/FSST/plain) and decode
   back, per batch, distributed; oracle = SELECT * (bit-exact round-trip).
-- encode_job_f1 / decode_f1: the full blob+manifest+resume job over the
-  synthetic pre-tokenized table (BASELINE.json input_hint schema).
-- text analysis / dedup / ANN / multimodal: the training-data-pipeline
-  operator suite over documents/embeddings.
+- encode_job_f1 / decode_f1 / pack_sequences: the blob+manifest+resume
+  job and sequence packing over the synthetic pre-tokenized table
+  (BASELINE.json input_hint schema); decode_f1 is hash-checked against
+  the deterministic source via read_parquet in SQL.
+- text analysis (counts/quality/lang/fingerprints/term stats/mixing),
+  dedup (exact/assign/normalized/minhash/simhash/embedding exact+IVF),
+  ANN (brute-force/IVF/persisted-index/quantize), windows
+  (tumbling/hopping/sessions), multimodal: the training-data-pipeline
+  operator suite over documents/embeddings/events.
+Hash-exact DuckDB oracles for every SQL-expressible query (27 of 39);
+the rows-only remainder is listed with reasons at the bottom of
+oracle_sql().
 """
 
 from __future__ import annotations

@@ -126,3 +126,13 @@ def test_encode_job_via_subtree_filesystem(ray_session, tmp_path):
 
     v = verify_roundtrip("in", "enc", filesystem=fs, input_filesystem=fs)
     assert v["mismatched_partitions"] == 0 and v["rows"] == tbl.num_rows
+
+
+def test_fsio_file_uri_resolution(tmp_path):
+    """file:// URIs resolve to LocalFileSystem and round-trip."""
+    p = f"file://{tmp_path}/sub/x.bin"
+    fsio.mkdirs(f"file://{tmp_path}/sub")
+    fsio.write_atomic(p, b"data")
+    assert fsio.exists(p)
+    assert fsio.read_bytes(p) == b"data"
+    assert fsio.list_files(f"file://{tmp_path}/sub") == ["x.bin"]
