@@ -14,8 +14,10 @@ Secondary queries: round-trip of sf lineitem, dedup, ANN, text stats.
 (SCALE_PAIR, default 2,8) on the SAME input (cached under /tmp),
 GRAFT_SCALE_TRIALS interleaved trials per level (default 4), and reports
 the per-level MEDIAN tokens/s plus scaling efficiency — the sandbox
-stand-in for the N vs 4N node criterion. GRAFT_BENCH_PASSES controls
-timed passes per leg; encode_passes in the output exposes them.
+stand-in for the N vs 4N node criterion. Encode passes are adaptive:
+at least GRAFT_BENCH_PASSES (default 3), continuing until the two
+fastest agree within 10%, capped at GRAFT_BENCH_MAX_PASSES (default
+8); all pass times are reported as `encode_passes`.
 """
 
 from __future__ import annotations
@@ -91,17 +93,27 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # timed encode: best of N passes — passes after warm-up are still
-    # faulting worker arenas on this host (one-sided noise); steady state
-    # (the regime a long-running job lives in) is what the best pass measures
-    n_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "3"))
+    # timed encode: best-of with ADAPTIVE pass count — passes after warm-up
+    # can still hit the host's fault-storm windows (one-sided noise; see
+    # BASELINE.md).  We keep timing passes until the two FASTEST agree
+    # within 10% (steady state observed twice), bounded by
+    # GRAFT_BENCH_PASSES (min) and GRAFT_BENCH_MAX_PASSES (cap), so a
+    # fault storm during the early passes cannot set the recorded number.
+    n_min = int(os.environ.get("GRAFT_BENCH_PASSES", "3"))
+    n_max = int(os.environ.get("GRAFT_BENCH_MAX_PASSES", "8"))
     pass_times = []
-    for _ in range(n_passes):
+    while True:
         shutil.rmtree(enc_dir, ignore_errors=True)
         t0 = time.perf_counter()
         encode_dataset(src, enc_dir, token_budget=2_000_000,
                        concurrency=max(2, NUM_CPUS - 1), use_actors=False)
         pass_times.append(time.perf_counter() - t0)
+        if len(pass_times) >= max(2, n_min):
+            fastest = sorted(pass_times)[:2]
+            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10:
+                break  # converged: two independent steady-state observations
+        if len(pass_times) >= n_max:
+            break
     queries["encode_f1"] = min(pass_times)
     encode_passes = [round(t, 3) for t in pass_times]
     summ = mf.summary(enc_dir)
@@ -186,6 +198,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "rows": rows,
         "tokens": tokens,
+        "encode_passes": encode_passes,
         "encode_tokens_per_sec": round(tokens / queries["encode_f1"]),
         "decode_tokens_per_sec": round(tokens / queries["decode_f1"]),
         "encoded_bytes": summ["encoded_bytes"],

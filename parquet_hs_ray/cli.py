@@ -109,15 +109,15 @@ def main(argv=None):
 
             cols = args.columns.split(",") if args.columns else None
             preds = [_parse_where(w) for w in args.where] if args.where else None
+            pcols = args.partition_cols.split(",") if args.partition_cols else None
             if args.resumable:
                 from .pipelines.encode_job import decode_to_parquet
 
                 res = decode_to_parquet(args.encoded, args.out, columns=cols,
-                                        predicate=preds)
+                                        predicate=preds, partition_cols=pcols)
                 print(json.dumps(res))
                 return 0
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds)
-            pcols = args.partition_cols.split(",") if args.partition_cols else None
             if pcols:
                 ds.write_parquet(args.out, partition_cols=pcols)
             else:

@@ -490,9 +490,20 @@ def encode_table(
     return b"".join(parts), stats
 
 
+def blob_schema(blob: bytes) -> pa.Schema:
+    """Read the Arrow schema embedded in a blob's header without decoding
+    any column frame (the schema is length-prefixed right after the magic)."""
+    if blob[:4] != MAGIC:
+        raise ValueError("bad magic")
+    schema_len = int.from_bytes(blob[6:10], "little")
+    return pa.ipc.read_schema(pa.py_buffer(blob[10 : 10 + schema_len]))
+
+
 def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     """Decode a blob back to an Arrow table; ``columns`` prunes frames
-    without decoding them (length-delimited skip)."""
+    without decoding them (length-delimited skip). Unknown names in
+    ``columns`` raise ``KeyError`` early (from the embedded schema) rather
+    than silently yielding a table missing those columns."""
     from .memtune import ensure_process_tuned
 
     ensure_process_tuned()
@@ -503,6 +514,12 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     pos = 10
     schema = pa.ipc.read_schema(pa.py_buffer(blob[pos : pos + schema_len]))
     pos += schema_len
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.names]
+        if unknown:
+            raise KeyError(
+                f"unknown columns {unknown!r}; blob schema has {schema.names!r}"
+            )
     n_rows, pos = decode_varint(blob, pos)
     n_cols, pos = decode_varint(blob, pos)
     names, arrays = [], []

@@ -201,11 +201,17 @@ def _stats_can_match(entry: dict, preds: list) -> bool:
         if not st or st.get("min") is None or st.get("max") is None:
             continue  # no stats -> cannot prune
         mn, mx = st["min"], st["max"]
-        if (op == "==" and (v < mn or v > mx)) or \
-           (op == ">" and mx <= v) or (op == ">=" and mx < v) or \
-           (op == "<" and mn >= v) or (op == "<=" and mn > v) or \
-           (op == "between" and (mx < v[0] or mn > v[1])):
-            return False
+        try:
+            if (op == "==" and (v < mn or v > mx)) or \
+               (op == ">" and mx <= v) or (op == ">=" and mx < v) or \
+               (op == "<" and mn >= v) or (op == "<=" and mn > v) or \
+               (op == "between" and (mx < v[0] or mn > v[1])):
+                return False
+        except TypeError:
+            # predicate value / stats type mismatch (e.g. a numeric-looking
+            # --where value against a string column): incomparable stats
+            # cannot prove absence -> degrade to no-prune, never crash
+            continue
     return True
 
 
@@ -288,21 +294,36 @@ def verify_roundtrip(input_path: str | list[str], out_dir: str,
 
 
 def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = None,
-                      predicate=None, filesystem=None, dest_filesystem=None) -> dict:
+                      predicate=None, filesystem=None, dest_filesystem=None,
+                      partition_cols: list[str] | None = None) -> dict:
     """RESUMABLE decode-to-parquet: one output file per encoded partition
     (``part-<id>.parquet``), written atomically; partitions whose output
     already exists are skipped, so a killed export continues where it
     stopped — the brief's "resumable output" layout (never one giant
-    file)."""
+    file).
+
+    ``partition_cols`` hive-partitions the export
+    (``<dest>/<col>=<val>/part-<id>.parquet``, partition columns dropped
+    from the files per hive convention); completion is then tracked with
+    atomic ``_done/part-<id>.done`` markers (underscore-prefixed dirs are
+    ignored by parquet dataset discovery), since one encoded partition may
+    fan out to several hive files."""
     from ..state import fsio
 
     preds = _normalize_predicate(predicate)
     entries = [e for e in mf.load_manifest(out_dir, filesystem)
                if e.get("status") == "done" and _stats_can_match(e, preds)]
     fsio.mkdirs(dest_dir, dest_filesystem)
-    existing = set(fsio.list_files(dest_dir, dest_filesystem))
+    if partition_cols:
+        done_dir = fsio.join(dest_dir, "_done")
+        fsio.mkdirs(done_dir, dest_filesystem)
+        existing = set(fsio.list_files(done_dir, dest_filesystem))
+        marker = "part-{:08d}.done"
+    else:
+        existing = set(fsio.list_files(dest_dir, dest_filesystem))
+        marker = "part-{:08d}.parquet"
     todo = [e for e in entries
-            if f"part-{e['partition_id']:08d}.parquet" not in existing]
+            if marker.format(e["partition_id"]) not in existing]
     result = {"partitions": len(entries), "skipped_finished": len(entries) - len(todo),
               "written": len(todo)}
     if not todo:
@@ -314,14 +335,25 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
         import numpy as np
         import pyarrow.parquet as pq
 
+        def write_one(t: pa.Table, rel: str) -> None:
+            buf = io.BytesIO()
+            pq.write_table(t, buf)
+            fsio.write_atomic(fsio.join(dest_dir, rel), buf.getvalue(),
+                              dest_filesystem)
+
         stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds)
         done = []
         for pid, crc in zip(batch["partition_id"], batch["crc32"]):
             t = stage({"partition_id": [pid], "crc32": [crc]})
-            buf = io.BytesIO()
-            pq.write_table(t, buf)
-            fsio.write_atomic(fsio.join(dest_dir, f"part-{int(pid):08d}.parquet"),
-                              buf.getvalue(), dest_filesystem)
+            if not partition_cols:
+                write_one(t, f"part-{int(pid):08d}.parquet")
+            else:
+                for subdir, part in _hive_splits(t, partition_cols):
+                    fsio.mkdirs(fsio.join(dest_dir, subdir), dest_filesystem)
+                    write_one(part, f"{subdir}/part-{int(pid):08d}.parquet")
+                fsio.write_atomic(
+                    fsio.join(dest_dir, "_done", f"part-{int(pid):08d}.done"),
+                    b"", dest_filesystem)
             done.append(int(pid))
         return {"partition_id": np.asarray(done)}
 
@@ -330,3 +362,31 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
     ray.data.from_items(items).map_batches(export, batch_size=1, num_cpus=1,
                                            batch_format="numpy").count()
     return result
+
+
+def _hive_splits(t: pa.Table, partition_cols: list[str]):
+    """Yield (hive subdir, sub-table minus partition cols) per distinct
+    partition-key combination — vectorized via dictionary-encoded combo
+    codes, one filter per distinct combo (not per row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    missing = [c for c in partition_cols if c not in t.column_names]
+    if missing:
+        raise KeyError(f"partition_cols {missing!r} not in decoded columns "
+                       f"{t.column_names!r}")
+    if t.num_rows == 0:
+        return
+    key_strs = [pc.cast(t[c], pa.string()) for c in partition_cols]
+    combo = key_strs[0] if len(key_strs) == 1 else \
+        pc.binary_join_element_wise(*key_strs, "\x1f")
+    if isinstance(combo, pa.ChunkedArray):
+        combo = pa.concat_arrays(combo.chunks)
+    codes = pc.dictionary_encode(combo)
+    dictionary = codes.dictionary
+    indices = codes.indices
+    rest = t.drop_columns(partition_cols)
+    for code in range(len(dictionary)):
+        vals = str(dictionary[code]).split("\x1f")
+        subdir = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        yield subdir, rest.filter(pc.equal(indices, code))

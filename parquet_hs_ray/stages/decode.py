@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..format import decode_table
+from ..format import blob_schema, decode_table
 from ..state import manifest as mf
 
 
@@ -53,6 +53,7 @@ class DecoderStage:
 
         crcs = batch.get("crc32")
         tables = []
+        out_schema: pa.Schema | None = None
         for i, pid in enumerate(batch["partition_id"]):
             blob = mf.read_blob(self.out_dir, int(pid), self.filesystem)
             if crcs is not None and int(crcs[i]) >= 0 and zlib.crc32(blob) != int(crcs[i]):
@@ -67,11 +68,26 @@ class DecoderStage:
                 mask = self._mask(decode_table(blob, pred_cols))
                 n_match = int(pc.sum(mask).as_py() or 0)
                 if n_match == 0:
+                    if out_schema is None:
+                        out_schema = self._pruned_schema(blob_schema(blob))
                     continue
                 t = decode_table(blob, self.columns)
                 tables.append(t if n_match == t.num_rows else t.filter(mask))
             else:
                 tables.append(decode_table(blob, self.columns))
         if not tables:
+            # every partition in this batch was fully pruned: emit a
+            # zero-ROW table with the blob's real schema (never a
+            # zero-COLUMN table — those poison downstream schema
+            # unification and trip Ray's schema-change warning)
+            if out_schema is not None:
+                return out_schema.empty_table()
             return pa.table({})
         return pa.concat_tables(tables)
+
+    def _pruned_schema(self, schema: pa.Schema) -> pa.Schema:
+        if self.columns is None:
+            return schema
+        keep = set(self.columns)
+        # blob frame order == schema field order == decode_table output order
+        return pa.schema([f for f in schema if f.name in keep])

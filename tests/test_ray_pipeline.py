@@ -299,3 +299,113 @@ def test_decode_to_parquet_resumable(ray_session, f1_dir, tmp_path):
     got = pq.read_table(dest).to_pandas().sort_values("doc_id").reset_index(drop=True)
     src = pq.read_table(f1_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(got) == len(src) and got["doc_id"].equals(src["doc_id"])
+
+
+def test_decode_empty_match_preserves_schema(ray_session, tmp_path):
+    """A partition whose manifest min/max STRADDLE the predicate but whose
+    rows don't match must yield a zero-ROW (never zero-COLUMN) table with
+    the blob's real schema (VERDICT r2 #4), and a resumable export with
+    that predicate must read back with the full schema and the matching
+    rows from other partitions (ADVICE r2, encode_job.py:322)."""
+    from parquet_hs_ray.pipelines.encode_job import (
+        decode_dataset,
+        decode_to_parquet,
+        encode_dataset,
+    )
+
+    # 4 partitions of 1000 rows; `sel`: p0 alternates {0,2} (stats [0,2]
+    # straddle 1, zero matches), p1/p3 all 0 (pruned), p2 all 1 (matches)
+    n = 4000
+    sel = np.zeros(n, dtype=np.int64)
+    sel[0:1000:2] = 2
+    sel[2000:3000] = 1
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "sel": pa.array(sel),
+        "name": pa.array([f"row-{i}" for i in range(n)]),
+    })
+    src = str(tmp_path / "straddle.parquet")
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    encode_dataset(src, out, token_col=None, token_budget=1000)
+
+    pred = [("sel", "==", 1)]
+    ds = decode_dataset(out, predicate=pred)
+    got = ds.to_pandas()
+    assert list(got.columns) == ["k", "sel", "name"]  # schema survives
+    assert len(got) == 1000 and (got["sel"] == 1).all()
+
+    # column-pruned variant: empty blocks must carry the PRUNED schema
+    got2 = decode_dataset(out, columns=["k", "name"], predicate=pred).to_pandas()
+    assert list(got2.columns) == ["k", "name"] and len(got2) == 1000
+
+    # resumable export with the same predicate: directory reads back with
+    # schema + the 1000 matching rows (the ADVICE repro: straddling-empty
+    # partition must not poison directory-level schema inference)
+    dest = str(tmp_path / "export")
+    r = decode_to_parquet(out, dest, predicate=pred)
+    assert r["written"] == 2  # the straddler + the matching partition
+    back = pq.read_table(dest)
+    assert back.num_rows == 1000
+    assert set(back.column_names) == {"k", "sel", "name"}
+
+
+def test_decode_unknown_column_raises(ray_session, tmp_path):
+    """A typo'd `columns=` name fails loudly from the blob's embedded
+    schema (VERDICT r2 #10), not silently missing from the result."""
+    from parquet_hs_ray.format import decode_table, encode_table
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+    blob, _ = encode_table(pa.table({"a": [1, 2], "b": ["x", "y"]}))
+    with pytest.raises(KeyError, match="unknown columns"):
+        decode_table(blob, ["a", "nope"])
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    out = str(tmp_path / "enc")
+    encode_dataset(src, out, token_col=None)
+    with pytest.raises(Exception, match="unknown columns"):
+        decode_dataset(out, columns=["r_regionkey", "typo_col"]).to_pandas()
+
+
+def test_stats_type_mismatch_degrades_to_no_prune():
+    """Numeric predicate against string min/max stats (ADVICE r2,
+    encode_job.py:195): incomparable -> keep the partition, don't crash."""
+    from parquet_hs_ray.pipelines.encode_job import _stats_can_match
+
+    entry = {"columns": {"name": {"min": "alpha", "max": "zeta"}}}
+    assert _stats_can_match(entry, [("name", "==", 5)]) is True
+    assert _stats_can_match(entry, [("name", ">=", 3.5)]) is True
+    # comparable predicates still prune
+    assert _stats_can_match(entry, [("name", "==", "zz")]) is False
+
+
+def test_decode_to_parquet_partition_cols(ray_session, f1_dir, tmp_path):
+    """--resumable + --partition-cols (ADVICE r2, cli.py:112): hive layout
+    <dest>/source=<v>/part-<id>.parquet, resume via _done markers, and the
+    directory reads back equal to the input."""
+    from parquet_hs_ray.pipelines.encode_job import decode_to_parquet, encode_dataset
+
+    out = str(tmp_path / "enc")
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    dest = str(tmp_path / "export")
+    r1 = decode_to_parquet(out, dest, partition_cols=["source"])
+    assert r1["written"] == r1["partitions"] > 1
+
+    subdirs = sorted(d for d in os.listdir(dest) if not d.startswith("_"))
+    assert subdirs and all(d.startswith("source=") for d in subdirs)
+    assert len(os.listdir(os.path.join(dest, "_done"))) == r1["partitions"]
+
+    r2 = decode_to_parquet(out, dest, partition_cols=["source"])
+    assert r2["written"] == 0 and r2["skipped_finished"] == r1["partitions"]
+
+    # deleting one marker re-exports exactly that partition
+    marker = sorted(os.listdir(os.path.join(dest, "_done")))[0]
+    os.remove(os.path.join(dest, "_done", marker))
+    r3 = decode_to_parquet(out, dest, partition_cols=["source"])
+    assert r3["written"] == 1
+
+    back = pq.read_table(dest).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = pq.read_table(f1_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(src)
+    assert back["doc_id"].equals(src["doc_id"])
+    assert back["source"].astype(str).equals(src["source"].astype(str))
