@@ -16,9 +16,10 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (27 of 39);
-the rows-only remainder is listed with reasons at the bottom of
-oracle_sql().
+Hash-exact DuckDB oracles for every SQL-expressible query (30 of 39,
+including generated-SQL twins of the simhash signature math and the int8
+quantization grid); the rows-only remainder is listed with reasons at
+the bottom of oracle_sql().
 """
 
 from __future__ import annotations
@@ -161,14 +162,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann.quantize_embeddings(_read(sf, "embeddings")).drop_columns(["codes"])
 
     q["emb_quantize"] = emb_quantize
+    # quantize -> dequantize: the int8 grid math end-to-end, hash-checked
+    # against a pure-SQL evaluation (VERDICT r2 #6)
+    q["emb_dequantize"] = lambda sf: ann.dequantize_embeddings(
+        ann.quantize_embeddings(_read(sf, "embeddings")))
     q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
 
     def ann_ivf_indexed(sf):
         import numpy as np
 
+        # cache key = content fingerprint of the embeddings table (size +
+        # mtime), not just the dir basename — a regenerated dataset with
+        # the same name must not serve a stale index (ADVICE r2)
+        import hashlib
+
+        src = os.path.join(sf, "embeddings.parquet")
+        st = os.stat(src)
+        fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
         tag = os.path.basename(os.path.normpath(sf)) or "sf"
-        idx = os.path.join("/tmp", "phr_ivf", tag)
+        idx = os.path.join("/tmp", "phr_ivf", f"{tag}_{fp}")
         if not os.path.exists(os.path.join(idx, "centroids.json")):
             ann.ivf_build_index(_read(sf, "embeddings"), idx, n_clusters=8)
         import pyarrow.compute as pc
@@ -339,8 +352,33 @@ def oracle_sql() -> dict[str, str]:
         "        count(*)::BIGINT AS n_events"
         " FROM gaps GROUP BY user_id"
     )
-    # encode_job_f1 / doc_text_stats / dedup_minhash / dedup_simhash /
-    # ann_ivf / media_features: not SQL-expressible (manifest metadata,
-    # uint64-wrap + lookahead-regex kernels, LSH/simhash signature math,
-    # approximate search, stubbed media decode) -> rows-only checks.
+    # dedup_simhash: signature math (splitmix64 over char-5-shingles ->
+    # 64-bit majority vote) emulated EXACTLY over DuckDB HUGEINT, then
+    # banding + bit_count(xor) verify — generated SQL (VERDICT r2 #2)
+    from parquet_hs_ray.functions.sql_oracles import simhash_pairs_sql
+
+    o["dedup_simhash"] = simhash_pairs_sql("documents", max_hamming=3)
+    # emb_quantize / emb_dequantize: the int8 grid math re-expressed over
+    # list lambdas; round_even matches numpy's banker's rounding, and the
+    # float32 boundaries are reproduced by computing in DOUBLE (exact for
+    # int8-code x float32-scale products) and casting at the same points
+    # as the kernel (VERDICT r2 #6).
+    _AMAX = "greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE, 1e-30)"
+    o["emb_quantize"] = (
+        f"SELECT vec_id, (({_AMAX}) / 127.0)::FLOAT AS scale, "
+        "len(embedding)::INT AS dim FROM embeddings"
+    )
+    o["emb_dequantize"] = (
+        # the ::TINYINT mirrors the kernel's .astype(int8) — it also folds
+        # -0.0 codes to integer 0 so zero outputs are bitwise +0.0
+        "SELECT vec_id, list_transform(embedding, x -> "
+        " (greatest(least(round_even(x::DOUBLE / amax * 127.0, 0), 127.0), -127.0)::TINYINT"
+        "  * scale_d)::FLOAT) AS embedding "
+        "FROM (SELECT vec_id, embedding, amax, ((amax / 127.0)::FLOAT)::DOUBLE AS scale_d "
+        f"      FROM (SELECT vec_id, embedding, {_AMAX} AS amax FROM embeddings))"
+    )
+    # encode_job_f1 / doc_text_stats / dedup_minhash / ann_ivf /
+    # media_features: not SQL-expressible (manifest metadata, uint64-wrap
+    # + lookahead-regex kernels, LSH minhash permutation math, approximate
+    # search, stubbed media decode) -> rows-only checks.
     return o

@@ -157,15 +157,21 @@ def ann_topk_ivf(
 
 def ivf_build_index(
     emb: "ray.data.Dataset", index_dir: str, n_clusters: int = 16,
-    sample_size: int = 4096, seed: int = 42,
+    sample_size: int = 4096, seed: int = 42, filesystem=None,
 ) -> np.ndarray:
     """Persist the IVF bucketing (VERDICT r1 #8): assign every vector to its
     nearest centroid and write the corpus as parquet PARTITIONED BY CLUSTER,
     plus the centroid matrix. Searches then read only the probed clusters'
     files (~nprobe/nlist of the data) instead of scanning everything and
-    filtering. Returns the centroids."""
+    filtering. Returns the centroids.
+
+    ``index_dir`` may be a URI or be paired with an explicit pyarrow
+    ``filesystem`` (VERDICT r2 #3): on a multi-node cluster the index must
+    live on shared storage, like every other state surface
+    (``state/fsio.py``)."""
     import json
-    import os
+
+    from ..state import fsio
 
     C = _train_centroids(emb, n_clusters, sample_size, seed)
     ref = ray.put(C)
@@ -181,41 +187,56 @@ def ivf_build_index(
         out["cluster_id"] = out["cluster"]
         return out
 
+    fs, root = fsio.resolve(index_dir, filesystem)
     emb.map_batches(assign, batch_format="pandas").write_parquet(
-        os.path.join(index_dir, "data"), partition_cols=["cluster"]
+        fsio.join(root, "data"), filesystem=fs, partition_cols=["cluster"]
     )
-    from ..state import fsio
-
-    fsio.write_atomic(os.path.join(index_dir, "centroids.json"),
-                      json.dumps(C.tolist()).encode())
+    fsio.write_atomic(fsio.join(root, "centroids.json"),
+                      json.dumps(C.tolist()).encode(), fs)
     return C
 
 
 def ann_topk_ivf_indexed(
     index_dir: str, query_ids: np.ndarray, query_vecs: np.ndarray,
-    k: int = 10, nprobe: int = 4,
+    k: int = 10, nprobe: int = 4, filesystem=None,
 ) -> pd.DataFrame:
     """Search a persisted IVF index: read ONLY the nprobe closest clusters'
     partitions per query (union across queries), brute-force within them.
     ``attrs['clusters_read']`` / ``attrs['n_clusters']`` document the
-    partial scan."""
+    partial scan. ``index_dir``/``filesystem`` resolve through
+    ``state/fsio`` (VERDICT r2 #3), so the index works on any shared
+    ``pyarrow.fs`` filesystem, not just local disk."""
     import json
-    import os
+
+    import pyarrow.fs as pafs
 
     from ..state import fsio
 
-    C = np.asarray(json.loads(fsio.read_bytes(os.path.join(index_dir, "centroids.json"))))
+    fs, root = fsio.resolve(index_dir, filesystem)
+    C = np.asarray(json.loads(fsio.read_bytes(fsio.join(root, "centroids.json"), fs)))
     Qn = np.asarray(query_vecs, dtype=np.float64)
     Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
     q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
     probed = sorted(set(q_probe.reshape(-1).tolist()))
-    import glob as _glob
 
-    dirs = [os.path.join(index_dir, "data", f"cluster={c}") for c in probed]
-    dirs = [p for p in dirs if os.path.isdir(p)]  # empty clusters write no dir
-    paths = sorted(f for d in dirs for f in _glob.glob(os.path.join(d, "*.parquet")))
+    dirs, paths = [], []
+    for c in probed:
+        d = fsio.join(root, "data", f"cluster={c}")
+        infos = fs.get_file_info(pafs.FileSelector(d, allow_not_found=True))
+        files = sorted(i.path for i in infos if i.type == pafs.FileType.File
+                       and i.path.endswith(".parquet"))
+        if files:  # empty clusters write no dir
+            dirs.append(d)
+            paths.extend(files)
     probe_sets = [set(row) for row in q_probe]
     q_ids = np.asarray(query_ids)
+    if not paths:
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "neighbor_id": pd.Series([], dtype=np.int64),
+                            "rank": pd.Series([], dtype=np.int64)})
+        out.attrs["clusters_read"] = 0
+        out.attrs["n_clusters"] = len(C)
+        return out
     ref = ray.put((q_ids, Qn, probe_sets))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -241,7 +262,7 @@ def ann_topk_ivf_indexed(
                                  "sim": pd.Series([], dtype=float)})
         return pd.concat(frames)
 
-    ds = ray.data.read_parquet(paths)
+    ds = ray.data.read_parquet(paths, filesystem=fs)
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])

@@ -353,7 +353,10 @@ def dedup_simhash(docs: "ray.data.Dataset", max_hamming: int = 3,
     ).to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
         return _EMPTY_SIM_PAIRS.copy()
-    n_giant = int(pairs.get("giant", pd.Series(dtype=np.int8)).sum())
+    # count giants over DISTINCT pairs (a pair found in k bands must not
+    # inflate the counter k-fold — ADVICE r2): "distinct pairs with
+    # partial recall", consistent with dedup_minhash's counter
+    n_giant = int(pairs.groupby(["a", "b"])["giant"].max().sum())
     out = pairs.drop_duplicates(subset=["a", "b"])[["a", "b", "hamming"]]
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
     out.attrs["n_giant_bucket_pairs"] = n_giant
