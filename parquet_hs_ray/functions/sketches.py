@@ -30,10 +30,12 @@ def word_ngram_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndar
 
     Returns (doc_lens, flat hashes): doc_lens[i] shingle hashes belong to
     doc i. Fully vectorized over the concatenated token stream."""
+    from .text import flatten_words
+
     t = texts.fillna("").str.lower().str.split()
     lens = t.str.len().astype(np.int64).to_numpy()
-    flat = [w for words in t for w in words]
-    if not flat:
+    flat = flatten_words(t, lens)
+    if not len(flat):
         return np.zeros(len(t), dtype=np.int64), np.empty(0, dtype=np.uint64)
     # deterministic vectorized string hash (pandas siphash with fixed key —
     # NOT Python's per-process-randomized hash())

@@ -8,6 +8,7 @@ import pandas as pd
 import ray.data
 
 from ..functions import text as tx
+from ..functions.text import flatten_words
 
 
 def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -118,11 +119,12 @@ def top_terms(docs: "ray.data.Dataset", k: int = 50) -> pd.DataFrame:
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-        flat = [w for ws in words for w in ws]
-        if not flat:
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        if not len(flat):
             return pd.DataFrame({"word": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype=np.int64)})
-        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        uniq, counts = np.unique(flat, return_counts=True)
         return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
 
     from ray.data.aggregate import Sum
@@ -157,7 +159,7 @@ def doc_top_terms(docs: "ray.data.Dataset", k: int = 3) -> "ray.data.Dataset":
     def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
         lens = words.str.len().astype(np.int64).to_numpy()
-        flat = np.asarray([w for ws in words for w in ws], dtype=object)
+        flat = flatten_words(words, lens)
         doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
         key = pd.DataFrame({"d": doc_of, "w": flat}).drop_duplicates()
         return pd.DataFrame({"word": key["w"].to_numpy(),
@@ -178,9 +180,8 @@ def doc_top_terms(docs: "ray.data.Dataset", k: int = 3) -> "ray.data.Dataset":
     def topk(batch: pd.DataFrame) -> pd.DataFrame:
         dfm = _ray.get(df_ref)
         words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-        out_rows = []
         lens = words.str.len().astype(np.int64).to_numpy()
-        flat = np.asarray([w for ws in words for w in ws], dtype=object)
+        flat = flatten_words(words, lens)
         doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
         tf = (pd.DataFrame({"i": doc_of, "word": flat})
               .groupby(["i", "word"], sort=False).size().reset_index(name="tf"))

@@ -580,3 +580,36 @@ def test_quantize_sql_oracle_parity(emb):
     a = np.stack(dq["embedding"].to_numpy()).astype(np.float32)
     b = np.stack(dref["embedding"].to_numpy()).astype(np.float32)
     assert (a.view(np.int32) == b.view(np.int32)).all()
+
+
+def test_emb_neardup_bounded_task_grid(ray_session):
+    """The exact block-pair near-dup must keep in-flight tasks under
+    max_in_flight even with many blocks (VERDICT r2 #5), and still match a
+    local brute-force reference exactly."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 600, 16
+    M = rng.normal(size=(n, d))
+    # plant some near-dups
+    M[100] = M[5] + rng.normal(scale=1e-3, size=d)
+    M[200] = M[50] * 1.7
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32) for row in M],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    # rows_per_block=8 -> 75 blocks -> 2850 unordered block pairs
+    out = embedding_neardup_pairs(ds, tau=0.95, rows_per_block=8, max_in_flight=16)
+    assert out.attrs["peak_in_flight"] <= 16
+
+    X = np.stack([np.asarray(r, dtype=np.float64) for r in tbl["embedding"].to_pylist()])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    S = Xn @ Xn.T
+    ii, jj = np.nonzero(np.triu(S >= 0.95, k=1))
+    ref = pd.DataFrame({"a": ii, "b": jj}).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(ref) >= 2  # the planted pairs
+    pd.testing.assert_frame_equal(out[["a", "b"]].astype(np.int64), ref.astype(np.int64))
