@@ -136,3 +136,104 @@ def test_fsio_file_uri_resolution(tmp_path):
     assert fsio.exists(p)
     assert fsio.read_bytes(p) == b"data"
     assert fsio.list_files(f"file://{tmp_path}/sub") == ["x.bin"]
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP range source (VERDICT r2 #8): an in-process stdlib server that
+# honors Range headers, driven end-to-end through encode -> decode -> verify.
+# Reference parity: remoteParquetFile, /root/reference/src/Parquet/Reader.hs:223-248.
+# ---------------------------------------------------------------------------
+
+def _start_range_server(root: str):
+    """(server, port, stats) — stats counts Range-headed GETs."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    stats = {"range_gets": 0, "full_gets": 0, "heads": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _file(self):
+            p = os.path.normpath(os.path.join(root, self.path.lstrip("/")))
+            if not p.startswith(os.path.abspath(root)) or not os.path.isfile(p):
+                return None
+            return p
+
+        def do_HEAD(self):
+            stats["heads"] += 1
+            p = self._file()
+            if p is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(os.path.getsize(p)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+
+        def do_GET(self):
+            p = self._file()
+            if p is None:
+                self.send_error(404)
+                return
+            size = os.path.getsize(p)
+            rng = self.headers.get("Range")
+            with open(p, "rb") as f:
+                if rng and rng.startswith("bytes="):
+                    stats["range_gets"] += 1
+                    a, _, b = rng[len("bytes="):].partition("-")
+                    start = int(a)
+                    end = min(int(b), size - 1) if b else size - 1
+                    f.seek(start)
+                    body = f.read(end - start + 1)
+                    self.send_response(206)
+                    self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+                else:
+                    stats["full_gets"] += 1
+                    body = f.read()
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], stats
+
+
+def test_encode_job_from_http_range_source(ray_session, tmp_path):
+    """Encode straight off an HTTP server that serves byte ranges, then
+    decode + per-partition verify against the same HTTP source. Asserts
+    actual ranged GETs were used (not whole-file downloads per read)."""
+    from parquet_hs_ray.pipelines.encode_job import (
+        decode_dataset,
+        encode_dataset,
+        verify_roundtrip,
+    )
+    from parquet_hs_ray.state.httpfs import http_range_filesystem
+
+    root = str(tmp_path / "srv")
+    os.makedirs(root)
+    tbl = pq.read_table(f"{SF}/lineitem.parquet")
+    pq.write_table(tbl, f"{root}/lineitem.parquet", row_group_size=1000)
+    srv, port, stats = _start_range_server(root)
+    try:
+        fs = http_range_filesystem(f"http://127.0.0.1:{port}")
+        info = fs.get_file_info("lineitem.parquet")
+        assert info.size == os.path.getsize(f"{root}/lineitem.parquet")
+
+        out = str(tmp_path / "enc")
+        res = encode_dataset("lineitem.parquet", out, token_col=None,
+                             input_filesystem=fs, token_budget=1000)
+        assert res["encoded"] >= 2
+        assert stats["range_gets"] > 0  # real ranged reads happened
+
+        back = decode_dataset(out).to_pandas().sort_values(
+            "l_orderkey", kind="stable").reset_index(drop=True)
+        assert len(back) == tbl.num_rows
+
+        v = verify_roundtrip("lineitem.parquet", out, input_filesystem=fs)
+        assert v["mismatched_partitions"] == 0 and v["rows"] == tbl.num_rows
+    finally:
+        srv.shutdown()
