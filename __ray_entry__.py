@@ -16,8 +16,9 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (30 of 39,
-including generated-SQL twins of the simhash signature math and the int8
+Hash-exact DuckDB oracles for every SQL-expressible query (33 of 40,
+including generated-SQL twins of the full minhash-LSH pipeline, the
+simhash signature math, the rolling-fingerprint byte chain, and the int8
 quantization grid); the rows-only remainder is listed with reasons at
 the bottom of oracle_sql().
 """
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
     q["doc_lang_id"] = lambda sf: ta.language_id(_read(sf, "documents"))
     q["doc_text_stats"] = lambda sf: ta.text_stats(_read(sf, "documents"))
+    q["doc_roll_fp"] = lambda sf: ta.rolling_fingerprints(_read(sf, "documents"))
     q["top_terms"] = lambda sf: ta.top_terms(_read(sf, "documents"), k=50)
     q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
     q["doc_mix"] = lambda sf: ta.deterministic_mix(
@@ -355,9 +357,15 @@ def oracle_sql() -> dict[str, str]:
     # dedup_simhash: signature math (splitmix64 over char-5-shingles ->
     # 64-bit majority vote) emulated EXACTLY over DuckDB HUGEINT, then
     # banding + bit_count(xor) verify — generated SQL (VERDICT r2 #2)
-    from parquet_hs_ray.functions.sql_oracles import simhash_pairs_sql
+    from parquet_hs_ray.functions.sql_oracles import minhash_pairs_sql, simhash_pairs_sql
 
     o["dedup_simhash"] = simhash_pairs_sql("documents", max_hamming=3)
+    # dedup_minhash: the full LSH pipeline replayed in SQL — word hashes
+    # (recursive splitmix64 byte chain), 3-gram shingle chain, 64
+    # permutations, 16x4 banding, candidate join, exact-Jaccard verify.
+    # Possible because the word hash is the same public splitmix64
+    # finalizer as every other sketch kernel (not an opaque siphash).
+    o["dedup_minhash"] = minhash_pairs_sql("documents", threshold=0.8)
     # emb_quantize / emb_dequantize: the int8 grid math re-expressed over
     # list lambdas; round_even matches numpy's banker's rounding, and the
     # float32 boundaries are reproduced by computing in DOUBLE (exact for
@@ -377,8 +385,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT vec_id, embedding, amax, ((amax / 127.0)::FLOAT)::DOUBLE AS scale_d "
         f"      FROM (SELECT vec_id, embedding, {_AMAX} AS amax FROM embeddings))"
     )
-    # encode_job_f1 / doc_text_stats / dedup_minhash / ann_ivf /
-    # media_features: not SQL-expressible (manifest metadata, uint64-wrap
-    # + lookahead-regex kernels, LSH minhash permutation math, approximate
-    # search, stubbed media decode) -> rows-only checks.
+    # doc_roll_fp: the uint64-wrap rolling hash replayed in a recursive
+    # CTE — h*1000003 < 2^81 fits HUGEINT exactly, and `& (2^61-1)` equals
+    # the kernel's wrap-then-mask because the mask keeps only low bits.
+    o["doc_roll_fp"] = (
+        "WITH RECURSIVE r AS ("
+        " SELECT doc_id, 0::HUGEINT AS h, 1 AS i,"
+        "        length(coalesce(text, '')) AS n, coalesce(text, '') AS t"
+        " FROM documents"
+        " UNION ALL"
+        " SELECT doc_id,"
+        "  (h * 1000003::HUGEINT + ord(substr(t, i, 1))::HUGEINT)"
+        "   & 2305843009213693951::HUGEINT,"
+        "  i + 1, n, t FROM r WHERE i <= n)"
+        " SELECT doc_id, h::BIGINT AS fingerprint_roll FROM r WHERE i = n + 1"
+    )
+    # golden_parquet_decode: our page/level/value kernels vs DuckDB's own
+    # parquet reader on the reference's committed golden file — an
+    # INDEPENDENT decoder as the oracle (pyarrow bit-exactness is
+    # additionally asserted in tests/test_format.py).
+    o["golden_parquet_decode"] = (
+        "SELECT * FROM read_parquet('/root/reference/tests/integration/test.parquet')"
+    )
+    # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
+    # metadata), pack_sequences (block-boundary-dependent packing),
+    # doc_text_stats (BPE count needs a lookahead regex RE2 lacks),
+    # ann_ivf / ann_ivf_indexed / emb_neardup_ivf (approximate by design,
+    # recall-tested instead), media_features (env-gated media decode).
     return o

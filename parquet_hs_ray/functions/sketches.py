@@ -25,6 +25,34 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def word_hashes(flat_words: np.ndarray) -> np.ndarray:
+    """Per-word 64-bit hash: splitmix64 chained over the word's utf-8
+    bytes from h=0 — the same public finalizer as the shingle kernels, so
+    the ENTIRE minhash pipeline is replayable in DuckDB SQL (HUGEINT
+    emulation in ``sql_oracles.minhash_pairs_sql``; a siphash here would
+    not be). Vectorized as a frontier iteration over byte position: one
+    splitmix pass per position over the still-active words (max word
+    length passes total, each fully vectorized)."""
+    m = len(flat_words)
+    out = np.zeros(m, dtype=np.uint64)
+    if m == 0:
+        return out
+    enc = [w.encode("utf-8", errors="surrogatepass") for w in flat_words]
+    blens = np.asarray([len(b) for b in enc], dtype=np.int64)
+    total = int(blens.sum())
+    if total == 0:
+        return out
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    offs = (np.cumsum(blens) - blens)
+    active = np.flatnonzero(blens > 0)
+    j = 0
+    while len(active):
+        out[active] = _splitmix64(out[active] ^ data[offs[active] + j])
+        j += 1
+        active = active[blens[active] > j]
+    return out
+
+
 def word_ngram_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Hashes of word n-gram shingles per document.
 
@@ -37,9 +65,7 @@ def word_ngram_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndar
     flat = flatten_words(t, lens)
     if not len(flat):
         return np.zeros(len(t), dtype=np.int64), np.empty(0, dtype=np.uint64)
-    # deterministic vectorized string hash (pandas siphash with fixed key —
-    # NOT Python's per-process-randomized hash())
-    word_h = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy().astype(np.uint64)
+    word_h = word_hashes(flat)
     # rolling n-gram combine within doc boundaries
     n_sh = np.maximum(lens - n + 1, 0)
     offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])

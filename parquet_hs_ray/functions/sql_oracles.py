@@ -48,6 +48,17 @@ def _splitmix_layers(x: str) -> list[str]:
     ]
 
 
+def _chain_splitmix(inner: str, n_cols: int) -> str:
+    """Wrap ``inner`` (which yields an ``h`` column plus ``c0..c{n-1}``)
+    in projection layers computing h = fold_j splitmix64(h ^ c_j)."""
+    q = inner
+    for j in range(n_cols):
+        q = f"SELECT * REPLACE (xor(h, c{j}) AS h) FROM ({q})"
+        for layer in _splitmix_layers("h"):
+            q = f"{layer} FROM ({q})"
+    return q
+
+
 def _shingle_hash_query(table: str, k: int = 5) -> str:
     """Query yielding (doc_id, h) — one row per char-k-shingle, with h the
     chained splitmix64 hash over the shingle's bytes, exactly matching
@@ -55,16 +66,12 @@ def _shingle_hash_query(table: str, k: int = 5) -> str:
     byte_cols = ",\n  ".join(
         f"ord(substr(text, i + {j}, 1))::HUGEINT AS c{j}" for j in range(k)
     )
-    q = (
+    inner = (
         f"SELECT doc_id, 0::HUGEINT AS h,\n  {byte_cols}\n"
         f"FROM (SELECT doc_id, unnest(range(1, greatest(length(text) - {k - 1}, 0) + 1)) AS i, text"
         f"      FROM {table})"
     )
-    for j in range(k):
-        q = f"SELECT * REPLACE (xor(h, c{j}) AS h) FROM ({q})"
-        for layer in _splitmix_layers("h"):
-            q = f"{layer} FROM ({q})"
-    return q
+    return _chain_splitmix(inner, k)
 
 
 def simhash_sig_sql(table: str = "documents", k: int = 5) -> str:
@@ -108,5 +115,128 @@ cand AS (
 )
 SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+def _word_hash_cte(table: str) -> str:
+    """Recursive CTE body yielding (doc_id, wpos, wh): per-word splitmix64
+    byte-chain hashes, exactly matching ``sketches.word_hashes`` over
+    ``text.lower().split()`` (whitespace split, empties dropped). The
+    recursion steps one byte position per level; the splitmix step is the
+    same nested-projection pyramid wrapped around the recursive term."""
+    step_inner = (
+        "SELECT doc_id, wpos, w, n, j, "
+        "xor(h, ord(substr(w, j, 1))::HUGEINT) AS h "
+        "FROM wh_rec WHERE j <= n"
+    )
+    step = step_inner
+    for layer in _splitmix_layers("h"):
+        step = f"{layer} FROM ({step})"
+    return f"""
+docs_w AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '\\s+') AS arr
+  FROM {table}
+),
+words0 AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM docs_w
+),
+words AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS wpos, arr[i] AS w
+  FROM words0 WHERE arr[i] <> ''
+),
+wh_rec AS (
+  SELECT doc_id, wpos, w, length(w) AS n, 1 AS j, 0::HUGEINT AS h FROM words
+  UNION ALL
+  SELECT doc_id, wpos, w, n, j + 1 AS j, h FROM ({step})
+),
+wh AS MATERIALIZED (
+  SELECT doc_id, wpos, h AS whash FROM wh_rec WHERE j = n + 1
+)"""
+
+
+def minhash_pairs_sql(table: str = "documents", threshold: float = 0.8) -> str:
+    """Full ``dedup_minhash`` twin (VERDICT r2 'what's missing' #1 class):
+    word hashes (recursive splitmix64 byte chain) -> 3-gram shingle chain
+    -> 64 permutations (h*a+b masked to 61 bits; the product < 2^125 is
+    exact in HUGEINT) -> per-doc segment min -> 16x4 band splitmix chain
+    -> band-equality candidates -> exact-Jaccard verify over distinct
+    shingle sets. Matches the pipeline's full-recall output (the counted
+    star fallback only engages above bucket_cap=4096 docs per bucket).
+    Zero-shingle docs get all-max signatures, band-collide with each
+    other, and verify at jaccard 1.0 — same as the kernel."""
+    from . import sketches as sk
+
+    perm_rows = ", ".join(
+        f"({p}, {int(sk._A[p])}::HUGEINT, {int(sk._B[p])}::HUGEINT)"
+        for p in range(64)
+    )
+    mask61 = (1 << 61) - 1
+    umax = (1 << 64) - 1
+
+    sh0 = (
+        "SELECT a.doc_id, a.wpos, 0::HUGEINT AS h, "
+        "a.whash AS c0, b.whash AS c1, c.whash AS c2 "
+        "FROM wh a "
+        "JOIN wh b ON b.doc_id = a.doc_id AND b.wpos = a.wpos + 1 "
+        "JOIN wh c ON c.doc_id = a.doc_id AND c.wpos = a.wpos + 2"
+    )
+    shingle_q = _chain_splitmix(sh0, 3)
+
+    bands_in = (
+        "SELECT doc_id, band, 0::HUGEINT AS h, "
+        "sl[band * 4 + 1] AS c0, sl[band * 4 + 2] AS c1, "
+        "sl[band * 4 + 3] AS c2, sl[band * 4 + 4] AS c3 "
+        "FROM (SELECT doc_id, unnest(range(0, 16)) AS band, sl FROM sigl)"
+    )
+    band_q = _chain_splitmix(bands_in, 4)
+
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, wpos, h FROM ({shingle_q})
+),
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+minp AS (
+  SELECT doc_id, p, min((h * pa + pb) & {mask61}::HUGEINT) AS mn
+  FROM shingle_h CROSS JOIN perms GROUP BY doc_id, p
+),
+sigs AS (
+  SELECT d.doc_id, pr.p, coalesce(m.mn, {umax}::HUGEINT) AS s
+  FROM {table} d CROSS JOIN perms pr
+  LEFT JOIN minp m ON m.doc_id = d.doc_id AND m.p = pr.p
+),
+sigl AS (
+  SELECT doc_id, list(s ORDER BY p) AS sl FROM sigs GROUP BY doc_id
+),
+bandh AS MATERIALIZED (
+  SELECT doc_id, band, h AS bh FROM ({band_q})
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandh x JOIN bandh y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+sets AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shingle_h),
+sizes AS (SELECT doc_id, count(*) AS nsz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ninter
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.a
+  JOIN sets sb ON sb.doc_id = c.b AND sb.h = sa.h
+  GROUP BY c.a, c.b
+),
+jac AS (
+  SELECT c.a, c.b,
+    CASE WHEN coalesce(za.nsz, 0) + coalesce(zb.nsz, 0) = 0 THEN 1.0
+         ELSE coalesce(i.ninter, 0)::DOUBLE
+              / (coalesce(za.nsz, 0) + coalesce(zb.nsz, 0) - coalesce(i.ninter, 0))
+    END AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  LEFT JOIN sizes za ON za.doc_id = c.a
+  LEFT JOIN sizes zb ON zb.doc_id = c.b
+)
+SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}
 ORDER BY a, b
 """

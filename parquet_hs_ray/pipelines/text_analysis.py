@@ -77,6 +77,22 @@ def text_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pandas")
 
 
+def rolling_fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, fingerprint_roll) — the polynomial rolling hash alone.
+    Unlike ``text_stats`` (whose BPE count needs a lookahead regex), this
+    IS SQL-expressible: h*1000003 stays < 2^81, so a DuckDB recursive CTE
+    over HUGEINT with ``& (2^61-1)`` replays the byte chain exactly (see
+    ``oracle_sql()['doc_roll_fp']``)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "fingerprint_roll": tx.rolling_fingerprint(batch["text"]),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def stats_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-source aggregate via the partial-aggregation pattern: one partial
     row per (source) per batch inside map_batches, then a tiny groupby over

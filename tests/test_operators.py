@@ -613,3 +613,36 @@ def test_emb_neardup_bounded_task_grid(ray_session):
     ref = pd.DataFrame({"a": ii, "b": jj}).sort_values(["a", "b"]).reset_index(drop=True)
     assert len(ref) >= 2  # the planted pairs
     pd.testing.assert_frame_equal(out[["a", "b"]].astype(np.int64), ref.astype(np.int64))
+
+
+def test_minhash_sql_oracle_parity(docs):
+    """The generated DuckDB twin of the FULL minhash-LSH pipeline (word
+    hash chain -> shingles -> 64 perms -> banding -> Jaccard verify) must
+    equal dedup_minhash exactly — pairs AND jaccard doubles."""
+    import duckdb
+
+    from parquet_hs_ray.functions.sql_oracles import minhash_pairs_sql
+    from parquet_hs_ray.pipelines.dedup import dedup_minhash
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ref = (con.execute(minhash_pairs_sql(threshold=0.8)).df()
+           .astype({"a": np.int64, "b": np.int64, "jaccard": np.float64})
+           .reset_index(drop=True))
+    ours = dedup_minhash(docs, threshold=0.8)[["a", "b", "jaccard"]].reset_index(drop=True)
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(ours, ref)
+
+
+def test_word_hashes_match_recursive_definition():
+    """sketches.word_hashes' frontier vectorization must equal the naive
+    per-word byte chain (the definition the SQL oracle implements)."""
+    from parquet_hs_ray.functions.sketches import _splitmix64, word_hashes
+
+    words = np.asarray(["a", "", "hello", "zz", "longer-word-here", "é"], dtype=object)
+    got = word_hashes(words)
+    for i, w in enumerate(words):
+        h = np.zeros(1, dtype=np.uint64)
+        for byte in w.encode("utf-8"):
+            h = _splitmix64(h ^ np.uint64(byte))
+        assert got[i] == h[0], w
