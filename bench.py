@@ -141,11 +141,24 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    t0 = time.perf_counter()
-    ds = decode_dataset(enc_dir, concurrency=max(2, NUM_CPUS - 1))
-    n_decoded = ds.count()
-    queries["decode_f1"] = time.perf_counter() - t0
-    assert n_decoded == rows, (n_decoded, rows)
+    # decode: same adaptive best-of as encode (a single storm-hit pass
+    # would record a 5-10x-slow decode_tokens_per_sec; passes are cheap —
+    # pure reads — so convergence usually lands in the minimum 2)
+    decode_times = []
+    while True:
+        t0 = time.perf_counter()
+        ds = decode_dataset(enc_dir, concurrency=max(2, NUM_CPUS - 1))
+        n_decoded = ds.count()
+        decode_times.append(time.perf_counter() - t0)
+        assert n_decoded == rows, (n_decoded, rows)
+        if len(decode_times) >= 2:
+            fastest = sorted(decode_times)[:2]
+            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10:
+                break
+        if len(decode_times) >= n_max:
+            break
+    queries["decode_f1"] = min(decode_times)
+    decode_passes = [round(t, 3) for t in decode_times]
 
     # round-trip of the real lineitem table (all codecs on TPC-H-ish data)
     from parquet_hs_ray.format import decode_table, encode_table
@@ -199,6 +212,7 @@ def main() -> None:
         "rows": rows,
         "tokens": tokens,
         "encode_passes": encode_passes,
+        "decode_passes": decode_passes,
         "encode_tokens_per_sec": round(tokens / queries["encode_f1"]),
         "decode_tokens_per_sec": round(tokens / queries["decode_f1"]),
         "encoded_bytes": summ["encoded_bytes"],

@@ -83,10 +83,54 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
     """LSH candidate pairs (a < b), deduplicated across bands.
 
     Columns: a, b, n_bands_hit, giant (1 = produced by the star fallback of
-    an over-cap bucket, i.e. recall in that bucket is partial)."""
+    an over-cap bucket, i.e. recall in that bucket is partial).
+
+    Shape: ``groupby().map_groups`` pays per-group pandas overhead on
+    ~n_docs*n_bands groups (~5s of the r2 bench's dedup_minhash). Instead:
+    ONE sort on (band, bandhash), then per-BLOCK vectorized segment pairs
+    for groups fully interior to a block, plus a tiny second pass (the
+    sessionize junction pattern) that re-groups only each block's first
+    and last key — the only groups that can straddle a block boundary."""
     bands = docs.map_batches(
         lambda b: _sig_batch(b, n_bands, ngram), batch_format="pandas"
     )
+    srt = bands.sort(["band", "bandhash"]).materialize()
+
+    def _segments(g: pd.DataFrame):
+        b_ = g["band"].to_numpy()
+        h_ = g["bandhash"].to_numpy()
+        change = np.flatnonzero((b_[1:] != b_[:-1]) | (h_[1:] != h_[:-1])) + 1
+        starts = np.concatenate([np.zeros(1, np.int64), change])
+        ends = np.concatenate([change, np.asarray([len(g)], np.int64)])
+        return starts, ends
+
+    _empty_pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "giant": pd.Series([], dtype=np.int8)})
+
+    def interior_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs.astype({"a": g["doc_id"].dtype, "b": g["doc_id"].dtype}) \
+                if len(g) else _empty_pairs
+        starts, ends = _segments(g)
+        ids = g["doc_id"].to_numpy()
+        frames = []
+        # skip segment 0 and the last segment: they may continue in the
+        # neighboring blocks and are handled exactly once by the edge pass
+        for s, e in zip(starts[1:-1], ends[1:-1]):
+            if e - s >= 2:
+                frames.append(_bucket_pairs_frame(np.sort(ids[s:e]), bucket_cap))
+        if not frames:
+            return _empty_pairs.astype({"a": ids.dtype, "b": ids.dtype})
+        return pd.concat(frames)
+
+    def edge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g
+        starts, ends = _segments(g)
+        idx = np.arange(len(g))
+        mask = (idx < ends[0]) | (idx >= starts[-1])
+        return g[mask]
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -94,7 +138,13 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
             return pd.DataFrame({"a": ids[:0], "b": ids[:0], "giant": np.empty(0, np.int8)})
         return _bucket_pairs_frame(ids, bucket_cap)
 
-    pairs = bands.groupby(["band", "bandhash"]).map_groups(bucket_pairs, batch_format="pandas")
+    interior = srt.map_batches(interior_pairs, batch_format="pandas", batch_size=None,
+                               zero_copy_batch=True)
+    edges = srt.map_batches(edge_rows, batch_format="pandas", batch_size=None,
+                            zero_copy_batch=True)
+    edge_pairs = edges.groupby(["band", "bandhash"]).map_groups(bucket_pairs,
+                                                                batch_format="pandas")
+    pairs = interior.union(edge_pairs)
     from ray.data.aggregate import Count, Max
 
     return (
