@@ -139,6 +139,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pack_sequences(ds, context_len=2048)
 
     q["pack_sequences"] = pack_f1
+
+    def pack_global(sf):
+        import ray.data
+
+        from parquet_hs_ray.pipelines.packing import pack_sequences_global
+
+        f1_src, _ = _f1_out_dir(sf)
+        # blocking-INDEPENDENT canonical packing: any override_num_blocks
+        # yields the identical output (hash-checked vs the SQL twin)
+        ds = ray.data.read_parquet(f1_src, override_num_blocks=4)
+        return pack_sequences_global(ds, context_len=2048)
+
+    q["pack_global"] = pack_global
     q["encode_job_f1"] = _encode_job_f1
     q["decode_f1"] = _decode_f1
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
@@ -271,6 +284,18 @@ def oracle_sql() -> dict[str, str]:
 
     f1_src = cached_dataset(_F1_ROWS, seed=42, n_files=4)
     o["decode_f1"] = f"SELECT * FROM read_parquet('{f1_src}/*.parquet')"
+    # pack_global: canonical concat-and-chunk is a pure function of the
+    # data in doc_id order — global token position via one window, group
+    # by gpos // context_len (zero-padded doc ids make string order ==
+    # numeric order in both engines)
+    o["pack_global"] = (
+        f"WITH t AS (SELECT doc_id, tokens FROM read_parquet('{f1_src}/*.parquet')),"
+        " tok AS (SELECT doc_id, unnest(tokens) AS tok,"
+        "         unnest(range(1, len(tokens) + 1)) AS i FROM t),"
+        " g AS (SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos FROM tok)"
+        " SELECT gpos // 2048 AS seq_id, list(tok ORDER BY gpos) AS tokens,"
+        " count(*)::INT AS n_tok FROM g GROUP BY seq_id"
+    )
     # doc_lang_id: full SQL re-implementation of the marker-word heuristic
     # (word split, per-language hit ratio, argmax with ascending-code
     # tie-break, zero-word docs -> 'unk').

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 
@@ -43,3 +44,131 @@ def pack_sequences(ds: "ray.data.Dataset", context_len: int = 2048,
 
     # one batch per block: packing granularity == partition granularity
     return ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences_global(ds: "ray.data.Dataset", context_len: int = 2048,
+                          token_col: str = "tokens",
+                          order_col: str = "doc_id") -> "ray.data.Dataset":
+    """CANONICAL packing: concatenate every document's tokens in
+    ``order_col`` order across the whole corpus and chunk every
+    ``context_len`` tokens — the output is a pure function of the data,
+    independent of input blocking (unlike :func:`pack_sequences`), so it
+    carries a hash-exact SQL oracle (`pack_global`).
+
+    Scale shape: sort by ``order_col``; per-block token counts (ints only)
+    give each block its global token offset; each block then emits its
+    COMPLETE context_len-aligned sequences directly — no token shuffle —
+    plus at most two boundary PIECES (< context_len tokens each) for the
+    sequences straddling its edges, which a tiny groupby over ~2x#blocks
+    rows stitches together. Returns (seq_id, tokens, n_tok); the final
+    global remainder keeps n_tok < context_len."""
+    srt = ds.sort(order_col).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def count_tokens(t) -> int:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        return len(t[token_col].combine_chunks().flatten())
+
+    counts = ray.get([count_tokens.remote(r) for r in refs])  # ints only
+    offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+
+    sch = srt.schema()
+    val_type = sch.types[sch.names.index(token_col)].value_type
+
+    def _tables(flat: pa.Array, s: int, e: int, L: int):
+        """(full-sequence table, boundary-piece table) for a block whose
+        tokens occupy global positions [s, e)."""
+        fa = -(-s // L) * L
+        lb = (e // L) * L
+        pieces: list[tuple[int, int]] = []
+        if fa > lb:
+            if e > s:
+                pieces.append((s, e))
+            fa = lb = None
+        else:
+            if s < fa:
+                pieces.append((s, fa))
+            if lb < e:
+                pieces.append((lb, e))
+        if fa is not None and lb is not None and lb > fa:
+            n_full = (lb - fa) // L
+            offs = ((fa - s) + np.arange(n_full + 1, dtype=np.int64) * L).astype(np.int32)
+            chunks = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+            full = pa.table({
+                "seq_id": pa.array(fa // L + np.arange(n_full, dtype=np.int64)),
+                token_col: chunks,
+                "n_tok": pa.array(np.full(n_full, L, np.int32)),
+            })
+        else:
+            full = pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                token_col: pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                                    pa.array([], val_type)),
+                "n_tok": pa.array([], pa.int32()),
+            })
+        prow = {"seq_id": [], "sub_pos": [], token_col: [], "n_tok": []}
+        parts = []
+        for (p0, p1) in pieces:
+            offs = pa.array([p0 - s, p1 - s], pa.int32())
+            seg = pa.ListArray.from_arrays(offs, flat)
+            parts.append(pa.table({
+                "seq_id": pa.array([p0 // L], pa.int64()),
+                "sub_pos": pa.array([p0 % L], pa.int32()),
+                token_col: seg.slice(0, 1),
+                "n_tok": pa.array([p1 - p0], pa.int32()),
+            }))
+        if parts:
+            piece_tbl = pa.concat_tables(parts)
+        else:
+            piece_tbl = pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                "sub_pos": pa.array([], pa.int32()),
+                token_col: pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                                    pa.array([], val_type)).slice(0, 0),
+                "n_tok": pa.array([], pa.int32()),
+            })
+        return full, piece_tbl
+
+    @ray.remote(num_cpus=1, num_returns=2)
+    def pack_block(t, s: int):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        flat = t[token_col].combine_chunks().flatten()
+        return _tables(flat, int(s), int(s) + len(flat), context_len)
+
+    full_refs, piece_refs = [], []
+    for i, r in enumerate(refs):
+        f, p = pack_block.remote(r, offsets[i])  # two refs, nothing fetched
+        full_refs.append(f)
+        piece_refs.append(p)
+
+    full_ds = ray.data.from_arrow_refs(full_refs)
+    pieces_ds = ray.data.from_arrow_refs(piece_refs)
+
+    def merge(g: "pd.DataFrame") -> pa.Table:
+        # build Arrow directly: a pandas return would round-trip the token
+        # arrays through Ray's tensor extension type (uncastable to list)
+        g = g.sort_values("sub_pos")
+        toks = np.concatenate([np.asarray(x) for x in g[token_col]])
+        la = pa.ListArray.from_arrays(pa.array([0, len(toks)], pa.int32()),
+                                      pa.array(toks, val_type))
+        return pa.table({
+            "seq_id": pa.array([int(g["seq_id"].iloc[0])], pa.int64()),
+            token_col: la,
+            "n_tok": pa.array([len(toks)], pa.int32()),
+        })
+
+    merged = pieces_ds.groupby("seq_id").map_groups(merge, batch_format="pandas")
+
+    def norm(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("seq_id", pa.int64()),
+                            (token_col, pa.list_(val_type)),
+                            ("n_tok", pa.int32())])
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return full_ds.map_batches(norm, batch_format="pyarrow").union(
+        merged.map_batches(norm, batch_format="pyarrow"))

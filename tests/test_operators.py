@@ -646,3 +646,35 @@ def test_word_hashes_match_recursive_definition():
         for byte in w.encode("utf-8"):
             h = _splitmix64(h ^ np.uint64(byte))
         assert got[i] == h[0], w
+
+
+def test_pack_sequences_global_blocking_independent(ray_session):
+    """pack_sequences_global is a pure function of the data: identical
+    output for any input blocking, equal to the locally computed
+    concat-and-chunk stream in doc_id order (incl. a non-power-of-two
+    context length and the partial final sequence)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.packing import pack_sequences_global
+    from parquet_hs_ray.sources.synth import cached_dataset
+
+    src = cached_dataset(500, seed=7, n_files=3)
+    raw = pd.read_parquet(src).sort_values("doc_id")
+    stream = np.concatenate([np.asarray(x, dtype=np.int32) for x in raw["tokens"]])
+    L = 777
+    n_seq = -(-len(stream) // L)
+
+    outs = []
+    for nb in (1, 5):
+        ds = ray.data.read_parquet(src, override_num_blocks=nb)
+        out = (pack_sequences_global(ds, context_len=L).to_pandas()
+               .sort_values("seq_id").reset_index(drop=True))
+        assert len(out) == n_seq
+        for k in range(n_seq):
+            assert np.array_equal(np.asarray(out["tokens"][k], np.int32),
+                                  stream[k * L:(k + 1) * L]), (nb, k)
+        assert int(out["n_tok"].iloc[-1]) == len(stream) - (n_seq - 1) * L
+        outs.append(out)
+    # byte-identical across blockings
+    assert outs[0]["seq_id"].equals(outs[1]["seq_id"])
+    assert (outs[0]["n_tok"].to_numpy() == outs[1]["n_tok"].to_numpy()).all()
