@@ -16,7 +16,7 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (33 of 40,
+Hash-exact DuckDB oracles for every SQL-expressible query (34 of 41,
 including generated-SQL twins of the full minhash-LSH pipeline, the
 simhash signature math, the rolling-fingerprint byte chain, and the int8
 quantization grid); the rows-only remainder is listed with reasons at
@@ -219,11 +219,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def golden_parquet_decode(sf):
         # reference-parity path: the reference's committed golden file
-        # decoded through OUR page/level/value kernels (rows-only check;
-        # bit-exactness vs pyarrow is asserted in tests/test_format.py)
+        # decoded through OUR page/level/value kernels, hash-checked
+        # against DuckDB's independent parquet reader. Top-level null
+        # lists are normalized to [] on BOTH sides (None-vs-nan renders
+        # differently across pandas converters); true null preservation
+        # is asserted bit-exact vs pyarrow in tests/test_format.py.
+        import pandas as pd
+
         from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
 
-        return read_parquet_via_kernels("/root/reference/tests/integration/test.parquet")
+        t = read_parquet_via_kernels("/root/reference/tests/integration/test.parquet")
+        return pd.DataFrame({
+            name: [v if v is not None else [] for v in t[name].to_pylist()]
+            for name in t.column_names
+        })
 
     q["golden_parquet_decode"] = golden_parquet_decode
     return q
@@ -430,7 +439,8 @@ def oracle_sql() -> dict[str, str]:
     # INDEPENDENT decoder as the oracle (pyarrow bit-exactness is
     # additionally asserted in tests/test_format.py).
     o["golden_parquet_decode"] = (
-        "SELECT * FROM read_parquet('/root/reference/tests/integration/test.parquet')"
+        "SELECT " + ", ".join(f"coalesce(f{i}, []) AS f{i}" for i in range(1, 7)) +
+        " FROM read_parquet('/root/reference/tests/integration/test.parquet')"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing),
