@@ -16,7 +16,7 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (34 of 41,
+Hash-exact DuckDB oracles for every SQL-expressible query (34 of 42,
 including generated-SQL twins of the full minhash-LSH pipeline, the
 simhash signature math, the rolling-fingerprint byte chain, and the int8
 quantization grid); the rows-only remainder is listed with reasons at
@@ -211,6 +211,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ann_ivf_indexed"] = ann_ivf_indexed
     q["media_features"] = _media_features
+
+    def media_real_decode(sf):
+        # REAL decode path: deterministic synthetic PNG images + WAV audio
+        # (stdlib-only codecs, stages/media_codecs.py), features computed
+        # from actually-decoded pixels/samples — rows-only check here;
+        # content equality vs direct decode is asserted in
+        # tests/test_operators.py::test_media_stages_real_decode.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from parquet_hs_ray.stages.media_codecs import encode_png, encode_wav
+        from parquet_hs_ray.stages.multimodal import MediaFeatureStage
+
+        rng = np.random.default_rng(42)
+        payloads = [encode_png(rng.integers(0, 256, size=(24 + (i % 5), 16, 3),
+                                            dtype=np.uint8)) for i in range(24)]
+        payloads += [encode_wav((7000 * np.sin(np.arange(500 + 31 * i) / (2 + i)))
+                                .astype(np.int16)[:, None], 16000) for i in range(24)]
+        t = pa.table({"media_id": pa.array(range(len(payloads)), pa.int64()),
+                      "payload": pa.array(payloads, pa.binary())})
+        return ray.data.from_arrow(t).map_batches(
+            MediaFeatureStage, fn_constructor_kwargs={"decode_real": True},
+            batch_size=8, concurrency=2, num_cpus=1, batch_format="pyarrow")
+
+    q["media_real_decode"] = media_real_decode
     from parquet_hs_ray.pipelines import windows as win
 
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
@@ -443,8 +469,10 @@ def oracle_sql() -> dict[str, str]:
         " FROM read_parquet('/root/reference/tests/integration/test.parquet')"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
-    # metadata), pack_sequences (block-boundary-dependent packing),
-    # doc_text_stats (BPE count needs a lookahead regex RE2 lacks),
-    # ann_ivf / ann_ivf_indexed / emb_neardup_ivf (approximate by design,
-    # recall-tested instead), media_features (env-gated media decode).
+    # metadata), pack_sequences (block-boundary-dependent packing; the
+    # canonical pack_global variant IS oracled), doc_text_stats (BPE
+    # count needs a lookahead regex RE2 lacks), ann_ivf / ann_ivf_indexed
+    # / emb_neardup_ivf (approximate by design, recall-tested instead),
+    # media_features (opaque-bytes fake path), media_real_decode (real
+    # stdlib PNG/WAV decode; content equality pytest-asserted).
     return o
