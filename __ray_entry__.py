@@ -255,10 +255,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
 
         t = read_parquet_via_kernels("/root/reference/tests/integration/test.parquet")
-        return pd.DataFrame({
-            name: [v if v is not None else [] for v in t[name].to_pylist()]
-            for name in t.column_names
-        })
+        cols = {}
+        for name in t.column_names:
+            vals = [v if v is not None else [] for v in t[name].to_pylist()]
+            if name == "f1":
+                # f1 is list<list<int64>>: represent losslessly as flat
+                # values + inner lengths (1-level lists hash everywhere;
+                # ragged nested lists don't)
+                cols["f1_flat"] = [[x for sub in v for x in (sub or [])] for v in vals]
+                cols["f1_lens"] = [[len(sub or []) for sub in v] for v in vals]
+            else:
+                cols[name] = vals
+        return pd.DataFrame(cols)
 
     q["golden_parquet_decode"] = golden_parquet_decode
     return q
@@ -465,7 +473,10 @@ def oracle_sql() -> dict[str, str]:
     # INDEPENDENT decoder as the oracle (pyarrow bit-exactness is
     # additionally asserted in tests/test_format.py).
     o["golden_parquet_decode"] = (
-        "SELECT " + ", ".join(f"coalesce(f{i}, []) AS f{i}" for i in range(1, 7)) +
+        "SELECT "
+        "coalesce(flatten(f1), []) AS f1_flat, "
+        "coalesce(list_transform(f1, x -> coalesce(len(x), 0)), []) AS f1_lens, "
+        + ", ".join(f"coalesce(f{i}, []) AS f{i}" for i in range(2, 7)) +
         " FROM read_parquet('/root/reference/tests/integration/test.parquet')"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job

@@ -43,7 +43,12 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], int]:
     for c in df.columns:
         col = df[c]
         if col.dtype == object and len(col) and isinstance(col.iloc[0], (list, np.ndarray)):
-            df[c] = col.map(lambda v: tuple(np.asarray(v).tolist()) if v is not None else None)
+            def _tup(v):
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return tuple(_tup(x) for x in v)
+                return v
+
+            df[c] = col.map(lambda v: _tup(v) if v is not None else None)
         elif str(col.dtype).startswith("float"):
             df[c] = col.round(9)
     rows = [tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)]
