@@ -201,13 +201,33 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
     return rep, dfl, vals, max_rep, max_def
 
 
+def _decode_levels_v2(buf: bytes, pos: int, byte_len: int, n: int,
+                      max_level: int) -> tuple[np.ndarray, int]:
+    """V2 level stream: NO u32 length prefix (the byte length lives in
+    DataPageHeaderV2 fields 5/6), always RLE/BP hybrid, and absent
+    entirely (byte_len 0) when max_level == 0."""
+    if max_level == 0:
+        return np.zeros(n, dtype=np.uint32), pos + byte_len
+    width = int(max_level).bit_length()
+    vals, used = decode_hybrid(buf, width, n, pos)
+    if used - pos > byte_len:
+        raise ValueError("v2 level stream overran its declared byte length")
+    return vals.astype(np.uint32), pos + byte_len
+
+
 def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
                               max_rep: int, max_def: int):
     """Page loop over one column chunk's raw bytes -> (rep, def, values).
-    Level encodings come from the DataPageHeader
+    V1 level encodings come from the DataPageHeader
     (definition_level_encoding = field 3, repetition_level_encoding =
     field 4 of parquet-format's thrift DataPageHeader) — RLE or the
-    deprecated BIT_PACKED, per `decodeLevel` (Stream/Reader.hs:264-282)."""
+    deprecated BIT_PACKED, per `decodeLevel` (Stream/Reader.hs:264-282).
+
+    DataPageHeaderV2 (PageHeader field 8) is ALSO handled — rep then def
+    levels with header-declared byte lengths and no u32 prefixes, then
+    values — a strict superset of the reference, which declares the
+    struct but never implements its page path
+    (`/root/reference/src/Parquet/Types/PageHeader.hs:33-43`)."""
     pos = 0
     dictionary = None
     reps, defs, values = [], [], []
@@ -222,15 +242,25 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
             dph = header[7]
             dictionary, _ = _decode_plain_values(body, 0, dph[1], physical)
             continue
-        if ptype != _PAGE_DATA:
+        if ptype == _PAGE_DATA:
+            dph = header[5]
+            n_vals, enc = dph[1], dph[2]
+            def_enc = dph.get(3, _ENC_RLE)
+            rep_enc = dph.get(4, _ENC_RLE)
+            p = 0
+            rep, p = _decode_levels(body, p, n_vals, max_rep, rep_enc)
+            dfl, p = _decode_levels(body, p, n_vals, max_def, def_enc)
+        elif ptype == _PAGE_DATA_V2:
+            dph = header[8]
+            n_vals, enc = dph[1], dph[4]
+            def_len, rep_len = dph[5], dph[6]
+            # is_compressed (field 7) applies to the VALUES section only;
+            # we are already chunk-restricted to UNCOMPRESSED codecs
+            p = 0
+            rep, p = _decode_levels_v2(body, p, rep_len, n_vals, max_rep)
+            dfl, p = _decode_levels_v2(body, p, def_len, n_vals, max_def)
+        else:
             raise ValueError(f"unsupported page type {ptype}")
-        dph = header[5]
-        n_vals, enc = dph[1], dph[2]
-        def_enc = dph.get(3, _ENC_RLE)
-        rep_enc = dph.get(4, _ENC_RLE)
-        p = 0
-        rep, p = _decode_levels(body, p, n_vals, max_rep, rep_enc)
-        dfl, p = _decode_levels(body, p, n_vals, max_def, def_enc)
         n_present = int(np.count_nonzero(dfl == max_def))
         if enc == _ENC_PLAIN:
             vals, p = _decode_plain_values(body, p, n_present, physical)

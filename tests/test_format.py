@@ -226,12 +226,16 @@ def test_random_table_roundtrip(seed):
     assert decode_table(blob).equals(tbl)
 
 
-@given(st.integers(min_value=0, max_value=10**9), st.booleans())
+@given(st.integers(min_value=0, max_value=10**9), st.booleans(),
+       st.sampled_from(["1.0", "2.0"]))
 @settings(max_examples=25, deadline=None)
-def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict):
-    """Random nested int64 lists written by pyarrow (v1 pages, UNCOMPRESSED,
-    dict on/off) must decode identically through our page kernels —
-    exercises the dictionary-page path the reference golden file lacks."""
+def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict, page_version):
+    """Random nested int64 lists written by pyarrow (v1 AND v2 data
+    pages, UNCOMPRESSED, dict on/off) must decode identically through
+    our page kernels — the dictionary-page path the reference golden
+    file lacks, plus DataPageHeaderV2 (rep/def byte lengths in the
+    header, no u32 prefixes), which the reference declares but never
+    implements (Types/PageHeader.hs:33-43)."""
     rng = np.random.default_rng(seed)
     n = int(rng.integers(1, 60))
 
@@ -266,7 +270,8 @@ def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict):
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "t.parquet")
         pq.write_table(tbl, path, compression="NONE", use_dictionary=use_dict,
-                       version="1.0", data_page_version="1.0")
+                       version="2.6" if page_version == "2.0" else "1.0",
+                       data_page_version=page_version)
         ours = read_parquet_via_kernels(path)
         theirs = pq.read_table(path)
     for name in theirs.column_names:

@@ -140,9 +140,14 @@ def test_multimodal_stage(ray_session):
     assert len(out) == 10
     assert out["n_bytes"].tolist() == [100 + i for i in range(10)]
     assert all(len(f) == 8 for f in out["features"])
-    # real decode is gated behind NotImplementedError
+    # real decode now exists for PNG/WAV (media_codecs); an opaque
+    # non-media payload must still fail loudly, per payload
     with pytest.raises(NotImplementedError):
-        MediaFeatureStage(decode_real=True)
+        import pyarrow as _pa
+
+        MediaFeatureStage(decode_real=True)(
+            _pa.table({"media_id": _pa.array([0], _pa.int64()),
+                       "payload": _pa.array([b"not-a-media-file"], _pa.binary())}))
 
 
 def test_stats_by_source_partial_agg(docs):
@@ -210,10 +215,14 @@ def test_resize_and_frame_sample_stages(ray_session):
                             batch_size=3, concurrency=2, batch_format="pyarrow").to_pandas()
     assert len(frames) == 24
     assert sorted(frames["frame_index"].unique()) == [0, 1, 2, 3]
+    # real decode exists for PNG (resize) / WAV (frames); opaque bytes
+    # still fail loudly per payload
+    bad = pa.table({"media_id": pa.array([0], pa.int64()),
+                    "payload": pa.array([b"definitely-not-png"], pa.binary())})
     with pytest.raises(NotImplementedError):
-        ImageResizeStage(decode_real=True)
+        ImageResizeStage(decode_real=True)(bad)
     with pytest.raises(NotImplementedError):
-        FrameSampleStage(decode_real=True)
+        FrameSampleStage(decode_real=True)(bad)
 
 
 def test_lsh_giant_bucket_star_fallback(ray_session):
