@@ -160,6 +160,19 @@ def main() -> None:
     queries["decode_f1"] = min(decode_times)
     decode_passes = [round(t, 3) for t in decode_times]
 
+    # op queries: best-of-N like encode/decode (GRAFT_QUERY_PASSES,
+    # default 2) — one fault-storm window shouldn't set a recorded op
+    # time 5x above steady state either
+    q_passes = int(os.environ.get("GRAFT_QUERY_PASSES", "2"))
+
+    def timed(name, fn):
+        best = float("inf")
+        for _ in range(q_passes):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = best
+
     # round-trip of the real lineitem table (all codecs on TPC-H-ish data)
     from parquet_hs_ray.format import decode_table, encode_table
 
@@ -167,29 +180,18 @@ def main() -> None:
         blob, _ = encode_table(batch)
         return decode_table(blob)
 
-    t0 = time.perf_counter()
-    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
-        rt, batch_format="pyarrow", batch_size=None
-    ).count()
-    queries["roundtrip_lineitem"] = time.perf_counter() - t0
+    timed("roundtrip_lineitem",
+          lambda: ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+              rt, batch_format="pyarrow", batch_size=None).count())
 
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.perf_counter()
-    dedup.dedup_exact(docs).to_pandas()
-    queries["dedup_exact"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    dedup.dedup_minhash(docs)
-    queries["dedup_minhash"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    ta.stats_by_source(docs).to_pandas()
-    queries["text_stats"] = time.perf_counter() - t0
+    timed("dedup_exact", lambda: dedup.dedup_exact(docs).to_pandas())
+    timed("dedup_minhash", lambda: dedup.dedup_minhash(docs))
+    timed("text_stats", lambda: ta.stats_by_source(docs).to_pandas())
 
     emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    t0 = time.perf_counter()
-    ann.ann_topk_bruteforce(emb, query_ids=list(range(5)), k=10)
-    queries["ann_topk"] = time.perf_counter() - t0
+    timed("ann_topk",
+          lambda: ann.ann_topk_bruteforce(emb, query_ids=list(range(5)), k=10))
 
     # compression comparison vs pyarrow parquet (reference world: dict on,
     # UNCOMPRESSED) on one deterministic shard
