@@ -16,7 +16,7 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (34 of 42,
+Hash-exact DuckDB oracles for every SQL-expressible query (35 of 43,
 including generated-SQL twins of the full minhash-LSH pipeline, the
 simhash signature math, the rolling-fingerprint byte chain, and the int8
 quantization grid); the rows-only remainder is listed with reasons at
@@ -239,6 +239,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_real_decode"] = media_real_decode
     from parquet_hs_ray.pipelines import windows as win
 
+    def events_asof(sf):
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.joins import asof_join
+
+        ev = _read(sf, "events")
+        left = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+            batch_format="pyarrow")
+        right = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")),
+            batch_format="pyarrow")
+        return asof_join(left, right, key="user_id", ts="ts",
+                         left_cols=("event_id",),
+                         right_cols=("event_id", "value"))
+
+    q["events_asof"] = events_asof
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
     q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
     q["events_hopping"] = lambda sf: win.hopping_window(_read(sf, "events"))
@@ -398,6 +415,21 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT query_id, neighbor_id,"
         "         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank"
         "  FROM sims) t WHERE rank <= 10"
+    )
+    # events_asof: DuckDB's native ASOF JOIN is the oracle; right-side
+    # ties at identical (user_id, ts) are deduped to the max event_id in
+    # BOTH engines (our sort key ends on the right id; SQL row_number),
+    # since ASOF's own tie behavior is unspecified.
+    o["events_asof"] = (
+        "WITH l AS (SELECT user_id, ts, event_id FROM events"
+        "  WHERE event_type = 'purchase'),"
+        " r AS (SELECT user_id, ts, event_id, value,"
+        "   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn"
+        "   FROM events WHERE event_type = 'click'),"
+        " r1 AS (SELECT user_id, ts, event_id, value FROM r WHERE rn = 1)"
+        " SELECT l.user_id, l.ts, l.event_id,"
+        "   r1.event_id AS matched_event_id, r1.value AS matched_value"
+        " FROM l ASOF LEFT JOIN r1 ON l.user_id = r1.user_id AND l.ts >= r1.ts"
     )
     o["events_window"] = (
         "SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "

@@ -841,3 +841,34 @@ def test_media_stages_real_decode(ray_session):
         ray.data.from_arrow(bad).map_batches(
             MediaFeatureStage, fn_constructor_kwargs={"decode_real": True},
             concurrency=1, batch_format="pyarrow").to_pandas()
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Distributed as-of join == pandas merge_asof (backward, exact
+    matches allowed) with many sort blocks, so boundary-key carries are
+    exercised; includes left keys with no right rows at all."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from parquet_hs_ray.pipelines.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", override_num_blocks=16)
+    left = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+                          batch_format="pyarrow")
+    right = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "click")),
+                           batch_format="pyarrow")
+    ours = asof_join(left, right, key="user_id", ts="ts",
+                     left_cols=("event_id",), right_cols=("event_id", "value"))
+
+    raw = pd.read_parquet(f"{SF}/events.parquet")
+    lp = (raw[raw.event_type == "purchase"][["user_id", "ts", "event_id"]]
+          .sort_values(["ts", "event_id"], kind="stable"))
+    rp = (raw[raw.event_type == "click"][["user_id", "ts", "event_id", "value"]]
+          .sort_values(["ts", "event_id"], kind="stable")
+          .rename(columns={"event_id": "matched_event_id", "value": "matched_value"}))
+    ref = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward",
+                        allow_exact_matches=True)
+    ref = (ref.sort_values(["user_id", "ts", "event_id"], kind="stable")
+           .reset_index(drop=True)[ours.columns.tolist()])
+    pd.testing.assert_frame_equal(ours, ref, check_dtype=False)
+    assert ours["matched_event_id"].isna().any()  # some purchases precede any click
