@@ -155,16 +155,9 @@ wh AS MATERIALIZED (
 )"""
 
 
-def minhash_pairs_sql(table: str = "documents", threshold: float = 0.8) -> str:
-    """Full ``dedup_minhash`` twin (VERDICT r2 'what's missing' #1 class):
-    word hashes (recursive splitmix64 byte chain) -> 3-gram shingle chain
-    -> 64 permutations (h*a+b masked to 61 bits; the product < 2^125 is
-    exact in HUGEINT) -> per-doc segment min -> 16x4 band splitmix chain
-    -> band-equality candidates -> exact-Jaccard verify over distinct
-    shingle sets. Matches the pipeline's full-recall output (the counted
-    star fallback only engages above bucket_cap=4096 docs per bucket).
-    Zero-shingle docs get all-max signatures, band-collide with each
-    other, and verify at jaccard 1.0 — same as the kernel."""
+def _minhash_ctes(table: str) -> str:
+    """The shared WITH-body (word hashes -> ... -> jac) used by both
+    ``minhash_pairs_sql`` and ``minhash_clusters_sql``."""
     from . import sketches as sk
 
     perm_rows = ", ".join(
@@ -191,8 +184,7 @@ def minhash_pairs_sql(table: str = "documents", threshold: float = 0.8) -> str:
     )
     band_q = _chain_splitmix(bands_in, 4)
 
-    return f"""
-WITH RECURSIVE {_word_hash_cte(table)},
+    return f"""{_word_hash_cte(table)},
 shingle_h AS MATERIALIZED (
   SELECT doc_id, wpos, h FROM ({shingle_q})
 ),
@@ -236,7 +228,38 @@ jac AS (
   LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
   LEFT JOIN sizes za ON za.doc_id = c.a
   LEFT JOIN sizes zb ON zb.doc_id = c.b
-)
-SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}
-ORDER BY a, b
-"""
+)"""
+
+
+def minhash_pairs_sql(table: str = "documents", threshold: float = 0.8) -> str:
+    """Full ``dedup_minhash`` twin (VERDICT r2 'what's missing' #1 class):
+    word hashes (recursive splitmix64 byte chain) -> 3-gram shingle chain
+    -> 64 permutations (h*a+b masked to 61 bits; the product < 2^125 is
+    exact in HUGEINT) -> per-doc segment min -> 16x4 band splitmix chain
+    -> band-equality candidates -> exact-Jaccard verify over distinct
+    shingle sets. Matches the pipeline's full-recall output (the counted
+    star fallback only engages above bucket_cap=4096 docs per bucket).
+    Zero-shingle docs get all-max signatures, band-collide with each
+    other, and verify at jaccard 1.0 — same as the kernel."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes(table)}\n"
+        f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}\n"
+        "ORDER BY a, b"
+    )
+
+
+def minhash_clusters_sql(table: str = "documents", threshold: float = 0.8) -> str:
+    """``dedup_clusters`` twin: connected components over the minhash
+    near-dup graph via a recursive transitive closure (UNION dedups the
+    frontier), cluster id = min doc_id of the component; isolated docs
+    are their own singleton cluster."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes(table)},\n"
+        f"edges AS (SELECT a, b FROM jac WHERE jaccard >= {threshold}),\n"
+        "sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),\n"
+        "reach(a, b) AS (\n"
+        f"  SELECT doc_id AS a, doc_id AS b FROM {table}\n"
+        "  UNION\n"
+        "  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)\n"
+        "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+    )

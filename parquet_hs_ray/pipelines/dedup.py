@@ -422,6 +422,52 @@ def dedup_simhash(docs: "ray.data.Dataset", max_hamming: int = 3,
     return out
 
 
+def dedup_clusters(docs: "ray.data.Dataset", threshold: float = 0.8,
+                   ngram: int = 3, pairs: pd.DataFrame | None = None) -> "ray.data.Dataset":
+    """Near-duplicate CLUSTERS: connected components over the minhash
+    near-dup pair graph; every doc maps to cluster_id = min(doc_id) of
+    its component (isolated docs are singleton clusters of themselves).
+
+    SQL twin: recursive transitive closure over the same pair graph
+    (``sql_oracles.minhash_clusters_sql``).
+
+    Scale shape: the PAIR LIST is tiny relative to the corpus (that is
+    the point of dedup); union-find over it runs on the driver with ids
+    only, the id->cluster mapping broadcasts once via ``ray.put``, and
+    assignment is one vectorized ``map_batches`` over the corpus. If the
+    pair graph itself outgrew one node, swap the driver union-find for
+    iterated min-label joins — the broadcast/assign stages stay as-is."""
+    if pairs is None:
+        pairs = dedup_minhash(docs, threshold=threshold, ngram=ngram)
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by id order -> root is always the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = {x: find(x) for x in list(parent)}
+    map_ref = ray.put(mapping)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        ids = batch["doc_id"]
+        return pd.DataFrame({"doc_id": ids,
+                             "cluster_id": ids.map(m).fillna(ids).astype(ids.dtype)})
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
 def embedding_neardup_pairs(emb: "ray.data.Dataset", tau: float = 0.5,
                             rows_per_block: int = 65536,
                             max_in_flight: int | None = None) -> pd.DataFrame:

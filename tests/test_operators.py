@@ -872,3 +872,52 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
            .reset_index(drop=True)[ours.columns.tolist()])
     pd.testing.assert_frame_equal(ours, ref, check_dtype=False)
     assert ours["matched_event_id"].isna().any()  # some purchases precede any click
+
+
+def test_dedup_clusters_transitive(docs):
+    """Connected components: a chain a-b, b-c (no direct a-c pair) must
+    land in ONE cluster labeled min(id); isolated docs are singletons.
+    Checked against a BFS reference over the same pair graph."""
+    from collections import deque
+
+    from parquet_hs_ray.pipelines.dedup import dedup_clusters, dedup_minhash
+
+    pairs = dedup_minhash(docs, threshold=0.8)
+    got = (dedup_clusters(docs, pairs=pairs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # BFS reference
+    adj: dict = {}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label: dict = {}
+    for start in sorted(adj):
+        if start in label:
+            continue
+        comp, q = [], deque([start])
+        seen = {start}
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        root = min(comp)
+        for x in comp:
+            label[x] = root
+    expect = got["doc_id"].map(lambda d: label.get(d, d))
+    assert (got["cluster_id"] == expect).all()
+    # sanity: at least one real multi-doc cluster exists in the corpus
+    assert (got["cluster_id"] != got["doc_id"]).any()
+
+    # synthetic chain: a-b and b-c pairs only -> one cluster
+    chain = pd.DataFrame({"a": [10, 20], "b": [20, 30], "jaccard": [0.9, 0.9]})
+    import pyarrow as pa
+    import ray.data
+
+    tiny = ray.data.from_arrow(pa.table({"doc_id": pa.array([5, 10, 20, 30], pa.int64())}))
+    out = (dedup_clusters(tiny, pairs=chain).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["cluster_id"].tolist() == [5, 10, 10, 10]
