@@ -16,7 +16,7 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (36 of 44,
+Hash-exact DuckDB oracles for every SQL-expressible query (37 of 45,
 including generated-SQL twins of the full minhash-LSH pipeline, the
 simhash signature math, the rolling-fingerprint byte chain, and the int8
 quantization grid); the rows-only remainder is listed with reasons at
@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash"] = lambda sf: dedup.dedup_minhash(_read(sf, "documents"))
     q["dedup_simhash"] = lambda sf: dedup.dedup_simhash(_read(sf, "documents"))
     q["dedup_clusters"] = lambda sf: dedup.dedup_clusters(_read(sf, "documents"))
+    q["dedup_jaccard"] = lambda sf: dedup.dedup_jaccard(_read(sf, "documents"))
     q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
     q["emb_neardup_ivf"] = lambda sf: dedup.embedding_neardup_pairs_ivf(_read(sf, "embeddings"), tau=0.5)
 
@@ -472,6 +473,11 @@ def oracle_sql() -> dict[str, str]:
     from parquet_hs_ray.functions.sql_oracles import minhash_clusters_sql
 
     o["dedup_clusters"] = minhash_clusters_sql("documents", threshold=0.8)
+    # dedup_jaccard: EXACT all-pairs n-gram Jaccard (no LSH) — complete
+    # via the shingle-intersection join for any threshold > 0
+    from parquet_hs_ray.functions.sql_oracles import jaccard_pairs_sql
+
+    o["dedup_jaccard"] = jaccard_pairs_sql("documents", threshold=0.8)
     # emb_quantize / emb_dequantize: the int8 grid math re-expressed over
     # list lambdas; round_even matches numpy's banker's rounding, and the
     # float32 boundaries are reproduced by computing in DOUBLE (exact for

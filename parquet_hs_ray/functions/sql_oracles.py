@@ -155,6 +155,15 @@ wh AS MATERIALIZED (
 )"""
 
 
+_SH0 = (
+    "SELECT a.doc_id, a.wpos, 0::HUGEINT AS h, "
+    "a.whash AS c0, b.whash AS c1, c.whash AS c2 "
+    "FROM wh a "
+    "JOIN wh b ON b.doc_id = a.doc_id AND b.wpos = a.wpos + 1 "
+    "JOIN wh c ON c.doc_id = a.doc_id AND c.wpos = a.wpos + 2"
+)
+
+
 def _minhash_ctes(table: str) -> str:
     """The shared WITH-body (word hashes -> ... -> jac) used by both
     ``minhash_pairs_sql`` and ``minhash_clusters_sql``."""
@@ -167,14 +176,7 @@ def _minhash_ctes(table: str) -> str:
     mask61 = (1 << 61) - 1
     umax = (1 << 64) - 1
 
-    sh0 = (
-        "SELECT a.doc_id, a.wpos, 0::HUGEINT AS h, "
-        "a.whash AS c0, b.whash AS c1, c.whash AS c2 "
-        "FROM wh a "
-        "JOIN wh b ON b.doc_id = a.doc_id AND b.wpos = a.wpos + 1 "
-        "JOIN wh c ON c.doc_id = a.doc_id AND c.wpos = a.wpos + 2"
-    )
-    shingle_q = _chain_splitmix(sh0, 3)
+    shingle_q = _chain_splitmix(_SH0, 3)
 
     bands_in = (
         "SELECT doc_id, band, 0::HUGEINT AS h, "
@@ -263,3 +265,42 @@ def minhash_clusters_sql(table: str = "documents", threshold: float = 0.8) -> st
         "  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)\n"
         "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
     )
+
+
+def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.8) -> str:
+    """``dedup_jaccard`` twin: EXACT all-pairs word-ngram Jaccard >=
+    threshold over distinct shingle-hash sets — the intersection join on
+    shingle hash only reaches pairs with ninter > 0, which is complete
+    for any threshold > 0; pairs of zero-shingle docs score 1.0 (the
+    kernel's convention) and are added explicitly."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, wpos, h FROM ({shingle_q})
+),
+sets AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shingle_h),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS nsz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ninter
+  FROM sets sa JOIN sets sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+jpos AS (
+  SELECT i.a, i.b, i.ninter::DOUBLE / (za.nsz + zb.nsz - i.ninter) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+),
+empties AS (
+  SELECT d.doc_id FROM {table} d LEFT JOIN sizes s USING (doc_id)
+  WHERE s.doc_id IS NULL
+)
+SELECT a, b, jaccard FROM (
+  SELECT * FROM jpos WHERE jaccard >= {threshold}
+  UNION ALL
+  SELECT e1.doc_id AS a, e2.doc_id AS b, 1.0 AS jaccard
+  FROM empties e1 JOIN empties e2 ON e1.doc_id < e2.doc_id
+  WHERE 1.0 >= {threshold})
+ORDER BY a, b
+"""

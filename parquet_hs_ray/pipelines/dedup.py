@@ -422,6 +422,75 @@ def dedup_simhash(docs: "ray.data.Dataset", max_hamming: int = 3,
     return out
 
 
+def dedup_jaccard(docs: "ray.data.Dataset", threshold: float = 0.8,
+                  ngram: int = 3, rows_per_block: int = 65536,
+                  max_in_flight: int | None = None) -> pd.DataFrame:
+    """EXACT all-pairs word-ngram Jaccard >= threshold — no LSH, no
+    candidate recall loss (the brief's standalone "n-gram Jaccard" dedup
+    entry; use :func:`dedup_minhash` at corpus scale, this as the exact
+    verifier / small-corpus path).
+
+    Shape mirrors ``embedding_neardup_pairs``: per-doc sorted-unique
+    shingle-hash SETS are computed once (sketches, ~8 B/shingle — text
+    never leaves its block), held as object-store blocks, and one bounded
+    ``ray.wait``-windowed task per unordered block pair intersects the
+    sets. Pairs of zero-shingle docs score jaccard 1.0, matching
+    ``sketches.jaccard_pairs``."""
+    sk_ds = minhash_sketches(docs, ngram=ngram).materialize()
+    n = sk_ds.count()
+    target_blocks = max(1, -(-n // rows_per_block))
+    if sk_ds.num_blocks() != target_blocks:
+        sk_ds = sk_ds.repartition(target_blocks).materialize()
+    refs = sk_ds.to_arrow_refs()
+
+    def _rows(t) -> tuple[np.ndarray, list[np.ndarray]]:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return ids, _sketch_rows(t["shingles"].combine_chunks())
+
+    @ray.remote(num_cpus=1)
+    def block_pair(ta, tb, thr: float) -> pd.DataFrame:
+        ids_a, rows_a = _rows(ta)
+        ids_b, rows_b = _rows(tb)
+        same = ta is tb or (len(ids_a) == len(ids_b) and (ids_a == ids_b).all())
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids_a)):
+            j0 = i + 1 if same else 0
+            for j in range(j0, len(ids_b)):
+                if ids_a[i] == ids_b[j]:
+                    continue
+                a_set, b_set = rows_a[i], rows_b[j]
+                if len(a_set) == 0 and len(b_set) == 0:
+                    jac = 1.0
+                else:
+                    inter = len(np.intersect1d(a_set, b_set, assume_unique=True))
+                    jac = inter / (len(a_set) + len(b_set) - inter)
+                if jac >= thr:
+                    lo, hi = (ids_a[i], ids_b[j]) if ids_a[i] < ids_b[j] else (ids_b[j], ids_a[i])
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_j.append(jac)
+        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
+                             "b": np.asarray(out_b, dtype=np.int64),
+                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    if max_in_flight is None:
+        max_in_flight = max(8, 4 * int(ray.available_resources().get("CPU", 8)))
+    frames, pending = [], []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            if len(pending) >= max_in_flight:
+                done, pending = ray.wait(pending, num_returns=1)
+                frames.extend(ray.get(done))
+            pending.append(block_pair.remote(refs[i], refs[j], threshold))
+    frames.extend(ray.get(pending))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+         "jaccard": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def dedup_clusters(docs: "ray.data.Dataset", threshold: float = 0.8,
                    ngram: int = 3, pairs: pd.DataFrame | None = None) -> "ray.data.Dataset":
     """Near-duplicate CLUSTERS: connected components over the minhash

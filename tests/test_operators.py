@@ -921,3 +921,42 @@ def test_dedup_clusters_transitive(docs):
     out = (dedup_clusters(tiny, pairs=chain).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert out["cluster_id"].tolist() == [5, 10, 10, 10]
+
+
+def test_dedup_jaccard_exact_allpairs(docs):
+    """Standalone exact n-gram Jaccard: matches a local brute-force over
+    the same sketch sets, is a superset-of-or-equal to LSH recall, and is
+    invariant to blocking (block-pair decomposition)."""
+    from parquet_hs_ray.functions import sketches as sk
+    from parquet_hs_ray.pipelines.dedup import dedup_jaccard, dedup_minhash
+
+    got = dedup_jaccard(docs, threshold=0.8)
+    # local reference
+    raw = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    n_sh, hashes = sk.word_ngram_hashes(raw["text"], n=3)
+    offs = np.concatenate([[0], np.cumsum(n_sh)])
+    sets = [np.unique(hashes[offs[i]:offs[i + 1]]) for i in range(len(raw))]
+    ids = raw["doc_id"].to_numpy()
+    exp = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[i], sets[j]
+            if len(a) == 0 and len(b) == 0:
+                jac = 1.0
+            else:
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                jac = inter / (len(a) + len(b) - inter)
+            if jac >= 0.8:
+                exp.append((min(ids[i], ids[j]), max(ids[i], ids[j]), jac))
+    exp = pd.DataFrame(exp, columns=["a", "b", "jaccard"]).sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype({"a": np.int64, "b": np.int64}))
+
+    # LSH output must be a subset (here: equal recall or less)
+    lsh = dedup_minhash(docs, threshold=0.8)
+    lset = set(zip(lsh["a"], lsh["b"]))
+    gset = set(zip(got["a"], got["b"]))
+    assert lset <= gset
+
+    # blocking invariance
+    small = dedup_jaccard(docs, threshold=0.8, rows_per_block=7)
+    pd.testing.assert_frame_equal(small, got)
