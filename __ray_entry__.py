@@ -16,7 +16,7 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (37 of 45,
+Hash-exact DuckDB oracles for every SQL-expressible query (38 of 46,
 including generated-SQL twins of the full minhash-LSH pipeline, the
 simhash signature math, the rolling-fingerprint byte chain, and the int8
 quantization grid); the rows-only remainder is listed with reasons at
@@ -258,6 +258,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          right_cols=("event_id", "value"))
 
     q["events_asof"] = events_asof
+
+    def events_range_join(sf):
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.joins import range_join
+
+        ev = _read(sf, "events")
+        left = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+            batch_format="pyarrow")
+        right = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")),
+            batch_format="pyarrow")
+        return range_join(left, right, key="user_id", ts="ts",
+                          window_us=7_200_000_000,
+                          left_cols=("event_id",), right_cols=("event_id",))
+
+    q["events_range_join"] = events_range_join
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
     q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
     q["events_hopping"] = lambda sf: win.hopping_window(_read(sf, "events"))
@@ -432,6 +450,16 @@ def oracle_sql() -> dict[str, str]:
         " SELECT l.user_id, l.ts, l.event_id,"
         "   r1.event_id AS matched_event_id, r1.value AS matched_value"
         " FROM l ASOF LEFT JOIN r1 ON l.user_id = r1.user_id AND l.ts >= r1.ts"
+    )
+    # events_range_join: plain inequality join is the oracle (all clicks
+    # in the 2h window preceding each purchase, per user)
+    o["events_range_join"] = (
+        "SELECT l.user_id, l.ts, l.event_id,"
+        " r.event_id AS matched_event_id, r.ts AS matched_ts"
+        " FROM (SELECT * FROM events WHERE event_type = 'purchase') l"
+        " JOIN (SELECT * FROM events WHERE event_type = 'click') r"
+        " ON l.user_id = r.user_id AND r.ts <= l.ts"
+        " AND r.ts >= l.ts - INTERVAL 2 HOUR"
     )
     o["events_window"] = (
         "SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS win, "

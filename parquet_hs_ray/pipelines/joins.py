@@ -138,3 +138,131 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     res = pd.concat([p for p in parts if len(p)], ignore_index=True)
     sort_cols = [key, ts] + list(left_cols)
     return res.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+
+
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str = "user_id", ts: str = "ts", window_us: int = 1_800_000_000,
+               left_cols: tuple[str, ...] = ("event_id",),
+               right_cols: tuple[str, ...] = ("event_id",),
+               prefix: str = "matched_") -> pd.DataFrame:
+    """Range (interval) join: ALL (left, right) pairs with equal ``key``
+    and ``left.ts - window_us <= right.ts <= left.ts`` — the "events in
+    the preceding window" join. DuckDB twin: a plain inequality join.
+
+    Same machinery as :func:`asof_join` — one sort on (key, ts, side),
+    per-block vectorized matching via two ``searchsorted`` bounds per key
+    segment (no per-row loop), plus a per-block carry of the last key's
+    rights still inside the window at the block boundary (bounded by the
+    window length, folded left-to-right as tiny tables)."""
+    lcols = [f"l_{c}" for c in left_cols]
+    rcols = [f"r_{c}" for c in right_cols]
+
+    def tag(side: int, keep_l: bool):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {key: t[key], ts: t[ts],
+                    "_side": pa.array(np.full(t.num_rows, side, np.int8))}
+            for c in left_cols:
+                cols[f"l_{c}"] = t[c] if keep_l else pa.nulls(t.num_rows, t.schema.field(c).type)
+            for c in right_cols:
+                cols[f"r_{c}"] = pa.nulls(t.num_rows, t.schema.field(c).type) if keep_l else t[c]
+            return pa.table(cols)
+        return f
+
+    both = left.map_batches(tag(1, True), batch_format="pyarrow").union(
+        right.map_batches(tag(0, False), batch_format="pyarrow"))
+    srt = both.sort([key, ts, "_side"]).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def summary(t):
+        """Rights of the block's LAST key within window_us of its last ts
+        (the only rows that can match lefts in later blocks)."""
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        df = t.to_pandas()
+        last_key = df[key].iloc[-1]
+        last_ts = df[ts].iloc[-1]
+        g = df[(df[key] == last_key) & (df["_side"] == 0)]
+        g = g[g[ts] >= last_ts - pd.Timedelta(microseconds=window_us)]
+        return (last_key, last_ts, g[[key, ts] + rcols])
+
+    sums = ray.get([summary.remote(r) for r in refs])
+    carries: list[pd.DataFrame | None] = [None] * len(refs)
+    running: pd.DataFrame | None = None
+    run_key = None
+    for i, s in enumerate(sums):
+        carries[i] = running if (running is not None and len(running)) else None
+        if s is None:
+            continue
+        last_key, last_ts, rows = s
+        if run_key is not None and run_key == last_key and running is not None:
+            # same key continues: keep earlier-block rights still in window
+            # (row sets from different blocks are disjoint — no dedup, a
+            # legitimate duplicate right event must stay duplicated)
+            prev = running[running[ts] >= last_ts - pd.Timedelta(microseconds=window_us)]
+            rows = pd.concat([prev, rows], ignore_index=True)
+        running, run_key = rows, last_key
+
+    left_schema, right_schema = left.schema(), right.schema()
+    l_dtypes = {c: left_schema.types[left_schema.names.index(c)].to_pandas_dtype()
+                for c in left_cols}
+    r_dtypes = {c: right_schema.types[right_schema.names.index(c)].to_pandas_dtype()
+                for c in right_cols}
+
+    @ray.remote(num_cpus=1)
+    def block_match(t, carry):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        frames = []
+        lefts = df[df["_side"] == 1]
+        rights = df[df["_side"] == 0][[key, ts] + rcols]
+        if carry is not None and len(lefts):
+            first_key = df[key].iloc[0]
+            c = carry[carry[key] == first_key]
+            if len(c):
+                rights = pd.concat([c, rights], ignore_index=True).sort_values(
+                    [key, ts], kind="stable")
+        if len(lefts) == 0 or len(rights) == 0:
+            return pd.DataFrame(columns=[key, ts, *left_cols,
+                                         *(prefix + c for c in right_cols),
+                                         prefix + ts])
+        for k, lg in lefts.groupby(key, sort=False):
+            rg = rights[rights[key] == k]
+            if len(rg) == 0:
+                continue
+            rts = rg[ts].to_numpy()
+            lts = lg[ts].to_numpy()
+            lo = np.searchsorted(rts, lts - np.timedelta64(window_us, "us"), side="left")
+            hi = np.searchsorted(rts, lts, side="right")
+            n_per = hi - lo
+            m = n_per > 0
+            if not m.any():
+                continue
+            li = np.repeat(np.arange(len(lg))[m], n_per[m])
+            from ..codecs.hybrid_columnar import _ragged_indices
+
+            ri = _ragged_indices(lo[m].astype(np.int64), n_per[m].astype(np.int64))
+            out = pd.DataFrame({key: lg[key].to_numpy()[li], ts: lts[li]})
+            for c in left_cols:
+                # both sides' columns are non-null in matches: restore the
+                # original dtypes the union's nullability widened away
+                out[c] = lg[f"l_{c}"].to_numpy()[li].astype(l_dtypes[c])
+            for c in right_cols:
+                out[prefix + c] = rg[f"r_{c}"].to_numpy()[ri].astype(r_dtypes[c])
+            out[prefix + ts] = rts[ri]
+            frames.append(out)
+        if not frames:
+            return pd.DataFrame(columns=[key, ts, *left_cols,
+                                         *(prefix + c for c in right_cols),
+                                         prefix + ts])
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ray.get([block_match.remote(r, carries[i]) for i, r in enumerate(refs)])
+    res = pd.concat([p for p in parts if len(p)], ignore_index=True)
+    if not len(res):
+        return parts[0]
+    sort_cols = [key, ts] + list(left_cols) + [prefix + ts]
+    return res.sort_values(sort_cols, kind="stable").reset_index(drop=True)

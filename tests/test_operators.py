@@ -960,3 +960,39 @@ def test_dedup_jaccard_exact_allpairs(docs):
     # blocking invariance
     small = dedup_jaccard(docs, threshold=0.8, rows_per_block=7)
     pd.testing.assert_frame_equal(small, got)
+
+
+def test_range_join_matches_pandas(ray_session):
+    """range_join == local per-user window scan, with 16 sort blocks so
+    window-bounded boundary carries are exercised; duplicate right events
+    at identical ts must appear once per occurrence (no dedup)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from parquet_hs_ray.pipelines.joins import range_join
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", override_num_blocks=16)
+    W = 7_200_000_000
+    left = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+                          batch_format="pyarrow")
+    right = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")),
+                           batch_format="pyarrow")
+    ours = range_join(left, right, window_us=W,
+                      left_cols=("event_id",), right_cols=("event_id",))
+
+    raw = pd.read_parquet(f"{SF}/events.parquet")
+    lp = raw[raw.event_type == "purchase"]
+    rp = raw[raw.event_type == "view"]
+    rows = []
+    for _, l in lp.iterrows():
+        cand = rp[(rp.user_id == l.user_id) & (rp.ts <= l.ts)
+                  & (rp.ts >= l.ts - pd.Timedelta(microseconds=W))]
+        for _, r in cand.iterrows():
+            rows.append((l.user_id, l.ts, l.event_id, r.event_id, r.ts))
+    ref = (pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                       "matched_event_id", "matched_ts"])
+           .sort_values(["user_id", "ts", "event_id", "matched_ts"], kind="stable")
+           .reset_index(drop=True))
+    assert len(ref) > 0
+    ref = ref.astype({"ts": "datetime64[us]", "matched_ts": "datetime64[us]"})
+    pd.testing.assert_frame_equal(ours, ref[ours.columns.tolist()])
