@@ -37,12 +37,13 @@ def dedup_exact(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(batch["text"])})
+        return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(batch["text"]),
+                             "n_dups": np.ones(len(batch), dtype=np.int64)})
 
-    from ray.data.aggregate import Count, Min
+    from .groupagg import grouped_agg
 
     hashed = docs.map_batches(add_hash, batch_format="pandas")
-    agg = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+    agg = grouped_agg(hashed, ["h"], {"doc_id": "min", "n_dups": "sum"})
     return agg.select_columns(["doc_id", "n_dups"])
 
 
@@ -623,12 +624,18 @@ def dedup_assign(docs: "ray.data.Dataset", num_partitions: int | None = None) ->
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(batch["text"])})
 
-    from ray.data.aggregate import Min
+    from .groupagg import grouped_agg
 
     idt = _id_type(docs, "doc_id")
     hashed = _enforce_schema(docs.map_batches(add_hash, batch_format="pandas"),
                              pa.schema([("doc_id", idt), ("h", pa.string())]))
-    mapping = hashed.groupby("h").aggregate(Min("doc_id", alias_name="canonical_id"))
+    mapping = grouped_agg(
+        hashed.map_batches(
+            lambda b: pd.DataFrame({"h": b["h"], "canonical_id": b["doc_id"]}),
+            batch_format="pandas",
+        ),
+        ["h"], {"canonical_id": "min"},
+    )
     mapping = _enforce_schema(mapping, pa.schema([("h", pa.string()), ("canonical_id", idt)]))
     mapping = _drop_empty_blocks(mapping.materialize())
     if mapping is None:
@@ -705,11 +712,11 @@ def dedup_normalized(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         norm = (batch["text"].fillna("").str.lower()
                 .str.replace(r"\s+", " ", regex=True).str.strip())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(norm)})
+        return pd.DataFrame({"doc_id": batch["doc_id"], "h": md5_hex(norm),
+                             "n_dups": np.ones(len(batch), dtype=np.int64)})
 
-    from ray.data.aggregate import Count, Min
+    from .groupagg import grouped_agg
 
     hashed = docs.map_batches(add_hash, batch_format="pandas")
-    agg = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"),
-                                        Count(alias_name="n_dups"))
+    agg = grouped_agg(hashed, ["h"], {"doc_id": "min", "n_dups": "sum"})
     return agg.select_columns(["doc_id", "n_dups"])

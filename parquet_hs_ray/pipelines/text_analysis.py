@@ -143,11 +143,9 @@ def top_terms(docs: "ray.data.Dataset", k: int = 50) -> pd.DataFrame:
         uniq, counts = np.unique(flat, return_counts=True)
         return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
 
-    from ray.data.aggregate import Sum
+    from .groupagg import grouped_sum
 
-    agg = docs.map_batches(partial, batch_format="pandas").groupby("word").aggregate(
-        Sum("n", alias_name="n")
-    )
+    agg = grouped_sum(docs.map_batches(partial, batch_format="pandas"), ["word"], ["n"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         if "word" not in batch.columns or not len(batch):
@@ -181,10 +179,12 @@ def doc_top_terms(docs: "ray.data.Dataset", k: int = 3) -> "ray.data.Dataset":
         return pd.DataFrame({"word": key["w"].to_numpy(),
                              "one": np.ones(len(key), dtype=np.int64)})
 
-    from ray.data.aggregate import Sum
+    from .groupagg import grouped_sum
 
-    df_ds = (docs.map_batches(distinct_pairs, batch_format="pandas")
-                 .groupby("word").aggregate(Sum("one", alias_name="df")))
+    df_ds = (grouped_sum(docs.map_batches(distinct_pairs, batch_format="pandas"),
+                         ["word"], ["one"])
+             .map_batches(lambda b: b.rename(columns={"one": "df"}),
+                          batch_format="pandas"))
     # the df table is vocabulary-sized (not corpus-sized); at true web scale
     # swap this broadcast for a hash join on word
     df_pdf = df_ds.to_pandas()

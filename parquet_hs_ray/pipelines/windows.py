@@ -45,12 +45,9 @@ def tumbling_window(events: "ray.data.Dataset", window_us: int = _HOUR_US) -> "r
         return out.reset_index()
 
     partials = events.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    from .groupagg import grouped_sum
 
-    agg = partials.groupby(["user_id", "win"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
-    )
+    agg = grouped_sum(partials, ["user_id", "win"], ["n_events", "sum_value"])
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         batch["n_events"] = batch["n_events"].astype(np.int64)
@@ -72,11 +69,12 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
        the shuffle carries only (user_id, ts).
     2. one VECTORIZED partial row per (user, block): event count, break
        count (numpy diff over the sorted block), min/max ts.
-    3. ``groupby(user).aggregate(Sum)`` over partials — no map_groups.
-    4. users straddling a block boundary (at most 2x #blocks of them)
-       get a junction correction: their partial rows (tiny) are pulled
-       once, adjacent-gap breaks counted, and the per-user correction is
-       broadcast into the finishing map_batches.
+    3. ``groupagg.sorted_block_aggregate`` merges fragments: vectorized
+       per sorted block, with only block-edge rows (users straddling a
+       boundary are necessarily first/last in their block) re-merged —
+       junction breaks between a user's time-disjoint fragments are
+       counted inside the same kernel, so nothing per-user ever reaches
+       the driver.
     """
     s = events.select_columns(["user_id", "ts"]).sort(["user_id", "ts"])
 
@@ -100,39 +98,39 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
                              "n_breaks": b_per.astype(np.int64),
                              "min_ts": ts[starts], "max_ts": ts[starts + counts - 1]})
 
-    partials = s.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
-    from ray.data.aggregate import Count, Sum
+    partials = s.map_batches(partial, batch_format="pandas", batch_size=None)
+    from .groupagg import sorted_block_aggregate
 
-    agg = partials.groupby("user_id").aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("n_breaks", alias_name="n_breaks"),
-        Count(alias_name="n_parts"),
-    )
+    def merge_fragments(df: pd.DataFrame) -> pd.DataFrame:
+        """Merge per-(user, block) fragments: sum events/breaks, count a
+        junction break when the gap between a user's time-disjoint
+        adjacent fragments exceeds the threshold.  Self-decomposable
+        (output rows are again valid fragments), so it serves as both the
+        per-block and the edge-merge kernel."""
+        if not len(df):
+            return df
+        df = df.sort_values(["user_id", "min_ts"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        min_ts = df["min_ts"].to_numpy()
+        max_ts = df["max_ts"].to_numpy()
+        same = u[1:] == u[:-1]
+        junction = (same & (min_ts[1:] - max_ts[:-1] > gap_us)).astype(np.int64)
+        tmp = pd.DataFrame({
+            "user_id": u,
+            "n_events": df["n_events"].to_numpy(),
+            "n_breaks": df["n_breaks"].to_numpy() + np.concatenate([[0], junction]),
+            "min_ts": min_ts, "max_ts": max_ts,
+        })
+        return tmp.groupby("user_id", sort=True, as_index=False).agg(
+            n_events=("n_events", "sum"), n_breaks=("n_breaks", "sum"),
+            min_ts=("min_ts", "min"), max_ts=("max_ts", "max"))
 
-    # junction corrections for block-straddling users (tiny by construction)
-    straddlers = agg.map_batches(
-        lambda b: b.loc[b["n_parts"] > 1, ["user_id"]], batch_format="pandas"
-    ).to_pandas()
-    corr: dict = {}
-    if len(straddlers):
-        sset = set(straddlers["user_id"])
-        rows = partials.map_batches(
-            lambda b: b[b["user_id"].isin(sset)], batch_format="pandas"
-        ).to_pandas()
-        for uid, g in rows.groupby("user_id"):
-            g = g.sort_values("min_ts")
-            gaps = g["min_ts"].to_numpy()[1:] - g["max_ts"].to_numpy()[:-1]
-            corr[uid] = int((gaps > gap_us).sum())
-    import ray
-
-    corr_ref = ray.put(corr)
+    agg = sorted_block_aggregate(partials, ["user_id"], merge_fragments, merge_fragments)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(corr_ref)
-        junction = batch["user_id"].map(c).fillna(0).astype(np.int64) if c else 0
         return pd.DataFrame({
             "user_id": batch["user_id"],
-            "n_sessions": (batch["n_breaks"] + junction + 1).astype(np.int64),
+            "n_sessions": (batch["n_breaks"] + 1).astype(np.int64),
             "n_events": batch["n_events"].astype(np.int64),
         })
 
@@ -166,12 +164,9 @@ def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
         return out.reset_index()
 
     partials = events.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
+    from .groupagg import grouped_sum
 
-    agg = partials.groupby(["user_id", "win"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
-    )
+    agg = grouped_sum(partials, ["user_id", "win"], ["n_events", "sum_value"])
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         batch["n_events"] = batch["n_events"].astype(np.int64)
