@@ -306,7 +306,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(cols)
 
     q["golden_parquet_decode"] = golden_parquet_decode
+
+    from parquet_hs_ray.pipelines import cleaning
+    from parquet_hs_ray.pipelines import stats as pstats
+
+    q["doc_scrub"] = lambda sf: cleaning.scrub_patterns(
+        _read(sf, "documents"), _SCRUB_RULES)
+    q["doc_line_dedup"] = lambda sf: cleaning.line_dedup(
+        _read(sf, "documents"), words_per_line=10)
+
+    def doc_decontaminate(sf):
+        docs = _read(sf, "documents")
+        bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
+                                 batch_format="pandas")
+        corpus = docs.map_batches(lambda b: b[b["doc_id"] % 17 != 0],
+                                  batch_format="pandas")
+        return cleaning.decontaminate(corpus, bench, ngram=3)
+
+    q["doc_decontaminate"] = doc_decontaminate
+    q["events_quantiles"] = lambda sf: pstats.grouped_quantiles(
+        _read(sf, "events"), "event_type", "value", (0.5, 0.95))
     return q
+
+
+# PII-style scrub rules for the demo query: the rule list is data; these
+# two hit the synthetic corpus (which has no emails/phones) so the
+# redaction path is actually exercised end-to-end.
+_SCRUB_RULES = [(r"\b(customer|part)\b", "<ENT>"), (r"\b(value|key)\b", "<VAL>")]
 
 
 _WS_COUNT = (
@@ -558,4 +584,42 @@ def oracle_sql() -> dict[str, str]:
     # / emb_neardup_ivf (approximate by design, recall-tested instead),
     # media_features (opaque-bytes fake path), media_real_decode (real
     # stdlib PNG/WAV decode; content equality pytest-asserted).
+    # sequential scrub: each rule counted against the text as the
+    # previous rules left it (nested projections mirror the kernel)
+    p1, r1 = _SCRUB_RULES[0]
+    p2, r2 = _SCRUB_RULES[1]
+    o["doc_scrub"] = (
+        f"SELECT doc_id, t2 AS text, (c1 + c2)::BIGINT AS n_redactions FROM ("
+        f" SELECT doc_id, regexp_replace(t1, '{p2}', '{r2}', 'g') AS t2, c1,"
+        f" len(regexp_extract_all(t1, '{p2}'))::BIGINT AS c2 FROM ("
+        f"  SELECT doc_id, regexp_replace(text, '{p1}', '{r1}', 'g') AS t1,"
+        f"  len(regexp_extract_all(text, '{p1}'))::BIGINT AS c1"
+        f"  FROM documents))"
+    )
+    o["doc_line_dedup"] = """
+WITH words AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents)
+),
+lines AS MATERIALIZED (
+  SELECT doc_id, ((i - 1) // 10)::BIGINT AS line_no,
+         string_agg(arr[i], ' ' ORDER BY i) AS line
+  FROM words GROUP BY doc_id, (i - 1) // 10
+),
+firsts AS (
+  SELECT line, min(doc_id * 1048576 + line_no) AS okey FROM lines GROUP BY line
+)
+SELECT l.doc_id, l.line_no, l.line
+FROM lines l JOIN firsts f
+  ON f.line = l.line AND l.doc_id * 1048576 + l.line_no = f.okey
+ORDER BY doc_id, line_no
+"""
+    from parquet_hs_ray.functions.sql_oracles import decontaminate_sql
+
+    o["doc_decontaminate"] = decontaminate_sql("documents", mod=17)
+    o["events_quantiles"] = (
+        "SELECT event_type, quantile_disc(value, 0.5) AS p50,"
+        " quantile_disc(value, 0.95) AS p95"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    )
     return o

@@ -304,3 +304,31 @@ SELECT a, b, jaccard FROM (
   WHERE 1.0 >= {threshold})
 ORDER BY a, b
 """
+
+
+def decontaminate_sql(table: str = "documents", mod: int = 17) -> str:
+    """``doc_decontaminate`` twin: per non-benchmark document, the count
+    of DISTINCT word-3-gram shingle hashes shared with the benchmark set
+    (docs with doc_id % mod == 0), replaying the exact splitmix64 shingle
+    chain the Ray kernel uses (``sketches.word_ngram_hashes``)."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, h FROM ({shingle_q})
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT h FROM shingle_h WHERE doc_id % {mod} = 0
+),
+corpus AS (
+  SELECT DISTINCT doc_id, h FROM shingle_h WHERE doc_id % {mod} <> 0
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM corpus JOIN bench USING (h)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(hits.n, 0)::BIGINT AS n_shared
+FROM (SELECT doc_id FROM {table} WHERE doc_id % {mod} <> 0) d
+LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""

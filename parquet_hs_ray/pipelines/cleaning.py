@@ -1,0 +1,178 @@
+"""Corpus-cleaning operators: pattern scrubbing (PII-style redaction),
+C4-style line-level deduplication, and benchmark decontamination.
+
+These are the removal/repair stages of a training-data pipeline; the
+reference engine has none (SURVEY.md §2.5 — it is a pure storage codec),
+so like the dedup/ANN family they are mandated extensions.  All three are
+SQL-twinned (see ``__ray_entry__.oracle_sql``: ``doc_scrub``,
+``doc_line_dedup``, ``doc_decontaminate``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..functions import sketches as sk
+from ..functions.text import md5_hex
+
+# order key packs (doc_id, line_no) into one int64 so "first occurrence"
+# is a plain Min aggregate: doc_id < 2^43, line_no < 2^20 assumed (8.8e12
+# docs / 1M lines per doc — beyond either, widen to a struct min).
+_LINE_SHIFT = 1 << 20
+
+
+def scrub_patterns(docs: "ray.data.Dataset",
+                   patterns: Sequence[tuple[str, str]]) -> "ray.data.Dataset":
+    """Apply (regex -> replacement) rules in order to every document and
+    count the redactions: the PII-scrub stage (emails, phones, IDs — the
+    rules are data; the demo rules match the synthetic corpus).
+
+    Each pattern is counted against the text as it stands AFTER the
+    previous rules applied (sequential semantics, mirrored exactly by the
+    nested-projection SQL twin).  Embarrassingly parallel map_batches;
+    pandas ``str.replace``/``str.count`` run the compiled regex once per
+    batch column, no per-row Python."""
+    rules = [(str(p), str(r)) for p, r in patterns]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        total = np.zeros(len(t), dtype=np.int64)
+        for pat, rep in rules:
+            total += t.str.count(pat).to_numpy(dtype=np.int64)
+            t = t.str.replace(pat, rep, regex=True)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "text": t,
+                             "n_redactions": total})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def line_dedup(docs: "ray.data.Dataset", words_per_line: Optional[int] = None,
+               num_partitions: Optional[int] = None) -> "ray.data.Dataset":
+    """Corpus-level exact line deduplication (the C4/RefinedWeb recipe):
+    every distinct line survives exactly once, at its first occurrence in
+    (doc_id, line_no) order; all later copies are dropped.  Returns the
+    surviving lines as (doc_id, line_no, line).
+
+    ``words_per_line=None`` splits documents on newlines; an integer
+    chunks the space-split word stream into fixed-width lines instead
+    (used by the demo query — the synthetic corpus has no newlines).
+
+    Scale shape: lines are exploded inside map_batches and reduced to
+    (md5, min order-key) via ``groupagg.grouped_agg`` — the shuffle
+    carries 32-B hashes + one int64, never line text; the keep/drop
+    decision is a hash join back on md5 plus a column compare, exactly
+    the ``dedup_assign`` shape."""
+    from .dedup import _drop_empty_blocks, _enforce_schema
+    import pyarrow as pa
+
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.available_resources().get("CPU", 4))))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].to_numpy()
+        if words_per_line is None:
+            lines = texts.str.split("\n")
+            nl = lines.str.len().to_numpy(dtype=np.int64)
+            doc = np.repeat(ids, nl)
+            ln = np.arange(int(nl.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(nl) - nl, nl)
+            flat = (np.concatenate([np.asarray(x, dtype=object) for x in lines])
+                    if nl.sum() else np.empty(0, dtype=object))
+        else:
+            # chunk the space-split word stream into fixed-width lines
+            # (split(' ') of "" is [""]: empty docs yield one empty line,
+            # matching the SQL twin's string_split semantics)
+            w = int(words_per_line)
+            words = texts.str.split(" ")
+            nw = words.str.len().to_numpy(dtype=np.int64)
+            doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), nw)
+            wpos = np.arange(int(nw.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(nw) - nw, nw)
+            flatw = (np.concatenate([np.asarray(x, dtype=object) for x in words])
+                     if nw.sum() else np.empty(0, dtype=object))
+            g = (pd.DataFrame({"d": doc_of, "ln": wpos // w, "w": flatw})
+                 .groupby(["d", "ln"], sort=True)["w"].agg(" ".join).reset_index())
+            doc = ids[g["d"].to_numpy()] if len(g) else np.empty(0, np.int64)
+            ln = g["ln"].to_numpy(dtype=np.int64)
+            flat = g["w"].to_numpy()
+        s = pd.Series(flat, dtype=object)
+        return pd.DataFrame({
+            "doc_id": doc, "line_no": ln, "line": s.to_numpy(),
+            "h": md5_hex(s),
+            "okey": doc * _LINE_SHIFT + ln,
+        })
+
+    from .groupagg import grouped_agg
+
+    lines_schema = pa.schema([("doc_id", pa.int64()), ("line_no", pa.int64()),
+                              ("line", pa.string()), ("h", pa.string()),
+                              ("okey", pa.int64())])
+    lines = _enforce_schema(docs.map_batches(explode, batch_format="pandas"),
+                            lines_schema)
+
+    firsts = grouped_agg(
+        lines.map_batches(
+            lambda b: pd.DataFrame({"h": b["h"], "first_okey": b["okey"]}),
+            batch_format="pandas"),
+        ["h"], {"first_okey": "min"})
+    firsts = _enforce_schema(firsts, pa.schema([("h", pa.string()),
+                                                ("first_okey", pa.int64())]))
+    firsts = _drop_empty_blocks(firsts.materialize())
+    if firsts is None:
+        return lines.select_columns(["doc_id", "line_no", "line"])
+    j = lines.join(firsts, join_type="inner", num_partitions=num_partitions,
+                   on=("h",))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[batch["okey"] == batch["first_okey"]]
+        return k[["doc_id", "line_no", "line"]]
+
+    return j.map_batches(keep, batch_format="pandas")
+
+
+def decontaminate(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
+                  ngram: int = 3) -> "ray.data.Dataset":
+    """Per corpus document: how many of its DISTINCT word-``ngram``
+    shingles also occur in the benchmark set ``bench`` (the eval-set
+    decontamination check: n_shared > 0 => the document leaks benchmark
+    text and should be dropped or scrubbed).
+
+    Scale shape: the benchmark side is eval suites — thousands of
+    documents vs a 100 TB corpus — so its distinct shingle-hash set is
+    broadcast once via ``ray.put`` (sorted uint64 array, 8 B/shingle) and
+    probed with a vectorized ``searchsorted`` per corpus batch; the
+    corpus is never shuffled at all.  Shingle hashing is the exact
+    splitmix64 chain the minhash pipeline uses, so the DuckDB twin
+    replays it bit-exact."""
+    parts = []
+    for b in bench.map_batches(
+            lambda d: pd.DataFrame({"h": np.unique(sk.word_ngram_hashes(d["text"], n=ngram)[1])}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        parts.append(b["h"].to_numpy(dtype=np.uint64))
+    bench_set = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    ref = ray.put(bench_set)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        n_sh, h = sk.word_ngram_hashes(batch["text"], n=ngram)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
+        if len(h):
+            dd = pd.DataFrame({"d": doc_of, "h": h}).drop_duplicates()
+            hit = np.zeros(len(dd), dtype=bool)
+            if len(bs):
+                pos = np.searchsorted(bs, dd["h"].to_numpy())
+                ok = pos < len(bs)
+                hit[ok] = bs[pos[ok]] == dd["h"].to_numpy()[ok]
+            counts = np.bincount(dd["d"].to_numpy()[hit], minlength=len(batch))
+        else:
+            counts = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_shared": counts.astype(np.int64)})
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -1,0 +1,117 @@
+"""Corpus-cleaning (scrub / line-dedup / decontaminate) and exact
+grouped-quantile operator tests at sf0.001 plus hand-built edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_scrub_patterns_sequential_semantics(ray_session):
+    """Rule 2 is counted against rule 1's OUTPUT (sequential), and the
+    redaction counter sums every rule's hits."""
+    import ray.data
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "call 555-1234 or 555-9999 now"},
+        {"doc_id": 2, "text": "no secrets here"},
+        {"doc_id": 3, "text": None},
+    ])
+    from parquet_hs_ray.pipelines.cleaning import scrub_patterns
+
+    out = (scrub_patterns(ds, [(r"\d{3}-\d{4}", "<PHONE>"),
+                               (r"<PHONE>( or <PHONE>)?", "<CONTACT>")])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text"] == "call <CONTACT> now"
+    # 2 phone hits + 1 contact hit on the already-scrubbed text
+    assert out.loc[0, "n_redactions"] == 3
+    assert out.loc[1, "n_redactions"] == 0
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_redactions"] == 0
+
+
+def test_line_dedup_first_occurrence_wins(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([
+        {"doc_id": 10, "text": "alpha\nshared line\nbeta"},
+        {"doc_id": 20, "text": "shared line\ngamma\nshared line"},
+    ])
+    from parquet_hs_ray.pipelines.cleaning import line_dedup
+
+    out = (line_dedup(ds).to_pandas()
+           .sort_values(["doc_id", "line_no"]).reset_index(drop=True))
+    kept = list(zip(out["doc_id"], out["line_no"], out["line"]))
+    # "shared line" survives only at its first (doc_id, line_no) slot
+    assert (10, 1, "shared line") in kept
+    assert not any(l == "shared line" and (d, n) != (10, 1) for d, n, l in kept)
+    assert {l for _, _, l in kept} == {"alpha", "shared line", "beta", "gamma"}
+
+
+def test_line_dedup_corpus_counts(docs):
+    """Survivor multiset == distinct lines; each survivor is the global
+    first occurrence (checked against a pandas replay)."""
+    from parquet_hs_ray.pipelines.cleaning import line_dedup
+
+    out = line_dedup(docs, words_per_line=10).to_pandas()
+    raw = docs.to_pandas()
+    rows = []
+    for did, text in zip(raw["doc_id"], raw["text"].fillna("")):
+        words = text.split(" ")
+        for ln in range(0, (len(words) + 9) // 10):
+            rows.append((did, ln, " ".join(words[ln * 10:(ln + 1) * 10])))
+    ref = pd.DataFrame(rows, columns=["doc_id", "line_no", "line"])
+    ref["okey"] = ref["doc_id"] * (1 << 20) + ref["line_no"]
+    ref = ref.loc[ref.groupby("line")["okey"].idxmin(),
+                  ["doc_id", "line_no", "line"]]
+    lhs = out.sort_values(["doc_id", "line_no"]).reset_index(drop=True)
+    rhs = ref.sort_values(["doc_id", "line_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_decontaminate_planted_leak(ray_session):
+    """A corpus doc containing a benchmark passage verbatim scores
+    n_shared >= its shingle overlap; clean docs score 0."""
+    import ray.data
+
+    passage = "the capital of france is paris and it is beautiful"
+    bench = ray.data.from_items([{"doc_id": 100, "text": passage}])
+    corpus = ray.data.from_items([
+        {"doc_id": 1, "text": "prefix words here " + passage + " suffix words"},
+        {"doc_id": 2, "text": "entirely unrelated content about databases and storage"},
+    ])
+    from parquet_hs_ray.pipelines.cleaning import decontaminate
+
+    out = (decontaminate(corpus, bench, ngram=3).to_pandas()
+           .set_index("doc_id")["n_shared"])
+    assert out[1] >= 8  # 10-word passage -> 8 distinct 3-gram shingles
+    assert out[2] == 0
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    """Exact quantile_disc rule (1-based rank ceil(q*n)) per group, on a
+    skewed multi-block input."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 3000),
+        "v": rng.integers(-50, 50, 3000).astype(np.int64),
+    })
+    ds = ray.data.from_pandas([df.iloc[i:i + 300] for i in range(0, 3000, 300)])
+    from parquet_hs_ray.pipelines.stats import grouped_quantiles
+
+    out = (grouped_quantiles(ds, "k", "v", (0.25, 0.5, 0.95)).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        vals = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        for q, name in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
+            rank = max(1, int(np.ceil(q * len(vals))))
+            assert row[name] == vals[rank - 1], (row["k"], name)
