@@ -326,6 +326,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_decontaminate"] = doc_decontaminate
     q["events_quantiles"] = lambda sf: pstats.grouped_quantiles(
         _read(sf, "events"), "event_type", "value", (0.5, 0.95))
+    q["events_histogram"] = lambda sf: pstats.grouped_histogram(
+        _read(sf, "events"), "event_type", "value", 10.0)
+    q["events_user_ndv"] = lambda sf: pstats.grouped_distinct_count(
+        _read(sf, "events"), "event_type", "user_id")
+    q["doc_top_chars"] = lambda sf: pstats.top_k_global(
+        _read(sf, "documents"), "n_chars", 20, "doc_id",
+        columns=["doc_id", "n_chars"])
+    q["lineitem_profile"] = lambda sf: pstats.column_profile(
+        _read(sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     return q
 
 
@@ -621,5 +631,25 @@ ORDER BY doc_id, line_no
         "SELECT event_type, quantile_disc(value, 0.5) AS p50,"
         " quantile_disc(value, 0.95) AS p95"
         " FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    o["events_histogram"] = (
+        "SELECT event_type, floor(value / 10.0)::BIGINT AS bin,"
+        " count(*)::BIGINT AS n FROM events WHERE value IS NOT NULL"
+        " GROUP BY event_type, bin ORDER BY event_type, bin"
+    )
+    o["events_user_ndv"] = (
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS ndv"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    o["doc_top_chars"] = (
+        "SELECT doc_id, n_chars FROM documents"
+        " ORDER BY n_chars DESC, doc_id LIMIT 20"
+    )
+    o["lineitem_profile"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n,"
+        f" (count(*) - count({c}))::BIGINT AS n_null,"
+        f" min({c})::DOUBLE AS vmin, max({c})::DOUBLE AS vmax,"
+        f" count(DISTINCT {c})::BIGINT AS ndv FROM lineitem"
+        for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
     return o

@@ -1,0 +1,82 @@
+"""Distributed profiling/statistics operator tests: histogram, exact
+distinct count, global top-k (boundary ties), column profile."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skewed(ray_session):
+    """Multi-block skewed frame: one hot key, negatives, exact-boundary
+    values (-20.0/10 and 30.0/10 land ON bin edges)."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": np.where(rng.random(4000) < 0.7, "hot", "cold"),
+        "v": np.concatenate([rng.uniform(-50, 50, 3996),
+                             [-20.0, 30.0, -0.0, 0.0]]),
+        "u": rng.integers(0, 37, 4000),
+    })
+    return df, ray.data.from_pandas([df.iloc[i:i + 250] for i in range(0, 4000, 250)])
+
+
+def test_grouped_histogram_matches_pandas(skewed):
+    from parquet_hs_ray.pipelines.stats import grouped_histogram
+
+    df, ds = skewed
+    out = (grouped_histogram(ds, "k", "v", 10.0).to_pandas()
+           .sort_values(["k", "bin"]).reset_index(drop=True))
+    ref = (df.assign(bin=np.floor(df["v"] / 10.0).astype(np.int64))
+           .groupby(["k", "bin"]).size().reset_index(name="n")
+           .astype({"n": np.int64}))
+    pd.testing.assert_frame_equal(out, ref)
+    assert out["n"].sum() == len(df)
+
+
+def test_grouped_distinct_count_exact(skewed):
+    from parquet_hs_ray.pipelines.stats import grouped_distinct_count
+
+    df, ds = skewed
+    out = (grouped_distinct_count(ds, "k", "u").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    ref = (df.groupby("k")["u"].nunique().reset_index(name="ndv")
+           .astype({"ndv": np.int64}))
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_top_k_global_boundary_ties(ray_session):
+    """Many rows tie at the k-th score; the winners must be the ones the
+    composite (score DESC, id ASC) order prefers, regardless of which
+    block held them."""
+    import ray.data
+
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64)})
+    df["score"] = np.where(df["id"] < 3, 99, 50)  # 97 rows tie at 50
+    # adversarial blocking: high ids (tiebreak losers) in early blocks
+    shuffled = df.iloc[::-1].reset_index(drop=True)
+    ds = ray.data.from_pandas([shuffled.iloc[i:i + 10] for i in range(0, 100, 10)])
+    from parquet_hs_ray.pipelines.stats import top_k_global
+
+    out = top_k_global(ds, "score", 10, "id", columns=["id", "score"])
+    ref = (df.sort_values(["score", "id"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_column_profile_with_nulls(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({
+        "a": [1.0, 2.0, 2.0, None, 5.0, None],
+        "b": [10, 10, 10, 10, 10, 20],
+    })
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+    from parquet_hs_ray.pipelines.stats import column_profile
+
+    out = column_profile(ds, ["a", "b"]).set_index("column")
+    assert out.loc["a", "n"] == 6 and out.loc["a", "n_null"] == 2
+    assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 5.0
+    assert out.loc["a", "ndv"] == 3
+    assert out.loc["b", "ndv"] == 2 and out.loc["b", "n_null"] == 0
