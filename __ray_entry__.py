@@ -39,34 +39,12 @@ _TABLES = [
 _F1_ROWS = 2000  # correctness-scale synthetic tokens table
 
 
-_MIN_BLOCK_BYTES = 64 << 10  # never schedule a task for < 64 KB of input
-_MAX_BLOCK_BYTES = 128 << 20  # block-size ceiling — the governing bound at scale
-
-
 def _read(sf_dir: str, table: str):
-    """Size-aware table read.
+    """Size-aware table read (see sources/reader.py: 64 KB floor /
+    128 MB ceiling per block, 2x CPUs preferred in between)."""
+    from parquet_hs_ray.sources.reader import read_sized
 
-    Ray's default parallelism (~2x CPUs) splits even a sub-MB table into
-    64 blocks, so every downstream stage pays 64-task scheduling
-    overhead on ~100-row blocks (measured 2.5x slowdown on the minhash
-    pipeline). Derive the block count from the file size instead: a
-    64 KB floor per block collapses small tables to a handful of tasks,
-    a 128 MB ceiling keeps blocks object-store-friendly at scale, and
-    2x CPUs is preferred in between — so at 100 TB the ceiling governs
-    and parallelism is unchanged.
-    """
-    import ray
-    import ray.data
-
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        nbytes = os.path.getsize(path)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_min = max(1, -(-nbytes // _MAX_BLOCK_BYTES))
-        n = max(n_min, min(2 * cpus, max(1, nbytes // _MIN_BLOCK_BYTES)))
-        return ray.data.read_parquet(path, override_num_blocks=n)
-    except OSError:
-        return ray.data.read_parquet(path)
+    return read_sized(os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def _roundtrip(sf_dir: str, table: str):
@@ -360,6 +338,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_profile"] = lambda sf: pstats.column_profile(
         _read(sf, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    from parquet_hs_ray.pipelines import relational as rel
+
+    q["lineitem_part_join"] = lambda sf: rel.broadcast_join(
+        _read(sf, "lineitem"), _read(sf, "part"),
+        "l_partkey", "p_partkey", how="inner",
+        right_cols=["p_brand", "p_retailprice"])
+
+    def doc_denylist(sf):
+        docs = _read(sf, "documents")
+        deny = docs.map_batches(lambda b: b[b["doc_id"] % 13 == 0][["doc_id"]],
+                                batch_format="pandas")
+        return rel.broadcast_join(docs, deny, "doc_id", "doc_id", how="anti")
+
+    q["doc_denylist"] = doc_denylist
+    q["orders_top_per_cust"] = lambda sf: rel.top_n_per_group(
+        _read(sf, "orders"), "o_custkey", "o_totalprice", 3, "o_orderkey",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    q["doc_len_filter"] = lambda sf: rel.filter_by_percentile(
+        _read(sf, "documents"), "n_chars", 0.8, keep="above")
+    q["doc_chunks"] = lambda sf: cleaning.chunk_documents(
+        _read(sf, "documents"), max_words=40, overlap=8)
     return q
 
 
@@ -676,4 +676,36 @@ ORDER BY doc_id, line_no
         f" count(DISTINCT {c})::BIGINT AS ndv FROM lineitem"
         for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+    o["lineitem_part_join"] = (
+        "SELECT l.*, p.p_brand, p.p_retailprice"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    )
+    o["doc_denylist"] = (
+        "SELECT * FROM documents WHERE doc_id NOT IN"
+        " (SELECT doc_id FROM documents WHERE doc_id % 13 = 0)"
+    )
+    o["orders_top_per_cust"] = (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        " SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+        "  PARTITION BY o_custkey"
+        "  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)"
+        " WHERE rn <= 3"
+    )
+    o["doc_len_filter"] = (
+        "SELECT * FROM documents WHERE n_chars >="
+        " (SELECT quantile_disc(n_chars, 0.8) FROM documents)"
+    )
+    # sliding-window chunking (max_words=40, overlap=8 -> stride 32);
+    # chunk count = max(1, ceil((n - overlap) / stride)); DuckDB list
+    # slices are 1-based inclusive, so words[s:e) == arr[s+1:e]
+    o["doc_chunks"] = """
+WITH a AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents),
+b AS (SELECT doc_id, arr, len(arr) AS n,
+             greatest(1, ceil((len(arr) - 8) / 32.0)::BIGINT) AS k FROM a),
+c AS (SELECT doc_id, arr, n, unnest(range(0, k)) AS i FROM b)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       array_to_string(arr[i*32+1 : least(i*32+40, n)], ' ') AS text,
+       (least(i*32+40, n) - i*32)::BIGINT AS n_words
+FROM c ORDER BY doc_id, chunk_id
+"""
     return o

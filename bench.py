@@ -180,16 +180,18 @@ def main() -> None:
         blob, _ = encode_table(batch)
         return decode_table(blob)
 
+    from parquet_hs_ray.sources.reader import read_sized
+
     timed("roundtrip_lineitem",
-          lambda: ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+          lambda: read_sized(f"{SF_DIR}/lineitem.parquet").map_batches(
               rt, batch_format="pyarrow", batch_size=None).count())
 
-    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = read_sized(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.dedup_exact(docs).to_pandas())
     timed("dedup_minhash", lambda: dedup.dedup_minhash(docs))
     timed("text_stats", lambda: ta.stats_by_source(docs).to_pandas())
 
-    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = read_sized(f"{SF_DIR}/embeddings.parquet")
     timed("ann_topk",
           lambda: ann.ann_topk_bruteforce(emb, query_ids=list(range(5)), k=10))
 

@@ -176,3 +176,55 @@ def decontaminate(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
                              "n_shared": counts.astype(np.int64)})
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def chunk_documents(docs: "ray.data.Dataset", max_words: int,
+                    overlap: int = 0) -> "ray.data.Dataset":
+    """Split each document's space-split word stream into sliding-window
+    chunks of at most ``max_words`` words with ``overlap`` words shared
+    between consecutive chunks — the context-window preparation step
+    before tokenize/pack.  Output: (doc_id, chunk_id, text, n_words).
+
+    Chunk starts advance by ``stride = max_words - overlap``; the chunk
+    count per document is ``max(1, ceil((n - overlap) / stride))``, which
+    covers every word exactly once per stride without emitting a trailing
+    chunk fully contained in its predecessor.  ``split(' ')`` of ``""``
+    is ``[""]`` (one empty word), matching SQL ``string_split`` — so an
+    empty document yields one empty chunk, same as the twin.
+
+    Embarrassingly parallel: one vectorized explode per block (flattened
+    word array + ragged index arithmetic, word-join via one grouped agg);
+    no shuffle, no cross-document state."""
+    if not 0 <= overlap < max_words:
+        raise ValueError(f"need 0 <= overlap < max_words, got {overlap}/{max_words}")
+    stride = max_words - overlap
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].to_numpy()
+        words = texts.str.split(" ")
+        nw = words.str.len().to_numpy(dtype=np.int64)
+        flatw = (np.concatenate([np.asarray(x, dtype=object) for x in words])
+                 if nw.sum() else np.empty(0, dtype=object))
+        doc_off = np.cumsum(nw) - nw
+        k = np.maximum(1, -(-(nw - overlap) // stride))
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), k)
+        cid = (np.arange(int(k.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(k) - k, k))
+        starts = cid * stride
+        ends = np.minimum(starts + max_words, nw[doc_rep])
+        ln = ends - starts
+        # ragged gather: word index per (chunk, position) occurrence
+        tot = int(ln.sum())
+        widx = (np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(ln) - ln, ln)
+                + np.repeat(doc_off[doc_rep] + starts, ln))
+        chunk_of = np.repeat(np.arange(len(cid), dtype=np.int64), ln)
+        joined = (pd.DataFrame({"c": chunk_of, "w": flatw[widx]})
+                  .groupby("c", sort=True)["w"].agg(" ".join))
+        txt = np.full(len(cid), "", dtype=object)
+        txt[joined.index.to_numpy()] = joined.to_numpy()
+        return pd.DataFrame({"doc_id": ids[doc_rep], "chunk_id": cid,
+                             "text": txt, "n_words": ln})
+
+    return docs.map_batches(f, batch_format="pandas")

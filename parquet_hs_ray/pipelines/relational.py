@@ -1,0 +1,161 @@
+"""General-purpose relational operators over Ray Data.
+
+The reference engine is a columnar codec with no query layer (SURVEY.md
+§2.5); these are the relational primitives a training-data pipeline
+composes on top of it — dimension-table enrichment, denylist filtering,
+per-group selection and threshold filtering — each built in the engine's
+standard scale shapes:
+
+``broadcast_join``: the small side is materialized ONCE, shipped to the
+object store with ``ray.put`` and read (zero-copy) by every map_batches
+task — no shuffle of the large side at all.  This is the right join
+strategy whenever one side fits in a worker's heap (dimension tables,
+denylists, benchmark id sets); the big side streams through untouched.
+
+``top_n_per_group``: per-block local top-n prune (the only full-data
+pass — O(rows) per block), then a grouped selection over the pruned
+survivors (≤ n · blocks rows per group ever co-located).
+
+``filter_by_percentile``: exact discrete global quantile via the
+value-count-histogram reduction (shuffle bounded by distinct values,
+never rows — same machinery as ``stats.grouped_quantiles``), threshold
+broadcast back into a streaming filter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def broadcast_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
+                   left_key: str, right_key: str, how: str = "inner",
+                   right_cols: Sequence[str] | None = None
+                   ) -> "ray.data.Dataset":
+    """Join ``large`` against a SMALL ``small`` side without shuffling.
+
+    ``how``: ``inner`` / ``left`` attach ``right_cols`` (right-side key
+    excluded) to each matching large row; ``semi`` keeps large rows whose
+    key appears in the small side (no columns attached); ``anti`` keeps
+    those whose key does not — the corpus-denylist filter.
+
+    Scale contract: ``small`` is collected to the driver and
+    ``ray.put`` once (documented small-side-only assumption — dimension
+    tables / id sets, not a second fact table); each task reads the
+    shared copy from the object store, so the join costs one vectorized
+    merge / isin per batch and the large side never moves.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown join type {how!r}")
+    sm = small.to_pandas()
+    if right_key not in sm.columns:
+        # an empty Dataset collapses to a column-less frame — rebuild the
+        # column set from the schema so the join degrades, not crashes
+        sm = pd.DataFrame({c: pd.Series(dtype=object)
+                           for c in small.schema().names})
+    if how in ("semi", "anti"):
+        keys_ref = ray.put(np.sort(pd.unique(sm[right_key].dropna())))
+
+        def filt(batch: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(keys_ref)
+            v = batch[left_key].to_numpy()
+            pos = np.searchsorted(keys, v)
+            pos[pos >= len(keys)] = 0 if len(keys) else 0
+            hit = (len(keys) > 0) & (keys[pos] == v) if len(keys) else \
+                np.zeros(len(batch), dtype=bool)
+            return batch[hit] if how == "semi" else batch[~hit]
+
+        return large.map_batches(filt, batch_format="pandas")
+
+    cols = [c for c in (right_cols or sm.columns) if c != right_key]
+    sm = sm[[right_key] + cols].drop_duplicates(subset=[right_key])
+    sm_ref = ray.put(sm)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(sm_ref)
+        out = batch.merge(s, left_on=left_key, right_on=right_key,
+                          how="left" if how == "left" else "inner")
+        if right_key != left_key and right_key in out.columns:
+            out = out.drop(columns=[right_key])
+        return out
+
+    return large.map_batches(attach, batch_format="pandas")
+
+
+def top_n_per_group(ds: "ray.data.Dataset", group: str, order_col: str,
+                    n: int, tiebreak: str,
+                    columns: Sequence[str] | None = None
+                    ) -> "ray.data.Dataset":
+    """Top ``n`` rows per ``group`` by ``order_col`` DESC, ties broken by
+    ``tiebreak`` ASC (deterministic — mirror of SQL ``row_number() over
+    (partition by group order by order_col desc, tiebreak asc)``).
+
+    Scale shape: each block prunes to its local per-group top-n with one
+    lexsort + cumcount (no per-group Python); only the survivors —
+    ≤ n per group per block — shuffle to the final grouped selection, so
+    the wide step moves a bounded slice of the data, never the rows that
+    can't win.
+    """
+    cols = list(columns) if columns is not None else None
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch if cols is None else batch[cols]
+        if not len(b):
+            return b
+        order = np.lexsort((b[tiebreak].to_numpy(), -b[order_col].to_numpy()))
+        b = b.iloc[order]
+        keep = b.groupby(group, sort=False).cumcount() < n
+        return b[keep.to_numpy()]
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[tiebreak].to_numpy(), -g[order_col].to_numpy()))
+        return g.iloc[order[:n]]
+
+    # survivors are ≤ n · blocks per group — per-group pandas overhead is
+    # off the hot path (cf. grouped_quantiles' identical final stage)
+    return pruned.groupby(group).map_groups(select, batch_format="pandas")
+
+
+def filter_by_percentile(ds: "ray.data.Dataset", col: str, q: float,
+                         keep: str = "above") -> "ray.data.Dataset":
+    """Keep rows whose ``col`` is >= (``keep='above'``) or <
+    (``keep='below'``) the exact discrete global ``q``-quantile — the
+    "train on the top X% by quality score" selection.
+
+    The threshold uses DuckDB's ``quantile_disc`` rank rule (sorted
+    element with 1-based rank ``ceil(q*n)``) so the SQL twin matches
+    bit-for-bit.  Scale shape: the quantile pass shuffles a value-count
+    histogram (distinct-value bounded, see ``stats.grouped_quantiles``);
+    the filter pass streams.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch[[col]].dropna().groupby(col, sort=False).size()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [col], ["cnt"]).to_pandas()
+    if col not in hist.columns or not len(hist):  # no non-null values at all
+        return ds.map_batches(lambda b: b.iloc[:0], batch_format="pandas")
+    hist = hist.sort_values(col, kind="mergesort")
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    ntot = int(cum[-1])
+    rank = max(1, int(np.ceil(float(q) * ntot)))
+    thr = hist[col].to_numpy()[np.searchsorted(cum, rank, side="left")]
+
+    if keep == "above":
+        return ds.map_batches(lambda b: b[b[col] >= thr],
+                              batch_format="pandas")
+    return ds.map_batches(lambda b: b[b[col] < thr], batch_format="pandas")

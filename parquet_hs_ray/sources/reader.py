@@ -1,0 +1,48 @@
+"""Size-aware parquet reads.
+
+Ray's default read parallelism (~2x CPUs) splits even a sub-MB table
+into 64 blocks, so every downstream stage pays 64-task scheduling
+overhead on ~100-row blocks (measured 2.5x slowdown on the minhash
+pipeline at sf0.1).  ``read_sized`` derives the block count from the
+input size instead:
+
+- 64 KB floor per block — never schedule a task for less input;
+- 128 MB ceiling per block — object-store-friendly at scale;
+- 2x cluster CPUs preferred in between.
+
+Small tables collapse to a handful of tasks; large inputs keep full
+parallelism; at 100 TB the ceiling governs and the override equals
+Ray's own choice.
+"""
+
+from __future__ import annotations
+
+import os
+
+MIN_BLOCK_BYTES = 64 << 10
+MAX_BLOCK_BYTES = 128 << 20
+
+
+def sized_num_blocks(nbytes: int, cpus: int | None = None) -> int:
+    """Block count for ``nbytes`` of input under the floor/ceiling policy."""
+    import ray
+
+    if cpus is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    n_min = max(1, -(-nbytes // MAX_BLOCK_BYTES))
+    return max(n_min, min(2 * cpus, max(1, nbytes // MIN_BLOCK_BYTES)))
+
+
+def read_sized(path: str, **kwargs) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` with a size-derived ``override_num_blocks``
+    (local paths only; falls back to Ray's default when the size is
+    unknowable, e.g. non-local filesystems)."""
+    import ray.data
+
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return ray.data.read_parquet(path, **kwargs)
+    return ray.data.read_parquet(
+        path, override_num_blocks=sized_num_blocks(nbytes), **kwargs)

@@ -115,3 +115,59 @@ def test_grouped_quantiles_matches_numpy(ray_session):
         for q, name in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
             rank = max(1, int(np.ceil(q * len(vals))))
             assert row[name] == vals[rank - 1], (row["k"], name)
+
+
+def test_chunk_documents_coverage_and_overlap(ray_session):
+    """Every word position is covered; consecutive chunks share exactly
+    `overlap` words; reassembling chunk 0's stride-prefixes + the last
+    chunk reconstructs the document."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import chunk_documents
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"w{rng.integers(0, 99)}" for _ in range(n))
+             for n in (1, 7, 8, 9, 31, 32, 33, 100)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+    out = (chunk_documents(ds, max_words=8, overlap=3).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    stride = 5
+    for did, g in out.groupby("doc_id"):
+        words = df.loc[df["doc_id"] == did, "text"].iloc[0].split(" ")
+        n = len(words)
+        assert g["chunk_id"].tolist() == list(range(len(g)))
+        assert len(g) == max(1, -(-(n - 3) // stride))
+        for _, row in g.iterrows():
+            s = row["chunk_id"] * stride
+            assert row["text"] == " ".join(words[s:s + 8])
+            assert row["n_words"] == min(8, n - s)
+        # full coverage: last chunk reaches the document end
+        last = g.iloc[-1]
+        assert last["chunk_id"] * stride + last["n_words"] == n
+
+
+def test_chunk_documents_empty_and_null(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["", None]})
+    out = (chunk_documents(ray.data.from_pandas(df), max_words=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # split(' ') of "" is [""]: one empty chunk each, like string_split
+    assert out["chunk_id"].tolist() == [0, 0]
+    assert out["text"].tolist() == ["", ""]
+    assert out["n_words"].tolist() == [1, 1]
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import chunk_documents
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_words=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_words=4, overlap=-1)

@@ -1,0 +1,156 @@
+"""Relational operator tests: broadcast join (inner/left/semi/anti),
+per-group top-n (ties, small groups), percentile filtering (rank rule,
+empty input)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fact_dim(ray_session):
+    """Multi-block fact table + small dimension with some unmatched keys
+    on both sides."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    fact = pd.DataFrame({
+        "fk": rng.integers(0, 40, 3000),          # dim covers only 0..29
+        "grp": rng.integers(0, 12, 3000),
+        "score": np.round(rng.uniform(0, 100, 3000), 1),
+        "rid": np.arange(3000, dtype=np.int64),
+    })
+    dim = pd.DataFrame({
+        "dk": np.arange(30, dtype=np.int64),
+        "label": [f"L{i}" for i in range(30)],
+        "weight": np.linspace(0.5, 2.0, 30),
+    })
+    ds = ray.data.from_pandas([fact.iloc[i:i + 200] for i in range(0, 3000, 200)])
+    return fact, dim, ds, ray.data.from_pandas(dim)
+
+
+def _sorted(df, cols=None):
+    cols = cols or list(df.columns)
+    return df.sort_values(cols).reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_broadcast_join_inner(fact_dim):
+    from parquet_hs_ray.pipelines.relational import broadcast_join
+
+    fact, dim, ds, dimds = fact_dim
+    out = broadcast_join(ds, dimds, "fk", "dk", how="inner",
+                         right_cols=["label", "weight"]).to_pandas()
+    exp = fact.merge(dim, left_on="fk", right_on="dk").drop(columns=["dk"])
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp))
+
+
+def test_broadcast_join_left_keeps_unmatched(fact_dim):
+    from parquet_hs_ray.pipelines.relational import broadcast_join
+
+    fact, dim, ds, dimds = fact_dim
+    out = broadcast_join(ds, dimds, "fk", "dk", how="left",
+                         right_cols=["label"]).to_pandas()
+    assert len(out) == len(fact)
+    unmatched = out[out["fk"] >= 30]
+    assert len(unmatched) and unmatched["label"].isna().all()
+
+
+def test_broadcast_join_semi_anti_partition(fact_dim):
+    from parquet_hs_ray.pipelines.relational import broadcast_join
+
+    fact, dim, ds, dimds = fact_dim
+    semi = broadcast_join(ds, dimds, "fk", "dk", how="semi").to_pandas()
+    anti = broadcast_join(ds, dimds, "fk", "dk", how="anti").to_pandas()
+    # semi + anti partition the fact table exactly
+    assert len(semi) + len(anti) == len(fact)
+    assert (semi["fk"] < 30).all() and (anti["fk"] >= 30).all()
+    both = pd.concat([semi, anti], ignore_index=True)
+    pd.testing.assert_frame_equal(_sorted(both), _sorted(fact))
+
+
+def test_broadcast_join_empty_small_side(fact_dim, ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import broadcast_join
+
+    fact, dim, ds, _ = fact_dim
+    empty = ray.data.from_pandas(dim.iloc[:0])
+    assert broadcast_join(ds, empty, "fk", "dk", how="semi").count() == 0
+    assert broadcast_join(ds, empty, "fk", "dk", how="anti").count() == len(fact)
+
+
+def test_broadcast_join_rejects_unknown_how(fact_dim):
+    from parquet_hs_ray.pipelines.relational import broadcast_join
+
+    _, _, ds, dimds = fact_dim
+    with pytest.raises(ValueError):
+        broadcast_join(ds, dimds, "fk", "dk", how="outer")
+
+
+def test_top_n_per_group_matches_window(fact_dim):
+    from parquet_hs_ray.pipelines.relational import top_n_per_group
+
+    fact, _, ds, _ = fact_dim
+    out = top_n_per_group(ds, "grp", "score", 5, "rid",
+                          columns=["grp", "score", "rid"]).to_pandas()
+    rn = (fact.sort_values(["score", "rid"], ascending=[False, True],
+                           kind="mergesort")
+          .groupby("grp").cumcount())
+    exp = fact.loc[rn < 5, ["grp", "score", "rid"]]
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp))
+
+
+def test_top_n_per_group_ties_and_small_groups(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import top_n_per_group
+
+    # every score tied -> selection is decided purely by the tiebreak;
+    # group 1 has fewer rows than n
+    df = pd.DataFrame({"g": [0] * 6 + [1] * 2,
+                       "s": [7.0] * 8,
+                       "id": np.arange(8, dtype=np.int64)})
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:5], df.iloc[5:]])
+    out = top_n_per_group(ds, "g", "s", 4, "id").to_pandas()
+    got = out.sort_values(["g", "id"]).reset_index(drop=True)
+    assert got[got["g"] == 0]["id"].tolist() == [0, 1, 2, 3]  # lowest ids win ties
+    assert got[got["g"] == 1]["id"].tolist() == [6, 7]        # whole small group
+
+
+def test_filter_by_percentile_rank_rule(ray_session):
+    import duckdb
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import filter_by_percentile
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"v": rng.integers(0, 50, 997).astype(np.int64),
+                       "id": np.arange(997, dtype=np.int64)})
+    ds = ray.data.from_pandas([df.iloc[i:i + 100] for i in range(0, 997, 100)])
+    for q, keep in ((0.8, "above"), (0.25, "below")):
+        out = filter_by_percentile(ds, "v", q, keep=keep).to_pandas()
+        thr = duckdb.sql(
+            f"SELECT quantile_disc(v, {q}) FROM df").fetchone()[0]
+        exp = df[df["v"] >= thr] if keep == "above" else df[df["v"] < thr]
+        pd.testing.assert_frame_equal(_sorted(out), _sorted(exp))
+
+
+def test_filter_by_percentile_all_null(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import filter_by_percentile
+
+    df = pd.DataFrame({"v": pd.array([None, None], dtype="Float64"),
+                       "id": [0, 1]})
+    ds = ray.data.from_pandas(df)
+    assert filter_by_percentile(ds, "v", 0.5).count() == 0
+
+
+def test_filter_by_percentile_rejects_bad_keep(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import filter_by_percentile
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [1.0]}))
+    with pytest.raises(ValueError):
+        filter_by_percentile(ds, "v", 0.5, keep="between")
