@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), "n_chars", 0.8, keep="above")
     q["doc_chunks"] = lambda sf: cleaning.chunk_documents(
         _read(sf, "documents"), max_words=40, overlap=8)
+    q["events_running"] = lambda sf: win.running_totals(_read(sf, "events"))
     return q
 
 
@@ -707,5 +708,17 @@ SELECT doc_id, i::BIGINT AS chunk_id,
        array_to_string(arr[i*32+1 : least(i*32+40, n)], ' ') AS text,
        (least(i*32+40, n) - i*32)::BIGINT AS n_words
 FROM c ORDER BY doc_id, chunk_id
+"""
+    # running totals accumulate integer cents (round_even == pyarrow's
+    # half-to-even) so the window sum is associative and order-exact
+    o["events_running"] = """
+SELECT user_id, ts, event_id,
+       count(*) OVER w AS running_n,
+       CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, ts, event_id
 """
     return o

@@ -174,3 +174,99 @@ def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
         return batch
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def running_totals(events: "ray.data.Dataset", key: str = "user_id",
+                   ts: str = "ts", id_col: str = "event_id",
+                   val: str = "value") -> pd.DataFrame:
+    """Per-row running totals within each ``key``, ordered by
+    (``ts``, ``id_col``): cumulative event count and cumulative value in
+    integer cents — the SQL ``SUM(...) OVER (PARTITION BY key ORDER BY
+    ts, id ROWS UNBOUNDED PRECEDING)`` analytic.
+
+    The value accumulates as ``round(val*100)`` int64 cents so the
+    running sum is associative and order-exact (float window sums
+    disagree across engines on association; integer sums cannot).
+
+    Scale shape (the sessionize/asof pattern): ONE sort on
+    (key, ts, id) — keys are contiguous after it, so only each block's
+    boundary key can straddle blocks.  Per-block zero-CPU summaries
+    (first/last key + their in-block totals) fold left-to-right on the
+    driver (#blocks tiny tuples); each block then computes a vectorized
+    grouped cumsum locally, offsetting only its first key's rows by the
+    carried total.  No per-key Python anywhere.
+    """
+    import pyarrow as pa
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t[val], pa.float64()), 100.0)), pa.int64())
+        return pa.table({key: t[key], ts: t[ts], id_col: t[id_col],
+                         "_cents": cents})
+
+    srt = (events.map_batches(prep, batch_format="pyarrow")
+           .sort([key, ts, id_col]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def summary(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        k = t[key].to_numpy(zero_copy_only=False)
+        c = t["_cents"].to_numpy(zero_copy_only=False)
+        first_k, last_k = k[0], k[-1]
+        n_first = int(np.searchsorted(k, first_k, side="right"))
+        i_last = int(np.searchsorted(k, last_k, side="left"))
+        return (first_k, int(c[:n_first].sum()), n_first,
+                last_k, int(c[i_last:].sum()), t.num_rows - i_last)
+
+    sums = ray.get([summary.remote(r) for r in refs])
+
+    # fold: carry into block i = (key, cum count, cum cents) if block
+    # i starts with a key continued from earlier blocks
+    carries: list[tuple | None] = [None] * len(refs)
+    run_key, run_n, run_c = None, 0, 0
+    for i, s in enumerate(sums):
+        carries[i] = (run_key, run_n, run_c) if run_key is not None else None
+        if s is None:
+            continue
+        fk, cf, nf, lk, cl, nl = s
+        if fk == lk:  # single-key block: the key continues or starts here
+            if run_key == fk:
+                run_n, run_c = run_n + nl, run_c + cl
+            else:
+                run_key, run_n, run_c = lk, nl, cl
+        else:
+            run_key, run_n, run_c = lk, nl, cl
+
+    @ray.remote(num_cpus=1)
+    def block_cumsum(t, carry):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        if not len(df):
+            return df
+        g = df.groupby(key, sort=False)
+        df["running_n"] = g.cumcount().to_numpy() + 1
+        df["running_cents"] = g["_cents"].cumsum().to_numpy()
+        if carry is not None and df[key].iloc[0] == carry[0]:
+            k = df[key].to_numpy()
+            n_first = int(np.searchsorted(k, k[0], side="right"))
+            df.iloc[:n_first, df.columns.get_loc("running_n")] += carry[1]
+            df.iloc[:n_first, df.columns.get_loc("running_cents")] += carry[2]
+        return df.drop(columns=["_cents"])
+
+    parts = ray.get([block_cumsum.remote(r, carries[i])
+                     for i, r in enumerate(refs)])
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame(columns=[key, ts, id_col, "running_n", "running_cents"])
+    out = pd.concat(parts, ignore_index=True)
+    out["running_n"] = out["running_n"].astype(np.int64)
+    out["running_cents"] = out["running_cents"].astype(np.int64)
+    return out.sort_values([key, ts, id_col], kind="mergesort").reset_index(drop=True)

@@ -996,3 +996,46 @@ def test_range_join_matches_pandas(ray_session):
     assert len(ref) > 0
     ref = ref.astype({"ts": "datetime64[us]", "matched_ts": "datetime64[us]"})
     pd.testing.assert_frame_equal(ours, ref[ours.columns.tolist()])
+
+
+def test_running_totals_matches_pandas_across_blocks(ray_session):
+    """Running per-key totals equal a pandas groupby cumsum twin even
+    when one hot key straddles many sort blocks (carry-fold path)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import running_totals
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    df = pd.DataFrame({
+        # one hot user (~half the rows) guarantees multi-block straddle
+        "user_id": np.where(rng.random(n) < 0.5, 7, rng.integers(0, 40, n)),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.uniform(-100, 100, n), 3),
+    })
+    ds = ray.data.from_pandas([df.iloc[i:i + 250] for i in range(0, n, 250)])
+    out = running_totals(ds)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    cents = np.round(ref["value"].to_numpy() * 100.0).astype(np.int64)
+    g = ref.groupby("user_id", sort=False)
+    ref["running_n"] = g.cumcount().to_numpy() + 1
+    ref["running_cents"] = pd.Series(cents).groupby(ref["user_id"]).cumsum()
+    ref = ref.drop(columns=["value"])
+    pd.testing.assert_frame_equal(out, ref[out.columns.tolist()])
+
+
+def test_running_totals_empty(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import running_totals
+
+    df = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                       "ts": pd.Series(dtype="datetime64[us]"),
+                       "event_id": pd.Series(dtype=np.int64),
+                       "value": pd.Series(dtype=np.float64)})
+    out = running_totals(ray.data.from_pandas(df))
+    assert len(out) == 0
+    assert list(out.columns) == ["user_id", "ts", "event_id",
+                                 "running_n", "running_cents"]
