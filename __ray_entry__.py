@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_chunks"] = lambda sf: cleaning.chunk_documents(
         _read(sf, "documents"), max_words=40, overlap=8)
     q["events_running"] = lambda sf: win.running_totals(_read(sf, "events"))
+    q["events_pivot"] = lambda sf: pstats.pivot_sum(
+        _read(sf, "events"), "user_id", "event_type", "value", _EVENT_TYPES)
     return q
 
 
@@ -368,6 +370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # two hit the synthetic corpus (which has no emails/phones) so the
 # redaction path is actually exercised end-to-end.
 _SCRUB_RULES = [(r"\b(customer|part)\b", "<ENT>"), (r"\b(value|key)\b", "<VAL>")]
+
+# pivot categories for the demo query (the synthetic events vocabulary;
+# at scale the caller discovers these with a distinct pass)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 _WS_COUNT = (
@@ -721,4 +727,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 ORDER BY user_id, ts, event_id
 """
+    o["events_pivot"] = (
+        "SELECT user_id, " + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{c}' THEN"
+            f" CAST(round_even(value * 100, 0) AS BIGINT) ELSE 0 END)"
+            f" AS BIGINT) AS {c}_cents" for c in _EVENT_TYPES)
+        + " FROM events GROUP BY user_id ORDER BY user_id"
+    )
     return o

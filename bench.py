@@ -160,18 +160,29 @@ def main() -> None:
     queries["decode_f1"] = min(decode_times)
     decode_passes = [round(t, 3) for t in decode_times]
 
-    # op queries: best-of-N like encode/decode (GRAFT_QUERY_PASSES,
-    # default 2) — one fault-storm window shouldn't set a recorded op
-    # time 5x above steady state either
+    # op queries: adaptive best-of like encode/decode — at least
+    # GRAFT_QUERY_PASSES (default 2), continuing until the two fastest
+    # agree within 10% (capped at GRAFT_QUERY_MAX_PASSES, default 4) so
+    # one fault-storm / first-touch window can't set a recorded op time
+    # 2-5x above steady state
     q_passes = int(os.environ.get("GRAFT_QUERY_PASSES", "2"))
+    q_max = max(q_passes, int(os.environ.get("GRAFT_QUERY_MAX_PASSES", "4")))
+    query_passes: dict[str, list[float]] = {}
 
     def timed(name, fn):
-        best = float("inf")
-        for _ in range(q_passes):
+        times = []
+        while True:
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        queries[name] = best
+            times.append(time.perf_counter() - t0)
+            if len(times) >= q_passes:
+                fastest = sorted(times)[:2]
+                if (fastest[1] - fastest[0]) / fastest[0] <= 0.10:
+                    break
+            if len(times) >= q_max:
+                break
+        queries[name] = min(times)
+        query_passes[name] = [round(t, 3) for t in times]
 
     # round-trip of the real lineitem table (all codecs on TPC-H-ish data)
     from parquet_hs_ray.format import decode_table, encode_table
@@ -217,6 +228,7 @@ def main() -> None:
         "tokens": tokens,
         "encode_passes": encode_passes,
         "decode_passes": decode_passes,
+        "query_passes": query_passes,
         "encode_tokens_per_sec": round(tokens / queries["encode_f1"]),
         "decode_tokens_per_sec": round(tokens / queries["decode_f1"]),
         "encoded_bytes": summ["encoded_bytes"],

@@ -206,3 +206,37 @@ def column_profile(ds: "ray.data.Dataset",
     for c in ("n", "n_null"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("column").reset_index(drop=True)
+
+
+def pivot_sum(ds: "ray.data.Dataset", key: str, piv: str, val: str,
+              categories: Sequence[str]) -> "ray.data.Dataset":
+    """Pivot ``piv`` into one summed column per category: one output row
+    per ``key`` with ``<cat>_cents`` = the integer-cents sum of ``val``
+    where ``piv == cat`` — the long-to-wide reshape (per-user activity
+    matrix).  ``categories`` is explicit: at scale the caller discovers
+    it with a distinct pass (or knows the vocabulary); unknown categories
+    are ignored, absent ones sum to 0.
+
+    Values accumulate as round-half-even integer cents so the sums are
+    associative and hash-exact against the SQL ``CASE WHEN`` twin.
+
+    Scale shape: one vectorized pivot per block (one partial row per key
+    per block — the shuffle carries category sums, never events), merged
+    by ``grouped_sum``."""
+    cats = [str(c) for c in categories]
+    out_cols = [f"{c}_cents" for c in cats]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch[val].to_numpy(dtype=np.float64) * 100.0
+                         ).astype(np.int64)
+        p = pd.DataFrame({key: batch[key], "_c": batch[piv], "_v": cents})
+        w = (p.pivot_table(index=key, columns="_c", values="_v",
+                           aggfunc="sum", fill_value=0)
+             .reindex(columns=cats, fill_value=0))
+        w.columns = out_cols
+        return w.reset_index().astype({c: np.int64 for c in out_cols})
+
+    from .groupagg import grouped_sum
+
+    return grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key], out_cols)

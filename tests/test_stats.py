@@ -80,3 +80,37 @@ def test_column_profile_with_nulls(ray_session):
     assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 5.0
     assert out.loc["a", "ndv"] == 3
     assert out.loc["b", "ndv"] == 2 and out.loc["b", "n_null"] == 0
+
+
+def test_pivot_sum_matches_pandas(ray_session):
+    """Wide per-key category sums (integer cents) match a pandas twin;
+    absent categories are zero-filled, unknown ones ignored."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import pivot_sum
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n),
+        "c": rng.choice(["a", "b", "zzz"], n),  # 'zzz' not in categories
+        "v": np.round(rng.uniform(-10, 10, n), 3),
+    })
+    # key 999 only has 'b' rows -> a_cents must be 0 for it
+    df.loc[:4, ["k", "c"]] = [[999, "b"]] * 5
+    ds = ray.data.from_pandas([df.iloc[i:i + 200] for i in range(0, n, 200)])
+    out = (pivot_sum(ds, "k", "c", "v", ["a", "b", "missing"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+
+    cents = np.round(df["v"].to_numpy() * 100.0).astype(np.int64)
+    exp = (pd.DataFrame({"k": df["k"], "c": df["c"], "v": cents})
+           .pivot_table(index="k", columns="c", values="v",
+                        aggfunc="sum", fill_value=0)
+           .reindex(columns=["a", "b", "missing"], fill_value=0)
+           .reset_index())
+    exp.columns = ["k", "a_cents", "b_cents", "missing_cents"]
+    exp = exp.astype({c: np.int64 for c in exp.columns[1:]})
+    pd.testing.assert_frame_equal(out, exp.sort_values("k").reset_index(drop=True),
+                                  check_names=False)
+    assert (out["missing_cents"] == 0).all()
+    assert out.loc[out["k"] == 999, "a_cents"].iloc[0] == 0
