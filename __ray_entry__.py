@@ -16,11 +16,12 @@ Queries cover SURVEY.md §2 re-expressed Ray-Data-first:
   ANN (brute-force/IVF/persisted-index/quantize), windows
   (tumbling/hopping/sessions), multimodal: the training-data-pipeline
   operator suite over documents/embeddings/events.
-Hash-exact DuckDB oracles for every SQL-expressible query (38 of 46,
+Hash-exact DuckDB oracles for every SQL-expressible query (53 of 61,
 including generated-SQL twins of the full minhash-LSH pipeline, the
-simhash signature math, the rolling-fingerprint byte chain, and the int8
-quantization grid); the rows-only remainder is listed with reasons at
-the bottom of oracle_sql().
+simhash signature math, the rolling-fingerprint byte chain, the int8
+quantization grid, window analytics and the relational/cleaning/stats
+families); the rows-only remainder is listed with reasons at the bottom
+of oracle_sql().
 """
 
 from __future__ import annotations

@@ -62,11 +62,13 @@ def broadcast_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
 
         def filt(batch: pd.DataFrame) -> pd.DataFrame:
             keys = ray.get(keys_ref)
-            v = batch[left_key].to_numpy()
-            pos = np.searchsorted(keys, v)
-            pos[pos >= len(keys)] = 0 if len(keys) else 0
-            hit = (len(keys) > 0) & (keys[pos] == v) if len(keys) else \
-                np.zeros(len(batch), dtype=bool)
+            if not len(keys):
+                hit = np.zeros(len(batch), dtype=bool)
+            else:
+                v = batch[left_key].to_numpy()
+                pos = np.searchsorted(keys, v)
+                pos[pos == len(keys)] = 0  # v beyond max: any in-range slot misses
+                hit = keys[pos] == v
             return batch[hit] if how == "semi" else batch[~hit]
 
         return large.map_batches(filt, batch_format="pandas")
