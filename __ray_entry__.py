@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_running"] = lambda sf: win.running_totals(_read(sf, "events"))
     q["events_pivot"] = lambda sf: pstats.pivot_sum(
         _read(sf, "events"), "user_id", "event_type", "value", _EVENT_TYPES)
+    q["top_bigrams"] = lambda sf: ta.top_ngrams(_read(sf, "documents"), n=2, k=30)
     return q
 
 
@@ -735,4 +736,13 @@ ORDER BY user_id, ts, event_id
             f" AS BIGINT) AS {c}_cents" for c in _EVENT_TYPES)
         + " FROM events GROUP BY user_id ORDER BY user_id"
     )
+    o["top_bigrams"] = """
+WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+           FROM documents),
+g AS (SELECT arr[i] || ' ' || arr[i+1] AS gram
+      FROM (SELECT arr, unnest(range(1, len(arr))) AS i
+            FROM w WHERE len(arr) >= 2))
+SELECT gram, count(*)::BIGINT AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram LIMIT 30
+"""
     return o

@@ -228,3 +228,56 @@ def deterministic_mix(docs: "ray.data.Dataset", weights: dict[str, int],
         return batch[h < pct]
 
     return docs.map_batches(keep, batch_format="pandas")
+
+
+def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 30) -> pd.DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by frequency — the
+    repetition / boilerplate / contamination profile of a corpus
+    (n-grams never cross document boundaries).
+
+    Same scale shape as :func:`top_terms`: n-grams are built per batch
+    from the flattened word stream with shifted-view concatenation (no
+    per-row Python), partial (gram, count) rows shuffle through
+    ``grouped_sum`` (vocabulary-bounded, never text), and only k rows
+    per block reach the driver merge.  Tie-break (n desc, gram asc)
+    matches the SQL twin exactly."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        empty = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(flat) < n:
+            return empty
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        # valid starts: the whole n-gram stays inside one document
+        m = doc_of[:len(flat) - n + 1] == doc_of[n - 1:]
+        if not m.any():
+            return empty
+        grams = flat[:len(flat) - n + 1].copy()
+        for i in range(1, n):
+            grams = grams + " "
+            grams = grams + flat[i:len(flat) - n + 1 + i]
+        uniq, counts = np.unique(grams[m], return_counts=True)
+        return pd.DataFrame({"gram": uniq, "n": counts.astype(np.int64)})
+
+    from .groupagg import grouped_sum
+
+    agg = grouped_sum(docs.map_batches(partial, batch_format="pandas"),
+                      ["gram"], ["n"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if "gram" not in batch.columns or not len(batch):
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return batch.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+
+    cands = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if "gram" not in cands.columns or not len(cands):
+        return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    out = cands.sort_values(["n", "gram"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"n": np.int64})

@@ -1039,3 +1039,38 @@ def test_running_totals_empty(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["user_id", "ts", "event_id",
                                  "running_n", "running_cents"]
+
+
+def test_top_ngrams_no_cross_document_grams(ray_session):
+    """Bigrams never span documents; counts match a pure-python twin."""
+    import collections
+
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import top_ngrams
+
+    docs = ["the cat sat", "sat the cat", "the cat", "x"]
+    df = pd.DataFrame({"doc_id": range(4), "text": docs})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    out = top_ngrams(ds, n=2, k=10)
+
+    exp = collections.Counter()
+    for t in docs:
+        ws = t.split()
+        exp.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(map(tuple, out.itertuples(index=False))) == ranked
+    # "cat sat the" style cross-doc grams must not exist
+    assert "sat x" not in out["gram"].tolist()
+
+
+def test_top_ngrams_n_exceeds_all_docs(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import top_ngrams
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b"]}))
+    out = top_ngrams(ds, n=5, k=3)
+    assert len(out) == 0 and list(out.columns) == ["gram", "n"]
+    with pytest.raises(ValueError):
+        top_ngrams(ds, n=0)
