@@ -158,6 +158,7 @@ def ann_topk_ivf(
 def ivf_build_index(
     emb: "ray.data.Dataset", index_dir: str, n_clusters: int = 16,
     sample_size: int = 4096, seed: int = 42, filesystem=None,
+    refine_iters: int = 0,
 ) -> np.ndarray:
     """Persist the IVF bucketing (VERDICT r1 #8): assign every vector to its
     nearest centroid and write the corpus as parquet PARTITIONED BY CLUSTER,
@@ -174,6 +175,8 @@ def ivf_build_index(
     from ..state import fsio
 
     C = _train_centroids(emb, n_clusters, sample_size, seed)
+    if refine_iters:
+        C, _ = kmeans_refine_distributed(emb, C, iters=refine_iters)
     ref = ray.put(C)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -319,3 +322,66 @@ def dequantize_embeddings(qemb: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table({"vec_id": t["vec_id"], "embedding": emb_arr})
 
     return qemb.map_batches(dq, batch_format="pyarrow")
+
+
+def kmeans_refine_distributed(emb: "ray.data.Dataset", centroids: np.ndarray,
+                              iters: int = 4) -> tuple[np.ndarray, list[float]]:
+    """Full-corpus Lloyd refinement of sample-trained centroids — the
+    distributed ITERATIVE pattern: per iteration, broadcast the centroid
+    matrix once (``ray.put``), every block computes its per-cluster
+    vector sums / counts / similarity partials in one matmul, and the
+    driver merges #blocks x n_clusters tiny rows into the next centroid
+    set (spherical k-means: mean direction, re-normalized).  The corpus
+    itself never moves — per iteration the shuffle-free traffic is one
+    centroid matrix down and one partial table up per block.
+
+    Returns (refined centroids, per-iteration mean cosine similarity —
+    non-decreasing, the spherical-Lloyd monotonicity invariant asserted
+    in tests)."""
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64).copy()
+    history: list[float] = []
+    d = C.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            C_ = ray.get(ref)
+            M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ C_.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(Mn)), assign]
+            sums = np.zeros_like(C_)
+            np.add.at(sums, assign, Mn)
+            counts = np.bincount(assign, minlength=len(C_)).astype(np.int64)
+            simsum = np.bincount(assign, weights=best, minlength=len(C_))
+            return pa.table({
+                "cluster": pa.array(np.arange(len(C_), dtype=np.int64)),
+                "count": pa.array(counts),
+                "simsum": pa.array(simsum),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), type=pa.float64()), d),
+            })
+
+        parts = (emb.map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        counts = np.zeros(len(C), dtype=np.int64)
+        simsum = np.zeros(len(C))
+        sums = np.zeros_like(C)
+        cl = parts["cluster"].to_numpy()
+        np.add.at(counts, cl, parts["count"].to_numpy())
+        np.add.at(simsum, cl, parts["simsum"].to_numpy())
+        np.add.at(sums, cl, np.stack(parts["vsum"].to_numpy()))
+        total = counts.sum()
+        history.append(float(simsum.sum() / total) if total else 0.0)
+        nz = counts > 0
+        norms = np.linalg.norm(sums[nz], axis=1)
+        ok = norms > 0
+        newC = C.copy()
+        upd = np.flatnonzero(nz)[ok]
+        newC[upd] = sums[upd] / norms[ok, None]
+        C = newC  # empty clusters keep their old centroid (standard Lloyd)
+    return C, history

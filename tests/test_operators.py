@@ -1074,3 +1074,55 @@ def test_top_ngrams_n_exceeds_all_docs(ray_session):
     assert len(out) == 0 and list(out.columns) == ["gram", "n"]
     with pytest.raises(ValueError):
         top_ngrams(ds, n=0)
+
+
+def test_kmeans_refine_distributed_monotone_and_recovers_clusters(ray_session):
+    """Full-corpus Lloyd refinement: mean cosine similarity is
+    non-decreasing per iteration (spherical-Lloyd invariant) and
+    deliberately-perturbed centroids snap back to planted clusters."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.ann import kmeans_refine_distributed
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 250, axis=0) + rng.normal(scale=0.05, size=(1000, 16))
+    df = pd.DataFrame({"vec_id": np.arange(1000),
+                       "embedding": list(X.astype(np.float64))})
+    ds = ray.data.from_pandas([df.iloc[i:i + 100] for i in range(0, 1000, 100)])
+
+    # start from the true centers nudged hard off-axis
+    C0 = centers + rng.normal(scale=0.15, size=centers.shape)
+    C0 /= np.linalg.norm(C0, axis=1, keepdims=True)
+    C, hist = kmeans_refine_distributed(ds, C0, iters=5)
+
+    assert len(hist) == 5
+    assert all(b >= a - 1e-12 for a, b in zip(hist, hist[1:])), hist
+    # every refined centroid aligns with exactly one planted center
+    sims = C @ centers.T
+    assert (sims.max(axis=1) > 0.99).all()
+    assert sorted(sims.argmax(axis=1).tolist()) == [0, 1, 2, 3]
+
+
+def test_ivf_build_index_with_refinement(emb, tmp_path, ray_session):
+    """refine_iters>0 threads through ivf_build_index and still yields a
+    searchable index with sane recall."""
+    from parquet_hs_ray.pipelines.ann import (ann_topk_bruteforce,
+                                              ann_topk_ivf_indexed,
+                                              ivf_build_index)
+
+    idx = str(tmp_path / "ivf_refined")
+    ivf_build_index(emb, idx, n_clusters=8, refine_iters=2)
+    full = emb.to_pandas()
+    qids = np.array([0, 1], dtype=np.int64)
+    qv = np.stack(full[full["vec_id"].isin(qids)].sort_values("vec_id")
+                  ["embedding"].to_numpy()).astype(np.float64)
+    exact = ann_topk_bruteforce(emb, query_ids=[0, 1], k=5)
+    approx = ann_topk_ivf_indexed(idx, qids, qv, k=5, nprobe=4)
+    hit = 0
+    for q in (0, 1):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hit += len(e & a)
+    assert hit >= 5  # >=50% recall at nprobe=4/8 on the tiny corpus
