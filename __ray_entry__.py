@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_pivot"] = lambda sf: pstats.pivot_sum(
         _read(sf, "events"), "user_id", "event_type", "value", _EVENT_TYPES)
     q["top_bigrams"] = lambda sf: ta.top_ngrams(_read(sf, "documents"), n=2, k=30)
+    q["doc_shuffle"] = lambda sf: ta.deterministic_shuffle(
+        _read(sf, "documents"), "doc_id", seed=42)
     return q
 
 
@@ -745,4 +747,11 @@ g AS (SELECT arr[i] || ' ' || arr[i+1] AS gram
 SELECT gram, count(*)::BIGINT AS n FROM g
 GROUP BY gram ORDER BY n DESC, gram LIMIT 30
 """
+    # deterministic training-order shuffle: position = row_number over
+    # md5(seed:id) — reproducible on any cluster size / block layout
+    o["doc_shuffle"] = (
+        "SELECT doc_id, row_number() OVER ("
+        " ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS shuffle_rank"
+        " FROM documents ORDER BY doc_id"
+    )
     return o

@@ -281,3 +281,54 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 30) -> pd.DataFram
                              "n": pd.Series([], dtype=np.int64)})
     out = cands.sort_values(["n", "gram"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"n": np.int64})
+
+
+def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
+                          seed: int = 42) -> pd.DataFrame:
+    """Assign every row its 1-based position in a DETERMINISTIC global
+    shuffle (order by ``md5(seed || ':' || id)``) — reproducible
+    training-order assignment with no RNG state: re-running with the
+    same seed yields the same order on any cluster size or block layout.
+
+    Scale shape: one Ray sort on the md5 key (vectorized range shuffle);
+    global positions come from per-block row counts (zero-CPU summary
+    tasks, #blocks ints folded into offsets on the driver) plus an
+    in-block arange — the sessionize/running-totals carry pattern, no
+    data pass beyond the sort.  Returns (id, shuffle_rank)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col]
+        k = np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                        for v in ids], dtype=object)
+        return pd.DataFrame({id_col: ids, "_k": k})
+
+    srt = (docs.map_batches(key, batch_format="pandas")
+           .sort(["_k", id_col]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def nrows(t):
+        return (t.num_rows if isinstance(t, pa.Table) else len(t))
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=1)
+    def rank_block(t, off):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        df["shuffle_rank"] = off + 1 + np.arange(len(df), dtype=np.int64)
+        return df[[id_col, "shuffle_rank"]]
+
+    parts = ray.get([rank_block.remote(r, int(offsets[i]))
+                     for i, r in enumerate(refs)])
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "shuffle_rank": pd.Series(dtype=np.int64)})
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)

@@ -1126,3 +1126,29 @@ def test_ivf_build_index_with_refinement(emb, tmp_path, ray_session):
         a = set(approx[approx["query_id"] == q]["neighbor_id"])
         hit += len(e & a)
     assert hit >= 5  # >=50% recall at nprobe=4/8 on the tiny corpus
+
+
+def test_deterministic_shuffle_reproducible_and_layout_independent(ray_session):
+    """Same seed -> identical ranks across different block layouts; ranks
+    are a permutation of 1..n; different seed -> different order."""
+    import hashlib
+
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    a = deterministic_shuffle(
+        ray.data.from_pandas([df.iloc[i:i + 50] for i in range(0, 500, 50)]),
+        "doc_id", seed=42)
+    b = deterministic_shuffle(
+        ray.data.from_pandas([df.iloc[:333], df.iloc[333:]]), "doc_id", seed=42)
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["shuffle_rank"].tolist()) == list(range(1, 501))
+    # matches the reference md5 order
+    keys = [hashlib.md5(f"42:{i}".encode()).hexdigest() for i in range(500)]
+    exp_rank = np.argsort(np.argsort(np.asarray(keys, dtype=object))) + 1
+    assert a["shuffle_rank"].tolist() == exp_rank.tolist()
+    c = deterministic_shuffle(
+        ray.data.from_pandas(df), "doc_id", seed=7)
+    assert c["shuffle_rank"].tolist() != a["shuffle_rank"].tolist()
