@@ -367,6 +367,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_bigrams"] = lambda sf: ta.top_ngrams(_read(sf, "documents"), n=2, k=30)
     q["doc_shuffle"] = lambda sf: ta.deterministic_shuffle(
         _read(sf, "documents"), "doc_id", seed=42)
+    q["orders_customer_join"] = lambda sf: rel.hash_join(
+        _read(sf, "orders"), _read(sf, "customer"), "o_custkey", "c_custkey")
+    q["events_gaps"] = lambda sf: win.event_gaps(_read(sf, "events"))
+    q["events_ntile"] = lambda sf: pstats.ntile_bucket(
+        _read(sf, "events"), "value", 8, "event_id")
     return q
 
 
@@ -753,5 +758,24 @@ GROUP BY gram ORDER BY n DESC, gram LIMIT 30
         "SELECT doc_id, row_number() OVER ("
         " ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS shuffle_rank"
         " FROM documents ORDER BY doc_id"
+    )
+    # large-x-large hash-shuffle join (right key folded into the left's)
+    o["orders_customer_join"] = (
+        "SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,"
+        " o.o_orderdate, o.o_orderpriority,"
+        " c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    # lag() inter-arrival gaps; -1 sentinel keeps the column BIGINT on
+    # both sides (first event per key has no predecessor)
+    o["events_gaps"] = """
+SELECT user_id, ts, event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), -1)::BIGINT AS gap_us
+FROM events ORDER BY user_id, ts, event_id
+"""
+    o["events_ntile"] = (
+        "SELECT event_id, value, ntile(8) OVER (ORDER BY value, event_id)"
+        " AS bucket FROM events ORDER BY event_id"
     )
     return o

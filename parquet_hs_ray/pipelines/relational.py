@@ -161,3 +161,24 @@ def filter_by_percentile(ds: "ray.data.Dataset", col: str, q: float,
         return ds.map_batches(lambda b: b[b[col] >= thr],
                               batch_format="pandas")
     return ds.map_batches(lambda b: b[b[col] < thr], batch_format="pandas")
+
+
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str,
+              num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Large-x-large inner equi-join via Ray Data's native hash-shuffle
+    join — the path for two FACT tables where neither side fits a
+    broadcast (``broadcast_join`` is the right tool whenever one side is
+    dimension-sized).  Both sides shuffle by key hash into
+    ``num_partitions`` co-located partitions; matching is vectorized
+    within each partition."""
+    if num_partitions is None:
+        num_partitions = max(2, min(32, int(
+            ray.cluster_resources().get("CPU", 4))))
+    if right_key != left_key:
+        def ren(t):
+            return t.rename_columns(
+                [left_key if c == right_key else c for c in t.column_names])
+        right = right.map_batches(ren, batch_format="pyarrow")
+    return left.join(right, join_type="inner",
+                     num_partitions=num_partitions, on=(left_key,))

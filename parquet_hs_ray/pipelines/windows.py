@@ -270,3 +270,78 @@ def running_totals(events: "ray.data.Dataset", key: str = "user_id",
     out["running_n"] = out["running_n"].astype(np.int64)
     out["running_cents"] = out["running_cents"].astype(np.int64)
     return out.sort_values([key, ts, id_col], kind="mergesort").reset_index(drop=True)
+
+
+def event_gaps(events: "ray.data.Dataset", key: str = "user_id",
+               ts: str = "ts", id_col: str = "event_id") -> pd.DataFrame:
+    """Per-row gap to the PREVIOUS event of the same ``key`` in
+    (``ts``, ``id_col``) order, in microseconds — the SQL ``lag()``
+    window analytic (inter-arrival times; first event per key gets -1,
+    COALESCE'd on both sides to keep the column integer-typed).
+
+    Scale shape (the running-totals carry pattern): ONE sort on
+    (key, ts, id); zero-CPU per-block summaries carry each block's last
+    (key, ts) left-to-right on the driver; per block, a vectorized
+    grouped shift computes in-block gaps and only row 0 can inherit the
+    carried timestamp (keys/rows are contiguous after the sort)."""
+    import pyarrow as pa
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # normalize to microseconds whatever the input unit (parquet is
+        # us, pandas-born frames are ns)
+        us = pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64())
+        return pa.table({key: t[key], id_col: t[id_col], "_us": us})
+
+    srt = (events.map_batches(prep, batch_format="pyarrow")
+           .sort([key, "_us", id_col]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def summary(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        k = t[key].to_numpy(zero_copy_only=False)
+        u = t["_us"].to_numpy(zero_copy_only=False)
+        return (k[0], k[-1], int(u[-1]))
+
+    sums = ray.get([summary.remote(r) for r in refs])
+    carries: list[tuple | None] = [None] * len(refs)
+    run_key, run_us = None, None
+    for i, s in enumerate(sums):
+        carries[i] = (run_key, run_us) if run_key is not None else None
+        if s is not None:
+            run_key, run_us = s[1], s[2]
+
+    @ray.remote(num_cpus=1)
+    def block_gaps(t, carry):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        if not len(df):
+            return df
+        prev = df.groupby(key, sort=False)["_us"].shift(1)
+        if carry is not None and df[key].iloc[0] == carry[0]:
+            prev.iloc[0] = carry[1]
+        gap = (df["_us"] - prev).fillna(-1).astype(np.int64)
+        # first event of a key genuinely has no predecessor: -1 sentinel
+        out = pd.DataFrame({key: df[key], "_us": df["_us"],
+                            id_col: df[id_col], "gap_us": gap})
+        return out
+
+    parts = ray.get([block_gaps.remote(r, carries[i])
+                     for i, r in enumerate(refs)])
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({key: pd.Series(dtype=np.int64),
+                             ts: pd.Series(dtype="datetime64[us]"),
+                             id_col: pd.Series(dtype=np.int64),
+                             "gap_us": pd.Series(dtype=np.int64)})
+    out = pd.concat(parts, ignore_index=True)
+    out[ts] = pd.to_datetime(out.pop("_us"), unit="us")
+    out = out[[key, ts, id_col, "gap_us"]]
+    return out.sort_values([key, ts, id_col], kind="mergesort").reset_index(drop=True)

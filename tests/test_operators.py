@@ -1152,3 +1152,54 @@ def test_deterministic_shuffle_reproducible_and_layout_independent(ray_session):
     c = deterministic_shuffle(
         ray.data.from_pandas(df), "doc_id", seed=7)
     assert c["shuffle_rank"].tolist() != a["shuffle_rank"].tolist()
+
+
+def test_event_gaps_matches_pandas_across_blocks(ray_session):
+    """lag() gaps equal a pandas groupby-shift twin with a hot key
+    straddling blocks; first event per key carries the -1 sentinel."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import event_gaps
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": np.where(rng.random(n) < 0.5, 3, rng.integers(0, 30, n)),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.uniform(0, 1, n),
+    })
+    ds = ray.data.from_pandas([df.iloc[i:i + 200] for i in range(0, n, 200)])
+    out = event_gaps(ds)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    us = ref["ts"].astype("datetime64[us]").astype("int64")
+    prev = us.groupby(ref["user_id"]).shift(1)
+    ref["gap_us"] = (us - prev).fillna(-1).astype(np.int64)
+    ref = ref.drop(columns=["value"])
+    pd.testing.assert_frame_equal(out, ref[out.columns.tolist()],
+                                  check_dtype=False)
+
+
+def test_ntile_bucket_sql_distribution(ray_session):
+    """Bucket sizes follow the SQL NTILE rule (first T%n buckets one
+    larger); ordering by (value, id) decides membership; n > rows."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import ntile_bucket
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"event_id": np.arange(1003, dtype=np.int64),
+                       "value": rng.integers(0, 40, 1003).astype(np.float64)})
+    ds = ray.data.from_pandas([df.iloc[i:i + 100] for i in range(0, 1003, 100)])
+    out = ntile_bucket(ds, "value", 8, "event_id")
+    sizes = out["bucket"].value_counts().sort_index()
+    # 1003 = 8*125 + 3: first 3 buckets get 126
+    assert sizes.tolist() == [126, 126, 126] + [125] * 5
+    # bucket order respects (value, id) order
+    srt = out.sort_values(["value", "event_id"])
+    assert (np.diff(srt["bucket"].to_numpy()) >= 0).all()
+
+    tiny = ntile_bucket(
+        ray.data.from_pandas(df.iloc[:3]), "value", 8, "event_id")
+    assert sorted(tiny["bucket"].tolist()) == [1, 2, 3]

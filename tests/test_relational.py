@@ -154,3 +154,15 @@ def test_filter_by_percentile_rejects_bad_keep(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"v": [1.0]}))
     with pytest.raises(ValueError):
         filter_by_percentile(ds, "v", 0.5, keep="between")
+
+
+def test_hash_join_matches_pandas(fact_dim):
+    """Large-x-large native hash-shuffle join (key renamed on the right)
+    matches a pandas inner merge."""
+    from parquet_hs_ray.pipelines.relational import hash_join
+
+    fact, dim, ds, dimds = fact_dim
+    out = hash_join(ds, dimds, "fk", "dk", num_partitions=4).to_pandas()
+    exp = (fact.merge(dim, left_on="fk", right_on="dk")
+           .drop(columns=["dk"]).rename(columns={"fk": "fk"}))
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp))
