@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_gaps"] = lambda sf: win.event_gaps(_read(sf, "events"))
     q["events_ntile"] = lambda sf: pstats.ntile_bucket(
         _read(sf, "events"), "value", 8, "event_id")
+    q["events_mode"] = lambda sf: pstats.grouped_mode(
+        _read(sf, "events"), "event_type", "user_id")
     return q
 
 
@@ -777,5 +779,13 @@ FROM events ORDER BY user_id, ts, event_id
     o["events_ntile"] = (
         "SELECT event_id, value, ntile(8) OVER (ORDER BY value, event_id)"
         " AS bucket FROM events ORDER BY event_id"
+    )
+    o["events_mode"] = (
+        "SELECT event_type, user_id AS mode_value, cnt AS n FROM ("
+        " SELECT event_type, user_id, count(*)::BIGINT AS cnt,"
+        "  row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY count(*) DESC, user_id ASC) AS rn"
+        " FROM events GROUP BY event_type, user_id) WHERE rn = 1"
+        " ORDER BY event_type"
     )
     return o

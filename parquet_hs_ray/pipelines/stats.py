@@ -293,3 +293,33 @@ def ntile_bucket(ds: "ray.data.Dataset", col: str, n: int,
     out = pd.concat([p for p in parts if len(p)], ignore_index=True)
     out["bucket"] = out["bucket"].astype(np.int64)
     return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_mode(ds: "ray.data.Dataset", key: str, col: str) -> "ray.data.Dataset":
+    """Most frequent ``col`` value per ``key`` (ties broken toward the
+    smallest value — deterministic, mirrored by the SQL ``row_number()``
+    twin).  Output: (key, mode_value, n).
+
+    Scale shape: the shuffle carries a (key, value, partial-count)
+    histogram (cardinality-bounded, same as ``grouped_quantiles``); the
+    final per-key argmax is one vectorized pass over each group's merged
+    histogram."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch[[key, col]].dropna(subset=[col])
+             .groupby([key, col], sort=False).size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key, col], ["cnt"])
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[col].to_numpy(), -g["cnt"].to_numpy()))
+        top = g.iloc[order[0]]
+        return pd.DataFrame({key: [top[key]], "mode_value": [top[col]],
+                             "n": [np.int64(top["cnt"])]})
+
+    return hist.groupby(key).map_groups(select, batch_format="pandas")

@@ -114,3 +114,23 @@ def test_pivot_sum_matches_pandas(ray_session):
                                   check_names=False)
     assert (out["missing_cents"] == 0).all()
     assert out.loc[out["k"] == 999, "a_cents"].iloc[0] == 0
+
+
+def test_grouped_mode_ties_and_nulls(ray_session):
+    """Mode per group with deterministic smallest-value tie-break; nulls
+    never count as a mode candidate."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "v": pd.array([5, 5, 3, 3, 9, None, 2, 2, 7, 7], dtype="Int64"),
+    })
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:7], df.iloc[7:]])
+    out = (grouped_mode(ds, "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # group a: 5 and 3 tie at 2 -> 3 wins (smallest); group b: 2 and 7 tie -> 2
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["mode_value"].tolist() == [3, 2]
+    assert out["n"].tolist() == [2, 2]
