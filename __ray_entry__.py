@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "events"), "value", 8, "event_id")
     q["events_mode"] = lambda sf: pstats.grouped_mode(
         _read(sf, "events"), "event_type", "user_id")
+    q["doc_sample_per_source"] = lambda sf: rel.sample_n_per_group(
+        _read(sf, "documents"), "source", 20, "doc_id", seed=42,
+        columns=["doc_id", "source"])
     return q
 
 
@@ -787,5 +790,12 @@ FROM events ORDER BY user_id, ts, event_id
         "   ORDER BY count(*) DESC, user_id ASC) AS rn"
         " FROM events GROUP BY event_type, user_id) WHERE rn = 1"
         " ORDER BY event_type"
+    )
+    # deterministic capped per-group sampling (md5-ranked, no RNG)
+    o["doc_sample_per_source"] = (
+        "SELECT doc_id, source FROM ("
+        " SELECT doc_id, source, row_number() OVER (PARTITION BY source"
+        "  ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS rn"
+        " FROM documents) WHERE rn <= 20 ORDER BY source, doc_id"
     )
     return o

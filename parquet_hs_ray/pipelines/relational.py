@@ -182,3 +182,43 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         right = right.map_batches(ren, batch_format="pyarrow")
     return left.join(right, join_type="inner",
                      num_partitions=num_partitions, on=(left_key,))
+
+
+def sample_n_per_group(ds: "ray.data.Dataset", group: str, n: int,
+                       id_col: str, seed: int = 42,
+                       columns: Sequence[str] | None = None
+                       ) -> "ray.data.Dataset":
+    """Deterministic uniform sample of at most ``n`` rows per ``group``:
+    rows are ranked inside each group by ``md5(seed:id)`` (content- and
+    layout-independent) and the first ``n`` kept — per-source capped
+    corpus sampling with no RNG state, reproducible on any cluster.
+
+    Scale shape: identical to :func:`top_n_per_group` — per-block local
+    prune (lexsort + cumcount on the hash key), then a grouped final
+    selection over the ≤ n · blocks survivors."""
+    import hashlib
+
+    cols = list(columns) if columns is not None else None
+
+    def key_of(b: pd.DataFrame) -> np.ndarray:
+        return np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                           for v in b[id_col]], dtype=object)
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch if cols is None else batch[cols]
+        if not len(b):
+            return b
+        k = key_of(b)
+        order = np.lexsort((b[id_col].to_numpy(), k))
+        b = b.iloc[order]
+        keep = b.groupby(group, sort=False).cumcount() < n
+        return b[keep.to_numpy()]
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        k = key_of(g)
+        order = np.lexsort((g[id_col].to_numpy(), k))
+        return g.iloc[order[:n]]
+
+    return pruned.groupby(group).map_groups(select, batch_format="pandas")

@@ -166,3 +166,29 @@ def test_hash_join_matches_pandas(fact_dim):
     exp = (fact.merge(dim, left_on="fk", right_on="dk")
            .drop(columns=["dk"]).rename(columns={"fk": "fk"}))
     pd.testing.assert_frame_equal(_sorted(out), _sorted(exp))
+
+
+def test_sample_n_per_group_deterministic_and_capped(ray_session):
+    """Same seed -> identical sample across block layouts; at most n per
+    group; small groups kept whole; different seed -> different pick."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import sample_n_per_group
+
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], [200, 150, 3]),
+        "id": np.arange(353, dtype=np.int64),
+    })
+    a = (sample_n_per_group(
+        ray.data.from_pandas([df.iloc[i:i + 40] for i in range(0, 353, 40)]),
+        "g", 25, "id", seed=42).to_pandas()
+        .sort_values("id").reset_index(drop=True))
+    b = (sample_n_per_group(
+        ray.data.from_pandas(df), "g", 25, "id", seed=42).to_pandas()
+        .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a["g"].value_counts()
+    assert sizes["a"] == 25 and sizes["b"] == 25 and sizes["c"] == 3
+    c = (sample_n_per_group(ray.data.from_pandas(df), "g", 25, "id", seed=7)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert not a["id"].tolist() == c["id"].tolist()
