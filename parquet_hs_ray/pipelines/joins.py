@@ -29,7 +29,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key: str = "user_id", ts: str = "ts",
               left_cols: tuple[str, ...] = ("event_id",),
               right_cols: tuple[str, ...] = ("event_id", "value"),
-              prefix: str = "matched_") -> pd.DataFrame:
+              prefix: str = "matched_") -> "ray.data.Dataset":
     """Left as-of join: per left row, values of the latest right row with
     ``right.ts <= left.ts`` and equal ``key`` (NULLs when none exists).
 
@@ -38,10 +38,9 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     mirrored in the SQL oracle via a row_number() dedup — DuckDB's ASOF
     tie behavior is otherwise unspecified.
 
-    Returns a pandas DataFrame with ``key``, ``ts``, ``left_cols`` and
-    ``prefix+right_cols`` (the sandbox-scale result is row-per-left-row;
-    at scale, return the mapped Dataset instead of .to_pandas — the
-    construction below is Dataset-native until the final collect)."""
+    Returns a Dataset with ``key``, ``ts``, ``left_cols`` and
+    ``prefix+right_cols`` — block outputs stay in the object store
+    (never concatenated on the driver), flowing out (key, ts)-sorted."""
     rid = right_cols[0]
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -134,17 +133,26 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             res[prefix + c] = out[f"r_{c}"]
         return res
 
-    parts = ray.get([block_join.remote(r, carries[i]) for i, r in enumerate(refs)])
-    res = pd.concat([p for p in parts if len(p)], ignore_index=True)
-    sort_cols = [key, ts] + list(left_cols)
-    return res.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+    # block outputs become the result Dataset — nothing is concatenated
+    # on the driver (rows flow out block-ordered, i.e. (key, ts)-sorted)
+    out_refs = [block_join.remote(r, carries[i]) for i, r in enumerate(refs)]
+
+    @ray.remote(num_cpus=0)
+    def _n(df):
+        return len(df)
+
+    keep = [r for r, n in zip(out_refs, ray.get([_n.remote(r) for r in out_refs])) if n]
+    if not keep:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, ts, *left_cols, *(prefix + c for c in right_cols)]))
+    return ray.data.from_pandas_refs(keep)
 
 
 def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                key: str = "user_id", ts: str = "ts", window_us: int = 1_800_000_000,
                left_cols: tuple[str, ...] = ("event_id",),
                right_cols: tuple[str, ...] = ("event_id",),
-               prefix: str = "matched_") -> pd.DataFrame:
+               prefix: str = "matched_") -> "ray.data.Dataset":
     """Range (interval) join: ALL (left, right) pairs with equal ``key``
     and ``left.ts - window_us <= right.ts <= left.ts`` — the "events in
     the preceding window" join. DuckDB twin: a plain inequality join.
@@ -260,9 +268,16 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                          prefix + ts])
         return pd.concat(frames, ignore_index=True)
 
-    parts = ray.get([block_match.remote(r, carries[i]) for i, r in enumerate(refs)])
-    res = pd.concat([p for p in parts if len(p)], ignore_index=True)
-    if not len(res):
-        return parts[0]
-    sort_cols = [key, ts] + list(left_cols) + [prefix + ts]
-    return res.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+    # block outputs become the result Dataset — no driver concatenation
+    out_refs = [block_match.remote(r, carries[i]) for i, r in enumerate(refs)]
+
+    @ray.remote(num_cpus=0)
+    def _n(df):
+        return len(df)
+
+    keep = [r for r, n in zip(out_refs, ray.get([_n.remote(r) for r in out_refs])) if n]
+    if not keep:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, ts, *left_cols,
+                     *(prefix + c for c in right_cols), prefix + ts]))
+    return ray.data.from_pandas_refs(keep)

@@ -243,7 +243,7 @@ def pivot_sum(ds: "ray.data.Dataset", key: str, piv: str, val: str,
 
 
 def ntile_bucket(ds: "ray.data.Dataset", col: str, n: int,
-                 id_col: str) -> pd.DataFrame:
+                 id_col: str) -> "ray.data.Dataset":
     """Equi-depth bucketing: assign every row its 1-based SQL ``NTILE(n)``
     bucket in (``col``, ``id_col``) order — quantile binning for feature
     discretization with exact SQL semantics (with T total rows, the
@@ -268,9 +268,10 @@ def ntile_bucket(ds: "ray.data.Dataset", col: str, n: int,
     counts = ray.get([nrows.remote(r) for r in refs])
     total = int(sum(counts))
     if total == 0:
-        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
-                             col: pd.Series(dtype=np.float64),
-                             "bucket": pd.Series(dtype=np.int64)})
+        return ray.data.from_pandas(
+            pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                          col: pd.Series(dtype=np.float64),
+                          "bucket": pd.Series(dtype=np.int64)}))
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     base, rem = divmod(total, n)
 
@@ -285,14 +286,13 @@ def ntile_bucket(ds: "ray.data.Dataset", col: str, n: int,
             b = np.where(r < cut, r // (base + 1), rem + (r - cut) // base)
         else:  # more buckets than rows: one row per bucket
             b = r
-        df["bucket"] = b + 1
+        df["bucket"] = (b + 1).astype(np.int64)
         return df[[id_col, col, "bucket"]]
 
-    parts = ray.get([bucketize.remote(r, int(offsets[i]))
-                     for i, r in enumerate(refs)])
-    out = pd.concat([p for p in parts if len(p)], ignore_index=True)
-    out["bucket"] = out["bucket"].astype(np.int64)
-    return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    # block outputs become the result Dataset (no driver concatenation);
+    # rows flow out sorted by (col, id)
+    return ray.data.from_pandas_refs(
+        [bucketize.remote(r, int(offsets[i])) for i, r in enumerate(refs)])
 
 
 def grouped_mode(ds: "ray.data.Dataset", key: str, col: str) -> "ray.data.Dataset":

@@ -284,7 +284,7 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 30) -> pd.DataFram
 
 
 def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
-                          seed: int = 42) -> pd.DataFrame:
+                          seed: int = 42) -> "ray.data.Dataset":
     """Assign every row its 1-based position in a DETERMINISTIC global
     shuffle (order by ``md5(seed || ':' || id)``) — reproducible
     training-order assignment with no RNG state: re-running with the
@@ -308,6 +308,9 @@ def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
     srt = (docs.map_batches(key, batch_format="pandas")
            .sort(["_k", id_col]).materialize())
     refs = srt.to_arrow_refs()
+    if not refs:
+        return ray.data.from_pandas(
+            pd.DataFrame(columns=[id_col, "shuffle_rank"]))
 
     @ray.remote(num_cpus=0)
     def nrows(t):
@@ -324,11 +327,7 @@ def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
         df["shuffle_rank"] = off + 1 + np.arange(len(df), dtype=np.int64)
         return df[[id_col, "shuffle_rank"]]
 
-    parts = ray.get([rank_block.remote(r, int(offsets[i]))
-                     for i, r in enumerate(refs)])
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
-                             "shuffle_rank": pd.Series(dtype=np.int64)})
-    out = pd.concat(parts, ignore_index=True)
-    return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    # block outputs become the result Dataset (no driver concatenation);
+    # rows flow out in shuffled order, ranks 1..n
+    return ray.data.from_pandas_refs(
+        [rank_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)])

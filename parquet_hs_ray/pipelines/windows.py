@@ -178,7 +178,7 @@ def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
 
 def running_totals(events: "ray.data.Dataset", key: str = "user_id",
                    ts: str = "ts", id_col: str = "event_id",
-                   val: str = "value") -> pd.DataFrame:
+                   val: str = "value") -> "ray.data.Dataset":
     """Per-row running totals within each ``key``, ordered by
     (``ts``, ``id_col``): cumulative event count and cumulative value in
     integer cents — the SQL ``SUM(...) OVER (PARTITION BY key ORDER BY
@@ -210,6 +210,9 @@ def running_totals(events: "ray.data.Dataset", key: str = "user_id",
     srt = (events.map_batches(prep, batch_format="pyarrow")
            .sort([key, ts, id_col]).materialize())
     refs = srt.to_arrow_refs()
+    if not refs:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, ts, id_col, "running_n", "running_cents"]))
 
     @ray.remote(num_cpus=0)
     def summary(t):
@@ -250,7 +253,15 @@ def running_totals(events: "ray.data.Dataset", key: str = "user_id",
             t = pa.Table.from_pandas(t, preserve_index=False)
         df = t.to_pandas()
         if not len(df):
-            return df
+            # fully-empty sort outputs arrive with ZERO columns —
+            # synthesize the schema
+            base = (df.drop(columns=["_cents"]) if "_cents" in df.columns
+                    else pd.DataFrame({key: pd.Series(dtype=np.int64),
+                                       ts: pd.Series(dtype="datetime64[us]"),
+                                       id_col: pd.Series(dtype=np.int64)}))
+            base["running_n"] = pd.Series(dtype=np.int64)
+            base["running_cents"] = pd.Series(dtype=np.int64)
+            return base
         g = df.groupby(key, sort=False)
         df["running_n"] = g.cumcount().to_numpy() + 1
         df["running_cents"] = g["_cents"].cumsum().to_numpy()
@@ -259,21 +270,19 @@ def running_totals(events: "ray.data.Dataset", key: str = "user_id",
             n_first = int(np.searchsorted(k, k[0], side="right"))
             df.iloc[:n_first, df.columns.get_loc("running_n")] += carry[1]
             df.iloc[:n_first, df.columns.get_loc("running_cents")] += carry[2]
+        df["running_n"] = df["running_n"].astype(np.int64)
+        df["running_cents"] = df["running_cents"].astype(np.int64)
         return df.drop(columns=["_cents"])
 
-    parts = ray.get([block_cumsum.remote(r, carries[i])
-                     for i, r in enumerate(refs)])
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return pd.DataFrame(columns=[key, ts, id_col, "running_n", "running_cents"])
-    out = pd.concat(parts, ignore_index=True)
-    out["running_n"] = out["running_n"].astype(np.int64)
-    out["running_cents"] = out["running_cents"].astype(np.int64)
-    return out.sort_values([key, ts, id_col], kind="mergesort").reset_index(drop=True)
+    # block outputs stay in the object store: the result is a Dataset
+    # built from the refs, never concatenated on the driver (rows flow
+    # out block-ordered, i.e. sorted by (key, ts, id))
+    return ray.data.from_pandas_refs(
+        [block_cumsum.remote(r, carries[i]) for i, r in enumerate(refs)])
 
 
 def event_gaps(events: "ray.data.Dataset", key: str = "user_id",
-               ts: str = "ts", id_col: str = "event_id") -> pd.DataFrame:
+               ts: str = "ts", id_col: str = "event_id") -> "ray.data.Dataset":
     """Per-row gap to the PREVIOUS event of the same ``key`` in
     (``ts``, ``id_col``) order, in microseconds — the SQL ``lag()``
     window analytic (inter-arrival times; first event per key gets -1,
@@ -298,6 +307,9 @@ def event_gaps(events: "ray.data.Dataset", key: str = "user_id",
     srt = (events.map_batches(prep, batch_format="pyarrow")
            .sort([key, "_us", id_col]).materialize())
     refs = srt.to_arrow_refs()
+    if not refs:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, ts, id_col, "gap_us"]))
 
     @ray.remote(num_cpus=0)
     def summary(t):
@@ -323,25 +335,23 @@ def event_gaps(events: "ray.data.Dataset", key: str = "user_id",
             t = pa.Table.from_pandas(t, preserve_index=False)
         df = t.to_pandas()
         if not len(df):
-            return df
+            return pd.DataFrame({
+                key: df[key] if key in df.columns
+                else pd.Series(dtype=np.int64),
+                ts: pd.Series(dtype="datetime64[ns]"),
+                id_col: df[id_col] if id_col in df.columns
+                else pd.Series(dtype=np.int64),
+                "gap_us": pd.Series(dtype=np.int64)})
         prev = df.groupby(key, sort=False)["_us"].shift(1)
         if carry is not None and df[key].iloc[0] == carry[0]:
             prev.iloc[0] = carry[1]
         gap = (df["_us"] - prev).fillna(-1).astype(np.int64)
         # first event of a key genuinely has no predecessor: -1 sentinel
-        out = pd.DataFrame({key: df[key], "_us": df["_us"],
-                            id_col: df[id_col], "gap_us": gap})
-        return out
+        return pd.DataFrame({key: df[key],
+                             ts: pd.to_datetime(df["_us"], unit="us"),
+                             id_col: df[id_col], "gap_us": gap})
 
-    parts = ray.get([block_gaps.remote(r, carries[i])
-                     for i, r in enumerate(refs)])
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return pd.DataFrame({key: pd.Series(dtype=np.int64),
-                             ts: pd.Series(dtype="datetime64[us]"),
-                             id_col: pd.Series(dtype=np.int64),
-                             "gap_us": pd.Series(dtype=np.int64)})
-    out = pd.concat(parts, ignore_index=True)
-    out[ts] = pd.to_datetime(out.pop("_us"), unit="us")
-    out = out[[key, ts, id_col, "gap_us"]]
-    return out.sort_values([key, ts, id_col], kind="mergesort").reset_index(drop=True)
+    # block outputs become the result Dataset directly (no driver-side
+    # concatenation); rows flow out sorted by (key, ts, id)
+    return ray.data.from_pandas_refs(
+        [block_gaps.remote(r, carries[i]) for i, r in enumerate(refs)])

@@ -857,8 +857,11 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
                           batch_format="pyarrow")
     right = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "click")),
                            batch_format="pyarrow")
-    ours = asof_join(left, right, key="user_id", ts="ts",
-                     left_cols=("event_id",), right_cols=("event_id", "value"))
+    ours = (asof_join(left, right, key="user_id", ts="ts",
+                      left_cols=("event_id",), right_cols=("event_id", "value"))
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"], kind="stable")
+            .reset_index(drop=True))
 
     raw = pd.read_parquet(f"{SF}/events.parquet")
     lp = (raw[raw.event_type == "purchase"][["user_id", "ts", "event_id"]]
@@ -977,8 +980,12 @@ def test_range_join_matches_pandas(ray_session):
                           batch_format="pyarrow")
     right = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")),
                            batch_format="pyarrow")
-    ours = range_join(left, right, window_us=W,
-                      left_cols=("event_id",), right_cols=("event_id",))
+    ours = (range_join(left, right, window_us=W,
+                       left_cols=("event_id",), right_cols=("event_id",))
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id", "matched_ts"],
+                         kind="stable")
+            .reset_index(drop=True))
 
     raw = pd.read_parquet(f"{SF}/events.parquet")
     lp = raw[raw.event_type == "purchase"]
@@ -1015,7 +1022,9 @@ def test_running_totals_matches_pandas_across_blocks(ray_session):
         "value": np.round(rng.uniform(-100, 100, n), 3),
     })
     ds = ray.data.from_pandas([df.iloc[i:i + 250] for i in range(0, n, 250)])
-    out = running_totals(ds)
+    out = (running_totals(ds).to_pandas()
+           .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+           .reset_index(drop=True))
 
     ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
     cents = np.round(ref["value"].to_numpy() * 100.0).astype(np.int64)
@@ -1036,9 +1045,11 @@ def test_running_totals_empty(ray_session):
                        "event_id": pd.Series(dtype=np.int64),
                        "value": pd.Series(dtype=np.float64)})
     out = running_totals(ray.data.from_pandas(df))
-    assert len(out) == 0
-    assert list(out.columns) == ["user_id", "ts", "event_id",
-                                 "running_n", "running_cents"]
+    assert out.count() == 0
+    # Ray's to_pandas drops columns on zero-row datasets; the schema is
+    # the contract
+    assert out.schema().names == ["user_id", "ts", "event_id",
+                                  "running_n", "running_cents"]
 
 
 def test_top_ngrams_no_cross_document_grams(ray_session):
@@ -1138,19 +1149,19 @@ def test_deterministic_shuffle_reproducible_and_layout_independent(ray_session):
     from parquet_hs_ray.pipelines.text_analysis import deterministic_shuffle
 
     df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
-    a = deterministic_shuffle(
-        ray.data.from_pandas([df.iloc[i:i + 50] for i in range(0, 500, 50)]),
-        "doc_id", seed=42)
-    b = deterministic_shuffle(
-        ray.data.from_pandas([df.iloc[:333], df.iloc[333:]]), "doc_id", seed=42)
+    def run(ds, seed):
+        return (deterministic_shuffle(ds, "doc_id", seed=seed).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    a = run(ray.data.from_pandas([df.iloc[i:i + 50] for i in range(0, 500, 50)]), 42)
+    b = run(ray.data.from_pandas([df.iloc[:333], df.iloc[333:]]), 42)
     pd.testing.assert_frame_equal(a, b)
     assert sorted(a["shuffle_rank"].tolist()) == list(range(1, 501))
     # matches the reference md5 order
     keys = [hashlib.md5(f"42:{i}".encode()).hexdigest() for i in range(500)]
     exp_rank = np.argsort(np.argsort(np.asarray(keys, dtype=object))) + 1
     assert a["shuffle_rank"].tolist() == exp_rank.tolist()
-    c = deterministic_shuffle(
-        ray.data.from_pandas(df), "doc_id", seed=7)
+    c = run(ray.data.from_pandas(df), 7)
     assert c["shuffle_rank"].tolist() != a["shuffle_rank"].tolist()
 
 
@@ -1170,7 +1181,9 @@ def test_event_gaps_matches_pandas_across_blocks(ray_session):
         "value": rng.uniform(0, 1, n),
     })
     ds = ray.data.from_pandas([df.iloc[i:i + 200] for i in range(0, n, 200)])
-    out = event_gaps(ds)
+    out = (event_gaps(ds).to_pandas()
+           .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+           .reset_index(drop=True))
 
     ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
     us = ref["ts"].astype("datetime64[us]").astype("int64")
@@ -1192,7 +1205,7 @@ def test_ntile_bucket_sql_distribution(ray_session):
     df = pd.DataFrame({"event_id": np.arange(1003, dtype=np.int64),
                        "value": rng.integers(0, 40, 1003).astype(np.float64)})
     ds = ray.data.from_pandas([df.iloc[i:i + 100] for i in range(0, 1003, 100)])
-    out = ntile_bucket(ds, "value", 8, "event_id")
+    out = ntile_bucket(ds, "value", 8, "event_id").to_pandas()
     sizes = out["bucket"].value_counts().sort_index()
     # 1003 = 8*125 + 3: first 3 buckets get 126
     assert sizes.tolist() == [126, 126, 126] + [125] * 5
@@ -1201,5 +1214,5 @@ def test_ntile_bucket_sql_distribution(ray_session):
     assert (np.diff(srt["bucket"].to_numpy()) >= 0).all()
 
     tiny = ntile_bucket(
-        ray.data.from_pandas(df.iloc[:3]), "value", 8, "event_id")
+        ray.data.from_pandas(df.iloc[:3]), "value", 8, "event_id").to_pandas()
     assert sorted(tiny["bucket"].tolist()) == [1, 2, 3]
