@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_sample_per_source"] = lambda sf: rel.sample_n_per_group(
         _read(sf, "documents"), "source", 20, "doc_id", seed=42,
         columns=["doc_id", "source"])
+
+    def emb_pca(sf):
+        proj, _ = ann.embedding_pca(_read(sf, "embeddings"), k=4)
+        return proj
+
+    q["emb_pca"] = emb_pca
     return q
 
 
@@ -638,7 +644,8 @@ def oracle_sql() -> dict[str, str]:
     # count needs a lookahead regex RE2 lacks), ann_ivf / ann_ivf_indexed
     # / emb_neardup_ivf (approximate by design, recall-tested instead),
     # media_features (opaque-bytes fake path), media_real_decode (real
-    # stdlib PNG/WAV decode; content equality pytest-asserted).
+    # stdlib PNG/WAV decode; content equality pytest-asserted), emb_pca
+    # (eigendecomposition — numpy-parity pytest-asserted instead).
     # sequential scrub: each rule counted against the text as the
     # previous rules left it (nested projections mirror the kernel)
     p1, r1 = _SCRUB_RULES[0]

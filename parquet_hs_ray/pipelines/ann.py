@@ -385,3 +385,72 @@ def kmeans_refine_distributed(emb: "ray.data.Dataset", centroids: np.ndarray,
         newC[upd] = sums[upd] / norms[ok, None]
         C = newC  # empty clusters keep their old centroid (standard Lloyd)
     return C, history
+
+
+def embedding_pca(emb: "ray.data.Dataset", k: int,
+                  col: str = "embedding") -> tuple["ray.data.Dataset", dict]:
+    """Distributed two-pass PCA over the embedding column — the
+    dimensionality-reduction step before clustering / visualization /
+    cheap ANN.  Pass 1: every block contributes its d x d scatter
+    (X^T X) and column-sum partials in one matmul (the shuffle-free
+    statistic — d^2 floats per block, independent of row count); the
+    driver assembles the covariance and eigendecomposes it (d is the
+    embedding width, driver-trivial).  Pass 2: components broadcast via
+    ``ray.put``; projection is one matmul per block, streaming.
+
+    Returns (projected Dataset with ``vec_id`` + ``pca`` list column,
+    info dict with eigenvalues, explained-variance ratios, mean).
+    Components' signs are canonicalized (largest-|coordinate| positive)
+    so results are deterministic across eigensolver builds."""
+    d = None
+    n_tot = 0
+    scatter = None
+    colsum = None
+    for part in emb.map_batches(
+            lambda b: _pca_partial(b, col), batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        for _, row in part.iterrows():
+            if scatter is None:
+                d = int(row["d"])
+                scatter = np.zeros((d, d))
+                colsum = np.zeros(d)
+            n_tot += int(row["n"])
+            scatter += np.asarray(row["scatter"]).reshape(d, d)
+            colsum += np.asarray(row["colsum"])
+    if n_tot == 0:
+        raise ValueError("embedding_pca on an empty dataset")
+    mean = colsum / n_tot
+    cov = scatter / n_tot - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # canonical sign: the largest-|coordinate| entry is positive
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    lam = np.maximum(evals[order], 0.0)
+    info = {"eigenvalues": lam,
+            "explained_variance_ratio": lam / max(np.trace(cov), 1e-300),
+            "mean": mean}
+    ref = ray.put((mean, comps))
+
+    def project(batch: pd.DataFrame) -> pa.Table:
+        mu, C = ray.get(ref)
+        X = np.stack(batch[col].to_numpy()).astype(np.float64)
+        P = (X - mu) @ C.T
+        return pa.table({
+            "vec_id": pa.array(batch["vec_id"].to_numpy()),
+            "pca": pa.FixedSizeListArray.from_arrays(
+                pa.array(P.ravel(), type=pa.float64()), P.shape[1]),
+        })
+
+    return emb.map_batches(project, batch_format="pandas"), info
+
+
+def _pca_partial(batch: pd.DataFrame, col: str) -> pd.DataFrame:
+    X = np.stack(batch[col].to_numpy()).astype(np.float64)
+    return pd.DataFrame({
+        "n": [len(X)], "d": [X.shape[1]],
+        "scatter": [(X.T @ X).ravel()],
+        "colsum": [X.sum(axis=0)],
+    })

@@ -1216,3 +1216,34 @@ def test_ntile_bucket_sql_distribution(ray_session):
     tiny = ntile_bucket(
         ray.data.from_pandas(df.iloc[:3]), "value", 8, "event_id").to_pandas()
     assert sorted(tiny["bucket"].tolist()) == [1, 2, 3]
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed two-pass PCA equals a numpy PCA on the gathered data
+    (same covariance, eigenvalues, canonical-sign projections)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.ann import embedding_pca
+
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: variance concentrated in 3 planted directions
+    B = rng.normal(size=(3, 12)) * np.array([[6.0], [3.0], [1.5]])
+    X = rng.normal(size=(800, 3)) @ B + rng.normal(scale=0.1, size=(800, 12))
+    df = pd.DataFrame({"vec_id": np.arange(800),
+                       "embedding": list(X.astype(np.float64))})
+    ds = ray.data.from_pandas([df.iloc[i:i + 100] for i in range(0, 800, 100)])
+    proj, info = embedding_pca(ds, k=3)
+    out = proj.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    P = np.stack(out["pca"].to_numpy())
+
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(3), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    np.testing.assert_allclose(info["eigenvalues"], evals[order], rtol=1e-8)
+    np.testing.assert_allclose(P, (X - mu) @ comps.T, atol=1e-7)
+    # 3 planted directions must explain nearly all variance
+    assert info["explained_variance_ratio"].sum() > 0.99
