@@ -256,6 +256,9 @@ def ntile_bucket(ds: "ray.data.Dataset", col: str, n: int,
     import pyarrow as pa
     import ray
 
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
     srt = (ds.map_batches(lambda t: t.select([id_col, col]),
                           batch_format="pyarrow")
            .sort([col, id_col]).materialize())
