@@ -192,3 +192,60 @@ def test_sample_n_per_group_deterministic_and_capped(ray_session):
     c = (sample_n_per_group(ray.data.from_pandas(df), "g", 25, "id", seed=7)
          .to_pandas().sort_values("id").reset_index(drop=True))
     assert not a["id"].tolist() == c["id"].tolist()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(n_rows=st.integers(1, 400), n=st.integers(1, 12),
+       seed=st.integers(0, 2**16))
+def test_ntile_bucket_property(ray_session, n_rows, n, seed):
+    """For any (rows, n): buckets are 1..min(n, rows), sizes differ by at
+    most 1, larger buckets come first, and bucket order follows value
+    order."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import ntile_bucket
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"id": np.arange(n_rows, dtype=np.int64),
+                       "v": rng.integers(0, 20, n_rows).astype(np.float64)})
+    ds = ray.data.from_pandas([df.iloc[i:i + 97] for i in range(0, n_rows, 97)])
+    out = ntile_bucket(ds, "v", n, "id").to_pandas()
+    assert len(out) == n_rows
+    sizes = out["bucket"].value_counts().sort_index()
+    assert sizes.index.tolist() == list(range(1, min(n, n_rows) + 1))
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(sizes.to_numpy()) <= 0).all()  # big buckets first
+    srt = out.sort_values(["v", "id"])
+    assert (np.diff(srt["bucket"].to_numpy()) >= 0).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**16), max_words=st.integers(2, 12),
+       overlap_frac=st.floats(0, 0.99))
+def test_chunk_documents_property(ray_session, seed, max_words, overlap_frac):
+    """For any (max_words, overlap): per-doc chunk count follows
+    max(1, ceil((n-overlap)/stride)); the last chunk reaches the doc end;
+    consecutive chunks advance by exactly stride."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import chunk_documents
+
+    overlap = int(overlap_frac * (max_words - 1))
+    stride = max_words - overlap
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 40)))
+             for _ in range(12)]
+    df = pd.DataFrame({"doc_id": np.arange(12), "text": texts})
+    ds = ray.data.from_pandas([df.iloc[:5], df.iloc[5:]])
+    out = (chunk_documents(ds, max_words=max_words, overlap=overlap)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    for did, g in out.groupby("doc_id"):
+        n = len(texts[did].split(" "))
+        assert len(g) == max(1, -(-(n - overlap) // stride))
+        last = g.iloc[-1]
+        assert last["chunk_id"] * stride + last["n_words"] == n
+        assert g["chunk_id"].tolist() == list(range(len(g)))
