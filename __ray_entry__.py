@@ -383,6 +383,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return proj
 
     q["emb_pca"] = emb_pca
+
+    def corpus_pipeline(sf):
+        from parquet_hs_ray.pipelines.recipes import clean_corpus
+
+        docs = _read(sf, "documents")
+        deny = docs.map_batches(lambda b: b[b["doc_id"] % 13 == 0][["doc_id"]],
+                                batch_format="pandas")
+        return clean_corpus(docs, deny, quality_q=0.5)
+
+    q["corpus_pipeline"] = corpus_pipeline
     return q
 
 
@@ -798,6 +808,22 @@ FROM events ORDER BY user_id, ts, event_id
         " FROM events GROUP BY event_type, user_id) WHERE rn = 1"
         " ORDER BY event_type"
     )
+    # the composed cleaning recipe: every stage's oracle fragment chained
+    # (percentile filter -> denylist NOT IN -> md5 first-copy dedup ->
+    # whitespace token count)
+    o["corpus_pipeline"] = f"""
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.5) FROM documents)
+    AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 13 = 0)
+),
+firsts AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id, k.source, ({_WS_COUNT.replace("text", "k.text")})::BIGINT AS n_ws_tokens
+FROM kept k JOIN firsts f ON md5(k.text) = f.h AND k.doc_id = f.keep_id
+ORDER BY doc_id
+"""
     # deterministic capped per-group sampling (md5-ranked, no RNG)
     o["doc_sample_per_source"] = (
         "SELECT doc_id, source FROM ("

@@ -171,3 +171,36 @@ def test_chunk_documents_rejects_bad_overlap(ray_session):
         chunk_documents(ds, max_words=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(ds, max_words=4, overlap=-1)
+
+
+def test_clean_corpus_recipe(ray_session):
+    """Composed pipeline (length filter -> denylist -> exact dedup ->
+    token stats) equals the step-by-step pandas twin."""
+    import duckdb
+    import ray.data
+
+    from parquet_hs_ray.pipelines.recipes import clean_corpus
+
+    rng = np.random.default_rng(9)
+    texts = [f"doc {i} " + "word " * rng.integers(1, 30) for i in range(200)]
+    texts[50] = texts[51] = texts[52]      # planted exact dups
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts,
+                       "source": np.where(np.arange(200) % 2 == 0, "a", "b"),
+                       "n_chars": [len(t) for t in texts]})
+    docs = ray.data.from_pandas([df.iloc[i:i + 40] for i in range(0, 200, 40)])
+    deny = ray.data.from_pandas(df[df["doc_id"] % 7 == 0][["doc_id"]])
+    out = (clean_corpus(docs, deny, quality_q=0.25).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    thr = duckdb.sql("SELECT quantile_disc(n_chars, 0.25) FROM df").fetchone()[0]
+    kept = df[(df["n_chars"] >= thr) & (df["doc_id"] % 7 != 0)]
+    firsts = kept.groupby("text", sort=False)["doc_id"].min()
+    surv = kept[kept["doc_id"].isin(firsts.values)].copy()
+    surv["n_ws_tokens"] = [len(t.split()) for t in surv["text"]]
+    exp = (surv[["doc_id", "source", "n_ws_tokens"]]
+           .sort_values("doc_id").reset_index(drop=True)
+           .astype({"n_ws_tokens": np.int64}))
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+    # the planted duplicates collapsed to one survivor
+    assert len(set(surv["text"])) == len(surv)
