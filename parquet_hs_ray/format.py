@@ -52,6 +52,8 @@ from .codecs.varint import decode_varint, encode_varint
 from .codecs.delta import decode_delta, encode_delta
 from .codecs.pfor import decode_pfor, encode_pfor
 from .selector import (
+    ALP,
+    ALPRD,
     BITPACK,
     CODEC_NAMES,
     DELTA,
@@ -66,6 +68,7 @@ from .selector import (
     select_float_codec,
     select_int_codec,
 )
+from .codecs import alp as alp_codec
 from .codecs import fsst as fsst_codec
 
 MAGIC = b"PHR1"
@@ -327,7 +330,7 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         codec, stats = select_int_codec(vals_np)
     else:
         codec, stats = select_float_codec(vals_np)
-    if vals_np.dtype.kind == "f" and codec not in (PLAIN, DICT):
+    if vals_np.dtype.kind == "f" and codec not in (PLAIN, DICT, ALP, ALPRD):
         codec = PLAIN
     payload = (
         _encode_int_payload(vals_np, codec)
@@ -341,6 +344,15 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
 
 
 def _encode_float_payload(vals: np.ndarray, codec: int) -> bytes:
+    if codec == ALP:
+        # classic ALP: decimal head + scaled ints fed back through the
+        # integer codec family (FOR/PFOR/DELTA/bit-pack all apply)
+        head, ints = alp_codec.encode_split(vals)
+        inner, _ = select_int_codec(ints)
+        payload = _encode_int_payload(ints, inner)
+        return head + bytes([inner]) + encode_varint(len(payload)) + payload
+    if codec == ALPRD:
+        return alp_codec.encode_rd(vals)
     if codec == DICT:
         uniq, inv = _dict_encode_np(vals)
         width = bit_width_of(len(uniq) - 1) if len(uniq) > 1 else 0
@@ -354,6 +366,15 @@ def _encode_float_payload(vals: np.ndarray, codec: int) -> bytes:
 
 
 def _decode_float_payload(data: bytes, pos: int, codec: int, dt: np.dtype, n: int) -> tuple[np.ndarray, int]:
+    if codec == ALP:
+        e, f, exc_pos, exc_vals, pos = alp_codec.decode_head(data, pos, dt)
+        inner = data[pos]
+        pos += 1
+        _plen, pos = decode_varint(data, pos)
+        ints, pos = _decode_int_payload(data, pos, inner, np.dtype(np.int64), n)
+        return alp_codec.reconstruct(ints, e, f, exc_pos, exc_vals, dt), pos
+    if codec == ALPRD:
+        return alp_codec.decode_rd(data, pos, dt, n)
     if codec == DICT:
         card, pos = decode_varint(data, pos)
         nbytes, pos = decode_varint(data, pos)

@@ -24,8 +24,10 @@ from .codecs.bitpack import bit_width_of
 SAMPLE_MAX = 1 << 16
 
 # codec ids shared with format.py frames
-PLAIN, DICT, RLE, BITPACK, FOR, FSST, PFOR, DELTA = 0, 1, 2, 3, 4, 5, 6, 7
-CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for", 5: "fsst", 6: "pfor", 7: "delta"}
+PLAIN, DICT, RLE, BITPACK, FOR, FSST, PFOR, DELTA, ALP, ALPRD = (
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for",
+               5: "fsst", 6: "pfor", 7: "delta", 8: "alp", 9: "alprd"}
 
 # a dictionary larger than this is never attempted (scale guard: the dict is
 # per-column-chunk state held by the encoder actor)
@@ -138,10 +140,18 @@ def select_float_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
     est = {"plain": n * itemsize}
     if card <= _DICT_MAX_CARD and card < max(2, len(sample) // 4):
         est["dict"] = card * itemsize + n * bit_width_of(card - 1) / 8 + 16
+    # ALP (SIGMOD'23): decimal floats -> scaled ints; ALP-RD for
+    # full-precision reals (IEEE-bit split, left-part dictionary)
+    from .codecs import alp as alp_codec
+
+    alp_est = alp_codec.estimate_classic(sample, n)
+    if alp_est is not None:
+        est["alp"] = alp_est
+    est["alprd"] = alp_codec.estimate_rd(sample, n)
     choice = min(est, key=lambda k: (est[k], k))
     stats.predicted = {k: int(v) for k, v in est.items()}
     stats.codec = choice
-    return {"plain": PLAIN, "dict": DICT}[choice], stats
+    return {"plain": PLAIN, "dict": DICT, "alp": ALP, "alprd": ALPRD}[choice], stats
 
 
 def select_binary_codec(
