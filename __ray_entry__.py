@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), _SCRUB_RULES)
     q["doc_line_dedup"] = lambda sf: cleaning.line_dedup(
         _read(sf, "documents"), words_per_line=10)
+    q["doc_repetition"] = lambda sf: cleaning.repetition_stats(
+        _read(sf, "documents"), ngram=2)
 
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
@@ -668,6 +670,23 @@ def oracle_sql() -> dict[str, str]:
         f"  len(regexp_extract_all(text, '{p1}'))::BIGINT AS c1"
         f"  FROM documents))"
     )
+    # Gopher-style repetition stats: all-integer outputs so the verdict
+    # bool ((dups * 4) > total, i.e. dup-fraction > 1/4) is hash-exact
+    o["doc_repetition"] = """
+WITH w AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+       i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM w),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_count FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_distinct, 0) AS n_distinct,
+       coalesce(s.top_count, 0) AS top_count,
+       (coalesce(s.n_grams, 0) - coalesce(s.n_distinct, 0)) * 4 > coalesce(s.n_grams, 0) AS repetitive
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
     o["doc_line_dedup"] = """
 WITH words AS (
   SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr

@@ -51,14 +51,18 @@ def _bits(vals: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- classic
 
 def find_exponents(sample: np.ndarray) -> tuple[int, int]:
-    """Sampled (e, f) search: minimize bit-width + exception cost."""
-    s = np.asarray(sample, dtype=np.float64)
-    s = s[np.isfinite(s)]
-    if len(s) == 0:
+    """Sampled (e, f) search: minimize bit-width + exception cost.
+    The ~190-combination trial is re-capped to 256 values internally so
+    callers may pass any sample size without paying 190 full passes."""
+    sample = np.ascontiguousarray(sample[np.isfinite(sample)])
+    if len(sample) > 256:
+        sample = np.ascontiguousarray(sample[:: len(sample) // 256])
+    if len(sample) == 0:
         return 0, 0
+    s = sample.astype(np.float64, copy=False)
     itemsize = sample.dtype.itemsize
     max_e = _MAX_E.get(itemsize, 18)
-    sb = _bits(np.ascontiguousarray(sample[np.isfinite(sample)]))
+    sb = _bits(sample)
     best, best_cost = (0, 0), np.inf
     with np.errstate(over="ignore", invalid="ignore"):
         for e in range(max_e + 1):

@@ -228,3 +228,61 @@ def chunk_documents(docs: "ray.data.Dataset", max_words: int,
                              "text": txt, "n_words": ln})
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def repetition_stats(docs: "ray.data.Dataset", ngram: int = 2,
+                     dup_ratio_denom: int = 4) -> "ray.data.Dataset":
+    """Gopher-style in-document repetition quality signals (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", §A1.1 repetition
+    filters): for each document's space-split word n-grams report
+
+    - ``n_grams``     total n-gram occurrences (``max(n_words-ngram+1, 0)``),
+    - ``n_distinct``  distinct n-grams,
+    - ``top_count``   occurrences of the most frequent n-gram,
+    - ``repetitive``  the filter verdict — true when the duplicate
+      fraction exceeds ``1/dup_ratio_denom``, computed in integers
+      (``(n_grams - n_distinct) * dup_ratio_denom > n_grams``) so the
+      SQL twin is hash-exact with no float rounding.
+
+    Embarrassingly parallel: one vectorized explode + two grouped
+    reductions per block (pandas C-level groupby on the gram strings);
+    no shuffle, no cross-document state — documents are the unit of
+    repetition, so block boundaries are semantic boundaries."""
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].to_numpy()
+        words = texts.str.split(" ")
+        nw = words.str.len().to_numpy(dtype=np.int64)
+        ng = np.maximum(nw - ngram + 1, 0)
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "n_grams": ng,
+            "n_distinct": np.zeros(len(batch), dtype=np.int64),
+            "top_count": np.zeros(len(batch), dtype=np.int64),
+        })
+        tot = int(ng.sum())
+        if tot:
+            flatw = np.concatenate([np.asarray(x, dtype=object) for x in words])
+            doc_off = np.cumsum(nw) - nw
+            # start index of each gram in the flattened word array
+            starts = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(np.cumsum(ng) - ng, ng)
+                      + np.repeat(doc_off, ng))
+            gram = pd.Series(flatw[starts])
+            for j in range(1, ngram):
+                gram = gram + " " + pd.Series(flatw[starts + j])
+            d = np.repeat(np.arange(len(batch), dtype=np.int64), ng)
+            counts = (pd.DataFrame({"d": d, "g": gram.to_numpy()})
+                      .groupby(["d", "g"], sort=False).size())
+            per_doc = counts.groupby(level=0).agg(["count", "max"])
+            rows = per_doc.index.to_numpy()
+            out.loc[rows, "n_distinct"] = per_doc["count"].to_numpy()
+            out.loc[rows, "top_count"] = per_doc["max"].to_numpy()
+        out["repetitive"] = ((out["n_grams"] - out["n_distinct"])
+                             * dup_ratio_denom > out["n_grams"])
+        return out
+
+    return docs.map_batches(f, batch_format="pandas")

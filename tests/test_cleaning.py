@@ -204,3 +204,44 @@ def test_clean_corpus_recipe(ray_session):
     pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
     # the planted duplicates collapsed to one survivor
     assert len(set(surv["text"])) == len(surv)
+
+
+def test_repetition_stats_planted(ray_session):
+    """Gopher repetition filter: a doc that is one phrase looped must be
+    flagged; a doc of distinct words must not; short/empty docs get
+    all-zero stats and are never flagged."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import repetition_stats
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["spam ham " * 50,          # looped phrase -> repetitive
+                 " ".join(f"w{i}" for i in range(100)),  # all distinct
+                 "one",                      # 1 word -> zero bigrams
+                 ""],                        # empty -> zero bigrams
+    })
+    docs["text"] = docs["text"].str.strip()
+    out = (repetition_stats(ray.data.from_pandas(docs), ngram=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "repetitive"] and not out.loc[1:, "repetitive"].any()
+    # looped doc: 99 bigrams, only 3 distinct ("spam ham"/"ham spam")
+    assert out.loc[0, "n_grams"] == 99 and out.loc[0, "n_distinct"] == 2
+    assert out.loc[0, "top_count"] == 50
+    assert out.loc[1, "n_grams"] == 99 == out.loc[1, "n_distinct"]
+    assert (out.loc[2:, ["n_grams", "n_distinct", "top_count"]] == 0).all().all()
+
+
+def test_repetition_stats_unigram_and_validation(ray_session):
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import repetition_stats
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": ["a a a b"]}))
+    out = repetition_stats(docs, ngram=1).to_pandas()
+    assert out.loc[0, "n_grams"] == 4 and out.loc[0, "n_distinct"] == 2
+    assert out.loc[0, "top_count"] == 3 and bool(out.loc[0, "repetitive"])
+    with pytest.raises(ValueError):
+        repetition_stats(docs, ngram=0)
