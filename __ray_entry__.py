@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), words_per_line=10)
     q["doc_repetition"] = lambda sf: cleaning.repetition_stats(
         _read(sf, "documents"), ngram=2)
+    q["doc_span_dedup"] = lambda sf: cleaning.span_dedup(
+        _read(sf, "documents"), window=5)
 
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
@@ -705,9 +707,10 @@ FROM lines l JOIN firsts f
   ON f.line = l.line AND l.doc_id * 1048576 + l.line_no = f.okey
 ORDER BY doc_id, line_no
 """
-    from parquet_hs_ray.functions.sql_oracles import decontaminate_sql
+    from parquet_hs_ray.functions.sql_oracles import decontaminate_sql, span_dedup_sql
 
     o["doc_decontaminate"] = decontaminate_sql("documents", mod=17)
+    o["doc_span_dedup"] = span_dedup_sql("documents", window=5)
     o["events_quantiles"] = (
         "SELECT event_type, quantile_disc(value, 0.5) AS p50,"
         " quantile_disc(value, 0.95) AS p95"

@@ -50,37 +50,47 @@ def _bits(vals: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- classic
 
+def _combos(max_e: int) -> tuple[np.ndarray, np.ndarray]:
+    es = np.concatenate([np.full(e + 1, e) for e in range(max_e + 1)])
+    fs = np.concatenate([np.arange(e + 1) for e in range(max_e + 1)])
+    return es, fs
+
+
+_COMBOS = {m: _combos(m) for m in set(_MAX_E.values())}
+
+
 def find_exponents(sample: np.ndarray) -> tuple[int, int]:
     """Sampled (e, f) search: minimize bit-width + exception cost.
-    The ~190-combination trial is re-capped to 256 values internally so
-    callers may pass any sample size without paying 190 full passes."""
+    All ~190 combinations are tried in one (combos x sample) broadcast;
+    the sample is re-capped to 256 values internally so callers may pass
+    any size without paying a large trial."""
     sample = np.ascontiguousarray(sample[np.isfinite(sample)])
     if len(sample) > 256:
         sample = np.ascontiguousarray(sample[:: len(sample) // 256])
-    if len(sample) == 0:
+    n = len(sample)
+    if n == 0:
         return 0, 0
     s = sample.astype(np.float64, copy=False)
     itemsize = sample.dtype.itemsize
-    max_e = _MAX_E.get(itemsize, 18)
-    sb = _bits(sample)
-    best, best_cost = (0, 0), np.inf
+    es, fs = _COMBOS.get(_MAX_E.get(itemsize, 18)) or _combos(18)
+    me, mf = _F10[es][:, None], _F10[fs][:, None]  # (C, 1)
     with np.errstate(over="ignore", invalid="ignore"):
-        for e in range(max_e + 1):
-            for f in range(e + 1):
-                scaled = s * _F10[e] / _F10[f]
-                ints = np.round(scaled)
-                ok = np.abs(scaled) < _SAFE_INT
-                dec = (ints * _F10[f] / _F10[e]).astype(sample.dtype)
-                ok &= _bits(dec) == sb
-                n_exc = len(s) - int(ok.sum())
-                if n_exc == len(s):
-                    continue
-                lo, hi = ints[ok].min(), ints[ok].max()
-                w = bit_width_of(int(hi - lo)) if hi > lo else 0
-                cost = len(s) * w / 8 + n_exc * (4 + itemsize)
-                if cost < best_cost:
-                    best, best_cost = (e, f), cost
-    return best
+        scaled = s[None, :] * me / mf              # (C, n)
+        ints = np.round(scaled)
+        ok = np.abs(scaled) < _SAFE_INT
+        dec = (ints * mf / me).astype(sample.dtype)
+        ok &= dec.view(_UINT_OF[itemsize]) == _bits(sample)[None, :]
+        n_ok = ok.sum(axis=1)
+        rng = (np.max(np.where(ok, ints, -np.inf), axis=1)
+               - np.min(np.where(ok, ints, np.inf), axis=1))
+    # bit width of the FOR'd range, vectorized (log2 on rng+1 >= 1)
+    w = np.ceil(np.log2(np.where(n_ok > 0, rng, 0) + 1))
+    cost = np.where(n_ok > 0,
+                    n * w / 8 + (n - n_ok) * (4 + itemsize), np.inf)
+    if not np.isfinite(cost).any():
+        return 0, 0
+    i = int(np.argmin(cost))   # first minimum == old iteration order
+    return int(es[i]), int(fs[i])
 
 
 def encode_split(vals: np.ndarray, e: int | None = None, f: int | None = None

@@ -332,3 +332,41 @@ FROM (SELECT doc_id FROM {table} WHERE doc_id % {mod} <> 0) d
 LEFT JOIN hits USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def _word_ngram_inner(n: int) -> str:
+    """Generalized ``_SH0``: (doc_id, wpos, h=0, c0..c{n-1}) — one row
+    per ``n``-word rolling window, columns the window's word hashes."""
+    cols = ", ".join(
+        ["t0.whash AS c0"] + [f"t{j}.whash AS c{j}" for j in range(1, n)])
+    joins = " ".join(
+        f"JOIN wh t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.wpos = t0.wpos + {j}"
+        for j in range(1, n))
+    return (f"SELECT t0.doc_id, t0.wpos, 0::HUGEINT AS h, {cols} "
+            f"FROM wh t0 {joins}")
+
+
+def span_dedup_sql(table: str = "documents", window: int = 5) -> str:
+    """``doc_span_dedup`` twin: per document, total rolling
+    ``window``-word spans and how many (position-level) also occur in at
+    least one OTHER document — min(doc)!=max(doc) over the span hash
+    stands in for a count-distinct, exactly like the Ray kernel."""
+    span_q = _chain_splitmix(_word_ngram_inner(window), window)
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+spans AS MATERIALIZED (SELECT doc_id, h FROM ({span_q})),
+reach AS MATERIALIZED (
+  SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM spans GROUP BY h
+),
+per AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+         CAST(count(*) FILTER (WHERE r.mn <> r.mx) AS BIGINT) AS n_shared_spans
+  FROM spans s JOIN reach r USING (h) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(per.n_shared_spans, 0)::BIGINT AS n_shared_spans,
+       coalesce(per.n_shared_spans, 0) > 0 AS has_cross_dup
+FROM {table} d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -286,3 +286,96 @@ def repetition_stats(docs: "ray.data.Dataset", ngram: int = 2,
         return out
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def span_dedup(docs: "ray.data.Dataset", window: int = 5,
+               num_partitions: Optional[int] = None) -> "ray.data.Dataset":
+    """Cross-document substring (span) duplication detection — the
+    hash-window approximation of suffix-array substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, how many of its ``window``-word rolling
+    spans also occur verbatim in at least one OTHER document.  Output
+    per document: (doc_id, n_spans, n_shared_spans, has_cross_dup) —
+    all integers/bool so the DuckDB twin is hash-exact.
+
+    Scale shape (100 TB): spans are hashed in-block with the splitmix64
+    word-n-gram chain (8 B per span, text never leaves the block) and
+    pre-reduced to (doc_id, h, n_pos); the only shuffles are a grouped
+    min/max over h (16 B values -> "is this hash seen by two distinct
+    docs?" without a count-distinct), one hash join back on h, and a
+    per-doc sum.  Matching is hash equality — at 64-bit, collisions are
+    ~n²/2^64 and both the kernel and the twin share them by design."""
+    from .dedup import _drop_empty_blocks, _enforce_schema
+    from .groupagg import grouped_agg
+    import pyarrow as pa
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.available_resources().get("CPU", 4))))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh, h = sk.word_ngram_hashes(batch["text"], n=window)
+        doc_of = np.repeat(batch["doc_id"].to_numpy(), n_sh)
+        g = (pd.DataFrame({"doc_id": doc_of, "h": h})
+             .groupby(["doc_id", "h"], sort=False).size()
+             .rename("n_pos").reset_index())
+        g["n_pos"] = g["n_pos"].astype(np.int64)
+        return g
+
+    spans_schema = pa.schema([("doc_id", pa.int64()), ("h", pa.uint64()),
+                              ("n_pos", pa.int64())])
+    spans = _enforce_schema(docs.map_batches(explode, batch_format="pandas"),
+                            spans_schema)
+
+    # per-hash: shared across >= 2 distinct docs  <=>  min(doc) != max(doc)
+    reach = grouped_agg(
+        spans.map_batches(lambda b: pd.DataFrame(
+            {"h": b["h"], "mn": b["doc_id"], "mx": b["doc_id"]}),
+            batch_format="pandas"),
+        ["h"], {"mn": "min", "mx": "max"})
+    reach = _enforce_schema(reach, pa.schema([("h", pa.uint64()),
+                                              ("mn", pa.int64()),
+                                              ("mx", pa.int64())]))
+    reach = _drop_empty_blocks(reach.materialize())
+
+    # base per-doc span counts (map-only, keeps zero-span docs)
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["text"].fillna("").str.split().str.len().to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_spans": np.maximum(nw - window + 1, 0)})
+
+    base_ds = _enforce_schema(docs.map_batches(base, batch_format="pandas"),
+                              pa.schema([("doc_id", pa.int64()),
+                                         ("n_spans", pa.int64())]))
+
+    if reach is None:      # empty corpus edge: nothing shared anywhere
+        return base_ds.map_batches(lambda b: b.assign(
+            n_shared_spans=np.int64(0),
+            has_cross_dup=np.zeros(len(b), dtype=bool)),
+            batch_format="pandas")
+
+    j = spans.join(reach, join_type="inner",
+                   num_partitions=num_partitions, on=("h",))
+
+    def shared_part(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.where(batch["mn"].to_numpy() != batch["mx"].to_numpy(),
+                     batch["n_pos"].to_numpy(), 0).astype(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_shared_spans": n})
+
+    shared = grouped_agg(j.map_batches(shared_part, batch_format="pandas"),
+                         ["doc_id"], {"n_shared_spans": "sum"})
+    shared = _enforce_schema(shared, pa.schema([("doc_id", pa.int64()),
+                                                ("n_shared_spans", pa.int64())]))
+
+    out = base_ds.join(shared, join_type="left_outer",
+                       num_partitions=num_partitions, on=("doc_id",))
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        ns = batch["n_shared_spans"].fillna(0).astype(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_spans": batch["n_spans"].astype(np.int64),
+                             "n_shared_spans": ns,
+                             "has_cross_dup": (ns > 0).to_numpy()})
+
+    return out.map_batches(fin, batch_format="pandas")

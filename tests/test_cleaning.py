@@ -245,3 +245,45 @@ def test_repetition_stats_unigram_and_validation(ray_session):
     assert out.loc[0, "top_count"] == 3 and bool(out.loc[0, "repetitive"])
     with pytest.raises(ValueError):
         repetition_stats(docs, ngram=0)
+
+
+def test_span_dedup_planted(ray_session):
+    """Cross-document span dedup: a 6-word phrase planted in docs 0 and 2
+    marks exactly its window positions; unique docs stay clean; a doc
+    repeating ITS OWN phrase (no other doc has it) is NOT cross-flagged."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup
+
+    phrase = "the quick brown fox jumps over"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            f"alpha beta {phrase} gamma delta",       # shares phrase w/ doc 2
+            " ".join(f"u{i}" for i in range(12)),      # unique
+            f"start {phrase} end",                     # shares phrase w/ doc 0
+            "self self self self self self",           # in-doc repeat only
+            "tiny",                                    # shorter than window
+        ],
+    })
+    out = (span_dedup(ray.data.from_pandas([docs.iloc[:3], docs.iloc[3:]]),
+                      window=6)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_spans"].tolist() == [5, 7, 3, 1, 0]
+    # only the 6-word window equal to the phrase itself is shared
+    assert out["n_shared_spans"].tolist() == [1, 0, 1, 0, 0]
+    assert out["has_cross_dup"].tolist() == [True, False, True, False, False]
+
+
+def test_span_dedup_validation_and_empty(ray_session):
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0], dtype=np.int64), "text": [""]}))
+    out = span_dedup(docs, window=3).to_pandas()
+    assert out["n_spans"].tolist() == [0] and not out["has_cross_dup"].any()
+    with pytest.raises(ValueError):
+        span_dedup(docs, window=0)
