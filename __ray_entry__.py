@@ -322,6 +322,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_span_dedup"] = lambda sf: cleaning.span_dedup(
         _read(sf, "documents"), window=5)
 
+    def doc_tokenize(sf):
+        from parquet_hs_ray.pipelines.tokenize import tokenize_corpus
+
+        # vocab 64 on this corpus leaves a real OOV tail to exercise
+        return tokenize_corpus(_read(sf, "documents"), vocab_size=64)
+
+    q["doc_tokenize"] = doc_tokenize
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -711,6 +719,30 @@ ORDER BY doc_id, line_no
 
     o["doc_decontaminate"] = decontaminate_sql("documents", mod=17)
     o["doc_span_dedup"] = span_dedup_sql("documents", window=5)
+    # tokenizer: vocab = top-64 terms (count desc, word asc), OOV id 64;
+    # token order restored with list(t ORDER BY i)
+    o["doc_tokenize"] = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, i, arr[i] AS word FROM (
+    SELECT doc_id, unnest(range(1, len(arr)+1)) AS i, arr FROM (
+      SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS arr
+      FROM documents))
+),
+c AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word),
+v AS MATERIALIZED (
+  SELECT word, (row_number() OVER (ORDER BY n DESC, word) - 1)::BIGINT AS tid
+  FROM c ORDER BY n DESC, word LIMIT 64
+),
+tok AS (SELECT w.doc_id, w.i, coalesce(v.tid, 64)::BIGINT AS t
+        FROM words w LEFT JOIN v USING (word)),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tok, list(t ORDER BY i) AS tokens
+        FROM tok GROUP BY doc_id)
+SELECT d.doc_id, d.source,
+       coalesce(agg.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(agg.tokens, []::BIGINT[]) AS tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
     o["events_quantiles"] = (
         "SELECT event_type, quantile_disc(value, 0.5) AS p50,"
         " quantile_disc(value, 0.95) AS p95"

@@ -1,0 +1,53 @@
+"""Tokenizer stage tests: deterministic vocab ranking, OOV handling,
+empty documents, and the encode-job handoff (tokens table is a valid
+encode input)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from parquet_hs_ray.pipelines.tokenize import build_vocab, tokenize, tokenize_corpus
+
+
+def _docs(texts):
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "source": ["s"] * len(texts),
+    }))
+
+
+def test_vocab_rank_and_tie_break(ray_session):
+    # freq: b=3, a=2, c=2, d=1 -> ids: b=0, a=1 (tie a<c), c=2, d=3
+    docs = _docs(["b a c", "b a c", "b d"])
+    v = build_vocab(docs, size=3)
+    assert v["word"].tolist() == ["b", "a", "c"]
+    assert v["token_id"].tolist() == [0, 1, 2]
+
+
+def test_tokenize_oov_and_empty(ray_session):
+    docs = _docs(["b a zzz", "", "B A!"])  # lowercase + punctuation split
+    # freq: a=2, b=2, zzz=1; tie a<b -> vocab {a:0, b:1}; OOV id 2
+    v = build_vocab(docs, size=2)
+    out = (tokenize(docs, v).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert [list(t) for t in out["tokens"]] == [[1, 0, 2], [], [1, 0]]
+    assert out["n_tok"].tolist() == [3, 0, 2]
+    assert out["source"].tolist() == ["s"] * 3
+
+
+def test_tokenize_feeds_encode_job(ray_session, tmp_path):
+    """The tokenizer output is a valid encode_job input: the blobs
+    decode back to per-row token-equality."""
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    texts = [f"w{i % 7} common word stream {'x ' * (i % 5)}" for i in range(50)]
+    toks = tokenize_corpus(_docs(texts), vocab_size=8)
+    tbl = toks.to_arrow_refs()
+    import ray as _ray
+    import pyarrow as pa
+    full = pa.concat_tables([_ray.get(r) for r in tbl]).combine_chunks()
+    blob, stats = encode_table(full)
+    assert decode_table(blob).equals(full)
+    assert stats["tokens"].codec.startswith("list<")
