@@ -405,6 +405,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return clean_corpus(docs, deny, quality_q=0.5)
 
     q["corpus_pipeline"] = corpus_pipeline
+
+    def top_revenue(sf):
+        from parquet_hs_ray.pipelines.recipes import top_revenue_orders
+
+        return top_revenue_orders(_read(sf, "lineitem"), _read(sf, "orders"),
+                                  _read(sf, "customer"))
+
+    q["tpch_q3_top_revenue"] = top_revenue
     return q
 
 
@@ -877,6 +885,20 @@ firsts AS (
 SELECT k.doc_id, k.source, ({_WS_COUNT.replace("text", "k.text")})::BIGINT AS n_ws_tokens
 FROM kept k JOIN firsts f ON md5(k.text) = f.h AND k.doc_id = f.keep_id
 ORDER BY doc_id
+"""
+    # Q3-shaped multi-join: revenue in integer cents (per-row round_even,
+    # then int sum) so the distributed aggregate is order-independent
+    o["tpch_q3_top_revenue"] = """
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+ord AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-06-01'
+          AND o_custkey IN (SELECT c_custkey FROM cust)),
+rev AS (SELECT l_orderkey,
+          CAST(sum(CAST(round_even(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01' GROUP BY l_orderkey)
+SELECT o.o_orderkey, r.revenue_cents, o.o_orderdate, o.o_orderpriority
+FROM ord o JOIN rev r ON o.o_orderkey = r.l_orderkey
+ORDER BY r.revenue_cents DESC, o.o_orderkey LIMIT 10
 """
     # deterministic capped per-group sampling (md5-ranked, no RNG)
     o["doc_sample_per_source"] = (

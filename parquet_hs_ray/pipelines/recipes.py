@@ -57,3 +57,65 @@ def clean_corpus(docs: "ray.data.Dataset", denylist: "ray.data.Dataset",
         })
 
     return survivors.map_batches(stats, batch_format="pandas")
+
+
+def top_revenue_orders(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
+                       customer: "ray.data.Dataset", segment: str = "BUILDING",
+                       cutoff: str = "1998-06-01", k: int = 10) -> pd.DataFrame:
+    """TPC-H-Q3-shaped composed analytics: top-``k`` open orders by
+    shipped revenue for one market segment — the relational operators
+    (dimension broadcast semi-join, partial-agg grouped sum, fact-x-fact
+    hash join, distributed top-k) chained into one streaming plan.
+
+    Revenue is summed in integer cents (``round_even(p*(1-d)*100)`` per
+    ROW, then an int Sum) so the distributed aggregation is
+    order-independent and the DuckDB twin hash-exact.
+
+    Scale shape: customer is dimension-sized -> broadcast semi-join onto
+    orders (no shuffle); lineitem is pre-reduced in-block to (orderkey,
+    cents) partials before the grouped sum; the orders<->revenue join is
+    the Ray-native hash join; only k rows per block reach the driver."""
+    from .groupagg import grouped_sum
+    from .relational import broadcast_join, hash_join
+
+    cutoff_ts = pd.Timestamp(cutoff)
+
+    seg = customer.map_batches(
+        lambda b: b[b["c_mktsegment"] == segment][["c_custkey"]],
+        batch_format="pandas")
+    ord_f = orders.map_batches(
+        lambda b: b[b["o_orderdate"] < cutoff_ts][
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]],
+        batch_format="pandas")
+    ord_f = broadcast_join(ord_f, seg, "o_custkey", "c_custkey", how="semi")
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["l_shipdate"] > cutoff_ts]
+        cents = np.round(m["l_extendedprice"].to_numpy()
+                         * (1 - m["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": m["l_orderkey"].to_numpy(),
+                              "revenue_cents": cents})
+                .groupby("l_orderkey", sort=False).sum().reset_index())
+
+    rev = grouped_sum(lineitem.map_batches(rev_partial, batch_format="pandas"),
+                      ["l_orderkey"], ["revenue_cents"])
+
+    j = hash_join(rev, ord_f.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas"), "l_orderkey", "l_orderkey")
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if "l_orderkey" not in b.columns or not len(b):
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                                 "revenue_cents": pd.Series([], dtype=np.int64),
+                                 "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                                 "o_orderpriority": pd.Series([], dtype=object)})
+        return b.sort_values(["revenue_cents", "l_orderkey"],
+                             ascending=[False, True]).head(k)
+
+    cands = j.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = (cands.sort_values(["revenue_cents", "l_orderkey"],
+                             ascending=[False, True]).head(k)
+           .rename(columns={"l_orderkey": "o_orderkey"})
+           .reset_index(drop=True))
+    return out[["o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]]

@@ -249,3 +249,48 @@ def test_chunk_documents_property(ray_session, seed, max_words, overlap_frac):
         last = g.iloc[-1]
         assert last["chunk_id"] * stride + last["n_words"] == n
         assert g["chunk_id"].tolist() == list(range(len(g)))
+
+
+def test_top_revenue_orders_recipe(ray_session):
+    """Q3-shaped recipe equals a pandas step-by-step twin on synthetic
+    fact/dimension tables with revenue ties."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.recipes import top_revenue_orders
+
+    rng = np.random.default_rng(5)
+    n_ord, n_li = 60, 400
+    cust = pd.DataFrame({"c_custkey": np.arange(20, dtype=np.int64),
+                         "c_mktsegment": np.where(np.arange(20) % 2 == 0,
+                                                  "BUILDING", "MACHINERY")})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, 20, n_ord),
+        "o_orderdate": pd.to_datetime("1998-01-01")
+        + pd.to_timedelta(rng.integers(0, 300, n_ord), unit="D"),
+        "o_orderpriority": np.where(np.arange(n_ord) % 3 == 0, "1-URGENT", "5-LOW"),
+    })
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_ord, n_li),
+        "l_extendedprice": np.round(rng.uniform(100, 5000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+        "l_shipdate": pd.to_datetime("1998-01-01")
+        + pd.to_timedelta(rng.integers(0, 300, n_li), unit="D"),
+    })
+    out = top_revenue_orders(
+        ray.data.from_pandas([li.iloc[:200], li.iloc[200:]]),
+        ray.data.from_pandas(orders), ray.data.from_pandas(cust),
+        segment="BUILDING", cutoff="1998-06-01", k=5)
+
+    cut = pd.Timestamp("1998-06-01")
+    keep = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+    of = orders[(orders["o_orderdate"] < cut) & orders["o_custkey"].isin(keep)]
+    m = li[li["l_shipdate"] > cut].copy()
+    m["revenue_cents"] = np.round(
+        m["l_extendedprice"] * (1 - m["l_discount"]) * 100).astype(np.int64)
+    rev = m.groupby("l_orderkey")["revenue_cents"].sum().reset_index()
+    exp = (of.merge(rev, left_on="o_orderkey", right_on="l_orderkey")
+           .sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True])
+           .head(5)[["o_orderkey", "revenue_cents", "o_orderdate",
+                     "o_orderpriority"]].reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype(exp.dtypes.to_dict()), exp)
