@@ -236,6 +236,16 @@ def main() -> None:
         "shard_encoded_bytes": len(shard_blob),
         "shard_parquet_uncompressed_bytes": buf.tell(),
     }
+    # real-table compression vs the reference world (exercises the full
+    # codec family: ALP decimals, FSST/dict strings, FOR/delta ints,
+    # ALP-RD embeddings) — one shot each, no timing noise
+    for name in ("lineitem", "embeddings"):
+        t = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        b = io.BytesIO()
+        pq.write_table(t, b, compression="NONE", use_dictionary=True)
+        blob, _ = _et(t)
+        out[f"{name}_encoded_bytes"] = len(blob)
+        out[f"{name}_parquet_uncompressed_bytes"] = b.tell()
     ray.shutdown()
     print(json.dumps(out))
 
