@@ -199,7 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         src = os.path.join(sf, "embeddings.parquet")
         st = os.stat(src)
-        fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+        # v2: index format version — v1 indexes were written through a
+        # pandas stage whose files carry an ndarray extension dtype in
+        # their pandas metadata (intermittent to_pandas failures on read)
+        fp = hashlib.md5(f"v2:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
         tag = os.path.basename(os.path.normpath(sf)) or "sf"
         idx = os.path.join("/tmp", "phr_ivf", f"{tag}_{fp}")
         if not os.path.exists(os.path.join(idx, "centroids.json")):

@@ -19,6 +19,29 @@ import ray
 import ray.data
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """``list<float>`` / ``fixed_size_list`` Arrow column -> (n, d) float64
+    matrix straight from the offsets/values buffers — no per-row object
+    materialization and, crucially, no pandas round-trip (a pandas block
+    of ndarray cells written back to parquet records a
+    ``numpy.ndarray(shape=..., dtype=...)`` extension dtype in the file's
+    pandas metadata, which poisons later ``to_pandas`` reads)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), d).astype(np.float64, copy=False)
+    offs = arr.offsets.to_numpy()
+    steps = np.diff(offs)
+    if len(steps) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = int(steps[0])
+    if not (steps == d).all():
+        raise ValueError("embedding column is ragged; expected fixed dim")
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return flat[offs[0]:offs[-1]].astype(np.float64, copy=False).reshape(-1, d)
+
+
 def _topk_partial(batch: pd.DataFrame, ref, k: int) -> pd.DataFrame:
     q_ids, Qn = ray.get(ref)
     ids = batch["vec_id"].to_numpy()
@@ -179,19 +202,21 @@ def ivf_build_index(
         C, _ = kmeans_refine_distributed(emb, C, iters=refine_iters)
     ref = ray.put(C)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
+        # pure-Arrow stage: a pandas round-trip here would stamp the
+        # written parquet with an ndarray extension dtype in its pandas
+        # metadata, making later pandas-format reads of the index fail
+        # nondeterministically (observed flake in ann_ivf_indexed)
         C_ = ray.get(ref)
-        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        M = _emb_matrix(t["embedding"])
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        out = batch.copy()
-        out["cluster"] = np.argmax(Mn @ C_.T, axis=1).astype(np.int32)
+        cl = pa.array(np.argmax(Mn @ C_.T, axis=1).astype(np.int32))
         # hive partitioning moves `cluster` into the path; keep an in-file
         # copy so probe filtering works when reading file paths directly
-        out["cluster_id"] = out["cluster"]
-        return out
+        return t.append_column("cluster", cl).append_column("cluster_id", cl)
 
     fs, root = fsio.resolve(index_dir, filesystem)
-    emb.map_batches(assign, batch_format="pandas").write_parquet(
+    emb.map_batches(assign, batch_format="pyarrow").write_parquet(
         fsio.join(root, "data"), filesystem=fs, partition_cols=["cluster"]
     )
     fsio.write_atomic(fsio.join(root, "centroids.json"),
@@ -242,13 +267,16 @@ def ann_topk_ivf_indexed(
         return out
     ref = ray.put((q_ids, Qn, probe_sets))
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        # pyarrow batch: robust to whatever metadata an index writer left
+        # in the files (the pandas path chokes on ndarray extension
+        # dtypes) and skips the object-cell materialization entirely
         q_ids_, Qn_, probes = ray.get(ref)
-        ids = batch["vec_id"].to_numpy()
-        clusters = batch["cluster_id"].to_numpy().astype(np.int64)
-        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        frames = []
+        ids = t["vec_id"].to_numpy()
+        clusters = t["cluster_id"].to_numpy().astype(np.int64)
+        Mn = _emb_matrix(t["embedding"])
+        Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+        out_q, out_n, out_s = [], [], []
         for qi in range(len(q_ids_)):
             mask = np.isin(clusters, list(probes[qi]))
             if not mask.any():
@@ -257,16 +285,19 @@ def ann_topk_ivf_indexed(
             sub_ids = ids[mask]
             kk = min(k + 1, len(sims))
             top = np.argpartition(-sims, kk - 1)[:kk]
-            frames.append(pd.DataFrame({"query_id": q_ids_[qi],
-                                        "neighbor_id": sub_ids[top], "sim": sims[top]}))
-        if not frames:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "sim": pd.Series([], dtype=float)})
-        return pd.concat(frames)
+            out_q.append(np.full(kk, q_ids_[qi], dtype=np.int64))
+            out_n.append(sub_ids[top].astype(np.int64))
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_n),
+                         "sim": np.concatenate(out_s)})
 
     ds = ray.data.read_parquet(paths, filesystem=fs)
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -288,6 +288,31 @@ def test_ivf_persisted_index(emb, tmp_path):
     assert recall >= 0.3
 
 
+def test_ivf_index_files_plain_arrow(emb, tmp_path):
+    """Regression (flaky ann_ivf_indexed): index part files written through
+    a pandas stage carried an ``numpy.ndarray(shape=..., dtype=...)``
+    extension dtype in their pandas metadata, which intermittently broke
+    pandas-format reads of the index. The build stage is pure Arrow now —
+    the files must carry NO pandas metadata and a pandas-format read of
+    every written file must succeed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_hs_ray.pipelines.ann import ivf_build_index
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_clusters=4)
+    files = glob.glob(f"{idx}/data/cluster=*/*.parquet")
+    assert files
+    for f in files:
+        meta = pq.read_schema(f).metadata or {}
+        pandas_meta = meta.get(b"pandas", b"")
+        assert b"numpy.ndarray" not in pandas_meta, f
+        # the poisoned metadata made this raise ValueError
+        pq.read_table(f).to_pandas()
+
+
 def test_resize_frame_content_equality(ray_session):
     """Vectorized offset-slicing must reproduce the per-row slicing
     semantics exactly (variable lengths, empty payloads, sliced arrays)."""
