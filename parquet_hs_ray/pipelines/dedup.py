@@ -145,7 +145,16 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
                             zero_copy_batch=True)
     edge_pairs = edges.groupby(["band", "bandhash"]).map_groups(bucket_pairs,
                                                                 batch_format="pandas")
-    pairs = interior.union(edge_pairs)
+    # coalesce the pair stream before the aggregate: LSH pairs are sparse,
+    # but the union inherits one block per upstream sorted block, and the
+    # sort-based shuffle emits one OUTPUT partition per INPUT block — a few
+    # hundred pairs fanned out over 100+ blocks makes every downstream op
+    # pay 100+ task launches (~5s of pure scheduling at sf0.1).
+    # (repartition(target_num_rows_per_block=...) only SPLITS, it never
+    # merges, so use a block count proportional to the corpus: ~16 sorted
+    # corpus blocks' worth of pairs per partition at any scale.)
+    pair_blocks = max(2, srt.num_blocks() // 16)
+    pairs = interior.union(edge_pairs).repartition(pair_blocks)
     from ray.data.aggregate import Count, Max
 
     return (
@@ -267,16 +276,18 @@ def dedup_minhash(docs: "ray.data.Dataset", threshold: float = 0.8, ngram: int =
     empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
                           "jaccard": pd.Series([], dtype=float)})
     empty.attrs["n_giant_bucket_pairs"] = 0
-    cand = _drop_empty_blocks(cand)
-    if cand is None:
-        return empty
     n_cand = cand.count()
+    if n_cand == 0:
+        return empty
 
     # ~1k shingles x 8 B per doc, <=2 docs per pair: 250k pairs ~= a few GB
     # worst-case index — above that, broadcasting would blow a worker heap
     if n_cand <= broadcast_threshold:
+        # broadcast verify is map-only — schema-enforced empty blocks are
+        # harmless here, no need for the empty-block scrub the join needs
         out = _minhash_verify_broadcast(docs, cand, threshold, ngram)
     else:
+        cand = _drop_empty_blocks(cand)
         out = _minhash_verify_join(docs, cand, threshold, ngram, idt, num_partitions)
     if len(out) == 0 or "a" not in out.columns:
         return empty
