@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "events"), "event_type", "value", 10.0)
     q["events_user_ndv"] = lambda sf: pstats.grouped_distinct_count(
         _read(sf, "events"), "event_type", "user_id")
+    # approximate twin (HyperLogLog): no SQL oracle by nature (sketch
+    # estimate); accuracy vs the exact path is asserted in tests
+    q["events_user_ndv_hll"] = lambda sf: pstats.grouped_ndv_hll(
+        _read(sf, "events"), "event_type", "user_id")
     q["doc_top_chars"] = lambda sf: pstats.top_k_global(
         _read(sf, "documents"), "n_chars", 20, "doc_id",
         columns=["doc_id", "n_chars"])

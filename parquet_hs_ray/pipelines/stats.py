@@ -326,3 +326,46 @@ def grouped_mode(ds: "ray.data.Dataset", key: str, col: str) -> "ray.data.Datase
                              "n": [np.int64(top["cnt"])]})
 
     return hist.groupby(key).map_groups(select, batch_format="pandas")
+
+
+def grouped_ndv_hll(ds: "ray.data.Dataset", key: str, col: str,
+                    p: int = 12) -> pd.DataFrame:
+    """APPROXIMATE ``count(DISTINCT col)`` per ``key`` via HyperLogLog
+    (~1.04/sqrt(2^p) standard error; p=12 -> ~1.6%).
+
+    The 100 TB shape vs the exact :func:`grouped_distinct_count`: the
+    shuffle carries ONE 2^p-byte register blob per (key, block) — constant
+    per group — instead of the full distinct (key, value) pair set, so
+    NDV over a high-cardinality column (distinct user_ids per event type
+    across 10^12 rows) never moves more than keys x blocks x 4 KiB.
+    Registers are elementwise-max mergeable, so partials combine in any
+    order (tested associative)."""
+    from ..functions import sketches as sk
+
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[[key, col]].dropna(subset=[col])
+        keys_arr, inv = np.unique(sub[key].to_numpy(), return_inverse=True)
+        vals = sub[col].to_numpy()
+        if vals.dtype.kind in "iu":
+            h = sk._splitmix64(vals.astype(np.uint64))
+        else:
+            h = sk.word_hashes(vals.astype(str).astype(object))
+        # one flat register plane per key present in the batch
+        regs = np.zeros(len(keys_arr) * m, dtype=np.uint8)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rank = sk._leading_rank(h & np.uint64((1 << (64 - p)) - 1), 64 - p)
+        np.maximum.at(regs, inv * m + idx, rank)
+        return pd.DataFrame({key: keys_arr,
+                             "regs": [regs[i * m:(i + 1) * m].tobytes()
+                                      for i in range(len(keys_arr))]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = sk.hll_merge([np.frombuffer(b, dtype=np.uint8) for b in g["regs"]])
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "ndv_hll": [np.int64(sk.hll_estimate(regs))]})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(key).map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)

@@ -46,6 +46,32 @@ def test_grouped_distinct_count_exact(skewed):
     pd.testing.assert_frame_equal(out, ref)
 
 
+def test_grouped_ndv_hll_accuracy_and_merge(skewed):
+    """HLL estimate within 5% of exact per group (p=12 => ~1.6% stderr),
+    deterministic across runs, and the register merge is associative
+    (split input == whole input)."""
+    from parquet_hs_ray.functions import sketches as sk
+    from parquet_hs_ray.pipelines.stats import grouped_ndv_hll
+
+    df, ds = skewed
+    out = grouped_ndv_hll(ds, "k", "u")
+    ref = df.groupby("k")["u"].nunique().sort_index()
+    for _, row in out.iterrows():
+        exact = ref[row["k"]]
+        assert abs(row["ndv_hll"] - exact) <= max(2, 0.05 * exact), row
+    out2 = grouped_ndv_hll(ds, "k", "u")
+    pd.testing.assert_frame_equal(out, out2)
+
+    # kernel-level: merged halves == whole; large-set accuracy
+    vals = np.arange(100_000, dtype=np.uint64)
+    whole = sk.hll_registers(sk._splitmix64(vals), p=12)
+    halves = sk.hll_merge([sk.hll_registers(sk._splitmix64(vals[:70_000]), p=12),
+                           sk.hll_registers(sk._splitmix64(vals[50_000:]), p=12)])
+    assert np.array_equal(whole, halves)
+    est = sk.hll_estimate(whole)
+    assert abs(est - 100_000) / 100_000 < 0.05
+
+
 def test_top_k_global_boundary_ties(ray_session):
     """Many rows tie at the k-th score; the winners must be the ones the
     composite (score DESC, id ASC) order prefers, regardless of which
