@@ -342,6 +342,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cleaning.decontaminate(corpus, bench, ngram=3)
 
     q["doc_decontaminate"] = doc_decontaminate
+
+    def doc_decontaminate_bloom(sf):
+        # approximate twin: fixed-size Bloom bitset broadcast instead of
+        # the exact sorted shingle set; one-sided error (rows-only by
+        # nature; superset property + FP bound asserted in tests)
+        docs = _read(sf, "documents")
+        bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
+                                 batch_format="pandas")
+        corpus = docs.map_batches(lambda b: b[b["doc_id"] % 17 != 0],
+                                  batch_format="pandas")
+        return cleaning.decontaminate_bloom(corpus, bench, ngram=3)
+
+    q["doc_decontaminate_bloom"] = doc_decontaminate_bloom
     q["events_quantiles"] = lambda sf: pstats.grouped_quantiles(
         _read(sf, "events"), "event_type", "value", (0.5, 0.95))
     q["events_histogram"] = lambda sf: pstats.grouped_histogram(

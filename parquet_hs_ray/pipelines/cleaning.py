@@ -379,3 +379,63 @@ def span_dedup(docs: "ray.data.Dataset", window: int = 5,
                              "has_cross_dup": (ns > 0).to_numpy()})
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k double-hashed bit positions per input hash (Kirsch–Mitzenmacher:
+    pos_i = h1 + i*h2 mod m), vectorized to an (n, k) matrix."""
+    h1 = h.astype(np.uint64)
+    h2 = sk._splitmix64(h1) | np.uint64(1)  # odd => full-period stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Shingle-hash array -> packed Bloom bitset (uint8, m_bits/8 bytes)."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(hashes):
+        pos = _bloom_positions(hashes, m_bits, k).reshape(-1)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
+                        ngram: int = 3, m_bits: int = 1 << 23,
+                        k: int = 7) -> "ray.data.Dataset":
+    """Approximate :func:`decontaminate` via a Bloom filter: one-sided
+    error (NEVER misses a truly shared shingle; may over-count by the
+    filter's false-positive rate ~(1-e^{-kn/m})^k — 1 MiB / k=7 holds
+    ~600k benchmark shingles under 1%).
+
+    Scale shape vs the exact path: the broadcast side is a FIXED
+    ``m_bits/8``-byte bitset regardless of benchmark size (the exact
+    sorted-set broadcast grows 8 B/shingle), so the eval suites can grow
+    into the millions of documents without inflating what every worker
+    holds.  Per-block partial bitsets are OR-merged (associative, like
+    the HLL registers); the corpus side is a pure probe, never shuffled."""
+    parts = [
+        np.frombuffer(b["bits"][0], dtype=np.uint8)
+        for b in bench.map_batches(
+            lambda d: pd.DataFrame({"bits": [bloom_build(
+                np.unique(sk.word_ngram_hashes(d["text"], n=ngram)[1]),
+                m_bits, k).tobytes()]}),
+            batch_format="pandas").iter_batches(batch_format="pandas")
+    ]
+    bits = np.bitwise_or.reduce(parts) if parts else np.zeros(m_bits // 8, np.uint8)
+    ref = ray.put(bits)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        n_sh, h = sk.word_ngram_hashes(batch["text"], n=ngram)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
+        if len(h):
+            dd = pd.DataFrame({"d": doc_of, "h": h}).drop_duplicates()
+            pos = _bloom_positions(dd["h"].to_numpy(), m_bits, k)
+            hit = ((bs[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+            counts = np.bincount(dd["d"].to_numpy()[hit], minlength=len(batch))
+        else:
+            counts = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_shared_bloom": counts.astype(np.int64)})
+
+    return docs.map_batches(f, batch_format="pandas")

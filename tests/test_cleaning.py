@@ -95,6 +95,35 @@ def test_decontaminate_planted_leak(ray_session):
     assert out[2] == 0
 
 
+def test_decontaminate_bloom_one_sided(ray_session):
+    """Bloom variant: NEVER undercounts the exact answer (one-sided
+    error), matches it exactly at the default filter size on a small
+    benchmark, and a deliberately tiny filter overcounts but still never
+    undercounts."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import decontaminate, decontaminate_bloom
+
+    passage = "the capital of france is paris and it is beautiful"
+    bench = ray.data.from_items([{"doc_id": 100, "text": passage}])
+    corpus = ray.data.from_items([
+        {"doc_id": 1, "text": "prefix words here " + passage + " suffix words"},
+        {"doc_id": 2, "text": "entirely unrelated content about databases and storage"},
+        {"doc_id": 3, "text": "more clean filler text with many different words in it"},
+    ])
+    exact = (decontaminate(corpus, bench, ngram=3).to_pandas()
+             .set_index("doc_id")["n_shared"].sort_index())
+    approx = (decontaminate_bloom(corpus, bench, ngram=3).to_pandas()
+              .set_index("doc_id")["n_shared_bloom"].sort_index())
+    # default 1 MiB filter on ~10 shingles: no false positives expected
+    assert (approx == exact).all(), (approx, exact)
+
+    # 64-bit filter with k=2: saturated, heavy FPs — still one-sided
+    tiny = (decontaminate_bloom(corpus, bench, ngram=3, m_bits=64, k=2)
+            .to_pandas().set_index("doc_id")["n_shared_bloom"].sort_index())
+    assert (tiny >= exact).all(), (tiny, exact)
+
+
 def test_grouped_quantiles_matches_numpy(ray_session):
     """Exact quantile_disc rule (1-based rank ceil(q*n)) per group, on a
     skewed multi-block input."""
