@@ -333,6 +333,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_tokenize"] = doc_tokenize
 
+    def token_freq(sf):
+        from parquet_hs_ray.pipelines.tokenize import token_frequencies, tokenize_corpus
+
+        return token_frequencies(
+            tokenize_corpus(_read(sf, "documents"), vocab_size=64))
+
+    q["token_freq"] = token_freq
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -770,6 +778,24 @@ SELECT d.doc_id, d.source,
        coalesce(agg.tokens, []::BIGINT[]) AS tokens
 FROM documents d LEFT JOIN agg USING (doc_id)
 ORDER BY d.doc_id
+"""
+    # token_freq: same tokenizer replay, aggregated per token id instead
+    # of re-assembled into sequences
+    o["token_freq"] = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, i, arr[i] AS word FROM (
+    SELECT doc_id, unnest(range(1, len(arr)+1)) AS i, arr FROM (
+      SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS arr
+      FROM documents))
+),
+c AS (SELECT word, count(*)::BIGINT AS n FROM words GROUP BY word),
+v AS MATERIALIZED (
+  SELECT word, (row_number() OVER (ORDER BY n DESC, word) - 1)::BIGINT AS tid
+  FROM c ORDER BY n DESC, word LIMIT 64
+)
+SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
+FROM words w LEFT JOIN v USING (word)
+GROUP BY token_id ORDER BY token_id
 """
     o["events_quantiles"] = (
         "SELECT event_type, quantile_disc(value, 0.5) AS p50,"

@@ -87,3 +87,26 @@ def tokenize_corpus(docs: "ray.data.Dataset", vocab_size: int = 256
     """Two-pass convenience: build the top-k vocab (aggregate pass),
     then stream the token pass. The result is encode_job-ready."""
     return tokenize(docs, build_vocab(docs, size=vocab_size))
+
+
+def token_frequencies(tok: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Global token-id frequency histogram over a pre-tokenized sequence
+    table (the north-rule input shape: ``tokens list<int64>``) — the
+    vocabulary-usage / OOV-rate profile an encode job wants before
+    choosing dictionary codecs.
+
+    Scale shape (100 TB): per-block partials are ONE ``np.unique`` pass
+    over the block's flattened token values (zero-copy from the Arrow
+    list buffer, no per-row Python); the shuffle carries (token_id, n)
+    partials bounded by the vocabulary size per block, never token
+    streams. Merge is ``grouped_sum``."""
+    from .groupagg import grouped_sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vals = t["tokens"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ids, cnt = np.unique(vals, return_counts=True)
+        return pd.DataFrame({"token_id": ids.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    return grouped_sum(tok.map_batches(partial, batch_format="pyarrow"),
+                       ["token_id"], ["n"])

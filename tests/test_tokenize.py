@@ -51,3 +51,21 @@ def test_tokenize_feeds_encode_job(ray_session, tmp_path):
     blob, stats = encode_table(full)
     assert decode_table(blob).equals(full)
     assert stats["tokens"].codec.startswith("list<")
+
+
+def test_token_frequencies_matches_flat_count(ray_session):
+    """Distributed histogram == numpy count over the flattened token
+    stream, including empty docs (contribute nothing) and OOV ids."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_hs_ray.pipelines.tokenize import token_frequencies
+
+    docs = _docs(["b a zzz qqq", "", "b a a"])
+    v = build_vocab(docs, size=2)  # a=0, b=1; OOV id 2
+    tok = tokenize(docs, v)
+    out = (token_frequencies(tok).to_pandas()
+           .sort_values("token_id").reset_index(drop=True))
+    ref = pd.DataFrame({"token_id": np.int64([0, 1, 2]),
+                        "n": np.int64([3, 2, 2])})
+    pd.testing.assert_frame_equal(out, ref)
