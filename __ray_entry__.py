@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
     q["doc_mix"] = lambda sf: ta.deterministic_mix(
         _read(sf, "documents"), {"src1": 50, "src2": 25, "src3": 0})
+    q["doc_sample_weighted"] = lambda sf: ta.sample_weighted(
+        _read(sf, "documents"), weight_col="n_chars", rate_per_unit=1 / 4000,
+        seed=7, columns=["doc_id", "source", "n_chars"])
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_assign"] = lambda sf: dedup.dedup_assign(_read(sf, "documents"))
@@ -483,6 +486,10 @@ def oracle_sql() -> dict[str, str]:
         " (CASE source WHEN 'src1' THEN 50 WHEN 'src2' THEN 25"
         "  WHEN 'src3' THEN 0 ELSE 100 END)"
     )
+    from parquet_hs_ray.functions.sql_oracles import weighted_sample_sql
+
+    o["doc_sample_weighted"] = weighted_sample_sql(
+        "documents", "n_chars", rate_per_unit=1 / 4000, seed=7)
     o["doc_top_terms"] = (
         "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
         " '[a-z0-9]+')) AS w FROM documents),"

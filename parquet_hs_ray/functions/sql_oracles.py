@@ -370,3 +370,21 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN per USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def weighted_sample_sql(table: str = "documents", weight_col: str = "n_chars",
+                        rate_per_unit: float = 1 / 4000, seed: int = 7) -> str:
+    """DuckDB twin of ``text_analysis.sample_weighted``: replay
+    splitmix64(xor(doc_id, seed)) through the HUGEINT layer stack, then
+    the integer keep rule ``h // T < weight`` (same T construction as the
+    kernel, so the comparison is bit-exact — no float in the decision)."""
+    T = int(rate_per_unit * (1 << 64))
+    if T >= (1 << 64):
+        T = (1 << 64) - 1
+    q = (f"SELECT doc_id, source, {weight_col}, "
+         f"xor(doc_id::HUGEINT, {seed}::HUGEINT) AS h FROM {table}")
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    return (f"SELECT doc_id, source, {weight_col} FROM ({q}) "
+            f"WHERE h // {T}::HUGEINT < greatest({weight_col}, 0)::HUGEINT "
+            f"ORDER BY doc_id")

@@ -7,6 +7,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from ..functions import sketches as sk
 from ..functions import text as tx
 from ..functions.text import flatten_words
 
@@ -226,6 +227,39 @@ def deterministic_mix(docs: "ray.data.Dataset", weights: dict[str, int],
                        dtype=np.int64) % 100
         pct = batch["source"].map(weights).fillna(default_pct).astype(np.int64).to_numpy()
         return batch[h < pct]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def sample_weighted(docs: "ray.data.Dataset", weight_col: str = "n_chars",
+                    rate_per_unit: float = 1 / 4000, seed: int = 7,
+                    columns: "list[str] | None" = None) -> "ray.data.Dataset":
+    """Weight-proportional Bernoulli sampling (importance sampling of
+    training data): each row is kept with probability
+    ``min(1, weight * rate_per_unit)``, decided by a DETERMINISTIC seeded
+    hash — reproducible across runs, partitionings and cluster sizes, no
+    RNG state, and a pure streaming filter (no shuffle, nothing reaches
+    the driver).
+
+    The keep decision is INTEGER-EXACT so the SQL twin hashes identical:
+    with ``T = floor(rate_per_unit * 2^64)``, keep iff
+    ``splitmix64(doc_id XOR seed) // T < weight`` — equivalent to
+    ``h < weight * T`` (uniform h in [0, 2^64)) but free of both uint64
+    overflow and float rounding; rows with ``weight >= 2^64/T`` are kept
+    with probability exactly 1."""
+    T = int(rate_per_unit * (1 << 64))
+    if T <= 0:
+        raise ValueError(f"rate_per_unit too small: {rate_per_unit}")
+    if T >= (1 << 64):  # rate >= 1 per unit: every weight >= 1 row kept
+        T = (1 << 64) - 1
+    Tu = np.uint64(T)
+    sd = np.uint64(seed)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = sk._splitmix64(batch["doc_id"].to_numpy(dtype=np.uint64) ^ sd)
+        w = batch[weight_col].fillna(0).to_numpy(dtype=np.int64)
+        out = batch[(h // Tu) < np.maximum(w, 0).astype(np.uint64)]
+        return out[columns] if columns else out
 
     return docs.map_batches(keep, batch_format="pandas")
 

@@ -1272,3 +1272,38 @@ def test_embedding_pca_matches_numpy(ray_session):
     np.testing.assert_allclose(P, (X - mu) @ comps.T, atol=1e-7)
     # 3 planted directions must explain nearly all variance
     assert info["explained_variance_ratio"].sum() > 0.99
+
+
+def test_sample_weighted_deterministic_and_saturating(ray_session):
+    """Keep probability is weight-proportional (integer-exact rule
+    h // T < w): zero-weight rows never survive, weights >= 1/rate always
+    survive, the kept set is reproducible, and the kept fraction of
+    mid-weight rows tracks w * rate."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import sample_weighted
+
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": "s",
+        # thirds: weight 0 (never), 2000 (p=0.5), 10**9 (always)
+        "n_chars": np.where(np.arange(n) % 3 == 0, 0,
+                            np.where(np.arange(n) % 3 == 1, 2000, 10**9)),
+    })
+    ds = ray.data.from_pandas([df.iloc[i:i + 500] for i in range(0, n, 500)])
+    out = sample_weighted(ds, "n_chars", rate_per_unit=1 / 4000, seed=7).to_pandas()
+    w = out.set_index("doc_id")["n_chars"]
+    assert (w > 0).all()                       # zero-weight never kept
+    n_always = int((df["n_chars"] == 10**9).sum())
+    assert int((w == 10**9).sum()) == n_always  # saturated: all kept
+    frac_mid = (w == 2000).sum() / (df["n_chars"] == 2000).sum()
+    assert 0.40 < frac_mid < 0.60               # p = 0.5 +- noise
+    out2 = sample_weighted(ds, "n_chars", rate_per_unit=1 / 4000, seed=7).to_pandas()
+    pd.testing.assert_frame_equal(out.sort_values("doc_id").reset_index(drop=True),
+                                  out2.sort_values("doc_id").reset_index(drop=True))
+    # different seed: different (but same-law) selection
+    out3 = sample_weighted(ds, "n_chars", rate_per_unit=1 / 4000, seed=8).to_pandas()
+    assert set(out3["doc_id"]) != set(out["doc_id"])
