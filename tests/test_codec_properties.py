@@ -291,3 +291,30 @@ def test_fsst_escapes_through_table_roundtrip():
     assert stats["s"].codec == "fsst"
     back = decode_table(blob)
     assert back.equals(t)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                 max_size=50, unique=True),
+    weights=st.lists(st.integers(min_value=0, max_value=2**40), min_size=50,
+                     max_size=50),
+    rate_denom=st.integers(min_value=1, max_value=2**40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_sample_weighted_rule_matches_bigint_reference(ids, weights, rate_denom, seed):
+    """The overflow-free keep rule `h // T < w` must equal the exact
+    big-int rule `h < w * T` for every (hash, weight, threshold) — the
+    whole point of the integer formulation in sample_weighted."""
+    from parquet_hs_ray.functions import sketches as sk
+
+    T = (1 << 64) // rate_denom
+    if T <= 0:
+        return
+    if T >= (1 << 64):
+        T = (1 << 64) - 1
+    h = sk._splitmix64(np.asarray(ids, dtype=np.uint64) ^ np.uint64(seed))
+    w = np.asarray(weights[: len(ids)], dtype=np.int64)
+    ours = (h // np.uint64(T)) < np.maximum(w, 0).astype(np.uint64)
+    ref = np.asarray([int(hh) < int(ww) * T for hh, ww in zip(h, w)])
+    assert (ours == ref).all()
