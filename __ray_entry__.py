@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_dequantize"] = lambda sf: ann.dequantize_embeddings(
         ann.quantize_embeddings(_read(sf, "embeddings")))
     q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
+    q["ann_topk_quantized"] = lambda sf: ann.ann_topk_quantized(
+        _read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
 
     def ann_ivf_indexed(sf):
@@ -667,6 +669,25 @@ def oracle_sql() -> dict[str, str]:
     o["emb_quantize"] = (
         f"SELECT vec_id, (({_AMAX}) / 127.0)::FLOAT AS scale, "
         "len(embedding)::INT AS dim FROM embeddings"
+    )
+    # ann_topk_quantized: cosine top-k where the corpus side is the int8
+    # reconstruction — the dequantize twin re-used as a CTE, queries exact
+    o["ann_topk_quantized"] = (
+        "WITH dq AS ("
+        " SELECT vec_id, list_transform(embedding, x -> "
+        "  (greatest(least(round_even(x::DOUBLE / amax * 127.0, 0), 127.0), -127.0)::TINYINT"
+        "   * scale_d)::FLOAT) AS embedding "
+        " FROM (SELECT vec_id, embedding, amax, ((amax / 127.0)::FLOAT)::DOUBLE AS scale_d "
+        f"       FROM (SELECT vec_id, embedding, {_AMAX} AS amax FROM embeddings))),"
+        " sims AS ("
+        " SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "        list_cosine_similarity(q.embedding, c.embedding) AS sim"
+        " FROM embeddings q, dq c"
+        " WHERE q.vec_id < 5 AND c.vec_id != q.vec_id)"
+        " SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT query_id, neighbor_id,"
+        "         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank"
+        "  FROM sims) t WHERE rank <= 10"
     )
     o["emb_dequantize"] = (
         # the ::TINYINT mirrors the kernel's .astype(int8) — it also folds

@@ -355,6 +355,61 @@ def dequantize_embeddings(qemb: "ray.data.Dataset") -> "ray.data.Dataset":
     return qemb.map_batches(dq, batch_format="pyarrow")
 
 
+def ann_topk_quantized(emb: "ray.data.Dataset", query_ids: list[int],
+                       k: int = 10) -> pd.DataFrame:
+    """Cosine top-k where the CORPUS side is searched as int8 codes
+    (``quantize_embeddings`` output): each batch reconstructs
+    ``codes * scale`` in one vectorized multiply and matmuls against the
+    exact broadcast query matrix — the corpus stays 4x smaller in the
+    object store end-to-end, never re-inflated to a float column.
+    Queries use their exact (unquantized) vectors. Reconstruction is the
+    same float32 grid as ``dequantize_embeddings`` (whose SQL twin is
+    hash-exact), so the search twin is the plain cosine top-k over the
+    dequantized lists."""
+    qset = sorted(set(query_ids))
+
+    def pick(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["vec_id"], value_set=pa.array(qset, t["vec_id"].type)))
+
+    qdf = emb.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((qdf["vec_id"].to_numpy(), Qn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        q_ids, Qn_ = ray.get(ref)
+        codes = t["codes"].combine_chunks()
+        n = len(codes)
+        offs = np.frombuffer(codes.buffers()[1], dtype=np.int32, count=n + 1,
+                             offset=codes.offset * 4)
+        flat = np.frombuffer(codes.buffers()[2], dtype=np.int8, count=int(offs[-1]))[offs[0]:]
+        d = int(t["dim"][0].as_py()) if n else 0
+        # same float32 grid as dequantize_embeddings, then f64 for the matmul
+        M = (flat.reshape(n, d).astype(np.float32) *
+             t["scale"].to_numpy(zero_copy_only=False)[:, None]).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        ids = t["vec_id"].to_numpy()
+        sims = Qn_ @ Mn.T
+        kk = min(k + 1, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = idx.reshape(-1)
+        return pa.table({"query_id": q_ids[rows].astype(np.int64),
+                         "neighbor_id": ids[cols].astype(np.int64),
+                         "sim": sims[rows, cols]})
+
+    partials = (quantize_embeddings(emb)
+                .map_batches(partial, batch_format="pyarrow").to_pandas())
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                    ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+
 def kmeans_refine_distributed(emb: "ray.data.Dataset", centroids: np.ndarray,
                               iters: int = 4) -> tuple[np.ndarray, list[float]]:
     """Full-corpus Lloyd refinement of sample-trained centroids — the

@@ -1307,3 +1307,18 @@ def test_sample_weighted_deterministic_and_saturating(ray_session):
     # different seed: different (but same-law) selection
     out3 = sample_weighted(ds, "n_chars", rate_per_unit=1 / 4000, seed=8).to_pandas()
     assert set(out3["doc_id"]) != set(out["doc_id"])
+
+
+def test_ann_topk_quantized_recall(emb):
+    """int8-code search recalls nearly all exact neighbors (the grid only
+    perturbs sims by ~1/254 per axis) and never returns a self-match."""
+    from parquet_hs_ray.pipelines.ann import ann_topk_bruteforce, ann_topk_quantized
+
+    exact = ann_topk_bruteforce(emb, query_ids=[0, 1], k=10)
+    quant = ann_topk_quantized(emb, query_ids=[0, 1], k=10)
+    assert len(quant) == len(exact) == 20
+    assert not (quant["query_id"] == quant["neighbor_id"]).any()
+    for qid in (0, 1):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(quant[quant["query_id"] == qid]["neighbor_id"])
+        assert len(e & a) >= 8, (qid, e, a)  # >= 0.8 recall per query
