@@ -386,5 +386,5 @@ def weighted_sample_sql(table: str = "documents", weight_col: str = "n_chars",
     for layer in _splitmix_layers("h"):
         q = f"{layer} FROM ({q})"
     return (f"SELECT doc_id, source, {weight_col} FROM ({q}) "
-            f"WHERE h // {T}::HUGEINT < greatest({weight_col}, 0)::HUGEINT "
+            f"WHERE h // {T}::HUGEINT < floor(greatest({weight_col}, 0))::HUGEINT "
             f"ORDER BY doc_id")

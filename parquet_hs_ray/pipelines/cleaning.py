@@ -391,7 +391,15 @@ def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 
 
 def bloom_build(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """Shingle-hash array -> packed Bloom bitset (uint8, m_bits/8 bytes)."""
+    """Shingle-hash array -> packed Bloom bitset (uint8, m_bits/8 bytes).
+
+    ``m_bits`` must be a power of two >= 8: the packed array has
+    ``m_bits/8`` bytes (a non-multiple would let positions index past
+    it), and the double-hash stride ``h1 + i*h2`` wraps mod 2^64 before
+    ``% m_bits``, which is unbiased (and the odd stride full-period)
+    only for power-of-two m."""
+    if m_bits < 8 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 8, got {m_bits}")
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     if len(hashes):
         pos = _bloom_positions(hashes, m_bits, k).reshape(-1)
@@ -413,13 +421,20 @@ def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
     into the millions of documents without inflating what every worker
     holds.  Per-block partial bitsets are OR-merged (associative, like
     the HLL registers); the corpus side is a pure probe, never shuffled."""
+    if m_bits < 8 or m_bits & (m_bits - 1):  # fail on the driver, not in a task
+        raise ValueError(f"m_bits must be a power of two >= 8, got {m_bits}")
+    # every partial-bitset ROW must be merged: iter_batches coalesces the
+    # one-row-per-block partials (default batch_size 256), so indexing
+    # only row 0 of each batch would silently drop blocks and break the
+    # one-sided guarantee on a multi-block benchmark
     parts = [
-        np.frombuffer(b["bits"][0], dtype=np.uint8)
+        np.frombuffer(row, dtype=np.uint8)
         for b in bench.map_batches(
             lambda d: pd.DataFrame({"bits": [bloom_build(
                 np.unique(sk.word_ngram_hashes(d["text"], n=ngram)[1]),
                 m_bits, k).tobytes()]}),
             batch_format="pandas").iter_batches(batch_format="pandas")
+        for row in b["bits"]
     ]
     bits = np.bitwise_or.reduce(parts) if parts else np.zeros(m_bits // 8, np.uint8)
     ref = ray.put(bits)

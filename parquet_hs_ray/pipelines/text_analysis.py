@@ -243,10 +243,13 @@ def sample_weighted(docs: "ray.data.Dataset", weight_col: str = "n_chars",
 
     The keep decision is INTEGER-EXACT so the SQL twin hashes identical:
     with ``T = floor(rate_per_unit * 2^64)``, keep iff
-    ``splitmix64(doc_id XOR seed) // T < weight`` — equivalent to
-    ``h < weight * T`` (uniform h in [0, 2^64)) but free of both uint64
-    overflow and float rounding; rows with ``weight >= 2^64/T`` are kept
-    with probability exactly 1."""
+    ``splitmix64(doc_id XOR seed) // T < floor(weight)`` — equivalent to
+    ``h < floor(weight) * T`` (uniform h in [0, 2^64)) but free of both
+    uint64 overflow and float rounding; rows with ``weight >= 2^64/T``
+    are kept with probability exactly 1. Weights enter the rule as
+    ``floor(weight)`` (integer columns unchanged; fractional weights
+    below 1 are never kept — scale them into integer units via
+    ``rate_per_unit`` instead), mirrored by ``floor()`` in the twin."""
     T = int(rate_per_unit * (1 << 64))
     if T <= 0:
         raise ValueError(f"rate_per_unit too small: {rate_per_unit}")
@@ -257,8 +260,11 @@ def sample_weighted(docs: "ray.data.Dataset", weight_col: str = "n_chars",
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         h = sk._splitmix64(batch["doc_id"].to_numpy(dtype=np.uint64) ^ sd)
-        w = batch[weight_col].fillna(0).to_numpy(dtype=np.int64)
-        out = batch[(h // Tu) < np.maximum(w, 0).astype(np.uint64)]
+        wv = batch[weight_col].fillna(0).to_numpy()
+        if wv.dtype.kind not in "iu":  # explicit floor, same rule as the twin
+            wv = np.floor(wv)
+        w = np.maximum(wv, 0).astype(np.uint64)
+        out = batch[(h // Tu) < w]
         return out[columns] if columns else out
 
     return docs.map_batches(keep, batch_format="pandas")

@@ -123,6 +123,39 @@ def test_decontaminate_bloom_one_sided(ray_session):
             .to_pandas().set_index("doc_id")["n_shared_bloom"].sort_index())
     assert (tiny >= exact).all(), (tiny, exact)
 
+    # non-power-of-two m_bits: clear driver-side error, not an
+    # out-of-range scatter inside a Ray task
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        decontaminate_bloom(corpus, bench, m_bits=100)
+
+
+def test_decontaminate_bloom_multiblock_bench(ray_session):
+    """Regression: every per-block partial bitset must be OR-merged —
+    indexing only row 0 of each coalesced iter_batches batch dropped all
+    but one bench block's shingles and broke the one-sided guarantee."""
+    import pandas as pd
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import decontaminate, decontaminate_bloom
+
+    passages = [f"unique passage number {i} about topic {i} with shared words {i}"
+                for i in range(8)]
+    # 8 bench blocks -> 8 one-row partial bitsets coalesced into ONE batch
+    bench = ray.data.from_pandas(
+        [pd.DataFrame({"doc_id": [100 + i], "text": [passages[i]]})
+         for i in range(8)])
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": "prefix " + passages[i] + " suffix"}
+         for i in range(8)])
+    exact = (decontaminate(corpus, bench, ngram=3).to_pandas()
+             .set_index("doc_id")["n_shared"].sort_index())
+    approx = (decontaminate_bloom(corpus, bench, ngram=3).to_pandas()
+              .set_index("doc_id")["n_shared_bloom"].sort_index())
+    assert (exact > 0).all()           # every corpus doc leaks its passage
+    assert (approx >= exact).all(), (approx, exact)  # one-sided, no drops
+
 
 def test_grouped_quantiles_matches_numpy(ray_session):
     """Exact quantile_disc rule (1-based rank ceil(q*n)) per group, on a

@@ -1308,6 +1308,16 @@ def test_sample_weighted_deterministic_and_saturating(ray_session):
     out3 = sample_weighted(ds, "n_chars", rate_per_unit=1 / 4000, seed=8).to_pandas()
     assert set(out3["doc_id"]) != set(out["doc_id"])
 
+    # float weight column: explicit floor (0.9 -> 0, never kept; 2000.7
+    # behaves as 2000) — the same rule the SQL twin's floor() applies
+    dff = df.assign(n_chars=df["n_chars"].astype(float) + 0.7)
+    dff.loc[dff["n_chars"] == 0.7, "n_chars"] = 0.9
+    dsf = ray.data.from_pandas([dff.iloc[i:i + 500] for i in range(0, n, 500)])
+    outf = sample_weighted(dsf, "n_chars", rate_per_unit=1 / 4000, seed=7).to_pandas()
+    assert (outf["n_chars"] > 1).all()  # sub-1 fractional weights never kept
+    kept_mid = set(outf[outf["n_chars"] == 2000.7]["doc_id"])
+    assert kept_mid == set(out[out["n_chars"] == 2000]["doc_id"])  # floor == int run
+
 
 def test_ann_topk_quantized_recall(emb):
     """int8-code search recalls nearly all exact neighbors (the grid only
