@@ -101,23 +101,32 @@ def main() -> None:
     # fault storm during the early passes cannot set the recorded number.
     n_min = int(os.environ.get("GRAFT_BENCH_PASSES", "3"))
     n_max = int(os.environ.get("GRAFT_BENCH_MAX_PASSES", "8"))
+    # wall-escape floor: a fault-storm window pins EVERY pass flat at the
+    # host's ~80 MB/s fault-bandwidth wall, and flat-slow passes self-agree
+    # — so agreement alone must not stop the loop while throughput sits
+    # below a healthy per-CPU floor (observed wall ~0.4 Mtok/s/cpu vs
+    # healthy 1.4-3.3; storms last minutes, extra passes can outlive one)
+    enc_floor = float(os.environ.get("GRAFT_BENCH_FLOOR_TOKS_PER_CPU", "0.8e6")) * NUM_CPUS
     pass_times = []
+    tokens = None
     while True:
         shutil.rmtree(enc_dir, ignore_errors=True)
         t0 = time.perf_counter()
         encode_dataset(src, enc_dir, token_budget=2_000_000,
                        concurrency=max(2, NUM_CPUS - 1), use_actors=False)
         pass_times.append(time.perf_counter() - t0)
+        if tokens is None:
+            tokens = mf.summary(enc_dir)["tokens"]
         if len(pass_times) >= max(2, n_min):
             fastest = sorted(pass_times)[:2]
-            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10:
-                break  # converged: two independent steady-state observations
+            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10 \
+                    and tokens / fastest[0] >= enc_floor:
+                break  # converged ABOVE the wall: steady state observed twice
         if len(pass_times) >= n_max:
             break
     queries["encode_f1"] = min(pass_times)
     encode_passes = [round(t, 3) for t in pass_times]
     summ = mf.summary(enc_dir)
-    tokens = summ["tokens"]
 
     if BENCH_MODE == "scaling":
         t0 = time.perf_counter()
@@ -144,6 +153,8 @@ def main() -> None:
     # decode: same adaptive best-of as encode (a single storm-hit pass
     # would record a 5-10x-slow decode_tokens_per_sec; passes are cheap —
     # pure reads — so convergence usually lands in the minimum 2)
+    dec_floor = float(os.environ.get("GRAFT_BENCH_FLOOR_DECODE_TOKS_PER_CPU",
+                                     "2e6")) * NUM_CPUS
     decode_times = []
     while True:
         t0 = time.perf_counter()
@@ -153,7 +164,8 @@ def main() -> None:
         assert n_decoded == rows, (n_decoded, rows)
         if len(decode_times) >= 2:
             fastest = sorted(decode_times)[:2]
-            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10:
+            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10 \
+                    and tokens / fastest[0] >= dec_floor:
                 break
         if len(decode_times) >= n_max:
             break
