@@ -107,6 +107,11 @@ def main() -> None:
     # below a healthy per-CPU floor (observed wall ~0.4 Mtok/s/cpu vs
     # healthy 1.4-3.3; storms last minutes, extra passes can outlive one)
     enc_floor = float(os.environ.get("GRAFT_BENCH_FLOOR_TOKS_PER_CPU", "0.8e6")) * NUM_CPUS
+    # the floor only means something when per-pass time is compute-bound:
+    # at small SF (sf0.001 ~0.8M tokens) fixed pipeline overhead alone
+    # keeps throughput under any healthy floor and every run would burn
+    # the full pass cap for nothing
+    _FLOOR_MIN_TOKENS = float(os.environ.get("GRAFT_BENCH_FLOOR_MIN_TOKENS", "16e6"))
     pass_times = []
     tokens = None
     while True:
@@ -119,8 +124,8 @@ def main() -> None:
             tokens = mf.summary(enc_dir)["tokens"]
         if len(pass_times) >= max(2, n_min):
             fastest = sorted(pass_times)[:2]
-            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10 \
-                    and tokens / fastest[0] >= enc_floor:
+            floor_ok = tokens < _FLOOR_MIN_TOKENS or tokens / fastest[0] >= enc_floor
+            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10 and floor_ok:
                 break  # converged ABOVE the wall: steady state observed twice
         if len(pass_times) >= n_max:
             break
@@ -164,8 +169,8 @@ def main() -> None:
         assert n_decoded == rows, (n_decoded, rows)
         if len(decode_times) >= 2:
             fastest = sorted(decode_times)[:2]
-            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10 \
-                    and tokens / fastest[0] >= dec_floor:
+            floor_ok = tokens < _FLOOR_MIN_TOKENS or tokens / fastest[0] >= dec_floor
+            if (fastest[1] - fastest[0]) / fastest[0] <= 0.10 and floor_ok:
                 break
         if len(decode_times) >= n_max:
             break

@@ -385,6 +385,12 @@ def weighted_sample_sql(table: str = "documents", weight_col: str = "n_chars",
          f"xor(doc_id::HUGEINT, {seed}::HUGEINT) AS h FROM {table}")
     for layer in _splitmix_layers("h"):
         q = f"{layer} FROM ({q})"
+    # NaN weights drop the row (the kernel's fillna(0)); the least() clamp
+    # is the kernel's uint64 saturation bound (2^64 - 2048, exact in both
+    # float64 and HUGEINT) so +inf / >=2^64 weights stay bit-identical
+    w_expr = (f"least(floor(greatest(CASE WHEN isnan({weight_col}::DOUBLE) "
+              f"THEN 0 ELSE {weight_col} END, 0)), "
+              f"18446744073709549568)::HUGEINT")
     return (f"SELECT doc_id, source, {weight_col} FROM ({q}) "
-            f"WHERE h // {T}::HUGEINT < floor(greatest({weight_col}, 0))::HUGEINT "
+            f"WHERE h // {T}::HUGEINT < {w_expr} "
             f"ORDER BY doc_id")

@@ -423,20 +423,19 @@ def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
     the HLL registers); the corpus side is a pure probe, never shuffled."""
     if m_bits < 8 or m_bits & (m_bits - 1):  # fail on the driver, not in a task
         raise ValueError(f"m_bits must be a power of two >= 8, got {m_bits}")
-    # every partial-bitset ROW must be merged: iter_batches coalesces the
-    # one-row-per-block partials (default batch_size 256), so indexing
-    # only row 0 of each batch would silently drop blocks and break the
-    # one-sided guarantee on a multi-block benchmark
-    parts = [
-        np.frombuffer(row, dtype=np.uint8)
-        for b in bench.map_batches(
+    # every partial-bitset ROW must be merged (iter_batches coalesces the
+    # one-row-per-block partials, so indexing only row 0 of each batch
+    # would silently drop blocks and break the one-sided guarantee), and
+    # the OR streams in place — stacking n_blocks x m_bits/8 partials for
+    # a reduce would hold every partial on the driver at once
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in bench.map_batches(
             lambda d: pd.DataFrame({"bits": [bloom_build(
                 np.unique(sk.word_ngram_hashes(d["text"], n=ngram)[1]),
                 m_bits, k).tobytes()]}),
-            batch_format="pandas").iter_batches(batch_format="pandas")
-        for row in b["bits"]
-    ]
-    bits = np.bitwise_or.reduce(parts) if parts else np.zeros(m_bits // 8, np.uint8)
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        for row in b["bits"]:
+            bits |= np.frombuffer(row, dtype=np.uint8)
     ref = ray.put(bits)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:

@@ -258,11 +258,18 @@ def sample_weighted(docs: "ray.data.Dataset", weight_col: str = "n_chars",
     Tu = np.uint64(T)
     sd = np.uint64(seed)
 
+    # uint64-representable saturation bound shared bit-for-bit with the
+    # SQL twin's least(): floats >= 2^64 (and +inf) would otherwise be an
+    # invalid uint64 cast (numpy yields 0 — silently dropping rows the
+    # saturation guarantee promises to keep)
+    _W_CLAMP = 18446744073709549568.0  # 2^64 - 2048, exact in float64
+
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         h = sk._splitmix64(batch["doc_id"].to_numpy(dtype=np.uint64) ^ sd)
         wv = batch[weight_col].fillna(0).to_numpy()
         if wv.dtype.kind not in "iu":  # explicit floor, same rule as the twin
-            wv = np.floor(wv)
+            wv = np.clip(np.floor(np.nan_to_num(wv, nan=0.0, posinf=_W_CLAMP,
+                                                neginf=0.0)), 0, _W_CLAMP)
         w = np.maximum(wv, 0).astype(np.uint64)
         out = batch[(h // Tu) < w]
         return out[columns] if columns else out

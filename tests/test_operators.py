@@ -1332,3 +1332,37 @@ def test_ann_topk_quantized_recall(emb):
         e = set(exact[exact["query_id"] == qid]["neighbor_id"])
         a = set(quant[quant["query_id"] == qid]["neighbor_id"])
         assert len(e & a) >= 8, (qid, e, a)  # >= 0.8 recall per query
+
+
+def test_sample_weighted_float_extremes_match_sql_twin(ray_session):
+    """Kernel vs the DuckDB twin on a float weight column with NaN, +inf,
+    >=2^64, fractional and zero weights — the exact value set that
+    previously diverged (numpy uint64 cast of inf -> 0; SQL NaN::HUGEINT
+    raised)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from parquet_hs_ray.functions.sql_oracles import weighted_sample_sql
+    from parquet_hs_ray.pipelines.text_analysis import sample_weighted
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "source": "s",
+        "n_chars": [0.0, 0.9, 1.0, 2000.7, float("nan"), float("inf"),
+                    1e20, 2.0**63, -5.0, 123.0],
+    })
+    ds = ray.data.from_pandas([df.iloc[:5], df.iloc[5:]])
+    ours = (sample_weighted(ds, "n_chars", rate_per_unit=1 / 4000, seed=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = weighted_sample_sql("documents", "n_chars", rate_per_unit=1 / 4000, seed=7)
+    ref = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert ours["doc_id"].tolist() == ref["doc_id"].tolist(), (ours, ref)
+    # saturation: inf / 1e20 / 2^63 weights must all be kept
+    kept = set(ours["doc_id"])
+    assert {5, 6, 7} <= kept
+    # NaN, negative, zero and sub-1 fractional weights never kept
+    assert not ({0, 1, 4, 8} & kept)
