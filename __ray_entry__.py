@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_sample_weighted"] = lambda sf: ta.sample_weighted(
         _read(sf, "documents"), weight_col="n_chars", rate_per_unit=1 / 4000,
         seed=7, columns=["doc_id", "source", "n_chars"])
+    q["doc_surprisal"] = lambda sf: ta.unigram_surprisal(_read(sf, "documents"))
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_assign"] = lambda sf: dedup.dedup_assign(_read(sf, "documents"))
@@ -504,6 +505,24 @@ def oracle_sql() -> dict[str, str]:
         "   FROM tf JOIN df ON tf.w = df.w)"
         " SELECT doc_id, w AS word, tf, df, rank::BIGINT AS rank"
         " FROM ranked WHERE rank <= 3"
+    )
+    # doc_surprisal: add-one-smoothed unigram surprisal in pure integer
+    # arithmetic — floor(log2(k)) on both sides via bit-length
+    # (length(printf('%b', k)) - 1 in DuckDB, int.bit_length - 1 in Ray)
+    o["doc_surprisal"] = (
+        "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS word FROM documents),"
+        " freq AS (SELECT word, count(*)::BIGINT AS c FROM words GROUP BY word),"
+        " tot AS (SELECT count(*)::BIGINT AS n,"
+        "   (SELECT count(*) FROM freq)::BIGINT AS v FROM words),"
+        " s AS (SELECT w.doc_id,"
+        "   (length(printf('%b', ((t.n + t.v) // (f.c + 1))))::BIGINT - 1) AS sv"
+        "   FROM words w JOIN freq f USING (word) CROSS JOIN tot t),"
+        " agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,"
+        "   sum(sv)::BIGINT AS surprisal_sum FROM s GROUP BY doc_id)"
+        " SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,"
+        " coalesce(a.surprisal_sum, 0)::BIGINT AS surprisal_sum"
+        " FROM documents d LEFT JOIN agg a USING (doc_id)"
     )
     o["top_terms"] = (
         "WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word"

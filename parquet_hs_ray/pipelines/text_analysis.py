@@ -330,6 +330,66 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 30) -> pd.DataFram
     return out.reset_index(drop=True).astype({"n": np.int64})
 
 
+def unigram_surprisal(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document unigram surprisal score — the perplexity-proxy quality
+    filter of C4/Gopher-style pipelines, with INTEGER-EXACT math so the
+    DuckDB twin hashes identical: each word scores
+    ``floor(log2((N + V) // (c_w + 1)))`` (add-one-smoothed inverse
+    corpus frequency; ``N`` = total words, ``V`` = vocabulary size) via
+    int.bit_length — no float log on either side (the SQL twin uses
+    ``length(printf('%b', k)) - 1``).  A document's score is the sum over
+    its words; rare-word-heavy (high-surprisal) documents rank high, and
+    boilerplate ranks low.  Returns (doc_id, n_words, surprisal_sum).
+
+    Scale shape: corpus frequencies via the partial-agg pattern (the
+    shuffle carries (word, count) partials, vocabulary-bounded, never
+    text); the word->score map is vocabulary-sized, built once on the
+    driver with exact Python ints and broadcast via ray.put (swap for a
+    hash join on word at true web scale — same note as doc_top_terms);
+    scoring is one vectorized map + bincount per batch."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        if not len(flat):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
+
+    from .groupagg import grouped_sum
+
+    freq = grouped_sum(docs.map_batches(partial, batch_format="pandas"),
+                       ["word"], ["n"]).to_pandas()
+    n_total = int(freq["n"].sum()) if len(freq) else 0
+    v = int(len(freq))
+    # exact integer surprisal per vocabulary entry (one pass, driver-side)
+    smap = {w: ((n_total + v) // (int(c) + 1)).bit_length() - 1
+            for w, c in zip(freq["word"], freq["n"])}
+    import ray as _ray
+
+    sref = _ray.put(smap)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = _ray.get(sref)
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        if len(flat):
+            sv = pd.Series(flat).map(sm).to_numpy(dtype=np.int64)
+            doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+            # per-word scores are < 64, so the float64 bincount is exact
+            ssum = np.bincount(doc_of, weights=sv,
+                               minlength=len(batch)).astype(np.int64)
+        else:
+            ssum = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_words": lens,
+                             "surprisal_sum": ssum})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
                           seed: int = 42) -> "ray.data.Dataset":
     """Assign every row its 1-based position in a DETERMINISTIC global

@@ -398,6 +398,46 @@ def test_top_terms_matches_pandas(docs):
     pd.testing.assert_frame_equal(out.astype({"n": np.int64}), ref.astype({"n": np.int64}))
 
 
+def test_unigram_surprisal_matches_bruteforce(docs):
+    """Integer-exact perplexity proxy: the distributed score must equal a
+    driver-side brute-force recompute (exact Python-int bit_length math),
+    and empty/word-free docs must appear with 0s."""
+    from collections import Counter
+
+    from parquet_hs_ray.pipelines.text_analysis import unigram_surprisal
+
+    out = (unigram_surprisal(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    raw = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    words = raw["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    freq = Counter(w for ws in words for w in ws)
+    n, v = sum(freq.values()), len(freq)
+    smap = {w: ((n + v) // (c + 1)).bit_length() - 1 for w, c in freq.items()}
+    ref = pd.DataFrame({
+        "doc_id": raw["doc_id"],
+        "n_words": np.asarray([len(ws) for ws in words], dtype=np.int64),
+        "surprisal_sum": np.asarray(
+            [sum(smap[w] for w in ws) for ws in words], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) == len(raw)  # every doc present, even zero-word ones
+
+
+def test_unigram_surprisal_zero_word_docs(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import unigram_surprisal
+
+    t = pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["", "   ", "rare common common"]})
+    out = (unigram_surprisal(ray.data.from_pandas(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [0, 0, 3]
+    assert out.loc[0, "surprisal_sum"] == 0 and out.loc[1, "surprisal_sum"] == 0
+    # N=3, V=2: rare -> (5//2).bit_length()-1 = 1; common -> (5//3).bit_length()-1 = 0
+    assert out.loc[2, "surprisal_sum"] == 1
+
+
 def test_dedup_assign_matches_pandas(docs):
     from parquet_hs_ray.pipelines.dedup import dedup_assign
 
