@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), weight_col="n_chars", rate_per_unit=1 / 4000,
         seed=7, columns=["doc_id", "source", "n_chars"])
     q["doc_surprisal"] = lambda sf: ta.unigram_surprisal(_read(sf, "documents"))
+    q["doc_inverted_index"] = lambda sf: ta.inverted_index(
+        _read(sf, "documents"), k=8)
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
     q["dedup_exact"] = lambda sf: dedup.dedup_exact(_read(sf, "documents"))
     q["dedup_assign"] = lambda sf: dedup.dedup_assign(_read(sf, "documents"))
@@ -505,6 +507,16 @@ def oracle_sql() -> dict[str, str]:
         "   FROM tf JOIN df ON tf.w = df.w)"
         " SELECT doc_id, w AS word, tf, df, rank::BIGINT AS rank"
         " FROM ranked WHERE rank <= 3"
+    )
+    # doc_inverted_index: capped-posting inverted index; DISTINCT pairs ->
+    # ordered list() capped with list_slice; n_docs stays the exact df
+    o["doc_inverted_index"] = (
+        "WITH pairs AS (SELECT DISTINCT doc_id,"
+        " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word"
+        " FROM documents)"
+        " SELECT word, count(*)::BIGINT AS n_docs,"
+        " list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings"
+        " FROM pairs GROUP BY word"
     )
     # doc_surprisal: add-one-smoothed unigram surprisal in pure integer
     # arithmetic — floor(log2(k)) on both sides via bit-length

@@ -330,6 +330,88 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 30) -> pd.DataFram
     return out.reset_index(drop=True).astype({"n": np.int64})
 
 
+def inverted_index(docs: "ray.data.Dataset", k: int = 8) -> "ray.data.Dataset":
+    """Corpus inverted index: (word, n_docs, postings) where ``n_docs`` is
+    the EXACT document frequency and ``postings`` holds the first ``k``
+    doc_ids in ascending order — the standard capped-posting layout (hot
+    words keep an exact count but a bounded list, so posting skew cannot
+    blow up a row).  SQL twin: DISTINCT (doc_id, word) pairs ->
+    ``list_slice(list(doc_id ORDER BY doc_id), 1, k)`` + count.
+
+    Scale shape: per-batch fragments carry (word, batch-local df, the
+    batch's k smallest doc_ids) — vocabulary-bounded per block, never
+    text; fragments merge through :func:`groupagg.sorted_block_aggregate`
+    (sort on word + per-block merge + edge-row junction pass).  Capping
+    per fragment is lossless for the final first-k because the global k
+    smallest of a union is contained in the union of per-fragment k
+    smallest (selection property); counts stay exact because they merge
+    additively.  (doc_id, word) pairs are globally distinct by
+    construction — each document lives in exactly one input row."""
+
+    def frag_empty() -> pd.DataFrame:
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "postings": pd.Series([], dtype=object)})
+
+    def fragments(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        if not len(flat):
+            return frag_empty()
+        doc_of = batch["doc_id"].to_numpy()[np.repeat(np.arange(len(batch)), lens)]
+        df = (pd.DataFrame({"word": flat, "doc_id": doc_of})
+              .drop_duplicates()
+              .sort_values(["word", "doc_id"], kind="mergesort"))
+        w = df["word"].to_numpy()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(w[1:] != w[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(w)]])
+        return pd.DataFrame({
+            "word": w[starts],
+            "n_docs": (ends - starts).astype(np.int64),
+            # per-group slice builds the list cells (vocab-bounded loop,
+            # not a row loop); already sorted, so [:k] = k smallest
+            "postings": pd.Series([ids[s:min(e, s + k)]
+                                   for s, e in zip(starts, ends)], dtype=object),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return frag_empty()
+        df = df.sort_values("word", kind="mergesort")
+        w = df["word"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(w[1:] != w[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(w)]])
+        posts = df["postings"].to_numpy()
+        nd = df["n_docs"].to_numpy(dtype=np.int64)
+        merged = [posts[s] if e - s == 1
+                  else np.sort(np.concatenate(list(posts[s:e])))[:k]
+                  for s, e in zip(starts, ends)]
+        return pd.DataFrame({"word": w[starts],
+                             "n_docs": np.add.reduceat(nd, starts).astype(np.int64),
+                             "postings": pd.Series(merged, dtype=object)})
+
+    from .groupagg import sorted_block_aggregate
+
+    agg = sorted_block_aggregate(
+        docs.map_batches(fragments, batch_format="pandas"), ["word"],
+        merge, merge)
+
+    import pyarrow as pa
+
+    def to_arrow(b: pd.DataFrame) -> pa.Table:
+        # explicit Arrow list<int64> cells: ndarray-in-object-column pandas
+        # blocks are a known persistence/convert hazard (keep it pure Arrow)
+        return pa.table({
+            "word": pa.array(b["word"].astype(str), pa.string()),
+            "n_docs": pa.array(b["n_docs"].to_numpy(dtype=np.int64)),
+            "postings": pa.array(list(b["postings"]), pa.list_(pa.int64())),
+        })
+
+    return agg.map_batches(to_arrow, batch_format="pandas")
+
+
 def unigram_surprisal(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-document unigram surprisal score — the perplexity-proxy quality
     filter of C4/Gopher-style pipelines, with INTEGER-EXACT math so the

@@ -423,6 +423,33 @@ def test_unigram_surprisal_matches_bruteforce(docs):
     assert len(out) == len(raw)  # every doc present, even zero-word ones
 
 
+def test_inverted_index_matches_bruteforce(docs):
+    """Capped postings: exact df counts, first-k ascending doc_ids; must be
+    invariant to block layout (fragment-merge path exercised via a 7-block
+    re-read)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import inverted_index
+
+    raw = docs.to_pandas()
+    words = raw["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    ref = {}
+    for did, ws in zip(raw["doc_id"], words):
+        for w in set(ws):
+            ref.setdefault(w, []).append(did)
+    for w in ref:
+        ref[w] = sorted(ref[w])
+
+    for ds in (docs, ray.data.read_parquet(f"{SF}/documents.parquet",
+                                           override_num_blocks=7)):
+        out = inverted_index(ds, k=4).to_pandas()
+        assert len(out) == len(ref)
+        got = {r.word: (r.n_docs, list(r.postings))
+               for r in out.itertuples(index=False)}
+        for w, ids in ref.items():
+            assert got[w] == (len(ids), ids[:4]), w
+
+
 def test_unigram_surprisal_zero_word_docs(ray_session):
     import ray.data
 
