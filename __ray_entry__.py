@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cleaning.decontaminate_bloom(corpus, bench, ngram=3)
 
     q["doc_decontaminate_bloom"] = doc_decontaminate_bloom
+    q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
+        _read(sf, "events"), "event_type", "value")
     q["events_quantiles"] = lambda sf: pstats.grouped_quantiles(
         _read(sf, "events"), "event_type", "value", (0.5, 0.95))
     q["events_histogram"] = lambda sf: pstats.grouped_histogram(
@@ -856,6 +858,16 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_outliers: Tukey fences from exact discrete quartiles; the
+    # fence arithmetic (q1 - 1.5*(q3-q1)) is written with identical IEEE
+    # op order on both sides
+    o["events_outliers"] = (
+        "WITH q AS (SELECT event_type, quantile_disc(value, 0.25) AS q1,"
+        " quantile_disc(value, 0.75) AS q3 FROM events GROUP BY event_type)"
+        " SELECT e.* FROM events e JOIN q USING (event_type)"
+        " WHERE e.value >= q.q1 - 1.5 * (q.q3 - q.q1)"
+        " AND e.value <= q.q3 + 1.5 * (q.q3 - q.q1)"
+    )
     o["events_quantiles"] = (
         "SELECT event_type, quantile_disc(value, 0.5) AS p50,"
         " quantile_disc(value, 0.95) AS p95"

@@ -59,6 +59,42 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def iqr_outlier_filter(ds: "ray.data.Dataset", key: str, col: str,
+                       mult: float = 1.5) -> "ray.data.Dataset":
+    """Per-group robust outlier scrub (Tukey fences): keep rows with
+    ``q1 - mult*(q3-q1) <= col <= q3 + mult*(q3-q1)`` where q1/q3 are the
+    EXACT discrete quartiles of the group (``quantile_disc`` rule, no
+    interpolation).  The fence arithmetic is two IEEE double ops in fixed
+    order — written identically in the SQL twin, so the filter decision
+    is bit-exact on both sides.  Null values never compare true and are
+    dropped, matching SQL NULL semantics.
+
+    Scale shape: pass 1 is :func:`grouped_quantiles` (the shuffle carries
+    value-count histograms, group-count-sized result); the fence table is
+    broadcast once via ray.put; pass 2 is a pure streaming filter — no
+    second shuffle, nothing row-sized reaches the driver."""
+    m = float(mult)
+    qdf = grouped_quantiles(ds, key, col, (0.25, 0.75)).to_pandas()
+    lo = {}
+    hi = {}
+    for r in qdf.itertuples(index=False):
+        q1, q3 = getattr(r, "p25"), getattr(r, "p75")
+        lo[getattr(r, key)] = q1 - m * (q3 - q1)
+        hi[getattr(r, key)] = q3 + m * (q3 - q1)
+    import ray as _ray
+
+    fences = _ray.put((lo, hi))
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = _ray.get(fences)
+        v = batch[col].to_numpy(dtype=np.float64)
+        lov = batch[key].map(lo_m).to_numpy(dtype=np.float64)
+        hiv = batch[key].map(hi_m).to_numpy(dtype=np.float64)
+        return batch[(v >= lov) & (v <= hiv)]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
 def grouped_histogram(ds: "ray.data.Dataset", key: str, col: str,
                       width: float) -> "ray.data.Dataset":
     """Fixed-width histogram of ``col`` per ``key`` group: one output row

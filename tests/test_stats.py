@@ -35,6 +35,35 @@ def test_grouped_histogram_matches_pandas(skewed):
     assert out["n"].sum() == len(df)
 
 
+def test_iqr_outlier_filter_matches_pandas(skewed):
+    """Tukey fences from exact discrete quartiles: same rows survive as a
+    driver-side recompute with the quantile_disc rank rule; planted
+    extremes are dropped, NaN values never pass."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import iqr_outlier_filter
+
+    df, _ = skewed
+    df = df.copy()
+    df.loc[df.index[:3], "v"] = [1e6, -1e6, np.nan]  # planted outliers + null
+    ds = ray.data.from_pandas([df.iloc[i:i + 250] for i in range(0, len(df), 250)])
+    out = (iqr_outlier_filter(ds, "k", "v").to_pandas()
+           .sort_values(["k", "v", "u"]).reset_index(drop=True))
+
+    def qdisc(s, q):
+        v = np.sort(s.dropna().to_numpy())
+        return v[max(1, int(np.ceil(q * len(v)))) - 1]
+
+    keep = []
+    for k, g in df.groupby("k"):
+        q1, q3 = qdisc(g["v"], 0.25), qdisc(g["v"], 0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        keep.append(g[(g["v"] >= lo) & (g["v"] <= hi)])
+    ref = (pd.concat(keep).sort_values(["k", "v", "u"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)
+    assert not out["v"].isna().any() and out["v"].abs().max() < 1e6
+
+
 def test_grouped_distinct_count_exact(skewed):
     from parquet_hs_ray.pipelines.stats import grouped_distinct_count
 
