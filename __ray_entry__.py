@@ -155,6 +155,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pack_sequences_global(ds, context_len=2048)
 
     q["pack_global"] = pack_global
+
+    def f1_length_batches(sf):
+        import ray.data
+
+        from parquet_hs_ray.pipelines.packing import length_bucket_batches
+
+        f1_src, _ = _f1_out_dir(sf)
+        return length_bucket_batches(ray.data.read_parquet(f1_src),
+                                     "doc_id", "n_tok",
+                                     width=256, batch_rows=32)
+
+    q["f1_length_batches"] = f1_length_batches
     q["encode_job_f1"] = _encode_job_f1
     q["decode_f1"] = _decode_f1
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
@@ -562,6 +574,15 @@ def oracle_sql() -> dict[str, str]:
         " g AS (SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos FROM tok)"
         " SELECT gpos // 2048 AS seq_id, list(tok ORDER BY gpos) AS tokens,"
         " count(*)::INT AS n_tok FROM g GROUP BY seq_id"
+    )
+    # f1_length_batches: length-bucketed dynamic batching — one window
+    # function (zero-padded doc ids make string order deterministic)
+    o["f1_length_batches"] = (
+        f"WITH r AS (SELECT doc_id, (n_tok // 256)::BIGINT AS bucket,"
+        " row_number() OVER (PARTITION BY n_tok // 256 ORDER BY doc_id) - 1 AS rk"
+        f" FROM read_parquet('{f1_src}/*.parquet'))"
+        " SELECT doc_id, bucket, (rk // 32)::BIGINT AS batch_id,"
+        " (rk % 32)::BIGINT AS pos FROM r"
     )
     # doc_lang_id: full SQL re-implementation of the marker-word heuristic
     # (word split, per-language hit ratio, argmax with ascending-code

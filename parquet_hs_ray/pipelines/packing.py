@@ -172,3 +172,72 @@ def pack_sequences_global(ds: "ray.data.Dataset", context_len: int = 2048,
 
     return full_ds.map_batches(norm, batch_format="pyarrow").union(
         merged.map_batches(norm, batch_format="pyarrow"))
+
+
+def length_bucket_batches(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                          len_col: str = "n_tok", width: int = 256,
+                          batch_rows: int = 32) -> "ray.data.Dataset":
+    """Length-bucketed batch assignment — the dynamic-batching layout of
+    seq2seq / padded training: rows bucket by ``len_col // width`` (so a
+    batch only pads to its bucket's ceiling, not the corpus max), and
+    within each bucket rows are batched ``batch_rows`` at a time in
+    deterministic ``id_col`` order.  Returns (id, bucket, batch_id, pos):
+    ``batch_id`` numbers batches within the bucket, ``pos`` the slot in
+    the batch.  A pure function of the data (no RNG, no block-layout
+    dependence) — the SQL twin is one window function.
+
+    Scale shape: the shuffle carries (id, bucket) key pairs only (never
+    tokens); one Ray sort on (bucket, id); global within-bucket ranks
+    come from per-block per-bucket counts (bucket-count x block-count
+    ints folded on the driver, the deterministic_shuffle carry pattern)
+    plus an in-block segmented arange — no second data pass."""
+    import pandas as pd
+
+    w = int(width)
+
+    def key(b: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            id_col: b[id_col],
+            "bucket": (b[len_col].to_numpy(dtype=np.int64) // w),
+        })
+
+    srt = ds.map_batches(key, batch_format="pandas").sort(["bucket", id_col]).materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame(columns=[id_col, "bucket", "batch_id", "pos"]))
+
+    @ray.remote(num_cpus=0)
+    def bucket_counts(t):
+        bk = t.column("bucket").to_numpy()
+        uniq, counts = np.unique(bk, return_counts=True)
+        return uniq.astype(np.int64), counts.astype(np.int64)
+
+    per_block = ray.get([bucket_counts.remote(r) for r in refs])
+    running: dict[int, int] = {}
+    block_offsets: list[dict[int, int]] = []
+    for uniq, counts in per_block:
+        block_offsets.append({int(u): running.get(int(u), 0) for u in uniq})
+        for u, c in zip(uniq, counts):
+            running[int(u)] = running.get(int(u), 0) + int(c)
+
+    @ray.remote(num_cpus=1)
+    def rank_block(t, off_map):
+        df = t.to_pandas()
+        bk = df["bucket"].to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
+        seg_len = np.diff(np.concatenate([starts, [len(bk)]]))
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        local = np.arange(len(bk), dtype=np.int64) - starts[seg_id]
+        base = np.asarray([off_map[int(bk[s])] for s in starts],
+                          dtype=np.int64)[seg_id]
+        rank = base + local  # 0-based within-bucket rank in id order
+        df["batch_id"] = rank // batch_rows
+        df["pos"] = rank % batch_rows
+        return df[[id_col, "bucket", "batch_id", "pos"]]
+
+    # block outputs become the result Dataset (no driver concatenation)
+    return ray.data.from_pandas_refs(
+        [rank_block.remote(r, block_offsets[i]) for i, r in enumerate(refs)])

@@ -749,6 +749,39 @@ def test_word_hashes_match_recursive_definition():
         assert got[i] == h[0], w
 
 
+def test_length_bucket_batches(ray_session):
+    """Length-bucketed batching: blocking-independent, within-bucket ranks
+    follow id order, batches hold at most batch_rows rows with dense pos."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.packing import length_bucket_batches
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"doc_id": [f"d{i:05d}" for i in range(997)],
+                       "n_tok": rng.integers(1, 2000, 997)})
+    outs = []
+    for nb in (3, 11):
+        ds = ray.data.from_pandas([df.iloc[i::nb].reset_index(drop=True)
+                                   for i in range(nb)])
+        out = (length_bucket_batches(ds, "doc_id", "n_tok",
+                                     width=256, batch_rows=8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-independent
+
+    out = outs[0]
+    assert (out["bucket"].to_numpy()
+            == df.sort_values("doc_id")["n_tok"].to_numpy() // 256).all()
+    for (_, _), g in out.groupby(["bucket", "batch_id"]):
+        assert len(g) <= 8
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # rank order within bucket == id order
+    for _, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        ranks = (g["batch_id"] * 8 + g["pos"]).to_numpy()
+        assert (ranks == np.arange(len(g))).all()
+
+
 def test_pack_sequences_global_blocking_independent(ray_session):
     """pack_sequences_global is a pure function of the data: identical
     output for any input blocking, equal to the locally computed
