@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_decontaminate_bloom"] = doc_decontaminate_bloom
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
         _read(sf, "events"), "event_type", "value")
+    q["events_props_k"] = lambda sf: cleaning.extract_json_field(
+        _read(sf, "events"), "props", "k", as_int=True,
+        id_cols=["event_id"])
     q["events_quantiles"] = lambda sf: pstats.grouped_quantiles(
         _read(sf, "events"), "event_type", "value", (0.5, 0.95))
     q["events_histogram"] = lambda sf: pstats.grouped_histogram(
@@ -879,6 +882,10 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_props_k: flat-JSON scalar extraction == SQL ->> semantics
+    o["events_props_k"] = (
+        "SELECT event_id, (props->>'k')::BIGINT AS k FROM events"
+    )
     # events_outliers: Tukey fences from exact discrete quartiles; the
     # fence arithmetic (q1 - 1.5*(q3-q1)) is written with identical IEEE
     # op order on both sides

@@ -453,3 +453,39 @@ def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
                              "n_shared_bloom": counts.astype(np.int64)})
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def extract_json_field(ds: "ray.data.Dataset", col: str, key: str,
+                       out_col: Optional[str] = None,
+                       as_int: bool = False,
+                       id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
+    """Extract one scalar field from a FLAT JSON-object string column
+    (metadata sidecars like ``events.props``) — the schema-on-read parse
+    step of an ETL pipeline, as a pure streaming map (no shuffle).
+
+    Semantics match SQL ``col->>'key'`` on flat objects: the value with
+    quotes stripped for strings, the literal token otherwise, NULL when
+    the key is absent.  Documented limits (asserted by the twin only on
+    flat objects): no nested objects/arrays as the value, no escaped
+    quotes inside string values — parse failures yield NULL, never
+    garbage.  ``as_int`` casts to int64 (NULL-propagating).  Vectorized:
+    one compiled-regex ``str.extract`` per batch, no per-row json.loads."""
+    import re
+
+    out = out_col or key
+    pat = re.compile(
+        '"' + re.escape(key) + r'"\s*:\s*("(?:[^"\\]*)"|[^,}\s]+)')
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].fillna("").str.extract(pat, expand=False)
+        quoted = v.str.startswith('"').fillna(False)
+        v = v.where(~quoted, v.str.slice(1, -1))
+        v = v.where(v != "null", other=pd.NA)
+        res = pd.DataFrame({c: batch[c] for c in (id_cols or batch.columns)})
+        if as_int:
+            res[out] = pd.to_numeric(v, errors="coerce").astype("Int64")
+        else:
+            res[out] = v
+        return res
+
+    return ds.map_batches(f, batch_format="pandas")

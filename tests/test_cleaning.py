@@ -349,3 +349,29 @@ def test_span_dedup_validation_and_empty(ray_session):
     assert out["n_spans"].tolist() == [0] and not out["has_cross_dup"].any()
     with pytest.raises(ValueError):
         span_dedup(docs, window=0)
+
+
+def test_extract_json_field_edge_cases(ray_session):
+    """->> parity on flat objects: quoted strings lose quotes, numbers
+    pass through, missing keys / JSON null / unparseable -> NULL."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import extract_json_field
+
+    df = pd.DataFrame({
+        "event_id": list(range(7)),
+        "props": ['{"k": 87}', '{"k": "hello"}', '{"other": 1}',
+                  '{"k": null}', None, '{"k": -3, "j": 1}', 'not json'],
+    })
+    ds = ray.data.from_pandas(df)
+    out = (extract_json_field(ds, "props", "k", id_cols=["event_id"])
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["k"].tolist()[:2] == ["87", "hello"]
+    assert out["k"].isna().tolist() == [False, False, True, True, True, False, True]
+    assert out["k"].iloc[5] == "-3"
+
+    out_i = (extract_json_field(ds, "props", "k", as_int=True,
+                                id_cols=["event_id"])
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out_i["k"].iloc[0] == 87 and out_i["k"].iloc[5] == -3
+    assert out_i["k"].isna().iloc[1]  # non-numeric string -> NULL under cast
