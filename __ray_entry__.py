@@ -383,6 +383,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cleaning.decontaminate_bloom(corpus, bench, ngram=3)
 
     q["doc_decontaminate_bloom"] = doc_decontaminate_bloom
+
+    def doc_corpus_overlap(sf):
+        docs = _read(sf, "documents")
+        half_a = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
+                                  batch_format="pandas")
+        half_b = docs.map_batches(lambda b: b[b["doc_id"] % 17 != 0],
+                                  batch_format="pandas")
+        return cleaning.corpus_overlap(half_a, half_b, ngram=3)
+
+    q["doc_corpus_overlap"] = doc_corpus_overlap
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
         _read(sf, "events"), "event_type", "value")
     q["events_props_k"] = lambda sf: cleaning.extract_json_field(
@@ -836,9 +846,14 @@ FROM lines l JOIN firsts f
   ON f.line = l.line AND l.doc_id * 1048576 + l.line_no = f.okey
 ORDER BY doc_id, line_no
 """
-    from parquet_hs_ray.functions.sql_oracles import decontaminate_sql, span_dedup_sql
+    from parquet_hs_ray.functions.sql_oracles import (
+        corpus_overlap_sql,
+        decontaminate_sql,
+        span_dedup_sql,
+    )
 
     o["doc_decontaminate"] = decontaminate_sql("documents", mod=17)
+    o["doc_corpus_overlap"] = corpus_overlap_sql("documents", mod=17)
     o["doc_span_dedup"] = span_dedup_sql("documents", window=5)
     # tokenizer: vocab = top-64 terms (count desc, word asc), OOV id 64;
     # token order restored with list(t ORDER BY i)

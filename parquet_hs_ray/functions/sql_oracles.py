@@ -334,6 +334,28 @@ ORDER BY doc_id
 """
 
 
+def corpus_overlap_sql(table: str = "documents", mod: int = 17) -> str:
+    """``corpus_overlap`` twin: exact distinct word-3-gram shingle-set
+    overlap between the two doc_id%mod halves of ``table``, same
+    splitmix64 chain as the Ray kernel (collisions merge identically)."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, h FROM ({shingle_q})
+),
+A AS MATERIALIZED (SELECT DISTINCT h FROM shingle_h WHERE doc_id % {mod} = 0),
+B AS MATERIALIZED (SELECT DISTINCT h FROM shingle_h WHERE doc_id % {mod} <> 0),
+c AS (SELECT (SELECT count(*) FROM A)::BIGINT AS n_a,
+             (SELECT count(*) FROM B)::BIGINT AS n_b,
+             (SELECT count(*) FROM A JOIN B USING (h))::BIGINT AS n_shared)
+SELECT n_a, n_b, n_shared,
+       CASE WHEN n_a + n_b - n_shared = 0 THEN 0.0
+            ELSE n_shared::DOUBLE / (n_a + n_b - n_shared) END AS jaccard
+FROM c
+"""
+
+
 def _word_ngram_inner(n: int) -> str:
     """Generalized ``_SH0``: (doc_id, wpos, h=0, c0..c{n-1}) — one row
     per ``n``-word rolling window, columns the window's word hashes."""

@@ -489,3 +489,48 @@ def extract_json_field(ds: "ray.data.Dataset", col: str, key: str,
         return res
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def corpus_overlap(a: "ray.data.Dataset", b: "ray.data.Dataset",
+                   ngram: int = 3) -> "pd.DataFrame":
+    """Cross-corpus similarity / contamination report: the EXACT overlap
+    of the two corpora's distinct word-``ngram`` shingle sets — one row
+    (n_grams_a, n_grams_b, n_shared, jaccard).  Shingle hashing is the
+    same splitmix64 chain as minhash/decontaminate, so the DuckDB twin
+    replays it bit-exact (64-bit collisions merge identically on both
+    sides — counts stay equal by construction).
+
+    Scale shape: per-batch DISTINCT hash partials (8 B/shingle + two
+    presence flags, never text) -> one grouped max-flag aggregate on the
+    hash -> streaming partial counts; the driver sees only per-block
+    count triples.  No corpus text is ever shuffled."""
+
+    def hasher(in_a: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            _, h = sk.word_ngram_hashes(batch["text"], n=ngram)
+            hu = np.unique(h).view(np.int64)
+            one = np.full(len(hu), in_a, dtype=np.int64)
+            return pd.DataFrame({"h": hu, "in_a": one,
+                                 "in_b": np.int64(1) - one})
+        return f
+
+    from .groupagg import grouped_agg
+
+    u = (a.map_batches(hasher(1), batch_format="pandas")
+         .union(b.map_batches(hasher(0), batch_format="pandas")))
+    flags = grouped_agg(u, ["h"], {"in_a": "max", "in_b": "max"})
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ia = batch["in_a"].to_numpy(dtype=np.int64)
+        ib = batch["in_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"n_a": [int(ia.sum())], "n_b": [int(ib.sum())],
+                             "n_shared": [int((ia & ib).sum())]})
+
+    agg = flags.map_batches(counts, batch_format="pandas").to_pandas()
+    n_a, n_b, n_sh = (int(agg["n_a"].sum()), int(agg["n_b"].sum()),
+                      int(agg["n_shared"].sum()))
+    denom = n_a + n_b - n_sh
+    return pd.DataFrame({"n_a": pd.array([n_a], dtype=np.int64),
+                         "n_b": pd.array([n_b], dtype=np.int64),
+                         "n_shared": pd.array([n_sh], dtype=np.int64),
+                         "jaccard": [n_sh / denom if denom else 0.0]})

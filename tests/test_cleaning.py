@@ -375,3 +375,32 @@ def test_extract_json_field_edge_cases(ray_session):
              .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert out_i["k"].iloc[0] == 87 and out_i["k"].iloc[5] == -3
     assert out_i["k"].isna().iloc[1]  # non-numeric string -> NULL under cast
+
+
+def test_corpus_overlap_planted(ray_session):
+    """Exact shingle-set overlap on a hand-built pair: corpus B repeats
+    one of A's trigram runs; counts and jaccard must match brute force."""
+    import ray.data
+
+    from parquet_hs_ray.functions import sketches as sk
+    from parquet_hs_ray.pipelines.cleaning import corpus_overlap
+
+    a_df = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["alpha beta gamma delta", "x y z w v"]})
+    b_df = pd.DataFrame({"doc_id": [3, 4],
+                         "text": ["alpha beta gamma delta extra", "p q r"]})
+    out = corpus_overlap(ray.data.from_pandas(a_df),
+                         ray.data.from_pandas(b_df), ngram=3)
+
+    def hset(df):
+        s = set()
+        for t in df["text"]:
+            _, h = sk.word_ngram_hashes(pd.Series([t]), n=3)
+            s.update(h.tolist())
+        return s
+
+    ha, hb = hset(a_df), hset(b_df)
+    assert out["n_a"].iloc[0] == len(ha)
+    assert out["n_b"].iloc[0] == len(hb)
+    assert out["n_shared"].iloc[0] == len(ha & hb) > 0
+    assert out["jaccard"].iloc[0] == len(ha & hb) / len(ha | hb)
