@@ -393,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cleaning.corpus_overlap(half_a, half_b, ngram=3)
 
     q["doc_corpus_overlap"] = doc_corpus_overlap
+    q["events_pct_rank"] = lambda sf: pstats.percent_rank(
+        _read(sf, "events"), "value", id_cols=["event_id"])
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
         _read(sf, "events"), "event_type", "value")
     q["events_props_k"] = lambda sf: cleaning.extract_json_field(
@@ -897,6 +899,13 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_pct_rank: histogram-derived min-rank == window percent_rank
+    # (ties share min rank; the (r-1)/(n-1) division is one IEEE op)
+    o["events_pct_rank"] = (
+        "SELECT event_id, value,"
+        " percent_rank() OVER (ORDER BY value) AS pr"
+        " FROM events WHERE value IS NOT NULL"
+    )
     # events_props_k: flat-JSON scalar extraction == SQL ->> semantics
     o["events_props_k"] = (
         "SELECT event_id, (props->>'k')::BIGINT AS k FROM events"

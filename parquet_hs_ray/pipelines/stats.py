@@ -59,6 +59,54 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def percent_rank(ds: "ray.data.Dataset", col: str,
+                 id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
+    """Global CDF / percent-rank normalization of ``col``: each row gets
+    ``pr = (min_rank - 1) / (n - 1)`` with ties sharing their minimum
+    rank — exactly SQL ``percent_rank() OVER (ORDER BY col)`` (single-row
+    input yields 0.0, DuckDB's convention).  The feature-normalization
+    primitive (rank transforms are robust to heavy tails where z-scores
+    are not).  Null values are dropped, matching window NULL exclusion
+    in the twin's WHERE clause.
+
+    Scale shape: pass 1 builds a (value, count) histogram through the
+    partial-agg shuffle (distinct-value bounded, same documented
+    assumption as grouped_quantiles); ranks come from one cumulative sum
+    over the sorted histogram, broadcast via ray.put; pass 2 is a
+    streaming vectorized searchsorted — no row ever reaches the driver."""
+    id_cols = list(id_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.dropna(subset=[col]).groupby(col, sort=False).size()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    hist = (grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                        [col], ["cnt"]).to_pandas().sort_values(col))
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    vals = hist[col].to_numpy()
+    n = int(counts.sum())
+    min_rank = np.concatenate([[1], counts.cumsum()[:-1] + 1]).astype(np.int64)
+    pr = ((min_rank - 1) / (n - 1)) if n > 1 else np.zeros(len(vals))
+    import ray as _ray
+
+    ref = _ray.put((vals, pr))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        v, p = _ray.get(ref)
+        batch = batch.dropna(subset=[col])
+        out = pd.DataFrame({c: batch[c] for c in (id_cols or batch.columns)})
+        if id_cols and col not in out.columns:
+            out[col] = batch[col]
+        out["pr"] = p[np.searchsorted(v, batch[col].to_numpy())]
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def iqr_outlier_filter(ds: "ray.data.Dataset", key: str, col: str,
                        mult: float = 1.5) -> "ray.data.Dataset":
     """Per-group robust outlier scrub (Tukey fences): keep rows with

@@ -189,3 +189,23 @@ def test_grouped_mode_ties_and_nulls(ray_session):
     assert out["k"].tolist() == ["a", "b"]
     assert out["mode_value"].tolist() == [3, 2]
     assert out["n"].tolist() == [2, 2]
+
+
+def test_percent_rank_matches_pandas(skewed):
+    """Min-rank tie semantics and the (r-1)/(n-1) division must equal a
+    driver-side recompute; single-value input yields 0.0."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import percent_rank
+
+    df, ds = skewed
+    out = (percent_rank(ds, "v", id_cols=["u"]).to_pandas()
+           .sort_values(["v", "u"]).reset_index(drop=True))
+    r = df["v"].rank(method="min")
+    ref = (pd.DataFrame({"u": df["u"], "v": df["v"],
+                         "pr": (r - 1) / (len(df) - 1)})
+           .sort_values(["v", "u"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)
+
+    one = ray.data.from_pandas(pd.DataFrame({"v": [7.0], "u": [1]}))
+    assert percent_rank(one, "v", id_cols=["u"]).to_pandas()["pr"].iloc[0] == 0.0
