@@ -410,6 +410,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # estimate); accuracy vs the exact path is asserted in tests
     q["events_user_ndv_hll"] = lambda sf: pstats.grouped_ndv_hll(
         _read(sf, "events"), "event_type", "user_id")
+    # approximate twin (bottom-k/KMV sample): no SQL oracle by nature;
+    # accuracy + layout-independence asserted in tests
+    q["events_quantiles_kmv"] = lambda sf: pstats.grouped_quantile_sketch(
+        _read(sf, "events"), "event_type", "value", "event_id",
+        (0.5, 0.95), k=1024)
     q["doc_top_chars"] = lambda sf: pstats.top_k_global(
         _read(sf, "documents"), "n_chars", 20, "doc_id",
         columns=["doc_id", "n_chars"])

@@ -59,6 +59,106 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def grouped_quantile_sketch(ds: "ray.data.Dataset", key: str, col: str,
+                            id_col: str, qs: Sequence[float] = (0.5, 0.95),
+                            k: int = 1024, seed: int = 17) -> "pd.DataFrame":
+    """Approximate per-group quantiles from a BOTTOM-K (KMV) row sample —
+    the mergeable-sketch twin of :func:`grouped_quantiles` for truly
+    continuous / unbounded-cardinality domains where the exact path's
+    value-count histogram assumption fails.  Each group keeps the ``k``
+    rows with the smallest ``splitmix64(id ^ seed)`` — a uniform sample
+    that is DETERMINISTIC, mergeable (union -> keep k smallest) and
+    layout-independent (same result on any blocking, like the HLL
+    sketch and unlike KLL/t-digest whose compactions are merge-order
+    dependent).  Estimates use the ``quantile_disc`` rank rule on the
+    sample; error is the O(1/sqrt(k)) sampling error.
+
+    Scale shape: per-batch fragments carry (group, k smallest (hash,
+    value) pairs) — bounded by k per group per block, never row-sized;
+    fragments merge through sorted_block_aggregate (the inverted_index
+    carry pattern: per-fragment bottom-k is lossless for the global
+    bottom-k by the selection property).  Output is group-count-sized.
+    No SQL oracle by nature (sketch estimate); accuracy and
+    layout-independence are asserted in tests."""
+    qs = [float(q) for q in qs]
+    names = [f"p{int(round(q * 100))}_est" for q in qs]
+    sd = np.uint64(seed)
+
+    from ..functions import sketches as sk
+
+    def frag_empty() -> pd.DataFrame:
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "hs": pd.Series([], dtype=object),
+                             "vs": pd.Series([], dtype=object)})
+
+    def segments(kcol: np.ndarray):
+        starts = np.concatenate([[0], np.flatnonzero(kcol[1:] != kcol[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(kcol)]])
+        return starts, ends
+
+    def fragments(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.dropna(subset=[col])
+        if not len(batch):
+            return frag_empty()
+        h = sk._splitmix64(batch[id_col].to_numpy(dtype=np.uint64) ^ sd)
+        df = (pd.DataFrame({key: batch[key].to_numpy(),
+                            "h": h,
+                            "v": batch[col].to_numpy(dtype=np.float64)})
+              .sort_values([key, "h"], kind="mergesort"))
+        kc = df[key].to_numpy()
+        hv = df["h"].to_numpy(dtype=np.uint64)
+        vv = df["v"].to_numpy()
+        starts, ends = segments(kc)
+        return pd.DataFrame({
+            key: kc[starts],
+            "hs": pd.Series([hv[s:min(e, s + k)] for s, e in zip(starts, ends)],
+                            dtype=object),
+            "vs": pd.Series([vv[s:min(e, s + k)] for s, e in zip(starts, ends)],
+                            dtype=object),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return frag_empty()
+        df = df.sort_values(key, kind="mergesort")
+        kc = df[key].to_numpy()
+        starts, ends = segments(kc)
+        hs_in = df["hs"].to_numpy()
+        vs_in = df["vs"].to_numpy()
+        hs_out, vs_out = [], []
+        for s, e in zip(starts, ends):  # group-count-bounded, not row loop
+            if e - s == 1:
+                hs_out.append(np.asarray(hs_in[s], dtype=np.uint64))
+                vs_out.append(np.asarray(vs_in[s], dtype=np.float64))
+                continue
+            hh = np.concatenate([np.asarray(x, dtype=np.uint64)
+                                 for x in hs_in[s:e]])
+            vv = np.concatenate([np.asarray(x, dtype=np.float64)
+                                 for x in vs_in[s:e]])
+            order = np.argsort(hh, kind="stable")[:k]
+            hs_out.append(hh[order])
+            vs_out.append(vv[order])
+        return pd.DataFrame({key: kc[starts],
+                             "hs": pd.Series(hs_out, dtype=object),
+                             "vs": pd.Series(vs_out, dtype=object)})
+
+    from .groupagg import sorted_block_aggregate
+
+    agg = sorted_block_aggregate(
+        ds.map_batches(fragments, batch_format="pandas"), [key],
+        merge, merge).to_pandas()
+    agg = merge(agg)  # group-count-sized: collapse any residual fragments
+    rows: dict = {key: agg[key].to_numpy()}
+    for name in names:
+        rows[name] = np.empty(len(agg))
+    for i, vs in enumerate(agg["vs"]):
+        v = np.sort(np.asarray(vs, dtype=np.float64))
+        for q, name in zip(qs, names):
+            rows[name][i] = v[max(1, int(np.ceil(q * len(v)))) - 1]
+    out = pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+    return out
+
+
 def percent_rank(ds: "ray.data.Dataset", col: str,
                  id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
     """Global CDF / percent-rank normalization of ``col``: each row gets

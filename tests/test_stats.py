@@ -209,3 +209,40 @@ def test_percent_rank_matches_pandas(skewed):
 
     one = ray.data.from_pandas(pd.DataFrame({"v": [7.0], "u": [1]}))
     assert percent_rank(one, "v", id_cols=["u"]).to_pandas()["pr"].iloc[0] == 0.0
+
+
+def test_grouped_quantile_sketch_accuracy_and_layout(skewed):
+    """Bottom-k quantile sketch: estimates within sampling error of the
+    exact quantiles, identical across block layouts (layout-independent
+    merge), and exact when a group has <= k rows."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_quantile_sketch
+
+    df, _ = skewed
+    df = df.copy()
+    df["rid"] = np.arange(len(df), dtype=np.int64)
+    outs = []
+    for nb in (4, 13):
+        ds = ray.data.from_pandas([df.iloc[i::nb].reset_index(drop=True)
+                                   for i in range(nb)])
+        outs.append(grouped_quantile_sketch(ds, "k", "v", "rid",
+                                            (0.5, 0.95), k=512))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-independent
+
+    def qdisc(s, q):
+        v = np.sort(s.to_numpy())
+        return v[max(1, int(np.ceil(q * len(v)))) - 1]
+
+    out = outs[0].set_index("k")
+    for g, grp in df.groupby("k"):
+        # 512-sample quantile of ~1200-2800 rows: generous 10-percentile band
+        for q, name in [(0.5, "p50_est"), (0.95, "p95_est")]:
+            lo, hi = qdisc(grp["v"], max(0.01, q - 0.1)), qdisc(grp["v"], min(1.0, q + 0.1))
+            assert lo <= out.loc[g, name] <= hi, (g, name)
+
+    # a group smaller than k is sampled whole -> exact quantile_disc
+    small = df.head(100).assign(k="tiny")
+    ds = ray.data.from_pandas([small.iloc[:50], small.iloc[50:]])
+    o = grouped_quantile_sketch(ds, "k", "v", "rid", (0.5,), k=512)
+    assert o["p50_est"].iloc[0] == qdisc(small["v"], 0.5)
