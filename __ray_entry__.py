@@ -196,6 +196,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
     q["emb_neardup_ivf"] = lambda sf: dedup.embedding_neardup_pairs_ivf(_read(sf, "embeddings"), tau=0.5)
 
+    def emb_neardup_srp(sf):
+        # SRP-LSH demo corpus: plant jittered near-duplicates (vec_id +
+        # 1e6, x + 0.05*roll(x): cos ~ 0.998) of the first 20 vectors so
+        # the rows-only check counts real finds; deterministic (fixed R
+        # seed + fixed jitter), no RNG state at runtime.
+        import numpy as np
+        import pyarrow as pa
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            keep = ids < 20
+            if not keep.any():
+                return t
+            flat = t["embedding"].combine_chunks().values.to_numpy(
+                zero_copy_only=False)
+            M = flat.reshape(len(ids), -1).astype(np.float64)
+            J = (M[keep] + 0.05 * np.roll(M[keep], 1, axis=1)).astype(np.float32)
+            extra = pa.table({
+                "vec_id": pa.array((ids[keep] + 1_000_000).astype(np.int64)),
+                "embedding": pa.array(list(J), pa.list_(pa.float32())),
+                "label": t["label"].filter(pa.array(keep)),
+            }).cast(t.schema)
+            return pa.concat_tables([t, extra])
+
+        aug = _read(sf, "embeddings").map_batches(plant, batch_format="pyarrow")
+        return dedup.embedding_neardup_srp(aug, tau=0.9)
+
+    q["emb_neardup_srp"] = emb_neardup_srp
+
     def emb_quantize(sf):
         return ann.quantize_embeddings(_read(sf, "embeddings")).drop_columns(["codes"])
 

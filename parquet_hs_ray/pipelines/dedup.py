@@ -618,6 +618,118 @@ def embedding_neardup_pairs(emb: "ray.data.Dataset", tau: float = 0.5,
     return out
 
 
+def embedding_neardup_srp(emb: "ray.data.Dataset", tau: float = 0.9,
+                          n_planes: int = 128, seed: int = 7,
+                          bucket_cap: int = BUCKET_PAIR_CAP) -> pd.DataFrame:
+    """Near-dup pairs over the embedding column by SIGNED RANDOM
+    PROJECTION LSH (Charikar 2002, the cosine analogue of simhash) —
+    the sub-quadratic third member of the embedding-dedup family next
+    to the exact block-pair path and the IVF-bucketed path.
+
+    Each vector gets ``n_planes`` sign bits of ``X @ R`` (R drawn once
+    from a fixed seed — deterministic across runs, batches and cluster
+    sizes); bits band into ``n_planes // 16`` 16-bit keys; vectors
+    sharing any (band, key) become candidates; candidates verify by
+    EXACT cosine, so precision is exact and only recall is
+    probabilistic: P(bit differs) = arccos(cos)/pi, so a cos=0.998 dup
+    survives with p ~ 1 - (1 - 0.98^16)^8 ~ 0.99996 while a random pair
+    (p_diff=0.5) lands in a shared bucket with p ~ 8 * 2^-16.  Over-cap
+    buckets use the counted star fallback (never silent).
+
+    Scale shape: the shuffle carries (vec_id, band, 16-bit key) rows —
+    8 B ids + 2 B keys, never vectors; candidate verify broadcasts the
+    needed-id set via ray.put and re-reads only those vectors (bounded
+    by 2x the candidate-pair count)."""
+    n_bands = n_planes // 16
+    if n_bands < 1 or n_planes % 16:
+        raise ValueError(f"n_planes must be a positive multiple of 16: {n_planes}")
+
+    def _mat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["embedding"].combine_chunks()
+        if hasattr(col, "values"):  # list / large_list / fixed_size_list
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            M = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+        else:  # Ray tensor-extension column (from_pandas ndarray cells)
+            M = np.asarray(col.to_numpy(zero_copy_only=False))
+            if M.dtype == object:
+                M = np.stack(M) if len(M) else np.empty((0, 1))
+            M = M.astype(np.float64)
+        return ids, M
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids, M = _mat(t)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bandkey": pa.array([], pa.int64())})
+        R = np.random.default_rng(seed).standard_normal((M.shape[1], n_planes))
+        bits = (M @ R) >= 0.0
+        w16 = (np.uint64(1) << np.arange(16, dtype=np.uint64))
+        parts = []
+        for band in range(n_bands):
+            chunk = bits[:, band * 16:(band + 1) * 16].astype(np.uint64)
+            key = (chunk * w16).sum(axis=1).astype(np.int64)
+            parts.append(pa.table({
+                "vec_id": pa.array(ids),
+                "band": pa.array(np.full(len(ids), band, dtype=np.int32)),
+                "bandkey": pa.array(key)}))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "giant": pd.Series([], dtype=np.int8)})
+        if len(ids) > bucket_cap:
+            ii = np.zeros(len(ids) - 1, dtype=np.int64)
+            jj = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj],
+                             "giant": np.full(len(ii), len(ids) > bucket_cap,
+                                              dtype=np.int8)})
+
+    cand = (emb.map_batches(sig, batch_format="pyarrow")
+            .groupby(["band", "bandkey"])
+            .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64),
+                          "cos": pd.Series([], dtype=np.float64)})
+    if len(cand) == 0 or "a" not in cand.columns:
+        empty.attrs.update(n_candidates=0, n_giant_bucket_pairs=0)
+        return empty
+    n_giant = int(cand.groupby(["a", "b"])["giant"].max().sum())
+    cand = cand.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    # exact-cosine verify: ship the needed-id set by ref, re-read only
+    # those vectors (<= 2 * n_candidates rows)
+    need_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                         cand["b"].to_numpy()]))
+    need_ref = ray.put(need_ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids, _ = _mat(t)
+        keep = np.isin(ids, ray.get(need_ref))
+        return t.filter(pa.array(keep))
+
+    got = emb.map_batches(pick, batch_format="pyarrow").to_pandas()
+    V = np.stack(got["embedding"].to_numpy()).astype(np.float64)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    pos = {int(i): j for j, i in enumerate(got["vec_id"].to_numpy())}
+    ia = cand["a"].map(pos).to_numpy()
+    ib = cand["b"].map(pos).to_numpy()
+    cos = np.einsum("ij,ij->i", V[ia], V[ib])
+    out = (pd.DataFrame({"a": cand["a"].to_numpy(), "b": cand["b"].to_numpy(),
+                         "cos": cos})[cos >= tau]
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    out.attrs["n_candidates"] = int(len(cand))
+    out.attrs["n_giant_bucket_pairs"] = n_giant
+    return out
+
+
 def dedup_assign(docs: "ray.data.Dataset", num_partitions: int | None = None) -> "ray.data.Dataset":
     """Per-document canonical assignment for exact dedup: every doc maps to
     min(doc_id) among docs with identical text.

@@ -480,6 +480,43 @@ def test_dedup_assign_matches_pandas(docs):
     assert len(kept) == raw["text"].nunique()
 
 
+def test_emb_neardup_srp_planted_and_exact_precision(emb):
+    """SRP-LSH: planted cos~0.998 duplicates are all found, every output
+    pair's cosine is exactly >= tau (verify is exact), and reruns are
+    bit-identical (no RNG state)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import embedding_neardup_srp
+
+    raw = emb.to_pandas()
+    M = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    planted = raw.head(15).copy()
+    J = (np.stack(planted["embedding"].to_numpy()).astype(np.float64))
+    J = J + 0.05 * np.roll(J, 1, axis=1)
+    planted["vec_id"] = planted["vec_id"] + 1_000_000
+    planted["embedding"] = list(J.astype(np.float32))
+    aug = pd.concat([raw, planted]).reset_index(drop=True)
+    ds = ray.data.from_pandas([aug.iloc[i::5].reset_index(drop=True)
+                               for i in range(5)])
+
+    out = embedding_neardup_srp(ds, tau=0.9)
+    out2 = embedding_neardup_srp(ds, tau=0.9)
+    pd.testing.assert_frame_equal(out, out2)  # deterministic
+
+    found = set(zip(out["a"], out["b"]))
+    for i in range(15):  # every planted dup recovered
+        assert (i, i + 1_000_000) in found, i
+
+    # exact precision: recompute each reported cosine from the raw data
+    all_v = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+             for r in aug.itertuples(index=False)}
+    for r in out.itertuples(index=False):
+        va, vb = all_v[r.a], all_v[r.b]
+        c = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert c >= 0.9 and abs(c - r.cos) < 1e-12
+    assert "n_candidates" in out.attrs
+
+
 def test_emb_neardup_ivf_recall(emb):
     """The bucketed approximate path must find most (here: all, with full
     probing) of the exact pairs and no false positives."""
