@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = lambda sf: dedup.dedup_simhash(_read(sf, "documents"))
     q["dedup_clusters"] = lambda sf: dedup.dedup_clusters(_read(sf, "documents"))
     q["dedup_jaccard"] = lambda sf: dedup.dedup_jaccard(_read(sf, "documents"))
+    q["dedup_containment"] = lambda sf: dedup.dedup_containment(
+        _read(sf, "documents"), threshold=0.5)
     q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
     q["emb_neardup_ivf"] = lambda sf: dedup.embedding_neardup_pairs_ivf(_read(sf, "embeddings"), tau=0.5)
 
@@ -763,6 +765,10 @@ def oracle_sql() -> dict[str, str]:
     from parquet_hs_ray.functions.sql_oracles import jaccard_pairs_sql
 
     o["dedup_jaccard"] = jaccard_pairs_sql("documents", threshold=0.8)
+    # dedup_containment: directed |src∩dst|/|src| (quote/excerpt dedup)
+    from parquet_hs_ray.functions.sql_oracles import containment_pairs_sql
+
+    o["dedup_containment"] = containment_pairs_sql("documents", threshold=0.5)
     # emb_quantize / emb_dequantize: the int8 grid math re-expressed over
     # list lambdas; round_even matches numpy's banker's rounding, and the
     # float32 boundaries are reproduced by computing in DOUBLE (exact for

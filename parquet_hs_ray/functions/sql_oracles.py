@@ -306,6 +306,33 @@ ORDER BY a, b
 """
 
 
+def containment_pairs_sql(table: str = "documents",
+                          threshold: float = 0.8) -> str:
+    """``dedup_containment`` twin: directed ``|src ∩ dst| / |src|`` over
+    distinct word-3-gram shingle sets.  The intersection join only
+    reaches pairs with ninter > 0 — complete for any threshold > 0, and
+    zero-shingle docs emit no rows (the kernel's convention)."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, wpos, h FROM ({shingle_q})
+),
+sets AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shingle_h),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS nsz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ninter
+  FROM sets sa JOIN sets sb ON sb.h = sa.h AND sa.doc_id <> sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a AS src, i.b AS dst,
+       i.ninter::DOUBLE / za.nsz AS containment
+FROM inter i JOIN sizes za ON za.doc_id = i.a
+WHERE i.ninter::DOUBLE / za.nsz >= {threshold}
+ORDER BY src, dst
+"""
+
+
 def decontaminate_sql(table: str = "documents", mod: int = 17) -> str:
     """``doc_decontaminate`` twin: per non-benchmark document, the count
     of DISTINCT word-3-gram shingle hashes shared with the benchmark set

@@ -503,6 +503,74 @@ def dedup_jaccard(docs: "ray.data.Dataset", threshold: float = 0.8,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def dedup_containment(docs: "ray.data.Dataset", threshold: float = 0.8,
+                      ngram: int = 3, rows_per_block: int = 65536,
+                      max_in_flight: int | None = None) -> pd.DataFrame:
+    """DIRECTED containment pairs: (src, dst, containment) with
+    ``containment = |src ∩ dst| / |src|`` over distinct word-``ngram``
+    shingle sets — the asymmetric cousin of Jaccard that catches quotes
+    and excerpts (a short doc fully quoted inside a long one scores 1.0
+    as src even though its Jaccard is tiny).  Docs with zero shingles
+    have undefined containment and emit no rows (both sides agree).
+
+    Scale shape mirrors :func:`dedup_jaccard`: per-doc shingle-hash sets
+    as object-store blocks, bounded ``ray.wait``-windowed block-pair
+    tasks, each unordered pair intersected ONCE and emitted in both
+    directions as its threshold allows."""
+    sk_ds = minhash_sketches(docs, ngram=ngram).materialize()
+    n = sk_ds.count()
+    target_blocks = max(1, -(-n // rows_per_block))
+    if sk_ds.num_blocks() != target_blocks:
+        sk_ds = sk_ds.repartition(target_blocks).materialize()
+    refs = sk_ds.to_arrow_refs()
+
+    def _rows(t) -> tuple[np.ndarray, list[np.ndarray]]:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return ids, _sketch_rows(t["shingles"].combine_chunks())
+
+    @ray.remote(num_cpus=1)
+    def block_pair(ta, tb, thr: float) -> pd.DataFrame:
+        ids_a, rows_a = _rows(ta)
+        ids_b, rows_b = _rows(tb)
+        same = ta is tb or (len(ids_a) == len(ids_b) and (ids_a == ids_b).all())
+        src, dst, cont = [], [], []
+        for i in range(len(ids_a)):
+            j0 = i + 1 if same else 0
+            for j in range(j0, len(ids_b)):
+                if ids_a[i] == ids_b[j]:
+                    continue
+                a_set, b_set = rows_a[i], rows_b[j]
+                if not len(a_set) and not len(b_set):
+                    continue
+                inter = len(np.intersect1d(a_set, b_set, assume_unique=True))
+                if len(a_set) and inter / len(a_set) >= thr:
+                    src.append(ids_a[i]); dst.append(ids_b[j])
+                    cont.append(inter / len(a_set))
+                if len(b_set) and inter / len(b_set) >= thr:
+                    src.append(ids_b[j]); dst.append(ids_a[i])
+                    cont.append(inter / len(b_set))
+        return pd.DataFrame({"src": np.asarray(src, dtype=np.int64),
+                             "dst": np.asarray(dst, dtype=np.int64),
+                             "containment": np.asarray(cont, dtype=np.float64)})
+
+    if max_in_flight is None:
+        max_in_flight = max(8, 4 * int(ray.available_resources().get("CPU", 8)))
+    frames, pending = [], []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            if len(pending) >= max_in_flight:
+                done, pending = ray.wait(pending, num_returns=1)
+                frames.extend(ray.get(done))
+            pending.append(block_pair.remote(refs[i], refs[j], threshold))
+    frames.extend(ray.get(pending))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"src": pd.Series([], dtype=np.int64), "dst": pd.Series([], dtype=np.int64),
+         "containment": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def dedup_clusters(docs: "ray.data.Dataset", threshold: float = 0.8,
                    ngram: int = 3, pairs: pd.DataFrame | None = None) -> "ray.data.Dataset":
     """Near-duplicate CLUSTERS: connected components over the minhash

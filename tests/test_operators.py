@@ -450,6 +450,44 @@ def test_inverted_index_matches_bruteforce(docs):
             assert got[w] == (len(ids), ids[:4]), w
 
 
+def test_dedup_containment_quote_detection(ray_session):
+    """A short doc fully quoted inside a long one scores containment 1.0
+    as src (while its Jaccard is far below threshold); the long doc does
+    not score as src; directed output matches a brute-force recompute."""
+    import ray.data
+
+    from parquet_hs_ray.functions import sketches as sk
+    from parquet_hs_ray.pipelines.dedup import dedup_containment
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [quote, filler + " " + quote + " " + filler,
+                 "completely unrelated words here", ""],
+    })
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    out = dedup_containment(ds, threshold=0.9, rows_per_block=2)
+    got = set(zip(out["src"], out["dst"]))
+    assert (1, 2) in got            # quote contained in long doc
+    assert (2, 1) not in got        # long doc not contained in quote
+    assert not any(4 in p for p in got)  # zero-shingle doc emits nothing
+    row = out[(out["src"] == 1) & (out["dst"] == 2)]
+    assert row["containment"].iloc[0] == 1.0
+
+    # brute force over shingle sets
+    sets = {}
+    for r in df.itertuples(index=False):
+        _, h = sk.word_ngram_hashes(pd.Series([r.text]), n=3)
+        sets[r.doc_id] = set(h.tolist())
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= 0.9:
+                expect.add((a, b))
+    assert got == expect
+
+
 def test_unigram_surprisal_zero_word_docs(ray_session):
     import ray.data
 
