@@ -424,6 +424,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cleaning.corpus_overlap(half_a, half_b, ngram=3)
 
     q["doc_corpus_overlap"] = doc_corpus_overlap
+    # correlation of the value column vs the props-JSON k field per type:
+    # composes extract_json_field -> grouped_corr (both individually
+    # oracled; the composition is too)
+    q["events_corr"] = lambda sf: pstats.grouped_corr(
+        cleaning.extract_json_field(_read(sf, "events"), "props", "k",
+                                    as_int=True,
+                                    id_cols=["event_type", "value"]),
+        "event_type", "value", "k", x_scale=100, y_scale=1)
     q["events_pct_rank"] = lambda sf: pstats.percent_rank(
         _read(sf, "events"), "value", id_cols=["event_id"])
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
@@ -939,6 +947,25 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_corr: Pearson r from integer-quantized six-sum partials;
+    # the float finish uses the identical op order on both sides
+    o["events_corr"] = (
+        "WITH t AS (SELECT event_type,"
+        " CAST(round_even(value * 100, 0) AS BIGINT) AS x,"
+        " (props->>'k')::BIGINT AS y FROM events"
+        " WHERE value IS NOT NULL AND (props->>'k') IS NOT NULL),"
+        " s AS (SELECT event_type, count(*)::BIGINT AS n,"
+        " sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,"
+        " sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,"
+        " sum(x*y)::BIGINT AS sxy FROM t GROUP BY event_type)"
+        " SELECT event_type, n,"
+        " ((n::DOUBLE * sxy::DOUBLE) - (sx::DOUBLE * sy::DOUBLE)) /"
+        " (sqrt((n::DOUBLE * sxx::DOUBLE) - (sx::DOUBLE * sx::DOUBLE)) *"
+        "  sqrt((n::DOUBLE * syy::DOUBLE) - (sy::DOUBLE * sy::DOUBLE))) AS corr"
+        " FROM s"
+        " WHERE (n::DOUBLE * sxx::DOUBLE) - (sx::DOUBLE * sx::DOUBLE) > 0"
+        " AND (n::DOUBLE * syy::DOUBLE) - (sy::DOUBLE * sy::DOUBLE) > 0"
+    )
     # events_pct_rank: histogram-derived min-rank == window percent_rank
     # (ties share min rank; the (r-1)/(n-1) division is one IEEE op)
     o["events_pct_rank"] = (

@@ -59,6 +59,60 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str,
+                 x_scale: int = 100, y_scale: int = 1) -> "ray.data.Dataset":
+    """Per-group Pearson correlation via the six decomposable sums
+    (n, Σx, Σy, Σx², Σy², Σxy) over INTEGER-quantized values
+    (``round_even(v * scale)``, the pivot_sum cents convention; scale=1
+    passes integer columns through) — integer partials make the shuffle
+    order-independent, so the result is bit-exact and SQL-twinnable
+    (float partial sums would differ by merge order).  The final
+    ``(nΣxy - ΣxΣy) / (sqrt(nΣx²-Σx²)·sqrt(nΣy²-Σy²))`` runs in float64
+    with the same op order as the twin.  Zero-variance groups are
+    dropped (both sides agree).  Rows with NULL in either column are
+    excluded, matching SQL aggregate NULL semantics.
+
+    Scale shape: textbook partial-agg — one six-sum row per (group,
+    block) shuffles, never data rows.  Int64 partials hold to ~2^63;
+    beyond that (10^14+ rows of 10^4-unit values) widen to per-block
+    float partials and accept merge-order noise, or split the sum."""
+
+    def q(v: pd.Series, scale: int) -> np.ndarray:
+        a = v.to_numpy(dtype=np.float64)
+        return (np.round(a * scale).astype(np.int64) if scale != 1
+                else v.to_numpy(dtype=np.int64))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=[x_col, y_col])
+        x = q(b[x_col], x_scale)
+        y = q(b[y_col], y_scale)
+        g = pd.DataFrame({key: b[key].to_numpy(), "n": np.int64(1),
+                          "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                          "sxy": x * y})
+        return g.groupby(key, sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    sums = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key], ["n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        nf = b["n"].to_numpy(dtype=np.float64)
+        sx = b["sx"].to_numpy(dtype=np.float64)
+        sy = b["sy"].to_numpy(dtype=np.float64)
+        varx = nf * b["sxx"].to_numpy(dtype=np.float64) - sx * sx
+        vary = nf * b["syy"].to_numpy(dtype=np.float64) - sy * sy
+        num = nf * b["sxy"].to_numpy(dtype=np.float64) - sx * sy
+        keep = (varx > 0) & (vary > 0)
+        return pd.DataFrame({
+            key: b[key].to_numpy()[keep],
+            "n": b["n"].to_numpy(dtype=np.int64)[keep],
+            "corr": num[keep] / (np.sqrt(varx[keep]) * np.sqrt(vary[keep])),
+        })
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def grouped_quantile_sketch(ds: "ray.data.Dataset", key: str, col: str,
                             id_col: str, qs: Sequence[float] = (0.5, 0.95),
                             k: int = 1024, seed: int = 17) -> "pd.DataFrame":

@@ -246,3 +246,33 @@ def test_grouped_quantile_sketch_accuracy_and_layout(skewed):
     ds = ray.data.from_pandas([small.iloc[:50], small.iloc[50:]])
     o = grouped_quantile_sketch(ds, "k", "v", "rid", (0.5,), k=512)
     assert o["p50_est"].iloc[0] == qdisc(small["v"], 0.5)
+
+
+def test_grouped_corr_matches_numpy(skewed):
+    """Integer-quantized Pearson r equals np.corrcoef on the quantized
+    values; a perfectly linear group scores exactly 1.0; zero-variance
+    groups are dropped."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_corr
+
+    df, _ = skewed
+    df = df.copy()
+    lin = pd.DataFrame({"k": "lin", "v": np.arange(50, dtype=np.float64),
+                        "u": 3 * np.arange(50) + 7})
+    const = pd.DataFrame({"k": "const", "v": [1.0] * 20,
+                          "u": np.arange(20)})
+    df = pd.concat([df, lin, const], ignore_index=True)
+    ds = ray.data.from_pandas([df.iloc[i::7].reset_index(drop=True)
+                               for i in range(7)])
+    out = (grouped_corr(ds, "k", "v", "u", x_scale=100, y_scale=1)
+           .to_pandas().set_index("k"))
+    assert "const" not in out.index  # zero x-variance dropped
+    assert out.loc["lin", "corr"] == 1.0
+    for g in ("hot", "cold"):
+        grp = df[df["k"] == g]
+        x = np.round(grp["v"].to_numpy() * 100)
+        y = grp["u"].to_numpy(dtype=np.float64)
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(out.loc[g, "corr"] - ref) < 1e-12, g
+        assert out.loc[g, "n"] == len(grp)
