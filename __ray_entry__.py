@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), weight_col="n_chars", rate_per_unit=1 / 4000,
         seed=7, columns=["doc_id", "source", "n_chars"])
     q["doc_surprisal"] = lambda sf: ta.unigram_surprisal(_read(sf, "documents"))
+    q["doc_bm25"] = lambda sf: ta.bm25_score(
+        _read(sf, "documents"), ["column", "merge", "zebra"])
     q["doc_inverted_index"] = lambda sf: ta.inverted_index(
         _read(sf, "documents"), k=8)
     q["stats_by_source"] = lambda sf: ta.stats_by_source(_read(sf, "documents"))
@@ -581,6 +583,11 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, w AS word, tf, df, rank::BIGINT AS rank"
         " FROM ranked WHERE rank <= 3"
     )
+    # doc_bm25: BM25 relevance with a float-exact twin (libm ln, fixed
+    # op order, sorted-term + chain — see sql_oracles.bm25_sql)
+    from parquet_hs_ray.functions.sql_oracles import bm25_sql
+
+    o["doc_bm25"] = bm25_sql("documents", ["column", "merge", "zebra"])
     # doc_inverted_index: capped-posting inverted index; DISTINCT pairs ->
     # ordered list() capped with list_slice; n_docs stays the exact df
     o["doc_inverted_index"] = (

@@ -361,6 +361,37 @@ ORDER BY doc_id
 """
 
 
+def bm25_sql(table: str, terms: "list[str]", k1: float = 1.2,
+             b: float = 0.75) -> str:
+    """``doc_bm25`` twin.  Float-exact by construction: the contribution
+    expression mirrors the kernel's IEEE op order token-for-token, ln()
+    resolves to the same libm log, and the cross-term sum is a literal
+    left-associative ``+`` chain in sorted term order (SQL SUM() over
+    doubles has no order guarantee)."""
+    terms = sorted(set(terms))
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    chain = " + ".join(
+        f"coalesce(max(CASE WHEN w = '{t}' THEN contrib END), 0)"
+        for t in terms)
+    return f"""
+WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+  '[a-z0-9]+')) AS w FROM {table}),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM words GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table})::BIGINT AS n,
+              (SELECT sum(dl) FROM dl)::BIGINT AS sdl),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM words
+       WHERE w IN ({inlist}) GROUP BY doc_id, w),
+df AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+c AS (SELECT tf.doc_id, tf.w,
+  ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+  (tf.tf * ({k1} + 1)) /
+  (tf.tf + {k1} * (1 - {b} + {b} * d.dl / (st.sdl::DOUBLE / st.n))) AS contrib
+  FROM tf JOIN df USING (w) JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN st),
+p AS (SELECT doc_id, {chain} AS score FROM c GROUP BY doc_id)
+SELECT doc_id, score FROM p WHERE score > 0
+"""
+
+
 def corpus_overlap_sql(table: str = "documents", mod: int = 17) -> str:
     """``corpus_overlap`` twin: exact distinct word-3-gram shingle-set
     overlap between the two doc_id%mod halves of ``table``, same

@@ -330,6 +330,73 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 30) -> pd.DataFram
     return out.reset_index(drop=True).astype({"n": np.int64})
 
 
+def bm25_score(docs: "ray.data.Dataset", terms: "list[str]",
+               k1: float = 1.2, b: float = 0.75) -> "ray.data.Dataset":
+    """BM25 relevance of every document against a bag of query ``terms``
+    (Robertson/Sparck-Jones; the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))``
+    idf variant) — the retrieval-scoring step of a data-curation or
+    eval-search pipeline.  Returns (doc_id, score) for score > 0.
+
+    Hash-exact float twin by construction: idf uses libm ``log`` via
+    ``math.log`` (DuckDB's ``ln`` resolves to the same libm call —
+    numpy's SIMD log may differ by 1 ulp, so it is NOT used here); every
+    per-term contribution is the identical IEEE expression tree on both
+    sides; and the cross-term sum runs in SORTED TERM ORDER as a fixed
+    left-associative chain (SQL float SUM() has no order guarantee, so
+    the twin pivots to a literal ``+`` chain).
+
+    Scale shape: pass 1 is one single-row partial per block (doc count,
+    token count, per-term document frequencies — a ``len(terms)+2``-wide
+    row, never data); the constants broadcast in the closure; pass 2 is
+    a pure streaming score map.  No shuffle at all."""
+    import math
+
+    terms = sorted(set(terms))
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        row = {"n": [np.int64(len(batch))], "sdl": [lens.sum()]}
+        for t in terms:
+            hit_docs = np.unique(doc_of[flat == t]) if len(flat) else []
+            row[f"df_{t}"] = [np.int64(len(hit_docs))]
+        return pd.DataFrame(row)
+
+    agg = docs.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n = int(agg["n"].sum())
+    sdl = int(agg["sdl"].sum())
+    if n == 0 or sdl == 0:
+        import ray.data as _rd
+
+        return _rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64)}))
+    avgdl = sdl / n  # one double division, same op in the twin
+    idf = {t: math.log(1 + (n - int(agg[f"df_{t}"].sum()) + 0.5)
+                       / (int(agg[f"df_{t}"].sum()) + 0.5)) for t in terms}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        dl = lens.astype(np.float64)
+        s = np.zeros(len(batch))
+        for t in terms:  # fixed sorted order == the twin's + chain
+            tf = (np.bincount(doc_of[flat == t], minlength=len(batch))
+                  .astype(np.float64) if len(flat) else np.zeros(len(batch)))
+            contrib = idf[t] * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl / avgdl))
+            s = s + np.where(tf > 0, contrib, 0.0)
+        keep = s > 0
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()[keep],
+                             "score": s[keep]})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def inverted_index(docs: "ray.data.Dataset", k: int = 8) -> "ray.data.Dataset":
     """Corpus inverted index: (word, n_docs, postings) where ``n_docs`` is
     the EXACT document frequency and ``postings`` holds the first ``k``

@@ -423,6 +423,42 @@ def test_unigram_surprisal_matches_bruteforce(docs):
     assert len(out) == len(raw)  # every doc present, even zero-word ones
 
 
+def test_bm25_matches_bruteforce(docs):
+    """BM25 vs a driver-side recompute with the same formula; absent
+    query terms contribute nothing; zero-score docs are omitted."""
+    import math
+    import re
+
+    from parquet_hs_ray.pipelines.text_analysis import bm25_score
+
+    terms = ["column", "merge", "zebra"]  # zebra absent from the corpus
+    out = (bm25_score(docs, terms).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    raw = docs.to_pandas()
+    W = re.compile(r"[a-z0-9]+")
+    words = [W.findall(str(t).lower()) for t in raw["text"].fillna("")]
+    n = len(raw)
+    sdl = sum(len(w) for w in words)
+    avgdl = sdl / n
+    k1, b = 1.2, 0.75
+    dfs = {t: sum(t in set(w) for w in words) for t in terms}
+    assert dfs["zebra"] == 0
+    scores = {}
+    for did, ws in zip(raw["doc_id"], words):
+        s = 0.0
+        for t in sorted(terms):
+            tf = float(ws.count(t))
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s = s + idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if s > 0:
+            scores[did] = s
+    assert out["doc_id"].tolist() == sorted(scores)
+    for did, sc in zip(out["doc_id"], out["score"]):
+        assert sc == scores[did], did
+
+
 def test_inverted_index_matches_bruteforce(docs):
     """Capped postings: exact df counts, first-k ascending doc_ids; must be
     invariant to block layout (fragment-merge path exercised via a 7-block
