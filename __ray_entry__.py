@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           left_cols=("event_id",), right_cols=("event_id",))
 
     q["events_range_join"] = events_range_join
+    q["events_funnel"] = lambda sf: win.funnel(
+        _read(sf, "events"), ["view", "click", "purchase"])
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
     q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
     q["events_hopping"] = lambda sf: win.hopping_window(_read(sf, "events"))
@@ -954,6 +956,22 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_funnel: chained first-touch stage mins (strictly-after
+    # ordering), mirroring the kernel's per-stage min + join chain
+    o["events_funnel"] = (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events"
+        " WHERE event_type = 'view' GROUP BY user_id),"
+        " s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e"
+        " JOIN s1 USING (user_id)"
+        " WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),"
+        " s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e"
+        " JOIN s2 USING (user_id)"
+        " WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)"
+        " SELECT s1.user_id,"
+        " (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT)"
+        "::BIGINT AS n_stages"
+        " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    )
     # events_corr: Pearson r from integer-quantized six-sum partials;
     # the float finish uses the identical op order on both sides
     o["events_corr"] = (

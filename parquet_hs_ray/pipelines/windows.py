@@ -355,3 +355,68 @@ def event_gaps(events: "ray.data.Dataset", key: str = "user_id",
     # concatenation); rows flow out sorted by (key, ts, id)
     return ray.data.from_pandas_refs(
         [block_gaps.remote(r, carries[i]) for i, r in enumerate(refs)])
+
+
+def funnel(events: "ray.data.Dataset", stages: "list[str]",
+           key: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> "ray.data.Dataset":
+    """Ordered conversion funnel: per ``key``, how many of ``stages`` were
+    completed IN ORDER — stage i counts only if an event of that type
+    occurs STRICTLY AFTER the key's first completion of stage i-1 (the
+    product-analytics funnel, with first-touch semantics).  Returns
+    (key, n_stages) for keys that completed at least stage 1.
+
+    Scale shape: one filtered grouped-min per stage (the partial-agg
+    pattern: the shuffle carries (key, min-ts) partials), chained through
+    hash-shuffle joins on ``key`` — no user-sized broadcast map anywhere,
+    so the pipeline holds at web-scale key cardinality; the stage count
+    is a constant factor.  SQL twin: chained JOIN + min() CTEs."""
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_agg
+    from .relational import broadcast_join, hash_join
+
+    reached = []  # per stage: Dataset of (key, stage_no)
+    prev = None   # Dataset of (key, t_prev)
+    for i, st in enumerate(stages):
+        ev = events.map_batches(
+            lambda t, st=st: t.filter(pc.equal(t[type_col], st)),
+            batch_format="pyarrow").select_columns([key, ts_col])
+        if prev is not None:
+            # size-aware join: the stage-min side is key-cardinality-sized;
+            # broadcast it while it fits (one object-store copy, no
+            # shuffle), fall back to the hash-shuffle join at scale
+            try:
+                small = (prev.size_bytes() or 0) < (32 << 20)
+            except Exception:
+                small = False
+            if small:
+                joined = broadcast_join(ev, prev, key, key, how="inner",
+                                        right_cols=["t_prev"])
+            else:
+                joined = hash_join(ev, prev, key, key)
+            ev = joined.map_batches(
+                lambda t: t.filter(pc.greater(t[ts_col], t["t_prev"])),
+                batch_format="pyarrow").select_columns([key, ts_col])
+        m = grouped_agg(ev, [key], {ts_col: "min"}).materialize()
+        if m.count() == 0:
+            break
+        stage_no = np.int64(i + 1)
+
+        def tag(b: pd.DataFrame, n=stage_no) -> pd.DataFrame:
+            return pd.DataFrame({key: b[key],
+                                 "n_stages": np.full(len(b), n, np.int64)})
+
+        reached.append(m.map_batches(tag, batch_format="pandas"))
+        prev = m.map_batches(
+            lambda b: b.rename(columns={ts_col: "t_prev"}),
+            batch_format="pandas")
+    if not reached:
+        return ray.data.from_pandas(pd.DataFrame({
+            key: pd.Series([], dtype=np.int64),
+            "n_stages": pd.Series([], dtype=np.int64)}))
+    u = reached[0]
+    for r in reached[1:]:
+        u = u.union(r)
+    # stage i implies stage i-1, so per-key max == stages completed in order
+    return grouped_agg(u, [key], {"n_stages": "max"})

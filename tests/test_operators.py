@@ -179,6 +179,38 @@ def test_tumbling_window_matches_pandas(ray_session):
     )
 
 
+def test_funnel_order_sensitivity(ray_session):
+    """First-touch ordered funnel: a click BEFORE the first view does not
+    advance the funnel; equal timestamps are not 'after'; users with no
+    stage-1 event are absent."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import funnel
+
+    t0 = pd.Timestamp("2026-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, t0, "view"), (1, t0 + s, "click"), (1, t0 + 2 * s, "purchase"),
+        # u2: click precedes the first view -> stuck at stage 1
+        (2, t0, "click"), (2, t0 + s, "view"),
+        # u3: purchase without a click after view -> stage 1
+        (3, t0, "view"), (3, t0 + s, "purchase"),
+        # u4: click at the SAME ts as the first view -> not strictly after
+        (4, t0, "view"), (4, t0, "click"),
+        # u5: no view at all -> absent
+        (5, t0, "click"), (5, t0 + s, "purchase"),
+        # u6: view -> click, then purchase equal to click ts -> stage 2
+        (6, t0, "view"), (6, t0 + s, "click"), (6, t0 + s, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ds = ray.data.from_pandas([df.iloc[:5], df.iloc[5:9], df.iloc[9:]])
+    out = (funnel(ds, ["view", "click", "purchase"]).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 3, 4, 6]
+    assert out["n_stages"].tolist() == [3, 1, 1, 1, 2]
+
+
 def test_sessionize_counts(ray_session):
     import ray.data
 
