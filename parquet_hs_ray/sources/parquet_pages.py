@@ -27,8 +27,11 @@ kernels:
   for chains of OPTIONAL+REPEATED levels (Spark 3-level list encoding, the
   shape of the reference's integration fixture).
 
-Scope mirrors the reference's: UNCOMPRESSED only, PLAIN / PLAIN_DICTIONARY
-only, INT64 / BYTE_ARRAY leaves.
+Scope mirrors the reference's — PLAIN / PLAIN_DICTIONARY only, INT64 /
+BYTE_ARRAY leaves — EXCEPT compression, where this reader is a strict
+superset: SNAPPY / GZIP / ZSTD / BROTLI pages decompress via pyarrow's
+bundled codecs (the reference rejects everything but UNCOMPRESSED,
+`validateCompression`, Stream/Reader.hs:316-322).
 """
 
 from __future__ import annotations
@@ -179,14 +182,32 @@ def _decode_plain_values(buf: bytes, pos: int, n: int, physical: str):
     raise ValueError(f"unsupported physical type {physical} (reference scope: INT64/BYTE_ARRAY)")
 
 
+# page-codec map: unambiguous one-shot formats only.  Parquet's legacy
+# LZ4 is the Hadoop block framing, which pyarrow's "lz4" (frame) codec
+# does NOT read — both LZ4 variants stay rejected.  The reference rejects
+# EVERYTHING but UNCOMPRESSED (validateCompression, Stream/Reader.hs:
+# 316-322); supporting real codecs is a strict superset.
+_PAGE_CODECS = {"SNAPPY": "snappy", "GZIP": "gzip", "ZSTD": "zstd",
+                "BROTLI": "brotli"}
+
+
+def _page_codec(compression: str):
+    """pa.Codec for a parquet column-chunk compression, or None for
+    UNCOMPRESSED; unknown/unavailable codecs raise (never garbage)."""
+    if compression == "UNCOMPRESSED":
+        return None
+    name = _PAGE_CODECS.get(compression)
+    if name is None or not pa.Codec.is_available(name):
+        raise ValueError(f"unsupported compression {compression}")
+    return pa.Codec(name)
+
+
 def read_column_chunk_values(path: str, row_group: int, column: int):
     """Decode one column chunk -> (rep_levels, def_levels, values,
     max_rep, max_def). Values has one entry per non-null leaf slot."""
     f = pq.ParquetFile(path)
     meta = f.metadata.row_group(row_group).column(column)
-    if meta.compression != "UNCOMPRESSED":
-        # validateCompression, Stream/Reader.hs:316-322
-        raise ValueError("only UNCOMPRESSED supported (reference parity)")
+    codec = _page_codec(meta.compression)
     schema = f.metadata.schema
     leaf = schema.column(column)
     max_rep, max_def = leaf.max_repetition_level, leaf.max_definition_level
@@ -197,7 +218,7 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
         chunk = fh.read(meta.total_compressed_size)
 
     rep, dfl, vals = decode_column_chunk_pages(chunk, meta.num_values, meta.physical_type,
-                                              max_rep, max_def)
+                                              max_rep, max_def, codec=codec)
     return rep, dfl, vals, max_rep, max_def
 
 
@@ -216,7 +237,7 @@ def _decode_levels_v2(buf: bytes, pos: int, byte_len: int, n: int,
 
 
 def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
-                              max_rep: int, max_def: int):
+                              max_rep: int, max_def: int, codec=None):
     """Page loop over one column chunk's raw bytes -> (rep, def, values).
     V1 level encodings come from the DataPageHeader
     (definition_level_encoding = field 3, repetition_level_encoding =
@@ -238,6 +259,9 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
         page_len = header[3]  # compressed_page_size
         body = chunk[pos : pos + page_len]
         pos += page_len
+        if codec is not None and ptype in (_PAGE_DICT, _PAGE_DATA):
+            # V1 pages (and dict pages) compress the WHOLE body
+            body = codec.decompress(body, header[2]).to_pybytes()
         if ptype == _PAGE_DICT:
             dph = header[7]
             dictionary, _ = _decode_plain_values(body, 0, dph[1], physical)
@@ -254,8 +278,14 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
             dph = header[8]
             n_vals, enc = dph[1], dph[4]
             def_len, rep_len = dph[5], dph[6]
-            # is_compressed (field 7) applies to the VALUES section only;
-            # we are already chunk-restricted to UNCOMPRESSED codecs
+            # V2 keeps the level streams UNCOMPRESSED at the front; only
+            # the values section compresses, gated by is_compressed
+            # (field 7, default true)
+            if codec is not None and dph.get(7, True):
+                lv = rep_len + def_len
+                body = (body[:lv]
+                        + codec.decompress(body[lv:],
+                                           header[2] - lv).to_pybytes())
             p = 0
             rep, p = _decode_levels_v2(body, p, rep_len, n_vals, max_rep)
             dfl, p = _decode_levels_v2(body, p, def_len, n_vals, max_def)

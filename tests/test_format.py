@@ -227,11 +227,14 @@ def test_random_table_roundtrip(seed):
 
 
 @given(st.integers(min_value=0, max_value=10**9), st.booleans(),
-       st.sampled_from(["1.0", "2.0"]))
+       st.sampled_from(["1.0", "2.0"]),
+       st.sampled_from(["NONE", "snappy", "zstd", "gzip"]))
 @settings(max_examples=25, deadline=None)
-def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict, page_version):
+def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict, page_version,
+                                       compression):
     """Random nested int64 lists written by pyarrow (v1 AND v2 data
-    pages, UNCOMPRESSED, dict on/off) must decode identically through
+    pages, dict on/off, UNCOMPRESSED + snappy/zstd/gzip page codecs —
+    the reference rejects every codec) must decode identically through
     our page kernels — the dictionary-page path the reference golden
     file lacks, plus DataPageHeaderV2 (rep/def byte lengths in the
     header, no u32 prefixes), which the reference declares but never
@@ -269,13 +272,30 @@ def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict, page_version):
 
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "t.parquet")
-        pq.write_table(tbl, path, compression="NONE", use_dictionary=use_dict,
+        pq.write_table(tbl, path, compression=compression,
+                       use_dictionary=use_dict,
                        version="2.6" if page_version == "2.0" else "1.0",
                        data_page_version=page_version)
         ours = read_parquet_via_kernels(path)
         theirs = pq.read_table(path)
     for name in theirs.column_names:
         assert ours[name].combine_chunks().equals(theirs[name].combine_chunks()), name
+
+
+def test_parquet_pages_unsupported_codec_raises():
+    """Ambiguous/unmapped codecs (parquet legacy LZ4 = Hadoop framing,
+    which pyarrow's lz4-frame codec cannot read) raise cleanly."""
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    tbl = pa.table({"a": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(tbl, path, compression="lz4", use_dictionary=False)
+        with pytest.raises(ValueError, match="unsupported compression"):
+            read_parquet_via_kernels(path)
 
 
 def test_sliced_array_roundtrip():
