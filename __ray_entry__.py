@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
     q["doc_mix"] = lambda sf: ta.deterministic_mix(
         _read(sf, "documents"), {"src1": 50, "src2": 25, "src3": 0})
+    q["doc_splits"] = lambda sf: ta.assign_splits(
+        _read(sf, "documents"), {"train": 80, "val": 10, "test": 10})
     q["doc_sample_weighted"] = lambda sf: ta.sample_weighted(
         _read(sf, "documents"), weight_col="n_chars", rate_per_unit=1 / 4000,
         seed=7, columns=["doc_id", "source", "n_chars"])
@@ -335,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           left_cols=("event_id",), right_cols=("event_id",))
 
     q["events_range_join"] = events_range_join
+    q["events_retention"] = lambda sf: win.retention_cohorts(_read(sf, "events"))
+    q["events_monthly"] = lambda sf: win.calendar_rollup(
+        _read(sf, "events"), unit="month")
     q["events_funnel"] = lambda sf: win.funnel(
         _read(sf, "events"), ["view", "click", "purchase"])
     q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
@@ -567,6 +572,15 @@ def oracle_sql() -> dict[str, str]:
         " (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) <"
         " (CASE source WHEN 'src1' THEN 50 WHEN 'src2' THEN 25"
         "  WHEN 'src3' THEN 0 ELSE 100 END)"
+    )
+    # doc_splits: the deterministic_mix hash rule partitioning the id
+    # space into cumulative-percent buckets
+    o["doc_splits"] = (
+        "SELECT *, CASE"
+        " WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)"
+        " < 80 THEN 'train'"
+        " WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)"
+        " < 90 THEN 'val' ELSE 'test' END AS split FROM documents"
     )
     from parquet_hs_ray.functions.sql_oracles import weighted_sample_sql
 
@@ -956,6 +970,24 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_retention: DISTINCT user-weeks -> min-week cohort -> join ->
+    # count (epoch weeks: epoch_us // 604800000000)
+    o["events_retention"] = (
+        "WITH uw AS (SELECT DISTINCT user_id,"
+        " epoch_us(ts) // 604800000000 AS week FROM events),"
+        " c AS (SELECT user_id, min(week) AS cohort_week FROM uw"
+        " GROUP BY user_id)"
+        " SELECT c.cohort_week, (uw.week - c.cohort_week)::BIGINT AS age,"
+        " count(*)::BIGINT AS n_users"
+        " FROM uw JOIN c USING (user_id) GROUP BY 1, 2"
+    )
+    # events_monthly: calendar rollup (cents convention)
+    o["events_monthly"] = (
+        "SELECT date_trunc('month', ts)::TIMESTAMP AS bucket, event_type,"
+        " count(*)::BIGINT AS n,"
+        " sum(CAST(round_even(value * 100, 0) AS BIGINT))::BIGINT"
+        " AS value_cents FROM events GROUP BY 1, 2"
+    )
     # events_funnel: chained first-touch stage mins (strictly-after
     # ordering), mirroring the kernel's per-stage min + join chain
     o["events_funnel"] = (

@@ -539,6 +539,32 @@ def unigram_surprisal(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(score, batch_format="pandas")
 
 
+def assign_splits(docs: "ray.data.Dataset", pcts: "dict[str, int]",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Deterministic train/val/test split assignment: each row gets the
+    split whose cumulative percentage bucket contains
+    ``md5(id) mod 100`` — content-independent, reproducible on any
+    cluster size or block layout, no RNG state (the deterministic_mix
+    hash rule, extended to a partition of the id space).  ``pcts`` maps
+    split name -> integer percent; must sum to 100.  Returns every input
+    row plus a ``split`` column — a pure streaming map, no shuffle."""
+    if sum(pcts.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {pcts}")
+    names = list(pcts)  # caller order defines the bucket layout
+    bounds = np.cumsum([pcts[s] for s in names])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray([int(x[:8], 16) for x in
+                        tx.md5_hex(batch[id_col].astype(str))],
+                       dtype=np.int64) % 100
+        idx = np.searchsorted(bounds, h, side="right")
+        out = batch.copy()
+        out["split"] = np.asarray(names, dtype=object)[idx]
+        return out
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
 def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
                           seed: int = 42) -> "ray.data.Dataset":
     """Assign every row its 1-based position in a DETERMINISTIC global

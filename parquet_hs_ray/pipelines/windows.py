@@ -420,3 +420,92 @@ def funnel(events: "ray.data.Dataset", stages: "list[str]",
         u = u.union(r)
     # stage i implies stage i-1, so per-key max == stages completed in order
     return grouped_agg(u, [key], {"n_stages": "max"})
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def retention_cohorts(events: "ray.data.Dataset", key: str = "user_id",
+                      ts_col: str = "ts") -> "ray.data.Dataset":
+    """Cohort retention matrix: users cohort by their FIRST active epoch
+    week; each (cohort_week, age) cell counts distinct users from that
+    cohort active ``age`` weeks later — the standard retention triangle.
+
+    Scale shape: per-batch DISTINCT (key, week) partials (two ints per
+    active user-week, never events) -> grouped min for the cohort ->
+    size-aware join back (broadcast while the cohort table fits, hash
+    shuffle at scale) -> one grouped count of already-distinct rows.
+    SQL twin: DISTINCT + min + join + GROUP BY."""
+    from .groupagg import grouped_agg, grouped_sum
+    from .relational import broadcast_join, hash_join
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        wk = (_ts_us(batch[ts_col]) // _WEEK_US).astype(np.int64)
+        return (pd.DataFrame({key: batch[key], "week": wk, "one": np.int64(1)})
+                .drop_duplicates(subset=[key, "week"]))
+
+    # per-batch distinct is a pre-combine only — the same (user, week) can
+    # recur across blocks, so a global grouped distinct follows (max of a
+    # constant == distinct-row projection)
+    uw = (grouped_agg(events.map_batches(pairs, batch_format="pandas"),
+                      [key, "week"], {"one": "max"})
+          .select_columns([key, "week"]).materialize())
+    cohorts = (grouped_agg(uw, [key], {"week": "min"})
+               .map_batches(lambda b: b.rename(columns={"week": "cohort_week"}),
+                            batch_format="pandas").materialize())
+    try:
+        small = (cohorts.size_bytes() or 0) < (32 << 20)
+    except Exception:
+        small = False
+    if small:
+        joined = broadcast_join(uw, cohorts, key, key, how="inner",
+                                right_cols=["cohort_week"])
+    else:
+        joined = hash_join(uw, cohorts, key, key)
+
+    def cell(batch: pd.DataFrame) -> pd.DataFrame:
+        # input rows are globally distinct (user, week): a count is a sum
+        age = (batch["week"] - batch["cohort_week"]).astype(np.int64)
+        return (pd.DataFrame({"cohort_week": batch["cohort_week"],
+                              "age": age,
+                              "n_users": np.int64(1)})
+                .groupby(["cohort_week", "age"], sort=False, as_index=False)
+                .sum())
+
+    return grouped_sum(joined.map_batches(cell, batch_format="pandas"),
+                       ["cohort_week", "age"], ["n_users"])
+
+
+def calendar_rollup(events: "ray.data.Dataset", unit: str = "month",
+                    key: str = "event_type", ts_col: str = "ts",
+                    val_col: str = "value") -> "ray.data.Dataset":
+    """Calendar-bucketed rollup: count + integer-cents value sum per
+    (date_trunc(unit, ts), key) — the time-dimension twin of
+    tumbling_window for HUMAN calendar units (months vary in length, so
+    no fixed window width works).  ``unit``: 'day' | 'week' (Monday
+    start, DuckDB's convention) | 'month'.  Cents quantization is the
+    pivot_sum convention (round_even), keeping the shuffle integer and
+    merge-order-independent."""
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day|week|month: {unit}")
+
+    def trunc(s: pd.Series) -> pd.Series:
+        t = pd.to_datetime(s)
+        if unit == "day":
+            return t.dt.floor("D")
+        if unit == "week":
+            return t.dt.to_period("W-SUN").dt.start_time
+        return t.dt.to_period("M").dt.start_time
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch[val_col].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({"bucket": trunc(batch[ts_col]),
+                          key: batch[key], "n": np.int64(1),
+                          "value_cents": cents})
+        return g.groupby(["bucket", key], sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    return grouped_sum(events.map_batches(partial, batch_format="pandas"),
+                       ["bucket", key], ["n", "value_cents"])

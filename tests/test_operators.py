@@ -1609,3 +1609,80 @@ def test_sample_weighted_float_extremes_match_sql_twin(ray_session):
     assert {5, 6, 7} <= kept
     # NaN, negative, zero and sub-1 fractional weights never kept
     assert not ({0, 1, 4, 8} & kept)
+
+
+def test_retention_cohorts_cross_block_duplicates(ray_session):
+    """A user active in the same week across DIFFERENT blocks must count
+    once per (cohort, age) cell; cohort = first active week."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import retention_cohorts
+
+    wk = 7 * 86400 * 1_000_000
+    t = lambda w, off=0: pd.Timestamp(w * wk + off, unit="us")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 1],
+        "ts": [t(2800), t(2800, 5), t(2802), t(2801), t(2802), t(2800, 9)],
+    })
+    # user 1's week-2800 events split across three blocks
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:5], df.iloc[5:]])
+    out = (retention_cohorts(ds).to_pandas()
+           .sort_values(["cohort_week", "age"]).reset_index(drop=True))
+    ref = pd.DataFrame({"cohort_week": [2800, 2800, 2801, 2801],
+                        "age": [0, 2, 0, 1], "n_users": [1, 1, 1, 1]})
+    pd.testing.assert_frame_equal(
+        out.astype({"cohort_week": np.int64, "age": np.int64,
+                    "n_users": np.int64}), ref.astype(np.int64))
+
+
+def test_assign_splits_partition_and_determinism(docs):
+    """Every row gets exactly one split; assignment is a pure function of
+    the id (layout-independent); fractions land near the targets."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import assign_splits
+
+    pcts = {"train": 80, "val": 10, "test": 10}
+    a = (assign_splits(docs, pcts).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    ds2 = ray.data.read_parquet(f"{SF}/documents.parquet", override_num_blocks=9)
+    b = (assign_splits(ds2, pcts).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    counts = a["split"].value_counts()
+    assert set(counts.index) <= set(pcts)
+    assert counts.sum() == len(a)
+    assert abs(counts.get("train", 0) / len(a) - 0.8) < 0.08
+    with pytest.raises(ValueError):
+        assign_splits(docs, {"train": 90, "val": 5})
+
+
+def test_calendar_rollup_units_match_pandas(ray_session):
+    """day/week/month buckets equal a pandas recompute (week = Monday
+    start, DuckDB's date_trunc convention); cents are exact."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import calendar_rollup
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    ts = pd.Timestamp("2026-01-15") + pd.to_timedelta(
+        rng.integers(0, 90 * 86400, n), unit="s")
+    df = pd.DataFrame({"ts": ts, "event_type": rng.choice(["a", "b"], n),
+                       "value": np.round(rng.uniform(-5, 5, n), 3)})
+    ds = ray.data.from_pandas([df.iloc[i::6].reset_index(drop=True)
+                               for i in range(6)])
+    for unit, f in [("day", lambda t: t.dt.floor("D")),
+                    ("week", lambda t: t.dt.to_period("W-SUN").dt.start_time),
+                    ("month", lambda t: t.dt.to_period("M").dt.start_time)]:
+        out = (calendar_rollup(ds, unit=unit).to_pandas()
+               .sort_values(["bucket", "event_type"]).reset_index(drop=True))
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        ref = (pd.DataFrame({"bucket": f(df["ts"]), "event_type": df["event_type"],
+                             "n": np.int64(1), "value_cents": cents})
+               .groupby(["bucket", "event_type"], as_index=False).sum()
+               .sort_values(["bucket", "event_type"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out.astype({"n": np.int64, "value_cents": np.int64}), ref, check_dtype=False)
+        if unit == "week":
+            assert (out["bucket"].dt.dayofweek == 0).all()  # Monday start
