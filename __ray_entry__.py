@@ -393,6 +393,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_tokenize"] = doc_tokenize
 
+    def doc_train_bpe(sf):
+        from parquet_hs_ray.pipelines.tokenize import train_bpe
+
+        # iterative merge training: rows-only by nature (no SQL twin);
+        # bit-exact parity with an in-memory reference trainer is
+        # asserted in tests/test_tokenize.py
+        return train_bpe(_read(sf, "documents"), n_merges=16, min_count=2)
+
+    q["doc_train_bpe"] = doc_train_bpe
+
     def token_freq(sf):
         from parquet_hs_ray.pipelines.tokenize import token_frequencies, tokenize_corpus
 

@@ -110,3 +110,156 @@ def token_frequencies(tok: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return grouped_sum(tok.map_batches(partial, batch_format="pyarrow"),
                        ["token_id"], ["n"])
+
+
+def _bpe_pair_frame(syms_seq, n_seq) -> pd.DataFrame:
+    """Weighted adjacent-pair counts over \\x00-joined symbol strings —
+    one partial frame (a, b, cnt).  Shared by the distributed per-batch
+    partial and the driver fast path so both routes are bit-identical."""
+    from collections import Counter
+
+    c: "Counter" = Counter()
+    for syms, n in zip(syms_seq, n_seq):
+        parts = syms.split("\x00")
+        for a, b in zip(parts[:-1], parts[1:]):
+            c[(a, b)] += int(n)
+    if not c:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    ks = list(c)
+    return pd.DataFrame({"a": [k[0] for k in ks],
+                         "b": [k[1] for k in ks],
+                         "cnt": np.asarray([c[k] for k in ks], dtype=np.int64)})
+
+
+def _bpe_apply(syms_seq, left: str, right: str) -> list:
+    """Left-to-right non-overlapping symbol merge (the BPE rule).  A plain
+    str.replace on the joined form would match across symbol boundaries
+    and skip alternating occurrences, so the rewrite is a per-word symbol
+    scan (vocabulary-bounded, not corpus-bounded); the substring test is
+    only a fast-path filter — the scan decides."""
+    t = left + "\x00" + right
+    res = []
+    for s in syms_seq:
+        if t not in s:
+            res.append(s)
+            continue
+        parts = s.split("\x00")
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == left and parts[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        res.append("\x00".join(out))
+    return res
+
+
+def train_bpe(docs: "ray.data.Dataset", n_merges: int = 40,
+              min_count: int = 2,
+              driver_vocab_rows: int = 200_000) -> pd.DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016): learn
+    ``n_merges`` byte-pair merges from the corpus, returning
+    (rank, left, right, count) in merge order — the tokenizer-training
+    step of an LLM data pipeline.
+
+    The algorithm runs on the WORD-FREQUENCY table (vocabulary-sized),
+    never the corpus: one corpus pass builds (word, count) through the
+    partial-agg shuffle; each merge round then (a) counts adjacent
+    symbol pairs weighted by word count via map_batches partials +
+    ``grouped_sum`` (the shuffle carries (pair, count) rows), (b) takes
+    the global argmax on the driver with a DETERMINISTIC tie-break
+    (count desc, left asc, right asc), and (c) broadcasts the winning
+    pair and rewrites symbol sequences left-to-right non-overlapping in
+    a streaming map.  The per-word symbol scan is vocabulary-bounded
+    (distinct words), not corpus-bounded.  Rounds stop early when the
+    best pair drops below ``min_count``.
+
+    Iterative fixed-point algorithm — genuinely non-SQL-expressible, so
+    rows-only at the driver gate; bit-exact parity with an in-memory
+    reference trainer is asserted in tests.
+
+    Cost model (the grouped_sum SMALL_MERGE_ROWS choice): once the
+    symbolized vocabulary fits ``driver_vocab_rows``, every remaining
+    round runs driver-side in one vectorized pass over the vocab frame
+    instead of paying two Ray round-trips per merge (identical kernels,
+    identical output; measured 25 s -> ~2 s for 16 merges at sf0.01).
+    Past the threshold — web-scale vocabularies — rounds stay fully
+    distributed."""
+    from .groupagg import grouped_sum
+
+    def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
+        lens = words.str.len().astype(np.int64).to_numpy()
+        from ..functions.text import flatten_words
+
+        flat = flatten_words(words, lens)
+        if not len(flat):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
+
+    wc = grouped_sum(docs.map_batches(wc_partial, batch_format="pandas"),
+                     ["word"], ["n"])
+
+    def to_syms(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            # join on \x00 (cannot occur in [a-z0-9]+ words): symbol
+            # sequences stay a flat string column — Arrow-friendly blocks,
+            # no ndarray-in-object-cell hazards
+            "syms": ["\x00".join(w) for w in batch["word"]],
+            "n": batch["n"].astype(np.int64),
+        })
+
+    state = wc.map_batches(to_syms, batch_format="pandas").materialize()
+    merges: list[tuple[str, str, int]] = []
+
+    def pick_best(counts: pd.DataFrame):
+        if not len(counts):
+            return None
+        best = counts.sort_values(["cnt", "a", "b"],
+                                  ascending=[False, True, True]).iloc[0]
+        if int(best["cnt"]) < min_count:
+            return None
+        return str(best["a"]), str(best["b"]), int(best["cnt"])
+
+    if state.count() <= driver_vocab_rows:
+        df = state.to_pandas()  # vocab-sized
+        syms, ns = list(df["syms"]), df["n"].to_numpy(dtype=np.int64)
+        for _ in range(n_merges):
+            best = pick_best(_bpe_pair_frame(syms, ns))
+            if best is None:
+                break
+            merges.append(best)
+            syms = _bpe_apply(syms, best[0], best[1])
+    else:
+        for _ in range(n_merges):
+            counts = grouped_sum(
+                state.map_batches(
+                    lambda b: _bpe_pair_frame(b["syms"], b["n"]),
+                    batch_format="pandas"),
+                ["a", "b"], ["cnt"]).to_pandas()
+            best = pick_best(counts)
+            if best is None:
+                break
+            merges.append(best)
+            left, right = best[0], best[1]
+
+            def apply(batch: pd.DataFrame, left=left, right=right) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "syms": _bpe_apply(batch["syms"], left, right),
+                    "n": batch["n"].astype(np.int64)})
+
+            # materialize per round: the next pair count must read the
+            # merged state once, not re-execute the merge chain lazily
+            state = state.map_batches(apply, batch_format="pandas").materialize()
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "count": np.asarray([m[2] for m in merges], dtype=np.int64),
+    })

@@ -69,3 +69,58 @@ def test_token_frequencies_matches_flat_count(ray_session):
     ref = pd.DataFrame({"token_id": np.int64([0, 1, 2]),
                         "n": np.int64([3, 2, 2])})
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_train_bpe_matches_reference_trainer(ray_session):
+    """Distributed merge training must equal a straightforward in-memory
+    Sennrich trainer bit-for-bit (same tie-break), including overlapping
+    pairs ('aaa' counts (a,a) twice, merges once left-to-right)."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from parquet_hs_ray.pipelines.tokenize import train_bpe
+
+    texts = ["the cat sat on the mat", "the bat and the cat", "aaa abab",
+             "low lower lowest", "newer newest new", ""] * 3
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = train_bpe(ds, n_merges=12, min_count=2)
+    # the fully distributed round loop must agree with the driver fast path
+    out_dist = train_bpe(ds, n_merges=12, min_count=2, driver_vocab_rows=0)
+    pd.testing.assert_frame_equal(out, out_dist)
+
+    # in-memory reference
+    wc = Counter()
+    for t in texts:
+        wc.update(re.findall(r"[a-z0-9]+", t.lower()))
+    words = {w: (list(w), c) for w, c in wc.items()}
+    ref = []
+    for _ in range(12):
+        pc = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms[:-1], syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < 2:
+            break
+        (la, rb), cnt = best
+        ref.append((la, rb, cnt))
+        for w, (syms, c) in words.items():
+            out_s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out_s.append(la + rb)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            words[w] = (out_s, c)
+    assert list(zip(out["left"], out["right"], out["count"])) == ref
+    assert out["rank"].tolist() == list(range(len(ref)))
+    # 'aaa' sanity: (a,a) counted twice per occurrence pre-merge
+    assert ("a", "a") in {(l, r) for l, r, _ in ref} or len(ref) == 12
