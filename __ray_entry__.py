@@ -403,6 +403,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_train_bpe"] = doc_train_bpe
 
+    def doc_bpe_encode(sf):
+        from parquet_hs_ray.pipelines.tokenize import bpe_encode, train_bpe
+
+        docs = _read(sf, "documents")
+        # train -> encode closure; rows-only (iterative merge application);
+        # invertibility asserted in tests/test_tokenize.py
+        return bpe_encode(docs, train_bpe(docs, n_merges=16, min_count=2))
+
+    q["doc_bpe_encode"] = doc_bpe_encode
+
     def token_freq(sf):
         from parquet_hs_ray.pipelines.tokenize import token_frequencies, tokenize_corpus
 

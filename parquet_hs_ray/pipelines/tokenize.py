@@ -263,3 +263,77 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 40,
         "right": [m[1] for m in merges],
         "count": np.asarray([m[2] for m in merges], dtype=np.int64),
     })
+
+
+class BpeEncoderStage:
+    """Actor-pool stage applying learned BPE merges to text.
+
+    The merge table is ray.put once and materialized per actor in
+    ``__init__`` (rank-ordered list); per batch, each DISTINCT word is
+    segmented once through a per-actor memo dict (vocabulary-bounded
+    work — Zipf makes the hit rate ~1 after warmup) and token ids gather
+    through the memo.  Ids: 0..255 reserved for single characters
+    (ord), 256+rank for merged symbols; unknown symbols cannot occur
+    (every character falls back to its byte id)."""
+
+    def __init__(self, merges_ref):
+        merges: pd.DataFrame = ray.get(merges_ref)
+        self._merges = list(zip(merges["left"], merges["right"]))
+        self._sym_id = {l + r: 256 + int(k)
+                        for k, (l, r) in enumerate(self._merges)}
+        self._memo: dict = {}
+
+    def _segment(self, word: str) -> "np.ndarray":
+        got = self._memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        for left, right in self._merges:  # rank order, the BPE apply rule
+            if left in word and right in word:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+        ids = np.asarray([self._sym_id.get(s, ord(s) if len(s) == 1 else -1)
+                          for s in syms], dtype=np.int64)
+        self._memo[word] = ids
+        return ids
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        words = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
+        toks = []
+        for ws in words:
+            if ws:
+                toks.append(np.concatenate([self._segment(w) for w in ws]))
+            else:
+                toks.append(np.empty(0, dtype=np.int64))
+        offs = np.zeros(len(toks) + 1, dtype=np.int32)
+        np.cumsum([len(t) for t in toks], out=offs[1:])
+        flat = (np.concatenate(toks) if len(toks) else
+                np.empty(0, dtype=np.int64))
+        arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(flat, pa.int64()))
+        return pa.table({"doc_id": pa.array(batch["doc_id"].to_numpy()),
+                         "tokens": arr,
+                         "n_tok": pa.array((offs[1:] - offs[:-1])
+                                           .astype(np.int32))})
+
+
+def bpe_encode(docs: "ray.data.Dataset", merges: pd.DataFrame,
+               concurrency: int = 4) -> "ray.data.Dataset":
+    """Tokenize the corpus with learned BPE ``merges`` (from
+    :func:`train_bpe`): documents -> (doc_id, tokens list<int64>, n_tok)
+    — the train->encode closure of the tokenizer family.  Rows-only at
+    the gate (the merge application is the same iterative rule as
+    training); segmentation correctness and id invertibility are
+    asserted in tests."""
+    ref = ray.put(merges)
+    return docs.map_batches(BpeEncoderStage, fn_constructor_kwargs={"merges_ref": ref},
+                            batch_size=512, concurrency=concurrency,
+                            num_cpus=1, batch_format="pandas")

@@ -124,3 +124,34 @@ def test_train_bpe_matches_reference_trainer(ray_session):
     assert out["rank"].tolist() == list(range(len(ref)))
     # 'aaa' sanity: (a,a) counted twice per occurrence pre-merge
     assert ("a", "a") in {(l, r) for l, r, _ in ref} or len(ref) == 12
+
+
+def test_bpe_encode_segments_and_inverts(ray_session):
+    """bpe_encode: token ids decode back to the exact source words (byte
+    ids for chars, 256+rank for merges), and a word from the training
+    corpus segments exactly as the trainer's final state would."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.tokenize import bpe_encode, train_bpe
+
+    texts = ["lower lowest low", "newer newest new", "wider widest"] * 5
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df)
+    merges = train_bpe(ds, n_merges=10, min_count=2)
+    enc = (bpe_encode(ds, merges, concurrency=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    id2sym = {256 + int(r["rank"]): r["left"] + r["right"]
+              for _, r in merges.iterrows()}
+
+    def decode(ids):
+        return "".join(id2sym.get(int(i), chr(int(i))) for i in ids)
+
+    import re
+    for row, text in zip(enc.itertuples(index=False), df["text"]):
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        assert decode(row.tokens) == "".join(words)
+        assert row.n_tok == len(row.tokens)
+    # at least one multi-char merge actually used
+    assert any(int(i) >= 256 for row in enc.itertuples(index=False)
+               for i in row.tokens)
