@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           left_cols=("event_id",), right_cols=("event_id",))
 
     q["events_range_join"] = events_range_join
+    q["events_transitions"] = lambda sf: win.event_transitions(_read(sf, "events"))
     q["events_retention"] = lambda sf: win.retention_cohorts(_read(sf, "events"))
     q["events_monthly"] = lambda sf: win.calendar_rollup(
         _read(sf, "events"), unit="month")
@@ -990,6 +991,14 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_transitions: consecutive-pair mining == lead() window
+    o["events_transitions"] = (
+        "WITH o AS (SELECT user_id, event_type,"
+        " lead(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS nxt FROM events)"
+        " SELECT event_type AS prev_type, nxt AS next_type,"
+        " count(*)::BIGINT AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2"
+    )
     # events_retention: DISTINCT user-weeks -> min-week cohort -> join ->
     # count (epoch weeks: epoch_us // 604800000000)
     o["events_retention"] = (

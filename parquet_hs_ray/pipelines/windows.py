@@ -509,3 +509,82 @@ def calendar_rollup(events: "ray.data.Dataset", unit: str = "month",
 
     return grouped_sum(events.map_batches(partial, batch_format="pandas"),
                        ["bucket", key], ["n", "value_cents"])
+
+
+def event_transitions(events: "ray.data.Dataset", key: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      type_col: str = "event_type") -> "ray.data.Dataset":
+    """Markov transition mining: counts of CONSECUTIVE event-type pairs
+    per ``key`` in (``ts``, ``id_col``) order — the behavioral-path
+    profile (what users do next).  SQL twin: ``lead() OVER (PARTITION BY
+    key ORDER BY ts, id)`` + GROUP BY.
+
+    Scale shape (the event_gaps carry pattern): ONE sort on (key, ts,
+    id); zero-CPU per-block summaries carry each block's LAST (key,
+    type) left-to-right on the driver (#blocks tuples, never rows); per
+    block a vectorized shift pairs in-block neighbors, with only row 0
+    able to pair against the carried tuple; per-block pair counts merge
+    through grouped_sum (type-vocabulary-bounded partials)."""
+    import pyarrow as pa
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({key: t[key], id_col: t[id_col], "_us": us,
+                         type_col: t[type_col]})
+
+    srt = (events.map_batches(prep, batch_format="pyarrow")
+           .sort([key, "_us", id_col]).materialize())
+    refs = srt.to_arrow_refs()
+    empty = pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                          "next_type": pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype=np.int64)})
+    if not refs:
+        return ray.data.from_pandas(empty)
+
+    @ray.remote(num_cpus=0)
+    def summary(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        k = t[key].to_numpy(zero_copy_only=False)
+        tp = t[type_col].to_numpy(zero_copy_only=False)
+        return (k[-1], tp[-1])
+
+    sums = ray.get([summary.remote(r) for r in refs])
+    carries: list = [None] * len(refs)
+    run = None
+    for i, s in enumerate(sums):
+        carries[i] = run
+        if s is not None:
+            run = s
+
+    @ray.remote(num_cpus=1)
+    def block_pairs(t, carry) -> pd.DataFrame:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        if not len(df):
+            return empty
+        k = df[key].to_numpy()
+        tp = df[type_col].to_numpy()
+        prev_t = np.concatenate([[None], tp[:-1]])
+        same = np.concatenate([[False], k[1:] == k[:-1]])
+        if carry is not None and k[0] == carry[0]:
+            prev_t[0] = carry[1]
+            same[0] = True
+        g = (pd.DataFrame({"prev_type": prev_t[same], "next_type": tp[same],
+                           "n": np.int64(1)})
+             .groupby(["prev_type", "next_type"], sort=False, as_index=False)
+             .sum())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    partials = ray.data.from_pandas_refs(
+        [block_pairs.remote(r, carries[i]) for i, r in enumerate(refs)])
+    return grouped_sum(partials, ["prev_type", "next_type"], ["n"])

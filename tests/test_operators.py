@@ -1686,3 +1686,34 @@ def test_calendar_rollup_units_match_pandas(ray_session):
             out.astype({"n": np.int64, "value_cents": np.int64}), ref, check_dtype=False)
         if unit == "week":
             assert (out["bucket"].dt.dayofweek == 0).all()  # Monday start
+
+
+def test_event_transitions_cross_block_junction(ray_session):
+    """Transition counts must pair a user's last event of one block with
+    their first event of the next (junction carry), never pair across
+    users, and match a pandas lead() recompute on adversarial blocking."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import event_transitions
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 9, n),
+        "ts": pd.Timestamp("2026-02-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    ds = ray.data.from_pandas([df.iloc[i::11].reset_index(drop=True)
+                               for i in range(11)])
+    out = (event_transitions(ds).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    nxt = s.groupby("user_id")["event_type"].shift(-1)
+    ref = (pd.DataFrame({"prev_type": s["event_type"], "next_type": nxt})
+           .dropna().groupby(["prev_type", "next_type"]).size()
+           .reset_index(name="n").astype({"n": np.int64})
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype({"n": np.int64}), ref)
+    assert out["n"].sum() == len(df) - df["user_id"].nunique()
