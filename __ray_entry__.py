@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
     q["doc_mix"] = lambda sf: ta.deterministic_mix(
         _read(sf, "documents"), {"src1": 50, "src2": 25, "src3": 0})
+    q["doc_sample_n"] = lambda sf: ta.sample_exact_n(
+        _read(sf, "documents"), n=100, seed=42,
+        columns=["doc_id", "source", "n_chars"])
     q["doc_splits"] = lambda sf: ta.assign_splits(
         _read(sf, "documents"), {"train": 80, "val": 10, "test": 10})
     q["doc_sample_weighted"] = lambda sf: ta.sample_weighted(
@@ -593,6 +596,11 @@ def oracle_sql() -> dict[str, str]:
         " (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) <"
         " (CASE source WHEN 'src1' THEN 50 WHEN 'src2' THEN 25"
         "  WHEN 'src3' THEN 0 ELSE 100 END)"
+    )
+    # doc_sample_n: fixed-size deterministic sample — ORDER BY md5 LIMIT n
+    o["doc_sample_n"] = (
+        "SELECT doc_id, source, n_chars FROM documents"
+        " ORDER BY md5('42:' || doc_id::VARCHAR), doc_id LIMIT 100"
     )
     # doc_splits: the deterministic_mix hash rule partitioning the id
     # space into cumulative-percent buckets

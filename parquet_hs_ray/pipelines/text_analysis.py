@@ -539,6 +539,43 @@ def unigram_surprisal(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(score, batch_format="pandas")
 
 
+def sample_exact_n(docs: "ray.data.Dataset", n: int, id_col: str = "doc_id",
+                   seed: int = 42,
+                   columns: "list[str] | None" = None) -> pd.DataFrame:
+    """EXACTLY ``n`` rows, uniformly at random but fully deterministic:
+    the n rows with the smallest ``md5(seed || ':' || id)`` — a fixed-size
+    sample (unlike the Bernoulli samplers whose output size varies) that
+    is reproducible on any cluster size or block layout, with an exact
+    SQL twin (ORDER BY md5 LIMIT n).
+
+    Scale shape: each block reduces to its LOCAL n smallest hashes (the
+    global n smallest of a union live in the union of per-block n
+    smallest — the same selection property the inverted index uses); the
+    driver merges n·n_blocks candidate rows, megabytes at k<=10^4."""
+    import hashlib
+
+    cols = list(columns) if columns is not None else None
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch if cols is None else batch[cols + ([id_col] if id_col
+                                                     not in cols else [])]
+        h = np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                        for v in batch[id_col]], dtype=object)
+        b = b.assign(_h=h)
+        if len(b) <= n:
+            return b
+        idx = np.lexsort((b[id_col].to_numpy(), b["_h"].to_numpy()))[:n]
+        return b.iloc[np.sort(idx)]
+
+    parts = [b for b in docs.map_batches(local, batch_format="pandas")
+             .iter_batches(batch_format="pandas")]
+    merged = (pd.concat(parts, ignore_index=True) if parts
+              else pd.DataFrame(columns=(cols or []) + ["_h"]))
+    out = (merged.sort_values(["_h", id_col], kind="mergesort").head(n)
+           .drop(columns="_h").reset_index(drop=True))
+    return out
+
+
 def assign_splits(docs: "ray.data.Dataset", pcts: "dict[str, int]",
                   id_col: str = "doc_id") -> "ray.data.Dataset":
     """Deterministic train/val/test split assignment: each row gets the

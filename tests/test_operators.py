@@ -1717,3 +1717,29 @@ def test_event_transitions_cross_block_junction(ray_session):
            .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out.astype({"n": np.int64}), ref)
     assert out["n"].sum() == len(df) - df["user_id"].nunique()
+
+
+def test_sample_exact_n_layout_independent(docs):
+    """Exactly n rows, identical across block layouts, matching a full
+    driver-side hash sort; n >= corpus returns everything."""
+    import hashlib
+
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import sample_exact_n
+
+    a = sample_exact_n(docs, n=50, seed=7, columns=["doc_id", "source"])
+    ds2 = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                override_num_blocks=13)
+    b = sample_exact_n(ds2, n=50, seed=7, columns=["doc_id", "source"])
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50
+
+    raw = docs.to_pandas()
+    h = raw["doc_id"].map(lambda v: hashlib.md5(f"7:{v}".encode()).hexdigest())
+    ref_ids = (raw.assign(_h=h).sort_values(["_h", "doc_id"])
+               .head(50)["doc_id"].tolist())
+    assert a["doc_id"].tolist() == ref_ids
+
+    big = sample_exact_n(docs, n=10**6, seed=7, columns=["doc_id"])
+    assert len(big) == len(raw)
