@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # against a pure-SQL evaluation (VERDICT r2 #6)
     q["emb_dequantize"] = lambda sf: ann.dequantize_embeddings(
         ann.quantize_embeddings(_read(sf, "embeddings")))
+    q["emb_centroids"] = lambda sf: ann.label_centroids(_read(sf, "embeddings"))
     q["ann_topk"] = lambda sf: ann.ann_topk_bruteforce(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_topk_quantized"] = lambda sf: ann.ann_topk_quantized(
         _read(sf, "embeddings"), query_ids=list(range(5)), k=10)
@@ -743,6 +744,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
+    )
+    # emb_centroids: micro-unit integer sums -> (s/1e6)/n double mean,
+    # identical op order; parallel unnest carries the dimension index
+    o["emb_centroids"] = (
+        "WITH x AS (SELECT label, unnest(embedding)::DOUBLE AS v,"
+        " unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings),"
+        " s AS (SELECT label, dim,"
+        " sum(CAST(round_even(v * 1000000, 0) AS BIGINT))::BIGINT AS sq,"
+        " count(*)::BIGINT AS n FROM x GROUP BY label, dim)"
+        " SELECT label, min(n)::BIGINT AS n,"
+        " list((sq::DOUBLE / 1000000.0) / n::DOUBLE ORDER BY dim)"
+        " AS centroid FROM s GROUP BY label"
     )
     o["ann_topk"] = (
         "WITH sims AS ("

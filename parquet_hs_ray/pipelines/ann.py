@@ -540,3 +540,49 @@ def _pca_partial(batch: pd.DataFrame, col: str) -> pd.DataFrame:
         "scatter": [(X.T @ X).ravel()],
         "colsum": [X.sum(axis=0)],
     })
+
+
+def label_centroids(emb: "ray.data.Dataset",
+                    label_col: str = "label") -> pd.DataFrame:
+    """Per-label embedding centroid (class prototypes — the
+    nearest-class-mean classifier / cluster-seed primitive): (label, n,
+    centroid list<double>).
+
+    Exactness: per-dimension sums run over INTEGER-quantized components
+    (``round_even(x * 1e6)`` int64 — micro-units make the shuffle
+    merge-order-independent, the pivot_sum cents convention); the mean
+    is ``(sum / 1e6) / n`` in float64 with identical op order in the SQL
+    twin, so the hash matches bit-exact.  float32 -> float64 widening is
+    exact on both sides.
+
+    Scale shape: one partial row per (label, block) carrying d int64
+    sums + a count — label-cardinality-bounded, never vectors; merged by
+    grouped_sum.  Output is label-count-sized."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        q = np.round(M * 1e6).astype(np.int64)
+        lab = batch[label_col].to_numpy()
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        out = {label_col: uniq,
+               "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64)}
+        for j in range(q.shape[1]):
+            out[f"s{j}"] = sums[:, j]
+        return pd.DataFrame(out)
+
+    from .groupagg import grouped_sum
+
+    parts = emb.map_batches(partial, batch_format="pandas")
+    scols = [c for c in parts.schema().names if c.startswith("s")]
+    agg = (grouped_sum(parts, [label_col], ["n"] + scols)
+           .to_pandas().sort_values(label_col).reset_index(drop=True))
+    n = agg["n"].to_numpy(dtype=np.float64)
+    cent = [list((agg[c].to_numpy(dtype=np.float64) / 1e6) / n)
+            for c in scols]  # per-dim columns -> per-row lists below
+    centroids = [ [cent[j][i] for j in range(len(scols))]
+                  for i in range(len(agg)) ]
+    return pd.DataFrame({label_col: agg[label_col],
+                         "n": agg["n"].astype(np.int64),
+                         "centroid": centroids})

@@ -1743,3 +1743,30 @@ def test_sample_exact_n_layout_independent(docs):
 
     big = sample_exact_n(docs, n=10**6, seed=7, columns=["doc_id"])
     assert len(big) == len(raw)
+
+
+def test_label_centroids_matches_numpy(emb):
+    """Centroids equal a numpy recompute through the same micro-unit
+    quantization, regardless of blocking."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.ann import label_centroids
+
+    out = label_centroids(emb).set_index("label")
+    raw = emb.to_pandas()
+    M = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    q = np.round(M * 1e6).astype(np.int64)
+    for lab, g in raw.groupby("label"):
+        idx = g.index.to_numpy()
+        ref = (q[idx].sum(axis=0).astype(np.float64) / 1e6) / float(len(idx))
+        got = np.asarray(out.loc[lab, "centroid"], dtype=np.float64)
+        assert np.array_equal(got, ref), lab
+        assert out.loc[lab, "n"] == len(idx)
+    # layout independence
+    df = raw.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    ds2 = ray.data.from_pandas([df.iloc[i::7].reset_index(drop=True)
+                                for i in range(7)])
+    out2 = label_centroids(ds2).set_index("label")
+    for lab in out.index:
+        assert np.array_equal(np.asarray(out.loc[lab, "centroid"]),
+                              np.asarray(out2.loc[lab, "centroid"]))
