@@ -408,6 +408,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_train_bpe"] = doc_train_bpe
 
+    def doc_vocab_coverage(sf):
+        from parquet_hs_ray.pipelines.tokenize import vocab_coverage
+
+        return vocab_coverage(_read(sf, "documents"), sizes=[8, 32, 128])
+
+    q["doc_vocab_coverage"] = doc_vocab_coverage
+
     def doc_bpe_encode(sf):
         from parquet_hs_ray.pipelines.tokenize import bpe_encode, train_bpe
 
@@ -634,6 +641,26 @@ def oracle_sql() -> dict[str, str]:
     from parquet_hs_ray.functions.sql_oracles import bm25_sql
 
     o["doc_bm25"] = bm25_sql("documents", ["column", "merge", "zebra"])
+    # doc_vocab_coverage: cumulative-coverage sweep == running-sum window
+    # over the (count desc, word) vocabulary order
+    o["doc_vocab_coverage"] = (
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS word FROM documents),"
+        " c AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),"
+        " r AS (SELECT sum(n) OVER (ORDER BY n DESC, word"
+        "   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,"
+        "   row_number() OVER (ORDER BY n DESC, word) AS rk FROM c),"
+        " t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS v FROM c),"
+        " sz(size) AS (VALUES (8), (32), (128))"
+        " SELECT sz.size::BIGINT AS size,"
+        " (SELECT cum FROM r WHERE rk = least(sz.size, t.v))::BIGINT"
+        "   AS n_covered, t.total AS n_total,"
+        " ((SELECT cum FROM r WHERE rk = least(sz.size, t.v))::DOUBLE"
+        "   / t.total) AS coverage,"
+        " ((t.total - (SELECT cum FROM r WHERE rk = least(sz.size, t.v)))"
+        "   ::DOUBLE / t.total) AS oov_rate"
+        " FROM sz CROSS JOIN t"
+    )
     # doc_inverted_index: capped-posting inverted index; DISTINCT pairs ->
     # ordered list() capped with list_slice; n_docs stays the exact df
     o["doc_inverted_index"] = (

@@ -112,6 +112,50 @@ def token_frequencies(tok: "ray.data.Dataset") -> "ray.data.Dataset":
                        ["token_id"], ["n"])
 
 
+def vocab_coverage(docs: "ray.data.Dataset",
+                   sizes: "list[int]" = (64, 256, 1024)) -> pd.DataFrame:
+    """Token-coverage sweep for vocabulary sizing: for each candidate
+    vocab size, the fraction of corpus word OCCURRENCES covered by the
+    top-``size`` words (top_terms rank rule: count desc, word asc) and
+    the OOV rate — the curve that picks a tokenizer's vocab size.
+    Returns (size, n_covered, n_total, coverage, oov_rate); divisions are
+    single float64 ops mirrored in the SQL twin (cumulative-sum window).
+
+    Scale shape: ONE word-count aggregate (the shuffle carries (word,
+    count) partials, vocabulary-bounded); the sweep itself is a sort +
+    cumsum over the vocabulary-sized frame on the driver."""
+    from .groupagg import grouped_sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
+        lens = words.str.len().astype(np.int64).to_numpy()
+        from ..functions.text import flatten_words
+
+        flat = flatten_words(words, lens)
+        if not len(flat):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
+
+    wc = (grouped_sum(docs.map_batches(partial, batch_format="pandas"),
+                      ["word"], ["n"]).to_pandas())
+    if not len(wc):
+        return pd.DataFrame({"size": pd.Series(sizes, dtype=np.int64),
+                             "n_covered": np.int64(0), "n_total": np.int64(0),
+                             "coverage": 0.0, "oov_rate": 0.0})
+    wc = wc.sort_values(["n", "word"], ascending=[False, True])
+    cum = wc["n"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1])
+    rows = []
+    for s in sizes:
+        cov = int(cum[min(int(s), len(cum)) - 1]) if s > 0 else 0
+        rows.append((int(s), cov, total, cov / total, (total - cov) / total))
+    return pd.DataFrame(rows, columns=["size", "n_covered", "n_total",
+                                       "coverage", "oov_rate"]).astype(
+        {"size": np.int64, "n_covered": np.int64, "n_total": np.int64})
+
+
 def _bpe_pair_frame(syms_seq, n_seq) -> pd.DataFrame:
     """Weighted adjacent-pair counts over \\x00-joined symbol strings —
     one partial frame (a, b, cnt).  Shared by the distributed per-batch

@@ -155,3 +155,25 @@ def test_bpe_encode_segments_and_inverts(ray_session):
     # at least one multi-char merge actually used
     assert any(int(i) >= 256 for row in enc.itertuples(index=False)
                for i in row.tokens)
+
+
+def test_vocab_coverage_monotone_and_exact(ray_session):
+    """Coverage sweep: monotone non-decreasing in size, exact at
+    size >= vocab (coverage 1.0), matches a brute-force recompute."""
+    from collections import Counter
+    import re
+
+    from parquet_hs_ray.pipelines.tokenize import vocab_coverage
+
+    docs = _docs(["a a a b b c", "b c d", "", "a e"])
+    out = vocab_coverage(docs, sizes=[1, 2, 100])
+    wc = Counter(w for t in ["a a a b b c", "b c d", "", "a e"]
+                 for w in re.findall(r"[a-z0-9]+", t))
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(wc.values())
+    for _, row in out.iterrows():
+        cov = sum(n for _, n in ranked[:int(row["size"])])
+        assert row["n_covered"] == cov and row["n_total"] == total
+        assert row["coverage"] == cov / total
+    assert out["coverage"].is_monotonic_increasing
+    assert out["coverage"].iloc[-1] == 1.0
