@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     as_int=True,
                                     id_cols=["event_type", "value"]),
         "event_type", "value", "k", x_scale=100, y_scale=1)
+    q["events_target_enc"] = lambda sf: pstats.target_encode(
+        _read(sf, "events"), "event_type", "value",
+        id_cols=["event_id", "event_type"])
     q["events_pct_rank"] = lambda sf: pstats.percent_rank(
         _read(sf, "events"), "value", id_cols=["event_id"])
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
@@ -1099,6 +1102,19 @@ GROUP BY token_id ORDER BY token_id
         " FROM s"
         " WHERE (n::DOUBLE * sxx::DOUBLE) - (sx::DOUBLE * sx::DOUBLE) > 0"
         " AND (n::DOUBLE * syy::DOUBLE) - (sy::DOUBLE * sy::DOUBLE) > 0"
+    )
+    # events_target_enc: leave-one-out target encoding over integer cents
+    o["events_target_enc"] = (
+        "WITH s AS (SELECT event_type,"
+        " sum(CAST(round_even(value * 100, 0) AS BIGINT))::BIGINT AS sc,"
+        " count(*)::BIGINT AS n FROM events WHERE value IS NOT NULL"
+        " GROUP BY event_type)"
+        " SELECT e.event_id, e.event_type,"
+        " (s.sc::DOUBLE / s.n) AS mean_cents,"
+        " ((s.sc - CAST(round_even(e.value * 100, 0) AS BIGINT))::DOUBLE"
+        "  / (s.n - 1)) AS loo_mean_cents"
+        " FROM events e JOIN s USING (event_type)"
+        " WHERE e.value IS NOT NULL AND s.n > 1"
     )
     # events_pct_rank: histogram-derived min-rank == window percent_rank
     # (ties share min rank; the (r-1)/(n-1) division is one IEEE op)

@@ -59,6 +59,56 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def target_encode(ds: "ray.data.Dataset", key: str, val_col: str,
+                  id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
+    """Leave-one-out target encoding (the ML categorical-feature prep):
+    each row gets its group's mean target EXCLUDING itself —
+    ``(Σ - own) / (n - 1)`` — plus the plain group mean, both over
+    integer cents (``round_even(v*100)``, merge-order-independent sums)
+    with single float64 divisions mirroring the twin's op order.  Rows
+    whose group has n == 1 are dropped (LOO undefined; both sides agree),
+    as are NULL targets.
+
+    Scale shape: one (key -> Σcents, n) partial-agg (group-count-sized),
+    broadcast via ray.put; the encode pass is a pure streaming map."""
+    id_cols = list(id_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=[val_col])
+        cents = np.round(b[val_col].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        g = pd.DataFrame({key: b[key].to_numpy(), "sc": cents,
+                          "n": np.int64(1)})
+        return g.groupby(key, sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    sums = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key], ["sc", "n"]).to_pandas()
+    smap = dict(zip(sums[key], zip(sums["sc"].astype(np.int64),
+                                   sums["n"].astype(np.int64))))
+    import ray as _ray
+
+    ref = _ray.put(smap)
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        sm = _ray.get(ref)
+        b = batch.dropna(subset=[val_col])
+        cents = np.round(b[val_col].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        sc = b[key].map(lambda k: sm[k][0]).to_numpy(dtype=np.int64)
+        n = b[key].map(lambda k: sm[k][1]).to_numpy(dtype=np.int64)
+        keep = n > 1
+        out = pd.DataFrame({c: b[c].to_numpy()[keep]
+                            for c in (id_cols or b.columns)})
+        out["mean_cents"] = sc[keep].astype(np.float64) / n[keep]
+        out["loo_mean_cents"] = ((sc[keep] - cents[keep]).astype(np.float64)
+                                 / (n[keep] - 1))
+        return out
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
 def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str, y_col: str,
                  x_scale: int = 100, y_scale: int = 1) -> "ray.data.Dataset":
     """Per-group Pearson correlation via the six decomposable sums

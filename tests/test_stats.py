@@ -276,3 +276,28 @@ def test_grouped_corr_matches_numpy(skewed):
         ref = np.corrcoef(x, y)[0, 1]
         assert abs(out.loc[g, "corr"] - ref) < 1e-12, g
         assert out.loc[g, "n"] == len(grp)
+
+
+def test_target_encode_loo_semantics(ray_session):
+    """LOO mean excludes the row itself; singleton groups drop; plain
+    mean matches brute force in cents."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import target_encode
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "k": ["a", "a", "a", "b", "b", "solo"],
+        "v": [1.0, 2.0, 3.0, 10.0, 20.0, 99.0],
+    })
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:]])
+    out = (target_encode(ds, "k", "v", id_cols=["id", "k"]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert "solo" not in set(out["k"])  # n == 1 dropped
+    a = out[out["k"] == "a"].set_index("id")
+    assert a.loc[0, "loo_mean_cents"] == (200 + 300) / 2
+    assert a.loc[1, "loo_mean_cents"] == (100 + 300) / 2
+    assert (a["mean_cents"] == 200.0).all()
+    b = out[out["k"] == "b"].set_index("id")
+    assert b.loc[3, "loo_mean_cents"] == 2000.0
+    assert b.loc[4, "loo_mean_cents"] == 1000.0
