@@ -234,6 +234,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["emb_neardup_srp"] = emb_neardup_srp
 
+    def emb_clusters_srp(sf):
+        # same planted-duplicate corpus as emb_neardup_srp: the output
+        # clusters pair every planted jitter with its source vector
+        # (rows-only; component correctness asserted in tests)
+        import pyarrow as pa
+        import numpy as np
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            keep = ids < 20
+            if not keep.any():
+                return t
+            flat = t["embedding"].combine_chunks().values.to_numpy(
+                zero_copy_only=False)
+            M = flat.reshape(len(ids), -1).astype(np.float64)
+            J = (M[keep] + 0.05 * np.roll(M[keep], 1, axis=1)).astype(np.float32)
+            extra = pa.table({
+                "vec_id": pa.array((ids[keep] + 1_000_000).astype(np.int64)),
+                "embedding": pa.array(list(J), pa.list_(pa.float32())),
+                "label": t["label"].filter(pa.array(keep)),
+            }).cast(t.schema)
+            return pa.concat_tables([t, extra])
+
+        aug = _read(sf, "embeddings").map_batches(plant, batch_format="pyarrow")
+        return dedup.embedding_clusters_srp(aug, tau=0.9)
+
+    q["emb_clusters_srp"] = emb_clusters_srp
+
     def emb_quantize(sf):
         return ann.quantize_embeddings(_read(sf, "embeddings")).drop_columns(["codes"])
 

@@ -572,7 +572,8 @@ def dedup_containment(docs: "ray.data.Dataset", threshold: float = 0.8,
 
 
 def dedup_clusters(docs: "ray.data.Dataset", threshold: float = 0.8,
-                   ngram: int = 3, pairs: pd.DataFrame | None = None) -> "ray.data.Dataset":
+                   ngram: int = 3, pairs: pd.DataFrame | None = None,
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
     """Near-duplicate CLUSTERS: connected components over the minhash
     near-dup pair graph; every doc maps to cluster_id = min(doc_id) of
     its component (isolated docs are singleton clusters of themselves).
@@ -610,11 +611,24 @@ def dedup_clusters(docs: "ray.data.Dataset", threshold: float = 0.8,
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(map_ref)
-        ids = batch["doc_id"]
-        return pd.DataFrame({"doc_id": ids,
+        ids = batch[id_col]
+        return pd.DataFrame({id_col: ids,
                              "cluster_id": ids.map(m).fillna(ids).astype(ids.dtype)})
 
     return docs.map_batches(assign, batch_format="pandas")
+
+
+def embedding_clusters_srp(emb: "ray.data.Dataset", tau: float = 0.9,
+                           n_planes: int = 128, seed: int = 7) -> "ray.data.Dataset":
+    """Near-duplicate CLUSTERS over the embedding column: connected
+    components of the SRP-LSH pair graph (:func:`embedding_neardup_srp`
+    candidates verified by exact cosine), every vector assigned
+    cluster_id = min(vec_id) of its component — the embedding twin of
+    :func:`dedup_clusters`, sharing its driver union-find + broadcast
+    assign (pair graphs are tiny relative to the corpus; the same
+    min-label-join swap note applies if one ever isn't)."""
+    pairs = embedding_neardup_srp(emb, tau=tau, n_planes=n_planes, seed=seed)
+    return dedup_clusters(emb, pairs=pairs, id_col="vec_id")
 
 
 def embedding_neardup_pairs(emb: "ray.data.Dataset", tau: float = 0.5,

@@ -1770,3 +1770,29 @@ def test_label_centroids_matches_numpy(emb):
     for lab in out.index:
         assert np.array_equal(np.asarray(out.loc[lab, "centroid"]),
                               np.asarray(out2.loc[lab, "centroid"]))
+
+
+def test_embedding_clusters_srp_planted(emb):
+    """Planted jittered duplicates land in their source's cluster
+    (cluster_id = min vec_id of the component); untouched vectors stay
+    singletons of themselves."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import embedding_clusters_srp
+
+    raw = emb.to_pandas()
+    planted = raw.head(10).copy()
+    J = np.stack(planted["embedding"].to_numpy()).astype(np.float64)
+    planted["vec_id"] = planted["vec_id"] + 1_000_000
+    planted["embedding"] = list((J + 0.05 * np.roll(J, 1, axis=1))
+                                .astype(np.float32))
+    aug = pd.concat([raw, planted]).reset_index(drop=True)
+    ds = ray.data.from_pandas([aug.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = (embedding_clusters_srp(ds, tau=0.9).to_pandas()
+           .set_index("vec_id"))
+    for i in range(10):
+        assert out.loc[i + 1_000_000, "cluster_id"] == out.loc[i, "cluster_id"]
+    # most originals are their own cluster roots
+    roots = (out.index == out["cluster_id"]).sum()
+    assert roots >= len(raw) - 10
