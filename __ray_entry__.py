@@ -535,6 +535,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from parquet_hs_ray.pipelines import relational as rel
 
+    def lineitem_bloom_semi(sf):
+        import pyarrow.compute as pc
+
+        sel = _read(sf, "part").map_batches(
+            lambda t: t.filter(pc.equal(t["p_size"], 1)),
+            batch_format="pyarrow")
+        return rel.bloom_semi_join(_read(sf, "lineitem"), sel,
+                                   "l_partkey", "p_partkey")
+
+    q["lineitem_bloom_semi"] = lineitem_bloom_semi
     q["lineitem_part_join"] = lambda sf: rel.broadcast_join(
         _read(sf, "lineitem"), _read(sf, "part"),
         "l_partkey", "p_partkey", how="inner",
@@ -1189,6 +1199,13 @@ GROUP BY token_id ORDER BY token_id
         f" min({c})::DOUBLE AS vmin, max({c})::DOUBLE AS vmax,"
         f" count(DISTINCT {c})::BIGINT AS ndv FROM lineitem"
         for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    # lineitem_bloom_semi: Bloom runtime filter + exact verify == a plain
+    # semi join (false positives verified away, false negatives impossible)
+    o["lineitem_bloom_semi"] = (
+        "SELECT l.* FROM lineitem l WHERE EXISTS"
+        " (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey"
+        "  AND p.p_size = 1)"
     )
     o["lineitem_part_join"] = (
         "SELECT l.*, p.p_brand, p.p_retailprice"

@@ -233,3 +233,55 @@ def sample_n_per_group(ds: "ray.data.Dataset", group: str, n: int,
         return g.iloc[order[:n]]
 
     return pruned.groupby(group).map_groups(select, batch_format="pandas")
+
+
+def bloom_semi_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
+                    left_key: str, right_key: str,
+                    m_bits: int = 1 << 20, k_hashes: int = 4,
+                    prefilter_only: bool = False) -> "ray.data.Dataset":
+    """EXACT semi-join with a Bloom runtime-filter pushdown — the classic
+    engine optimization for fact-x-dimension joins at scale: a FIXED-SIZE
+    bitset over the small side's keys (m_bits/8 bytes, independent of key
+    count) broadcasts once and prunes the large side with a vectorized
+    bit test BEFORE anything heavier touches it; survivors (true matches
+    + Bloom false positives) then pass the exact verify, so the result
+    equals a plain semi join bit-for-bit (false negatives are impossible
+    by Bloom construction).  At sandbox scale the verify is the
+    broadcast semi join; at web scale swap it for ``hash_join`` — the
+    Bloom stage's value is exactly that only survivors pay that shuffle.
+    Integer keys only (hashed via splitmix64).
+
+    ``prefilter_only=True`` returns the Bloom-pass superset (for tests /
+    pushdown composition)."""
+    from ..functions import sketches as sk
+    from .cleaning import _bloom_positions, bloom_build
+
+    def rk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = sk._splitmix64(batch[right_key].to_numpy(dtype=np.uint64))
+        return pd.DataFrame({"bits": [bloom_build(np.unique(h),
+                                                  m_bits, k_hashes)]})
+
+    bits = None
+    for b in (small.map_batches(rk_partial, batch_format="pandas")
+              .iter_batches(batch_format="pandas")):
+        for arr in b["bits"]:  # EVERY per-block partial bitset ORs in
+            a = np.asarray(arr, dtype=np.uint8)
+            bits = a.copy() if bits is None else np.bitwise_or(bits, a)
+    if bits is None:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    bits_ref = ray.put(bits)
+
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+        bt = ray.get(bits_ref)
+        h = sk._splitmix64(batch[left_key].to_numpy(dtype=np.uint64))
+        pos = _bloom_positions(h, m_bits, k_hashes)
+        hit = np.ones(len(batch), dtype=bool)
+        for j in range(k_hashes):  # k is a small constant, not a row loop
+            p = pos[:, j]
+            hit &= (bt[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        return batch[hit]
+
+    pre = large.map_batches(prefilter, batch_format="pandas")
+    if prefilter_only:
+        return pre
+    return broadcast_join(pre, small, left_key, right_key, how="semi")

@@ -294,3 +294,32 @@ def test_top_revenue_orders_recipe(ray_session):
            .head(5)[["o_orderkey", "revenue_cents", "o_orderdate",
                      "o_orderpriority"]].reset_index(drop=True))
     pd.testing.assert_frame_equal(out.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_bloom_semi_join_exact_and_pruning(ray_session):
+    """Bloom-prefiltered semi join: result equals the exact semi join
+    even with a tiny (high-FP) bitset; the prefilter pass is a superset
+    that actually prunes non-matching keys with a realistic m."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import bloom_semi_join
+
+    rng = np.random.default_rng(13)
+    big = pd.DataFrame({"k": rng.integers(0, 10_000, 20_000),
+                        "v": np.arange(20_000, dtype=np.int64)})
+    dim = pd.DataFrame({"k": np.arange(0, 10_000, 97, dtype=np.int64)})
+    ds_big = ray.data.from_pandas([big.iloc[i::8].reset_index(drop=True)
+                                   for i in range(8)])
+    ds_dim = ray.data.from_pandas(dim)
+    ref = (big[big["k"].isin(set(dim["k"]))]
+           .sort_values(["k", "v"]).reset_index(drop=True))
+
+    for m_bits in (256, 1 << 20):  # tiny bitset = many FPs; verify kills them
+        out = (bloom_semi_join(ds_big, ds_dim, "k", "k", m_bits=m_bits)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref)
+
+    pre = (bloom_semi_join(ds_big, ds_dim, "k", "k", m_bits=1 << 20,
+                           prefilter_only=True).to_pandas())
+    assert len(ref) <= len(pre) < len(big)  # superset that really prunes
+    assert set(ref["v"]) <= set(pre["v"])
