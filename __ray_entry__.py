@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           left_cols=("event_id",), right_cols=("event_id",))
 
     q["events_range_join"] = events_range_join
+    q["events_rolling"] = lambda sf: win.rolling_mean(_read(sf, "events"), k=3)
     q["events_transitions"] = lambda sf: win.event_transitions(_read(sf, "events"))
     q["events_retention"] = lambda sf: win.retention_cohorts(_read(sf, "events"))
     q["events_monthly"] = lambda sf: win.calendar_rollup(
@@ -501,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     as_int=True,
                                     id_cols=["event_type", "value"]),
         "event_type", "value", "k", x_scale=100, y_scale=1)
+    q["events_stddev"] = lambda sf: pstats.grouped_stddev(
+        _read(sf, "events"), "event_type", "value")
     q["events_target_enc"] = lambda sf: pstats.target_encode(
         _read(sf, "events"), "event_type", "value",
         id_cols=["event_id", "event_type"])
@@ -1080,6 +1083,14 @@ SELECT coalesce(v.tid, 64)::BIGINT AS token_id, count(*)::BIGINT AS n
 FROM words w LEFT JOIN v USING (word)
 GROUP BY token_id ORDER BY token_id
 """
+    # events_rolling: last-k ROWS window mean over integer cents
+    o["events_rolling"] = (
+        "SELECT user_id, event_id,"
+        " (sum(CAST(round_even(value * 100, 0) AS BIGINT)) OVER w)::DOUBLE"
+        " / (count(*) OVER w) AS rolling_mean_cents"
+        " FROM events WINDOW w AS (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
     # events_transitions: consecutive-pair mining == lead() window
     o["events_transitions"] = (
         "WITH o AS (SELECT user_id, event_type,"
@@ -1140,6 +1151,20 @@ GROUP BY token_id ORDER BY token_id
         " FROM s"
         " WHERE (n::DOUBLE * sxx::DOUBLE) - (sx::DOUBLE * sx::DOUBLE) > 0"
         " AND (n::DOUBLE * syy::DOUBLE) - (sy::DOUBLE * sy::DOUBLE) > 0"
+    )
+    # events_stddev: sample variance from integer-cents (n, Σ, Σ²) sums
+    o["events_stddev"] = (
+        "WITH s AS (SELECT event_type, count(*)::BIGINT AS n,"
+        " sum(CAST(round_even(value * 100, 0) AS BIGINT))::BIGINT AS sx,"
+        " sum(CAST(round_even(value * 100, 0) AS BIGINT)"
+        "     * CAST(round_even(value * 100, 0) AS BIGINT))::BIGINT AS sxx"
+        " FROM events WHERE value IS NOT NULL GROUP BY event_type)"
+        " SELECT event_type, n,"
+        " ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+        "  / (n::DOUBLE * (n::DOUBLE - 1))) AS var_cents2,"
+        " sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+        "  / (n::DOUBLE * (n::DOUBLE - 1))) AS std_cents"
+        " FROM s WHERE n > 1"
     )
     # events_target_enc: leave-one-out target encoding over integer cents
     o["events_target_enc"] = (

@@ -59,6 +59,41 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def grouped_stddev(ds: "ray.data.Dataset", key: str, val_col: str) -> "ray.data.Dataset":
+    """Per-group sample variance / stddev over integer cents
+    (``round_even(v*100)``) via the decomposable (n, Σ, Σ²) sums —
+    integer partials make the shuffle merge-order-independent; the
+    finish ``(nΣx² - Σx²) / (n(n-1))`` and its sqrt run in float64 with
+    the twin's exact op order.  Groups with n < 2 are dropped (sample
+    variance undefined; both sides agree).  Output: (key, n, var_cents2,
+    std_cents)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=[val_col])
+        x = np.round(b[val_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({key: b[key].to_numpy(), "n": np.int64(1),
+                          "sx": x, "sxx": x * x})
+        return g.groupby(key, sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    sums = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key], ["n", "sx", "sxx"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.float64)
+        sx = b["sx"].to_numpy(dtype=np.float64)
+        sxx = b["sxx"].to_numpy(dtype=np.float64)
+        keep = n > 1
+        var = ((n * sxx - sx * sx) / (n * (n - 1)))[keep]
+        return pd.DataFrame({key: b[key].to_numpy()[keep],
+                             "n": b["n"].to_numpy(dtype=np.int64)[keep],
+                             "var_cents2": var,
+                             "std_cents": np.sqrt(var)})
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def target_encode(ds: "ray.data.Dataset", key: str, val_col: str,
                   id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
     """Leave-one-out target encoding (the ML categorical-feature prep):

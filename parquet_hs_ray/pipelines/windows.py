@@ -588,3 +588,97 @@ def event_transitions(events: "ray.data.Dataset", key: str = "user_id",
     partials = ray.data.from_pandas_refs(
         [block_pairs.remote(r, carries[i]) for i, r in enumerate(refs)])
     return grouped_sum(partials, ["prev_type", "next_type"], ["n"])
+
+
+def rolling_mean(events: "ray.data.Dataset", k: int = 3,
+                 key: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 val_col: str = "value") -> "ray.data.Dataset":
+    """Per-row rolling mean of the last ``k`` values (current row
+    included) within ``key`` in (``ts``, ``id_col``) order — SQL
+    ``avg() OVER (... ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``,
+    the online-feature primitive.  Values quantize to integer cents
+    (round_even) so window sums are exact; the mean is one
+    ``sum::DOUBLE / count`` division with the twin's op order.
+
+    Scale shape (the event_gaps carry pattern, widened to k rows): ONE
+    sort on (key, ts, id); zero-CPU per-block summaries return the last
+    user's final <= k cents values; the driver folds them left-to-right
+    into per-boundary carries (<= k ints per block, never rows); each
+    block then computes its windows vectorized with the carry prepended
+    for its first user only."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    import pyarrow as pa
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t[val_col], pa.float64()), 100.0),
+            ndigits=0, round_mode="half_to_even"), pa.int64())
+        return pa.table({key: t[key], id_col: t[id_col], "_us": us,
+                         "_c": cents})
+
+    srt = (events.map_batches(prep, batch_format="pyarrow")
+           .sort([key, "_us", id_col]).materialize())
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, id_col, "rolling_mean_cents"]))
+
+    @ray.remote(num_cpus=0)
+    def tail_summary(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        kcol = t[key].to_numpy(zero_copy_only=False)
+        c = t["_c"].to_numpy(zero_copy_only=False)
+        last = kcol[-1]
+        m = np.flatnonzero(kcol == last)
+        return (last, c[m[-k:]].astype(np.int64))
+
+    sums = ray.get([tail_summary.remote(r) for r in refs])
+    carries: list = [None] * len(refs)
+    run_key, run_tail = None, None
+    for i, s in enumerate(sums):
+        carries[i] = ((run_key, run_tail.copy())
+                      if run_key is not None else None)
+        if s is None:
+            continue
+        if run_key is not None and s[0] == run_key and len(s[1]) < k:
+            # a short all-one-user block extends the running tail
+            run_tail = np.concatenate([run_tail, s[1]])[-k:]
+        else:
+            run_key, run_tail = s[0], s[1][-k:]
+
+    @ray.remote(num_cpus=1)
+    def block_roll(t, carry) -> pd.DataFrame:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype=np.int64),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "rolling_mean_cents": pd.Series(dtype=np.float64)})
+        kcol = df[key].to_numpy()
+        c = df["_c"].to_numpy(dtype=np.int64)
+        pre = 0
+        if carry is not None and kcol[0] == carry[0]:
+            pre = len(carry[1])
+            kcol = np.concatenate([np.repeat(carry[0], pre), kcol])
+            c = np.concatenate([carry[1], c])
+        s = pd.Series(c)
+        win = s.groupby(pd.Series(kcol)).rolling(k, min_periods=1)
+        sums_ = win.sum().reset_index(drop=True).to_numpy()
+        cnts = win.count().reset_index(drop=True).to_numpy()
+        mean = sums_[pre:] / cnts[pre:]
+        return pd.DataFrame({key: df[key],
+                             id_col: df[id_col],
+                             "rolling_mean_cents": mean})
+
+    return ray.data.from_pandas_refs(
+        [block_roll.remote(r, carries[i]) for i, r in enumerate(refs)])

@@ -1796,3 +1796,50 @@ def test_embedding_clusters_srp_planted(emb):
     # most originals are their own cluster roots
     roots = (out.index == out["cluster_id"]).sum()
     assert roots >= len(raw) - 10
+
+
+def test_rolling_mean_cross_block_carry(ray_session):
+    """Rolling last-k mean: the first rows of a block must see the
+    previous block's tail (k-row carry, incl. a user spanning 3 blocks);
+    matches a pandas groupby-rolling recompute on adversarial blocking."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import rolling_mean
+
+    rng = np.random.default_rng(8)
+    n = 900
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.sort(rng.integers(0, 5, n)),  # long per-user runs
+        "ts": pd.Timestamp("2026-03-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(-9, 9, n), 3),
+    })
+    # 15 narrow blocks: every user spans several consecutive blocks
+    ds = ray.data.from_pandas([df.iloc[i * 60:(i + 1) * 60] for i in range(15)])
+    out = (rolling_mean(ds, k=3).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    cents = pd.Series(np.round(df["value"].to_numpy() * 100.0).astype(np.int64))
+    g = cents.groupby(df["user_id"]).rolling(3, min_periods=1)
+    ref = (g.sum().reset_index(drop=True).to_numpy()
+           / g.count().reset_index(drop=True).to_numpy())
+    assert np.array_equal(out["rolling_mean_cents"].to_numpy(), ref)
+
+
+def test_grouped_stddev_matches_numpy(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_stddev
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 500),
+                       "value": np.round(rng.uniform(-5, 5, 500), 3)})
+    df.loc[df.index[:1], "k"] = "solo1"
+    ds = ray.data.from_pandas([df.iloc[i::5].reset_index(drop=True)
+                               for i in range(5)])
+    out = grouped_stddev(ds, "k", "value").to_pandas().set_index("k")
+    assert "solo1" not in out.index or out.loc["solo1", "n"] > 1
+    for k in ("x", "y"):
+        v = np.round(df[df["k"] == k]["value"].to_numpy() * 100.0)
+        assert abs(out.loc[k, "var_cents2"] - v.var(ddof=1)) < 1e-6
+        assert out.loc[k, "std_cents"] == np.sqrt(out.loc[k, "var_cents2"])
