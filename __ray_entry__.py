@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     as_int=True,
                                     id_cols=["event_type", "value"]),
         "event_type", "value", "k", x_scale=100, y_scale=1)
+    q["events_balance"] = lambda sf: pstats.category_balance(
+        _read(sf, "events"), "user_id", "event_type")
     q["events_stddev"] = lambda sf: pstats.grouped_stddev(
         _read(sf, "events"), "event_type", "value")
     q["events_target_enc"] = lambda sf: pstats.target_encode(
@@ -1151,6 +1153,20 @@ GROUP BY token_id ORDER BY token_id
         " FROM s"
         " WHERE (n::DOUBLE * sxx::DOUBLE) - (sx::DOUBLE * sx::DOUBLE) > 0"
         " AND (n::DOUBLE * syy::DOUBLE) - (sy::DOUBLE * sy::DOUBLE) > 0"
+    )
+    # events_balance: entropy/gini with libm ln and category-asc ordered
+    # accumulation (list_sum over an ORDER BY list == the kernel's loop)
+    o["events_balance"] = (
+        "WITH c AS (SELECT user_id, event_type AS cat, count(*)::BIGINT AS c"
+        " FROM events GROUP BY user_id, cat),"
+        " t AS (SELECT user_id, c.c, c.cat, (SELECT sum(c2.c) FROM c c2"
+        "   WHERE c2.user_id = c.user_id)::BIGINT AS n FROM c)"
+        " SELECT user_id, min(n)::BIGINT AS n, count(*)::BIGINT AS n_cats,"
+        " list_sum(list(-((c::DOUBLE / n) * ln(c::DOUBLE / n))"
+        "   ORDER BY cat)) AS entropy,"
+        " 1 - list_sum(list((c::DOUBLE / n) * (c::DOUBLE / n)"
+        "   ORDER BY cat)) AS gini"
+        " FROM t GROUP BY user_id"
     )
     # events_stddev: sample variance from integer-cents (n, Σ, Σ²) sums
     o["events_stddev"] = (

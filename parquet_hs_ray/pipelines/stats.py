@@ -59,6 +59,54 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     return hist.groupby(key).map_groups(select, batch_format="pandas")
 
 
+def category_balance(ds: "ray.data.Dataset", key: str,
+                     cat_col: str) -> "ray.data.Dataset":
+    """Per-``key`` distribution diagnostics over a categorical column:
+    Shannon entropy (nats) and Gini impurity of the category shares —
+    the class-balance / source-mix audit of a training corpus.  Output:
+    (key, n, n_cats, entropy, gini).
+
+    Float-exact twin discipline: category counts are exact integers from
+    one partial-agg shuffle; per-category terms use libm ``log`` via
+    ``math.log`` (DuckDB's ln — the BM25 precedent; numpy's SIMD log can
+    differ by 1 ulp) and accumulate in a DETERMINISTIC order (category
+    asc) exactly as the twin's ``list_sum(list(x ORDER BY cat))``; gini
+    is ``1 - Σ(c/n)²`` with the same op order."""
+    import math
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({key: batch[key], "cat": batch[cat_col],
+                          "c": np.int64(1)})
+        return g.groupby([key, "cat"], sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    counts = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                         [key, "cat"], ["c"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # category-count-bounded per key; sorted accumulation order
+        b = b.sort_values([key, "cat"], kind="mergesort")
+        rows = []
+        for kval, g in b.groupby(key, sort=True):
+            c = g["c"].to_numpy(dtype=np.int64)
+            n = int(c.sum())
+            ent = 0.0
+            gini_acc = 0.0
+            for ci in c:  # category-bounded loop, libm log per term
+                p = int(ci) / n
+                ent = ent + (-(p * math.log(p)))
+                gini_acc = gini_acc + p * p
+            rows.append((kval, n, len(c), ent, 1 - gini_acc))
+        return pd.DataFrame(rows, columns=[key, "n", "n_cats",
+                                           "entropy", "gini"]).astype(
+            {"n": np.int64, "n_cats": np.int64})
+
+    # the (key, cat) count table is category-bounded — one driver-side
+    # vectorizable pass (the grouped_quantiles select precedent)
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
 def grouped_stddev(ds: "ray.data.Dataset", key: str, val_col: str) -> "ray.data.Dataset":
     """Per-group sample variance / stddev over integer cents
     (``round_even(v*100)``) via the decomposable (n, Σ, Σ²) sums —

@@ -301,3 +301,31 @@ def test_target_encode_loo_semantics(ray_session):
     b = out[out["k"] == "b"].set_index("id")
     assert b.loc[3, "loo_mean_cents"] == 2000.0
     assert b.loc[4, "loo_mean_cents"] == 1000.0
+
+
+def test_category_balance_known_values(ray_session):
+    """Uniform 2-cat group -> entropy ln(2), gini 0.5; single-cat group ->
+    exactly 0.0 (not -0.0); counts exact across blocks."""
+    import math
+
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import category_balance
+
+    df = pd.DataFrame({
+        "k": ["u"] * 4 + ["s"] * 3 + ["mix"] * 4,
+        "c": ["a", "b", "a", "b", "x", "x", "x", "a", "a", "a", "b"],
+    })
+    ds = ray.data.from_pandas([df.iloc[:5], df.iloc[5:]])
+    out = category_balance(ds, "k", "c").to_pandas().set_index("k")
+    assert out.loc["u", "entropy"] == -(0.5 * math.log(0.5)) * 2
+    assert out.loc["u", "gini"] == 0.5
+    assert out.loc["s", "entropy"] == 0.0
+    assert str(out.loc["s", "entropy"]) == "0.0"  # +0.0, not -0.0
+    assert out.loc["s", "gini"] == 0.0
+    p1, p2 = 3 / 4, 1 / 4
+    ent = 0.0
+    for p in (p1, p2):
+        ent = ent + (-(p * math.log(p)))
+    assert out.loc["mix", "entropy"] == ent
+    assert out.loc["mix", "n_cats"] == 2 and out.loc["mix", "n"] == 4
