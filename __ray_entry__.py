@@ -602,6 +602,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["corpus_pipeline"] = corpus_pipeline
 
+    def corpus_curate_v2(sf):
+        from parquet_hs_ray.pipelines.recipes import curate_by_surprisal
+
+        return curate_by_surprisal(_read(sf, "documents"),
+                                   lo_milli=4015, hi_milli=4060)
+
+    q["corpus_curate_v2"] = corpus_curate_v2
+
     def top_revenue(sf):
         from parquet_hs_ray.pipelines.recipes import top_revenue_orders
 
@@ -716,6 +724,30 @@ def oracle_sql() -> dict[str, str]:
         " SELECT word, count(*)::BIGINT AS n_docs,"
         " list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings"
         " FROM pairs GROUP BY word"
+    )
+    # corpus_curate_v2: the surprisal CTE + integer cross-multiplied band
+    # + the md5 split CASE, chained (compositions of oracled stages)
+    o["corpus_curate_v2"] = (
+        "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS word FROM documents),"
+        " freq AS (SELECT word, count(*)::BIGINT AS c FROM words GROUP BY word),"
+        " tot AS (SELECT count(*)::BIGINT AS n,"
+        "   (SELECT count(*) FROM freq)::BIGINT AS v FROM words),"
+        " s AS (SELECT w.doc_id,"
+        "   (length(printf('%b', ((t.n + t.v) // (f.c + 1))))::BIGINT - 1) AS sv"
+        "   FROM words w JOIN freq f USING (word) CROSS JOIN tot t),"
+        " agg AS (SELECT doc_id, count(*)::BIGINT AS n_words,"
+        "   sum(sv)::BIGINT AS surprisal_sum FROM s GROUP BY doc_id),"
+        " kept AS (SELECT d.doc_id, d.source, a.n_words, a.surprisal_sum"
+        "   FROM documents d JOIN agg a USING (doc_id)"
+        "   WHERE a.n_words > 0"
+        "   AND 4015 * a.n_words <= 1000 * a.surprisal_sum"
+        "   AND 1000 * a.surprisal_sum <= 4060 * a.n_words)"
+        " SELECT *, CASE"
+        " WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)"
+        " < 80 THEN 'train'"
+        " WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)"
+        " < 90 THEN 'val' ELSE 'test' END AS split FROM kept"
     )
     # doc_surprisal: add-one-smoothed unigram surprisal in pure integer
     # arithmetic — floor(log2(k)) on both sides via bit-length

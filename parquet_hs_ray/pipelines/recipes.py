@@ -119,3 +119,51 @@ def top_revenue_orders(lineitem: "ray.data.Dataset", orders: "ray.data.Dataset",
            .rename(columns={"l_orderkey": "o_orderkey"})
            .reset_index(drop=True))
     return out[["o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]]
+
+
+def curate_by_surprisal(docs: "ray.data.Dataset",
+                        lo_milli: int = 3500, hi_milli: int = 5500,
+                        split_pcts: "dict[str, int] | None" = None
+                        ) -> "ray.data.Dataset":
+    """Curation recipe v2: keep documents whose MEAN unigram surprisal
+    sits in a band (too low = boilerplate/repetition, too high =
+    gibberish/noise — the perplexity-band filter of C4/Gopher-style
+    pipelines), then assign deterministic train/val/test splits.
+    Returns (doc_id, source, n_words, surprisal_sum, split).
+
+    The band test is INTEGER-EXACT by cross-multiplication:
+    ``lo_milli * n_words <= 1000 * surprisal_sum <= hi_milli * n_words``
+    avoids the mean division entirely, so the chained SQL twin hashes
+    bit-exact (compositions of oracled stages chain into an oracled
+    recipe — the clean_corpus precedent).  Zero-word docs fail the band
+    (0 <= 0 <= 0 passes lo=0 only when lo_milli*0 == 0 — with a
+    positive band they drop, matching the twin)."""
+    from .text_analysis import assign_splits, unigram_surprisal
+
+    scored = unigram_surprisal(docs)
+
+    def band(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = batch["n_words"].to_numpy(dtype=np.int64)
+        ss = batch["surprisal_sum"].to_numpy(dtype=np.int64)
+        keep = ((lo_milli * nw <= 1000 * ss) & (1000 * ss <= hi_milli * nw)
+                & (nw > 0))
+        return batch[keep]
+
+    kept = scored.map_batches(band, batch_format="pandas").materialize()
+    # re-attach source: the surprisal rows are CORPUS-sized (24 B/doc),
+    # not dimension-sized — size-aware join (broadcast while it fits,
+    # hash shuffle at scale; the funnel/retention switch)
+    from .relational import broadcast_join, hash_join
+
+    try:
+        small = (kept.size_bytes() or 0) < (32 << 20)
+    except Exception:
+        small = False
+    src = docs.select_columns(["doc_id", "source"])
+    if small:
+        enriched = broadcast_join(src, kept, "doc_id", "doc_id", how="inner",
+                                  right_cols=["n_words", "surprisal_sum"])
+    else:
+        enriched = hash_join(src, kept, "doc_id", "doc_id")
+    return assign_splits(enriched, split_pcts or
+                         {"train": 80, "val": 10, "test": 10})

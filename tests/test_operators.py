@@ -1843,3 +1843,28 @@ def test_grouped_stddev_matches_numpy(ray_session):
         v = np.round(df[df["k"] == k]["value"].to_numpy() * 100.0)
         assert abs(out.loc[k, "var_cents2"] - v.var(ddof=1)) < 1e-6
         assert out.loc[k, "std_cents"] == np.sqrt(out.loc[k, "var_cents2"])
+
+
+def test_curate_by_surprisal_band_and_splits(docs):
+    """Recipe v2: survivors are exactly the docs whose mean surprisal
+    sits in the band (integer cross-multiplication, no division), every
+    survivor carries a valid split, zero-word docs never pass."""
+    from collections import Counter
+
+    from parquet_hs_ray.pipelines.recipes import curate_by_surprisal
+
+    out = (curate_by_surprisal(docs, lo_milli=4015, hi_milli=4060)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    raw = docs.to_pandas()
+    words = raw["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    freq = Counter(w for ws in words for w in ws)
+    n, v = sum(freq.values()), len(freq)
+    smap = {w: ((n + v) // (c + 1)).bit_length() - 1 for w, c in freq.items()}
+    keep = []
+    for did, ws in zip(raw["doc_id"], words):
+        nw, ss = len(ws), sum(smap[w] for w in ws)
+        if nw > 0 and 4015 * nw <= 1000 * ss <= 4060 * nw:
+            keep.append(did)
+    assert out["doc_id"].tolist() == sorted(keep)
+    assert 0 < len(out) < len(raw)
+    assert set(out["split"]) <= {"train", "val", "test"}
