@@ -206,58 +206,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["emb_neardup_ivf"] = lambda sf: dedup.embedding_neardup_pairs_ivf(_read(sf, "embeddings"), tau=0.5)
 
     def emb_neardup_srp(sf):
-        # SRP-LSH demo corpus: plant jittered near-duplicates (vec_id +
-        # 1e6, x + 0.05*roll(x): cos ~ 0.998) of the first 20 vectors so
-        # the rows-only check counts real finds; deterministic (fixed R
-        # seed + fixed jitter), no RNG state at runtime.
-        import numpy as np
-        import pyarrow as pa
-
-        def plant(t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            keep = ids < 20
-            if not keep.any():
-                return t
-            flat = t["embedding"].combine_chunks().values.to_numpy(
-                zero_copy_only=False)
-            M = flat.reshape(len(ids), -1).astype(np.float64)
-            J = (M[keep] + 0.05 * np.roll(M[keep], 1, axis=1)).astype(np.float32)
-            extra = pa.table({
-                "vec_id": pa.array((ids[keep] + 1_000_000).astype(np.int64)),
-                "embedding": pa.array(list(J), pa.list_(pa.float32())),
-                "label": t["label"].filter(pa.array(keep)),
-            }).cast(t.schema)
-            return pa.concat_tables([t, extra])
-
-        aug = _read(sf, "embeddings").map_batches(plant, batch_format="pyarrow")
+        aug = _read(sf, "embeddings").map_batches(_plant_neardups,
+                                                  batch_format="pyarrow")
         return dedup.embedding_neardup_srp(aug, tau=0.9)
 
     q["emb_neardup_srp"] = emb_neardup_srp
 
     def emb_clusters_srp(sf):
-        # same planted-duplicate corpus as emb_neardup_srp: the output
-        # clusters pair every planted jitter with its source vector
-        # (rows-only; component correctness asserted in tests)
-        import pyarrow as pa
-        import numpy as np
-
-        def plant(t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            keep = ids < 20
-            if not keep.any():
-                return t
-            flat = t["embedding"].combine_chunks().values.to_numpy(
-                zero_copy_only=False)
-            M = flat.reshape(len(ids), -1).astype(np.float64)
-            J = (M[keep] + 0.05 * np.roll(M[keep], 1, axis=1)).astype(np.float32)
-            extra = pa.table({
-                "vec_id": pa.array((ids[keep] + 1_000_000).astype(np.int64)),
-                "embedding": pa.array(list(J), pa.list_(pa.float32())),
-                "label": t["label"].filter(pa.array(keep)),
-            }).cast(t.schema)
-            return pa.concat_tables([t, extra])
-
-        aug = _read(sf, "embeddings").map_batches(plant, batch_format="pyarrow")
+        # same planted-duplicate corpus as emb_neardup_srp (shared
+        # _plant_neardups — the two rows-only checks are only meaningful
+        # on the same corpus); component correctness asserted in tests
+        aug = _read(sf, "embeddings").map_batches(_plant_neardups,
+                                                  batch_format="pyarrow")
         return dedup.embedding_clusters_srp(aug, tau=0.9)
 
     q["emb_clusters_srp"] = emb_clusters_srp
@@ -618,6 +578,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q3_top_revenue"] = top_revenue
     return q
+
+
+def _plant_neardups(t):
+    """SRP-LSH demo corpus: plant jittered near-duplicates (vec_id + 1e6,
+    x + 0.05*roll(x): cos ~ 0.998) of the first 20 vectors so rows-only
+    checks count real finds — deterministic (fixed jitter), no RNG state
+    at runtime.  Shared by emb_neardup_srp and emb_clusters_srp (the two
+    checks must run on the SAME planted corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    keep = ids < 20
+    if not keep.any():
+        return t
+    flat = t["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False)
+    M = flat.reshape(len(ids), -1).astype(np.float64)
+    J = (M[keep] + 0.05 * np.roll(M[keep], 1, axis=1)).astype(np.float32)
+    extra = pa.table({
+        "vec_id": pa.array((ids[keep] + 1_000_000).astype(np.int64)),
+        "embedding": pa.array(list(J), pa.list_(pa.float32())),
+        "label": t["label"].filter(pa.array(keep)),
+    }).cast(t.schema)
+    return pa.concat_tables([t, extra])
 
 
 # PII-style scrub rules for the demo query: the rule list is data; these
@@ -1122,7 +1106,8 @@ GROUP BY token_id ORDER BY token_id
         "SELECT user_id, event_id,"
         " (sum(CAST(round_even(value * 100, 0) AS BIGINT)) OVER w)::DOUBLE"
         " / (count(*) OVER w) AS rolling_mean_cents"
-        " FROM events WINDOW w AS (PARTITION BY user_id"
+        " FROM events WHERE value IS NOT NULL"
+        " WINDOW w AS (PARTITION BY user_id"
         " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
     )
     # events_transitions: consecutive-pair mining == lead() window

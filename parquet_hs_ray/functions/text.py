@@ -46,6 +46,23 @@ def flatten_words(words: pd.Series, lens: np.ndarray) -> np.ndarray:
     return np.fromiter(chain.from_iterable(words), dtype=object, count=total)
 
 
+def word_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (word, n) counts over the standard ``[a-z0-9]+``
+    lower-cased tokenization — the shared pre-combine of
+    unigram_surprisal / vocab_coverage / train_bpe.  ONE definition
+    keeps those operators' hash-exact SQL twins tokenization-identical:
+    a regex tweak in a single copy would silently break the others'
+    parity."""
+    words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    lens = words.str.len().astype(np.int64).to_numpy()
+    flat = flatten_words(words, lens)
+    if not len(flat):
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    uniq, counts = np.unique(flat, return_counts=True)
+    return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
+
+
 def ws_token_count(texts: pd.Series) -> np.ndarray:
     """Whitespace token count; '' and all-whitespace -> 0.
 

@@ -574,8 +574,13 @@ def label_centroids(emb: "ray.data.Dataset",
 
     from .groupagg import grouped_sum
 
+    import re as _re
+
     parts = emb.map_batches(partial, batch_format="pandas")
-    scols = [c for c in parts.schema().names if c.startswith("s")]
+    # exact s<digit+> names only — a label_col like 'source' must never
+    # be swept into the sum columns
+    scols = sorted((c for c in parts.schema().names
+                    if _re.fullmatch(r"s\d+", c)), key=lambda c: int(c[1:]))
     agg = (grouped_sum(parts, [label_col], ["n"] + scols)
            .to_pandas().sort_values(label_col).reset_index(drop=True))
     n = agg["n"].to_numpy(dtype=np.float64)

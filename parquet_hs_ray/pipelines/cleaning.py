@@ -479,8 +479,10 @@ def extract_json_field(ds: "ray.data.Dataset", col: str, key: str,
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch[col].fillna("").str.extract(pat, expand=False)
         quoted = v.str.startswith('"').fillna(False)
+        # the JSON null literal is only the UNQUOTED token — a quoted
+        # "null" is the three-letter string, exactly as ->> returns it
+        v = v.where(~(v == "null"), other=pd.NA)
         v = v.where(~quoted, v.str.slice(1, -1))
-        v = v.where(v != "null", other=pd.NA)
         res = pd.DataFrame({c: batch[c] for c in (id_cols or batch.columns)})
         if as_int:
             res[out] = pd.to_numeric(v, errors="coerce").astype("Int64")

@@ -211,7 +211,13 @@ def length_bucket_batches(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     @ray.remote(num_cpus=0)
     def bucket_counts(t):
-        bk = t.column("bucket").to_numpy()
+        cols = (t.column_names if hasattr(t, "column_names")
+                else list(t.columns))
+        if "bucket" not in cols or not len(t):
+            # empty blocks (schema-less after a sparse sort) hold no keys
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        bk = (t.column("bucket").to_numpy() if hasattr(t, "column")
+              else t["bucket"].to_numpy())
         uniq, counts = np.unique(bk, return_counts=True)
         return uniq.astype(np.int64), counts.astype(np.int64)
 
@@ -226,6 +232,12 @@ def length_bucket_batches(ds: "ray.data.Dataset", id_col: str = "doc_id",
     @ray.remote(num_cpus=1)
     def rank_block(t, off_map):
         df = t.to_pandas()
+        if not len(df):  # a range-partitioned sort can emit empty blocks
+            return pd.DataFrame({id_col: df[id_col] if id_col in df.columns
+                                 else pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "batch_id": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64)})
         bk = df["bucket"].to_numpy(dtype=np.int64)
         starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
         seg_len = np.diff(np.concatenate([starts, [len(bk)]]))

@@ -168,19 +168,21 @@ def target_encode(ds: "ray.data.Dataset", key: str, val_col: str,
 
     sums = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
                        [key], ["sc", "n"]).to_pandas()
-    smap = dict(zip(sums[key], zip(sums["sc"].astype(np.int64),
-                                   sums["n"].astype(np.int64))))
+    # two plain dicts: Series.map(dict) runs on the C path, no per-row
+    # Python lambda on the corpus-sized encode pass
+    sc_map = dict(zip(sums[key], sums["sc"].astype(np.int64)))
+    n_map = dict(zip(sums[key], sums["n"].astype(np.int64)))
     import ray as _ray
 
-    ref = _ray.put(smap)
+    ref = _ray.put((sc_map, n_map))
 
     def enc(batch: pd.DataFrame) -> pd.DataFrame:
-        sm = _ray.get(ref)
+        sc_m, n_m = _ray.get(ref)
         b = batch.dropna(subset=[val_col])
         cents = np.round(b[val_col].to_numpy(dtype=np.float64)
                          * 100.0).astype(np.int64)
-        sc = b[key].map(lambda k: sm[k][0]).to_numpy(dtype=np.int64)
-        n = b[key].map(lambda k: sm[k][1]).to_numpy(dtype=np.int64)
+        sc = b[key].map(sc_m).to_numpy(dtype=np.int64)
+        n = b[key].map(n_m).to_numpy(dtype=np.int64)
         keep = n > 1
         out = pd.DataFrame({c: b[c].to_numpy()[keep]
                             for c in (id_cols or b.columns)})

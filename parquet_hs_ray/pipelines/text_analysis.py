@@ -497,19 +497,11 @@ def unigram_surprisal(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     hash join on word at true web scale — same note as doc_top_terms);
     scoring is one vectorized map + bincount per batch."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-        lens = words.str.len().astype(np.int64).to_numpy()
-        flat = flatten_words(words, lens)
-        if not len(flat):
-            return pd.DataFrame({"word": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype=np.int64)})
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
-
+    from ..functions.text import word_count_partial
     from .groupagg import grouped_sum
 
-    freq = grouped_sum(docs.map_batches(partial, batch_format="pandas"),
+    freq = grouped_sum(docs.map_batches(word_count_partial,
+                                        batch_format="pandas"),
                        ["word"], ["n"]).to_pandas()
     n_total = int(freq["n"].sum()) if len(freq) else 0
     v = int(len(freq))
@@ -569,10 +561,14 @@ def sample_exact_n(docs: "ray.data.Dataset", n: int, id_col: str = "doc_id",
 
     parts = [b for b in docs.map_batches(local, batch_format="pandas")
              .iter_batches(batch_format="pandas")]
-    merged = (pd.concat(parts, ignore_index=True) if parts
-              else pd.DataFrame(columns=(cols or []) + ["_h"]))
+    want = cols if cols is not None else None
+    if not parts:
+        return pd.DataFrame(columns=(want if want is not None else [id_col]))
+    merged = pd.concat(parts, ignore_index=True)
     out = (merged.sort_values(["_h", id_col], kind="mergesort").head(n)
            .drop(columns="_h").reset_index(drop=True))
+    if want is not None:  # id_col was only carried for the tie-break
+        out = out[want]
     return out
 
 

@@ -124,21 +124,11 @@ def vocab_coverage(docs: "ray.data.Dataset",
     Scale shape: ONE word-count aggregate (the shuffle carries (word,
     count) partials, vocabulary-bounded); the sweep itself is a sort +
     cumsum over the vocabulary-sized frame on the driver."""
+    from ..functions.text import word_count_partial
     from .groupagg import grouped_sum
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
-        lens = words.str.len().astype(np.int64).to_numpy()
-        from ..functions.text import flatten_words
-
-        flat = flatten_words(words, lens)
-        if not len(flat):
-            return pd.DataFrame({"word": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype=np.int64)})
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
-
-    wc = (grouped_sum(docs.map_batches(partial, batch_format="pandas"),
+    wc = (grouped_sum(docs.map_batches(word_count_partial,
+                                       batch_format="pandas"),
                       ["word"], ["n"]).to_pandas())
     if not len(wc):
         return pd.DataFrame({"size": pd.Series(sizes, dtype=np.int64),
@@ -233,21 +223,11 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 40,
     identical output; measured 25 s -> ~2 s for 16 merges at sf0.01).
     Past the threshold — web-scale vocabularies — rounds stay fully
     distributed."""
+    from ..functions.text import word_count_partial
     from .groupagg import grouped_sum
 
-    def wc_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
-        lens = words.str.len().astype(np.int64).to_numpy()
-        from ..functions.text import flatten_words
-
-        flat = flatten_words(words, lens)
-        if not len(flat):
-            return pd.DataFrame({"word": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype=np.int64)})
-        uniq, counts = np.unique(flat, return_counts=True)
-        return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
-
-    wc = grouped_sum(docs.map_batches(wc_partial, batch_format="pandas"),
+    wc = grouped_sum(docs.map_batches(word_count_partial,
+                                      batch_format="pandas"),
                      ["word"], ["n"])
 
     def to_syms(batch: pd.DataFrame) -> pd.DataFrame:

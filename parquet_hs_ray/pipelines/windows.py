@@ -615,6 +615,9 @@ def rolling_mean(events: "ray.data.Dataset", k: int = 3,
     def prep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # NULL values are excluded from the window (the twin filters
+        # value IS NOT NULL) — a NaN would otherwise poison the int cast
+        t = t.filter(pc.is_valid(t[val_col]))
         us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
         cents = pc.cast(pc.round(pc.multiply(
             pc.cast(t[val_col], pa.float64()), 100.0),

@@ -376,6 +376,12 @@ def test_extract_json_field_edge_cases(ray_session):
     assert out_i["k"].iloc[0] == 87 and out_i["k"].iloc[5] == -3
     assert out_i["k"].isna().iloc[1]  # non-numeric string -> NULL under cast
 
+    # QUOTED "null" is the three-letter string (->> parity), not NULL
+    ds2 = ray.data.from_pandas(pd.DataFrame(
+        {"event_id": [0], "props": ['{"k": "null"}']}))
+    o2 = extract_json_field(ds2, "props", "k", id_cols=["event_id"]).to_pandas()
+    assert o2["k"].iloc[0] == "null"
+
 
 def test_corpus_overlap_planted(ray_session):
     """Exact shingle-set overlap on a hand-built pair: corpus B repeats

@@ -1868,3 +1868,47 @@ def test_curate_by_surprisal_band_and_splits(docs):
     assert out["doc_id"].tolist() == sorted(keep)
     assert 0 < len(out) < len(raw)
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_review_fix_edge_cases(ray_session):
+    """Session review fixes: empty sorted blocks in length_bucket_batches,
+    NULL values in rolling_mean, sample_exact_n column scoping + empty
+    input, label_centroids with an s-prefixed label column."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.ann import label_centroids
+    from parquet_hs_ray.pipelines.packing import length_bucket_batches
+    from parquet_hs_ray.pipelines.text_analysis import sample_exact_n
+    from parquet_hs_ray.pipelines.windows import rolling_mean
+
+    # more blocks than rows: the sort can emit empty blocks
+    tiny = pd.DataFrame({"doc_id": ["a", "b"], "n_tok": [10, 3000]})
+    ds = ray.data.from_pandas([tiny.iloc[:1], tiny.iloc[1:],
+                               tiny.iloc[:0], tiny.iloc[:0]])
+    out = length_bucket_batches(ds, "doc_id", "n_tok", width=256,
+                                batch_rows=4).to_pandas()
+    assert len(out) == 2
+
+    # NULL value rows are excluded from the rolling window (twin filters)
+    ev = pd.DataFrame({"event_id": [1, 2, 3], "user_id": [1, 1, 1],
+                       "ts": pd.date_range("2026-01-01", periods=3, freq="s"),
+                       "value": [1.0, None, 3.0]})
+    r = (rolling_mean(ray.data.from_pandas(ev), k=2).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    assert r["event_id"].tolist() == [1, 3]
+    assert r["rolling_mean_cents"].tolist() == [100.0, 200.0]
+
+    # columns excluding the id: no id leak; empty input returns empty
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "source": ["x", "y", "z"]}))
+    s = sample_exact_n(docs, n=2, id_col="doc_id", columns=["source"])
+    assert list(s.columns) == ["source"] and len(s) == 2
+    empty = ray.data.from_pandas(pd.DataFrame({"doc_id": [], "source": []}))
+    assert len(sample_exact_n(empty, n=5, columns=["source"])) == 0
+
+    # label column starting with 's' must not be swept into sum columns
+    emb_df = pd.DataFrame({"vec_id": [1, 2],
+                           "embedding": [np.float32([1, 2]), np.float32([3, 4])],
+                           "slabel": ["p", "p"]})
+    c = label_centroids(ray.data.from_pandas(emb_df), label_col="slabel")
+    assert c["centroid"].iloc[0] == [2.0, 3.0] and c["n"].iloc[0] == 2
