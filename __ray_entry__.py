@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = lambda sf: dedup.dedup_simhash(_read(sf, "documents"))
     q["dedup_clusters"] = lambda sf: dedup.dedup_clusters(_read(sf, "documents"))
     q["dedup_jaccard"] = lambda sf: dedup.dedup_jaccard(_read(sf, "documents"))
+    q["dedup_by_source"] = lambda sf: dedup.dedup_stats_by_source(
+        _read(sf, "documents"))
     q["dedup_containment"] = lambda sf: dedup.dedup_containment(
         _read(sf, "documents"), threshold=0.5)
     q["emb_neardup"] = lambda sf: dedup.embedding_neardup_pairs(_read(sf, "embeddings"), tau=0.5)
@@ -927,6 +929,13 @@ def oracle_sql() -> dict[str, str]:
     from parquet_hs_ray.functions.sql_oracles import jaccard_pairs_sql
 
     o["dedup_jaccard"] = jaccard_pairs_sql("documents", threshold=0.8)
+    # dedup_by_source: per-source duplication audit
+    o["dedup_by_source"] = (
+        "SELECT source, count(*)::BIGINT AS n_docs,"
+        " count(DISTINCT text)::BIGINT AS n_distinct,"
+        " (count(*) - count(DISTINCT text))::BIGINT AS n_dups"
+        " FROM documents GROUP BY source"
+    )
     # dedup_containment: directed |src∩dst|/|src| (quote/excerpt dedup)
     from parquet_hs_ray.functions.sql_oracles import containment_pairs_sql
 

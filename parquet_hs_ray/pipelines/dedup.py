@@ -503,6 +503,46 @@ def dedup_jaccard(docs: "ray.data.Dataset", threshold: float = 0.8,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def dedup_stats_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source duplication profile: (source, n_docs, n_distinct,
+    n_dups) over exact text identity — the "which source is polluted"
+    audit that decides where dedup effort goes.
+
+    Scale shape: per-batch DISTINCT (source, md5) partials (16-byte
+    hashes, never text) -> global grouped distinct (max-of-constant, the
+    retention_cohorts pattern) -> one per-source count; doc totals ride
+    the same partial-agg shuffle.  SQL twin: count(*) vs
+    count(DISTINCT text)."""
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"source": batch["source"],
+                              "h": md5_hex(batch["text"]),
+                              "one": np.int64(1)})
+                .drop_duplicates(subset=["source", "h"]))
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"source": batch["source"], "n_docs": np.int64(1)})
+        return g.groupby("source", sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_agg, grouped_sum
+
+    uniq = (grouped_agg(docs.map_batches(pairs, batch_format="pandas"),
+                        ["source", "h"], {"one": "max"})
+            .map_batches(lambda b: (pd.DataFrame({"source": b["source"],
+                                                  "n_distinct": np.int64(1)})
+                                    .groupby("source", sort=False,
+                                             as_index=False).sum()),
+                         batch_format="pandas"))
+    nd = grouped_sum(uniq, ["source"], ["n_distinct"]).to_pandas()
+    tot = grouped_sum(docs.map_batches(totals, batch_format="pandas"),
+                      ["source"], ["n_docs"]).to_pandas()
+    out = tot.merge(nd, on="source")
+    out["n_dups"] = (out["n_docs"] - out["n_distinct"]).astype(np.int64)
+    out = out.sort_values("source").reset_index(drop=True)
+    return ray.data.from_pandas(out.astype({"n_docs": np.int64,
+                                            "n_distinct": np.int64}))
+
+
 def dedup_containment(docs: "ray.data.Dataset", threshold: float = 0.8,
                       ngram: int = 3, rows_per_block: int = 65536,
                       max_in_flight: int | None = None) -> pd.DataFrame:

@@ -1912,3 +1912,22 @@ def test_review_fix_edge_cases(ray_session):
                            "slabel": ["p", "p"]})
     c = label_centroids(ray.data.from_pandas(emb_df), label_col="slabel")
     assert c["centroid"].iloc[0] == [2.0, 3.0] and c["n"].iloc[0] == 2
+
+
+def test_dedup_stats_by_source_cross_block(ray_session):
+    """Duplicate texts split across blocks must still count once in
+    n_distinct (global distinct, not per-batch)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import dedup_stats_by_source
+
+    df = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 3,
+        "text": ["same", "same", "x", "y", "same", "same", "z"],
+    })
+    # the two 'a'/'same' copies land in DIFFERENT blocks
+    ds = ray.data.from_pandas([df.iloc[[0, 2]], df.iloc[[1, 3]], df.iloc[4:]])
+    out = dedup_stats_by_source(ds).to_pandas().set_index("source")
+    assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "n_dups"] == 1
+    assert out.loc["b", "n_docs"] == 3 and out.loc["b", "n_distinct"] == 2
