@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_range_join"] = events_range_join
     q["events_rolling"] = lambda sf: win.rolling_mean(_read(sf, "events"), k=3)
+    q["events_rolling_z"] = lambda sf: win.rolling_stats(_read(sf, "events"), k=5)
     q["events_transitions"] = lambda sf: win.event_transitions(_read(sf, "events"))
     q["events_retention"] = lambda sf: win.retention_cohorts(_read(sf, "events"))
     q["events_monthly"] = lambda sf: win.calendar_rollup(
@@ -1118,6 +1119,23 @@ GROUP BY token_id ORDER BY token_id
         " FROM events WHERE value IS NOT NULL"
         " WINDOW w AS (PARTITION BY user_id"
         " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    # events_rolling_z: rolling sample variance + centered deviation from
+    # exact window (Σ, Σ²) ints, identical float64 op order
+    o["events_rolling_z"] = (
+        "SELECT user_id, event_id, cnti AS n_win,"
+        " ((cnti::DOUBLE * sxx - sx * sx)"
+        "  / (cnti::DOUBLE * (cnti::DOUBLE - 1))) AS rolling_var_cents2,"
+        " (x - sx / cnti::DOUBLE) AS z_cents FROM ("
+        " SELECT user_id, event_id,"
+        " CAST(round_even(value * 100, 0) AS BIGINT)::DOUBLE AS x,"
+        " (sum(CAST(round_even(value * 100, 0) AS BIGINT)) OVER w)::DOUBLE AS sx,"
+        " (sum(CAST(round_even(value * 100, 0) AS BIGINT)"
+        "   * CAST(round_even(value * 100, 0) AS BIGINT)) OVER w)::DOUBLE AS sxx,"
+        " count(*) OVER w AS cnti"
+        " FROM events WHERE value IS NOT NULL"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) WHERE cnti > 1"
     )
     # events_transitions: consecutive-pair mining == lead() window
     o["events_transitions"] = (

@@ -590,23 +590,14 @@ def event_transitions(events: "ray.data.Dataset", key: str = "user_id",
     return grouped_sum(partials, ["prev_type", "next_type"], ["n"])
 
 
-def rolling_mean(events: "ray.data.Dataset", k: int = 3,
-                 key: str = "user_id", ts_col: str = "ts",
-                 id_col: str = "event_id",
-                 val_col: str = "value") -> "ray.data.Dataset":
-    """Per-row rolling mean of the last ``k`` values (current row
-    included) within ``key`` in (``ts``, ``id_col``) order — SQL
-    ``avg() OVER (... ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``,
-    the online-feature primitive.  Values quantize to integer cents
-    (round_even) so window sums are exact; the mean is one
-    ``sum::DOUBLE / count`` division with the twin's op order.
-
-    Scale shape (the event_gaps carry pattern, widened to k rows): ONE
-    sort on (key, ts, id); zero-CPU per-block summaries return the last
-    user's final <= k cents values; the driver folds them left-to-right
-    into per-boundary carries (<= k ints per block, never rows); each
-    block then computes its windows vectorized with the carry prepended
-    for its first user only."""
+def _rolling_carry_blocks(events: "ray.data.Dataset", k: int, key: str,
+                          ts_col: str, id_col: str, val_col: str):
+    """Shared plumbing of the rolling-window family (rolling_mean /
+    rolling_stats): NULL filter + integer-cents quantization, ONE sort
+    on (key, ts, id), zero-CPU per-block tail summaries (the last
+    user's final <= k cents values), and the driver fold into
+    per-boundary carries (<= k ints per block, never rows).  Returns
+    (refs, carries), or (None, None) on empty input."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     import pyarrow as pa
@@ -615,7 +606,7 @@ def rolling_mean(events: "ray.data.Dataset", k: int = 3,
     def prep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # NULL values are excluded from the window (the twin filters
+        # NULL values are excluded from the window (the twins filter
         # value IS NOT NULL) — a NaN would otherwise poison the int cast
         t = t.filter(pc.is_valid(t[val_col]))
         us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
@@ -629,8 +620,7 @@ def rolling_mean(events: "ray.data.Dataset", k: int = 3,
            .sort([key, "_us", id_col]).materialize())
     refs = srt.to_arrow_refs()
     if not refs:
-        return ray.data.from_pandas(pd.DataFrame(
-            columns=[key, id_col, "rolling_mean_cents"]))
+        return None, None
 
     @ray.remote(num_cpus=0)
     def tail_summary(t):
@@ -657,6 +647,34 @@ def rolling_mean(events: "ray.data.Dataset", k: int = 3,
             run_tail = np.concatenate([run_tail, s[1]])[-k:]
         else:
             run_key, run_tail = s[0], s[1][-k:]
+    return refs, carries
+
+
+def rolling_mean(events: "ray.data.Dataset", k: int = 3,
+                 key: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 val_col: str = "value") -> "ray.data.Dataset":
+    """Per-row rolling mean of the last ``k`` values (current row
+    included) within ``key`` in (``ts``, ``id_col``) order — SQL
+    ``avg() OVER (... ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``,
+    the online-feature primitive.  Values quantize to integer cents
+    (round_even) so window sums are exact; the mean is one
+    ``sum::DOUBLE / count`` division with the twin's op order.
+
+    Scale shape (the event_gaps carry pattern, widened to k rows): ONE
+    sort on (key, ts, id); zero-CPU per-block summaries return the last
+    user's final <= k cents values; the driver folds them left-to-right
+    into per-boundary carries (<= k ints per block, never rows); each
+    block then computes its windows vectorized with the carry prepended
+    for its first user only."""
+    refs, carries = _rolling_carry_blocks(events, k, key, ts_col,
+                                          id_col, val_col)
+    import pyarrow as pa
+    import ray
+
+    if refs is None:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, id_col, "rolling_mean_cents"]))
 
     @ray.remote(num_cpus=1)
     def block_roll(t, carry) -> pd.DataFrame:
@@ -682,6 +700,75 @@ def rolling_mean(events: "ray.data.Dataset", k: int = 3,
         return pd.DataFrame({key: df[key],
                              id_col: df[id_col],
                              "rolling_mean_cents": mean})
+
+    return ray.data.from_pandas_refs(
+        [block_roll.remote(r, carries[i]) for i, r in enumerate(refs)])
+
+
+def rolling_stats(events: "ray.data.Dataset", k: int = 5,
+                  key: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  val_col: str = "value") -> "ray.data.Dataset":
+    """Per-row rolling SAMPLE VARIANCE and z-score over the last ``k``
+    values within ``key`` in (``ts``, ``id_col``) order — the online
+    anomaly-detection features.  Windows with fewer than 2 samples are
+    dropped (sample variance undefined; the twin QUALIFYs them away).
+    Returns (key, id, n_win, rolling_var_cents2, z_cents): variance from
+    the window's exact integer (Σ, Σ²) via ``(nΣx²-Σx²)/(n(n-1))``,
+    z = (x - Σ/n) with identical float64 op order to the SQL twin (kept
+    un-normalized by sigma so zero-variance windows stay well-defined;
+    callers divide by sqrt(var) where var > 0).
+
+    Same scale shape as :func:`rolling_mean` (shared
+    ``_rolling_carry_blocks`` plumbing)."""
+    refs, carries = _rolling_carry_blocks(events, k, key, ts_col,
+                                          id_col, val_col)
+    import pyarrow as pa
+    import ray
+
+    if refs is None:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=[key, id_col, "n_win", "rolling_var_cents2", "z_cents"]))
+
+    @ray.remote(num_cpus=1)
+    def block_roll(t, carry) -> pd.DataFrame:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        empty = pd.DataFrame({key: pd.Series(dtype=np.int64),
+                              id_col: pd.Series(dtype=np.int64),
+                              "n_win": pd.Series(dtype=np.int64),
+                              "rolling_var_cents2": pd.Series(dtype=np.float64),
+                              "z_cents": pd.Series(dtype=np.float64)})
+        if not len(df):
+            return empty
+        kcol = df[key].to_numpy()
+        c = df["_c"].to_numpy(dtype=np.int64)
+        pre = 0
+        if carry is not None and kcol[0] == carry[0]:
+            pre = len(carry[1])
+            kcol = np.concatenate([np.repeat(carry[0], pre), kcol])
+            c = np.concatenate([carry[1], c])
+        s = pd.Series(c)
+        sq = pd.Series(c * c)
+        g = pd.Series(kcol)
+        win = s.groupby(g).rolling(k, min_periods=1)
+        win2 = sq.groupby(g).rolling(k, min_periods=1)
+        sums_ = win.sum().reset_index(drop=True).to_numpy()[pre:]
+        sumsq = win2.sum().reset_index(drop=True).to_numpy()[pre:]
+        cnts = win.count().reset_index(drop=True).to_numpy()[pre:]
+        keep = cnts > 1
+        n = cnts[keep]
+        sx = sums_[keep]
+        sxx = sumsq[keep]
+        var = (n * sxx - sx * sx) / (n * (n - 1))
+        x = c[pre:][keep].astype(np.float64)
+        z = x - sx / n
+        return pd.DataFrame({key: df[key].to_numpy()[keep],
+                             id_col: df[id_col].to_numpy()[keep],
+                             "n_win": n.astype(np.int64),
+                             "rolling_var_cents2": var,
+                             "z_cents": z})
 
     return ray.data.from_pandas_refs(
         [block_roll.remote(r, carries[i]) for i, r in enumerate(refs)])

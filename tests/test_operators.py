@@ -1931,3 +1931,36 @@ def test_dedup_stats_by_source_cross_block(ray_session):
     assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_distinct"] == 3
     assert out.loc["a", "n_dups"] == 1
     assert out.loc["b", "n_docs"] == 3 and out.loc["b", "n_distinct"] == 2
+
+
+def test_rolling_stats_matches_pandas(ray_session):
+    """Rolling variance/z across blocks equals a pandas rolling recompute
+    (sample var over cents); single-sample windows are dropped."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import rolling_stats
+
+    rng = np.random.default_rng(15)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.sort(rng.integers(0, 4, n)),
+        "ts": pd.Timestamp("2026-04-01") + pd.to_timedelta(np.arange(n), unit="s"),
+        "value": np.round(rng.uniform(-9, 9, n), 3),
+    })
+    ds = ray.data.from_pandas([df.iloc[i * 40:(i + 1) * 40] for i in range(15)])
+    out = (rolling_stats(ds, k=5).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    cents = pd.Series(np.round(df["value"].to_numpy() * 100.0).astype(np.int64))
+    grp = cents.groupby(df["user_id"])
+    roll = grp.rolling(5, min_periods=1)
+    s = roll.sum().reset_index(drop=True).to_numpy()
+    ss = (cents * cents).groupby(df["user_id"]).rolling(5, min_periods=1) \
+        .sum().reset_index(drop=True).to_numpy()
+    cnt = roll.count().reset_index(drop=True).to_numpy()
+    keep = cnt > 1
+    var = (cnt[keep] * ss[keep] - s[keep] * s[keep]) / (cnt[keep] * (cnt[keep] - 1))
+    z = cents.to_numpy()[keep].astype(np.float64) - s[keep] / cnt[keep]
+    assert np.array_equal(out["rolling_var_cents2"].to_numpy(), var)
+    assert np.array_equal(out["z_cents"].to_numpy(), z)
+    assert out["n_win"].min() >= 2 and len(out) == int(keep.sum())
