@@ -513,6 +513,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    "l_partkey", "p_partkey")
 
     q["lineitem_bloom_semi"] = lineitem_bloom_semi
+    def lineitem_layout_advice(sf):
+        # row-layout advisor report (rows-only: byte sizes of trial
+        # encodes are not SQL-expressible); the chosen order must shrink
+        # the full-table encode — asserted in tests/test_format.py
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from parquet_hs_ray.selector import advise_sort_order
+
+        t = pq.read_table(os.path.join(sf, "lineitem.parquet"))
+        keys, report = advise_sort_order(t)
+        rows = sorted(report.items(), key=lambda kv: (kv[1], len(kv[0])))
+        return pd.DataFrame({
+            "sort_keys": [",".join(k) if k else "<identity>" for k, _ in rows],
+            "sampled_bytes": [v for _, v in rows],
+            "chosen": [list(k) == keys for k, _ in rows],
+        })
+
+    q["lineitem_layout_advice"] = lineitem_layout_advice
     q["lineitem_part_join"] = lambda sf: rel.broadcast_join(
         _read(sf, "lineitem"), _read(sf, "part"),
         "l_partkey", "p_partkey", how="inner",

@@ -188,3 +188,68 @@ def select_binary_codec(
     stats.predicted = {k: int(v) for k, v in est.items()}
     stats.codec = choice
     return {"plain": PLAIN, "dict": DICT, "fsst": FSST}[choice], stats
+
+
+def advise_sort_order(tbl, max_keys: int = 3, sample_rows: int = 16384,
+                      margin: float = 0.98):
+    """Row-LAYOUT advisor: pick the sort order that minimizes this
+    table's encoded size — the codec auto-selector's philosophy applied
+    one level up (sorting by low-cardinality columns lengthens runs for
+    RLE/dict and tightens FOR frames; but an already-well-ordered table
+    can get WORSE, e.g. a status sort breaking an id column's delta
+    chain — measured on TPC-H orders).  Candidates: identity, each of
+    the ``max_keys`` lowest-cardinality non-float columns alone, and
+    their composite (cardinality-ascending); each candidate is
+    TRIAL-ENCODED on a row sample and the winner must beat identity by
+    ``1 - margin`` (sorting costs a shuffle at scale — a sub-2% win
+    never justifies one).  Deterministic (fixed sample = table head, a
+    byte-size decision rather than a statistical one).
+
+    Returns (sort_keys, report): ``sort_keys`` is a list of column
+    names ([] = keep the incoming order), ``report`` maps each
+    candidate tuple to its sampled encoded size.
+
+    Reordering is a USER-VISIBLE layout change (the engine's decode
+    contract is per-row equality with its input, so the encode job
+    never reorders behind the caller's back); apply it upstream with
+    ``ds.sort(keys)`` / ``table.take(sort_indices)`` before encoding."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .format import encode_table
+
+    sample = tbl.slice(0, min(sample_rows, tbl.num_rows)).combine_chunks()
+    if sample.num_rows < 2:
+        return [], {(): len(encode_table(sample)[0])}
+    cards = []
+    for name in sample.column_names:
+        col = sample[name]
+        if pa.types.is_floating(col.type) or pa.types.is_nested(col.type):
+            continue  # float keys don't run-length; nested can't sort
+        try:
+            card = len(pc.unique(col))
+        except pa.ArrowNotImplementedError:
+            continue
+        if card < sample.num_rows:  # unique columns can't lengthen runs
+            cards.append((card, name))
+    cards.sort()
+    singles = [[name] for _, name in cards[:max_keys]]
+    composite = [name for _, name in cards[:max_keys]]
+    candidates = [[]] + singles
+    if len(composite) > 1:
+        candidates.append(composite)
+
+    report = {}
+    for keys in candidates:
+        if keys:
+            idx = pc.sort_indices(
+                sample, sort_keys=[(kk, "ascending") for kk in keys])
+            trial = sample.take(idx)
+        else:
+            trial = sample
+        report[tuple(keys)] = len(encode_table(trial)[0])
+    base = report[()]
+    best = min(report, key=lambda kk: (report[kk], len(kk), kk))
+    if best != () and report[best] >= margin * base:
+        best = ()  # below the margin the shuffle isn't worth it
+    return list(best), report

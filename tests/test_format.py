@@ -509,3 +509,30 @@ def test_truncated_blob_never_returns_garbage(seed, frac):
         return  # loud failure: correct
     # decoding a strict prefix must not silently produce the full table
     assert not out.equals(t.combine_chunks())
+
+
+def test_advise_sort_order_wins_and_protects():
+    """The layout advisor picks a run-lengthening sort for lineitem (and
+    the FULL-table encode shrinks >= 5% under it), keeps identity for
+    orders (whose id ordering a status sort would break — the margin
+    guard), and is deterministic."""
+    import pyarrow.compute as pc
+
+    from parquet_hs_ray.selector import advise_sort_order
+
+    li = pq.read_table("/root/testdata/sf0.01/lineitem.parquet")
+    keys, report = advise_sort_order(li)
+    assert keys, report
+    assert advise_sort_order(li)[0] == keys  # deterministic
+    base = len(encode_table(li)[0])
+    srt = li.take(pc.sort_indices(li, sort_keys=[(k, "ascending")
+                                                 for k in keys]))
+    opt = len(encode_table(srt)[0])
+    assert opt < 0.95 * base, (base, opt, keys)
+    # the layout change is user-visible: the sorted table still
+    # round-trips bit-exact in its new order
+    assert decode_table(encode_table(srt)[0]).equals(srt.combine_chunks())
+
+    orders = pq.read_table("/root/testdata/sf0.01/orders.parquet")
+    okeys, oreport = advise_sort_order(orders)
+    assert okeys == [], oreport  # identity protected by the margin
