@@ -82,8 +82,27 @@ def main(argv=None):
     sub.add_parser("synth-help")
     summ = sub.add_parser("summary")
     summ.add_argument("--encoded", required=True)
+    adv = sub.add_parser(
+        "advise", help="row-layout advisor: the sort order (if any) that "
+        "shrinks this table's encoding; apply upstream before encode")
+    adv.add_argument("--input", required=True, help="parquet file or dir")
+    adv.add_argument("--sample-rows", type=int, default=16384)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "advise":
+        import pyarrow.dataset as pads
+
+        from .selector import advise_sort_order
+
+        tbl = pads.dataset(args.input).head(args.sample_rows)
+        keys, report = advise_sort_order(tbl, sample_rows=args.sample_rows)
+        print(json.dumps({
+            "sort_keys": keys,
+            "report": {",".join(k) or "<identity>": v
+                       for k, v in sorted(report.items(), key=lambda kv: kv[1])},
+        }))
+        return 0
 
     if args.cmd == "summary":
         from .state import manifest as mf
