@@ -263,6 +263,19 @@ def main() -> None:
         blob, _ = _et(t)
         out[f"{name}_encoded_bytes"] = len(blob)
         out[f"{name}_parquet_uncompressed_bytes"] = b.tell()
+    # row-layout advisor: the further win from the sampled sort-order
+    # pick (user-visible reorder; 0 keys = identity already optimal)
+    import pyarrow.compute as _pc
+
+    from parquet_hs_ray.selector import advise_sort_order
+
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    keys, _rep = advise_sort_order(li)
+    if keys:
+        li = li.take(_pc.sort_indices(
+            li, sort_keys=[(k, "ascending") for k in keys]))
+    out["lineitem_advised_sort"] = keys
+    out["lineitem_advised_encoded_bytes"] = len(_et(li)[0])
     ray.shutdown()
     print(json.dumps(out))
 
