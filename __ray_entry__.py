@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_roll_fp"] = lambda sf: ta.rolling_fingerprints(_read(sf, "documents"))
     q["top_terms"] = lambda sf: ta.top_terms(_read(sf, "documents"), k=50)
     q["doc_top_terms"] = lambda sf: ta.doc_top_terms(_read(sf, "documents"), k=3)
+    q["source_top_terms"] = lambda sf: ta.top_terms_per_source(
+        _read(sf, "documents"), k=5)
     q["doc_mix"] = lambda sf: ta.deterministic_mix(
         _read(sf, "documents"), {"src1": 50, "src2": 25, "src3": 0})
     q["doc_sample_n"] = lambda sf: ta.sample_exact_n(
@@ -772,6 +774,16 @@ def oracle_sql() -> dict[str, str]:
         " SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,"
         " coalesce(a.surprisal_sum, 0)::BIGINT AS surprisal_sum"
         " FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+    # source_top_terms: per-source trending vocabulary == one window
+    o["source_top_terms"] = (
+        "WITH words AS (SELECT source, unnest(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) AS word FROM documents),"
+        " c AS (SELECT source, word, count(*)::BIGINT AS n FROM words"
+        " GROUP BY source, word),"
+        " r AS (SELECT source, word, n, row_number() OVER (PARTITION BY source"
+        " ORDER BY n DESC, word) AS rank FROM c)"
+        " SELECT source, word, n, rank::BIGINT AS rank FROM r WHERE rank <= 5"
     )
     o["top_terms"] = (
         "WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word"

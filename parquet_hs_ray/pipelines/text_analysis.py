@@ -214,6 +214,61 @@ def doc_top_terms(docs: "ray.data.Dataset", k: int = 3) -> "ray.data.Dataset":
     return docs.map_batches(topk, batch_format="pandas")
 
 
+def top_terms_per_source(docs: "ray.data.Dataset",
+                         k: int = 5) -> "ray.data.Dataset":
+    """Top-``k`` terms per source by frequency (ties: word asc) — the
+    per-subcorpus vocabulary profile (trending/characteristic terms per
+    provenance bucket).  SQL twin: one ``row_number() OVER (PARTITION BY
+    source ORDER BY n DESC, word)`` window.
+
+    Scale shape: per-batch (source, word, n) partials -> ``grouped_sum``
+    on (source, word) (the shuffle carries counts, never text) ->
+    per-block per-source top-k (the global top-k of a group is contained
+    in the union of its per-block top-ks — counts are final after the
+    aggregate, so this is the selection property again) -> a driver
+    merge over <= k x sources x blocks candidate rows."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = words.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(words, lens)
+        if not len(flat):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        src = batch["source"].to_numpy()[np.repeat(
+            np.arange(len(batch), dtype=np.int64), lens)]
+        g = (pd.DataFrame({"source": src, "word": flat, "n": np.int64(1)})
+             .groupby(["source", "word"], sort=False, as_index=False).sum())
+        return g
+
+    from .groupagg import grouped_sum
+
+    agg = grouped_sum(docs.map_batches(partial, batch_format="pandas"),
+                      ["source", "word"], ["n"])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        b = b.sort_values(["source", "n", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        return b.groupby("source", sort=False).head(k)
+
+    cands = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if not len(cands):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"source": pd.Series([], dtype=object),
+             "word": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64),
+             "rank": pd.Series([], dtype=np.int64)}))
+    cands = cands.sort_values(["source", "n", "word"],
+                              ascending=[True, False, True], kind="mergesort")
+    cands["rank"] = cands.groupby("source", sort=False).cumcount() + 1
+    out = cands[cands["rank"] <= k].reset_index(drop=True)
+    return ray.data.from_pandas(out.astype({"n": np.int64,
+                                            "rank": np.int64}))
+
+
 def deterministic_mix(docs: "ray.data.Dataset", weights: dict[str, int],
                       default_pct: int = 100) -> "ray.data.Dataset":
     """Data mixing: keep each document with a per-source percentage, decided

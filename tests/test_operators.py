@@ -1964,3 +1964,23 @@ def test_rolling_stats_matches_pandas(ray_session):
     assert np.array_equal(out["rolling_var_cents2"].to_numpy(), var)
     assert np.array_equal(out["z_cents"].to_numpy(), z)
     assert out["n_win"].min() >= 2 and len(out) == int(keep.sum())
+
+
+def test_top_terms_per_source_matches_pandas(docs):
+    from parquet_hs_ray.pipelines.text_analysis import top_terms_per_source
+
+    out = (top_terms_per_source(docs, k=4).to_pandas()
+           .sort_values(["source", "rank"]).reset_index(drop=True))
+    raw = docs.to_pandas()
+    words = raw["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    rows = []
+    for src, ws in zip(raw["source"], words):
+        rows += [(src, w) for w in ws]
+    c = (pd.DataFrame(rows, columns=["source", "word"])
+         .groupby(["source", "word"]).size().reset_index(name="n"))
+    c = c.sort_values(["source", "n", "word"], ascending=[True, False, True])
+    c["rank"] = c.groupby("source").cumcount() + 1
+    ref = (c[c["rank"] <= 4].reset_index(drop=True)
+           .astype({"n": np.int64, "rank": np.int64}))
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out.groupby("source").size() <= 4).all()
