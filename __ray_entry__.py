@@ -167,6 +167,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      width=256, batch_rows=32)
 
     q["f1_length_batches"] = f1_length_batches
+
+    def f1_len_hist(sf):
+        import ray.data
+
+        from parquet_hs_ray.pipelines.stats import grouped_histogram
+
+        f1_src, _ = _f1_out_dir(sf)
+        # sequence-length profile per source: the distribution that sizes
+        # context_len / bucket widths for packing and batching
+        return grouped_histogram(ray.data.read_parquet(f1_src),
+                                 "source", "n_tok", 256.0)
+
+    q["f1_len_hist"] = f1_len_hist
     q["encode_job_f1"] = _encode_job_f1
     q["decode_f1"] = _decode_f1
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
@@ -467,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     as_int=True,
                                     id_cols=["event_type", "value"]),
         "event_type", "value", "k", x_scale=100, y_scale=1)
+    q["source_profile"] = lambda sf: pstats.source_quality_profile(
+        _read(sf, "documents"))
     q["events_balance"] = lambda sf: pstats.category_balance(
         _read(sf, "events"), "user_id", "event_type")
     q["events_stddev"] = lambda sf: pstats.grouped_stddev(
@@ -809,6 +824,12 @@ def oracle_sql() -> dict[str, str]:
         " g AS (SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos FROM tok)"
         " SELECT gpos // 2048 AS seq_id, list(tok ORDER BY gpos) AS tokens,"
         " count(*)::INT AS n_tok FROM g GROUP BY seq_id"
+    )
+    # f1_len_hist: sequence-length distribution per source
+    o["f1_len_hist"] = (
+        f"SELECT source, floor(n_tok / 256.0)::BIGINT AS bin,"
+        " count(*)::BIGINT AS n"
+        f" FROM read_parquet('{f1_src}/*.parquet') GROUP BY source, bin"
     )
     # f1_length_batches: length-bucketed dynamic batching — one window
     # function (zero-padded doc ids make string order deterministic)
@@ -1228,6 +1249,15 @@ GROUP BY token_id ORDER BY token_id
         " FROM s"
         " WHERE (n::DOUBLE * sxx::DOUBLE) - (sx::DOUBLE * sx::DOUBLE) > 0"
         " AND (n::DOUBLE * syy::DOUBLE) - (sy::DOUBLE * sy::DOUBLE) > 0"
+    )
+    # source_profile: ingest audit (counts / extremes / distinct langs)
+    o["source_profile"] = (
+        "SELECT source, count(*)::BIGINT AS n_docs,"
+        " sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END)"
+        "::BIGINT AS n_empty,"
+        " min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars,"
+        " count(DISTINCT lang)::BIGINT AS n_langs"
+        " FROM documents GROUP BY source"
     )
     # events_balance: entropy/gini with libm ln and category-asc ordered
     # accumulation (list_sum over an ORDER BY list == the kernel's loop)

@@ -742,3 +742,46 @@ def grouped_ndv_hll(ds: "ray.data.Dataset", key: str, col: str,
     partials = ds.map_batches(partial, batch_format="pandas")
     out = partials.groupby(key).map_groups(merge, batch_format="pandas").to_pandas()
     return out.sort_values(key).reset_index(drop=True)
+
+
+def source_quality_profile(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source data-quality monitor: document count, empty/whitespace
+    text count, n_chars min/max, and distinct language count — the
+    ingest-audit row a pipeline checks before accepting a new source
+    drop (schema drift, truncation, language contamination all surface
+    here).  Pure composition of the decomposable-aggregate machinery:
+    one sum/min/max partial-agg pass + one exact distinct-count pass,
+    merged on the source-count-sized driver frame."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("")
+        g = pd.DataFrame({
+            "source": batch["source"],
+            "n_docs": np.int64(1),
+            "n_empty": (txt.str.strip() == "").to_numpy().astype(np.int64),
+            "min_chars": batch["n_chars"].to_numpy(dtype=np.int64),
+            "max_chars": batch["n_chars"].to_numpy(dtype=np.int64),
+        })
+        return g.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_empty=("n_empty", "sum"),
+            min_chars=("min_chars", "min"), max_chars=("max_chars", "max"))
+
+    from .groupagg import sorted_block_aggregate
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby("source", sort=True, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_empty=("n_empty", "sum"),
+            min_chars=("min_chars", "min"), max_chars=("max_chars", "max"))
+
+    base = sorted_block_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source"], merge, merge).to_pandas()
+    langs = (grouped_distinct_count(docs, "source", "lang")
+             .to_pandas().rename(columns={"ndv": "n_langs"}))
+    out = (base.merge(langs, on="source").sort_values("source")
+           .reset_index(drop=True))
+    return ray.data.from_pandas(out.astype(
+        {c: np.int64 for c in ("n_docs", "n_empty", "min_chars",
+                               "max_chars", "n_langs")}))

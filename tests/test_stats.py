@@ -329,3 +329,22 @@ def test_category_balance_known_values(ray_session):
         ent = ent + (-(p * math.log(p)))
     assert out.loc["mix", "entropy"] == ent
     assert out.loc["mix", "n_cats"] == 2 and out.loc["mix", "n"] == 4
+
+
+def test_source_quality_profile(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import source_quality_profile
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "a", "b", "b"],
+        "text": ["hello", "", "   ", "x y", None],
+        "lang": ["en", "en", "de", "fr", "fr"],
+        "n_chars": [5, 0, 3, 3, 0],
+    })
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    out = source_quality_profile(ds).to_pandas().set_index("source")
+    assert out.loc["a", "n_docs"] == 3 and out.loc["a", "n_empty"] == 2
+    assert out.loc["a", "min_chars"] == 0 and out.loc["a", "max_chars"] == 5
+    assert out.loc["a", "n_langs"] == 2
+    assert out.loc["b", "n_empty"] == 1 and out.loc["b", "n_langs"] == 1
