@@ -616,6 +616,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   _read(sf, "customer"))
 
     q["tpch_q3_top_revenue"] = top_revenue
+
+    def q1_pricing(sf):
+        from parquet_hs_ray.pipelines.recipes import pricing_summary
+
+        return pricing_summary(_read(sf, "lineitem"))
+
+    q["tpch_q1_pricing"] = q1_pricing
+
+    def _orders_per_cust(sf):
+        """(o_custkey, sum_total_c, n_orders) partial-agg — shared by the
+        outer-join demos; the shuffle carries one row per (cust, block)."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            return (pd.DataFrame({
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "sum_total_c": np.round(b["o_totalprice"].to_numpy() * 100
+                                        ).astype(np.int64),
+                "n_orders": np.ones(len(b), dtype=np.int64),
+            }).groupby("o_custkey", sort=False).sum().reset_index())
+
+        return grouped_sum(
+            _read(sf, "orders").map_batches(part, batch_format="pandas"),
+            ["o_custkey"], ["sum_total_c", "n_orders"])
+
+    def cust_orders_left(sf):
+        # LEFT OUTER hash-shuffle join: customers with no orders survive
+        # with null aggregates (exercises outer-row emission in the
+        # per-partition probe)
+        cust = _read(sf, "customer").map_batches(
+            lambda b: b[["c_custkey", "c_mktsegment"]], batch_format="pandas")
+        return rel.hash_join(cust, _orders_per_cust(sf),
+                             "c_custkey", "o_custkey", how="left")
+
+    q["customer_orders_left"] = cust_orders_left
+
+    def user_cust_full(sf):
+        # FULL OUTER join of two fact-side aggregates whose key ranges
+        # only partially overlap (event users vs ordering customers)
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        def epart(b: "pd.DataFrame") -> "pd.DataFrame":
+            return (pd.DataFrame({
+                "uid": b["user_id"].to_numpy(),
+                "n_events": np.ones(len(b), dtype=np.int64),
+            }).groupby("uid", sort=False).sum().reset_index())
+
+        ev = grouped_sum(
+            _read(sf, "events").map_batches(epart, batch_format="pandas"),
+            ["uid"], ["n_events"])
+        od = _orders_per_cust(sf).map_batches(
+            lambda b: b.rename(columns={"o_custkey": "uid"})[["uid", "n_orders"]],
+            batch_format="pandas")
+        return rel.hash_join(ev, od, "uid", "uid", how="full")
+
+    q["events_orders_full"] = user_cust_full
     return q
 
 
@@ -1476,6 +1538,41 @@ rev AS (SELECT l_orderkey,
 SELECT o.o_orderkey, r.revenue_cents, o.o_orderdate, o.o_orderpriority
 FROM ord o JOIN rev r ON o.o_orderkey = r.l_orderkey
 ORDER BY r.revenue_cents DESC, o.o_orderkey LIMIT 10
+"""
+    # Q1-shaped pricing summary: per-row integer cents before the Sum so
+    # the distributed aggregate is order-independent; avg columns are one
+    # float division of exact ints (identical IEEE op both sides)
+    o["tpch_q1_pricing"] = """
+SELECT *, sum_qty_c/(100.0*n_rows) AS avg_qty,
+       sum_base_c/(100.0*n_rows) AS avg_price,
+       sum_discount_c/(100.0*n_rows) AS avg_disc FROM (
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round_even(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(round_even(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(sum(CAST(round_even(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+  CAST(sum(CAST(round_even(l_extendedprice*(1-l_discount)*(1+l_tax)*100,0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  CAST(sum(CAST(round_even(l_discount*100,0) AS BIGINT)) AS BIGINT) AS sum_discount_c,
+  count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus)
+"""
+    # LEFT OUTER hash join: customers without orders keep null aggregates
+    o["customer_orders_left"] = """
+SELECT c.c_custkey, c.c_mktsegment, a.sum_total_c, a.n_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey,
+    CAST(sum(CAST(round_even(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_total_c,
+    count(*) AS n_orders
+  FROM orders GROUP BY o_custkey) a ON c.c_custkey = a.o_custkey
+"""
+    # FULL OUTER join of two partially-overlapping aggregates; the key
+    # column is coalesced across sides (Ray fills the join key from
+    # whichever side matched)
+    o["events_orders_full"] = """
+SELECT coalesce(e.uid, a.o_custkey) AS uid, e.n_events, a.n_orders
+FROM (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY user_id) e
+FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
+  ON e.uid = a.o_custkey
 """
     # deterministic capped per-group sampling (md5-ranked, no RNG)
     o["doc_sample_per_source"] = (

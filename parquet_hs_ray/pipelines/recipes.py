@@ -167,3 +167,64 @@ def curate_by_surprisal(docs: "ray.data.Dataset",
         enriched = hash_join(src, kept, "doc_id", "doc_id")
     return assign_splits(enriched, split_pcts or
                          {"train": 80, "val": 10, "test": 10})
+
+
+def pricing_summary(lineitem: "ray.data.Dataset",
+                    cutoff: str = "1998-09-01") -> "ray.data.Dataset":
+    """TPC-H-Q1-shaped pricing summary report: per (l_returnflag,
+    l_linestatus), exact integer-cent sums of quantity, base price,
+    discounted price ``p*(1-d)``, charge ``p*(1-d)*(1+t)`` and discount,
+    plus row counts and the derived averages, over rows shipped on or
+    before ``cutoff``.
+
+    All money/quantity sums are per-row ``round_even(x*100)`` integer
+    cents before the Sum, so the distributed aggregation is
+    order-independent and the DuckDB twin hash-exact; the avg columns
+    are single float divisions of those exact integers (identical IEEE
+    ops on both sides).  Scale shape: one per-block pandas partial (a
+    handful of rows per block — the key space is ~6 groups), then
+    ``grouped_sum``'s bounded merge; no row-level shuffle.
+
+    The reference has no aggregation at all (SURVEY.md §2.5); this is a
+    flagship composition of the engine's relational layer."""
+    from .groupagg import grouped_sum
+
+    cutoff_ts = pd.Timestamp(cutoff)
+    sum_cols = ["sum_qty_c", "sum_base_c", "sum_disc_c", "sum_charge_c",
+                "sum_discount_c", "n_rows"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["l_shipdate"] <= cutoff_ts]
+        if not len(m):
+            return pd.DataFrame({"l_returnflag": pd.Series([], dtype=object),
+                                 "l_linestatus": pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in sum_cols}})
+        p = m["l_extendedprice"].to_numpy()
+        d = m["l_discount"].to_numpy()
+        t = m["l_tax"].to_numpy()
+        part = pd.DataFrame({
+            "l_returnflag": m["l_returnflag"].to_numpy(),
+            "l_linestatus": m["l_linestatus"].to_numpy(),
+            "sum_qty_c": np.round(m["l_quantity"].to_numpy() * 100).astype(np.int64),
+            "sum_base_c": np.round(p * 100).astype(np.int64),
+            "sum_disc_c": np.round(p * (1 - d) * 100).astype(np.int64),
+            "sum_charge_c": np.round(p * (1 - d) * (1 + t) * 100).astype(np.int64),
+            "sum_discount_c": np.round(d * 100).astype(np.int64),
+            "n_rows": np.ones(len(m), dtype=np.int64),
+        })
+        return (part.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                .sum().reset_index())
+
+    sums = grouped_sum(lineitem.map_batches(partial, batch_format="pandas"),
+                       ["l_returnflag", "l_linestatus"], sum_cols)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_rows"].to_numpy().astype(np.float64)
+        b = b.copy()
+        b["avg_qty"] = b["sum_qty_c"].to_numpy() / (100.0 * n)
+        b["avg_price"] = b["sum_base_c"].to_numpy() / (100.0 * n)
+        b["avg_disc"] = b["sum_discount_c"].to_numpy() / (100.0 * n)
+        return b
+
+    return sums.map_batches(finalize, batch_format="pandas")

@@ -163,21 +163,33 @@ def filter_by_percentile(ds: "ray.data.Dataset", col: str, q: float,
     return ds.map_batches(lambda b: b[b[col] < thr], batch_format="pandas")
 
 
+_JOIN_TYPES = {"inner": "inner", "left": "left_outer",
+               "right": "right_outer", "full": "full_outer"}
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               left_key: str, right_key: str,
-              num_partitions: int | None = None) -> "ray.data.Dataset":
-    """Large-x-large inner equi-join via Ray Data's native hash-shuffle
+              num_partitions: int | None = None,
+              how: str = "inner") -> "ray.data.Dataset":
+    """Large-x-large equi-join via Ray Data's native hash-shuffle
     join — the path for two FACT tables where neither side fits a
     broadcast (``broadcast_join`` is the right tool whenever one side is
     dimension-sized).  Both sides shuffle by key hash into
     ``num_partitions`` co-located partitions; matching is vectorized
     within each partition.
 
+    ``how`` ∈ {'inner', 'left', 'right', 'full'} — the outer variants
+    keep unmatched rows with nulls on the other side (SQL LEFT / RIGHT /
+    FULL OUTER JOIN semantics); the shuffle shape is identical, outer
+    rows just survive the per-partition probe.
+
     The default partition count is size-aware (~8 MB of input per
     partition, capped at the CPU count): small joins collapse to a few
     partitions instead of paying fixed per-partition shuffle overhead
     (measured 3.7 s -> 2.1 s on a 3 MB join at 32 partitions vs 4),
     while at scale the bytes term governs."""
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}, got {how!r}")
     if num_partitions is None:
         try:
             sz = (left.size_bytes() or 0) + (right.size_bytes() or 0)
@@ -191,7 +203,7 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             return t.rename_columns(
                 [left_key if c == right_key else c for c in t.column_names])
         right = right.map_batches(ren, batch_format="pyarrow")
-    return left.join(right, join_type="inner",
+    return left.join(right, join_type=_JOIN_TYPES[how],
                      num_partitions=num_partitions, on=(left_key,))
 
 

@@ -323,3 +323,73 @@ def test_bloom_semi_join_exact_and_pruning(ray_session):
                            prefilter_only=True).to_pandas())
     assert len(ref) <= len(pre) < len(big)  # superset that really prunes
     assert set(ref["v"]) <= set(pre["v"])
+
+
+def test_hash_join_outer_variants(fact_dim, ray_session):
+    """left/right/full outer hash joins match pandas merge semantics:
+    unmatched rows survive with nulls on the other side."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import hash_join
+
+    fact, dim, ds, dimds = fact_dim
+    for how in ("left", "right", "full"):
+        out = hash_join(ds, dimds, "fk", "dk", how=how).to_pandas()
+        exp = fact.merge(dim.rename(columns={"dk": "fk"}), on="fk", how=(
+            "outer" if how == "full" else how))
+        assert len(out) == len(exp), how
+        # unmatched fact keys (>=30) survive in left/full with null label
+        if how in ("left", "full"):
+            um = out[out["fk"] >= 30]
+            assert len(um) and um["label"].isna().all()
+        # fact has every key 0..39, so right never adds unmatched dim rows;
+        # spot-check the matched payload sums agree instead
+        assert out["weight"].sum() == pytest.approx(exp["weight"].sum())
+
+    with pytest.raises(ValueError):
+        hash_join(ds, dimds, "fk", "dk", how="cross")
+
+
+def test_pricing_summary_matches_pandas(ray_session):
+    """TPC-H-Q1 recipe vs a single-process pandas computation over a
+    synthetic lineitem (includes rows past the cutoff and multi-block
+    layout so the partial-agg merge is exercised)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.recipes import pricing_summary
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(list("ARN"), n),
+        "l_linestatus": rng.choice(list("OF"), n),
+        "l_quantity": rng.integers(1, 51, n).astype(float),
+        "l_extendedprice": np.round(rng.uniform(900, 100_000, n), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n), 2),
+        "l_tax": np.round(rng.uniform(0, 0.08, n), 2),
+        "l_shipdate": pd.Timestamp("1998-01-01")
+        + pd.to_timedelta(rng.integers(0, 400, n), unit="D"),
+    })
+    ds = ray.data.from_pandas([df.iloc[i:i + 500] for i in range(0, n, 500)])
+    out = (pricing_summary(ds, cutoff="1998-09-01").to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
+
+    m = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")].copy()
+    p, d, t = (m["l_extendedprice"].to_numpy(), m["l_discount"].to_numpy(),
+               m["l_tax"].to_numpy())
+    m["sum_qty_c"] = np.round(m["l_quantity"].to_numpy() * 100).astype(np.int64)
+    m["sum_base_c"] = np.round(p * 100).astype(np.int64)
+    m["sum_disc_c"] = np.round(p * (1 - d) * 100).astype(np.int64)
+    m["sum_charge_c"] = np.round(p * (1 - d) * (1 + t) * 100).astype(np.int64)
+    m["sum_discount_c"] = np.round(d * 100).astype(np.int64)
+    m["n_rows"] = 1
+    exp = (m.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+           [["sum_qty_c", "sum_base_c", "sum_disc_c", "sum_charge_c",
+             "sum_discount_c", "n_rows"]].sum()
+           .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True))
+    nn = exp["n_rows"].to_numpy().astype(float)
+    exp["avg_qty"] = exp["sum_qty_c"].to_numpy() / (100.0 * nn)
+    exp["avg_price"] = exp["sum_base_c"].to_numpy() / (100.0 * nn)
+    exp["avg_disc"] = exp["sum_discount_c"].to_numpy() / (100.0 * nn)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  exp[sorted(exp.columns)], check_exact=True)
