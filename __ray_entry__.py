@@ -624,6 +624,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q1_pricing"] = q1_pricing
 
+    def rollup_pricing(sf):
+        """SQL ROLLUP over (l_returnflag, l_linestatus): the Q1 sums at
+        every prefix granularity plus the grand total, NULL-keyed rolled
+        levels and a GROUPING() bitmask — input scanned once, coarser
+        levels re-aggregate the finest result (groupagg.rollup_sum)."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import rollup_sum
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            p = pd.DataFrame({
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+                "sum_qty_c": np.round(b["l_quantity"].to_numpy() * 100
+                                      ).astype(np.int64),
+                "sum_base_c": np.round(b["l_extendedprice"].to_numpy() * 100
+                                       ).astype(np.int64),
+                "n_rows": np.ones(len(b), dtype=np.int64),
+            })
+            return (p.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                    .sum().reset_index())
+
+        parts = _read(sf, "lineitem").map_batches(part, batch_format="pandas")
+        return rollup_sum(parts, ["l_returnflag", "l_linestatus"],
+                          ["sum_qty_c", "sum_base_c", "n_rows"])
+
+    q["rollup_pricing"] = rollup_pricing
+
+    def cube_docs(sf):
+        """SQL CUBE over (source, lang) on documents: doc counts and
+        char sums at all four granularities (groupagg.cube_sum)."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import cube_sum
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            p = pd.DataFrame({
+                "source": b["source"].to_numpy(),
+                "lang": b["lang"].to_numpy(),
+                "sum_chars": b["n_chars"].to_numpy().astype(np.int64),
+                "n_docs": np.ones(len(b), dtype=np.int64),
+            })
+            return p.groupby(["source", "lang"], sort=False).sum().reset_index()
+
+        parts = _read(sf, "documents").map_batches(part, batch_format="pandas")
+        return cube_sum(parts, ["source", "lang"], ["sum_chars", "n_docs"])
+
+    q["cube_docs"] = cube_docs
+
     def _orders_per_cust(sf):
         """(o_custkey, sum_total_c, n_orders) partial-agg — shared by the
         outer-join demos; the shuffle carries one row per (cust, block)."""
@@ -1555,6 +1606,22 @@ SELECT l_returnflag, l_linestatus,
   count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus)
+"""
+    # ROLLUP / CUBE grouping sets: NULL-keyed rolled levels + GROUPING()
+    # bitmask (keys[0] = MSB, matching groupagg's grouping_id convention)
+    o["rollup_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round_even(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(round_even(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  count(*) AS n_rows,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+    o["cube_docs"] = """
+SELECT source, lang,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs,
+  CAST(GROUPING(source, lang) AS BIGINT) AS grouping_id
+FROM documents GROUP BY CUBE(source, lang)
 """
     # LEFT OUTER hash join: customers without orders keep null aggregates
     o["customer_orders_left"] = """

@@ -117,6 +117,100 @@ def grouped_sum(
                                   small_merge_rows=small_merge_rows)
 
 
+def grouping_sets_sum(
+    partials: "ray.data.Dataset",
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    small_merge_rows: int = SMALL_MERGE_ROWS,
+) -> "ray.data.Dataset":
+    """SQL ``GROUPING SETS`` over additive partials: one output row per
+    group per requested key subset, rolled-up keys emitted as NULL, plus
+    a ``grouping_id`` bitmask column matching SQL ``GROUPING(k0, k1, …)``
+    (bit for ``keys[0]`` is the most significant; bit set = key rolled up).
+
+    Scale shape: the FINEST level (all ``keys``) is aggregated once from
+    the callers' per-batch partials via :func:`grouped_sum`; every coarser
+    set then re-aggregates the finest RESULT — strictly smaller than the
+    input (one row per full key combination), and each further level only
+    shrinks.  The input is scanned exactly once regardless of how many
+    grouping sets are requested; the grand total touches one partial row
+    per block.  The union of levels is a metadata concat (no data moves).
+
+    The reference engine has no aggregation (SURVEY.md §2.5); this is the
+    multi-granularity reporting layer (think per-source × per-lang corpus
+    rollups) built on the same bounded-merge machinery."""
+    import pyarrow as pa
+
+    keys, sum_cols = list(keys), list(sum_cols)
+    finest = grouped_sum(partials, keys, sum_cols,
+                         small_merge_rows=small_merge_rows)
+    # normalize to Arrow blocks (the small-merge path emits pandas blocks)
+    # so rolled-up key columns can be typed nulls, not untyped ones
+    finest = finest.map_batches(lambda t: t, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    key_types = {k: finest.schema().base_schema.field(k).type for k in keys}
+
+    def _pad(present: tuple, gid: int):
+        present_set = set(present)
+
+        def pad(t: "pa.Table") -> "pa.Table":
+            n = t.num_rows
+            cols = {}
+            for k in keys:
+                cols[k] = t[k] if k in present_set else pa.nulls(n, type=key_types[k])
+            for c in sum_cols:
+                cols[c] = t[c]
+            cols["grouping_id"] = pa.array(np.full(n, gid, dtype=np.int64))
+            return pa.table(cols)
+
+        return pad
+
+    outs = []
+    for s in sets:
+        s = tuple(s)
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in s)
+        if set(s) == set(keys):
+            lvl = finest
+        elif s:
+            lvl = grouped_sum(finest, list(s), sum_cols,
+                              small_merge_rows=small_merge_rows)
+        else:
+            # grand total: one partial row per finest block, tiny driver add
+            def tot(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return pd.DataFrame({c: pd.Series([], dtype=df[c].dtype)
+                                         for c in sum_cols})
+                return pd.DataFrame({c: [df[c].sum()] for c in sum_cols})
+
+            p = finest.map_batches(tot, batch_format="pandas").to_pandas()
+            lvl = ray.data.from_pandas(
+                pd.DataFrame({c: [p[c].sum()] for c in sum_cols}))
+        outs.append(lvl.map_batches(_pad(s, gid), batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def rollup_sum(partials, keys, sum_cols, **kw):
+    """SQL ``ROLLUP(k0, k1, …)``: the prefix chain of grouping sets
+    (finest → … → grand total)."""
+    keys = list(keys)
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets_sum(partials, keys, sum_cols, sets, **kw)
+
+
+def cube_sum(partials, keys, sum_cols, **kw):
+    """SQL ``CUBE(k0, k1, …)``: all 2^k key subsets (order-preserving)."""
+    keys = list(keys)
+    sets = []
+    for mask in range(1 << len(keys)):
+        sets.append([k for i, k in enumerate(keys) if mask & (1 << i)])
+    return grouping_sets_sum(partials, keys, sum_cols, sets, **kw)
+
+
 def grouped_agg(
     rows: "ray.data.Dataset",
     keys: Sequence[str],

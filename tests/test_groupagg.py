@@ -74,3 +74,73 @@ def test_grouped_sum_multikey_string(ray_session):
     exp = (df.groupby(["a", "b"], as_index=False)["v"].sum()
            .sort_values(["a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, exp)
+
+
+def _docs_frame(n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "src": np.array(["cc", "wiki", "book", "code"])[rng.integers(0, 4, n)],
+        "lang": np.array(["en", "de", "fr"])[rng.integers(0, 3, n)],
+        "chars": rng.integers(1, 500, n).astype(np.int64),
+        "n": np.ones(n, dtype=np.int64),
+    })
+
+
+@pytest.mark.parametrize("small_merge_rows", [500_000, 0])
+def test_rollup_sum_matches_sql_semantics(ray_session, small_merge_rows):
+    from parquet_hs_ray.pipelines.groupagg import rollup_sum
+
+    df = _docs_frame()
+    ds = ray.data.from_pandas([df.iloc[i::8].reset_index(drop=True) for i in range(8)])
+    parts = ds.map_batches(
+        lambda b: b.groupby(["src", "lang"], sort=False).sum().reset_index(),
+        batch_format="pandas")
+    out = rollup_sum(parts, ["src", "lang"], ["chars", "n"],
+                     small_merge_rows=small_merge_rows).to_pandas()
+
+    fine = df.groupby(["src", "lang"], as_index=False)[["chars", "n"]].sum()
+    mid = df.groupby(["src"], as_index=False)[["chars", "n"]].sum()
+    # level row counts and grouping ids
+    assert sorted(out["grouping_id"].unique()) == [0, 1, 3]
+    assert len(out[out.grouping_id == 0]) == len(fine)
+    assert len(out[out.grouping_id == 1]) == len(mid)
+    assert len(out[out.grouping_id == 3]) == 1
+    # rolled keys are NULL
+    lvl1 = out[out.grouping_id == 1]
+    assert lvl1["lang"].isna().all() and lvl1["src"].notna().all()
+    tot = out[out.grouping_id == 3]
+    assert tot["src"].isna().all() and tot["lang"].isna().all()
+    # values agree with pandas at every level
+    got_fine = (out[out.grouping_id == 0][["src", "lang", "chars", "n"]]
+                .sort_values(["src", "lang"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got_fine, fine.sort_values(["src", "lang"]).reset_index(drop=True))
+    got_mid = (lvl1[["src", "chars", "n"]]
+               .sort_values("src").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got_mid, mid.sort_values("src").reset_index(drop=True))
+    assert int(tot["chars"].iloc[0]) == int(df["chars"].sum())
+    assert int(tot["n"].iloc[0]) == len(df)
+
+
+def test_cube_sum_all_subsets(ray_session):
+    from parquet_hs_ray.pipelines.groupagg import cube_sum
+
+    df = _docs_frame(n=1500, seed=9)
+    ds = ray.data.from_pandas([df.iloc[i::4].reset_index(drop=True) for i in range(4)])
+    parts = ds.map_batches(
+        lambda b: b.groupby(["src", "lang"], sort=False).sum().reset_index(),
+        batch_format="pandas")
+    out = cube_sum(parts, ["src", "lang"], ["chars", "n"]).to_pandas()
+    assert sorted(out["grouping_id"].unique()) == [0, 1, 2, 3]
+    # lang-only level (src rolled up -> MSB set -> gid 2)
+    lvl2 = out[out.grouping_id == 2]
+    exp = df.groupby("lang", as_index=False)[["chars", "n"]].sum()
+    got = (lvl2[["lang", "chars", "n"]].sort_values("lang")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("lang").reset_index(drop=True))
+    assert lvl2["src"].isna().all()
+    # every level conserves the total
+    for gid in (0, 1, 2, 3):
+        assert int(out[out.grouping_id == gid]["n"].sum()) == len(df)
