@@ -729,6 +729,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.hash_join(ev, od, "uid", "uid", how="full")
 
     q["events_orders_full"] = user_cust_full
+
+    def custkeys_intersect(sf):
+        # SQL INTERSECT: keys present on BOTH sides, distinct — the
+        # shuffle carries per-block distinct keys + 2 presence flags
+        a = _read(sf, "customer").map_batches(
+            lambda b: b[["c_custkey"]].rename(columns={"c_custkey": "custkey"}),
+            batch_format="pandas")
+        b = _read(sf, "orders").map_batches(
+            lambda d: d[["o_custkey"]].rename(columns={"o_custkey": "custkey"}),
+            batch_format="pandas")
+        return rel.set_op(a, b, ["custkey"], "intersect")
+
+    q["custkeys_intersect"] = custkeys_intersect
+
+    def custkeys_except(sf):
+        # SQL EXCEPT: ordering custkeys outside the BUILDING segment
+        # (nonempty at every sf — Ray's to_pandas drops the schema of a
+        # fully-empty dataset, so driver demos must produce rows)
+        a = _read(sf, "orders").map_batches(
+            lambda d: d[["o_custkey"]].rename(columns={"o_custkey": "custkey"}),
+            batch_format="pandas")
+        b = _read(sf, "customer").map_batches(
+            lambda c: c[c["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+            .rename(columns={"c_custkey": "custkey"}),
+            batch_format="pandas")
+        return rel.set_op(a, b, ["custkey"], "except")
+
+    q["custkeys_except"] = custkeys_except
+
+    def lineitem_unpivot(sf):
+        # UNPIVOT/melt to long format — per-block vectorized, no shuffle
+        ds = _read(sf, "lineitem").map_batches(
+            lambda b: b[["l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice"]], batch_format="pandas")
+        return rel.unpivot(ds, ["l_orderkey", "l_linenumber"],
+                           ["l_quantity", "l_extendedprice"])
+
+    q["lineitem_unpivot"] = lineitem_unpivot
     return q
 
 
@@ -1640,6 +1678,17 @@ SELECT coalesce(e.uid, a.o_custkey) AS uid, e.n_events, a.n_orders
 FROM (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY user_id) e
 FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
   ON e.uid = a.o_custkey
+"""
+    # SQL set operations (DISTINCT semantics) and UNPIVOT
+    o["custkeys_intersect"] = ("SELECT c_custkey AS custkey FROM customer "
+                               "INTERSECT SELECT o_custkey AS custkey FROM orders")
+    o["custkeys_except"] = (
+        "SELECT o_custkey AS custkey FROM orders EXCEPT "
+        "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'")
+    o["lineitem_unpivot"] = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
 """
     # deterministic capped per-group sampling (md5-ranked, no RNG)
     o["doc_sample_per_source"] = (

@@ -297,3 +297,67 @@ def bloom_semi_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
     if prefilter_only:
         return pre
     return broadcast_join(pre, small, left_key, right_key, how="semi")
+
+
+def set_op(a: "ray.data.Dataset", b: "ray.data.Dataset",
+           cols: Sequence[str], op: str) -> "ray.data.Dataset":
+    """Distributed SQL set operation on the ``cols`` projection of two
+    datasets: ``'intersect'`` / ``'except'`` / ``'union'`` — all with
+    DISTINCT semantics, like the bare SQL operators.
+
+    Scale shape: each side is projected and per-block deduplicated (the
+    shuffle carries distinct keys per block, never rows), tagged with
+    side-presence flags, and merged with one ``grouped_agg`` max — the
+    same bounded-merge machinery as every other aggregate here.  No
+    side is ever materialized on the driver; output streams.
+
+    The reference engine has no query layer (SURVEY.md §2.5); this is
+    the corpus-difference primitive (e.g. "docs in snapshot A not yet
+    in snapshot B") a training-data pipeline needs."""
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op: {op!r}")
+    cols = list(cols)
+
+    def tag(is_a: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[cols].drop_duplicates().reset_index(drop=True)
+            d["_in_a"] = np.int64(1 if is_a else 0)
+            d["_in_b"] = np.int64(0 if is_a else 1)
+            return d
+
+        return f
+
+    tagged = (a.map_batches(tag(True), batch_format="pandas")
+              .union(b.map_batches(tag(False), batch_format="pandas")))
+    from .groupagg import grouped_agg
+
+    merged = grouped_agg(tagged, cols, {"_in_a": "max", "_in_b": "max"})
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if op == "intersect":
+            m = (df["_in_a"] == 1) & (df["_in_b"] == 1)
+        elif op == "except":
+            m = (df["_in_a"] == 1) & (df["_in_b"] == 0)
+        else:
+            m = np.ones(len(df), dtype=bool)
+        return df[m].drop(columns=["_in_a", "_in_b"])
+
+    return merged.map_batches(pick, batch_format="pandas")
+
+
+def unpivot(ds: "ray.data.Dataset", id_cols: Sequence[str],
+            value_cols: Sequence[str], name_col: str = "measure",
+            value_col: str = "value") -> "ray.data.Dataset":
+    """SQL UNPIVOT / pandas melt: turn ``value_cols`` into
+    (``name_col``, ``value_col``) long-format rows, keyed by ``id_cols``.
+
+    Embarrassingly parallel — one vectorized melt per block, no shuffle;
+    output rows = input rows × len(value_cols), streamed.  Inverse of
+    ``stats.pivot_sum``."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=name_col, value_name=value_col)
+
+    return ds.map_batches(melt, batch_format="pandas")

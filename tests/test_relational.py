@@ -5,6 +5,7 @@ empty input)."""
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data
 
 
 @pytest.fixture(scope="module")
@@ -393,3 +394,62 @@ def test_pricing_summary_matches_pandas(ray_session):
     exp["avg_disc"] = exp["sum_discount_c"].to_numpy() / (100.0 * nn)
     pd.testing.assert_frame_equal(out[sorted(out.columns)],
                                   exp[sorted(exp.columns)], check_exact=True)
+
+
+# --- SQL set operations (DISTINCT semantics) and UNPIVOT -------------------
+
+def _two_sides():
+    a = pd.DataFrame({"k": [1, 2, 2, 3, 5, 7], "junk": 0})
+    b = pd.DataFrame({"k": [2, 3, 3, 4, 8], "other": "x"})
+    return a, b
+
+
+@pytest.mark.parametrize("op,expected", [
+    ("intersect", [2, 3]),
+    ("except", [1, 5, 7]),
+    ("union", [1, 2, 3, 4, 5, 7, 8]),
+])
+def test_set_op_semantics(ray_session, op, expected):
+    from parquet_hs_ray.pipelines.relational import set_op
+
+    a, b = _two_sides()
+    dsa = ray.data.from_pandas([a.iloc[i::3].reset_index(drop=True) for i in range(3)])
+    dsb = ray.data.from_pandas([b.iloc[i::2].reset_index(drop=True) for i in range(2)])
+    out = sorted(set_op(dsa, dsb, ["k"], op).to_pandas()["k"].tolist())
+    assert out == expected
+
+
+def test_set_op_large_path_matches_small(ray_session):
+    from parquet_hs_ray.pipelines.groupagg import grouped_agg  # noqa: F401
+    from parquet_hs_ray.pipelines.relational import set_op
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"k": rng.integers(0, 400, 3000)})
+    b = pd.DataFrame({"k": rng.integers(200, 600, 3000)})
+    dsa = ray.data.from_pandas([a.iloc[i::6].reset_index(drop=True) for i in range(6)])
+    dsb = ray.data.from_pandas([b.iloc[i::6].reset_index(drop=True) for i in range(6)])
+    got = sorted(set_op(dsa, dsb, ["k"], "intersect").to_pandas()["k"].tolist())
+    exp = sorted(set(a["k"]) & set(b["k"]))
+    assert got == exp
+
+
+def test_set_op_rejects_unknown(ray_session):
+    from parquet_hs_ray.pipelines.relational import set_op
+
+    with pytest.raises(ValueError):
+        set_op(ray.data.from_pandas(pd.DataFrame({"k": [1]})),
+               ray.data.from_pandas(pd.DataFrame({"k": [1]})), ["k"], "minus")
+
+
+def test_unpivot_matches_pandas_melt(ray_session):
+    from parquet_hs_ray.pipelines.relational import unpivot
+
+    df = pd.DataFrame({"id": [1, 2, 3], "a": [10.0, 20.0, 30.0],
+                       "b": [1.5, 2.5, 3.5]})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:].reset_index(drop=True)])
+    out = (unpivot(ds, ["id"], ["a", "b"]).to_pandas()
+           .sort_values(["id", "measure"]).reset_index(drop=True))
+    exp = (df.melt(id_vars=["id"], value_vars=["a", "b"],
+                   var_name="measure", value_name="value")
+           .sort_values(["id", "measure"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
