@@ -767,6 +767,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["l_quantity", "l_extendedprice"])
 
     q["lineitem_unpivot"] = lineitem_unpivot
+
+    def q17_small_qty(sf):
+        from parquet_hs_ray.pipelines.recipes import small_quantity_revenue
+
+        return small_quantity_revenue(_read(sf, "lineitem"))
+
+    q["tpch_q17_small_qty"] = q17_small_qty
+
+    def q13_order_dist(sf):
+        from parquet_hs_ray.pipelines.recipes import order_count_distribution
+
+        return order_count_distribution(_read(sf, "customer"),
+                                        _read(sf, "orders"))
+
+    q["tpch_q13_order_dist"] = q13_order_dist
     return q
 
 
@@ -1678,6 +1693,26 @@ SELECT coalesce(e.uid, a.o_custkey) AS uid, e.n_events, a.n_orders
 FROM (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY user_id) e
 FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
   ON e.uid = a.o_custkey
+"""
+    # Q17-shaped decorrelated correlated-aggregate: the fractional
+    # compare is exact integer cross-multiplication (q*cnt*5 < sum_q_c)
+    o["tpch_q17_small_qty"] = """
+SELECT CAST(sum(CAST(round_even(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS rev_c,
+       count(*) AS n
+FROM lineitem l JOIN (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round_even(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sq_c,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
+WHERE CAST(round_even(l.l_quantity*100,0) AS BIGINT) * a.cnt * 5 < a.sq_c
+"""
+    # Q13-shaped count-of-counts including the zero-order customers
+    o["tpch_q13_order_dist"] = """
+SELECT n_orders, count(*) AS n_cust FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+GROUP BY n_orders
 """
     # SQL set operations (DISTINCT semantics) and UNPIVOT
     o["custkeys_intersect"] = ("SELECT c_custkey AS custkey FROM customer "

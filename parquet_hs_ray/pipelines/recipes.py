@@ -228,3 +228,89 @@ def pricing_summary(lineitem: "ray.data.Dataset",
         return b
 
     return sums.map_batches(finalize, batch_format="pandas")
+
+
+def small_quantity_revenue(lineitem: "ray.data.Dataset") -> "ray.data.Dataset":
+    """TPC-H-Q17-shaped decorrelated aggregate: total revenue (integer
+    cents) and row count of lineitems whose quantity is below 20% of
+    their part's average quantity.
+
+    The correlated subquery ``l_quantity < 0.2 * avg(l_quantity) per
+    part`` is decorrelated the way real planners do it: one grouped
+    aggregate per part (sum of quantity cents + count — the shuffle
+    carries one row per (part, block)), joined back to the fact rows,
+    then filtered.  The fractional compare is exact integer
+    cross-multiplication — ``q_c * cnt * 5 < sum_q_c`` ⇔
+    ``q < 0.2 * avg`` — so the DuckDB twin is hash-exact with no float
+    tolerance.  Output is one global row (rev_c, n)."""
+    from .groupagg import grouped_sum
+    from .relational import hash_join
+
+    def qpart(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(),
+            "sq_c": np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64),
+            "cnt": np.ones(len(b), dtype=np.int64),
+        })
+        return p.groupby("pk", sort=False).sum().reset_index()
+
+    per_part = grouped_sum(
+        lineitem.map_batches(qpart, batch_format="pandas"), ["pk"],
+        ["sq_c", "cnt"])
+
+    def fact(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(),
+            "q_c": np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64),
+            "price_c": np.round(b["l_extendedprice"].to_numpy() * 100
+                                ).astype(np.int64),
+        })
+
+    joined = hash_join(lineitem.map_batches(fact, batch_format="pandas"),
+                       per_part, "l_partkey", "pk")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["q_c"].to_numpy() * b["cnt"].to_numpy() * 5
+             < b["sq_c"].to_numpy())
+        return pd.DataFrame({"rev_c": [np.int64(b["price_c"].to_numpy()[m].sum())],
+                             "n": [np.int64(m.sum())]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    return ray.data.from_pandas(pd.DataFrame({
+        "rev_c": [np.int64(parts["rev_c"].sum())],
+        "n": [np.int64(parts["n"].sum())]}))
+
+
+def order_count_distribution(customer: "ray.data.Dataset",
+                             orders: "ray.data.Dataset") -> "ray.data.Dataset":
+    """TPC-H-Q13-shaped count-of-counts: how many customers placed
+    exactly k orders, including k=0 (the LEFT-join clause that makes Q13
+    annoying for naive engines).
+
+    Two-level aggregation: per-customer order counts via one grouped
+    sum (shuffle carries one row per (cust, block)), LEFT hash join onto
+    the customer keys to surface the zero-order customers, then a second
+    grouped count over the k values — each level strictly smaller."""
+    from .groupagg import grouped_sum
+    from .relational import hash_join
+
+    def opart(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                              "n_orders": np.ones(len(b), dtype=np.int64)})
+                .groupby("o_custkey", sort=False).sum().reset_index())
+
+    per_cust = grouped_sum(
+        orders.map_batches(opart, batch_format="pandas"),
+        ["o_custkey"], ["n_orders"])
+    cust = customer.map_batches(lambda b: b[["c_custkey"]],
+                                batch_format="pandas")
+    j = hash_join(cust, per_cust, "c_custkey", "o_custkey", how="left")
+
+    def kpart(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["n_orders"].fillna(0).to_numpy().astype(np.int64)
+        return (pd.DataFrame({"n_orders": k,
+                              "n_cust": np.ones(len(k), dtype=np.int64)})
+                .groupby("n_orders", sort=False).sum().reset_index())
+
+    return grouped_sum(j.map_batches(kpart, batch_format="pandas"),
+                       ["n_orders"], ["n_cust"])

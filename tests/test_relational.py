@@ -453,3 +453,38 @@ def test_unpivot_matches_pandas_melt(ray_session):
                    var_name="measure", value_name="value")
            .sort_values(["id", "measure"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_small_quantity_revenue_matches_pandas(ray_session):
+    from parquet_hs_ray.pipelines.recipes import small_quantity_revenue
+
+    rng = np.random.default_rng(21)
+    li = pd.DataFrame({
+        "l_partkey": rng.integers(0, 50, 2000),
+        "l_quantity": rng.integers(1, 50, 2000).astype(float),
+        "l_extendedprice": np.round(rng.uniform(10, 1000, 2000), 2),
+    })
+    ds = ray.data.from_pandas([li.iloc[i::4].reset_index(drop=True) for i in range(4)])
+    out = small_quantity_revenue(ds).to_pandas()
+    q_c = np.round(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    p_c = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame({"pk": li["l_partkey"], "q_c": q_c}).groupby("pk")["q_c"]
+    sq = g.sum().reindex(li["l_partkey"]).to_numpy()
+    cnt = g.count().reindex(li["l_partkey"]).to_numpy()
+    m = q_c * cnt * 5 < sq
+    assert int(out["rev_c"].iloc[0]) == int(p_c[m].sum())
+    assert int(out["n"].iloc[0]) == int(m.sum())
+
+
+def test_order_count_distribution_includes_zero(ray_session):
+    from parquet_hs_ray.pipelines.recipes import order_count_distribution
+
+    cust = pd.DataFrame({"c_custkey": np.arange(10, dtype=np.int64)})
+    orders = pd.DataFrame({"o_custkey": np.array([0, 0, 0, 1, 1, 2], dtype=np.int64),
+                           "o_orderkey": np.arange(6)})
+    out = (order_count_distribution(
+        ray.data.from_pandas(cust), ray.data.from_pandas(orders))
+        .to_pandas().sort_values("n_orders").reset_index(drop=True))
+    exp = pd.DataFrame({"n_orders": [0, 1, 2, 3], "n_cust": [7, 1, 1, 1]})
+    assert out["n_orders"].tolist() == exp["n_orders"].tolist()
+    assert out["n_cust"].tolist() == exp["n_cust"].tolist()
