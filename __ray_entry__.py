@@ -782,6 +782,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         _read(sf, "orders"))
 
     q["tpch_q13_order_dist"] = q13_order_dist
+
+    def li_zorder_key(sf):
+        """2-D Morton layout key over (l_partkey, l_suppkey): the exact
+        integer scale+interleave the z-order layout sorts by — oracled
+        bit-for-bit against the 32-term SQL bit-gather twin."""
+        import pandas as pd
+
+        from parquet_hs_ray.functions import zorder as zo
+        from parquet_hs_ray.pipelines.layout import column_minmax
+
+        ds = _read(sf, "lineitem")
+        mm = column_minmax(ds, ["l_partkey", "l_suppkey"])
+        (xlo, xhi), (ylo, yhi) = mm["l_partkey"], mm["l_suppkey"]
+
+        def key(b: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_linenumber": b["l_linenumber"].to_numpy(),
+                "zkey": zo.morton_key2(b["l_partkey"].to_numpy(), xlo, xhi,
+                                       b["l_suppkey"].to_numpy(), ylo, yhi),
+            })
+
+        return ds.map_batches(key, batch_format="pandas")
+
+    q["lineitem_zorder_key"] = li_zorder_key
     return q
 
 
@@ -1693,6 +1718,17 @@ SELECT coalesce(e.uid, a.o_custkey) AS uid, e.n_events, a.n_orders
 FROM (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY user_id) e
 FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
   ON e.uid = a.o_custkey
+"""
+    # z-order layout key: same integer min-max scale + Morton interleave
+    # as functions/zorder.morton_key2, as a 32-term SQL bit-gather
+    from parquet_hs_ray.functions.zorder import morton2_sql
+
+    o["lineitem_zorder_key"] = f"""
+WITH mm AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+                   min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {morton2_sql('l_partkey', 'xlo', 'xhi', 'l_suppkey', 'ylo', 'yhi')} AS zkey
+FROM lineitem, mm
 """
     # Q17-shaped decorrelated correlated-aggregate: the fractional
     # compare is exact integer cross-multiplication (q*cnt*5 < sum_q_c)

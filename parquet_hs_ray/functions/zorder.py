@@ -1,0 +1,86 @@
+"""Z-order (Morton) keys for multi-column data layout.
+
+A single sort key can only lengthen runs / tighten min-max stats for ONE
+column family; a 100 TB table queried on two independent predicates
+(e.g. ``l_partkey`` AND ``l_suppkey``) wants its partitions clustered in
+BOTH dimensions so the manifest's per-partition min/max boxes stay small
+and ``decode_dataset(predicate=...)`` can prune on either column.  The
+classic public construction (Morton 1966; used by every modern lakehouse
+layout optimizer) interleaves the bits of rank-scaled column values so
+sorting by the interleaved key yields a space-filling-curve layout whose
+blocks are near-cubes in value space.
+
+Everything here is exact integer math — scale is
+``(x - lo) * 65535 // (hi - lo)`` and the interleave is bit surgery —
+so the whole key computation is replayable in DuckDB SQL
+(:func:`morton2_sql`) and hash-exact oracled, like every other
+deterministic kernel in this engine.
+
+Kernels are pure numpy (no Ray); the layout pipeline lives in
+``pipelines/encode_job.py`` / ``selector.advise_sort_order`` callers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U16_MAX = 65535
+
+
+def scale_to_u16(x: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Exact integer min-max scale of ``x`` into [0, 65535].
+
+    ``(x - lo) * 65535 // (hi - lo)`` evaluated in int64 — identical to
+    the SQL twin's BIGINT arithmetic.  Values are clipped to [lo, hi]
+    first (the caller's stats pass may be a sample at scale).  A
+    degenerate column (``hi == lo``) maps to all-zeros."""
+    xi = np.asarray(x).astype(np.int64)
+    lo_i, hi_i = np.int64(lo), np.int64(hi)
+    if hi_i == lo_i:
+        return np.zeros(len(xi), dtype=np.uint16)
+    xi = np.clip(xi, lo_i, hi_i)
+    return ((xi - lo_i) * np.int64(_U16_MAX) // (hi_i - lo_i)).astype(np.uint16)
+
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread a uint16's bits into the even bit positions of a uint32
+    (b15..b0 -> b30,b28,..,b0) — the standard Morton magic-shift chain."""
+    x = v.astype(np.uint64)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def morton2(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Interleave two uint16 rank values into a uint32-range uint64 key:
+    ``u`` takes the even bits (LSB side), ``v`` the odd bits."""
+    return _spread16(np.asarray(u, dtype=np.uint16)) | (
+        _spread16(np.asarray(v, dtype=np.uint16)) << np.uint64(1))
+
+
+def morton_key2(x: np.ndarray, x_lo: float, x_hi: float,
+                y: np.ndarray, y_lo: float, y_hi: float) -> np.ndarray:
+    """Full 2-D z-key: min-max scale both columns to u16 then interleave.
+    Returned as int64 (Arrow-friendly; values fit in 32 bits)."""
+    return morton2(scale_to_u16(x, x_lo, x_hi),
+                   scale_to_u16(y, y_lo, y_hi)).astype(np.int64)
+
+
+def morton2_sql(x_expr: str, x_lo, x_hi, y_expr: str, y_lo, y_hi) -> str:
+    """The DuckDB twin of :func:`morton_key2` as a SQL expression: the
+    same integer min-max scale, then a 16-term bit-gather sum per column
+    (``(((u >> i) & 1) << 2i)``) — exact BIGINT arithmetic throughout.
+    ``lo``/``hi`` may be int literals or SQL column references (e.g. a
+    stats CTE); the ``greatest(hi-lo, 1)`` divisor reproduces the
+    kernel's degenerate-column all-zeros behavior (clipped ``x-lo`` is 0
+    when hi==lo), so the twin stays exact there too."""
+    def scale(e: str, lo, hi) -> str:
+        return (f"((least(greatest(CAST({e} AS BIGINT), {lo}), {hi}) - {lo})"
+                f" * 65535 // greatest({hi} - {lo}, 1))")
+
+    u, v = scale(x_expr, x_lo, x_hi), scale(y_expr, y_lo, y_hi)
+    terms = [f"((({u} >> {i}) & 1) << {2 * i})" for i in range(16)]
+    terms += [f"((({v} >> {i}) & 1) << {2 * i + 1})" for i in range(16)]
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,114 @@
+"""Z-order layout tests: Morton kernel properties, the Ray sort
+pipeline, and the point of it all — per-block min/max boxes tight in
+BOTH dimensions (better two-predicate pruning than any single sort)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from parquet_hs_ray.functions import zorder as zo
+
+
+def test_spread16_golden():
+    # 0b1111111111111111 -> alternating 01 pattern over 32 bits
+    assert int(zo._spread16(np.array([0xFFFF], dtype=np.uint16))[0]) == 0x55555555
+    assert int(zo._spread16(np.array([0], dtype=np.uint16))[0]) == 0
+    assert int(zo._spread16(np.array([0b101], dtype=np.uint16))[0]) == 0b10001
+
+
+def test_morton2_interleave_exact():
+    rng = np.random.default_rng(4)
+    u = rng.integers(0, 65536, 500).astype(np.uint16)
+    v = rng.integers(0, 65536, 500).astype(np.uint16)
+    z = zo.morton2(u, v)
+    # bit-by-bit reference
+    for i in (0, 17, 499):
+        expected = 0
+        for b in range(16):
+            expected |= ((int(u[i]) >> b) & 1) << (2 * b)
+            expected |= ((int(v[i]) >> b) & 1) << (2 * b + 1)
+        assert int(z[i]) == expected
+
+
+def test_scale_to_u16_bounds_and_degenerate():
+    x = np.array([10, 55, 100], dtype=np.int64)
+    s = zo.scale_to_u16(x, 10, 100)
+    assert s[0] == 0 and s[2] == 65535 and 0 < s[1] < 65535
+    # out-of-range values clip, degenerate range maps to zero
+    assert zo.scale_to_u16(np.array([5, 200]), 10, 100).tolist() == [0, 65535]
+    assert zo.scale_to_u16(np.array([7, 7]), 7, 7).tolist() == [0, 0]
+
+
+def test_morton_key_locality():
+    # points close in BOTH dims get closer keys than points far in one dim
+    z = zo.morton_key2(np.array([100, 101, 100]), 0, 65535,
+                       np.array([200, 201, 40000]), 0, 65535)
+    assert abs(int(z[1]) - int(z[0])) < abs(int(z[2]) - int(z[0]))
+
+
+def _boxes(df, n_blocks):
+    """Cut df (in current order) into n equal blocks; per-block min/max
+    boxes over (x, y)."""
+    out = []
+    for part in np.array_split(np.arange(len(df)), n_blocks):
+        b = df.iloc[part]
+        out.append((b["x"].min(), b["x"].max(), b["y"].min(), b["y"].max()))
+    return out
+
+
+def _hits(boxes, x0, x1, y0, y1):
+    return sum(1 for (xl, xh, yl, yh) in boxes
+               if xh >= x0 and xl <= x1 and yh >= y0 and yl <= y1)
+
+
+def test_zorder_prunes_two_predicates_better_than_single_sort(ray_session):
+    from parquet_hs_ray.pipelines.layout import zorder_sort
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = pd.DataFrame({"x": rng.integers(0, 10_000, n),
+                       "y": rng.integers(0, 10_000, n),
+                       "payload": rng.integers(0, 100, n)})
+    ds = ray.data.from_pandas([df.iloc[i::8].reset_index(drop=True)
+                               for i in range(8)])
+    zdf = zorder_sort(ds, "x", "y").to_pandas()
+    assert len(zdf) == n and sorted(zdf.columns) == ["payload", "x", "y"]
+    # both orderings chopped into the same number of blocks
+    n_blocks = 32
+    z_boxes = _boxes(zdf, n_blocks)
+    x_boxes = _boxes(df.sort_values("x").reset_index(drop=True), n_blocks)
+    # a query box selective in BOTH dims: z-order touches far fewer blocks
+    probes = [(1000, 2000, 1000, 2000), (7000, 8000, 2000, 3000),
+              (4000, 5000, 8000, 9000)]
+    z_total = sum(_hits(z_boxes, *p) for p in probes)
+    x_total = sum(_hits(x_boxes, *p) for p in probes)
+    assert z_total < x_total, (z_total, x_total)
+    # and a y-only predicate (the single sort's blind spot) prunes at all
+    z_y = _hits(z_boxes, 0, 10_000, 1000, 1500)
+    x_y = _hits(x_boxes, 0, 10_000, 1000, 1500)
+    assert z_y < x_y == n_blocks
+
+
+def test_zorder_sort_keeps_key_when_asked(ray_session):
+    from parquet_hs_ray.pipelines.layout import zorder_sort
+
+    df = pd.DataFrame({"x": [3, 1, 2], "y": [9, 9, 9]})
+    out = zorder_sort(ray.data.from_pandas(df), "x", "y",
+                      keep_key=True).to_pandas()
+    assert "_zkey" in out.columns
+    assert out["_zkey"].is_monotonic_increasing
+
+
+def test_morton2_sql_matches_kernel():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"a": rng.integers(0, 5000, 400),
+                       "b": rng.integers(100, 900, 400)})
+    expr = zo.morton2_sql("a", int(df.a.min()), int(df.a.max()),
+                          "b", int(df.b.min()), int(df.b.max()))
+    got = duckdb.query(f"SELECT {expr} AS z FROM df").df()["z"].to_numpy()
+    exp = zo.morton_key2(df["a"].to_numpy(), df.a.min(), df.a.max(),
+                         df["b"].to_numpy(), df.b.min(), df.b.max())
+    np.testing.assert_array_equal(got.astype(np.int64), exp)
