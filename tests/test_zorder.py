@@ -112,3 +112,42 @@ def test_morton2_sql_matches_kernel():
     exp = zo.morton_key2(df["a"].to_numpy(), df.a.min(), df.a.max(),
                          df["b"].to_numpy(), df.b.min(), df.b.max())
     np.testing.assert_array_equal(got.astype(np.int64), exp)
+
+
+def test_zorder_layout_improves_manifest_pruning(ray_session, tmp_path):
+    """End-to-end: z-order the table, encode it, and the per-partition
+    manifest min/max stats prune MORE partitions under a two-column
+    predicate than the same data encoded in natural (row) order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_hs_ray.pipelines.encode_job import (encode_dataset,
+                                                     pruned_partition_ids)
+    from parquet_hs_ray.pipelines.layout import zorder_sort
+
+    rng = np.random.default_rng(23)
+    n = 24_000
+    df = pd.DataFrame({"x": rng.integers(0, 10_000, n).astype(np.int64),
+                       "y": rng.integers(0, 10_000, n).astype(np.int64),
+                       "n_tok": np.full(n, 10, dtype=np.int32)})
+    ds = ray.data.from_pandas([df.iloc[i::8].reset_index(drop=True)
+                               for i in range(8)])
+    zdf = zorder_sort(ds, "x", "y").to_pandas()
+
+    results = {}
+    for name, frame in (("natural", df), ("zorder", zdf)):
+        src = tmp_path / f"{name}.parquet"
+        pq.write_table(pa.Table.from_pandas(frame, preserve_index=False),
+                       src, row_group_size=1000)
+        out = tmp_path / f"enc_{name}"
+        encode_dataset(str(src), str(out), token_budget=10_000)  # ~24 parts
+        pred = [("x", "between", (1000, 2000)), ("y", "between", (1000, 2000))]
+        kept, total = pruned_partition_ids(str(out), pred)
+        results[name] = (len(kept), total)
+
+    (z_kept, z_total), (n_kept, n_total) = results["zorder"], results["natural"]
+    assert z_total == n_total and z_total >= 16
+    # natural order can't prune a uniform table at all; z-order must
+    # prune the vast majority of partitions for a ~1% query box
+    assert n_kept == n_total
+    assert z_kept < z_total // 2, results
