@@ -33,9 +33,13 @@ def _parse_where(spec: str) -> tuple:
 
 
 def _ray_session(num_cpus: int | None):
+    """Returns (ray, owns): ``owns`` is False when a session already
+    existed (e.g. the CLI is driven in-process from a host app or test)
+    — we must not tear down a session we didn't create."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         ray.init(
             address="local",
             num_cpus=num_cpus,
@@ -43,7 +47,7 @@ def _ray_session(num_cpus: int | None):
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    return ray
+    return ray, owns
 
 
 def main(argv=None):
@@ -88,6 +92,15 @@ def main(argv=None):
     adv.add_argument("--input", required=True, help="parquet file or dir")
     adv.add_argument("--sample-rows", type=int, default=16384)
 
+    lay = sub.add_parser(
+        "layout", help="rewrite parquet clustered along the 2-D Morton "
+        "curve of --zorder colx,coly so per-partition manifest min/max "
+        "boxes prune on EITHER column (run before encode)")
+    lay.add_argument("--input", required=True, help="parquet file or dir")
+    lay.add_argument("--out", required=True, help="output parquet directory")
+    lay.add_argument("--zorder", required=True,
+                     help="two comma-separated integer columns, e.g. x,y")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "advise":
@@ -110,7 +123,7 @@ def main(argv=None):
         print(json.dumps(mf.summary(args.encoded), indent=2))
         return 0
 
-    ray = _ray_session(args.num_cpus)
+    ray, owns_session = _ray_session(args.num_cpus)
     try:
         if args.cmd == "encode":
             from .pipelines.encode_job import encode_dataset
@@ -151,13 +164,26 @@ def main(argv=None):
                 from .state import manifest as mf
 
                 print(json.dumps({"rows": mf.summary(args.encoded)["rows"], "out": args.out}))
+        elif args.cmd == "layout":
+            import ray.data
+
+            from .pipelines.layout import zorder_sort
+
+            cols = [c.strip() for c in args.zorder.split(",")]
+            if len(cols) != 2:
+                raise SystemExit("--zorder takes exactly two columns")
+            ds = zorder_sort(ray.data.read_parquet(args.input), cols[0], cols[1])
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out,
+                              "zorder": cols}))
         elif args.cmd == "verify":
             from .pipelines.encode_job import verify_roundtrip
 
             res = verify_roundtrip(args.input, args.encoded)
             print(json.dumps(res))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

@@ -151,3 +151,37 @@ def test_zorder_layout_improves_manifest_pruning(ray_session, tmp_path):
     # prune the vast majority of partitions for a ~1% query box
     assert n_kept == n_total
     assert z_kept < z_total // 2, results
+
+
+def test_cli_layout_zorder_roundtrip(ray_session, tmp_path, capsys):
+    """`cli layout --zorder x,y` rewrites parquet in Morton order and,
+    run in-process against an existing Ray session, leaves that session
+    alive (owns-session guard)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from parquet_hs_ray.cli import main
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"x": rng.integers(0, 1000, 3000).astype(np.int64),
+                       "y": rng.integers(0, 1000, 3000).astype(np.int64)})
+    src = tmp_path / "in.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    out = tmp_path / "zout"
+    assert main(["layout", "--input", str(src), "--out", str(out),
+                 "--zorder", "x,y"]) == 0
+    assert ray.is_initialized()  # the CLI must not tear down our session
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == len(df) and res["zorder"] == ["x", "y"]
+    back = pq.read_table(out).to_pandas()
+    assert len(back) == len(df)
+    # same multiset of rows, z-sorted order
+    a = df.sort_values(["x", "y"]).reset_index(drop=True)
+    b = back.sort_values(["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    zo_keys = zo.morton_key2(back["x"].to_numpy(), df.x.min(), df.x.max(),
+                             back["y"].to_numpy(), df.y.min(), df.y.max())
+    assert np.all(np.diff(zo_keys) >= 0)
