@@ -807,6 +807,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(key, batch_format="pandas")
 
     q["lineitem_zorder_key"] = li_zorder_key
+
+    def growth(sf):
+        from parquet_hs_ray.pipelines.windows import growth_accounting
+
+        return growth_accounting(_read(sf, "events"))
+
+    q["events_growth"] = growth
     return q
 
 
@@ -1718,6 +1725,16 @@ SELECT coalesce(e.uid, a.o_custkey) AS uid, e.n_events, a.n_orders
 FROM (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY user_id) e
 FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
   ON e.uid = a.o_custkey
+"""
+    # growth accounting: first-seen day per user -> per-day new users ->
+    # running cumulative distinct
+    o["events_growth"] = """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS bucket
+           FROM events GROUP BY user_id),
+     c AS (SELECT bucket, count(*)::BIGINT AS new_users FROM f GROUP BY bucket)
+SELECT bucket, new_users,
+       CAST(sum(new_users) OVER (ORDER BY bucket) AS BIGINT) AS cum_users
+FROM c
 """
     # z-order layout key: same integer min-max scale + Morton interleave
     # as functions/zorder.morton_key2, as a 32-term SQL bit-gather

@@ -1984,3 +1984,25 @@ def test_top_terms_per_source_matches_pandas(docs):
            .astype({"n": np.int64, "rank": np.int64}))
     pd.testing.assert_frame_equal(out, ref)
     assert (out.groupby("source").size() <= 4).all()
+
+
+def test_growth_accounting_multiday(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import growth_accounting
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(rng.integers(0, 30 * 24 * 3600, n), unit="s"))
+    ev = pd.DataFrame({"user_id": rng.integers(0, 300, n), "ts": ts})
+    ds = ray.data.from_pandas([ev.iloc[i::8].reset_index(drop=True)
+                               for i in range(8)])
+    out = (growth_accounting(ds).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    f = ev.groupby("user_id")["ts"].min().dt.floor("D")
+    exp = f.value_counts().sort_index()
+    assert out["bucket"].tolist() == list(exp.index)
+    assert out["new_users"].tolist() == exp.tolist()
+    assert out["cum_users"].tolist() == exp.cumsum().tolist()
+    assert int(out["cum_users"].iloc[-1]) == ev["user_id"].nunique()
