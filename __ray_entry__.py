@@ -814,6 +814,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return growth_accounting(_read(sf, "events"))
 
     q["events_growth"] = growth
+
+    def li_zorder3_key(sf):
+        """3-D Morton key over (l_partkey, l_suppkey, l_orderkey) —
+        the k-D generalization, oracled against the 48-term SQL twin."""
+        import pandas as pd
+
+        from parquet_hs_ray.functions import zorder as zo
+        from parquet_hs_ray.pipelines.layout import column_minmax
+
+        ds = _read(sf, "lineitem")
+        mm = column_minmax(ds, ["l_partkey", "l_suppkey", "l_orderkey"])
+
+        def key(b: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_linenumber": b["l_linenumber"].to_numpy(),
+                "zkey3": zo.morton_key3(
+                    b["l_partkey"].to_numpy(), *mm["l_partkey"],
+                    b["l_suppkey"].to_numpy(), *mm["l_suppkey"],
+                    b["l_orderkey"].to_numpy(), *mm["l_orderkey"]),
+            })
+
+        return ds.map_batches(key, batch_format="pandas")
+
+    q["lineitem_zorder3_key"] = li_zorder3_key
     return q
 
 
@@ -1745,6 +1770,17 @@ WITH mm AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
                    min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM lineitem)
 SELECT l_orderkey, l_linenumber,
        {morton2_sql('l_partkey', 'xlo', 'xhi', 'l_suppkey', 'ylo', 'yhi')} AS zkey
+FROM lineitem, mm
+"""
+    from parquet_hs_ray.functions.zorder import morton3_sql
+
+    o["lineitem_zorder3_key"] = f"""
+WITH mm AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+                   min(l_suppkey) AS ylo, max(l_suppkey) AS yhi,
+                   min(l_orderkey) AS zlo, max(l_orderkey) AS zhi FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {morton3_sql('l_partkey', 'xlo', 'xhi', 'l_suppkey', 'ylo', 'yhi',
+                    'l_orderkey', 'zlo', 'zhi')} AS zkey3
 FROM lineitem, mm
 """
     # Q17-shaped decorrelated correlated-aggregate: the fractional

@@ -68,6 +68,48 @@ def morton_key2(x: np.ndarray, x_lo: float, x_hi: float,
                    scale_to_u16(y, y_lo, y_hi)).astype(np.int64)
 
 
+def _spread16_by3(v: np.ndarray) -> np.ndarray:
+    """Spread a uint16's bits to every THIRD bit of a 48-bit value
+    (b15..b0 -> b45,b42,..,b0) — the 3-D Morton magic-shift chain."""
+    x = v.astype(np.uint64)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x249249249249)
+    return x
+
+
+def morton3(u: np.ndarray, v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Interleave three uint16 rank values into a 48-bit uint64 key."""
+    return (_spread16_by3(np.asarray(u, dtype=np.uint16))
+            | (_spread16_by3(np.asarray(v, dtype=np.uint16)) << np.uint64(1))
+            | (_spread16_by3(np.asarray(w, dtype=np.uint16)) << np.uint64(2)))
+
+
+def morton_key3(x, x_lo, x_hi, y, y_lo, y_hi, z, z_lo, z_hi) -> np.ndarray:
+    """Full 3-D z-key (int64; values fit in 48 bits)."""
+    return morton3(scale_to_u16(x, x_lo, x_hi),
+                   scale_to_u16(y, y_lo, y_hi),
+                   scale_to_u16(z, z_lo, z_hi)).astype(np.int64)
+
+
+def _scale_sql(e: str, lo, hi) -> str:
+    return (f"((least(greatest(CAST({e} AS BIGINT), {lo}), {hi}) - {lo})"
+            f" * 65535 // greatest({hi} - {lo}, 1))")
+
+
+def morton3_sql(x_expr: str, x_lo, x_hi, y_expr: str, y_lo, y_hi,
+                z_expr: str, z_lo, z_hi) -> str:
+    """DuckDB twin of :func:`morton_key3`: 48-term bit-gather sum."""
+    parts = []
+    for off, (e, lo, hi) in enumerate(((x_expr, x_lo, x_hi),
+                                       (y_expr, y_lo, y_hi),
+                                       (z_expr, z_lo, z_hi))):
+        s = _scale_sql(e, lo, hi)
+        parts += [f"((({s} >> {i}) & 1) << {3 * i + off})" for i in range(16)]
+    return "(" + " + ".join(parts) + ")"
+
+
 def morton2_sql(x_expr: str, x_lo, x_hi, y_expr: str, y_lo, y_hi) -> str:
     """The DuckDB twin of :func:`morton_key2` as a SQL expression: the
     same integer min-max scale, then a 16-term bit-gather sum per column
@@ -76,11 +118,7 @@ def morton2_sql(x_expr: str, x_lo, x_hi, y_expr: str, y_lo, y_hi) -> str:
     stats CTE); the ``greatest(hi-lo, 1)`` divisor reproduces the
     kernel's degenerate-column all-zeros behavior (clipped ``x-lo`` is 0
     when hi==lo), so the twin stays exact there too."""
-    def scale(e: str, lo, hi) -> str:
-        return (f"((least(greatest(CAST({e} AS BIGINT), {lo}), {hi}) - {lo})"
-                f" * 65535 // greatest({hi} - {lo}, 1))")
-
-    u, v = scale(x_expr, x_lo, x_hi), scale(y_expr, y_lo, y_hi)
+    u, v = _scale_sql(x_expr, x_lo, x_hi), _scale_sql(y_expr, y_lo, y_hi)
     terms = [f"((({u} >> {i}) & 1) << {2 * i})" for i in range(16)]
     terms += [f"((({v} >> {i}) & 1) << {2 * i + 1})" for i in range(16)]
     return "(" + " + ".join(terms) + ")"

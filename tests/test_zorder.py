@@ -185,3 +185,32 @@ def test_cli_layout_zorder_roundtrip(ray_session, tmp_path, capsys):
     zo_keys = zo.morton_key2(back["x"].to_numpy(), df.x.min(), df.x.max(),
                              back["y"].to_numpy(), df.y.min(), df.y.max())
     assert np.all(np.diff(zo_keys) >= 0)
+
+
+def test_morton3_interleave_exact_and_sql_parity():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 65536, 300).astype(np.uint16)
+    v = rng.integers(0, 65536, 300).astype(np.uint16)
+    w = rng.integers(0, 65536, 300).astype(np.uint16)
+    z = zo.morton3(u, v, w)
+    for i in (0, 99, 299):
+        expected = 0
+        for b in range(16):
+            expected |= ((int(u[i]) >> b) & 1) << (3 * b)
+            expected |= ((int(v[i]) >> b) & 1) << (3 * b + 1)
+            expected |= ((int(w[i]) >> b) & 1) << (3 * b + 2)
+        assert int(z[i]) == expected
+    # SQL twin parity on raw int columns
+    df = pd.DataFrame({"a": rng.integers(0, 9000, 300),
+                       "b": rng.integers(50, 600, 300),
+                       "c": rng.integers(-40, 40, 300)})
+    expr = zo.morton3_sql("a", int(df.a.min()), int(df.a.max()),
+                          "b", int(df.b.min()), int(df.b.max()),
+                          "c", int(df.c.min()), int(df.c.max()))
+    got = duckdb.query(f"SELECT {expr} AS z FROM df").df()["z"].to_numpy()
+    exp = zo.morton_key3(df.a.to_numpy(), df.a.min(), df.a.max(),
+                         df.b.to_numpy(), df.b.min(), df.b.max(),
+                         df.c.to_numpy(), df.c.min(), df.c.max())
+    np.testing.assert_array_equal(got.astype(np.int64), exp)
