@@ -172,7 +172,10 @@ def main(argv=None):
             cols = [c.strip() for c in args.zorder.split(",")]
             if len(cols) != 2:
                 raise SystemExit("--zorder takes exactly two columns")
-            ds = zorder_sort(ray.data.read_parquet(args.input), cols[0], cols[1])
+            # materialize once: count() after write_parquet would
+            # otherwise re-run the whole read + range-shuffle sort
+            ds = zorder_sort(ray.data.read_parquet(args.input),
+                             cols[0], cols[1]).materialize()
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out,
                               "zorder": cols}))

@@ -33,13 +33,33 @@ def scale_to_u16(x: np.ndarray, lo: float, hi: float) -> np.ndarray:
     ``(x - lo) * 65535 // (hi - lo)`` evaluated in int64 — identical to
     the SQL twin's BIGINT arithmetic.  Values are clipped to [lo, hi]
     first (the caller's stats pass may be a sample at scale).  A
-    degenerate column (``hi == lo``) maps to all-zeros."""
-    xi = np.asarray(x).astype(np.int64)
+    degenerate column (``hi == lo``) maps to all-zeros.
+
+    Float inputs are FLOORED first (matching the twin's
+    ``CAST(floor(e) AS BIGINT)`` — numpy ``astype`` truncates toward
+    zero, which would diverge for negative floats).  Ranges wider than
+    2^47 (where the int64 multiply would silently wrap — e.g. nanosecond
+    timestamps spanning days) are pre-shifted: both ``x-lo`` and the
+    range drop the same low bits, keeping the scale monotone and
+    in-bounds; the SQL twin does not support such ranges (DuckDB raises
+    Out of Range on the BIGINT multiply)."""
+    xa = np.asarray(x)
+    if xa.dtype.kind == "f":
+        xa = np.floor(xa)
+    xi = xa.astype(np.int64)
     lo_i, hi_i = np.int64(lo), np.int64(hi)
     if hi_i == lo_i:
         return np.zeros(len(xi), dtype=np.uint16)
     xi = np.clip(xi, lo_i, hi_i)
-    return ((xi - lo_i) * np.int64(_U16_MAX) // (hi_i - lo_i)).astype(np.uint16)
+    # differences in modular uint64: exact even when hi-lo itself would
+    # overflow int64 (a full-range column)
+    span = np.uint64(hi_i) - np.uint64(lo_i)
+    off = xi.astype(np.uint64) - np.uint64(lo_i)
+    shift = max(0, int(span).bit_length() - 47)
+    if shift:
+        off >>= np.uint64(shift)
+        span >>= np.uint64(shift)
+    return (off * np.uint64(_U16_MAX) // span).astype(np.uint16)
 
 
 def _spread16(v: np.ndarray) -> np.ndarray:
@@ -94,7 +114,9 @@ def morton_key3(x, x_lo, x_hi, y, y_lo, y_hi, z, z_lo, z_hi) -> np.ndarray:
 
 
 def _scale_sql(e: str, lo, hi) -> str:
-    return (f"((least(greatest(CAST({e} AS BIGINT), {lo}), {hi}) - {lo})"
+    # floor() before the BIGINT cast: CAST alone rounds half-even, the
+    # kernel floors — floor() is a no-op on integer columns
+    return (f"((least(greatest(CAST(floor({e}) AS BIGINT), {lo}), {hi}) - {lo})"
             f" * 65535 // greatest({hi} - {lo}, 1))")
 
 

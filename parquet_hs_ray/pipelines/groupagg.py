@@ -105,13 +105,17 @@ def grouped_sum(
     keys: Sequence[str],
     sum_cols: Sequence[str],
     small_merge_rows: int = SMALL_MERGE_ROWS,
+    dropna: bool = True,
 ) -> "ray.data.Dataset":
     """Sum ``sum_cols`` per distinct ``keys`` combination (the common case:
-    callers' per-batch partials carry additive columns)."""
+    callers' per-batch partials carry additive columns).  ``dropna=False``
+    keeps NULL-keyed groups (SQL GROUP BY / set-op semantics: NULLs
+    compare equal and form their own group)."""
     keys, sum_cols = list(keys), list(sum_cols)
 
     def block_agg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, sort=True, as_index=False)[sum_cols].sum()
+        return df.groupby(keys, sort=True, as_index=False,
+                          dropna=dropna)[sum_cols].sum()
 
     return sorted_block_aggregate(partials, keys, block_agg, block_agg,
                                   small_merge_rows=small_merge_rows)
@@ -216,16 +220,19 @@ def grouped_agg(
     keys: Sequence[str],
     spec: dict,
     small_merge_rows: int = SMALL_MERGE_ROWS,
+    dropna: bool = True,
 ) -> "ray.data.Dataset":
     """General decomposable aggregate: ``spec`` maps column -> 'sum' |
     'min' | 'max' (all self-decomposable: agg of partial aggs == agg of
     rows).  A per-batch pre-combine runs BEFORE the sort so the shuffle
-    carries one row per (group, input block), not one per input row."""
+    carries one row per (group, input block), not one per input row.
+    ``dropna=False`` keeps NULL-keyed groups (SQL semantics)."""
     keys = list(keys)
     cols = list(spec)
 
     def block_agg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, sort=True, as_index=False)[cols].agg(spec)
+        return df.groupby(keys, sort=True, as_index=False,
+                          dropna=dropna)[cols].agg(spec)
 
     partials = rows.map_batches(block_agg, batch_format="pandas")
     return sorted_block_aggregate(partials, keys, block_agg, block_agg,

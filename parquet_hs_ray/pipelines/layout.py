@@ -40,6 +40,10 @@ def column_minmax(ds: "ray.data.Dataset", cols: Sequence[str]) -> dict:
 
     p = (ds.select_columns(cols)
          .map_batches(mm, batch_format="pandas").to_pandas())
+    if not len(p) or p[f"{cols[0]}__lo"].isna().all():
+        raise ValueError(
+            f"column_minmax: dataset has no rows for columns {cols} — "
+            "an empty table has no layout to optimize")
     return {c: (int(p[f"{c}__lo"].min()), int(p[f"{c}__hi"].max()))
             for c in cols}
 
@@ -48,8 +52,15 @@ def zorder_sort(ds: "ray.data.Dataset", col_x: str, col_y: str,
                 keep_key: bool = False) -> "ray.data.Dataset":
     """Cluster ``ds`` along the 2-D Morton curve of (``col_x``,
     ``col_y``): stats pass → per-batch z-key → range-shuffle sort →
-    (optionally) drop the key column."""
-    mm = column_minmax(ds, [col_x, col_y])
+    (optionally) drop the key column.  An empty dataset is returned
+    unchanged (nothing to lay out)."""
+    if "_zkey" in ds.schema().names:
+        raise ValueError("zorder_sort: input already has a '_zkey' column "
+                         "— rename it first (the sort key would overwrite it)")
+    try:
+        mm = column_minmax(ds, [col_x, col_y])
+    except ValueError:
+        return ds  # empty input: no layout to compute
     (x_lo, x_hi), (y_lo, y_hi) = mm[col_x], mm[col_y]
 
     def addkey(b: pd.DataFrame) -> pd.DataFrame:

@@ -331,7 +331,11 @@ def set_op(a: "ray.data.Dataset", b: "ray.data.Dataset",
               .union(b.map_batches(tag(False), batch_format="pandas")))
     from .groupagg import grouped_agg
 
-    merged = grouped_agg(tagged, cols, {"_in_a": "max", "_in_b": "max"})
+    # dropna=False: SQL set ops treat NULL keys as equal — a NULL row in
+    # both inputs survives INTERSECT (review finding: pandas groupby's
+    # default dropna=True silently discarded NULL-keyed rows)
+    merged = grouped_agg(tagged, cols, {"_in_a": "max", "_in_b": "max"},
+                         dropna=False)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         if op == "intersect":

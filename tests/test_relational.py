@@ -488,3 +488,21 @@ def test_order_count_distribution_includes_zero(ray_session):
     exp = pd.DataFrame({"n_orders": [0, 1, 2, 3], "n_cust": [7, 1, 1, 1]})
     assert out["n_orders"].tolist() == exp["n_orders"].tolist()
     assert out["n_cust"].tolist() == exp["n_cust"].tolist()
+
+
+@pytest.mark.parametrize("op,expected", [
+    ("intersect", [2.0, None]),
+    ("union", [1.0, 2.0, 3.0, None]),
+])
+def test_set_op_null_keys_sql_semantics(ray_session, op, expected):
+    """SQL set ops treat NULL keys as equal: a NULL in both inputs
+    survives INTERSECT (review fix: pandas groupby dropna default)."""
+    from parquet_hs_ray.pipelines.relational import set_op
+
+    a = pd.DataFrame({"k": [1.0, 2.0, np.nan]})
+    b = pd.DataFrame({"k": [2.0, 3.0, np.nan]})
+    out = set_op(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                 ["k"], op).to_pandas()["k"]
+    got = sorted([None if pd.isna(v) else v for v in out],
+                 key=lambda v: (v is None, v))
+    assert got == sorted(expected, key=lambda v: (v is None, v))

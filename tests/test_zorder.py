@@ -214,3 +214,44 @@ def test_morton3_interleave_exact_and_sql_parity():
                          df.b.to_numpy(), df.b.min(), df.b.max(),
                          df.c.to_numpy(), df.c.min(), df.c.max())
     np.testing.assert_array_equal(got.astype(np.int64), exp)
+
+
+def test_scale_to_u16_wide_range_and_negative_float():
+    # range wider than 2^47 (nanosecond timestamps): pre-shift keeps the
+    # scale monotone and in-bounds instead of wrapping int64
+    lo, hi = 0, 3 * 24 * 3600 * 10**9  # ~2.6e14
+    xs = np.array([lo, hi // 2, hi - 1000, hi], dtype=np.int64)
+    s = zo.scale_to_u16(xs, lo, hi)
+    assert s[0] == 0 and s[-1] == 65535
+    assert np.all(np.diff(s.astype(int)) >= 0) and s[2] >= 65534
+    # full-range int64 column: hi-lo overflows int64, uint64 diff doesn't
+    s2 = zo.scale_to_u16(np.array([-(2**62), 0, 2**62]), -(2**62), 2**62)
+    assert s2[0] == 0 and s2[-1] == 65535 and 0 < s2[1] < 65535
+    # negative float floors (not truncates): -2.5 -> -3, matching SQL floor
+    s3 = zo.scale_to_u16(np.array([-2.5, 0.0]), -3, 0)
+    assert s3[0] == zo.scale_to_u16(np.array([-3, 0]), -3, 0)[0]
+
+
+def test_morton2_sql_matches_kernel_on_floats():
+    import duckdb
+
+    rng = np.random.default_rng(15)
+    df = pd.DataFrame({"a": np.round(rng.uniform(-50, 50, 300), 3),
+                       "b": rng.integers(0, 100, 300)})
+    alo, ahi = int(np.floor(df.a.min())), int(np.floor(df.a.max()))
+    expr = zo.morton2_sql("a", alo, ahi, "b", int(df.b.min()), int(df.b.max()))
+    got = duckdb.query(f"SELECT {expr} AS z FROM df").df()["z"].to_numpy()
+    exp = zo.morton_key2(df.a.to_numpy(), alo, ahi,
+                         df.b.to_numpy(), df.b.min(), df.b.max())
+    np.testing.assert_array_equal(got.astype(np.int64), exp)
+
+
+def test_zorder_sort_empty_and_collision(ray_session):
+    from parquet_hs_ray.pipelines.layout import zorder_sort
+
+    empty = ray.data.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.int64),
+                                               "y": pd.Series([], dtype=np.int64)}))
+    assert zorder_sort(empty, "x", "y").count() == 0
+    bad = ray.data.from_pandas(pd.DataFrame({"x": [1], "y": [2], "_zkey": [9]}))
+    with pytest.raises(ValueError, match="_zkey"):
+        zorder_sort(bad, "x", "y")
