@@ -839,6 +839,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(key, batch_format="pandas")
 
     q["lineitem_zorder3_key"] = li_zorder3_key
+
+    def temp_mix(sf):
+        from parquet_hs_ray.pipelines.text_analysis import temperature_mix
+
+        return temperature_mix(_read(sf, "documents"), total=200, alpha=0.5)
+
+    q["doc_temperature_mix"] = temp_mix
     return q
 
 
@@ -1813,6 +1820,21 @@ GROUP BY n_orders
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+"""
+    # temperature mixing: per-source quotas floor(total * c^a / sum(c^a))
+    # (same IEEE double pow/div both sides), md5-ranked within source
+    o["doc_temperature_mix"] = """
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+     w AS (SELECT source, cnt, pow(cnt, 0.5) AS wt FROM c),
+     t AS (SELECT source, cnt,
+           CAST(floor(200.0 * wt / (SELECT sum(wt) FROM w)) AS BIGINT) AS n_s
+           FROM w),
+     r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS rn
+           FROM documents)
+SELECT r.doc_id, r.source FROM r JOIN t USING (source)
+WHERE rn <= least(t.n_s, t.cnt)
 """
     # deterministic capped per-group sampling (md5-ranked, no RNG)
     o["doc_sample_per_source"] = (

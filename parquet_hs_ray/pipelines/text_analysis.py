@@ -701,3 +701,55 @@ def deterministic_shuffle(docs: "ray.data.Dataset", id_col: str = "doc_id",
     # rows flow out in shuffled order, ranks 1..n
     return ray.data.from_pandas_refs(
         [rank_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)])
+
+
+def temperature_mix(docs: "ray.data.Dataset", total: int,
+                    alpha: float = 0.5, group: str = "source",
+                    id_col: str = "doc_id", seed: int = 42
+                    ) -> "ray.data.Dataset":
+    """Temperature-based source mixing — the standard LLM-data reweight
+    (sample source ``s`` in proportion to ``count_s^alpha``; alpha<1
+    up-weights small sources, alpha=1 is natural, alpha=0 uniform).
+
+    Deterministic end-to-end: per-source quotas are
+    ``floor(total * c^alpha / sum(c^alpha))`` capped at the source size
+    (same IEEE double ops as the DuckDB twin), and within each source
+    rows are ranked by ``md5(seed:id)`` — no RNG state, reproducible on
+    any cluster.  Scale shape: the count aggregate is source-sized, the
+    quota map broadcasts in the closure, the per-block prune keeps
+    ≤ quota rows per source per block, and the final per-source
+    selection sees ≤ quota · blocks survivors, never the corpus."""
+    import hashlib
+
+    cnt = (docs.map_batches(
+        lambda b: (pd.DataFrame({group: b[group].to_numpy()})
+                   .groupby(group, sort=False).size().reset_index(name="n")),
+        batch_format="pandas").to_pandas()
+        .groupby(group, sort=False)["n"].sum())
+    w = np.power(cnt.to_numpy().astype(np.float64), np.float64(alpha))
+    quota = np.floor(np.float64(total) * w / w.sum()).astype(np.int64)
+    quota = np.minimum(quota, cnt.to_numpy())
+    nmap = dict(zip(cnt.index, quota.tolist()))
+
+    def key_of(b: pd.DataFrame) -> np.ndarray:
+        return np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                           for v in b[id_col]], dtype=object)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, group]]
+        if not len(b):
+            return b
+        order = np.lexsort((b[id_col].to_numpy(), key_of(b)))
+        b = b.iloc[order]
+        lim = b[group].map(nmap).fillna(0).to_numpy()
+        keep = b.groupby(group, sort=False).cumcount().to_numpy() < lim
+        return b[keep]
+
+    pruned = docs.map_batches(local, batch_format="pandas")
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(nmap.get(g[group].iloc[0], 0)) if len(g) else 0
+        order = np.lexsort((g[id_col].to_numpy(), key_of(g)))
+        return g.iloc[order[:n]]
+
+    return pruned.groupby(group).map_groups(select, batch_format="pandas")

@@ -2006,3 +2006,32 @@ def test_growth_accounting_multiday(ray_session):
     assert out["new_users"].tolist() == exp.tolist()
     assert out["cum_users"].tolist() == exp.cumsum().tolist()
     assert int(out["cum_users"].iloc[-1]) == ev["user_id"].nunique()
+
+
+def test_temperature_mix_quotas_and_determinism(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import temperature_mix
+
+    # skewed sources: 800 'big', 100 'mid', 20 'small'
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(920)],
+        "source": ["big"] * 800 + ["mid"] * 100 + ["small"] * 20,
+    })
+    ds = ray.data.from_pandas([docs.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = temperature_mix(ds, total=230, alpha=0.5).to_pandas()
+    got = out.groupby("source").size()
+    w = np.power(np.array([800.0, 100.0, 20.0]), 0.5)
+    exp = np.minimum(np.floor(230.0 * w / w.sum()).astype(int),
+                     [800, 100, 20])
+    assert got["big"] == exp[0] and got["mid"] == exp[1] and got["small"] == exp[2]
+    # alpha=0.5 up-weights small sources vs their natural share
+    assert got["small"] / got.sum() > 20 / 920
+    # deterministic: same selection on a re-run
+    out2 = temperature_mix(ds, total=230, alpha=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # alpha=1 approximates natural proportions
+    nat = temperature_mix(ds, total=230, alpha=1.0).to_pandas()
+    g1 = nat.groupby("source").size()
+    assert g1["big"] > g1["mid"] > g1["small"]
