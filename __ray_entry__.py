@@ -846,6 +846,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return temperature_mix(_read(sf, "documents"), total=200, alpha=0.5)
 
     q["doc_temperature_mix"] = temp_mix
+
+    def bucketed_orders_join(sf):
+        """Zero-shuffle bucketed join: both sides written hash-bucketed
+        by custkey once (the write-time shuffle), then joined strictly
+        bucket-locally — one task per bucket, no exchange."""
+        import tempfile
+
+        from parquet_hs_ray.pipelines import bucketing as bk
+
+        root = tempfile.mkdtemp(prefix="phr_buckets_")
+        da = bk.bucket_write(_read(sf, "orders"), f"{root}/orders",
+                             "o_custkey", n_buckets=16,
+                             columns=["o_orderkey", "o_custkey"])
+        db = bk.bucket_write(_read(sf, "customer"), f"{root}/customer",
+                             "c_custkey", n_buckets=16,
+                             columns=["c_custkey", "c_mktsegment"])
+        return bk.bucketed_join(da, db, "o_custkey", "c_custkey",
+                                n_buckets=16)
+
+    q["bucketed_orders_join"] = bucketed_orders_join
     return q
 
 
@@ -1821,6 +1841,11 @@ SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FR
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
 """
+    # bucketed join: co-located layouts make the join bucket-local; the
+    # result is the plain equi-join
+    o["bucketed_orders_join"] = (
+        "SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_mktsegment "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
     # temperature mixing: per-source quotas floor(total * c^a / sum(c^a))
     # (same IEEE double pow/div both sides), md5-ranked within source
     o["doc_temperature_mix"] = """

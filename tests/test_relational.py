@@ -506,3 +506,50 @@ def test_set_op_null_keys_sql_semantics(ray_session, op, expected):
     got = sorted([None if pd.isna(v) else v for v in out],
                  key=lambda v: (v is None, v))
     assert got == sorted(expected, key=lambda v: (v is None, v))
+
+
+# --- bucketed storage layout + zero-shuffle join ---------------------------
+
+def test_bucketed_join_matches_pandas_merge(ray_session, tmp_path):
+    from parquet_hs_ray.pipelines import bucketing as bk
+
+    rng = np.random.default_rng(17)
+    a = pd.DataFrame({"k": rng.integers(0, 200, 3000), "va": rng.integers(0, 9, 3000)})
+    b = pd.DataFrame({"ck": np.arange(150, dtype=np.int64), "vb": np.arange(150) * 2})
+    da = bk.bucket_write(ray.data.from_pandas(a), str(tmp_path / "a"), "k", 8)
+    db = bk.bucket_write(ray.data.from_pandas(b), str(tmp_path / "b"), "ck", 8)
+    out = (bk.bucketed_join(da, db, "k", "ck", 8).to_pandas()
+           .sort_values(["k", "va", "vb"]).reset_index(drop=True))
+    exp = (a.merge(b, left_on="k", right_on="ck", how="inner")
+           .sort_values(["k", "va", "vb"]).reset_index(drop=True))
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], exp[sorted(exp.columns)],
+                                  check_dtype=False)
+
+
+def test_bucketed_join_detects_layout_drift(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_hs_ray.pipelines import bucketing as bk
+
+    a = pd.DataFrame({"k": np.arange(50, dtype=np.int64)})
+    da = bk.bucket_write(ray.data.from_pandas(a), str(tmp_path / "a"), "k", 4)
+    db = bk.bucket_write(ray.data.from_pandas(a), str(tmp_path / "b"), "k", 4)
+    # corrupt one bucket: move rows into the wrong directory
+    wrong = pd.DataFrame({"k": np.array([0, 1, 2, 3, 4], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(wrong, preserve_index=False),
+                   f"{da}/_bucket=0/poison.parquet")
+    with pytest.raises(Exception, match="layout drift"):
+        bk.bucketed_join(da, db, "k", "k", 4).to_pandas()
+
+
+def test_bucket_of_stable():
+    from parquet_hs_ray.pipelines.bucketing import bucket_of
+
+    k = np.arange(1000, dtype=np.int64)
+    b1, b2 = bucket_of(k, 16), bucket_of(k, 16)
+    assert (b1 == b2).all() and b1.min() >= 0 and b1.max() < 16
+    # roughly balanced (splitmix64 is a good mixer)
+    counts = np.bincount(b1, minlength=16)
+    assert counts.min() > 1000 / 16 * 0.5
