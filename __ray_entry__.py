@@ -866,6 +866,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 n_buckets=16)
 
     q["bucketed_orders_join"] = bucketed_orders_join
+
+    def skew_join_q(sf):
+        """Skew-mitigated join (hot keys detected + broadcast around the
+        shuffle, cold keys hash-join) — result identical to the plain
+        equi-join by construction."""
+        cust = _read(sf, "customer").map_batches(
+            lambda b: b[["c_custkey", "c_mktsegment"]], batch_format="pandas")
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        return rel.skew_join(ords, cust, "o_custkey", "c_custkey",
+                             min_share=0.0005)
+
+    q["orders_skew_join"] = skew_join_q
     return q
 
 
@@ -1841,6 +1854,11 @@ SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FR
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
 """
+    # skew join: hot/cold routing changes the physical plan, never the
+    # result — the oracle is the plain equi-join
+    o["orders_skew_join"] = (
+        "SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
     # bucketed join: co-located layouts make the join bucket-local; the
     # result is the plain equi-join
     o["bucketed_orders_join"] = (

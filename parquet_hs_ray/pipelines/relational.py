@@ -365,3 +365,91 @@ def unpivot(ds: "ray.data.Dataset", id_cols: Sequence[str],
                        var_name=name_col, value_name=value_col)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def skew_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
+              left_key: str, right_key: str, hot_k: int = 64,
+              min_share: float = 0.001, stats_out: dict | None = None
+              ) -> "ray.data.Dataset":
+    """Skew-mitigated equi-join: the hash-shuffle join's failure mode is
+    a hot probe key that lands an entire partition on one reducer; this
+    hybrid routes the skewed mass around the shuffle.
+
+    1. heavy-hitter detection: per-block top-``hot_k`` key counts (one
+       tiny partial frame per block, ≤ hot_k · blocks rows total), summed
+       on the driver; keys holding ≥ ``min_share`` of the observed mass
+       are "hot".  Detection is approximate — a missed hot key only costs
+       performance, never correctness, since both routes compute the same
+       inner join.
+    2. the small side's hot-key subset (a few rows per hot key) joins the
+       hot probe rows via broadcast — the skewed mass never shuffles.
+    3. cold rows take the normal hash-shuffle path against the small
+       side's cold remainder.
+
+    ``large`` is materialized once (object-store blocks, spillable) so
+    the hot/cold split reads each block twice zero-copy instead of
+    re-running the upstream pipeline.  ``stats_out`` (optional dict) gets
+    ``hot_keys`` / ``n_hot_rows`` for observability — detection is never
+    silent."""
+    large = large.materialize()
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[left_key].value_counts().head(hot_k)
+        return pd.DataFrame({left_key: vc.index.to_numpy(), "cnt": vc.to_numpy()})
+
+    cand = (large.map_batches(topk, batch_format="pandas").to_pandas()
+            .groupby(left_key)["cnt"].sum())
+    hot = (cand[cand >= max(2.0, min_share * float(cand.sum()))]
+           .nlargest(hot_k)) if len(cand) else cand
+    hot_keys = np.sort(hot.index.to_numpy())
+    hot_ref = ray.put(hot_keys)
+
+    def split(want_hot: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            hk = ray.get(hot_ref)
+            m = np.isin(b[left_key].to_numpy(), hk)
+            return b[m] if want_hot else b[~m]
+
+        return f
+
+    small_hot = small.map_batches(
+        lambda b: b[np.isin(b[right_key].to_numpy(), ray.get(hot_ref))],
+        batch_format="pandas")
+    small_cold = small.map_batches(
+        lambda b: b[~np.isin(b[right_key].to_numpy(), ray.get(hot_ref))],
+        batch_format="pandas").materialize()
+
+    if stats_out is not None:
+        stats_out["hot_keys"] = hot_keys.tolist()
+        stats_out["n_hot_rows_est"] = int(hot.sum()) if len(hot) else 0
+
+    # union needs one column order across branches
+    cols = sorted(set(large.schema().names)
+                  | (set(small.schema().names) - {right_key}))
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        return b[cols]
+
+    # an INNER branch with a provably-empty side contributes nothing —
+    # skip it rather than handing Ray's hash join empty (schema-less)
+    # blocks; the hot/cold counts here are metadata-cheap on the
+    # materialized splits
+    parts = []
+    if len(hot_keys):
+        large_hot = large.map_batches(split(True),
+                                      batch_format="pandas").materialize()
+        if large_hot.count():
+            parts.append(broadcast_join(large_hot, small_hot,
+                                        left_key, right_key, how="inner"))
+    large_cold = large.map_batches(split(False),
+                                   batch_format="pandas").materialize()
+    if large_cold.count() and small_cold.count():
+        parts.append(hash_join(large_cold, small_cold,
+                               left_key, right_key, how="inner"))
+    if not parts:
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=object) for c in cols}))
+    out = parts[0].map_batches(norm, batch_format="pandas")
+    for p in parts[1:]:
+        out = out.union(p.map_batches(norm, batch_format="pandas"))
+    return out

@@ -553,3 +553,48 @@ def test_bucket_of_stable():
     # roughly balanced (splitmix64 is a good mixer)
     counts = np.bincount(b1, minlength=16)
     assert counts.min() > 1000 / 16 * 0.5
+
+
+# --- skew-mitigated join ----------------------------------------------------
+
+def test_skew_join_planted_hot_key(ray_session):
+    from parquet_hs_ray.pipelines.relational import skew_join
+
+    rng = np.random.default_rng(19)
+    n = 8000
+    keys = rng.integers(0, 400, n)
+    keys[: n // 2] = 7  # one key holds half the probe side
+    large = pd.DataFrame({"k": keys, "v": rng.integers(0, 100, n)})
+    small = pd.DataFrame({"ck": np.arange(400, dtype=np.int64),
+                          "label": [f"s{i}" for i in range(400)]})
+    stats = {}
+    out = (skew_join(
+        ray.data.from_pandas([large.iloc[i::8].reset_index(drop=True)
+                              for i in range(8)]),
+        ray.data.from_pandas(small), "k", "ck",
+        min_share=0.01, stats_out=stats).to_pandas()
+        .sort_values(["k", "v"]).reset_index(drop=True))
+    exp = (large.merge(small, left_on="k", right_on="ck")
+           .drop(columns=["ck"])
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    assert 7 in stats["hot_keys"]  # the planted hot key was detected
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  exp[sorted(exp.columns)],
+                                  check_dtype=False)
+
+
+def test_skew_join_all_hot_and_none_hot(ray_session):
+    from parquet_hs_ray.pipelines.relational import skew_join
+
+    large = pd.DataFrame({"k": np.array([1] * 50 + [2] * 50),
+                          "v": np.arange(100)})
+    small = pd.DataFrame({"ck": np.array([1, 2]), "label": ["a", "b"]})
+    out = (skew_join(ray.data.from_pandas(large), ray.data.from_pandas(small),
+                     "k", "ck", min_share=0.01).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    assert len(out) == 100 and set(out["label"]) == {"a", "b"}
+    # none hot: threshold too high for any key
+    out2 = (skew_join(ray.data.from_pandas(large), ray.data.from_pandas(small),
+                      "k", "ck", min_share=0.99).to_pandas())
+    assert len(out2) == 100
