@@ -255,3 +255,48 @@ def test_zorder_sort_empty_and_collision(ray_session):
     bad = ray.data.from_pandas(pd.DataFrame({"x": [1], "y": [2], "_zkey": [9]}))
     with pytest.raises(ValueError, match="_zkey"):
         zorder_sort(bad, "x", "y")
+
+
+# --- property tests ---------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_i64 = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_i64, min_size=2, max_size=50), _i64, _i64)
+def test_scale_to_u16_properties(xs, a, b):
+    lo, hi = min(a, b), max(a, b)
+    s = zo.scale_to_u16(np.array(xs, dtype=np.int64), lo, hi)
+    # bounds
+    assert s.dtype == np.uint16
+    assert int(s.max(initial=0)) <= 65535
+    # monotone in x (after clipping)
+    xc = np.clip(np.array(xs, dtype=np.int64), lo, hi)
+    order = np.argsort(xc, kind="stable")
+    assert np.all(np.diff(s[order].astype(np.int64)) >= 0)
+    # endpoints map to the extremes
+    if hi > lo:
+        ends = zo.scale_to_u16(np.array([lo, hi]), lo, hi)
+        assert ends[0] == 0 and ends[1] == 65535
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 65535), min_size=1, max_size=40),
+       st.lists(st.integers(0, 65535), min_size=1, max_size=40))
+def test_morton2_bijective_on_ranks(us, vs):
+    n = min(len(us), len(vs))
+    u = np.array(us[:n], dtype=np.uint16)
+    v = np.array(vs[:n], dtype=np.uint16)
+    z = zo.morton2(u, v)
+    # de-interleave inverts exactly: even bits -> u, odd bits -> v
+    def gather(zv, off):
+        out = 0
+        for b in range(16):
+            out |= ((int(zv) >> (2 * b + off)) & 1) << b
+        return out
+    for i in range(n):
+        assert gather(z[i], 0) == int(u[i])
+        assert gather(z[i], 1) == int(v[i])
