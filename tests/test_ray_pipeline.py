@@ -409,3 +409,37 @@ def test_decode_to_parquet_partition_cols(ray_session, f1_dir, tmp_path):
     assert len(back) == len(src)
     assert back["doc_id"].equals(src["doc_id"])
     assert back["source"].astype(str).equals(src["source"].astype(str))
+
+
+def test_ingest_jsonl_and_csv_roundtrip_through_encode(ray_session, tmp_path):
+    """JSONL and CSV sources stage to parquet and run the FULL encode ->
+    verify path bit-exact (source-format breadth: the reference reads
+    only parquet)."""
+    import json as _json
+
+    from parquet_hs_ray.pipelines.encode_job import encode_dataset, verify_roundtrip
+    from parquet_hs_ray.sources.ingest import ingest_to_parquet, read_any
+
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(500)],
+        "n_tok": np.arange(500, dtype=np.int64) % 37 + 1,
+        "source": np.array(["a", "b"])[np.arange(500) % 2],
+    })
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for r in df.to_dict("records"):
+            f.write(_json.dumps(r) + "\n")
+    cv = tmp_path / "docs.csv"
+    df.to_csv(cv, index=False)
+
+    for src, name in ((str(jl), "jsonl"), (str(cv), "csv")):
+        got = (read_any(src).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        exp = df.sort_values("doc_id").reset_index(drop=True)
+        assert got["n_tok"].astype(np.int64).equals(exp["n_tok"])
+        staged = ingest_to_parquet(src, str(tmp_path / f"staged_{name}"))
+        enc = str(tmp_path / f"enc_{name}")
+        res = encode_dataset(staged, enc, token_budget=3000)
+        assert res["encoded"] >= 1
+        v = verify_roundtrip(staged, enc)
+        assert v["mismatched_partitions"] == 0 and v["rows"] == 500
