@@ -879,6 +879,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              min_share=0.0005)
 
     q["orders_skew_join"] = skew_join_q
+
+    def q5_regional(sf):
+        from parquet_hs_ray.pipelines.recipes import regional_revenue
+
+        return regional_revenue(
+            _read(sf, "lineitem"), _read(sf, "orders"), _read(sf, "customer"),
+            _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region"))
+
+    q["tpch_q5_regional"] = q5_regional
+
+    def nation_region_cross(sf):
+        # cartesian product demo (guarded broadcast cross join)
+        n = _read(sf, "nation").map_batches(
+            lambda b: b[["n_nationkey", "n_name"]], batch_format="pandas")
+        r = _read(sf, "region").map_batches(
+            lambda b: b[["r_regionkey", "r_name"]], batch_format="pandas")
+        return rel.cross_join(n, r)
+
+    q["nation_region_cross"] = nation_region_cross
     return q
 
 
@@ -1854,6 +1873,22 @@ SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FR
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
 """
+    # Q5-shaped five-table join chain: dims broadcast, the one fact x
+    # fact edge hash-shuffles; per-row integer cents before the Sum
+    o["tpch_q5_regional"] = """
+SELECT n.n_name,
+  CAST(sum(CAST(round_even(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+    o["nation_region_cross"] = (
+        "SELECT n_nationkey, n_name, r_regionkey, r_name FROM nation, region")
     # skew join: hot/cold routing changes the physical plan, never the
     # result — the oracle is the plain equi-join
     o["orders_skew_join"] = (

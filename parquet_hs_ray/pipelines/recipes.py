@@ -314,3 +314,77 @@ def order_count_distribution(customer: "ray.data.Dataset",
 
     return grouped_sum(j.map_batches(kpart, batch_format="pandas"),
                        ["n_orders"], ["n_cust"])
+
+
+def regional_revenue(lineitem, orders, customer, supplier, nation, region,
+                     region_name: str = "ASIA",
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01") -> "ray.data.Dataset":
+    """TPC-H-Q5-shaped five-table join chain: revenue per nation from
+    lineitems whose customer and supplier sit in the SAME nation of one
+    region, over an order-date year.
+
+    Join strategy by size class (the planner decision this engine asks
+    users to make explicitly): region/nation/supplier/customer are
+    dimension-side — their key→attribute maps broadcast once via
+    ``ray.put`` inside ``broadcast_join`` — while the single fact×fact
+    edge (lineitem ⋈ filtered orders) takes the hash-shuffle path.
+    Money math is per-row integer cents before the Sum, so the DuckDB
+    twin is hash-exact."""
+    from .groupagg import grouped_sum
+    from .relational import broadcast_join, hash_join
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    # dimension chain: region -> nations in region -> names
+    r = region.to_pandas()
+    keep_rk = set(r[r["r_name"] == region_name]["r_regionkey"])
+    n = nation.to_pandas()
+    n = n[n["n_regionkey"].isin(keep_rk)][["n_nationkey", "n_name"]]
+    nat = ray.data.from_pandas(n)
+
+    # Arrow-native filter: a pandas filter that empties a block loses its
+    # schema in the arrow conversion and poisons the hash join's key
+    # resolution; pa.Table.filter keeps the schema at zero rows
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def ofilt(t: "pa.Table") -> "pa.Table":
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    ords = orders.map_batches(ofilt, batch_format="pyarrow")
+
+    def li_cents(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["l_extendedprice"].to_numpy()
+        d = b["l_discount"].to_numpy()
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "rev_c": np.round(p * (1 - d) * 100).astype(np.int64),
+        })
+
+    li = lineitem.map_batches(li_cents, batch_format="pandas")
+    # the one fact x fact edge
+    lo_j = hash_join(li, ords, "l_orderkey", "o_orderkey")
+    # supplier nation + customer nation attach (broadcast maps)
+    lo_j = broadcast_join(lo_j, supplier, "l_suppkey", "s_suppkey",
+                          right_cols=["s_nationkey"])
+    lo_j = broadcast_join(lo_j, customer, "o_custkey", "c_custkey",
+                          right_cols=["c_nationkey"])
+    # same-nation clause + region membership (inner vs region nations)
+    same = lo_j.map_batches(
+        lambda b: b[b["s_nationkey"] == b["c_nationkey"]],
+        batch_format="pandas")
+    named = broadcast_join(same, nat, "s_nationkey", "n_nationkey",
+                           right_cols=["n_name"])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        return (b[["n_name", "rev_c"]]
+                .groupby("n_name", sort=False, as_index=False).sum())
+
+    return grouped_sum(named.map_batches(part, batch_format="pandas"),
+                       ["n_name"], ["rev_c"]).map_batches(
+        lambda b: b.rename(columns={"rev_c": "revenue_c"}),
+        batch_format="pandas")

@@ -453,3 +453,21 @@ def skew_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
     for p in parts[1:]:
         out = out.union(p.map_batches(norm, batch_format="pandas"))
     return out
+
+
+def cross_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               max_right_rows: int = 100_000) -> "ray.data.Dataset":
+    """Cartesian product with a broadcast right side: each left block
+    merges against the ray.put copy — no shuffle, output rows =
+    |left|·|right|.  Guarded by ``max_right_rows``: a cross join against
+    a fact-sized right side is always a bug at scale."""
+    r = right.to_pandas()
+    if len(r) > max_right_rows:
+        raise ValueError(f"cross_join right side has {len(r)} rows "
+                         f"(> {max_right_rows}): broadcast would explode")
+    r_ref = ray.put(r)
+
+    def cross(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(ray.get(r_ref), how="cross")
+
+    return left.map_batches(cross, batch_format="pandas")

@@ -598,3 +598,16 @@ def test_skew_join_all_hot_and_none_hot(ray_session):
     out2 = (skew_join(ray.data.from_pandas(large), ray.data.from_pandas(small),
                       "k", "ck", min_share=0.99).to_pandas())
     assert len(out2) == 100
+
+
+def test_cross_join_guard_and_product(ray_session):
+    from parquet_hs_ray.pipelines.relational import cross_join
+
+    a = pd.DataFrame({"x": [1, 2, 3]})
+    b = pd.DataFrame({"y": ["u", "v"]})
+    out = cross_join(ray.data.from_pandas(a), ray.data.from_pandas(b)).to_pandas()
+    assert len(out) == 6 and set(out.columns) == {"x", "y"}
+    big = pd.DataFrame({"y": np.arange(10)})
+    with pytest.raises(ValueError, match="explode"):
+        cross_join(ray.data.from_pandas(a), ray.data.from_pandas(big),
+                   max_right_rows=5)
