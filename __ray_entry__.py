@@ -898,6 +898,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.cross_join(n, r)
 
     q["nation_region_cross"] = nation_region_cross
+
+    def fuzzy_nations(sf):
+        from parquet_hs_ray.pipelines.cleaning import fuzzy_self_pairs
+
+        return fuzzy_self_pairs(_read(sf, "nation"), "n_name", max_dist=2)
+
+    q["fuzzy_nation_pairs"] = fuzzy_nations
     return q
 
 
@@ -1872,6 +1879,14 @@ GROUP BY n_orders
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+"""
+    # fuzzy matching: byte-level Levenshtein (DuckDB's levenshtein is
+    # byte-based too), pair key ordered by the string values
+    o["fuzzy_nation_pairs"] = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name)::BIGINT AS dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 2
 """
     # Q5-shaped five-table join chain: dims broadcast, the one fact x
     # fact edge hash-shuffles; per-row integer cents before the Sum

@@ -536,3 +536,63 @@ def corpus_overlap(a: "ray.data.Dataset", b: "ray.data.Dataset",
                          "n_b": pd.array([n_b], dtype=np.int64),
                          "n_shared": pd.array([n_sh], dtype=np.int64),
                          "jaccard": [n_sh / denom if denom else 0.0]})
+
+
+def fuzzy_self_pairs(ds: "ray.data.Dataset", col: str,
+                     max_dist: int = 2, band_width: int = 8,
+                     max_band_rows: int = 10_000) -> "ray.data.Dataset":
+    """Fuzzy self-match: all pairs of rows whose ``col`` values are
+    within ``max_dist`` byte-level edits (vectorized Levenshtein,
+    ``functions.fuzzy``) — near-duplicate titles/names that exact dedup
+    misses.
+
+    Candidate generation is length-banded: an edit distance ≤ d forces a
+    length difference ≤ d, so each row is emitted to its own
+    ``len // band_width`` band plus the band of ``len + max_dist``
+    (adjacent when the range crosses a boundary; requires
+    ``max_dist < band_width``), and every qualifying pair shares ≥ 1
+    band.  Pairs are generated per band (bounded by ``max_band_rows`` —
+    an over-limit band raises rather than silently exploding
+    quadratically), distance-filtered with one batched DP per band, and
+    de-duplicated across bands.  At corpus scale the band key would
+    extend with a content prefix (first byte class) the same way LSH
+    bands do; length alone is the honest minimum that stays exhaustive."""
+    if max_dist >= band_width:
+        raise ValueError("max_dist must be < band_width for band-complete "
+                         "candidate generation")
+    from ..functions.fuzzy import levenshtein_pairs
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[col].astype(str)
+        ln = vals.str.encode("utf-8").str.len().to_numpy()
+        lo = ln // band_width
+        hi = (ln + max_dist) // band_width
+        out = pd.DataFrame({col: np.concatenate([vals.to_numpy(),
+                                                 vals.to_numpy()[lo != hi]]),
+                            "band": np.concatenate([lo, hi[lo != hi]])})
+        return out.drop_duplicates()
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(pd.unique(g[col].astype(str)))
+        m = len(u)
+        if m > max_band_rows:
+            raise ValueError(f"fuzzy band holds {m} rows (> {max_band_rows}):"
+                             " extend the band key before pairing")
+        if m < 2:
+            return pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                                 "name_b": pd.Series([], dtype=object),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        i, j = np.triu_indices(m, k=1)
+        d = levenshtein_pairs(u[i], u[j])
+        keep = d <= max_dist
+        return pd.DataFrame({"name_a": u[i][keep], "name_b": u[j][keep],
+                             "dist": d[keep].astype(np.int64)})
+
+    res = exploded.groupby("band").map_groups(pairs, batch_format="pandas")
+    # a pair found in two bands is the same (name_a, name_b, dist) row —
+    # global dedupe via the vectorized grouped-min machinery
+    from .groupagg import grouped_agg
+
+    return grouped_agg(res, ["name_a", "name_b"], {"dist": "min"})

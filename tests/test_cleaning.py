@@ -410,3 +410,50 @@ def test_corpus_overlap_planted(ray_session):
     assert out["n_b"].iloc[0] == len(hb)
     assert out["n_shared"].iloc[0] == len(ha & hb) > 0
     assert out["jaccard"].iloc[0] == len(ha & hb) / len(ha | hb)
+
+
+def test_levenshtein_kernel_reference():
+    from parquet_hs_ray.functions.fuzzy import levenshtein_pairs
+
+    a = ["kitten", "flaw", "", "abc", "same"]
+    b = ["sitting", "lawn", "xy", "abc", "same"]
+    got = levenshtein_pairs(a, b).tolist()
+    assert got == [3, 2, 2, 0, 0]
+
+
+def test_fuzzy_self_pairs_banding_complete(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.functions.fuzzy import levenshtein_pairs
+    from parquet_hs_ray.pipelines.cleaning import fuzzy_self_pairs
+
+    # names straddling a band boundary (lengths 7 and 8 with w=8) must
+    # still pair up
+    names = ["alpha_1", "alpha_12", "alpha_13", "beta", "betb", "gamma"]
+    ds = ray.data.from_pandas(pd.DataFrame({"n": names}))
+    out = (fuzzy_self_pairs(ds, "n", max_dist=2, band_width=8).to_pandas()
+           .sort_values(["name_a", "name_b"]).reset_index(drop=True))
+    # exhaustive reference
+    exp = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = sorted((names[i], names[j]))
+            d = int(levenshtein_pairs([a], [b])[0])
+            if d <= 2:
+                exp.append((a, b, d))
+    exp = sorted(exp)
+    assert list(map(tuple, out[["name_a", "name_b", "dist"]].to_numpy())) == exp
+    # the boundary-straddling pair is present
+    assert ("alpha_1", "alpha_12", 1) in exp
+
+
+def test_fuzzy_self_pairs_band_cap_raises(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import fuzzy_self_pairs
+
+    names = [f"x{i:02d}" for i in range(50)]
+    ds = ray.data.from_pandas(pd.DataFrame({"n": names}))
+    with pytest.raises(Exception, match="band holds"):
+        fuzzy_self_pairs(ds, "n", max_dist=1, band_width=8,
+                         max_band_rows=10).to_pandas()
