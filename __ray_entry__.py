@@ -905,6 +905,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fuzzy_self_pairs(_read(sf, "nation"), "n_name", max_dist=2)
 
     q["fuzzy_nation_pairs"] = fuzzy_nations
+
+    def emb_unnest(sf):
+        # UNNEST the embedding vectors: one row per (vec_id, idx, value)
+        return rel.unnest(_read(sf, "embeddings"), "embedding",
+                          ["vec_id"], value_col="value", index_col="idx")
+
+    q["emb_unnest"] = emb_unnest
     return q
 
 
@@ -1879,6 +1886,14 @@ GROUP BY n_orders
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+"""
+    # UNNEST: two zipped select-list unnests (DuckDB lacks WITH
+    # ORDINALITY); range(len) supplies the 0-based position
+    o["emb_unnest"] = """
+SELECT vec_id,
+       CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
+       unnest(embedding) AS value
+FROM embeddings
 """
     # fuzzy matching: byte-level Levenshtein (DuckDB's levenshtein is
     # byte-based too), pair key ordered by the string values

@@ -471,3 +471,40 @@ def cross_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return b.merge(ray.get(r_ref), how="cross")
 
     return left.map_batches(cross, batch_format="pandas")
+
+
+def unnest(ds: "ray.data.Dataset", list_col: str,
+           id_cols: Sequence[str], value_col: str = "value",
+           index_col: str | None = "idx") -> "ray.data.Dataset":
+    """SQL UNNEST / array explode: one output row per list element,
+    keyed by ``id_cols``, with the element in ``value_col`` and its
+    0-based position in ``index_col`` (omit by passing None).
+
+    Fully vectorized per block in Arrow: ``list_flatten`` moves the
+    child array zero-copy, ``list_value_length`` drives one ``repeat``
+    gather for the id columns — no Python per row, no shuffle; output
+    streams at input-block granularity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_cols = list(id_cols)
+
+    def explode(t: "pa.Table") -> "pa.Table":
+        lc = t[list_col].combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        lens = pc.list_value_length(lc).fill_null(0)
+        reps = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+        take_idx = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+        cols = {c: t[c].take(take_idx) for c in id_cols}
+        cols[value_col] = pc.list_flatten(lc)
+        if index_col is not None:
+            # 0..len-1 within each list, vectorized
+            starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            total = int(reps.sum())
+            cols[index_col] = pa.array(
+                np.arange(total, dtype=np.int64)
+                - np.repeat(starts, reps), type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")

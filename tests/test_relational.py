@@ -611,3 +611,21 @@ def test_cross_join_guard_and_product(ray_session):
     with pytest.raises(ValueError, match="explode"):
         cross_join(ray.data.from_pandas(a), ray.data.from_pandas(big),
                    max_right_rows=5)
+
+
+def test_unnest_ragged_and_null_lists(ray_session):
+    import pyarrow as pa
+
+    from parquet_hs_ray.pipelines.relational import unnest
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "xs": [[10, 20], [], None, [7]]})
+    out = (unnest(ray.data.from_arrow(t), "xs", ["id"]).to_pandas()
+           .sort_values(["id", "idx"]).reset_index(drop=True))
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["value"].tolist() == [10, 20, 7]
+    assert out["idx"].tolist() == [0, 1, 0]
+    # index_col=None omits the position column
+    out2 = unnest(ray.data.from_arrow(t), "xs", ["id"],
+                  index_col=None).to_pandas()
+    assert sorted(out2.columns) == ["id", "value"]
