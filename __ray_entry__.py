@@ -912,6 +912,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ["vec_id"], value_col="value", index_col="idx")
 
     q["emb_unnest"] = emb_unnest
+
+    def orders_collect(sf):
+        # array_agg: ordered order-key list per customer (the unnest
+        # inverse; integer payload keeps the value hash repr-stable)
+        ds = _read(sf, "orders").map_batches(
+            lambda b: b[["o_custkey", "o_orderkey"]], batch_format="pandas")
+        return rel.collect_list(ds, "o_custkey", "o_orderkey",
+                                order_col="o_orderkey", out_col="order_keys")
+
+    q["orders_collect_list"] = orders_collect
     return q
 
 
@@ -1894,6 +1904,10 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    o["orders_collect_list"] = """
+SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+FROM orders GROUP BY o_custkey
 """
     # fuzzy matching: byte-level Levenshtein (DuckDB's levenshtein is
     # byte-based too), pair key ordered by the string values

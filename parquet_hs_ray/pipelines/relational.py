@@ -508,3 +508,49 @@ def unnest(ds: "ray.data.Dataset", list_col: str,
         return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def collect_list(ds: "ray.data.Dataset", key: str, value_col: str,
+                 order_col: str | None = None,
+                 out_col: str = "values") -> "ray.data.Dataset":
+    """SQL ``list(value ORDER BY order_col)`` / array_agg: re-nest rows
+    into one ordered list per ``key`` — the inverse of :func:`unnest`.
+
+    Scale shape: rows shuffle once by key (Ray's range sort over
+    (key, order)); each sorted block then re-nests vectorized with one
+    Arrow ListArray construction from group offsets, and only the ≤2
+    groups straddling a block boundary are re-merged (same bounded-edge
+    contract as ``groupagg.sorted_block_aggregate``).  Lists are bounded
+    by group size — one giant key is the caller's skew to salt."""
+    import pyarrow as pa
+
+    sort_keys = [key] if order_col is None else [key, order_col]
+    s = ds.sort(sort_keys)
+
+    def nest(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 out_col: pd.Series([], dtype=object),
+                                 "_edge": pd.Series([], dtype=bool)})
+        k = b[key].to_numpy()
+        cut = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(k)]))
+        vals = b[value_col].to_numpy()
+        lists = [vals[s0:e0].tolist() for s0, e0 in zip(starts, ends)]
+        n = len(starts)
+        edge = np.zeros(n, dtype=bool)
+        edge[0] = edge[n - 1] = True
+        return pd.DataFrame({key: k[starts], out_col: lists, "_edge": edge})
+
+    blocks = s.map_batches(nest, batch_format="pandas",
+                           batch_size=None).materialize()
+    edges = blocks.map_batches(lambda d: d[d["_edge"]].drop(columns="_edge"),
+                               batch_format="pandas").to_pandas()
+    interior = blocks.map_batches(
+        lambda d: d[~d["_edge"]].drop(columns="_edge"), batch_format="pandas")
+    if not len(edges):
+        return interior
+    merged = (edges.groupby(key, sort=True)[out_col]
+              .agg(lambda ls: [v for sub in ls for v in sub]).reset_index())
+    return interior.union(ray.data.from_pandas(merged[[key, out_col]]))

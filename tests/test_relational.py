@@ -629,3 +629,35 @@ def test_unnest_ragged_and_null_lists(ray_session):
     out2 = unnest(ray.data.from_arrow(t), "xs", ["id"],
                   index_col=None).to_pandas()
     assert sorted(out2.columns) == ["id", "value"]
+
+
+def test_collect_list_inverts_unnest(ray_session):
+    import pyarrow as pa
+
+    from parquet_hs_ray.pipelines.relational import collect_list, unnest
+
+    rng = np.random.default_rng(29)
+    lists = [rng.integers(0, 100, rng.integers(1, 9)).tolist()
+             for _ in range(200)]
+    t = pa.table({"id": list(range(200)), "xs": lists})
+    flat = unnest(ray.data.from_arrow(t), "xs", ["id"])
+    back = (collect_list(flat, "id", "value", order_col="idx",
+                         out_col="xs").to_pandas()
+            .sort_values("id").reset_index(drop=True))
+    assert len(back) == 200
+    for i in range(200):
+        assert list(back["xs"].iloc[i]) == lists[back["id"].iloc[i]]
+
+
+def test_collect_list_straddling_groups(ray_session):
+    from parquet_hs_ray.pipelines.relational import collect_list
+
+    # one hot key spread over many blocks must re-merge into ONE row
+    df = pd.DataFrame({"k": [7] * 500 + [1, 2, 3],
+                       "v": list(range(500)) + [10, 20, 30]})
+    ds = ray.data.from_pandas([df.iloc[i::8].reset_index(drop=True)
+                               for i in range(8)])
+    out = collect_list(ds, "k", "v", order_col="v").to_pandas()
+    assert len(out) == 4
+    hot = out[out["k"] == 7]["values"].iloc[0]
+    assert list(hot) == list(range(500))
