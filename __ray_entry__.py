@@ -851,11 +851,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Zero-shuffle bucketed join: both sides written hash-bucketed
         by custkey once (the write-time shuffle), then joined strictly
         bucket-locally — one task per bucket, no exchange."""
-        import tempfile
+        import os
+        import shutil
 
         from parquet_hs_ray.pipelines import bucketing as bk
 
-        root = tempfile.mkdtemp(prefix="phr_buckets_")
+        # fixed per-sf path, rebuilt each call: repeated bench/oracle
+        # runs reuse ONE slot instead of leaking a table copy per run
+        root = f"/tmp/phr_buckets/{os.path.basename(str(sf).rstrip('/'))}"
+        shutil.rmtree(root, ignore_errors=True)
         da = bk.bucket_write(_read(sf, "orders"), f"{root}/orders",
                              "o_custkey", n_buckets=16,
                              columns=["o_orderkey", "o_custkey"])

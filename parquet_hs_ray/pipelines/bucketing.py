@@ -29,10 +29,21 @@ from ..functions.sketches import _splitmix64
 
 
 def bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
-    """Stable bucket id per key: splitmix64 over the int64 key value
-    (strings hash via their utf-8 bytes through the same finalizer in
-    ``sketches.word_hashes``; int keys are the common case here)."""
-    h = _splitmix64(np.asarray(keys).astype(np.uint64))
+    """Stable bucket id per key: integer keys run splitmix64 over the
+    value; string keys hash their utf-8 bytes through the same public
+    finalizer (``sketches.word_hashes``).  Float keys are rejected —
+    equality-joining on floats is a bug, and truncation would silently
+    co-bucket distinct keys."""
+    arr = np.asarray(keys)
+    if arr.dtype.kind in ("U", "S", "O"):
+        from ..functions.sketches import word_hashes
+
+        h = word_hashes(arr.astype(str))
+    elif arr.dtype.kind in ("i", "u"):
+        h = _splitmix64(arr.astype(np.uint64))
+    else:
+        raise TypeError(f"bucket_of: unsupported key dtype {arr.dtype} — "
+                        "use integer or string join keys")
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
@@ -96,7 +107,8 @@ def bucketed_join(dir_a: str, dir_b: str, key_a: str, key_b: str,
                 f = sorted(_glob.glob(f"{d}/_bucket=*/*.parquet"))
                 if not f:
                     return pd.DataFrame()
-                empt.append(pq.read_table(f[0]).slice(0, 0).to_pandas())
+                # footer-only read: the schema, never the data
+                empt.append(pq.read_schema(f[0]).empty_table().to_pandas())
             return empt[0].merge(empt[1], left_on=key_a, right_on=key_b,
                                  how="inner")
         return pd.concat(outs, ignore_index=True)

@@ -540,7 +540,8 @@ def corpus_overlap(a: "ray.data.Dataset", b: "ray.data.Dataset",
 
 def fuzzy_self_pairs(ds: "ray.data.Dataset", col: str,
                      max_dist: int = 2, band_width: int = 8,
-                     max_band_rows: int = 10_000) -> "ray.data.Dataset":
+                     max_band_rows: int = 10_000,
+                     max_len: int = 64) -> "ray.data.Dataset":
     """Fuzzy self-match: all pairs of rows whose ``col`` values are
     within ``max_dist`` byte-level edits (vectorized Levenshtein,
     ``functions.fuzzy``) — near-duplicate titles/names that exact dedup
@@ -565,6 +566,14 @@ def fuzzy_self_pairs(ds: "ray.data.Dataset", col: str,
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         vals = b[col].astype(str)
         ln = vals.str.encode("utf-8").str.len().to_numpy()
+        if len(ln) and int(ln.max()) > max_len:
+            # the DP kernel truncates at max_len bytes, which would report
+            # FALSE matches for long strings sharing a prefix — refuse
+            # rather than silently merge distinct documents
+            raise ValueError(
+                f"fuzzy_self_pairs: a value is {int(ln.max())} bytes "
+                f"(> max_len={max_len}); raise max_len (cost is O(max_len^2) "
+                "per pair batch) or fingerprint long texts instead")
         lo = ln // band_width
         hi = (ln + max_dist) // band_width
         out = pd.DataFrame({col: np.concatenate([vals.to_numpy(),
@@ -585,7 +594,7 @@ def fuzzy_self_pairs(ds: "ray.data.Dataset", col: str,
                                  "name_b": pd.Series([], dtype=object),
                                  "dist": pd.Series([], dtype=np.int64)})
         i, j = np.triu_indices(m, k=1)
-        d = levenshtein_pairs(u[i], u[j])
+        d = levenshtein_pairs(u[i], u[j], max_len=max_len)
         keep = d <= max_dist
         return pd.DataFrame({"name_a": u[i][keep], "name_b": u[j][keep],
                              "dist": d[keep].astype(np.int64)})

@@ -397,8 +397,17 @@ def skew_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
         vc = b[left_key].value_counts().head(hot_k)
         return pd.DataFrame({left_key: vc.index.to_numpy(), "cnt": vc.to_numpy()})
 
-    cand = (large.map_batches(topk, batch_format="pandas").to_pandas()
-            .groupby(left_key)["cnt"].sum())
+    # union needs one column order across branches (also the empty-probe
+    # schema: Ray's to_pandas drops columns of an all-empty dataset)
+    out_cols = sorted(set(large.schema().names)
+                      | (set(small.schema().names) - {right_key}))
+
+    candf = large.map_batches(topk, batch_format="pandas").to_pandas()
+    if left_key not in candf.columns or not len(candf):
+        # empty probe side: the join is empty, schema-preserving
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols}))
+    cand = candf.groupby(left_key)["cnt"].sum()
     hot = (cand[cand >= max(2.0, min_share * float(cand.sum()))]
            .nlargest(hot_k)) if len(cand) else cand
     hot_keys = np.sort(hot.index.to_numpy())
@@ -423,9 +432,7 @@ def skew_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
         stats_out["hot_keys"] = hot_keys.tolist()
         stats_out["n_hot_rows_est"] = int(hot.sum()) if len(hot) else 0
 
-    # union needs one column order across branches
-    cols = sorted(set(large.schema().names)
-                  | (set(small.schema().names) - {right_key}))
+    cols = out_cols
 
     def norm(b: pd.DataFrame) -> pd.DataFrame:
         return b[cols]
@@ -439,8 +446,28 @@ def skew_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
         large_hot = large.map_batches(split(True),
                                       batch_format="pandas").materialize()
         if large_hot.count():
-            parts.append(broadcast_join(large_hot, small_hot,
-                                        left_key, right_key, how="inner"))
+            # NOT broadcast_join: that de-duplicates the small side by
+            # key (dimension semantics) and would silently drop matches
+            # when a hot key has several small-side rows. Broadcast the
+            # hot subset as-is (bounded: hot keys only) and merge with
+            # full duplicate semantics.
+            sh = small_hot.to_pandas()
+            if right_key not in sh.columns:
+                sh = pd.DataFrame({c: pd.Series(dtype=object)
+                                   for c in small.schema().names})
+            sh_ref = ray.put(sh)
+
+            def hot_merge(b: pd.DataFrame) -> pd.DataFrame:
+                s = ray.get(sh_ref)
+                o = b.merge(s, left_on=left_key, right_on=right_key,
+                            how="inner")
+                if right_key != left_key and right_key in o.columns:
+                    o = o.drop(columns=[right_key])
+                return o
+
+            if len(sh):
+                parts.append(large_hot.map_batches(hot_merge,
+                                                   batch_format="pandas"))
     large_cold = large.map_batches(split(False),
                                    batch_format="pandas").materialize()
     if large_cold.count() and small_cold.count():
@@ -459,12 +486,14 @@ def cross_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                max_right_rows: int = 100_000) -> "ray.data.Dataset":
     """Cartesian product with a broadcast right side: each left block
     merges against the ray.put copy — no shuffle, output rows =
-    |left|·|right|.  Guarded by ``max_right_rows``: a cross join against
-    a fact-sized right side is always a bug at scale."""
-    r = right.to_pandas()
-    if len(r) > max_right_rows:
-        raise ValueError(f"cross_join right side has {len(r)} rows "
+    |left|·|right|.  Guarded by ``max_right_rows`` BEFORE the right side
+    is collected (count() is a metadata/streamed pass, so a fact-sized
+    right side is rejected without ever landing on the driver)."""
+    n_right = right.count()
+    if n_right > max_right_rows:
+        raise ValueError(f"cross_join right side has {n_right} rows "
                          f"(> {max_right_rows}): broadcast would explode")
+    r = right.to_pandas()
     r_ref = ray.put(r)
 
     def cross(b: pd.DataFrame) -> pd.DataFrame:
@@ -533,7 +562,11 @@ def collect_list(ds: "ray.data.Dataset", key: str, value_col: str,
                                  out_col: pd.Series([], dtype=object),
                                  "_edge": pd.Series([], dtype=bool)})
         k = b[key].to_numpy()
-        cut = np.flatnonzero(k[1:] != k[:-1]) + 1
+        # NaN != NaN would fragment every null-key row into its own
+        # group; treat consecutive nulls as equal (SQL GROUP BY)
+        na = pd.isna(k)
+        neq = (k[1:] != k[:-1]) & ~(na[1:] & na[:-1])
+        cut = np.flatnonzero(neq) + 1
         starts = np.concatenate(([0], cut))
         ends = np.concatenate((cut, [len(k)]))
         vals = b[value_col].to_numpy()
@@ -551,6 +584,6 @@ def collect_list(ds: "ray.data.Dataset", key: str, value_col: str,
         lambda d: d[~d["_edge"]].drop(columns="_edge"), batch_format="pandas")
     if not len(edges):
         return interior
-    merged = (edges.groupby(key, sort=True)[out_col]
+    merged = (edges.groupby(key, sort=True, dropna=False)[out_col]
               .agg(lambda ls: [v for sub in ls for v in sub]).reset_index())
     return interior.union(ray.data.from_pandas(merged[[key, out_col]]))

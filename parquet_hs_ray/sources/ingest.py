@@ -23,13 +23,30 @@ _READERS = {
 }
 
 
+def _kind_of(p: str) -> str:
+    base = p.rstrip("/").rsplit("/", 1)[-1]
+    if "." not in base:
+        return "parquet"  # extension-less = a directory of parquet files
+    ext = "." + base.rsplit(".", 1)[-1].lower()
+    kind = _READERS.get(ext)
+    if kind is None:
+        raise ValueError(f"read_any: unsupported source format {ext!r} "
+                         f"({p}) — supported: {sorted(_READERS)}")
+    return kind
+
+
 def read_any(path: str | list[str], **kwargs) -> "ray.data.Dataset":
     """Dispatch on file extension: parquet reads native (column-prunable);
-    jsonl/ndjson and csv stream through Ray's parallel text readers."""
-    first = path[0] if isinstance(path, list) else path
-    ext = "." + first.rsplit(".", 1)[-1].lower() if "." in first else ""
-    kind = _READERS.get(ext)
-    if kind == "parquet" or kind is None:
+    jsonl/ndjson and csv stream through Ray's parallel text readers.
+    Unknown extensions raise (no silent parquet fallback); a list input
+    must be format-homogeneous."""
+    paths = path if isinstance(path, list) else [path]
+    kinds = {_kind_of(p) for p in paths}
+    if len(kinds) > 1:
+        raise ValueError(f"read_any: mixed source formats {sorted(kinds)} — "
+                         "ingest each format separately")
+    kind = kinds.pop()
+    if kind == "parquet":
         return ray.data.read_parquet(path, **kwargs)
     if kind == "json":
         return ray.data.read_json(path, **kwargs)

@@ -661,3 +661,71 @@ def test_collect_list_straddling_groups(ray_session):
     assert len(out) == 4
     hot = out[out["k"] == 7]["values"].iloc[0]
     assert list(hot) == list(range(500))
+
+
+def test_skew_join_duplicate_small_side_keys(ray_session):
+    """Review fix: a hot key with SEVERAL small-side rows must produce
+    one output row per (probe row, small row) pair, like the plain
+    equi-join — broadcast_join's key dedup must not leak in."""
+    from parquet_hs_ray.pipelines.relational import skew_join
+
+    large = pd.DataFrame({"k": np.array([7] * 50 + [1] * 5 + [2] * 5),
+                          "v": np.arange(60)})
+    small = pd.DataFrame({"ck": np.array([7, 7, 1, 2]),
+                          "label": ["a", "b", "c", "d"]})
+    out = skew_join(
+        ray.data.from_pandas([large.iloc[i::4].reset_index(drop=True)
+                              for i in range(4)]),
+        ray.data.from_pandas(small), "k", "ck", min_share=0.1).to_pandas()
+    exp = large.merge(small, left_on="k", right_on="ck")
+    assert len(out) == len(exp) == 110  # 50*2 + 5 + 5
+    assert sorted(out[out["k"] == 7]["label"].unique()) == ["a", "b"]
+
+
+def test_skew_join_empty_probe_side(ray_session):
+    from parquet_hs_ray.pipelines.relational import skew_join
+
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.Series([], dtype=np.int64), "v": pd.Series([], dtype=np.int64)}))
+    small = ray.data.from_pandas(pd.DataFrame({"ck": [1], "label": ["a"]}))
+    out = skew_join(empty, small, "k", "ck").to_pandas()
+    assert len(out) == 0
+
+
+def test_collect_list_null_keys_kept(ray_session):
+    from parquet_hs_ray.pipelines.relational import collect_list
+
+    df = pd.DataFrame({"k": [np.nan, np.nan, 1.0, 1.0, 2.0],
+                       "v": [10, 11, 1, 2, 3]})
+    out = collect_list(ray.data.from_pandas(df), "k", "v",
+                       order_col="v").to_pandas()
+    null_rows = out[out["k"].isna()]
+    assert len(null_rows) == 1 and sorted(null_rows["values"].iloc[0]) == [10, 11]
+    assert len(out) == 3
+
+
+def test_bucket_of_string_keys_and_float_reject():
+    from parquet_hs_ray.pipelines.bucketing import bucket_of
+
+    b = bucket_of(np.array(["alpha", "beta", "alpha"]), 8)
+    assert b[0] == b[2] and 0 <= b.min() and b.max() < 8
+    with pytest.raises(TypeError, match="float|dtype"):
+        bucket_of(np.array([1.5, 2.5]), 8)
+
+
+def test_fuzzy_self_pairs_rejects_overlong(ray_session):
+    from parquet_hs_ray.pipelines.cleaning import fuzzy_self_pairs
+
+    ds = ray.data.from_pandas(pd.DataFrame({"n": ["x" * 100, "y"]}))
+    with pytest.raises(Exception, match="max_len"):
+        fuzzy_self_pairs(ds, "n", max_dist=2).to_pandas()
+
+
+def test_read_any_rejects_unknown_and_mixed(ray_session, tmp_path):
+    from parquet_hs_ray.sources.ingest import read_any
+
+    (tmp_path / "a.tsv").write_text("x\t1\n")
+    with pytest.raises(ValueError, match="unsupported"):
+        read_any(str(tmp_path / "a.tsv"))
+    with pytest.raises(ValueError, match="mixed"):
+        read_any([str(tmp_path / "a.jsonl"), str(tmp_path / "b.csv")])
