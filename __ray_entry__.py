@@ -926,6 +926,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 order_col="o_orderkey", out_col="order_keys")
 
     q["orders_collect_list"] = orders_collect
+
+    def ev_winsor(sf):
+        from parquet_hs_ray.pipelines.stats import winsorize
+
+        ds = _read(sf, "events").map_batches(
+            lambda b: b[["event_id", "value"]], batch_format="pandas")
+        return winsorize(ds, "value", 0.05, 0.95, out_col="value_w")
+
+    q["events_winsorize"] = ev_winsor
     return q
 
 
@@ -1908,6 +1917,14 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # winsorize: clip at exact discrete quantiles (quantile_disc rule) —
+    # thresholds are existing data values, so no interpolation semantics
+    o["events_winsorize"] = """
+WITH t AS (SELECT quantile_disc(value, 0.05) AS lo,
+                  quantile_disc(value, 0.95) AS hi FROM events)
+SELECT event_id, value, least(greatest(value, t.lo), t.hi) AS value_w
+FROM events, t
 """
     o["orders_collect_list"] = """
 SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys

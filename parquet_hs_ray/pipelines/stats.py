@@ -785,3 +785,51 @@ def source_quality_profile(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_pandas(out.astype(
         {c: np.int64 for c in ("n_docs", "n_empty", "min_chars",
                                "max_chars", "n_langs")}))
+
+
+def winsorize(ds: "ray.data.Dataset", col: str,
+              lo_q: float = 0.01, hi_q: float = 0.99,
+              out_col: str | None = None) -> "ray.data.Dataset":
+    """Winsorization: clip ``col`` at its exact discrete global
+    ``lo_q``/``hi_q`` quantiles (quantile_disc rank rule — the clipped
+    values are existing data values, so the SQL twin matches bit-exact
+    with no interpolation semantics to reconcile).
+
+    Scale shape: one value-count-histogram reduction (shuffle bounded
+    by DISTINCT values, never rows — the ``filter_by_percentile``
+    machinery), thresholds broadcast in the closure, then a streaming
+    vectorized clip.  The outlier-taming step before feature scaling /
+    target encoding."""
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch[[col]].dropna().groupby(col, sort=False).size()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [col], ["cnt"]).to_pandas()
+    if col not in hist.columns or not len(hist):
+        return ds  # all-null / empty column: nothing to clip
+    hist = hist.sort_values(col, kind="mergesort")
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    vals = hist[col].to_numpy()
+
+    def disc(q: float):
+        rank = max(1, int(np.ceil(q * n)))
+        return vals[np.searchsorted(cum, rank, side="left")]
+
+    lo_v, hi_v = disc(lo_q), disc(hi_q)
+    dest = out_col or col
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[dest] = b[col].clip(lo_v, hi_v)
+        return b
+
+    return ds.map_batches(clip, batch_format="pandas")

@@ -348,3 +348,27 @@ def test_source_quality_profile(ray_session):
     assert out.loc["a", "min_chars"] == 0 and out.loc["a", "max_chars"] == 5
     assert out.loc["a", "n_langs"] == 2
     assert out.loc["b", "n_empty"] == 1 and out.loc["b", "n_langs"] == 1
+
+
+def test_winsorize_clips_at_discrete_quantiles(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import winsorize
+
+    rng = np.random.default_rng(33)
+    v = np.concatenate([rng.normal(0, 1, 2000), [50.0, -50.0]])  # outliers
+    df = pd.DataFrame({"id": np.arange(len(v)), "value": v})
+    ds = ray.data.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = (winsorize(ds, "value", 0.01, 0.99, out_col="w").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    s = np.sort(v)
+    n = len(v)
+    lo = s[max(1, int(np.ceil(0.01 * n))) - 1]
+    hi = s[max(1, int(np.ceil(0.99 * n))) - 1]
+    exp = np.clip(df["value"].to_numpy(), lo, hi)
+    np.testing.assert_array_equal(out["w"].to_numpy(), exp)
+    assert out["w"].max() == hi and out["w"].min() == lo
+    # in-place mode overwrites the column
+    out2 = winsorize(ds, "value", 0.01, 0.99).to_pandas()
+    assert out2["value"].max() == hi
