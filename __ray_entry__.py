@@ -935,6 +935,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return winsorize(ds, "value", 0.05, 0.95, out_col="value_w")
 
     q["events_winsorize"] = ev_winsor
+
+    def ev_scale(sf):
+        from parquet_hs_ray.pipelines.stats import scale_minmax
+
+        ds = _read(sf, "events").map_batches(
+            lambda b: b[["event_id", "event_type", "value"]],
+            batch_format="pandas")
+        return scale_minmax(ds, "value", "event_type")
+
+    q["events_scale_minmax"] = ev_scale
     return q
 
 
@@ -1917,6 +1927,15 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # min-max scaling: identical IEEE (v-min)/(max-min) both sides;
+    # constant groups scale to 0.0
+    o["events_scale_minmax"] = """
+SELECT event_id, event_type, value,
+  CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END AS scaled
+FROM (SELECT event_id, event_type, value,
+        min(value) OVER (PARTITION BY event_type) AS mn,
+        max(value) OVER (PARTITION BY event_type) AS mx FROM events)
 """
     # winsorize: clip at exact discrete quantiles (quantile_disc rule) —
     # thresholds are existing data values, so no interpolation semantics

@@ -833,3 +833,39 @@ def winsorize(ds: "ray.data.Dataset", col: str,
         return b
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def scale_minmax(ds: "ray.data.Dataset", col: str, by: str,
+                 out_col: str = "scaled") -> "ray.data.Dataset":
+    """Per-``by``-group min-max feature scaling:
+    ``(v - min) / (max - min)`` (NaN-safe: a constant group scales to
+    0.0, matching SQL's NULL-free convention via the guard divisor).
+
+    Scale shape: one grouped min/max aggregate (rows per (group, block)
+    on the shuffle), the group->bounds map broadcasts via ray.put, the
+    transform streams vectorized.  Identical IEEE double ops to the SQL
+    window twin, so the oracle is hash-exact."""
+    from .groupagg import grouped_agg
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({by: b[by].to_numpy(),
+                             "_mn": b[col].to_numpy(),
+                             "_mx": b[col].to_numpy()})
+
+    bounds = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                         [by], {"_mn": "min", "_mx": "max"}).to_pandas()
+    import ray as _ray
+
+    bref = _ray.put(bounds.set_index(by))
+
+    def xform(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(bref)
+        mn = m["_mn"].reindex(b[by]).to_numpy()
+        mx = m["_mx"].reindex(b[by]).to_numpy()
+        v = b[col].to_numpy(dtype=np.float64)
+        span = mx - mn
+        b = b.copy()
+        b[out_col] = np.where(span > 0, (v - mn) / np.where(span > 0, span, 1.0), 0.0)
+        return b
+
+    return ds.map_batches(xform, batch_format="pandas")

@@ -372,3 +372,18 @@ def test_winsorize_clips_at_discrete_quantiles(ray_session):
     # in-place mode overwrites the column
     out2 = winsorize(ds, "value", 0.01, 0.99).to_pandas()
     assert out2["value"].max() == hi
+
+
+def test_scale_minmax_groups_and_constant(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import scale_minmax
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "v": [0.0, 5.0, 10.0, 2.5, 7.0, 7.0, 7.0],
+                       "id": range(7)})
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:].reset_index(drop=True)])
+    out = (scale_minmax(ds, "v", "g").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert out["scaled"].tolist()[:4] == [0.0, 0.5, 1.0, 0.25]
+    assert out["scaled"].tolist()[4:] == [0.0, 0.0, 0.0]  # constant group
