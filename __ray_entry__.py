@@ -945,6 +945,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return scale_minmax(ds, "value", "event_type")
 
     q["events_scale_minmax"] = ev_scale
+
+    def q6_forecast(sf):
+        """Q6-shaped filtered-scan aggregate: pure map-side cents
+        partials + one tiny sum — the no-join no-shuffle baseline."""
+        import numpy as np
+        import pandas as pd
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+                 & (b["l_discount"] >= 0.04) & (b["l_discount"] <= 0.06)
+                 & (b["l_quantity"] < 24))
+            s = b[m]
+            rev = np.round(s["l_extendedprice"].to_numpy()
+                           * s["l_discount"].to_numpy() * 100).astype(np.int64)
+            return pd.DataFrame({"revenue_c": [np.int64(rev.sum())],
+                                 "n": [np.int64(m.sum())]})
+
+        p = (_read(sf, "lineitem").map_batches(part, batch_format="pandas")
+             .to_pandas())
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame(
+            {"revenue_c": [np.int64(p["revenue_c"].sum())],
+             "n": [np.int64(p["n"].sum())]}))
+
+    q["tpch_q6_forecast"] = q6_forecast
+
+    def q10_returns(sf):
+        """Q10-shaped: revenue lost to returned items per customer,
+        top 20 — filter + fact join + grouped cents sum + global top-k."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        def li_part(b: "pd.DataFrame") -> "pd.DataFrame":
+            m = b["l_returnflag"] == "R"
+            s = b[m]
+            return pd.DataFrame({
+                "l_orderkey": s["l_orderkey"].to_numpy(),
+                "rev_c": np.round(s["l_extendedprice"].to_numpy()
+                                  * (1 - s["l_discount"].to_numpy())
+                                  * 100).astype(np.int64)})
+
+        li = _read(sf, "lineitem").map_batches(li_part, batch_format="pandas")
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
+
+        def cpart(b: "pd.DataFrame") -> "pd.DataFrame":
+            return (b[["o_custkey", "rev_c"]]
+                    .groupby("o_custkey", sort=False, as_index=False).sum())
+
+        per_cust = grouped_sum(j.map_batches(cpart, batch_format="pandas"),
+                               ["o_custkey"], ["rev_c"])
+        return rel.top_n_per_group(
+            per_cust.map_batches(lambda b: b.assign(_all=np.int64(0)),
+                                 batch_format="pandas"),
+            "_all", "rev_c", 20, "o_custkey").map_batches(
+            lambda b: b[["o_custkey", "rev_c"]], batch_format="pandas")
+
+    q["tpch_q10_returns"] = q10_returns
     return q
 
 
@@ -1927,6 +1991,24 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q6-shaped filtered-scan aggregate (no join, map-side only)
+    o["tpch_q6_forecast"] = """
+SELECT CAST(coalesce(sum(CAST(round_even(l_extendedprice*l_discount*100,0) AS BIGINT)), 0) AS BIGINT) AS revenue_c,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+"""
+    # Q10-shaped returned-item revenue per customer, top 20 (ties broken
+    # by o_custkey ASC to mirror top_n_per_group's deterministic rule)
+    o["tpch_q10_returns"] = """
+SELECT o_custkey, rev_c FROM (
+  SELECT o.o_custkey,
+    CAST(sum(CAST(round_even(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' GROUP BY o.o_custkey)
+ORDER BY rev_c DESC, o_custkey LIMIT 20
 """
     # min-max scaling: identical IEEE (v-min)/(max-min) both sides;
     # constant groups scale to 0.0
