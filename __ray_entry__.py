@@ -1009,6 +1009,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b[["o_custkey", "rev_c"]], batch_format="pandas")
 
     q["tpch_q10_returns"] = q10_returns
+
+    def doc_drank(sf):
+        from parquet_hs_ray.pipelines.stats import dense_rank
+
+        ds = _read(sf, "documents").map_batches(
+            lambda b: b[["doc_id", "source", "n_chars"]],
+            batch_format="pandas")
+        return dense_rank(ds, "n_chars", "source")
+
+    q["doc_chars_dense_rank"] = doc_drank
     return q
 
 
@@ -1991,6 +2001,11 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    o["doc_chars_dense_rank"] = """
+SELECT doc_id, source, n_chars,
+  CAST(dense_rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS drank
+FROM documents
 """
     # Q6-shaped filtered-scan aggregate (no join, map-side only)
     o["tpch_q6_forecast"] = """

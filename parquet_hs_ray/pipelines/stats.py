@@ -869,3 +869,37 @@ def scale_minmax(ds: "ray.data.Dataset", col: str, by: str,
         return b
 
     return ds.map_batches(xform, batch_format="pandas")
+
+
+def dense_rank(ds: "ray.data.Dataset", col: str, by: str,
+               out_col: str = "drank") -> "ray.data.Dataset":
+    """SQL ``dense_rank() OVER (PARTITION BY by ORDER BY col)``: the
+    1-based rank of each row's value among the DISTINCT values of its
+    group (no gaps at ties).
+
+    Scale shape: the shuffle carries one row per distinct (group, value)
+    pair (the documented distinct-value-bounded assumption shared with
+    grouped_quantiles/percent_rank); ranks come from one sorted cumcount
+    over those pairs, broadcast via ray.put; the rank attach is a
+    streaming vectorized merge."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.dropna(subset=[col]).groupby([by, col], sort=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    pairs = (grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                         [by, col], ["cnt"]).to_pandas()
+             .sort_values([by, col], kind="mergesort"))
+    pairs[out_col] = pairs.groupby(by, sort=False).cumcount().astype(np.int64) + 1
+    import ray as _ray
+
+    pref = _ray.put(pairs[[by, col, out_col]])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        p = _ray.get(pref)
+        return b.merge(p, on=[by, col], how="left")
+
+    return ds.map_batches(attach, batch_format="pandas")

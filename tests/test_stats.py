@@ -387,3 +387,17 @@ def test_scale_minmax_groups_and_constant(ray_session):
            .sort_values("id").reset_index(drop=True))
     assert out["scaled"].tolist()[:4] == [0.0, 0.5, 1.0, 0.25]
     assert out["scaled"].tolist()[4:] == [0.0, 0.0, 0.0]  # constant group
+
+
+def test_dense_rank_ties_no_gaps(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import dense_rank
+
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 3,
+                       "v": [10, 10, 20, 30, 30, 5, 5, 6],
+                       "id": range(8)})
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:].reset_index(drop=True)])
+    out = (dense_rank(ds, "v", "g").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert out["drank"].tolist() == [1, 1, 2, 3, 3, 1, 1, 2]
