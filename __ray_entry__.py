@@ -1019,6 +1019,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dense_rank(ds, "n_chars", "source")
 
     q["doc_chars_dense_rank"] = doc_drank
+
+    def ev_zscore(sf):
+        from parquet_hs_ray.pipelines.stats import zscore
+
+        ds = _read(sf, "events").map_batches(
+            lambda b: b[["event_id", "event_type", "value"]],
+            batch_format="pandas")
+        return zscore(ds, "value", "event_type")
+
+    q["events_zscore"] = ev_zscore
     return q
 
 
@@ -2001,6 +2011,19 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # z-score from exact integer-cents (n, Σ, Σ²) sums; finish float ops
+    # in the kernel's exact order
+    o["events_zscore"] = """
+WITH x AS (SELECT event_id, event_type, value,
+                  CAST(round_even(value*100, 0) AS BIGINT) AS xc FROM events),
+     s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(xc) AS DOUBLE) AS sx,
+                  CAST(sum(xc*xc) AS DOUBLE) AS sxx
+           FROM x GROUP BY event_type)
+SELECT x.event_id, x.event_type, x.value,
+       (x.xc - s.sx / s.n) / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1.0))) AS z
+FROM x JOIN s USING (event_type) WHERE s.n > 1
 """
     o["doc_chars_dense_rank"] = """
 SELECT doc_id, source, n_chars,

@@ -903,3 +903,42 @@ def dense_rank(ds: "ray.data.Dataset", col: str, by: str,
         return b.merge(p, on=[by, col], how="left")
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+def zscore(ds: "ray.data.Dataset", col: str, by: str,
+           out_col: str = "z") -> "ray.data.Dataset":
+    """Per-group z-score transform over integer cents: the decomposable
+    (n, Σ, Σ²) sums make the shuffle merge-order-independent (the
+    ``grouped_stddev`` trick), then each row's
+    ``z = (x_c - Σ/n) / sqrt((nΣ² - ΣΣ)/(n(n-1)))`` runs in float64
+    with the SQL twin's exact op order, so the oracle is hash-exact.
+    Rows in groups with n < 2 are dropped (sample stddev undefined)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=[col])
+        x = np.round(b[col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({by: b[by].to_numpy(), "n": np.int64(1),
+                          "sx": x, "sxx": x * x})
+        return g.groupby(by, sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    sums = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [by], ["n", "sx", "sxx"]).to_pandas()
+    sums = sums[sums["n"] > 1]
+    import ray as _ray
+
+    sref = _ray.put(sums.set_index(by))
+
+    def xform(b: pd.DataFrame) -> pd.DataFrame:
+        s = _ray.get(sref)
+        m = b[by].isin(s.index).to_numpy()
+        b = b[m].copy()
+        n = s["n"].reindex(b[by]).to_numpy(dtype=np.float64)
+        sx = s["sx"].reindex(b[by]).to_numpy(dtype=np.float64)
+        sxx = s["sxx"].reindex(b[by]).to_numpy(dtype=np.float64)
+        xc = np.round(b[col].to_numpy(dtype=np.float64) * 100.0)
+        b[out_col] = (xc - sx / n) / np.sqrt(
+            (n * sxx - sx * sx) / (n * (n - 1.0)))
+        return b
+
+    return ds.map_batches(xform, batch_format="pandas")

@@ -401,3 +401,26 @@ def test_dense_rank_ties_no_gaps(ray_session):
     out = (dense_rank(ds, "v", "g").to_pandas()
            .sort_values("id").reset_index(drop=True))
     assert out["drank"].tolist() == [1, 1, 2, 3, 3, 1, 1, 2]
+
+
+def test_zscore_matches_pandas(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import zscore
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"g": np.array(["a", "b", "c"])[rng.integers(0, 3, 900)],
+                       "v": np.round(rng.normal(10, 3, 900), 2),
+                       "id": range(900)})
+    df.loc[len(df)] = ["solo", 1.0, 900]  # n=1 group must be dropped
+    ds = ray.data.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = (zscore(ds, "v", "g").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert "solo" not in set(out["g"])
+    xc = np.round(df["v"].to_numpy() * 100)
+    ref = df.assign(xc=xc).groupby("g")["xc"].agg(["count", "mean", "std"])
+    m = df["g"] != "solo"
+    exp = ((xc[m] - ref["mean"].reindex(df["g"][m]).to_numpy())
+           / ref["std"].reindex(df["g"][m]).to_numpy())
+    np.testing.assert_allclose(out["z"].to_numpy(), exp, rtol=1e-12)
