@@ -1029,6 +1029,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return zscore(ds, "value", "event_type")
 
     q["events_zscore"] = ev_zscore
+
+    def q14_promo(sf):
+        """Q14-shaped promo-revenue share: conditional aggregation over
+        the lineitem x part join — part's (key -> is_promo) map
+        broadcasts, cents partials carry (promo_c, total_c), and the
+        share is one float division of exact integers."""
+        import numpy as np
+        import pandas as pd
+
+        lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-06-01")
+        part_t = _read(sf, "part").map_batches(
+            lambda b: pd.DataFrame({
+                "p_partkey": b["p_partkey"].to_numpy(),
+                "is_promo": (b["p_type"] == "PROMO").to_numpy().astype(np.int64)}),
+            batch_format="pandas")
+
+        def li_part(b: "pd.DataFrame") -> "pd.DataFrame":
+            m = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+            s = b[m]
+            return pd.DataFrame({
+                "l_partkey": s["l_partkey"].to_numpy(),
+                "disc_c": np.round(s["l_extendedprice"].to_numpy()
+                                   * (1 - s["l_discount"].to_numpy())
+                                   * 100).astype(np.int64)})
+
+        li = _read(sf, "lineitem").map_batches(li_part, batch_format="pandas")
+        j = rel.broadcast_join(li, part_t, "l_partkey", "p_partkey",
+                               right_cols=["is_promo"])
+
+        def agg(b: "pd.DataFrame") -> "pd.DataFrame":
+            d = b["disc_c"].to_numpy()
+            p = d * b["is_promo"].to_numpy()
+            return pd.DataFrame({"promo_c": [np.int64(p.sum())],
+                                 "total_c": [np.int64(d.sum())]})
+
+        parts = j.map_batches(agg, batch_format="pandas").to_pandas()
+        promo_c = np.int64(parts["promo_c"].sum())
+        total_c = np.int64(parts["total_c"].sum())
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "promo_c": [promo_c], "total_c": [total_c],
+            "promo_share": [100.0 * promo_c / total_c]}))
+
+    q["tpch_q14_promo"] = q14_promo
     return q
 
 
@@ -2011,6 +2056,21 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q14-shaped conditional aggregation: promo share of discounted
+    # revenue, exact integer cents + one float division
+    o["tpch_q14_promo"] = """
+WITH j AS (
+  SELECT CAST(round_even(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT) AS disc_c,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate <  TIMESTAMP '1996-06-01')
+SELECT CAST(sum(disc_c * is_promo) AS BIGINT) AS promo_c,
+       CAST(sum(disc_c) AS BIGINT) AS total_c,
+       100.0 * CAST(sum(disc_c * is_promo) AS BIGINT)
+             / CAST(sum(disc_c) AS BIGINT) AS promo_share
+FROM j
 """
     # z-score from exact integer-cents (n, Σ, Σ²) sums; finish float ops
     # in the kernel's exact order
