@@ -1074,6 +1074,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "promo_share": [100.0 * promo_c / total_c]}))
 
     q["tpch_q14_promo"] = q14_promo
+
+    def q19_brands(sf):
+        """Q19-shaped disjunctive predicate: per-branch brand x quantity
+        windows over the lineitem x part broadcast join, one vectorized
+        OR mask, exact cents sum."""
+        import numpy as np
+        import pandas as pd
+
+        part_t = _read(sf, "part").map_batches(
+            lambda b: b[["p_partkey", "p_brand"]], batch_format="pandas")
+
+        def li_part(b: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "l_partkey": b["l_partkey"].to_numpy(),
+                "l_quantity": b["l_quantity"].to_numpy(),
+                "disc_c": np.round(b["l_extendedprice"].to_numpy()
+                                   * (1 - b["l_discount"].to_numpy())
+                                   * 100).astype(np.int64)})
+
+        li = _read(sf, "lineitem").map_batches(li_part, batch_format="pandas")
+        j = rel.broadcast_join(li, part_t, "l_partkey", "p_partkey",
+                               right_cols=["p_brand"])
+
+        def agg(b: "pd.DataFrame") -> "pd.DataFrame":
+            q = b["l_quantity"].to_numpy()
+            br = b["p_brand"].to_numpy()
+            m = (((br == "Brand#13") & (q >= 1) & (q <= 11))
+                 | ((br == "Brand#5") & (q >= 10) & (q <= 20))
+                 | ((br == "Brand#19") & (q >= 20) & (q <= 30)))
+            return pd.DataFrame({
+                "revenue_c": [np.int64(b["disc_c"].to_numpy()[m].sum())],
+                "n": [np.int64(m.sum())]})
+
+        p = j.map_batches(agg, batch_format="pandas").to_pandas()
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "revenue_c": [np.int64(p["revenue_c"].sum())],
+            "n": [np.int64(p["n"].sum())]}))
+
+    q["tpch_q19_brands"] = q19_brands
     return q
 
 
@@ -2056,6 +2097,15 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q19-shaped disjunctive brand x quantity windows, exact cents
+    o["tpch_q19_brands"] = """
+SELECT CAST(coalesce(sum(CAST(round_even(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT)), 0) AS BIGINT) AS revenue_c,
+       count(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#5'  AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30)
 """
     # Q14-shaped conditional aggregation: promo share of discounted
     # revenue, exact integer cents + one float division
