@@ -1115,6 +1115,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n": [np.int64(p["n"].sum())]}))
 
     q["tpch_q19_brands"] = q19_brands
+
+    def q4_priority(sf):
+        """Q4-shaped EXISTS semi join: orders with >=1 lineitem shipped
+        more than 90 days after the order date, counted per priority.
+        The EXISTS decorrelates to: join -> filter -> DISTINCT orderkey
+        (grouped max over (orderkey, priority) partials) -> grouped
+        count — every stage the bounded-merge shape."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_agg, grouped_sum
+
+        li = _read(sf, "lineitem").map_batches(
+            lambda b: b[["l_orderkey", "l_shipdate"]], batch_format="pandas")
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            batch_format="pandas")
+        j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
+
+        def late(b: "pd.DataFrame") -> "pd.DataFrame":
+            m = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=90)
+            s = b[m][["l_orderkey", "o_orderpriority"]].drop_duplicates()
+            s = s.rename(columns={"o_orderpriority": "prio"})
+            s["one"] = np.int64(1)
+            return s
+
+        # DISTINCT orderkeys via grouped max (one row per key survives)
+        dedup = grouped_agg(j.map_batches(late, batch_format="pandas"),
+                            ["l_orderkey", "prio"], {"one": "max"})
+
+        def cnt(b: "pd.DataFrame") -> "pd.DataFrame":
+            return (pd.DataFrame({"o_orderpriority": b["prio"].to_numpy(),
+                                  "n": np.ones(len(b), dtype=np.int64)})
+                    .groupby("o_orderpriority", sort=False,
+                             as_index=False).sum())
+
+        return grouped_sum(dedup.map_batches(cnt, batch_format="pandas"),
+                           ["o_orderpriority"], ["n"])
+
+    q["tpch_q4_priority"] = q4_priority
     return q
 
 
@@ -2097,6 +2137,14 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q4-shaped EXISTS semi join (late shipments per order priority)
+    o["tpch_q4_priority"] = """
+SELECT o_orderpriority, count(*) AS n FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
 """
     # Q19-shaped disjunctive brand x quantity windows, exact cents
     o["tpch_q19_brands"] = """
