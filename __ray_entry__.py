@@ -1155,6 +1155,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["o_orderpriority"], ["n"])
 
     q["tpch_q4_priority"] = q4_priority
+
+    def q18_bigorders(sf):
+        """Q18-shaped HAVING subquery: orders whose total lineitem
+        quantity exceeds a threshold, joined back for customer context —
+        grouped cents sum, streamed threshold filter, hash join."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        def qpart(b: "pd.DataFrame") -> "pd.DataFrame":
+            return (pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "qty_c": np.round(b["l_quantity"].to_numpy() * 100
+                                  ).astype(np.int64)})
+                .groupby("l_orderkey", sort=False, as_index=False).sum())
+
+        per_order = grouped_sum(
+            _read(sf, "lineitem").map_batches(qpart, batch_format="pandas"),
+            ["l_orderkey"], ["qty_c"])
+        big = per_order.map_batches(lambda b: b[b["qty_c"] > 25_000],
+                                    batch_format="pandas")
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        return rel.hash_join(big, ords, "l_orderkey", "o_orderkey")
+
+    q["tpch_q18_bigorders"] = q18_bigorders
     return q
 
 
@@ -2137,6 +2164,14 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q18-shaped HAVING subquery (large-volume orders joined back)
+    o["tpch_q18_bigorders"] = """
+SELECT t.l_orderkey, t.qty_c, o.o_custkey FROM (
+  SELECT l_orderkey,
+    CAST(sum(CAST(round_even(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY l_orderkey HAVING qty_c > 25000) t
+JOIN orders o ON t.l_orderkey = o.o_orderkey
 """
     # Q4-shaped EXISTS semi join (late shipments per order priority)
     o["tpch_q4_priority"] = """
