@@ -1182,6 +1182,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.hash_join(big, ords, "l_orderkey", "o_orderkey")
 
     q["tpch_q18_bigorders"] = q18_bigorders
+
+    def q7_trade(sf):
+        """Q7-shaped cross-nation trade volume: revenue per
+        (supplier nation, customer nation) pair where the nations
+        differ — the Q5 broadcast-dimension plan grouped by pair."""
+        import numpy as np
+        import pandas as pd
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+        nat = _read(sf, "nation").to_pandas()[["n_nationkey", "n_name"]]
+        nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+        def lfilt(t: "pa.Table") -> "pa.Table":
+            m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                        pc.less(t["l_shipdate"], pa.scalar(hi)))
+            return t.filter(m).select(
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+        def cents(b: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "rev_c": np.round(b["l_extendedprice"].to_numpy()
+                                  * (1 - b["l_discount"].to_numpy())
+                                  * 100).astype(np.int64)})
+
+        li = (_read(sf, "lineitem").map_batches(lfilt, batch_format="pyarrow")
+              .map_batches(cents, batch_format="pandas"))
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
+        j = rel.broadcast_join(j, _read(sf, "supplier"), "l_suppkey",
+                               "s_suppkey", right_cols=["s_nationkey"])
+        j = rel.broadcast_join(j, _read(sf, "customer"), "o_custkey",
+                               "c_custkey", right_cols=["c_nationkey"])
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            b = b[b["s_nationkey"] != b["c_nationkey"]]
+            p = pd.DataFrame({
+                "supp_nation": b["s_nationkey"].map(nmap).to_numpy(),
+                "cust_nation": b["c_nationkey"].map(nmap).to_numpy(),
+                "revenue_c": b["rev_c"].to_numpy()})
+            return (p.groupby(["supp_nation", "cust_nation"], sort=False,
+                              as_index=False).sum())
+
+        return grouped_sum(j.map_batches(part, batch_format="pandas"),
+                           ["supp_nation", "cust_nation"], ["revenue_c"])
+
+    q["tpch_q7_trade"] = q7_trade
     return q
 
 
@@ -2164,6 +2218,21 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q7-shaped cross-nation trade volume (differing nation pairs)
+    o["tpch_q7_trade"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(sum(CAST(round_even(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
 """
     # Q18-shaped HAVING subquery (large-volume orders joined back)
     o["tpch_q18_bigorders"] = """
