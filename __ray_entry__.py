@@ -1236,6 +1236,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["supp_nation", "cust_nation"], ["revenue_c"])
 
     q["tpch_q7_trade"] = q7_trade
+
+    def q8_share(sf):
+        """Q8-shaped market share: one supplier nation's share of the
+        revenue flowing to ASIA customers, per order year — conditional
+        cents sums per year plus one float division."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        nat = _read(sf, "nation").to_pandas()
+        reg = _read(sf, "region").to_pandas()
+        asia = set(reg[reg["r_name"] == "ASIA"]["r_regionkey"])
+        asia_nations = set(nat[nat["n_regionkey"].isin(asia)]["n_nationkey"])
+
+        def cents(b: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "rev_c": np.round(b["l_extendedprice"].to_numpy()
+                                  * (1 - b["l_discount"].to_numpy())
+                                  * 100).astype(np.int64)})
+
+        li = _read(sf, "lineitem").map_batches(cents, batch_format="pandas")
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_custkey", "o_orderdate"]],
+            batch_format="pandas")
+        j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
+        j = rel.broadcast_join(j, _read(sf, "customer"), "o_custkey",
+                               "c_custkey", right_cols=["c_nationkey"])
+        j = rel.broadcast_join(j, _read(sf, "supplier"), "l_suppkey",
+                               "s_suppkey", right_cols=["s_nationkey"])
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            b = b[b["c_nationkey"].isin(asia_nations)]
+            rev = b["rev_c"].to_numpy()
+            is_nat = (b["s_nationkey"] == 7).to_numpy().astype(np.int64)
+            p = pd.DataFrame({
+                "yr": pd.to_datetime(b["o_orderdate"]).dt.year.to_numpy()
+                .astype(np.int64),
+                "nation_c": rev * is_nat, "total_c": rev})
+            return p.groupby("yr", sort=False, as_index=False).sum()
+
+        sums = grouped_sum(j.map_batches(part, batch_format="pandas"),
+                           ["yr"], ["nation_c", "total_c"])
+        return sums.map_batches(
+            lambda b: b.assign(share=b["nation_c"].to_numpy() * 1.0
+                               / b["total_c"].to_numpy()),
+            batch_format="pandas")
+
+    q["tpch_q8_share"] = q8_share
     return q
 
 
@@ -2218,6 +2269,25 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q8-shaped market share per order year (conditional cents sums)
+    o["tpch_q8_share"] = """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+    CAST(round_even(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT) AS rev_c,
+    CASE WHEN s.s_nationkey = 7 THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'ASIA')
+SELECT yr, CAST(sum(rev_c * is_nat) AS BIGINT) AS nation_c,
+       CAST(sum(rev_c) AS BIGINT) AS total_c,
+       CAST(sum(rev_c * is_nat) AS BIGINT) * 1.0
+         / CAST(sum(rev_c) AS BIGINT) AS share
+FROM j GROUP BY yr
 """
     # Q7-shaped cross-nation trade volume (differing nation pairs)
     o["tpch_q7_trade"] = """
