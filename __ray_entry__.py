@@ -1287,6 +1287,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
 
     q["tpch_q8_share"] = q8_share
+
+    def doc_bernoulli(sf):
+        from parquet_hs_ray.pipelines.text_analysis import sample_fraction
+
+        ds = _read(sf, "documents").map_batches(
+            lambda b: b[["doc_id", "source"]], batch_format="pandas")
+        return sample_fraction(ds, 0.3)
+
+    q["doc_sample_fraction"] = doc_bernoulli
     return q
 
 
@@ -2270,6 +2279,11 @@ SELECT vec_id,
        unnest(embedding) AS value
 FROM embeddings
 """
+    # deterministic Bernoulli sampling: md5 hex-prefix threshold
+    # (lexicographic == numeric at fixed width); 0.3 -> 4ccccccccccccc00
+    o["doc_sample_fraction"] = (
+        "SELECT doc_id, source FROM documents "
+        "WHERE substr(md5('42:' || doc_id::VARCHAR), 1, 16) < '4ccccccccccccc00'")
     # Q8-shaped market share per order year (conditional cents sums)
     o["tpch_q8_share"] = """
 WITH j AS (

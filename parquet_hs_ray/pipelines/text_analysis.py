@@ -753,3 +753,31 @@ def temperature_mix(docs: "ray.data.Dataset", total: int,
         return g.iloc[order[:n]]
 
     return pruned.groupby(group).map_groups(select, batch_format="pandas")
+
+
+def sample_fraction(ds: "ray.data.Dataset", p: float,
+                    id_col: str = "doc_id", seed: int = 42
+                    ) -> "ray.data.Dataset":
+    """Deterministic Bernoulli sampling: keep a row iff the first 8
+    bytes of ``md5(seed:id)`` (as a fraction of 2^64) fall below ``p``.
+
+    Content- and layout-independent (no RNG state, no dependence on
+    block boundaries or worker count), reproducible on any cluster, and
+    embarrassingly parallel — one streaming hash-compare per block.
+    The per-id twin is exactly replayable in SQL via the md5 hex
+    prefix, so the oracle is hash-exact rather than statistical."""
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    import hashlib
+
+    # lexicographic hex compare == numeric compare at equal length;
+    # 'g' sorts after 'f', so p=1.0 keeps every row
+    thresh_hex = "g" * 16 if p >= 1.0 else format(int(p * float(1 << 64)),
+                                                  "016x")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16]
+                        for v in b[id_col]])
+        return b[h < thresh_hex]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -2035,3 +2035,26 @@ def test_temperature_mix_quotas_and_determinism(ray_session):
     nat = temperature_mix(ds, total=230, alpha=1.0).to_pandas()
     g1 = nat.groupby("source").size()
     assert g1["big"] > g1["mid"] > g1["small"]
+
+
+def test_sample_fraction_bounds_and_determinism(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import sample_fraction
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(4000)]})
+    ds = ray.data.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = sample_fraction(ds, 0.25).to_pandas()
+    # binomial(4000, 0.25): mean 1000, sd ~27 — 6 sigma bounds
+    assert 840 <= len(out) <= 1160
+    out2 = sample_fraction(ds, 0.25).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # nested property: p=0.1's sample is a subset of p=0.25's
+    small = set(sample_fraction(ds, 0.1).to_pandas()["doc_id"])
+    assert small <= set(out["doc_id"])
+    # extremes
+    assert sample_fraction(ds, 0.0).to_pandas().shape[0] == 0
+    assert sample_fraction(ds, 1.0).to_pandas().shape[0] == 4000
+    with pytest.raises(ValueError):
+        sample_fraction(ds, 1.5)
