@@ -1296,6 +1296,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sample_fraction(ds, 0.3)
 
     q["doc_sample_fraction"] = doc_bernoulli
+
+    def q15_top_supplier(sf):
+        """Q15-shaped: supplier(s) with the maximum revenue over a
+        quarter — aggregate, then keep every row tied at the max (the
+        view + WHERE total = (SELECT max(...)) shape). The max is a
+        per-block partial reduced on the driver (one row per block)."""
+        import numpy as np
+        import pandas as pd
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+        def lfilt(t: "pa.Table") -> "pa.Table":
+            m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                        pc.less(t["l_shipdate"], pa.scalar(hi)))
+            return t.filter(m).select(
+                ["l_suppkey", "l_extendedprice", "l_discount"])
+
+        def cents(b: "pd.DataFrame") -> "pd.DataFrame":
+            p = pd.DataFrame({
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "rev_c": np.round(b["l_extendedprice"].to_numpy()
+                                  * (1 - b["l_discount"].to_numpy())
+                                  * 100).astype(np.int64)})
+            return p.groupby("l_suppkey", sort=False, as_index=False).sum()
+
+        per_supp = grouped_sum(
+            _read(sf, "lineitem").map_batches(lfilt, batch_format="pyarrow")
+            .map_batches(cents, batch_format="pandas"),
+            ["l_suppkey"], ["rev_c"]).materialize()
+        mx = per_supp.map_batches(
+            lambda b: pd.DataFrame({"m": [b["rev_c"].max()]}) if len(b)
+            else pd.DataFrame({"m": pd.Series([], dtype=np.int64)}),
+            batch_format="pandas").to_pandas()
+        m = np.int64(mx["m"].max())
+        return per_supp.map_batches(lambda b: b[b["rev_c"] == m],
+                                    batch_format="pandas")
+
+    q["tpch_q15_top_supplier"] = q15_top_supplier
     return q
 
 
@@ -2278,6 +2321,17 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q15-shaped max-revenue supplier (ties kept, exact cents)
+    o["tpch_q15_top_supplier"] = """
+WITH r AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round_even(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey, rev_c FROM r WHERE rev_c = (SELECT max(rev_c) FROM r)
 """
     # deterministic Bernoulli sampling: md5 hex-prefix threshold
     # (lexicographic == numeric at fixed width); 0.3 -> 4ccccccccccccc00
