@@ -729,3 +729,26 @@ def test_read_any_rejects_unknown_and_mixed(ray_session, tmp_path):
         read_any(str(tmp_path / "a.tsv"))
     with pytest.raises(ValueError, match="mixed"):
         read_any([str(tmp_path / "a.jsonl"), str(tmp_path / "b.csv")])
+
+
+# --- property tests (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=30)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_keys, _keys)
+def test_set_op_property_matches_python_sets(ray_session, xs, ys):
+    from parquet_hs_ray.pipelines.relational import set_op
+
+    dsa = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(xs, dtype=np.int64)}))
+    dsb = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(ys, dtype=np.int64)}))
+    sx, sy = set(xs), set(ys)
+    for op, exp in (("intersect", sx & sy), ("except", sx - sy),
+                    ("union", sx | sy)):
+        out = set_op(dsa, dsb, ["k"], op).to_pandas()
+        got = set(out["k"].tolist()) if "k" in out.columns else set()
+        assert got == exp, (op, got, exp)
