@@ -1339,6 +1339,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     batch_format="pandas")
 
     q["tpch_q15_top_supplier"] = q15_top_supplier
+
+    def q22_idle_customers(sf):
+        """Q22-shaped: customers with above-average positive balance and
+        NO orders in a half-year window, per nation. The global-average
+        compare is exact integer cross-multiplication (bal_c * n >
+        sum_c); the NOT EXISTS is a broadcast anti join on the window's
+        distinct custkeys; the finish is one grouped cents sum."""
+        import numpy as np
+        import pandas as pd
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        cust = _read(sf, "customer")
+
+        def bpart(b: "pd.DataFrame") -> "pd.DataFrame":
+            pos = b[b["c_acctbal"] > 0]
+            c = np.round(pos["c_acctbal"].to_numpy() * 100).astype(np.int64)
+            return pd.DataFrame({"n": [np.int64(len(c))],
+                                 "sum_c": [np.int64(c.sum())]})
+
+        s = cust.map_batches(bpart, batch_format="pandas").to_pandas()
+        n, sum_c = np.int64(s["n"].sum()), np.int64(s["sum_c"].sum())
+
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+
+        def ofilt(t: "pa.Table") -> "pa.Table":
+            m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                        pc.less(t["o_orderdate"], pa.scalar(hi)))
+            return t.filter(m).select(["o_custkey"])
+
+        active = _read(sf, "orders").map_batches(ofilt, batch_format="pyarrow")
+        idle = rel.broadcast_join(cust, active, "c_custkey", "o_custkey",
+                                  how="anti")
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            bal_c = np.round(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+            m = bal_c * n > sum_c
+            p = pd.DataFrame({"c_nationkey": b["c_nationkey"].to_numpy()[m],
+                              "n_cust": np.int64(1),
+                              "total_bal_c": bal_c[m]})
+            return p.groupby("c_nationkey", sort=False, as_index=False).sum()
+
+        return grouped_sum(idle.map_batches(part, batch_format="pandas"),
+                           ["c_nationkey"], ["n_cust", "total_bal_c"])
+
+    q["tpch_q22_idle_customers"] = q22_idle_customers
     return q
 
 
@@ -2321,6 +2370,22 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # Q22-shaped: above-average idle customers per nation; the avg
+    # compare is exact integer cross-multiplication
+    o["tpch_q22_idle_customers"] = """
+WITH s AS (SELECT count(*) AS n,
+                  CAST(sum(CAST(round_even(c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+           FROM customer WHERE c_acctbal > 0)
+SELECT c.c_nationkey, count(*) AS n_cust,
+       CAST(sum(CAST(round_even(c.c_acctbal*100,0) AS BIGINT)) AS BIGINT) AS total_bal_c
+FROM customer c, s
+WHERE CAST(round_even(c.c_acctbal*100,0) AS BIGINT) * s.n > s.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o.o_orderdate <  TIMESTAMP '1996-07-01')
+GROUP BY c.c_nationkey
 """
     # Q15-shaped max-revenue supplier (ties kept, exact cents)
     o["tpch_q15_top_supplier"] = """
