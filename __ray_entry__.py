@@ -1067,11 +1067,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = j.map_batches(agg, batch_format="pandas").to_pandas()
         promo_c = np.int64(parts["promo_c"].sum())
         total_c = np.int64(parts["total_c"].sum())
+        # empty window: NULL share (matches the oracle's CASE), not 0/0
+        share = None if total_c == 0 else 100.0 * promo_c / total_c
         import ray.data
 
         return ray.data.from_pandas(pd.DataFrame({
             "promo_c": [promo_c], "total_c": [total_c],
-            "promo_share": [100.0 * promo_c / total_c]}))
+            "promo_share": [share]}))
 
     q["tpch_q14_promo"] = q14_promo
 
@@ -1334,6 +1336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: pd.DataFrame({"m": [b["rev_c"].max()]}) if len(b)
             else pd.DataFrame({"m": pd.Series([], dtype=np.int64)}),
             batch_format="pandas").to_pandas()
+        if not len(mx) or mx["m"].dropna().empty:
+            # window matched no lineitems: schema-preserving empty
+            # (the SQL twin also returns 0 rows)
+            import ray.data
+
+            return ray.data.from_pandas(pd.DataFrame({
+                "l_suppkey": pd.Series(dtype=np.int64),
+                "rev_c": pd.Series(dtype=np.int64)}))
         m = np.int64(mx["m"].max())
         return per_supp.map_batches(lambda b: b[b["rev_c"] == m],
                                     batch_format="pandas")
@@ -2471,17 +2481,19 @@ WITH j AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
     AND l.l_shipdate <  TIMESTAMP '1996-06-01')
-SELECT CAST(sum(disc_c * is_promo) AS BIGINT) AS promo_c,
-       CAST(sum(disc_c) AS BIGINT) AS total_c,
-       100.0 * CAST(sum(disc_c * is_promo) AS BIGINT)
-             / CAST(sum(disc_c) AS BIGINT) AS promo_share
+SELECT CAST(coalesce(sum(disc_c * is_promo), 0) AS BIGINT) AS promo_c,
+       CAST(coalesce(sum(disc_c), 0) AS BIGINT) AS total_c,
+       CASE WHEN coalesce(sum(disc_c), 0) = 0 THEN NULL
+            ELSE 100.0 * CAST(sum(disc_c * is_promo) AS BIGINT)
+                       / CAST(sum(disc_c) AS BIGINT) END AS promo_share
 FROM j
 """
     # z-score from exact integer-cents (n, Σ, Σ²) sums; finish float ops
     # in the kernel's exact order
     o["events_zscore"] = """
 WITH x AS (SELECT event_id, event_type, value,
-                  CAST(round_even(value*100, 0) AS BIGINT) AS xc FROM events),
+                  CAST(round_even(value*100, 0) AS BIGINT) AS xc
+           FROM events WHERE value IS NOT NULL),
      s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
                   CAST(sum(xc) AS DOUBLE) AS sx,
                   CAST(sum(xc*xc) AS DOUBLE) AS sxx
@@ -2527,7 +2539,9 @@ FROM (SELECT event_id, event_type, value,
     o["events_winsorize"] = """
 WITH t AS (SELECT quantile_disc(value, 0.05) AS lo,
                   quantile_disc(value, 0.95) AS hi FROM events)
-SELECT event_id, value, least(greatest(value, t.lo), t.hi) AS value_w
+SELECT event_id, value,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE least(greatest(value, t.lo), t.hi) END AS value_w
 FROM events, t
 """
     o["orders_collect_list"] = """

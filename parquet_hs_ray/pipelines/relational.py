@@ -139,23 +139,12 @@ def filter_by_percentile(ds: "ray.data.Dataset", col: str, q: float,
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (batch[[col]].dropna().groupby(col, sort=False).size()
-             .reset_index(name="cnt"))
-        g["cnt"] = g["cnt"].astype(np.int64)
-        return g
+    from .stats import discrete_quantiles
 
-    from .groupagg import grouped_sum
-
-    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
-                       [col], ["cnt"]).to_pandas()
-    if col not in hist.columns or not len(hist):  # no non-null values at all
+    got = discrete_quantiles(ds, col, [q])
+    if got is None:  # no non-null values at all
         return ds.map_batches(lambda b: b.iloc[:0], batch_format="pandas")
-    hist = hist.sort_values(col, kind="mergesort")
-    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
-    ntot = int(cum[-1])
-    rank = max(1, int(np.ceil(float(q) * ntot)))
-    thr = hist[col].to_numpy()[np.searchsorted(cum, rank, side="left")]
+    thr = got[0]
 
     if keep == "above":
         return ds.map_batches(lambda b: b[b[col] >= thr],

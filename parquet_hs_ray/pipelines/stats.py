@@ -787,22 +787,15 @@ def source_quality_profile(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                                "max_chars", "n_langs")}))
 
 
-def winsorize(ds: "ray.data.Dataset", col: str,
-              lo_q: float = 0.01, hi_q: float = 0.99,
-              out_col: str | None = None) -> "ray.data.Dataset":
-    """Winsorization: clip ``col`` at its exact discrete global
-    ``lo_q``/``hi_q`` quantiles (quantile_disc rank rule — the clipped
-    values are existing data values, so the SQL twin matches bit-exact
-    with no interpolation semantics to reconcile).
-
-    Scale shape: one value-count-histogram reduction (shuffle bounded
-    by DISTINCT values, never rows — the ``filter_by_percentile``
-    machinery), thresholds broadcast in the closure, then a streaming
-    vectorized clip.  The outlier-taming step before feature scaling /
-    target encoding."""
-    if not (0.0 <= lo_q <= hi_q <= 1.0):
-        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
-
+def discrete_quantiles(ds: "ray.data.Dataset", col: str,
+                       qs: Sequence[float]) -> list | None:
+    """Exact discrete global quantiles of ``col`` (DuckDB's
+    ``quantile_disc`` rank rule: sorted element at 1-based rank
+    ``ceil(q*n)``) via ONE value-count-histogram reduction — the shuffle
+    is bounded by distinct values, never rows.  Returns one value per q,
+    or None when the column holds no non-null values.  The single home
+    of the rank rule, shared by ``winsorize`` and
+    ``relational.filter_by_percentile``."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (batch[[col]].dropna().groupby(col, sort=False).size()
              .reset_index(name="cnt"))
@@ -814,18 +807,42 @@ def winsorize(ds: "ray.data.Dataset", col: str,
     hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
                        [col], ["cnt"]).to_pandas()
     if col not in hist.columns or not len(hist):
-        return ds  # all-null / empty column: nothing to clip
+        return None
     hist = hist.sort_values(col, kind="mergesort")
     cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
     n = int(cum[-1])
     vals = hist[col].to_numpy()
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(float(q) * n)))
+        out.append(vals[np.searchsorted(cum, rank, side="left")])
+    return out
 
-    def disc(q: float):
-        rank = max(1, int(np.ceil(q * n)))
-        return vals[np.searchsorted(cum, rank, side="left")]
 
-    lo_v, hi_v = disc(lo_q), disc(hi_q)
+def winsorize(ds: "ray.data.Dataset", col: str,
+              lo_q: float = 0.01, hi_q: float = 0.99,
+              out_col: str | None = None) -> "ray.data.Dataset":
+    """Winsorization: clip ``col`` at its exact discrete global
+    ``lo_q``/``hi_q`` quantiles (quantile_disc rank rule — the clipped
+    values are existing data values, so the SQL twin matches bit-exact
+    with no interpolation semantics to reconcile).
+
+    Scale shape: one value-count-histogram reduction (shuffle bounded
+    by DISTINCT values, never rows — :func:`discrete_quantiles`),
+    thresholds broadcast in the closure, then a streaming vectorized
+    clip.  NULL values stay NULL (the SQL twin must guard with CASE —
+    DuckDB's least/greatest would otherwise swallow the NULL).  An
+    all-null column still gains ``out_col`` (as nulls) so the output
+    schema is input-independent."""
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
     dest = out_col or col
+    thr = discrete_quantiles(ds, col, [lo_q, hi_q])
+    if thr is None:
+        # nothing to clip, but the promised output column must exist
+        return ds.map_batches(lambda b: b.assign(**{dest: b[col]}),
+                              batch_format="pandas")
+    lo_v, hi_v = thr
 
     def clip(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -881,7 +898,9 @@ def dense_rank(ds: "ray.data.Dataset", col: str, by: str,
     pair (the documented distinct-value-bounded assumption shared with
     grouped_quantiles/percent_rank); ranks come from one sorted cumcount
     over those pairs, broadcast via ray.put; the rank attach is a
-    streaming vectorized merge."""
+    streaming vectorized merge.  NULL values rank LAST as one shared
+    dense rank (DuckDB's default NULLS LAST), keeping ``out_col``
+    int64."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (batch.dropna(subset=[col]).groupby([by, col], sort=False)
              .size().reset_index(name="cnt"))
@@ -894,13 +913,24 @@ def dense_rank(ds: "ray.data.Dataset", col: str, by: str,
                          [by, col], ["cnt"]).to_pandas()
              .sort_values([by, col], kind="mergesort"))
     pairs[out_col] = pairs.groupby(by, sort=False).cumcount().astype(np.int64) + 1
+    # NULL order values share the next dense rank after the group's last
+    # non-null value (DuckDB NULLS LAST); an all-null group ranks 1
+    null_rank = (pairs.groupby(by, sort=False)[out_col].max() + 1)
     import ray as _ray
 
-    pref = _ray.put(pairs[[by, col, out_col]])
+    pref = _ray.put((pairs[[by, col, out_col]], null_rank))
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
-        p = _ray.get(pref)
-        return b.merge(p, on=[by, col], how="left")
+        p, nr = _ray.get(pref)
+        out = b.merge(p, on=[by, col], how="left")
+        na = out[col].isna().to_numpy()
+        if na.any():
+            fill = nr.reindex(out[by][na]).fillna(1).to_numpy()
+            r = out[out_col].to_numpy(dtype=np.float64)
+            r[na] = fill
+            out[out_col] = r
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
 
     return ds.map_batches(attach, batch_format="pandas")
 
@@ -912,7 +942,10 @@ def zscore(ds: "ray.data.Dataset", col: str, by: str,
     ``grouped_stddev`` trick), then each row's
     ``z = (x_c - Σ/n) / sqrt((nΣ² - ΣΣ)/(n(n-1)))`` runs in float64
     with the SQL twin's exact op order, so the oracle is hash-exact.
-    Rows in groups with n < 2 are dropped (sample stddev undefined)."""
+    NULL values contribute to neither the stats nor the output (the SQL
+    twin must filter ``col IS NOT NULL`` — its count(*) would otherwise
+    count null rows the kernel's sums never saw); rows in groups with
+    fewer than 2 non-null values are dropped (sample stddev undefined)."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.dropna(subset=[col])
         x = np.round(b[col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
@@ -931,7 +964,7 @@ def zscore(ds: "ray.data.Dataset", col: str, by: str,
 
     def xform(b: pd.DataFrame) -> pd.DataFrame:
         s = _ray.get(sref)
-        m = b[by].isin(s.index).to_numpy()
+        m = b[by].isin(s.index).to_numpy() & b[col].notna().to_numpy()
         b = b[m].copy()
         n = s["n"].reindex(b[by]).to_numpy(dtype=np.float64)
         sx = s["sx"].reindex(b[by]).to_numpy(dtype=np.float64)

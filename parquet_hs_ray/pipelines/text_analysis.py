@@ -768,16 +768,19 @@ def sample_fraction(ds: "ray.data.Dataset", p: float,
     prefix, so the oracle is hash-exact rather than statistical."""
     if not (0.0 <= p <= 1.0):
         raise ValueError(f"p must be in [0, 1], got {p}")
-    import hashlib
-
     # lexicographic hex compare == numeric compare at equal length;
     # 'g' sorts after 'f', so p=1.0 keeps every row
     thresh_hex = "g" * 16 if p >= 1.0 else format(int(p * float(1 << 64)),
                                                   "016x")
 
+    from ..functions.text import md5_hex
+
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        h = np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16]
-                        for v in b[id_col]])
-        return b[h < thresh_hex]
+        if not len(b):
+            return b
+        # md5_hex returns dtype=object, so the hex compare is safe on
+        # every batch (a bare np.asarray([]) would be float64)
+        h = md5_hex(pd.Series([f"{seed}:{v}" for v in b[id_col]]))
+        return b[np.asarray([x[:16] for x in h], dtype=object) < thresh_hex]
 
     return ds.map_batches(keep, batch_format="pandas")

@@ -424,3 +424,48 @@ def test_zscore_matches_pandas(ray_session):
     exp = ((xc[m] - ref["mean"].reindex(df["g"][m]).to_numpy())
            / ref["std"].reindex(df["g"][m]).to_numpy())
     np.testing.assert_allclose(out["z"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_zscore_nulls_excluded_everywhere(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import zscore
+
+    df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, 2.0, 3.0, np.nan],
+                       "id": range(4)})
+    out = zscore(ray.data.from_pandas(df), "v", "g").to_pandas()
+    # the NULL row is dropped, and n=3 stats give z(1.0) = -1.0 exactly
+    assert len(out) == 3
+    assert abs(out.sort_values("id")["z"].iloc[0] + 1.0) < 1e-12
+
+
+def test_dense_rank_nulls_last_int64(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import dense_rank
+
+    df = pd.DataFrame({"g": ["a"] * 3 + ["b"], "v": [10.0, np.nan, 20.0, np.nan],
+                       "id": range(4)})
+    out = (dense_rank(ray.data.from_pandas(df), "v", "g").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert out["drank"].tolist() == [1, 3, 2, 1]  # NULLs last; all-null -> 1
+    assert str(out["drank"].dtype) == "int64"
+
+
+def test_winsorize_all_null_keeps_out_col(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import winsorize
+
+    df = pd.DataFrame({"id": [1, 2], "v": [np.nan, np.nan]})
+    out = winsorize(ray.data.from_pandas(df), "v", out_col="w").to_pandas()
+    assert "w" in out.columns and out["w"].isna().all()
+
+
+def test_sample_fraction_empty_batch(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import sample_fraction
+
+    empty = ray.data.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype=object)}))
+    assert sample_fraction(empty, 0.5).count() == 0
