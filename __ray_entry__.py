@@ -1398,6 +1398,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            ["c_nationkey"], ["n_cust", "total_bal_c"])
 
     q["tpch_q22_idle_customers"] = q22_idle_customers
+
+    def ev_mad(sf):
+        from parquet_hs_ray.pipelines.stats import grouped_mad
+
+        return grouped_mad(_read(sf, "events"), "event_type", "value")
+
+    q["events_mad"] = ev_mad
     return q
 
 
@@ -2380,6 +2387,16 @@ SELECT vec_id,
        CAST(unnest(range(len(embedding))) AS BIGINT) AS idx,
        unnest(embedding) AS value
 FROM embeddings
+"""
+    # grouped MAD: two chained exact discrete medians (same abs-diff
+    # float op both sides)
+    o["events_mad"] = """
+WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS median
+           FROM events GROUP BY event_type)
+SELECT e.event_type, m.median,
+       quantile_disc(abs(e.value - m.median), 0.5) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type, m.median
 """
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication

@@ -975,3 +975,32 @@ def zscore(ds: "ray.data.Dataset", col: str, by: str,
         return b
 
     return ds.map_batches(xform, batch_format="pandas")
+
+
+def grouped_mad(ds: "ray.data.Dataset", key: str, col: str
+                ) -> "ray.data.Dataset":
+    """Per-group median absolute deviation — the robust spread measure —
+    as two chained exact discrete-quantile passes: (1) per-group p50
+    via the value-count-histogram machinery, (2) per-group p50 of
+    ``|x - median|``.  Both shuffles are distinct-value bounded; the
+    medians use the quantile_disc rank rule so the DuckDB twin
+    (quantile_disc over the same abs differences) is hash-exact.
+    Output: (key, median, mad)."""
+    med = grouped_quantiles(ds, key, col, qs=(0.5,)).to_pandas()
+    med = med.rename(columns={"p50": "median"})
+    import ray as _ray
+
+    mref = _ray.put(med.set_index(key)["median"])
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(mref)
+        b = b.dropna(subset=[col])
+        dev = np.abs(b[col].to_numpy()
+                     - m.reindex(b[key]).to_numpy())
+        return pd.DataFrame({key: b[key].to_numpy(), "_dev": dev})
+
+    devs = ds.map_batches(absdev, batch_format="pandas")
+    mad = grouped_quantiles(devs, key, "_dev", qs=(0.5,)).to_pandas()
+    mad = mad.rename(columns={"p50": "mad"})
+    out = med.merge(mad, on=key)
+    return ray.data.from_pandas(out[[key, "median", "mad"]])

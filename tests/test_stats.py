@@ -469,3 +469,27 @@ def test_sample_fraction_empty_batch(ray_session):
 
     empty = ray.data.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype=object)}))
     assert sample_fraction(empty, 0.5).count() == 0
+
+
+def test_grouped_mad_matches_reference(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_mad
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"g": np.array(["a", "b"])[rng.integers(0, 2, 801)],
+                       "v": np.round(rng.normal(5, 2, 801), 2)})
+    ds = ray.data.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = (grouped_mad(ds, "g", "v").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+
+    def disc_median(x):
+        s = np.sort(x)
+        return s[max(1, int(np.ceil(0.5 * len(s)))) - 1]
+
+    for _, row in out.iterrows():
+        x = df[df["g"] == row["g"]]["v"].to_numpy()
+        med = disc_median(x)
+        assert row["median"] == med
+        assert row["mad"] == disc_median(np.abs(x - med))
