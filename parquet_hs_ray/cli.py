@@ -16,7 +16,13 @@ import sys
 
 
 def _parse_where(spec: str) -> tuple:
-    """'col OP value' -> (col, op, typed value)."""
+    """'col OP value' -> (col, op, typed value); also 'col IS NULL' /
+    'col IS NOT NULL' (case-insensitive)."""
+    low = spec.strip().lower()
+    if low.endswith(" is not null"):
+        return (spec.strip()[: -len(" is not null")].strip(), "is_not_null", None)
+    if low.endswith(" is null"):
+        return (spec.strip()[: -len(" is null")].strip(), "is_null", None)
     for op in ("<=", ">=", "==", "<", ">"):
         if op in spec:
             col, _, raw = spec.partition(op)

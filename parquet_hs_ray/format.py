@@ -330,6 +330,19 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         codec, stats = select_int_codec(vals_np)
     else:
         codec, stats = select_float_codec(vals_np)
+    if nc and codec_override is None:
+        # the selector saw zero-FILLED null slots (format invariant) so
+        # its min/max include the fill sentinel — tighten the manifest
+        # stats to the VALID values only (pruning stays exact; a wider
+        # range only made it conservative)
+        if nc == n:
+            stats.min = stats.max = None
+        else:
+            vv = vals_np[valid]
+            mn, mx = vv.min().item(), vv.max().item()
+            # NaN stats are not JSON-serializable and prune nothing
+            stats.min = None if mn != mn else mn
+            stats.max = None if mx != mx else mx
     if vals_np.dtype.kind == "f" and codec not in (PLAIN, DICT, ALP, ALPRD):
         codec = PLAIN
     payload = (

@@ -183,8 +183,9 @@ def encode_dataset(
 
 def _normalize_predicate(predicate):
     """Predicate spec: a single (col, op, value) or an AND-list of them,
-    op in {"==", "<", "<=", ">", ">=", "between"} ("between" takes a
-    (lo, hi) tuple, inclusive)."""
+    op in {"==", "<", "<=", ">", ">=", "between", "is_null",
+    "is_not_null"} ("between" takes a (lo, hi) tuple, inclusive; the
+    null tests ignore the value slot — pass None)."""
     if predicate is None:
         return []
     if isinstance(predicate, tuple) and len(predicate) == 3 and isinstance(predicate[0], str):
@@ -198,8 +199,19 @@ def _stats_can_match(entry: dict, preds: list) -> bool:
     reference parses but never uses (Types/Primitives.hs:79-87)."""
     for col, op, v in preds:
         st = entry.get("columns", {}).get(col)
-        if not st or st.get("min") is None or st.get("max") is None:
+        if not st:
             continue  # no stats -> cannot prune
+        if op in ("is_null", "is_not_null"):
+            nulls = st.get("null_count")
+            rows = entry.get("row_count")
+            if nulls is None or rows is None:
+                continue
+            if (op == "is_null" and nulls == 0) or \
+               (op == "is_not_null" and nulls == rows):
+                return False
+            continue
+        if st.get("min") is None or st.get("max") is None:
+            continue
         mn, mx = st["min"], st["max"]
         try:
             if (op == "==" and (v < mn or v > mx)) or \

@@ -40,9 +40,15 @@ class DecoderStage:
         mask = None
         for col, op, v in self.predicate:
             c = t[col]
-            m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
-                 ">": pc.greater, ">=": pc.greater_equal}.get(op)
-            part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]), pc.less_equal(c, v[1]))
+            if op == "is_null":
+                part = pc.is_null(c)
+            elif op == "is_not_null":
+                part = pc.is_valid(c)
+            else:
+                m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                     ">": pc.greater, ">=": pc.greater_equal}.get(op)
+                part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]),
+                                                 pc.less_equal(c, v[1]))
             mask = part if mask is None else pc.and_(mask, part)
         return mask
 

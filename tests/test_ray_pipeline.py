@@ -443,3 +443,46 @@ def test_ingest_jsonl_and_csv_roundtrip_through_encode(ray_session, tmp_path):
         assert res["encoded"] >= 1
         v = verify_roundtrip(staged, enc)
         assert v["mismatched_partitions"] == 0 and v["rows"] == 500
+
+
+def test_null_predicate_pruning_and_exact_filter(ray_session, tmp_path):
+    """is_null / is_not_null predicates: manifest null_count prunes
+    whole partitions (all-valid partitions skip IS NULL; all-null ones
+    skip IS NOT NULL), surviving rows filter exactly, and nullable
+    min/max stats are tightened to the VALID values (the zero-fill
+    sentinel no longer widens the range)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_hs_ray.pipelines.encode_job import (decode_dataset,
+                                                     encode_dataset,
+                                                     pruned_partition_ids)
+
+    n = 6000
+    v = np.arange(n, dtype=np.float64) + 100.0
+    # nulls only in the FIRST third of the file -> only those partitions
+    # can match IS NULL
+    v[: n // 3] = np.where(np.arange(n // 3) % 2 == 0, np.nan, v[: n // 3])
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "v": v,
+                       "n_tok": np.full(n, 10, dtype=np.int32)})
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=500)
+    out = str(tmp_path / "enc")
+    encode_dataset(str(src), out, token_budget=5_000)  # ~12 partitions
+
+    kept_null, total = pruned_partition_ids(out, [("v", "is_null", None)])
+    assert total >= 10
+    assert len(kept_null) <= total // 2  # valid-only partitions pruned
+    got = decode_dataset(out, predicate=[("v", "is_null", None)]).to_pandas()
+    assert len(got) == int(np.isnan(v).sum())
+    assert got["v"].isna().all()
+
+    got2 = decode_dataset(out, predicate=[("v", "is_not_null", None)]).to_pandas()
+    assert len(got2) == n - int(np.isnan(v).sum())
+    assert got2["v"].notna().all()
+
+    # tightened min/max: a predicate below the true valid minimum prunes
+    # EVERY partition even though null slots were zero-filled on disk
+    kept_lo, _ = pruned_partition_ids(out, [("v", "<", 50.0)])
+    assert kept_lo == []
