@@ -317,6 +317,13 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         else:
             codec = PLAIN
             payload = encode_binary(lens_np, raw)
+        # string min/max over VALID values (pc.min_max skips nulls) so
+        # equality/range predicates on string columns can prune via the
+        # manifest — binary payloads stay statless (not JSON-safe)
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)) and nc < n:
+            mm = pc.min_max(arr)
+            stats.min = mm["min"].as_py()
+            stats.max = mm["max"].as_py()
         body.append(bytes([codec]))
         body.append(encode_varint(len(payload)))
         body.append(payload)

@@ -486,3 +486,31 @@ def test_null_predicate_pruning_and_exact_filter(ray_session, tmp_path):
     # EVERY partition even though null slots were zero-filled on disk
     kept_lo, _ = pruned_partition_ids(out, [("v", "<", 50.0)])
     assert kept_lo == []
+
+
+def test_string_stats_enable_equality_pruning(ray_session, tmp_path):
+    """String min/max stats: a source-sorted layout prunes whole
+    partitions under --where source == X."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_hs_ray.pipelines.encode_job import (decode_dataset,
+                                                     encode_dataset,
+                                                     pruned_partition_ids)
+
+    n = 6000
+    src_col = np.sort(np.array(["cc", "github", "wiki"])[
+        np.arange(n) % 3])  # sorted -> partitions are source-pure
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "source": src_col,
+                       "n_tok": np.full(n, 10, dtype=np.int32)})
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=500)
+    out = str(tmp_path / "enc")
+    encode_dataset(str(src), out, token_budget=5_000)
+
+    kept, total = pruned_partition_ids(out, [("source", "==", "wiki")])
+    assert total >= 10 and len(kept) <= total // 2
+    got = decode_dataset(out, predicate=[("source", "==", "wiki")]).to_pandas()
+    assert len(got) == n // 3 and (got["source"] == "wiki").all()
