@@ -1399,6 +1399,132 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q22_idle_customers"] = q22_idle_customers
 
+    def q12_latemode(sf):
+        """Q12-shaped: per return flag (the schema's stand-in for
+        l_shipmode), count late-shipped lineitems split by order
+        priority class — fact-x-fact hash join, then a single
+        partial-agg grouped sum of two conditional counters."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        li = _read(sf, "lineitem").map_batches(
+            lambda b: b[["l_orderkey", "l_shipdate", "l_returnflag"]],
+            batch_format="pandas")
+        ords = _read(sf, "orders").map_batches(
+            lambda b: b[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            batch_format="pandas")
+        j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            late = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=60)
+            s = b[late]
+            hi = s["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+            p = pd.DataFrame({"l_returnflag": s["l_returnflag"].to_numpy(),
+                              "high_n": hi.astype(np.int64),
+                              "low_n": (~hi).astype(np.int64)})
+            return p.groupby("l_returnflag", sort=False, as_index=False).sum()
+
+        return grouped_sum(j.map_batches(part, batch_format="pandas"),
+                           ["l_returnflag"], ["high_n", "low_n"])
+
+    q["tpch_q12_latemode"] = q12_latemode
+
+    def q21_waiting(sf):
+        """Q21-shaped: suppliers who were the ONLY late supplier on a
+        finalized multi-supplier order, top 20 by wait count.  The
+        classic EXISTS / NOT EXISTS pair decorrelates to two grouped
+        aggregates — per (order, supplier) max(late), then per order
+        (supplier count, late-supplier count) — joined back to the pair
+        rows; every shuffle carries keys + two int64 counters."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_agg, grouped_sum
+
+        li = _read(sf, "lineitem").map_batches(
+            lambda b: b[["l_orderkey", "l_suppkey", "l_shipdate"]],
+            batch_format="pandas")
+
+        def ofilt(b: "pd.DataFrame") -> "pd.DataFrame":
+            return b[b["o_orderstatus"] == "F"][["o_orderkey", "o_orderdate"]]
+
+        ords = _read(sf, "orders").map_batches(ofilt, batch_format="pandas")
+        j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
+
+        def late_pair(b: "pd.DataFrame") -> "pd.DataFrame":
+            late = (b["l_shipdate"]
+                    > b["o_orderdate"] + pd.Timedelta(days=90)).to_numpy()
+            return pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                                 "l_suppkey": b["l_suppkey"].to_numpy(),
+                                 "late": late.astype(np.int64)})
+
+        pair = grouped_agg(j.map_batches(late_pair, batch_format="pandas"),
+                           ["l_orderkey", "l_suppkey"], {"late": "max"})
+
+        def opart(b: "pd.DataFrame") -> "pd.DataFrame":
+            p = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                              "n_supp": np.int64(1),
+                              "n_late": b["late"].to_numpy()})
+            return p.groupby("l_orderkey", sort=False, as_index=False).sum()
+
+        ostats = grouped_sum(pair.map_batches(opart, batch_format="pandas"),
+                             ["l_orderkey"], ["n_supp", "n_late"])
+        back = rel.hash_join(pair, ostats, "l_orderkey", "l_orderkey")
+
+        def keep(b: "pd.DataFrame") -> "pd.DataFrame":
+            m = ((b["late"] == 1) & (b["n_supp"] >= 2)
+                 & (b["n_late"] == 1)).to_numpy()
+            p = pd.DataFrame({"l_suppkey": b["l_suppkey"].to_numpy()[m],
+                              "numwait": np.int64(1)})
+            return p.groupby("l_suppkey", sort=False, as_index=False).sum()
+
+        per_supp = grouped_sum(back.map_batches(keep, batch_format="pandas"),
+                               ["l_suppkey"], ["numwait"])
+        named = rel.broadcast_join(
+            per_supp, _read(sf, "supplier"), "l_suppkey", "s_suppkey",
+            right_cols=["s_name"])
+        top = rel.top_n_per_group(
+            named.map_batches(lambda b: b.assign(_all=np.int64(0)),
+                              batch_format="pandas"),
+            "_all", "numwait", 20, "s_name")
+        return top.map_batches(lambda b: b[["s_name", "numwait"]],
+                               batch_format="pandas")
+
+    q["tpch_q21_waiting"] = q21_waiting
+
+    def cust_no_orders(sf):
+        """Customers with no URGENT order, counted per nation — the
+        NOT EXISTS anti join as a first-class distributed primitive
+        (``relational.semi_anti_join``: right side collapses to distinct
+        keys, LEFT hash join marker, streaming filter)."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        cust = _read(sf, "customer").map_batches(
+            lambda b: b[["c_custkey", "c_nationkey"]], batch_format="pandas")
+        okeys = _read(sf, "orders").map_batches(
+            lambda b: b[b["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+            batch_format="pandas")
+        idle = rel.semi_anti_join(cust, okeys, "c_custkey", "o_custkey",
+                                  how="anti")
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            p = pd.DataFrame({"c_nationkey": b["c_nationkey"].to_numpy(),
+                              "n_cust": np.int64(1)})
+            return p.groupby("c_nationkey", sort=False, as_index=False).sum()
+
+        per_nat = grouped_sum(idle.map_batches(part, batch_format="pandas"),
+                              ["c_nationkey"], ["n_cust"])
+        return rel.broadcast_join(per_nat, _read(sf, "nation"),
+                                  "c_nationkey", "n_nationkey",
+                                  right_cols=["n_name"])
+
+    q["customer_no_orders"] = cust_no_orders
+
     def ev_mad(sf):
         from parquet_hs_ray.pipelines.stats import grouped_mad
 
@@ -2413,6 +2539,46 @@ WHERE CAST(round_even(c.c_acctbal*100,0) AS BIGINT) * s.n > s.sum_c
                     AND o.o_orderdate >= TIMESTAMP '1996-01-01'
                     AND o.o_orderdate <  TIMESTAMP '1996-07-01')
 GROUP BY c.c_nationkey
+"""
+    # Q12-shaped: late lineitems per return flag, split by priority class
+    o["tpch_q12_latemode"] = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+    # Q21-shaped: only-late supplier on finalized multi-supplier orders
+    o["tpch_q21_waiting"] = """
+WITH pair AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+ostats AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM pair GROUP BY l_orderkey)
+SELECT s.s_name, count(*) AS numwait
+FROM pair p
+JOIN ostats os ON p.l_orderkey = os.l_orderkey
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.late = 1 AND os.n_supp >= 2 AND os.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+    # NOT EXISTS anti join as a first-class primitive (semi_anti_join)
+    o["customer_no_orders"] = """
+SELECT c.c_nationkey, count(*) AS n_cust, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey, n.n_name
 """
     # Q15-shaped max-revenue supplier (ties kept, exact cents)
     o["tpch_q15_top_supplier"] = """

@@ -576,3 +576,79 @@ def collect_list(ds: "ray.data.Dataset", key: str, value_col: str,
     merged = (edges.groupby(key, sort=True, dropna=False)[out_col]
               .agg(lambda ls: [v for sub in ls for v in sub]).reset_index())
     return interior.union(ray.data.from_pandas(merged[[key, out_col]]))
+
+
+def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                   left_key: str, right_key: str, how: str = "semi",
+                   num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Exact distributed SEMI / ANTI equi-join (SQL ``EXISTS`` /
+    ``NOT EXISTS`` with an equality correlate).  The right side first
+    reduces to its DISTINCT non-null keys — a per-batch ``unique`` then
+    the bounded grouped merge, so the shuffle carries one row per
+    distinct key, never the right rows — and a LEFT hash join streams a
+    presence marker back onto the left rows.  ``how='semi'`` keeps rows
+    whose key matched; ``how='anti'`` keeps the rest.
+
+    NULL-key semantics follow SQL equality: a NULL left key never
+    matches (Ray's hash join is null-safe), so semi drops NULL-key rows
+    and anti keeps them — same as ``EXISTS (… WHERE l.k = r.k)``.
+
+    Scale shape: right side collapses to ndv(key) rows before the join;
+    the left side shuffles once (the hash join) and is filtered in
+    place.  Neither side is ever materialized on the driver.  Contrast
+    :func:`bloom_semi_join`, which avoids shuffling the large side at
+    all when a small false-positive-free filter pass suffices.
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    marker = "__semi_marker__"
+    if marker in left.columns():
+        raise ValueError(f"left side already has a {marker!r} column")
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def key_only(t: "pa.Table") -> "pa.Table":
+        # pyarrow end-to-end: a pandas filter that empties a block would
+        # drop the key's dtype and poison Dataset.join key resolution
+        k = pc.unique(t.column(right_key).combine_chunks().drop_null())
+        return pa.table({left_key: k,
+                         marker: np.ones(len(k), dtype=np.int64)})
+
+    from .groupagg import grouped_agg
+    keys = grouped_agg(right.map_batches(key_only, batch_format="pyarrow"),
+                       [left_key], {marker: "max"})
+
+    # Normalize the key column to the LEFT side's arrow type before the
+    # join: an all-null source block arrives as arrow `null` type and the
+    # grouped merge may hand back object-dtype pandas blocks — either one
+    # breaks Acero's key-field resolution ("no match or multiple matches")
+    lsch = getattr(left.schema(), "base_schema", None)
+    ktype = (lsch.field(left_key).type
+             if isinstance(lsch, pa.Schema) and left_key in lsch.names
+             else None)
+
+    def norm(t: "pa.Table") -> "pa.Table":
+        if ktype is None or t.schema.field(left_key).type == ktype:
+            return t
+        i = t.schema.get_field_index(left_key)
+        return t.set_column(i, pa.field(left_key, ktype),
+                            t.column(left_key).cast(ktype))
+
+    # grouped_agg has already shrunk (and internally materialized) the
+    # right side to its distinct keys, so this pins only ndv(key) rows.
+    # The empty-key-set short-circuit matters for correctness, not just
+    # speed: with zero non-null right keys the key dtype is unknowable
+    # (arrow `null`) and Acero rejects the join outright.
+    keys = keys.map_batches(norm, batch_format="pyarrow").materialize()
+    if keys.count() == 0:
+        return left.limit(0) if how == "semi" else left
+    j = hash_join(left, keys, left_key, left_key,
+                  num_partitions=num_partitions, how="left")
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        hit = b[marker].notna().to_numpy()
+        out = b[hit if how == "semi" else ~hit]
+        return out.drop(columns=[marker])
+
+    return j.map_batches(pick, batch_format="pandas")

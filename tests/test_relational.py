@@ -752,3 +752,65 @@ def test_set_op_property_matches_python_sets(ray_session, xs, ys):
         out = set_op(dsa, dsb, ["k"], op).to_pandas()
         got = set(out["k"].tolist()) if "k" in out.columns else set()
         assert got == exp, (op, got, exp)
+
+
+def test_semi_anti_join_matches_exists_semantics(ray_session):
+    """semi/anti vs python EXISTS over dup keys and NULL keys on both
+    sides: NULL left keys never match (anti keeps, semi drops); dup
+    right keys count once; row multiplicity of the left is preserved."""
+    from parquet_hs_ray.pipelines.relational import semi_anti_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 2, 2, 3, None, 5, None, 7], dtype="Int64"),
+        "v": np.arange(8, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": pd.array([2, 2, 3, None, 9], dtype="Int64"),
+        "junk": ["a", "b", "c", "d", "e"]})
+    lds = ray.data.from_pandas([left.iloc[:4], left.iloc[4:]])
+    rds = ray.data.from_pandas([right.iloc[:3], right.iloc[3:]])
+
+    match = {2, 3}
+    semi = semi_anti_join(lds, rds, "k", "rk", "semi").to_pandas()
+    anti = semi_anti_join(lds, rds, "k", "rk", "anti").to_pandas()
+
+    exp_semi = sorted(v for k, v in zip(left["k"], left["v"])
+                      if pd.notna(k) and int(k) in match)
+    exp_anti = sorted(v for k, v in zip(left["k"], left["v"])
+                      if pd.isna(k) or int(k) not in match)
+    assert sorted(semi["v"].tolist()) == exp_semi
+    assert sorted(anti["v"].tolist()) == exp_anti
+    assert set(semi.columns) == set(anti.columns) == {"k", "v"}
+    # partition: every left row lands in exactly one side
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_semi_anti_join_rejects_bad_how(ray_session):
+    from parquet_hs_ray.pipelines.relational import semi_anti_join
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="semi"):
+        semi_anti_join(ds, ds, "k", "k", "inner")
+
+
+def test_semi_anti_join_all_null_and_empty_right_blocks(ray_session):
+    """The two documented empty-block traps: a right block whose keys
+    are ALL null (arrives as arrow `null` type) and a right side with
+    zero non-null keys overall (key dtype unknowable -> join must be
+    short-circuited, not attempted)."""
+    from parquet_hs_ray.pipelines.relational import semi_anti_join
+
+    left = pd.DataFrame({"k": ["a", "b", "c"], "v": [0, 1, 2]})
+    right = pd.DataFrame({"rk": [None, None, "b"], "x": [0, 1, 2]})
+    lds = ray.data.from_pandas(left)
+    # first block all-null keys -> null-typed arrow block
+    rds = ray.data.from_pandas([right.iloc[:2], right.iloc[2:]])
+    semi = semi_anti_join(lds, rds, "k", "rk", "semi").to_pandas()
+    anti = semi_anti_join(lds, rds, "k", "rk", "anti").to_pandas()
+    assert sorted(semi["v"].tolist()) == [1]
+    assert sorted(anti["v"].tolist()) == [0, 2]
+
+    # zero non-null right keys: semi -> nothing, anti -> everything
+    rds0 = ray.data.from_pandas(right.iloc[:2])
+    assert semi_anti_join(lds, rds0, "k", "rk", "semi").count() == 0
+    anti0 = semi_anti_join(lds, rds0, "k", "rk", "anti").to_pandas()
+    assert sorted(anti0["v"].tolist()) == [0, 1, 2]
