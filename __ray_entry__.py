@@ -1531,6 +1531,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_mad(_read(sf, "events"), "event_type", "value")
 
     q["events_mad"] = ev_mad
+
+    def ev_latest(sf):
+        """Per-user latest event (grouped argmax): the whole row at the
+        max ts, ties broken by event_id — one row per group per block
+        shuffles, never the events."""
+        from parquet_hs_ray.pipelines.stats import grouped_argmax
+
+        return grouped_argmax(_read(sf, "events"), "user_id", "ts",
+                              ["event_type", "value"], "event_id")
+
+    q["events_latest"] = ev_latest
+
+    def ev_qcont(sf):
+        """Interpolated per-type value quantiles (percentile_cont) —
+        bitwise-identical to DuckDB's quantile_cont blend."""
+        from parquet_hs_ray.pipelines.stats import grouped_quantile_cont
+
+        return grouped_quantile_cont(_read(sf, "events"), "event_type",
+                                     "value", qs=(0.25, 0.5, 0.95))
+
+    q["events_quantiles_cont"] = ev_qcont
     return q
 
 
@@ -2523,6 +2544,23 @@ SELECT e.event_type, m.median,
        quantile_disc(abs(e.value - m.median), 0.5) AS mad
 FROM events e JOIN m USING (event_type)
 GROUP BY e.event_type, m.median
+"""
+    # grouped argmax: latest event row per user (ties by event_id)
+    o["events_latest"] = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts IS NOT NULL) WHERE rn = 1
+"""
+    # interpolated quantiles: DuckDB quantile_cont IS the lo*(1-d)+hi*d
+    # blend the engine evaluates, so floats hash-match bitwise
+    o["events_quantiles_cont"] = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25_c,
+       quantile_cont(value, 0.50) AS p50_c,
+       quantile_cont(value, 0.95) AS p95_c
+FROM events GROUP BY event_type
 """
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication

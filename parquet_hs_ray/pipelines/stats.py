@@ -1004,3 +1004,80 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str
     mad = mad.rename(columns={"p50": "mad"})
     out = med.merge(mad, on=key)
     return ray.data.from_pandas(out[[key, "median", "mad"]])
+
+
+def grouped_argmax(ds: "ray.data.Dataset", key: str, order_col: str,
+                   value_cols: Sequence[str], tiebreak: str,
+                   how: str = "max") -> "ray.data.Dataset":
+    """Per ``key`` group, the whole row (``value_cols``) at the group's
+    extreme ``order_col`` — SQL ``row_number() OVER (PARTITION BY key
+    ORDER BY order_col DESC, tiebreak DESC) = 1`` (ASC/ASC for
+    ``how='min'``).  Ties are broken by ``tiebreak`` in the same
+    direction as the order, so the result is deterministic on any block
+    layout; rows with a NULL ``order_col`` never win.
+
+    Scale shape: the per-block kernel keeps one row per group per block
+    (a sort + ``drop_duplicates``, no per-group Python), so the shuffle
+    carries <= groups x blocks rows, never the data; the same kernel is
+    its own merge via ``sorted_block_aggregate``."""
+    if how not in ("max", "min"):
+        raise ValueError(f"how must be 'max' or 'min', got {how!r}")
+    extra = [c for c in value_cols if c not in (key, order_col, tiebreak)]
+    cols = [key, order_col, tiebreak] + extra
+    keep = "last" if how == "max" else "first"
+
+    def kern(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].dropna(subset=[order_col])
+        if not len(b):
+            return b
+        b = b.sort_values([key, order_col, tiebreak], kind="mergesort")
+        return b.drop_duplicates(subset=[key], keep=keep)
+
+    from .groupagg import sorted_block_aggregate
+
+    partials = ds.map_batches(kern, batch_format="pandas")
+    return sorted_block_aggregate(partials, [key], kern, kern)
+
+
+def grouped_quantile_cont(ds: "ray.data.Dataset", key: str, col: str,
+                          qs: Sequence[float] = (0.5,)
+                          ) -> "ray.data.Dataset":
+    """Per ``key`` group: exact INTERPOLATED quantiles of ``col``
+    (SQL ``quantile_cont`` / percentile_cont) — the continuous
+    counterpart of :func:`grouped_quantiles`.  Same value-count-
+    histogram reduction (shuffle bounded by distinct values, never
+    rows); the finish walks the cumulative counts to the two order
+    statistics around rank ``(n-1)*q`` and blends them as
+    ``lo*(1-d) + hi*d`` — the exact IEEE expression DuckDB's
+    quantile_cont evaluates, so the float output is hash-identical to
+    the SQL twin, not merely close.  Output: key, p<q*100>_c per q."""
+    qs = [float(q) for q in qs]
+    names = [f"p{int(round(q * 100))}_c" for q in qs]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch[[key, col]].dropna(subset=[col])
+             .groupby([key, col], sort=False).size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key, col], ["cnt"])
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="mergesort")
+        cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        vals = g[col].to_numpy(dtype=np.float64)
+        row = {key: [g[key].iloc[0]]}
+        for q, name in zip(qs, names):
+            h = (n - 1) * q
+            lof = np.floor(h)
+            d = h - lof
+            lo = vals[np.searchsorted(cum, int(lof) + 1, side="left")]
+            hi = vals[np.searchsorted(cum, int(np.ceil(h)) + 1, side="left")]
+            row[name] = [float(lo * (1 - d) + hi * d)]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(select, batch_format="pandas")

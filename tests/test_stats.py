@@ -493,3 +493,83 @@ def test_grouped_mad_matches_reference(ray_session):
         med = disc_median(x)
         assert row["median"] == med
         assert row["mad"] == disc_median(np.abs(x - med))
+
+
+def test_grouped_argmax_latest_row_with_ties_and_nulls(ray_session):
+    """Max and min paths vs a pandas window twin: ties on the order
+    column break by tiebreak in the same direction; NULL order rows
+    never win; groups straddling blocks merge correctly."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_argmax
+
+    df = pd.DataFrame({
+        "g":  ["a", "a", "a", "b", "b", "c", "c", "d"],
+        "t":  [5.0, 5.0, 1.0, 7.0, np.nan, 3.0, 3.0, np.nan],
+        "id": [1,   2,   3,   4,   5,      7,   6,   8],
+        "v":  [10,  20,  30,  40,  50,     60,  70,  80]})
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:6], df.iloc[6:]])
+
+    mx = (grouped_argmax(ds, "g", "t", ["v"], "id", how="max")
+          .to_pandas().set_index("g").sort_index())
+    # a: tie at t=5 -> max id (2); b: NaN never wins -> id 4;
+    # c: tie at t=3 (straddles nothing here but dup order) -> id 7;
+    # d: only row has NULL order -> group vanishes
+    assert mx.index.tolist() == ["a", "b", "c"]
+    assert mx.loc["a", "id"] == 2 and mx.loc["a", "v"] == 20
+    assert mx.loc["b", "id"] == 4
+    assert mx.loc["c", "id"] == 7 and mx.loc["c", "v"] == 60
+
+    mn = (grouped_argmax(ds, "g", "t", ["v"], "id", how="min")
+          .to_pandas().set_index("g").sort_index())
+    assert mn.loc["a", "id"] == 3                # strict min t=1
+    assert mn.loc["c", "id"] == 6                # tie -> min id
+    with pytest.raises(ValueError, match="max"):
+        grouped_argmax(ds, "g", "t", ["v"], "id", how="latest")
+
+
+def test_grouped_argmax_straddling_groups_random(ray_session):
+    """Random multi-block data vs the pandas sort/drop_duplicates twin."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_argmax
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"g": rng.integers(0, 25, 2000),
+                       "t": rng.integers(0, 50, 2000),
+                       "id": np.arange(2000, dtype=np.int64),
+                       "v": rng.normal(size=2000)})
+    ds = ray.data.from_pandas([df.iloc[i:i + 250] for i in range(0, 2000, 250)])
+    got = (grouped_argmax(ds, "g", "t", ["v"], "id")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    exp = (df.sort_values(["g", "t", "id"], kind="mergesort")
+           .drop_duplicates(subset=["g"], keep="last")
+           .sort_values("g").reset_index(drop=True)[got.columns])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_quantile_cont_matches_numpy_linear(ray_session):
+    """Interpolated quantiles == numpy's 'linear' method (same h=(n-1)q
+    rank rule) on random data with heavy duplicate values + NULLs."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_quantile_cont
+
+    rng = np.random.default_rng(23)
+    v = np.round(rng.normal(10, 3, 1500), 1)     # heavy duplicates
+    v[rng.random(1500) < 0.05] = np.nan
+    df = pd.DataFrame({"g": rng.integers(0, 4, 1500), "v": v})
+    ds = ray.data.from_pandas([df.iloc[i::3].reset_index(drop=True)
+                               for i in range(3)])
+    out = (grouped_quantile_cont(ds, "g", "v", qs=(0.25, 0.5, 0.9))
+           .to_pandas().set_index("g").sort_index())
+    for g in range(4):
+        x = df[df["g"] == g]["v"].dropna().to_numpy()
+        for q, name in [(0.25, "p25_c"), (0.5, "p50_c"), (0.9, "p90_c")]:
+            assert np.isclose(out.loc[g, name],
+                              np.quantile(x, q, method="linear"),
+                              rtol=0, atol=1e-12), (g, q)
+    # single-value group: d irrelevant, returns the value itself
+    one = ray.data.from_pandas(pd.DataFrame({"g": ["z"], "v": [3.5]}))
+    o1 = grouped_quantile_cont(one, "g", "v", qs=(0.5,)).to_pandas()
+    assert o1["p50_c"].iloc[0] == 3.5
