@@ -1552,6 +1552,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      "value", qs=(0.25, 0.5, 0.95))
 
     q["events_quantiles_cont"] = ev_qcont
+
+    def ev_regression(sf):
+        """Per-type OLS trend of value over time from five decomposable
+        sums — x in whole hours since the corpus epoch, y in cents, so
+        the sums are exact ints and slope/intercept are single float
+        expressions the SQL twin mirrors bitwise."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.stats import grouped_regression
+
+        origin = pd.Timestamp("2024-01-01")
+
+        def xy(b: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame({
+                "event_type": b["event_type"].to_numpy(),
+                "x_h": ((b["ts"] - origin)
+                        // pd.Timedelta(hours=1)).astype(np.int64),
+                "y_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+            })
+
+        rows = _read(sf, "events").map_batches(xy, batch_format="pandas")
+        return grouped_regression(rows, "event_type", "x_h", "y_c")
+
+    q["events_regression"] = ev_regression
     return q
 
 
@@ -2561,6 +2586,30 @@ SELECT event_type,
        quantile_cont(value, 0.50) AS p50_c,
        quantile_cont(value, 0.95) AS p95_c
 FROM events GROUP BY event_type
+"""
+    # per-type OLS trend from exact integer sums; slope/intercept are the
+    # same float expressions over those ints on both sides
+    o["events_regression"] = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x_h) AS BIGINT) AS sum_x,
+         CAST(sum(y_c) AS BIGINT) AS sum_y,
+         CAST(sum(x_h*y_c) AS BIGINT) AS sum_xy,
+         CAST(sum(x_h*x_h) AS BIGINT) AS sum_xx
+  FROM (SELECT event_type,
+               date_diff('hour', TIMESTAMP '2024-01-01', ts) AS x_h,
+               CAST(round_even(value*100,0) AS BIGINT) AS y_c
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+  GROUP BY event_type)
+SELECT *,
+  CASE WHEN n*sum_xx - sum_x*sum_x != 0
+       THEN CAST(n*sum_xy - sum_x*sum_y AS DOUBLE)
+            / CAST(n*sum_xx - sum_x*sum_x AS DOUBLE) END AS slope,
+  CASE WHEN n*sum_xx - sum_x*sum_x != 0
+       THEN (sum_y - (CAST(n*sum_xy - sum_x*sum_y AS DOUBLE)
+                      / CAST(n*sum_xx - sum_x*sum_x AS DOUBLE)) * sum_x)
+            / n END AS intercept
+FROM s
 """
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication

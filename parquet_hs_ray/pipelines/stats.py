@@ -1081,3 +1081,48 @@ def grouped_quantile_cont(ds: "ray.data.Dataset", key: str, col: str,
         return pd.DataFrame(row)
 
     return hist.groupby(key).map_groups(select, batch_format="pandas")
+
+
+def grouped_regression(ds: "ray.data.Dataset", key: str, x_col: str,
+                       y_col: str) -> "ray.data.Dataset":
+    """Per-group simple OLS fit of ``y`` on ``x`` from the five
+    decomposable sums (n, Σx, Σy, Σxy, Σx²) — one partial-agg pass, no
+    second scan, shuffle carries five int64/float64 counters per group
+    per block.  Callers pass PRE-SCALED integer-domain columns (e.g.
+    cents, hours-since-epoch) when they need the SQL twin hash-exact:
+    the sums then stay exact and slope/intercept are single float
+    expressions over exact ints, identical IEEE ops on both sides.
+    Output: key, n, sum_x, sum_y, sum_xy, sum_xx, slope, intercept
+    (slope/intercept NULL for degenerate groups with zero x-variance).
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, x_col, y_col]].dropna(subset=[x_col, y_col])
+        x = b[x_col].to_numpy()
+        y = b[y_col].to_numpy()
+        p = pd.DataFrame({key: b[key].to_numpy(),
+                          "n": np.int64(1),
+                          "sum_x": x, "sum_y": y,
+                          "sum_xy": x * y, "sum_xx": x * x})
+        return p.groupby(key, sort=False, as_index=False).sum()
+
+    from .groupagg import grouped_sum
+
+    sums = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [key], ["n", "sum_x", "sum_y", "sum_xy", "sum_xx"])
+
+    def fit(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy()
+        sx = b["sum_x"].to_numpy()
+        sy = b["sum_y"].to_numpy()
+        sxy = b["sum_xy"].to_numpy()
+        sxx = b["sum_xx"].to_numpy()
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den != 0, (n * sxy - sx * sy) / den, np.nan)
+            intercept = np.where(den != 0, (sy - slope * sx) / n, np.nan)
+        out = b.copy()
+        out["slope"] = slope
+        out["intercept"] = intercept
+        return out
+
+    return sums.map_batches(fit, batch_format="pandas")

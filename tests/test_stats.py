@@ -573,3 +573,34 @@ def test_grouped_quantile_cont_matches_numpy_linear(ray_session):
     one = ray.data.from_pandas(pd.DataFrame({"g": ["z"], "v": [3.5]}))
     o1 = grouped_quantile_cont(one, "g", "v", qs=(0.5,)).to_pandas()
     assert o1["p50_c"].iloc[0] == 3.5
+
+
+def test_grouped_regression_matches_polyfit_and_degenerate(ray_session):
+    """Five-sum OLS == numpy lstsq fit per group; a group with zero
+    x-variance yields NULL slope/intercept instead of inf/nan noise;
+    NULL x or y rows are excluded."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_regression
+
+    rng = np.random.default_rng(31)
+    n = 1200
+    df = pd.DataFrame({"g": rng.integers(0, 3, n),
+                       "x": rng.integers(0, 500, n).astype(np.float64),
+                       "y": rng.integers(-100, 100, n).astype(np.float64)})
+    df.loc[df.index[:20], "x"] = np.nan          # dropped
+    const = pd.DataFrame({"g": [9, 9, 9], "x": [5.0, 5.0, 5.0],
+                          "y": [1.0, 2.0, 3.0]})  # zero x-variance
+    full = pd.concat([df, const], ignore_index=True)
+    ds = ray.data.from_pandas([full.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    out = (grouped_regression(ds, "g", "x", "y")
+           .to_pandas().set_index("g").sort_index())
+
+    for g in range(3):
+        sub = df[(df["g"] == g) & df["x"].notna()]
+        slope, intercept = np.polyfit(sub["x"], sub["y"], 1)
+        assert np.isclose(out.loc[g, "slope"], slope, atol=1e-9)
+        assert np.isclose(out.loc[g, "intercept"], intercept, atol=1e-9)
+        assert out.loc[g, "n"] == len(sub)
+    assert np.isnan(out.loc[9, "slope"]) and np.isnan(out.loc[9, "intercept"])
