@@ -1577,6 +1577,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_regression(rows, "event_type", "x_h", "y_c")
 
     q["events_regression"] = ev_regression
+
+    def ev_lag(sf):
+        """Per-user lag(value, 2) in event order — the generic window
+        shift; only <=2 boundary scalars per block leave the sort."""
+        from parquet_hs_ray.pipelines.windows import with_lag
+
+        return with_lag(_read(sf, "events"), n=2)
+
+    q["events_lag"] = ev_lag
     return q
 
 
@@ -2610,6 +2619,13 @@ SELECT *,
                       / CAST(n*sum_xx - sum_x*sum_x AS DOUBLE)) * sum_x)
             / n END AS intercept
 FROM s
+"""
+    # generic window shift: lag(value, 2) per user in (ts, id) order
+    o["events_lag"] = """
+SELECT user_id, event_id,
+       lag(value, 2) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS lag_value
+FROM events
 """
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication

@@ -807,3 +807,109 @@ def growth_accounting(events: "ray.data.Dataset", key: str = "user_id",
     daily = daily.sort_values("bucket").reset_index(drop=True)
     daily["cum_users"] = daily["new_users"].cumsum().astype(np.int64)
     return ray.data.from_pandas(daily)
+
+
+def with_lag(events: "ray.data.Dataset", n: int = 1,
+             key: str = "user_id", ts_col: str = "ts",
+             id_col: str = "event_id", val_col: str = "value",
+             how: str = "lag") -> "ray.data.Dataset":
+    """Per-row ``lag``/``lead`` of ``val_col`` by ``n`` rows within
+    ``key`` in (``ts``, ``id_col``) order — SQL ``lag(val, n) OVER
+    (PARTITION BY key ORDER BY ts, id)`` (``lead`` for ``how='lead'``).
+    Rows with no nth neighbour get NULL, exactly the window-function
+    contract.
+
+    Scale shape (the rolling-family carry pattern, direction-agnostic):
+    ONE sort on (key, ts, id); zero-CPU per-block edge summaries return
+    the boundary key's first/last <= n values; the driver folds them
+    into per-boundary carries (<= n scalars per block, never rows —
+    lag folds left-to-right over block tails, lead right-to-left over
+    block heads); each block then shifts vectorized with its carry
+    spliced onto the boundary key only."""
+    if how not in ("lag", "lead"):
+        raise ValueError(f"how must be 'lag' or 'lead', got {how!r}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    import pyarrow as pa
+    import ray
+
+    out_col = f"{how}_{val_col}"
+
+    def prep(t: "pa.Table") -> "pa.Table":
+        return t.select([key, ts_col, id_col, val_col])
+
+    srt = (events.map_batches(prep, batch_format="pyarrow")
+           .sort([key, ts_col, id_col]).materialize())
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return ray.data.from_pandas(
+            pd.DataFrame(columns=[key, id_col, out_col]))
+
+    @ray.remote(num_cpus=0)
+    def edge_summary(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        kcol = t[key].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        fk, lk = kcol[0], kcol[-1]
+        head = v[np.flatnonzero(kcol == fk)[:n]]
+        tail = v[np.flatnonzero(kcol == lk)[-n:]]
+        return fk, head, lk, tail
+
+    sums = ray.get([edge_summary.remote(r) for r in refs])
+    carries: list = [None] * len(refs)
+    run_key, run_vals = None, None
+    order = range(len(refs)) if how == "lag" else reversed(range(len(refs)))
+    for i in order:
+        carries[i] = ((run_key, run_vals.copy())
+                      if run_key is not None else None)
+        s = sums[i]
+        if s is None:
+            continue
+        fk, head, lk, tail = s
+        if how == "lag":
+            # under global sort contiguity, lk == run_key forces the
+            # whole block to be that key, so short tails EXTEND the run
+            if run_key is not None and lk == run_key and len(tail) < n:
+                run_vals = np.concatenate([run_vals, tail])[-n:]
+            else:
+                run_key, run_vals = lk, tail[-n:]
+        else:
+            if run_key is not None and fk == run_key and len(head) < n:
+                run_vals = np.concatenate([head, run_vals])[:n]
+            else:
+                run_key, run_vals = fk, head[:n]
+
+    @ray.remote(num_cpus=1)
+    def block_shift(t, carry) -> pd.DataFrame:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        out = df[[key, id_col]].copy()
+        if not len(df):
+            out[out_col] = pd.Series(dtype=np.float64)
+            return out
+        kcol = df[key].to_numpy()
+        v = df[val_col].to_numpy()
+        if how == "lag":
+            pre = 0
+            if carry is not None and kcol[0] == carry[0]:
+                pre = len(carry[1])
+                kcol = np.concatenate([np.repeat(carry[0], pre), kcol])
+                v = np.concatenate([carry[1], v])
+            sh = (pd.Series(v).groupby(pd.Series(kcol)).shift(n)
+                  .to_numpy()[pre:])
+        else:
+            if carry is not None and kcol[-1] == carry[0]:
+                post = len(carry[1])
+                kcol = np.concatenate([kcol, np.repeat(carry[0], post)])
+                v = np.concatenate([v, carry[1]])
+            sh = (pd.Series(v).groupby(pd.Series(kcol)).shift(-n)
+                  .to_numpy()[:len(df)])
+        out[out_col] = sh
+        return out
+
+    return ray.data.from_pandas_refs(
+        [block_shift.remote(r, carries[i]) for i, r in enumerate(refs)])

@@ -2058,3 +2058,38 @@ def test_sample_fraction_bounds_and_determinism(ray_session):
     assert sample_fraction(ds, 1.0).to_pandas().shape[0] == 4000
     with pytest.raises(ValueError):
         sample_fraction(ds, 1.5)
+
+
+def test_with_lag_matches_pandas_shift_across_blocks(ray_session):
+    """lag/lead vs the pandas groupby-shift twin over 8 input blocks
+    (post-sort layout is Ray's choice; 6 keys x 400 rows guarantees
+    every boundary splits some key, exercising the carry fold)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import with_lag
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, 400),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.permutation(400), unit="m"),
+        "event_id": np.arange(400, dtype=np.int64),
+        "value": np.round(rng.normal(10, 5, 400), 2)})
+    ds = ray.data.from_pandas([df.iloc[i:i + 50] for i in range(0, 400, 50)])
+
+    for how, n in [("lag", 1), ("lag", 3), ("lead", 2)]:
+        got = (with_lag(ds, n=n, how=how).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        srt = df.sort_values(["user_id", "ts", "event_id"])
+        exp_col = srt.groupby("user_id")["value"].shift(
+            n if how == "lag" else -n)
+        exp = (pd.DataFrame({"user_id": srt["user_id"],
+                             "event_id": srt["event_id"],
+                             f"{how}_value": exp_col})
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    with pytest.raises(ValueError, match="lag"):
+        with_lag(ds, how="shift")
+    with pytest.raises(ValueError, match=">= 1"):
+        with_lag(ds, n=0)
