@@ -491,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         id_cols=["event_id", "event_type"])
     q["events_pct_rank"] = lambda sf: pstats.percent_rank(
         _read(sf, "events"), "value", id_cols=["event_id"])
+    q["events_cume_dist"] = lambda sf: pstats.cume_dist(
+        _read(sf, "events"), "value", id_cols=["event_id"])
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
         _read(sf, "events"), "event_type", "value")
     q["events_props_k"] = lambda sf: cleaning.extract_json_field(
@@ -2275,6 +2277,12 @@ GROUP BY token_id ORDER BY token_id
     o["events_pct_rank"] = (
         "SELECT event_id, value,"
         " percent_rank() OVER (ORDER BY value) AS pr"
+        " FROM events WHERE value IS NOT NULL"
+    )
+    # events_cume_dist: histogram max-rank/n == window cume_dist
+    o["events_cume_dist"] = (
+        "SELECT event_id, value,"
+        " cume_dist() OVER (ORDER BY value) AS cd"
         " FROM events WHERE value IS NOT NULL"
     )
     # events_props_k: flat-JSON scalar extraction == SQL ->> semantics

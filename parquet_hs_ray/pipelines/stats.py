@@ -1126,3 +1126,45 @@ def grouped_regression(ds: "ray.data.Dataset", key: str, x_col: str,
         return out
 
     return sums.map_batches(fit, batch_format="pandas")
+
+
+def cume_dist(ds: "ray.data.Dataset", col: str,
+              id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
+    """Global cumulative distribution of ``col``: each row gets
+    ``cd = rows_at_or_below / n`` with ties sharing their MAXIMUM rank —
+    exactly SQL ``cume_dist() OVER (ORDER BY col)``.  The complement of
+    :func:`percent_rank` (which shares the minimum rank); same two-pass
+    scale shape — distinct-value-bounded histogram shuffle, cumulative
+    counts broadcast via ``ray.put``, streaming searchsorted pass 2.
+    ``cd`` is one ``int/int`` float division from exact counts, so the
+    SQL twin hash-matches bitwise.  NULLs are dropped."""
+    id_cols = list(id_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.dropna(subset=[col]).groupby(col, sort=False).size()
+             .reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    hist = (grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                        [col], ["cnt"]).to_pandas().sort_values(col))
+    vals = hist[col].to_numpy()
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    cd = cum / n if n else cum.astype(np.float64)
+    import ray as _ray
+
+    ref = _ray.put((vals, cd))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        v, p = _ray.get(ref)
+        batch = batch.dropna(subset=[col])
+        out = pd.DataFrame({c: batch[c] for c in (id_cols or batch.columns)})
+        if id_cols and col not in out.columns:
+            out[col] = batch[col]
+        out["cd"] = p[np.searchsorted(v, batch[col].to_numpy())]
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -604,3 +604,28 @@ def test_grouped_regression_matches_polyfit_and_degenerate(ray_session):
         assert np.isclose(out.loc[g, "intercept"], intercept, atol=1e-9)
         assert out.loc[g, "n"] == len(sub)
     assert np.isnan(out.loc[9, "slope"]) and np.isnan(out.loc[9, "intercept"])
+
+
+def test_cume_dist_ties_share_max_rank(ray_session):
+    """cume_dist vs the pandas rank(method='max')/n twin on heavy-tie
+    data with NULLs dropped; single-distinct-value input gives 1.0."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import cume_dist
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 10, 500).astype(np.float64)
+    v[rng.random(500) < 0.1] = np.nan
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64), "v": v})
+    ds = ray.data.from_pandas([df.iloc[i::3].reset_index(drop=True)
+                               for i in range(3)])
+    out = (cume_dist(ds, "v", id_cols=["id"]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    sub = df.dropna(subset=["v"]).sort_values("id").reset_index(drop=True)
+    exp = sub["v"].rank(method="max").to_numpy() / len(sub)
+    assert np.array_equal(out["cd"].to_numpy(), exp)
+    assert len(out) == len(sub)
+
+    one = ray.data.from_pandas(pd.DataFrame({"id": [1, 2], "v": [7.0, 7.0]}))
+    o1 = cume_dist(one, "v", id_cols=["id"]).to_pandas()
+    assert (o1["cd"] == 1.0).all()
