@@ -2602,7 +2602,7 @@ SELECT event_type,
        quantile_cont(value, 0.25) AS p25_c,
        quantile_cont(value, 0.50) AS p50_c,
        quantile_cont(value, 0.95) AS p95_c
-FROM events GROUP BY event_type
+FROM events WHERE value IS NOT NULL GROUP BY event_type
 """
     # per-type OLS trend from exact integer sums; slope/intercept are the
     # same float expressions over those ints on both sides

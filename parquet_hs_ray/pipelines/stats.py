@@ -373,8 +373,13 @@ def percent_rank(ds: "ray.data.Dataset", col: str,
 
     from .groupagg import grouped_sum
 
-    hist = (grouped_sum(ds.map_batches(partial, batch_format="pandas"),
-                        [col], ["cnt"]).to_pandas().sort_values(col))
+    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [col], ["cnt"]).to_pandas()
+    if col not in hist.columns or not len(hist):
+        # zero non-null values: no rows survive (window NULL exclusion)
+        return ray.data.from_pandas(
+            pd.DataFrame(columns=[*(id_cols or ()), col, "pr"]))
+    hist = hist.sort_values(col)
     counts = hist["cnt"].to_numpy(dtype=np.int64)
     vals = hist[col].to_numpy()
     n = int(counts.sum())
@@ -1148,12 +1153,17 @@ def cume_dist(ds: "ray.data.Dataset", col: str,
 
     from .groupagg import grouped_sum
 
-    hist = (grouped_sum(ds.map_batches(partial, batch_format="pandas"),
-                        [col], ["cnt"]).to_pandas().sort_values(col))
+    hist = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                       [col], ["cnt"]).to_pandas()
+    if col not in hist.columns or not len(hist):
+        # zero non-null values: no rows survive (window NULL exclusion)
+        return ray.data.from_pandas(
+            pd.DataFrame(columns=[*(id_cols or ()), col, "cd"]))
+    hist = hist.sort_values(col)
     vals = hist[col].to_numpy()
     cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
-    n = int(cum[-1]) if len(cum) else 0
-    cd = cum / n if n else cum.astype(np.float64)
+    n = int(cum[-1])
+    cd = cum / n
     import ray as _ray
 
     ref = _ray.put((vals, cd))

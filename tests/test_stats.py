@@ -629,3 +629,16 @@ def test_cume_dist_ties_share_max_rank(ray_session):
     one = ray.data.from_pandas(pd.DataFrame({"id": [1, 2], "v": [7.0, 7.0]}))
     o1 = cume_dist(one, "v", id_cols=["id"]).to_pandas()
     assert (o1["cd"] == 1.0).all()
+
+
+def test_percent_rank_and_cume_dist_all_null_input(ray_session):
+    """Zero non-null values: both rank transforms return an empty,
+    well-formed frame instead of raising on the missing histogram."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import cume_dist, percent_rank
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 2], "v": [np.nan, np.nan]}))
+    assert percent_rank(ds, "v", id_cols=["id"]).count() == 0
+    assert cume_dist(ds, "v", id_cols=["id"]).count() == 0
