@@ -1527,6 +1527,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["customer_no_orders"] = cust_no_orders
 
+    def cust_urgent_semi(sf):
+        """EXISTS complement of customer_no_orders: customers with at
+        least one URGENT order, per nation (semi mode of
+        ``relational.semi_anti_join``)."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        cust = _read(sf, "customer").map_batches(
+            lambda b: b[["c_custkey", "c_nationkey"]], batch_format="pandas")
+        okeys = _read(sf, "orders").map_batches(
+            lambda b: b[b["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+            batch_format="pandas")
+        hit = rel.semi_anti_join(cust, okeys, "c_custkey", "o_custkey",
+                                 how="semi")
+
+        def part(b: "pd.DataFrame") -> "pd.DataFrame":
+            p = pd.DataFrame({"c_nationkey": b["c_nationkey"].to_numpy(),
+                              "n_cust": np.int64(1)})
+            return p.groupby("c_nationkey", sort=False, as_index=False).sum()
+
+        return grouped_sum(hit.map_batches(part, batch_format="pandas"),
+                           ["c_nationkey"], ["n_cust"])
+
+    q["customer_urgent_semi"] = cust_urgent_semi
+
     def ev_mad(sf):
         from parquet_hs_ray.pipelines.stats import grouped_mad
 
@@ -1588,6 +1615,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return with_lag(_read(sf, "events"), n=2)
 
     q["events_lag"] = ev_lag
+
+    def ev_lead(sf):
+        """lead(value, 1) per user — the right-to-left carry fold."""
+        from parquet_hs_ray.pipelines.windows import with_lag
+
+        return with_lag(_read(sf, "events"), n=1, how="lead")
+
+    q["events_lead"] = ev_lead
     return q
 
 
@@ -2635,6 +2670,12 @@ SELECT user_id, event_id,
                            ORDER BY ts, event_id) AS lag_value
 FROM events
 """
+    o["events_lead"] = """
+SELECT user_id, event_id,
+       lead(value, 1) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS lead_value
+FROM events
+"""
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication
     o["tpch_q22_idle_customers"] = """
@@ -2690,6 +2731,14 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT')
 GROUP BY c.c_nationkey, n.n_name
+"""
+    # EXISTS semi join, the complement of customer_no_orders
+    o["customer_urgent_semi"] = """
+SELECT c_nationkey, count(*) AS n_cust
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
 """
     # Q15-shaped max-revenue supplier (ties kept, exact cents)
     o["tpch_q15_top_supplier"] = """
