@@ -1623,6 +1623,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return with_lag(_read(sf, "events"), n=1, how="lead")
 
     q["events_lead"] = ev_lead
+
+    def ev_impute(sf):
+        """Median imputation demo: NULL out a deterministic 1-in-7 slice
+        of value (event_id % 7), then fill with the per-type exact
+        discrete median — histogram shuffle once, medians broadcast,
+        streaming coalesce."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.stats import impute_median
+
+        def poke(b: "pd.DataFrame") -> "pd.DataFrame":
+            v = b["value"].to_numpy(dtype=np.float64).copy()
+            v[(b["event_id"].to_numpy() % 7) == 0] = np.nan
+            return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                                 "event_type": b["event_type"].to_numpy(),
+                                 "value": v})
+
+        rows = _read(sf, "events").map_batches(poke, batch_format="pandas")
+        return impute_median(rows, "event_type", "value",
+                             id_cols=["event_id"])
+
+    q["events_impute"] = ev_impute
     return q
 
 
@@ -2675,6 +2698,20 @@ SELECT user_id, event_id,
        lead(value, 1) OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS lead_value
 FROM events
+"""
+    # median imputation over a deterministic 1-in-7 NULL injection;
+    # quantile_disc == the engine's discrete-median rank rule
+    o["events_impute"] = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+med AS (
+  SELECT event_type, quantile_disc(v, 0.5) AS m FROM base
+  WHERE v IS NOT NULL GROUP BY event_type)
+SELECT b.event_id, b.event_type,
+       coalesce(b.v, m.m) AS value, (b.v IS NULL) AS was_null
+FROM base b LEFT JOIN med m USING (event_type)
 """
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication

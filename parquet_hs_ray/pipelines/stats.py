@@ -1178,3 +1178,35 @@ def cume_dist(ds: "ray.data.Dataset", col: str,
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def impute_median(ds: "ray.data.Dataset", key: str, col: str,
+                  id_cols: Sequence[str] = ()) -> "ray.data.Dataset":
+    """NULL imputation with the per-group exact discrete median — the
+    standard ML-prep fill.  Pass 1 is :func:`grouped_quantiles` (one
+    distinct-value-bounded histogram shuffle); the per-group medians are
+    broadcast once via ``ray.put`` and pass 2 is a streaming vectorized
+    fill — ``coalesce(col, median_of_group)`` — so no row ever reaches
+    the driver.  Rows whose group has NO non-null values keep NULL
+    (SQL coalesce with a NULL join partner).  Output: id_cols (or all
+    columns), col replaced by its filled values, plus ``was_null``."""
+    id_cols = list(id_cols)
+    med = grouped_quantiles(ds, key, col, qs=(0.5,)).to_pandas()
+    import ray as _ray
+
+    ref = _ray.put(med.set_index(key)["p50"])
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        out = pd.DataFrame({c: b[c] for c in (id_cols or b.columns)})
+        if key not in out.columns:
+            out[key] = b[key]
+        v = b[col].to_numpy(dtype=np.float64, na_value=np.nan)
+        isna = np.isnan(v)
+        fillv = m.reindex(b[key]).to_numpy(dtype=np.float64,
+                                           na_value=np.nan)
+        out[col] = np.where(isna, fillv, v)
+        out["was_null"] = isna
+        return out
+
+    return ds.map_batches(fill, batch_format="pandas")

@@ -642,3 +642,28 @@ def test_percent_rank_and_cume_dist_all_null_input(ray_session):
         {"id": [1, 2], "v": [np.nan, np.nan]}))
     assert percent_rank(ds, "v", id_cols=["id"]).count() == 0
     assert cume_dist(ds, "v", id_cols=["id"]).count() == 0
+
+
+def test_impute_median_fills_per_group_and_keeps_all_null_groups(ray_session):
+    """Fill equals the group's discrete median; non-null rows pass
+    through untouched; a group with zero non-null values keeps NULL."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import impute_median
+
+    df = pd.DataFrame({
+        "id": np.arange(10, dtype=np.int64),
+        "g": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+        "v": [1.0, np.nan, 3.0, 2.0, np.nan,
+              10.0, np.nan, 20.0,
+              np.nan, np.nan]})
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:]])
+    out = (impute_median(ds, "g", "v", id_cols=["id"]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # a: non-null {1,2,3} -> disc median 2; b: {10,20} -> rank ceil(.5*2)=1 -> 10
+    assert out.loc[1, "v"] == 2.0 and out.loc[4, "v"] == 2.0
+    assert out.loc[6, "v"] == 10.0
+    assert out.loc[0, "v"] == 1.0 and not out.loc[0, "was_null"]
+    assert out.loc[1, "was_null"] and out.loc[6, "was_null"]
+    # c: all-null group stays NULL
+    assert np.isnan(out.loc[8, "v"]) and np.isnan(out.loc[9, "v"])
