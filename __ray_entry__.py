@@ -1646,6 +1646,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              id_cols=["event_id"])
 
     q["events_impute"] = ev_impute
+
+    def doc_extract(sf):
+        """Vectorized regexp capture: the word preceding 'table' (first
+        match per doc, '' when absent — DuckDB regexp_extract
+        semantics); pure streaming map, no shuffle."""
+        return cleaning.extract_pattern(
+            _read(sf, "documents"), "text", r"(\w+) table",
+            out_col="before_table", id_cols=["doc_id"])
+
+    q["doc_extract"] = doc_extract
     return q
 
 
@@ -2712,6 +2722,11 @@ med AS (
 SELECT b.event_id, b.event_type,
        coalesce(b.v, m.m) AS value, (b.v IS NULL) AS was_null
 FROM base b LEFT JOIN med m USING (event_type)
+"""
+    # first-match regex capture; no-match rows get '' on both sides
+    o["doc_extract"] = r"""
+SELECT doc_id, regexp_extract(text, '(\w+) table', 1) AS before_table
+FROM documents
 """
     # Q22-shaped: above-average idle customers per nation; the avg
     # compare is exact integer cross-multiplication

@@ -605,3 +605,30 @@ def fuzzy_self_pairs(ds: "ray.data.Dataset", col: str,
     from .groupagg import grouped_agg
 
     return grouped_agg(res, ["name_a", "name_b"], {"dist": "min"})
+
+
+def extract_pattern(ds: "ray.data.Dataset", col: str, pattern: str,
+                    out_col: str = "extracted",
+                    id_cols: "Sequence[str] | None" = None
+                    ) -> "ray.data.Dataset":
+    """First-match regex capture over a text column — SQL
+    ``regexp_extract(col, pattern, 1)`` (one capture group; rows without
+    a match get '' exactly like DuckDB, not NULL).  The pattern compiles
+    once per task closure, the scan is the vectorized pandas
+    ``str.extract`` — no per-row Python, no shuffle: a pure streaming
+    map, the cheapest possible operator shape."""
+    import re
+
+    rx = re.compile(pattern)
+    if rx.groups != 1:
+        raise ValueError(
+            f"pattern must have exactly one capture group, has {rx.groups}")
+    ids = list(id_cols) if id_cols is not None else None
+
+    def f(b: "pd.DataFrame") -> "pd.DataFrame":
+        out = pd.DataFrame({c: b[c] for c in (ids or b.columns)})
+        out[out_col] = (b[col].str.extract(rx, expand=False)
+                        .fillna("").to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -457,3 +457,22 @@ def test_fuzzy_self_pairs_band_cap_raises(ray_session):
     with pytest.raises(Exception, match="band holds"):
         fuzzy_self_pairs(ds, "n", max_dist=1, band_width=8,
                          max_band_rows=10).to_pandas()
+
+
+def test_extract_pattern_first_match_and_empty(ray_session):
+    """First capture wins, no-match rows get '' (DuckDB semantics), and
+    multi-group patterns are rejected up front."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import extract_pattern
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["big table small table", "no match here",
+                                "x table"]})
+    ds = ray.data.from_pandas(df)
+    out = (extract_pattern(ds, "text", r"(\w+) table", "w",
+                           id_cols=["doc_id"])
+           .to_pandas().sort_values("doc_id"))
+    assert out["w"].tolist() == ["big", "", "x"]
+    with pytest.raises(ValueError, match="capture group"):
+        extract_pattern(ds, "text", r"(\w+) (table)")
