@@ -814,3 +814,30 @@ def test_semi_anti_join_all_null_and_empty_right_blocks(ray_session):
     assert semi_anti_join(lds, rds0, "k", "rk", "semi").count() == 0
     anti0 = semi_anti_join(lds, rds0, "k", "rk", "anti").to_pandas()
     assert sorted(anti0["v"].tolist()) == [0, 1, 2]
+
+
+_opt_keys = st.lists(st.one_of(st.none(),
+                               st.integers(min_value=-4, max_value=4)),
+                     min_size=0, max_size=25)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_opt_keys, _opt_keys)
+def test_semi_anti_join_property_matches_python_exists(ray_session, xs, ys):
+    """Random multisets with NULLs: semi == rows whose non-null key is
+    in the right key set, anti == the complement, multiplicities kept."""
+    from parquet_hs_ray.pipelines.relational import semi_anti_join
+
+    left = pd.DataFrame({"k": pd.array(xs, dtype="Int64"),
+                         "v": np.arange(len(xs), dtype=np.int64)})
+    right = pd.DataFrame({"rk": pd.array(ys, dtype="Int64")})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    rset = {y for y in ys if y is not None}
+    exp_semi = sorted(i for i, x in enumerate(xs)
+                      if x is not None and x in rset)
+    for how, exp in (("semi", exp_semi),
+                     ("anti", sorted(set(range(len(xs))) - set(exp_semi)))):
+        out = semi_anti_join(lds, rds, "k", "rk", how).to_pandas()
+        got = sorted(out["v"].tolist()) if "v" in out.columns else []
+        assert got == exp, (how, got, exp)
