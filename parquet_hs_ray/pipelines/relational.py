@@ -580,7 +580,8 @@ def collect_list(ds: "ray.data.Dataset", key: str, value_col: str,
 
 def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                    left_key: str, right_key: str, how: str = "semi",
-                   num_partitions: int | None = None) -> "ray.data.Dataset":
+                   num_partitions: int | None = None,
+                   broadcast_keys_max: int = 1_000_000) -> "ray.data.Dataset":
     """Exact distributed SEMI / ANTI equi-join (SQL ``EXISTS`` /
     ``NOT EXISTS`` with an equality correlate).  The right side first
     reduces to its DISTINCT non-null keys — a per-batch ``unique`` then
@@ -593,11 +594,14 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     matches (Ray's hash join is null-safe), so semi drops NULL-key rows
     and anti keeps them — same as ``EXISTS (… WHERE l.k = r.k)``.
 
-    Scale shape: right side collapses to ndv(key) rows before the join;
-    the left side shuffles once (the hash join) and is filtered in
-    place.  Neither side is ever materialized on the driver.  Contrast
-    :func:`bloom_semi_join`, which avoids shuffling the large side at
-    all when a small false-positive-free filter pass suffices.
+    Scale shape: right side collapses to ndv(key) rows before the join.
+    When that distinct-key set fits a broadcast (``<= broadcast_keys_max``,
+    the common dimension-sized case) the left side is filtered IN PLACE
+    by a ``ray.put`` membership probe — zero shuffle, exact.  Above the
+    threshold the left side shuffles once through the distributed hash
+    join.  Neither side is ever materialized on the driver beyond the
+    broadcast key array.  Contrast :func:`bloom_semi_join`, which keeps
+    even giant key sets out of the shuffle at a false-positive cost.
     """
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
@@ -641,9 +645,57 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     # speed: with zero non-null right keys the key dtype is unknowable
     # (arrow `null`) and Acero rejects the join outright.
     keys = keys.map_batches(norm, batch_format="pyarrow").materialize()
-    if keys.count() == 0:
+    n_keys = keys.count()
+    if n_keys == 0:
         return left.limit(0) if how == "semi" else left
-    j = hash_join(left, keys, left_key, left_key,
+
+    if n_keys <= broadcast_keys_max:
+        # Small distinct-key side (the common case): broadcast the key
+        # array once and probe membership per left block — zero shuffle.
+        # This path is also the one that tolerates degenerate left sides
+        # (empty, all-NULL, or pandas-extension blocks whose schema Ray
+        # cannot convert to Arrow): a block-free left simply runs no
+        # tasks, and a null-typed key block matches nothing by SQL rule.
+        karr = pa.concat_tables(
+            ray.get(keys.to_arrow_refs()))[left_key].combine_chunks()
+        kref = ray.put(karr)
+
+        def filt(t: "pa.Table") -> "pa.Table":
+            col = t.column(left_key)
+            if pa.types.is_null(col.type):
+                return t.slice(0, 0) if how == "semi" else t
+            vs = ray.get(kref)
+            if vs.type != col.type:
+                vs = vs.cast(col.type)
+            hit = pc.fill_null(pc.is_in(col, value_set=vs), False)
+            return t.filter(hit if how == "semi" else pc.invert(hit))
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    # Giant key set: distributed hash join.  The LEFT side gets the same
+    # null-type protection the key side got: an all-NULL left key block
+    # arrives as arrow `null` type, which Acero rejects as a join key —
+    # cast such blocks to the key side's concrete type (rows stay
+    # NULL-keyed: semi drops them, anti keeps them, the SQL semantics).
+    ksch = getattr(keys.schema(), "base_schema", None)
+    kt = (ksch.field(left_key).type
+          if isinstance(ksch, pa.Schema) and left_key in ksch.names
+          else None)
+
+    def norm_left(t: "pa.Table") -> "pa.Table":
+        if kt is None or not pa.types.is_null(t.schema.field(left_key).type):
+            return t
+        i = t.schema.get_field_index(left_key)
+        return t.set_column(i, pa.field(left_key, kt), pa.nulls(len(t), kt))
+
+    nleft = left.map_batches(norm_left, batch_format="pyarrow")
+    if nleft.schema() is None:
+        # the left produced no blocks at all: Ray's native join cannot
+        # resolve the key field on a schema-less side.  Both results are
+        # empty.  (The schema fetch costs one first-block read — noise
+        # next to the >broadcast_keys_max-key join this path implies.)
+        return left.limit(0) if how == "semi" else left
+    j = hash_join(nleft, keys, left_key, left_key,
                   num_partitions=num_partitions, how="left")
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:

@@ -816,6 +816,33 @@ def test_semi_anti_join_all_null_and_empty_right_blocks(ray_session):
     assert sorted(anti0["v"].tolist()) == [0, 1, 2]
 
 
+def test_semi_anti_join_degenerate_left_both_paths(ray_session):
+    """Empty / all-NULL / extension-dtype left sides through BOTH the
+    broadcast membership path (default) and the forced hash-join path
+    (broadcast_keys_max=0) — the schema traps Ray's native join cannot
+    survive on its own (null-typed key blocks, block-free left)."""
+    from parquet_hs_ray.pipelines.relational import semi_anti_join
+
+    cases = [([], [-1, 4, -4]), ([None] * 6, [None, 0, 0]),
+             ([None], [None, 0]), ([1, None, 2, 2, 5], [2, 5, None, 9]),
+             ([3, 3, 3], []), ([1, 2], [None, None])]
+    for xs, ys in cases:
+        left = pd.DataFrame({"k": pd.array(xs, dtype="Int64"),
+                             "v": np.arange(len(xs), dtype=np.int64)})
+        right = pd.DataFrame({"rk": pd.array(ys, dtype="Int64")})
+        lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+        rset = {y for y in ys if y is not None}
+        exp_semi = sorted(i for i, x in enumerate(xs)
+                          if x is not None and x in rset)
+        exp_anti = sorted(set(range(len(xs))) - set(exp_semi))
+        for bmax in (1_000_000, 0):
+            for how, exp in (("semi", exp_semi), ("anti", exp_anti)):
+                out = semi_anti_join(lds, rds, "k", "rk", how,
+                                     broadcast_keys_max=bmax).to_pandas()
+                got = sorted(out["v"].tolist()) if "v" in out.columns else []
+                assert got == exp, (xs, ys, bmax, how, got, exp)
+
+
 _opt_keys = st.lists(st.one_of(st.none(),
                                st.integers(min_value=-4, max_value=4)),
                      min_size=0, max_size=25)
