@@ -1656,6 +1656,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_col="before_table", id_cols=["doc_id"])
 
     q["doc_extract"] = doc_extract
+
+    def cms_terms(sf):
+        """Count-min sketch heavy hitters: mergeable depth x width counter
+        grid (bounded shuffle, corpus-size-independent), deterministic
+        overestimate-only estimates — the whole sketch replays in SQL."""
+        from parquet_hs_ray.pipelines.stats import cms_top_terms
+
+        return cms_top_terms(_read(sf, "documents"), k=25)
+
+    q["cms_top_terms"] = cms_terms
     return q
 
 
@@ -2999,4 +3009,9 @@ WHERE rn <= least(t.n_s, t.cnt)
         "  ORDER BY md5('42:' || doc_id::VARCHAR), doc_id) AS rn"
         " FROM documents) WHERE rn <= 20 ORDER BY source, doc_id"
     )
+    # count-min sketch heavy hitters: the full sketch (word-hash chain,
+    # double-hash cells, min-over-depths estimate) replayed in SQL
+    from parquet_hs_ray.functions.sql_oracles import cms_top_terms_sql
+
+    o["cms_top_terms"] = cms_top_terms_sql("documents", k=25)
     return o

@@ -69,6 +69,9 @@ def main(argv=None):
     enc.add_argument("--concurrency", type=int, default=None)
     enc.add_argument("--force", action="store_true", help="wipe output dir first")
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--no-bloom", action="store_true",
+                     help="skip per-partition Bloom filters (point-equality "
+                          "pruning stats) in the manifest")
 
     dec = sub.add_parser("decode", help="decode blocks back to parquet")
     dec.add_argument("--encoded", required=True)
@@ -140,6 +143,7 @@ def main(argv=None):
             res = encode_dataset(
                 args.input, args.out, token_col=tc, token_budget=args.token_budget,
                 concurrency=args.concurrency, resume=not args.no_resume,
+                bloom_stats=not args.no_bloom,
             )
             print(json.dumps(res))
         elif args.cmd == "decode":

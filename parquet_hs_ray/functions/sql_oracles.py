@@ -474,3 +474,45 @@ def weighted_sample_sql(table: str = "documents", weight_col: str = "n_chars",
     return (f"SELECT doc_id, source, {weight_col} FROM ({q}) "
             f"WHERE h // {T}::HUGEINT < {w_expr} "
             f"ORDER BY doc_id")
+
+
+def cms_top_terms_sql(table: str = "documents", k: int = 20,
+                      depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of ``stats.cms_top_terms``: the same per-word
+    splitmix64 recursive-CTE hash chain, the same Kirsch-Mitzenmacher
+    double hash ``pos_i = (h1 + i*(splitmix64(h1)|1)) mod 2^64 mod w``,
+    cell counts via GROUP BY, estimates via min over depths — the full
+    count-min sketch replayed in SQL, hash-exact."""
+    # h2 = splitmix64(whash) forced odd: g - g%2 + 1 == g|1
+    h2q = "SELECT doc_id, wpos, whash, whash AS g FROM wh"
+    for layer in _splitmix_layers("g"):
+        h2q = f"{layer} FROM ({h2q})"
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+occ AS MATERIALIZED (
+  SELECT doc_id, wpos, whash, (g - g % 2 + 1) AS h2 FROM ({h2q})
+),
+pos AS (
+  SELECT d.i AS i,
+         (((whash + d.i::HUGEINT * h2) % {_M}) % {width}::HUGEINT)::BIGINT AS pos
+  FROM occ CROSS JOIN (SELECT unnest(range({depth})) AS i) d
+),
+cells AS MATERIALIZED (
+  SELECT i, pos, count(*)::BIGINT AS cnt FROM pos GROUP BY i, pos
+),
+vocab AS (
+  SELECT DISTINCT w.w AS term, o.whash, o.h2
+  FROM words w JOIN occ o ON o.doc_id = w.doc_id AND o.wpos = w.wpos
+),
+vpos AS (
+  SELECT term, d.i AS i,
+         (((whash + d.i::HUGEINT * h2) % {_M}) % {width}::HUGEINT)::BIGINT AS pos
+  FROM vocab CROSS JOIN (SELECT unnest(range({depth})) AS i) d
+),
+est AS (
+  SELECT term, min(cnt)::BIGINT AS est_count
+  FROM vpos JOIN cells USING (i, pos) GROUP BY term
+)
+SELECT term, est_count FROM est
+ORDER BY est_count DESC, term LIMIT {k}
+"""

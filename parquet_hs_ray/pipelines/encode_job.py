@@ -89,6 +89,7 @@ def encode_dataset(
     filesystem=None,
     input_filesystem=None,
     append: bool = False,
+    bloom_stats: bool = True,
 ) -> dict:
     """Run the encode job; returns the manifest summary. Safe to re-run:
     finished partitions are skipped (checkpoint resume).
@@ -161,7 +162,8 @@ def encode_dataset(
             EncoderStage,
             fn_constructor_kwargs={"out_dir": out_dir, "token_col": token_col,
                                    "filesystem": filesystem,
-                                   "input_filesystem": input_filesystem},
+                                   "input_filesystem": input_filesystem,
+                                   "bloom_stats": bloom_stats},
             batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
@@ -169,7 +171,8 @@ def encode_dataset(
         )
     else:
         stage = EncoderStage(out_dir, token_col, filesystem=filesystem,
-                             input_filesystem=input_filesystem)
+                             input_filesystem=input_filesystem,
+                             bloom_stats=bloom_stats)
         out = ds.map_batches(
             stage, batch_size=batch_size, num_cpus=1, batch_format="numpy"
         )
@@ -210,6 +213,14 @@ def _stats_can_match(entry: dict, preds: list) -> bool:
                (op == "is_not_null" and nulls == rows):
                 return False
             continue
+        if op == "==" and st.get("bloom") is not None:
+            # per-partition Bloom over distinct values: proves absence
+            # for point probes min/max can't (uniform high-cardinality
+            # ids); a false positive only costs a wasted decode
+            from ..state import bloomstats as bst
+
+            if not bst.might_contain(st["bloom"], v):
+                return False
         if st.get("min") is None or st.get("max") is None:
             continue
         mn, mx = st["min"], st["max"]

@@ -1210,3 +1210,93 @@ def impute_median(ds: "ray.data.Dataset", key: str, col: str,
         return out
 
     return ds.map_batches(fill, batch_format="pandas")
+
+
+def cms_top_terms(docs: "ray.data.Dataset", k: int = 20, depth: int = 4,
+                  width: int = 1024, col: str = "text") -> "pa.Table":
+    """Corpus heavy hitters from a **count-min sketch** — the classic
+    mergeable frequency sketch (Cormode & Muthukrishnan 2005), closing
+    the sketch family next to MinHash/SimHash/HLL/KMV/Bloom.
+
+    Per block, word occurrences (corpus-standard whitespace/lower
+    tokenization, the minhash convention) hash into a ``depth x width``
+    counter grid via Kirsch-Mitzenmacher double hashing over the
+    splitmix64 word-hash chain; partial grids merge by cell-wise SUM.
+    The shuffle therefore carries at most ``depth*width`` rows per block
+    — INDEPENDENT of corpus size, the whole point of the sketch.
+    Estimates are deterministic and overestimate-only
+    (``est >= true count``, error ``<= eps*N`` w.h.p.), so the ENTIRE
+    pipeline replays in SQL (``sql_oracles.cms_top_terms_sql``: the same
+    word-hash recursive CTE, the same double-hash cell math).
+
+    The candidate set here is the corpus's distinct tokens
+    (vocabulary-sized driver merge — the same documented assumption as
+    ``top_terms``'s df broadcast); at 100 TB swap the candidate stage
+    for per-block local top-M heavy candidates and keep the grid math.
+    Ties at the cut rank break lexicographically (deterministic)."""
+    import pyarrow as pa
+
+    from ..functions import sketches as sk
+    from ..functions.text import flatten_words
+    from .groupagg import grouped_agg
+
+    d_arr = np.arange(depth, dtype=np.uint64)
+
+    def _positions(h1: np.ndarray) -> np.ndarray:
+        h2 = sk._splitmix64(h1) | np.uint64(1)
+        # uint64 arithmetic wraps mod 2^64 — matches the SQL twin's
+        # explicit % 2^64 before the width mod
+        return ((h1[:, None] + d_arr[None, :] * h2[:, None])
+                % np.uint64(width)).astype(np.int64)
+
+    def _block_words(batch: pd.DataFrame):
+        t = batch[col].fillna("").str.lower().str.split()
+        lens = t.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(t, lens)
+        if not len(flat):
+            return None, None
+        return np.unique(flat, return_counts=True)
+
+    def cells_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uw, cnt = _block_words(batch)
+        if uw is None:
+            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        pos = _positions(sk.word_hashes(uw))  # (n_words, depth)
+        flatcell = (d_arr[None, :].astype(np.int64) * width + pos).reshape(-1)
+        grid = np.bincount(flatcell, weights=np.repeat(cnt, depth),
+                           minlength=depth * width).astype(np.int64)
+        nz = np.nonzero(grid)[0]
+        return pd.DataFrame({"i": nz // width, "pos": nz % width,
+                             "cnt": grid[nz]})
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uw, _ = _block_words(batch)
+        if uw is None:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "one": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"term": uw,
+                             "one": np.ones(len(uw), dtype=np.int64)})
+
+    cells = grouped_agg(docs.map_batches(cells_partial, batch_format="pandas"),
+                        ["i", "pos"], {"cnt": "sum"}).to_pandas()
+    vdf = grouped_agg(docs.map_batches(vocab_partial, batch_format="pandas"),
+                      ["term"], {"one": "max"}).to_pandas()
+    # an all-empty corpus yields zero blocks -> schema-less empty frames
+    vocab = (vdf["term"].to_numpy() if "term" in vdf.columns
+             else np.empty(0, dtype=object))
+
+    grid = np.zeros((depth, width), dtype=np.int64)
+    if len(cells) and "i" in cells.columns:
+        grid[cells["i"].to_numpy(), cells["pos"].to_numpy()] = \
+            cells["cnt"].to_numpy()
+    if not len(vocab):
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "est_count": pa.array([], type=pa.int64())})
+    pos = _positions(sk.word_hashes(vocab.astype(object)))
+    est = grid[np.arange(depth)[None, :], pos].min(axis=1)
+    out = pd.DataFrame({"term": vocab, "est_count": est}).sort_values(
+        ["est_count", "term"], ascending=[False, True], kind="mergesort")
+    return pa.Table.from_pandas(out.head(k).reset_index(drop=True),
+                                preserve_index=False)

@@ -58,7 +58,7 @@ class EncoderStage:
     a control dataset of partition plan rows."""
 
     def __init__(self, out_dir: str, token_col: str | None = "n_tok", columns=None,
-                 filesystem=None, input_filesystem=None):
+                 filesystem=None, input_filesystem=None, bloom_stats: bool = True):
         t0 = time.perf_counter()
         from ..memtune import ensure_process_tuned
 
@@ -66,6 +66,7 @@ class EncoderStage:
         self.out_dir = out_dir
         self.token_col = token_col
         self.columns = columns
+        self.bloom_stats = bloom_stats
         self.filesystem = filesystem  # output (blobs + manifest)
         self.input_filesystem = input_filesystem  # source parquet
         self.init_ms = round((time.perf_counter() - t0) * 1e3, 1)
@@ -91,6 +92,18 @@ class EncoderStage:
             part, blob, raw_bytes=tbl.nbytes, n_rows=tbl.num_rows, n_tokens=n_tokens,
             col_stats=stats, wall_ms=(time.perf_counter() - t0) * 1e3,
         )
+        if self.bloom_stats:
+            # point-equality pruning stats: min/max can't prune `id == X`
+            # probes on high-cardinality columns, a per-partition Bloom
+            # over the distinct values can (state/bloomstats.py)
+            from ..state import bloomstats as bst
+
+            for name in tbl.column_names:
+                st = entry["columns"].get(name)
+                if st is not None and tbl.num_rows:
+                    bl = bst.build_column_bloom(tbl[name])
+                    if bl is not None:
+                        st["bloom"] = bl
         entry["read_ms"] = round((t1 - t0) * 1e3, 1)
         entry["encode_ms"] = round((t2 - t1) * 1e3, 1)
         entry["write_ms"] = round((t3 - t2) * 1e3, 1)

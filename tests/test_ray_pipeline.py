@@ -329,7 +329,11 @@ def test_decode_empty_match_preserves_schema(ray_session, tmp_path):
     out = str(tmp_path / "enc")
     encode_dataset(src, out, token_col=None, token_budget=1000)
 
-    pred = [("sel", "==", 1)]
+    # a RANGE predicate: the per-partition Bloom proves `== 1` absent
+    # from the straddler outright (see test_bloom_prune), but min/max
+    # can't prune `between`, so this still exercises the
+    # straddle-then-empty decode path the test is about
+    pred = [("sel", "between", (1, 1))]
     ds = decode_dataset(out, predicate=pred)
     got = ds.to_pandas()
     assert list(got.columns) == ["k", "sel", "name"]  # schema survives

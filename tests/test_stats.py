@@ -667,3 +667,40 @@ def test_impute_median_fills_per_group_and_keeps_all_null_groups(ray_session):
     assert out.loc[1, "was_null"] and out.loc[6, "was_null"]
     # c: all-null group stays NULL
     assert np.isnan(out.loc[8, "v"]) and np.isnan(out.loc[9, "v"])
+
+
+def test_cms_top_terms_guarantees(ray_session):
+    """Count-min sketch: overestimate-only vs exact counts, planted heavy
+    hitter ranks first, and the result is block-layout-independent."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import cms_top_terms
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(80)]
+    texts += ["pumpkin " * 400]  # planted heavy hitter (400 occurrences)
+    df = pd.DataFrame({"text": texts})
+
+    out = cms_top_terms(ray.data.from_pandas(df), k=10,
+                        depth=4, width=512).to_pandas()
+    assert out.iloc[0]["term"] == "pumpkin"
+    assert out.iloc[0]["est_count"] >= 400  # overestimate-only
+
+    # est >= true for every reported term (exact counts via the same
+    # whitespace/lower tokenization)
+    from collections import Counter
+    true = Counter(w for t in texts for w in t.lower().split())
+    for _, r in out.iterrows():
+        assert r["est_count"] >= true[r["term"]], r["term"]
+
+    # layout independence: 1 block vs 7 blocks -> identical table
+    parts = np.array_split(df, 7)
+    out7 = cms_top_terms(ray.data.from_pandas([p for p in parts if len(p)]),
+                         k=10, depth=4, width=512).to_pandas()
+    assert out.equals(out7)
+
+    # empty corpus -> empty result with the right schema
+    e = cms_top_terms(ray.data.from_pandas(pd.DataFrame({"text": [""]})),
+                      k=5).to_pandas()
+    assert list(e.columns) == ["term", "est_count"] and len(e) == 0
