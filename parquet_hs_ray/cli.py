@@ -92,6 +92,14 @@ def main(argv=None):
     ver.add_argument("--encoded", required=True)
     ver.add_argument("--input", required=False, help="(lineage in plan.json is used)")
 
+    cpt = sub.add_parser(
+        "compact", help="merge runs of small encoded partitions into "
+        "token-budget-sized ones (source untouched; lineage + resume)")
+    cpt.add_argument("--encoded", required=True, help="source encoded dir")
+    cpt.add_argument("--out", required=True, help="compacted output dir")
+    cpt.add_argument("--token-budget", type=int, default=4_000_000)
+    cpt.add_argument("--no-resume", action="store_true")
+
     sub.add_parser("synth-help")
     summ = sub.add_parser("summary")
     summ.add_argument("--encoded", required=True)
@@ -174,6 +182,13 @@ def main(argv=None):
                 from .state import manifest as mf
 
                 print(json.dumps({"rows": mf.summary(args.encoded)["rows"], "out": args.out}))
+        elif args.cmd == "compact":
+            from .pipelines.encode_job import compact_dataset
+
+            res = compact_dataset(args.encoded, args.out,
+                                  token_budget=args.token_budget,
+                                  resume=not args.no_resume)
+            print(json.dumps(res))
         elif args.cmd == "layout":
             import ray.data
 

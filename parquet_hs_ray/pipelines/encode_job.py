@@ -413,3 +413,122 @@ def _hive_splits(t: pa.Table, partition_cols: list[str]):
         vals = str(dictionary[code]).split("\x1f")
         subdir = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
         yield subdir, rest.filter(pc.equal(indices, code))
+
+
+def compact_dataset(src_dir: str, out_dir: str,
+                    token_budget: int = DEFAULT_TOKEN_BUDGET,
+                    resume: bool = True,
+                    filesystem=None, src_filesystem=None) -> dict:
+    """Compact an encoded dataset: merge runs of small partitions into
+    token-budget-sized ones — the storage-maintenance pass every
+    long-lived encoded store needs once appends / skew splits have
+    fragmented it (many sub-budget blobs pay per-partition scheduling,
+    manifest and dictionary overhead on every later decode).
+
+    Semantics & shape:
+
+    - groups CONSECUTIVE finished partitions (manifest id order) until
+      adding the next would exceed ``token_budget`` — rows keep their
+      manifest-order position (within-partition order is exact; global
+      ordering across blocks follows Ray's ``preserve_order`` execution
+      option, as for any decode).
+      Weights are manifest ``n_tokens``; datasets encoded without a
+      token column fall back to ``raw_bytes`` (then the budget is in
+      raw Arrow bytes — documented, not mixed).
+    - each group decodes its source blobs (one task per group, streaming
+      actor-pool-free map), concatenates, and RE-ENCODES the merged
+      chunk: the codec selector re-runs on the bigger chunk, so
+      dictionaries/symbol tables amortize and runs lengthen — compaction
+      usually SHRINKS total bytes, never changes decoded values.
+    - the source is never mutated; the output manifest entry carries
+      ``source_partitions`` + ``compacted_from`` lineage, fresh
+      per-column stats and Bloom filters.
+    - resumable exactly like encode: finished output partitions are
+      skipped on re-run (blob AND manifest entry required).
+
+    Note: ``cli verify`` needs the original plan lineage, so verify a
+    compacted store by decode-comparison against the source store (the
+    test does) or against the original input files.
+    """
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    entries = sorted((e for e in mf.load_manifest(src_dir, src_filesystem)
+                      if e.get("status") == "done"),
+                     key=lambda e: e["partition_id"])
+    if not entries:
+        raise ValueError(f"no finished partitions in {src_dir}")
+    use_tokens = any((e.get("n_tokens") or 0) > 0 for e in entries)
+    wkey = "n_tokens" if use_tokens else "raw_bytes"
+
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    acc = 0
+    cur_cols: tuple | None = None
+    for e in entries:
+        w = max(0, int(e.get(wkey) or 0))
+        cols = tuple(sorted(e.get("columns", {})))
+        # a store may hold several tables (whole-directory encode):
+        # never merge across schemas — break the group on a column-set
+        # change just like on a budget overflow
+        if cur and (acc + w > token_budget or cols != cur_cols):
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(e)
+        acc += w
+        cur_cols = cols
+    if cur:
+        groups.append(cur)
+
+    mf.ensure_dirs(out_dir, filesystem)
+    done = mf.finished_ids(out_dir, filesystem) if resume else set()
+    items = [{"partition_id": gi,
+              "src_ids": np.array([e["partition_id"] for e in g], dtype=np.int64),
+              "n_tokens": sum(int(e.get("n_tokens") or 0) for e in g),
+              "row_count": sum(int(e.get("row_count") or 0) for e in g)}
+             for gi, g in enumerate(groups) if gi not in done]
+    result = {"groups": len(groups), "skipped_finished": len(done),
+              "compacted": len(items), "source_partitions": len(entries)}
+    if not items:
+        result.update(mf.summary(out_dir, filesystem))
+        return result
+
+    def compact_group(batch: dict) -> dict:
+        from ..format import decode_table, encode_table
+        from ..stages.encode import attach_bloom_stats
+
+        out = {"partition_id": [], "row_count": [], "encoded_bytes": []}
+        for i in range(len(batch["partition_id"])):
+            t0 = time.perf_counter()
+            gid = int(batch["partition_id"][i])
+            src_ids = [int(x) for x in batch["src_ids"][i]]
+            tbl = pa.concat_tables(
+                [decode_table(mf.read_blob(src_dir, pid, src_filesystem))
+                 for pid in src_ids]).combine_chunks()
+            blob, stats = encode_table(tbl)
+            mf.write_blob_atomic(out_dir, gid, blob, filesystem)
+            part = Partition(partition_id=gid, path=f"compact:{src_dir}",
+                             row_start=0, row_count=tbl.num_rows,
+                             est_tokens=int(batch["n_tokens"][i]))
+            entry = mf.make_entry(part, blob, raw_bytes=tbl.nbytes,
+                                  n_rows=tbl.num_rows,
+                                  n_tokens=int(batch["n_tokens"][i]),
+                                  col_stats=stats,
+                                  wall_ms=(time.perf_counter() - t0) * 1e3)
+            entry["source_partitions"] = src_ids
+            entry["compacted_from"] = src_dir
+            attach_bloom_stats(entry, tbl)
+            mf.write_entry(out_dir, entry, filesystem)
+            out["partition_id"].append(gid)
+            out["row_count"].append(tbl.num_rows)
+            out["encoded_bytes"].append(len(blob))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    ds = ray.data.from_items(items)
+    metrics = ds.map_batches(compact_group, batch_size=1, num_cpus=1,
+                             batch_format="numpy").to_pandas()
+    result["compacted"] = len(metrics)
+    result.update(mf.summary(out_dir, filesystem))
+    return result

@@ -53,6 +53,22 @@ def read_slice(path: str, row_start: int, row_count: int, columns=None, filesyst
     return tbl.slice(row_start - first_base, row_count)
 
 
+def attach_bloom_stats(entry: dict, tbl: pa.Table) -> None:
+    """Attach per-column Bloom filters to a manifest entry: point-equality
+    pruning stats min/max can't provide on high-cardinality columns
+    (state/bloomstats.py). Shared by the encode and compact jobs."""
+    if not tbl.num_rows:
+        return
+    from ..state import bloomstats as bst
+
+    for name in tbl.column_names:
+        st = entry["columns"].get(name)
+        if st is not None:
+            bl = bst.build_column_bloom(tbl[name])
+            if bl is not None:
+                st["bloom"] = bl
+
+
 class EncoderStage:
     """Callable class for ``map_batches(EncoderStage, concurrency=N)`` over
     a control dataset of partition plan rows."""
@@ -93,17 +109,7 @@ class EncoderStage:
             col_stats=stats, wall_ms=(time.perf_counter() - t0) * 1e3,
         )
         if self.bloom_stats:
-            # point-equality pruning stats: min/max can't prune `id == X`
-            # probes on high-cardinality columns, a per-partition Bloom
-            # over the distinct values can (state/bloomstats.py)
-            from ..state import bloomstats as bst
-
-            for name in tbl.column_names:
-                st = entry["columns"].get(name)
-                if st is not None and tbl.num_rows:
-                    bl = bst.build_column_bloom(tbl[name])
-                    if bl is not None:
-                        st["bloom"] = bl
+            attach_bloom_stats(entry, tbl)
         entry["read_ms"] = round((t1 - t0) * 1e3, 1)
         entry["encode_ms"] = round((t2 - t1) * 1e3, 1)
         entry["write_ms"] = round((t3 - t2) * 1e3, 1)

@@ -518,3 +518,77 @@ def test_string_stats_enable_equality_pruning(ray_session, tmp_path):
     assert total >= 10 and len(kept) <= total // 2
     got = decode_dataset(out, predicate=[("source", "==", "wiki")]).to_pandas()
     assert len(got) == n // 3 and (got["source"] == "wiki").all()
+
+
+def test_compact_dataset_merges_preserves_rows_and_resumes(ray_session, tmp_path):
+    """Compaction: many sub-budget partitions merge into few, decoded
+    content row-equals the source store, bytes don't grow (bigger chunks
+    amortize dictionaries), lineage recorded, finished groups skipped on
+    re-run, and equality pruning still works via the rebuilt stats."""
+    from parquet_hs_ray.pipelines.encode_job import (compact_dataset,
+                                                     decode_dataset,
+                                                     encode_dataset,
+                                                     pruned_partition_ids)
+    from parquet_hs_ray.sources.synth import gen_batch
+
+    src_tbl = gen_batch(4000, seed=11)
+    src = str(tmp_path / "f1.parquet")
+    pq.write_table(src_tbl, src, row_group_size=250)
+    enc = str(tmp_path / "enc")
+    # tiny budget -> fragmented store
+    encode_dataset(src, enc, token_budget=60_000)
+    n_src = len([e for e in mf.load_manifest(enc) if e["status"] == "done"])
+    assert n_src >= 12
+
+    out = str(tmp_path / "compacted")
+    res = compact_dataset(enc, out, token_budget=1_000_000)
+    assert 1 <= res["groups"] < n_src // 2
+    assert res["source_partitions"] == n_src
+
+    # content equality (streaming executor may emit blocks out of order;
+    # within-partition order is preserved, global order keyed by doc_id)
+    a = decode_dataset(enc).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decode_dataset(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    src_bytes = sum(e["encoded_bytes"] for e in mf.load_manifest(enc))
+    out_entries = mf.load_manifest(out)
+    out_bytes = sum(e["encoded_bytes"] for e in out_entries)
+    assert out_bytes <= src_bytes  # merged chunks never encode larger
+
+    # lineage: every source partition appears exactly once, in id order
+    seen = [pid for e in sorted(out_entries, key=lambda e: e["partition_id"])
+            for pid in e["source_partitions"]]
+    assert seen == sorted(e["partition_id"] for e in mf.load_manifest(enc))
+    assert all(e["compacted_from"] == enc for e in out_entries)
+
+    # resume: re-run is a no-op
+    res2 = compact_dataset(enc, out, token_budget=1_000_000)
+    assert res2["compacted"] == 0
+    assert res2["skipped_finished"] == res["groups"]
+
+    # rebuilt stats + blooms prune on the compacted store
+    target = str(a["doc_id"].iloc[len(a) // 2])
+    kept, total = pruned_partition_ids(out, [("doc_id", "==", target)])
+    got = decode_dataset(out, predicate=[("doc_id", "==", target)]).to_pandas()
+    assert len(got) >= 1 and (got["doc_id"] == target).all()
+    if total >= 4:
+        assert len(kept) < total
+
+
+def test_compact_never_merges_across_schemas(ray_session, tmp_path):
+    """A store encoded from a whole directory holds several tables;
+    compaction must break groups at schema boundaries (column-set
+    change), not concat incompatible tables."""
+    from parquet_hs_ray.pipelines.encode_job import (compact_dataset,
+                                                     decode_dataset,
+                                                     encode_dataset)
+
+    enc = str(tmp_path / "enc_multi")
+    encode_dataset(["/root/testdata/sf0.001/region.parquet",
+                    "/root/testdata/sf0.001/nation.parquet"],
+                   enc, token_col=None, token_budget=10**9)
+    out = str(tmp_path / "cpt_multi")
+    res = compact_dataset(enc, out, token_budget=10**12)
+    assert res["groups"] == 2  # huge budget, but schemas differ
+    assert decode_dataset(out).count() == decode_dataset(enc).count()
