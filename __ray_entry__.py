@@ -101,6 +101,17 @@ def _decode_f1(sf_dir: str):
     return decode_dataset(out)
 
 
+# Shared by the events_validate query and its SQL oracle so both sides
+# check the exact same rule set (pipelines/validate.py rule forms).
+_VALIDATE_RULES = [
+    ("not_null", "value"),
+    ("unique", "event_id"),
+    ("range", "value", 0.0, 400.0),
+    ("in_set", "event_type", ["click", "view", "purchase"]),
+    ("regex", "props", '"k": [0-4]'),
+]
+
+
 def _media_features(sf_dir: str):
     """Multimodal plumbing demo: document text bytes as opaque payloads."""
     import pyarrow as pa
@@ -1647,6 +1658,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_impute"] = ev_impute
 
+    def ev_validate(sf):
+        """Declarative data-validation suite (Deequ shape): five rule
+        kinds checked in one distributed pass; shuffle carries
+        #rules x #blocks count rows plus a cardinality-bounded distinct
+        reduction for the unique rule."""
+        from parquet_hs_ray.pipelines.validate import validate
+
+        return validate(_read(sf, "events"), _VALIDATE_RULES)
+
+    q["events_validate"] = ev_validate
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract
@@ -2733,6 +2755,9 @@ SELECT b.event_id, b.event_type,
        coalesce(b.v, m.m) AS value, (b.v IS NULL) AS was_null
 FROM base b LEFT JOIN med m USING (event_type)
 """
+    from parquet_hs_ray.functions.sql_oracles import validate_sql
+
+    o["events_validate"] = validate_sql("events", _VALIDATE_RULES)
     # first-match regex capture; no-match rows get '' on both sides
     o["doc_extract"] = r"""
 SELECT doc_id, regexp_extract(text, '(\w+) table', 1) AS before_table

@@ -516,3 +516,45 @@ est AS (
 SELECT term, est_count FROM est
 ORDER BY est_count DESC, term LIMIT {k}
 """
+
+
+def validate_sql(table: str, rules: "list[tuple]") -> str:
+    """DuckDB twin of ``pipelines.validate.validate``: one UNION ALL arm
+    per rule, COUNT(*) FILTER for violation counts (BIGINT on both
+    sides), ordered by rule name like the Ray result."""
+    from parquet_hs_ray.pipelines.validate import rule_name
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    arms = []
+    for r in rules:
+        kind, col = r[0], r[1]
+        name = lit(rule_name(r))
+        if kind == "not_null":
+            arms.append(f"SELECT {name} AS rule, COUNT(*)::BIGINT AS n_checked, "
+                        f"COUNT(*) FILTER (WHERE {col} IS NULL)::BIGINT AS n_violations "
+                        f"FROM {table}")
+        elif kind == "range":
+            lo, hi = r[2], r[3]
+            arms.append(f"SELECT {name}, COUNT(*)::BIGINT, COUNT(*) FILTER (WHERE "
+                        f"{col} IS NOT NULL AND ({col} < {lit(lo)} OR {col} > {lit(hi)}))"
+                        f"::BIGINT FROM {table}")
+        elif kind == "in_set":
+            vals = ", ".join(lit(v) for v in r[2])
+            arms.append(f"SELECT {name}, COUNT(*)::BIGINT, COUNT(*) FILTER (WHERE "
+                        f"{col} IS NOT NULL AND {col} NOT IN ({vals}))::BIGINT "
+                        f"FROM {table}")
+        elif kind == "regex":
+            arms.append(f"SELECT {name}, COUNT(*)::BIGINT, COUNT(*) FILTER (WHERE "
+                        f"{col} IS NOT NULL AND NOT regexp_matches({col}, {lit(r[2])}))"
+                        f"::BIGINT FROM {table}")
+        elif kind == "unique":
+            arms.append(f"SELECT {name}, COUNT({col})::BIGINT, "
+                        f"(COUNT({col}) - COUNT(DISTINCT {col}))::BIGINT FROM {table}")
+        else:
+            raise ValueError(f"unknown rule kind: {r!r}")
+    body = "\nUNION ALL\n".join(arms)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY rule"

@@ -704,3 +704,59 @@ def test_cms_top_terms_guarantees(ray_session):
     e = cms_top_terms(ray.data.from_pandas(pd.DataFrame({"text": [""]})),
                       k=5).to_pandas()
     assert list(e.columns) == ["term", "est_count"] and len(e) == 0
+
+
+def test_validate_rules_match_python(ray_session):
+    """validate(): every rule kind vs a direct pandas computation on a
+    multi-block frame with NULLs, duplicate keys, and regex misses."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.validate import validate
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 5, 5, 6, 7, 8],
+        "val": [0.5, None, 3.0, -1.0, 10.0, None, 2.0, 99.0, 5.0, 7.0],
+        "cat": ["a", "b", "c", "a", None, "b", "z", "a", "b", "c"],
+        "txt": ["k=1", "k=2", "nope", None, "k=9", "k=3", "x", "k=4", "k=5", "k=6"],
+    })
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:6], df.iloc[6:]])
+    rules = [
+        ("not_null", "val"),
+        ("unique", "id"),
+        ("range", "val", 0.0, 9.0),
+        ("in_set", "cat", ["a", "b", "c"]),
+        ("regex", "txt", r"k=\d"),
+    ]
+    out = validate(ds, rules).to_pandas().set_index("rule")
+
+    assert out.loc["not_null(val)", "n_violations"] == 2
+    assert out.loc["not_null(val)", "n_checked"] == 10
+    # unique: 10 non-null ids, 8 distinct -> 2 violations
+    assert out.loc["unique(id)", "n_checked"] == 10
+    assert out.loc["unique(id)", "n_violations"] == 2
+    # range [0,9]: -1.0 and 10.0 and 99.0 violate; NULLs don't
+    assert out.loc["range(val,0.0,9.0)", "n_violations"] == 3
+    # in_set: 'z' violates; NULL doesn't
+    assert out.loc["in_set(cat)", "n_violations"] == 1
+    # regex search: 'nope' and 'x' miss; NULL doesn't count
+    assert out.loc["regex(txt)", "n_violations"] == 2
+
+    with pytest.raises(ValueError):
+        validate(ds, [("bogus", "id")])
+    with pytest.raises(ValueError):
+        validate(ds, [("range", "val", 1.0)])
+
+
+def test_validate_unique_only_and_empty_blocks(ray_session):
+    """unique-only rule set (no row rules) and blocks that contribute
+    nothing still sum correctly."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.validate import validate
+
+    df = pd.DataFrame({"id": [1, 1, 1, 2, None]})
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:4], df.iloc[4:]])
+    out = validate(ds, [("unique", "id")]).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_checked"] == 4       # NULL not counted
+    assert out.loc[0, "n_violations"] == 2    # 4 non-null, 2 distinct
