@@ -897,6 +897,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["orders_skew_join"] = skew_join_q
 
+    def orders_merge_q(sf):
+        """CDC MERGE INTO: apply a deterministic changeset (updates on
+        keys %10==3, inserts of shifted keys %10==1, deletes %10==7) to
+        orders.  Target filters in place via the broadcast/hash anti
+        join; upserts stream from the (small) changeset."""
+        import pandas as pd
+
+        def mk(b: "pd.DataFrame") -> "pd.DataFrame":
+            m = b["o_orderkey"] % 10
+            upd = b[m == 3].copy()
+            upd["o_totalprice"] = upd["o_totalprice"] + 100.0
+            upd["o_orderstatus"] = "U"
+            upd["_op"] = "upsert"
+            ins = b[m == 1].copy()
+            ins["o_orderkey"] = ins["o_orderkey"] + 10_000_000
+            ins["o_orderstatus"] = "N"
+            ins["_op"] = "upsert"
+            dele = b[m == 7].copy()
+            dele["_op"] = "delete"
+            return pd.concat([upd, ins, dele], ignore_index=True)
+
+        target = _read(sf, "orders")
+        changes = _read(sf, "orders").map_batches(mk, batch_format="pandas")
+        return rel.merge_into(target, changes, "o_orderkey")
+
+    q["orders_merge"] = orders_merge_q
+
     def q5_regional(sf):
         from parquet_hs_ray.pipelines.recipes import regional_revenue
 
@@ -3007,6 +3034,29 @@ GROUP BY n.n_name
     o["orders_skew_join"] = (
         "SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+    # CDC MERGE INTO: next snapshot = unchanged-key survivors + upserts
+    o["orders_merge"] = """
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'upsert' AS _op
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate,
+         o_orderpriority, 'upsert'
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority, 'delete'
+  FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT o.* FROM orders o
+WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM changes WHERE _op = 'upsert'
+"""
     # bucketed join: co-located layouts make the join bucket-local; the
     # result is the plain equi-join
     o["bucketed_orders_join"] = (

@@ -704,3 +704,53 @@ def semi_anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return out.drop(columns=[marker])
 
     return j.map_batches(pick, batch_format="pandas")
+
+
+def merge_into(target: "ray.data.Dataset", changes: "ray.data.Dataset",
+               key: str, op_col: str = "_op",
+               version_col: str | None = None) -> "ray.data.Dataset":
+    """CDC apply / SQL ``MERGE INTO``: produce the next snapshot of
+    ``target`` under a changeset.
+
+    ``changes`` carries the full target schema plus ``op_col`` with
+    values ``'upsert'`` (insert-or-replace the row with this key) or
+    ``'delete'`` (drop the key).  Result = target rows whose key has NO
+    change row, unioned with the upsert rows — so an upsert both
+    replaces existing rows and inserts new keys, and a delete simply
+    removes the anti-join survivor.
+
+    Change keys must be unique; pass ``version_col`` to reduce a raw
+    change LOG to latest-wins first (``stats.grouped_argmax`` — ties on
+    the version break toward the larger key, deterministic).
+
+    Scale shape: the target never shuffles when the changeset's distinct
+    keys fit a broadcast — :func:`semi_anti_join` filters it in place
+    via a ``ray.put`` membership probe and falls back to one distributed
+    hash join above the threshold; upserts are a streaming filter of the
+    (small) changeset.  Unknown op values raise rather than silently
+    dropping rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    target_cols = list(target.columns())
+    if version_col is not None:
+        from .stats import grouped_argmax
+
+        keep = [c for c in changes.columns() if c not in (key,)]
+        # tiebreak on op_col: an upsert and a delete sharing a version
+        # resolve to the upsert ('upsert' > 'delete'), deterministically
+        changes = grouped_argmax(changes, key, version_col,
+                                 value_cols=keep, tiebreak=op_col)
+    survivors = semi_anti_join(target, changes, key, key, how="anti")
+
+    def upserts(t: "pa.Table") -> "pa.Table":
+        ops = t.column(op_col)
+        known = pc.is_in(ops, value_set=pa.array(["upsert", "delete"]))
+        if not pc.all(known).as_py():
+            bad = pc.unique(pc.drop_null(ops.filter(pc.invert(known))))
+            raise ValueError(f"unknown {op_col} values: {bad.to_pylist()}")
+        return t.filter(pc.equal(ops, "upsert")).select(target_cols)
+
+    ups = changes.map_batches(upserts, batch_format="pyarrow")
+    return survivors.union(ups)

@@ -868,3 +868,59 @@ def test_semi_anti_join_property_matches_python_exists(ray_session, xs, ys):
         out = semi_anti_join(lds, rds, "k", "rk", how).to_pandas()
         got = sorted(out["v"].tolist()) if "v" in out.columns else []
         assert got == exp, (how, got, exp)
+
+
+def test_merge_into_semantics(ray_session):
+    """MERGE INTO: update replaces, delete removes, insert adds; result
+    matches a python dict-apply on a multi-block layout."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import merge_into
+
+    tgt = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6],
+                        "v": ["a", "b", "c", "d", "e", "f"]})
+    chg = pd.DataFrame({
+        "k":  [2,        4,        7,        5],
+        "v":  ["B2",     "ignored", "G7",    "ignored"],
+        "_op": ["upsert", "delete", "upsert", "delete"],
+    })
+    target = ray.data.from_pandas([tgt.iloc[:3], tgt.iloc[3:]])
+    changes = ray.data.from_pandas([chg.iloc[:2], chg.iloc[2:]])
+    out = (merge_into(target, changes, "k").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+
+    state = {1: "a", 2: "b", 3: "c", 4: "d", 5: "e", 6: "f"}
+    state[2] = "B2"; del state[4]; state[7] = "G7"; del state[5]
+    exp = pd.DataFrame(sorted(state.items()), columns=["k", "v"])
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_merge_into_latest_wins_and_bad_op(ray_session):
+    """version_col reduces a change LOG to latest-wins (upsert beats
+    delete on version ties); unknown ops raise."""
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import merge_into
+
+    tgt = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    log = pd.DataFrame({
+        "k":   [1,        1,        2,        2,        3,        3],
+        "v":   ["x1",     "x2",     "ignored", "late",  "n0",     "n1"],
+        "_op": ["upsert", "upsert", "delete",  "upsert", "upsert", "upsert"],
+        "seq": [10,       20,       5,         9,        1,        1],
+    })
+    out = (merge_into(tgt, ray.data.from_pandas([log.iloc[:3], log.iloc[3:]]),
+                      "k", version_col="seq").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # k=1: seq 20 wins ('x2'); k=2: seq 9 upsert wins over seq 5 delete;
+    # k=3: version tie, both upserts — deterministic single survivor
+    assert list(out["k"]) == [1, 2, 3]
+    assert out.loc[0, "v"] == "x2"
+    assert out.loc[1, "v"] == "late"
+    assert out.loc[2, "v"] in ("n0", "n1")
+
+    bad = ray.data.from_pandas(pd.DataFrame(
+        {"k": [9], "v": ["z"], "_op": ["replace"]}))
+    with pytest.raises(Exception, match="unknown _op"):
+        merge_into(tgt, bad, "k").materialize()
