@@ -320,6 +320,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_size=8, concurrency=2, num_cpus=1, batch_format="pyarrow")
 
     q["media_real_decode"] = media_real_decode
+
+    def media_phash(sf):
+        """Image near-dup via perceptual hashes: deterministic PNG corpus
+        with planted exact + lightly-edited copies; actor-pool decode ->
+        64-bit pHash -> the generic 4x16-bit signature banding.  Rows-only
+        (pixel DCT is not SQL); planted recall / no-false-positive bounds
+        are pytest-asserted in test_operators."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from parquet_hs_ray.stages.media_codecs import encode_png
+        from parquet_hs_ray.stages.multimodal import image_phash_dedup
+
+        rng = np.random.default_rng(7)
+        imgs = [rng.integers(0, 256, size=(32 + (i % 7), 24, 3), dtype=np.uint8)
+                for i in range(40)]
+        ids, payloads = list(range(40)), [encode_png(im) for im in imgs]
+        for i in range(8):  # planted copies: exact (even i) / edited (odd i)
+            im = imgs[i].copy()
+            if i % 2:
+                im[:2, :2] ^= 255
+            ids.append(1000 + i)
+            payloads.append(encode_png(im))
+        t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                      "payload": pa.array(payloads, pa.binary())})
+        ds = ray.data.from_arrow(t)
+        return image_phash_dedup(ds, max_hamming=3, concurrency=2,
+                                 batch_size=16)
+
+    q["media_phash_dedup"] = media_phash
     from parquet_hs_ray.pipelines import windows as win
 
     def events_asof(sf):

@@ -389,21 +389,39 @@ def dedup_simhash(docs: "ray.data.Dataset", max_hamming: int = 3,
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": s})
 
     sigs = docs.map_batches(sig, batch_format="pandas")
+    return signature_neardup_pairs(sigs, id_col="doc_id", sig_col="simhash",
+                                   max_hamming=max_hamming,
+                                   bucket_cap=bucket_cap)
+
+
+def signature_neardup_pairs(sigs: "ray.data.Dataset", id_col: str = "doc_id",
+                            sig_col: str = "simhash", max_hamming: int = 3,
+                            bucket_cap: int = BUCKET_PAIR_CAP) -> pd.DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column — simhash text
+    signatures, image perceptual hashes (``media_codecs.phash64``), audio
+    fingerprints — by 4x16-bit banding + hamming verify.
+
+    Pigeonhole: two signatures within hamming ``max_hamming <= 3`` agree
+    exactly on at least one of the 4 bands, so the groupby on
+    (band, bandkey) has full recall at <=3; higher thresholds are
+    best-effort.  Shuffle carries (id, sig, band, bandkey) — 4 rows of
+    ~32 B per item, never payloads.  Over-cap buckets use the counted
+    star fallback (``attrs['n_giant_bucket_pairs']``), never a silent
+    drop."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy().view(np.uint64)
-        n = len(batch)
+        h = batch[sig_col].to_numpy().view(np.uint64)
         parts = []
         for band in range(4):  # 4x16-bit bands: hamming<=3 => >=1 exact band
             bh = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            parts.append(pd.DataFrame({"doc_id": batch["doc_id"], "simhash": batch["simhash"],
+            parts.append(pd.DataFrame({id_col: batch[id_col], sig_col: batch[sig_col],
                                        "band": band, "bandkey": bh}))
         return pd.concat(parts)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g[sig_col].to_numpy()
         if len(ids) < 2:
             return _EMPTY_SIM_PAIRS.assign(giant=np.empty(0, np.int8))
         if len(ids) > bucket_cap:

@@ -184,3 +184,37 @@ def audio_features(pcm: np.ndarray, rate: int, n_bytes: int) -> np.ndarray:
     return np.asarray(
         [n_bytes, 2.0, pcm.shape[0], rate, pcm.shape[1], rms, zcr, peak],
         dtype=np.float32)
+
+
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """DCT-II basis matrix (row u, col x) — cached, float64,
+    deterministic."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash): integer luma -> 32x32
+    nearest resize -> 2-D DCT-II -> low-frequency 8x8 block (DC dropped)
+    thresholded at its median.  Near-identical images land within a few
+    hamming bits; the hash is deterministic (no float RNG, integer luma).
+    """
+    if img.ndim == 3:
+        g = (299 * img[..., 0].astype(np.int64)
+             + 587 * img[..., 1].astype(np.int64)
+             + 114 * img[..., 2].astype(np.int64)) // 1000
+    else:
+        g = img.astype(np.int64)
+    g = resize_nearest(g, 32, 32).astype(np.float64)
+    d = _dct_basis(32)
+    coef = d @ g @ d.T
+    block = coef[:8, :8].ravel()[1:]  # 63 low-freq coefficients, skip DC
+    bits = block > np.median(block)
+    packed = np.packbits(np.append(bits, False), bitorder="little")
+    return int.from_bytes(packed.tobytes(), "little")

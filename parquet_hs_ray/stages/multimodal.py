@@ -269,3 +269,65 @@ class FrameSampleStage:
                 "frame": frames,
             }
         )
+
+
+class ImagePHashStage:
+    """Actor-pool stage: decode PNG payloads and emit a 64-bit perceptual
+    hash per image (``media_codecs.phash64``: luma -> 32x32 -> 2-D DCT ->
+    median-thresholded low-frequency block).
+
+    The per-image loop is inherent — PNG scanline unfiltering is
+    per-image state — but each iteration is the vectorized zlib/numpy
+    decode plus two 32x32 matmuls, not per-pixel Python.  Non-PNG and
+    NULL payloads are silently skipped (their ids simply don't appear in
+    the signature set); ``strict=True`` raises on the first one
+    instead."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 strict: bool = False):
+        from .media_codecs import decode_png, phash64, sniff_media
+
+        self.payload_col, self.id_col, self.strict = payload_col, id_col, strict
+        self._decode, self._phash, self._sniff = decode_png, phash64, sniff_media
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_in = t.column(self.id_col)
+        payloads = t.column(self.payload_col).combine_chunks()
+        ids, hashes = [], []
+        for i in range(len(t)):
+            data = payloads[i].as_py()
+            if data is None or self._sniff(data) != "png":
+                if self.strict:
+                    raise ValueError(
+                        f"non-PNG payload at {self.id_col}="
+                        f"{ids_in[i].as_py()!r} (strict=True)")
+                continue
+            hashes.append(self._phash(self._decode(data)))
+            ids.append(ids_in[i].as_py())
+        sig = np.asarray(hashes, dtype=np.uint64).view(np.int64)
+        return pa.table({self.id_col: pa.array(ids, ids_in.type),
+                         "phash": pa.array(sig, pa.int64())})
+
+
+def image_phash(ds, payload_col="payload", id_col="media_id",
+                concurrency=4, batch_size=64, strict=False):
+    """(id, phash int64) signatures for every PNG payload in ``ds``."""
+    return ds.map_batches(
+        ImagePHashStage, fn_constructor_kwargs=dict(
+            payload_col=payload_col, id_col=id_col, strict=strict),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def image_phash_dedup(ds, payload_col="payload", id_col="media_id",
+                      max_hamming: int = 3, concurrency=4, batch_size=64):
+    """Near-duplicate IMAGE pairs: perceptual hashes (actor-pool decode)
+    fed through the generic 4x16-bit signature banding
+    (``dedup.signature_neardup_pairs``) — re-encoded / lightly edited
+    copies land within a few hamming bits, and only (id, phash) rows
+    ever shuffle, never pixels."""
+    from ..pipelines.dedup import signature_neardup_pairs
+
+    sigs = image_phash(ds, payload_col, id_col, concurrency, batch_size)
+    return signature_neardup_pairs(sigs, id_col=id_col, sig_col="phash",
+                                   max_hamming=max_hamming)

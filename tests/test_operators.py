@@ -2093,3 +2093,53 @@ def test_with_lag_matches_pandas_shift_across_blocks(ray_session):
         with_lag(ds, how="shift")
     with pytest.raises(ValueError, match=">= 1"):
         with_lag(ds, n=0)
+
+
+def test_image_phash_dedup_planted(ray_session):
+    """pHash near-dup: exact and lightly-edited PNG copies are found
+    (hamming<=3), unrelated random images are not; non-PNG payloads are
+    skipped unless strict."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.stages.media_codecs import encode_png, phash64, decode_png
+    from parquet_hs_ray.stages.multimodal import image_phash, image_phash_dedup
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, size=(30, 20, 3), dtype=np.uint8)
+            for i in range(20)]
+    ids = list(range(20))
+    payloads = [encode_png(im) for im in imgs]
+    edited = imgs[0].copy(); edited[0, :3] ^= 255
+    ids += [100, 101]
+    payloads += [encode_png(imgs[0]), encode_png(edited)]  # exact + edited dup of 0
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    ds = ray.data.from_arrow(t)
+
+    pairs = image_phash_dedup(ds, max_hamming=3, concurrency=2, batch_size=8)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 100) in found                     # exact copy: hamming 0
+    ham = dict(zip(map(tuple, pairs[["a", "b"]].to_numpy()), pairs["hamming"]))
+    assert ham[(0, 100)] == 0
+    # edited copy is near 0 (and near its exact twin 100)
+    assert (0, 101) in found or (100, 101) in found
+    # no pair between two distinct random images
+    for a, b in found:
+        assert {a, b} & {0, 100, 101}, f"false positive pair ({a},{b})"
+
+    # stage signature matches the direct kernel
+    sigs = image_phash(ds, concurrency=2, batch_size=8).to_pandas()
+    direct = np.uint64(phash64(decode_png(payloads[0]))).astype(np.int64)
+    assert sigs.set_index("media_id").loc[0, "phash"] == direct
+
+    # non-PNG payloads: skipped by default, raise when strict
+    bad = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                    "payload": pa.array([b"not a png", None], pa.binary())})
+    bds = ray.data.from_arrow(bad)
+    assert len(image_phash(bds, concurrency=1, batch_size=4).to_pandas()) == 0
+    with pytest.raises(Exception, match="non-PNG"):
+        image_phash(bds, concurrency=1, batch_size=4,
+                    strict=True).materialize()
