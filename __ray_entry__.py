@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk_quantized"] = lambda sf: ann.ann_topk_quantized(
         _read(sf, "embeddings"), query_ids=list(range(5)), k=10)
     q["ann_ivf"] = lambda sf: ann.ann_topk_ivf(_read(sf, "embeddings"), query_ids=list(range(5)), k=10)
+    # PQ-ADC: m-byte codes scanned via LUT sums, exact re-rank of the
+    # survivors; rows-only (k-means codebooks are not SQL) — recall vs
+    # exact + planted-dup rank asserted in test_operators
+    q["ann_topk_pq"] = lambda sf: ann.ann_topk_pq(_read(sf, "embeddings"), query_ids=list(range(5)), k=10, m=8)
 
     def ann_ivf_indexed(sf):
         import numpy as np

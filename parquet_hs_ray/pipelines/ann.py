@@ -591,3 +591,166 @@ def label_centroids(emb: "ray.data.Dataset",
     return pd.DataFrame({label_col: agg[label_col],
                          "n": agg["n"].astype(np.int64),
                          "centroid": centroids})
+
+
+def _kmeans_l2(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic fixed-iteration Euclidean k-means (PQ subspace
+    codebooks use L2, unlike the spherical :func:`kmeans_lite`)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[np.sort(rng.choice(len(X), size=k, replace=False))].copy()
+    for _ in range(iters):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def pq_train(emb: "ray.data.Dataset", m: int = 8, n_codes: int = 256,
+             sample_size: int = 20000, seed: int = 42) -> np.ndarray:
+    """Train product-quantization codebooks: a seeded UNBIASED sample
+    (same rationale as ``_train_centroids``), the dimension split into
+    ``m`` contiguous subvectors, one L2 k-means per subspace.  Returns a
+    (m, K<=n_codes, d/m) float64 array; ``d % m`` must be 0."""
+    n = emb.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample = emb.random_sample(frac, seed=seed).to_pandas()
+    if len(sample) < n_codes:
+        sample = emb.to_pandas()
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([_kmeans_l2(X[:, j * dsub:(j + 1) * dsub], n_codes, seed + j)
+                     for j in range(m)])
+
+
+def pq_encode(emb: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Dataset":
+    """Encode every vector to ``m`` uint8 codes (nearest codebook entry
+    per subspace) — a fixed_size_binary(m) column built zero-copy from
+    the code matrix, 4 B/dim float32 -> 1 B/subvector.  Codebooks are
+    ``ray.put`` once and read per task."""
+    cb_ref = ray.put(codebooks)
+    m = codebooks.shape[0]
+
+    def enc(t: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        X = _emb_matrix(t.column("embedding"))
+        dsub = cb.shape[2]
+        codes = np.empty((len(X), m), np.uint8)
+        for j in range(m):
+            Xs = X[:, j * dsub:(j + 1) * dsub]
+            d2 = -2.0 * (Xs @ cb[j].T) + (cb[j] * cb[j]).sum(1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        arr = pa.Array.from_buffers(pa.binary(m), len(X),
+                                    [None, pa.py_buffer(codes.tobytes())])
+        return pa.table({"vec_id": t.column("vec_id"), "codes": arr})
+
+    return emb.map_batches(enc, batch_format="pyarrow")
+
+
+def ann_topk_pq(emb: "ray.data.Dataset", query_ids: "list[int]", k: int = 10,
+                m: int = 8, rerank: int = 4, n_codes: int = 256,
+                sample_size: int = 20000, seed: int = 42) -> pd.DataFrame:
+    """Approximate cosine top-k by product quantization + asymmetric
+    distance (ADC) + exact re-rank — the memory-scale path: the scanned
+    corpus is m bytes/vector (64x smaller than float64 at d=512, 32x at
+    d=256) and scoring is a table lookup, no floating matmul per vector.
+
+    ADC: per query, per subspace, precompute dot(q_j, codebook_j[c]) and
+    ||codebook_j[c]||^2 LUTs; a vector's approximate cosine is
+    sum_j lut_dot[j, code_j] / (||q|| * sqrt(sum_j lut_norm[j, code_j]))
+    (the subspace decomposition makes the reconstructed norm exact).
+    Each code block keeps its local top-(k*rerank) per query; the
+    survivors' TRUE vectors (a candidate-id broadcast filter, k*rerank*n_q
+    rows) are re-scored exactly, so final ranks use true cosines and
+    recall loss comes only from candidates ADC missed.  Returns
+    (query_id, neighbor_id, rank) like :func:`ann_topk_bruteforce`."""
+    qset = sorted(set(query_ids))
+
+    def pick(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["vec_id"],
+                                 value_set=pa.array(qset, t["vec_id"].type)))
+
+    qdf = emb.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    q_ids = qdf["vec_id"].to_numpy()
+    qnorm = np.linalg.norm(Q, axis=1)
+
+    cb = pq_train(emb, m=m, n_codes=n_codes, sample_size=sample_size, seed=seed)
+    K, dsub = cb.shape[1], cb.shape[2]
+    # per-query LUTs: dot (n_q, m, K) and per-entry squared norms (m, K)
+    lut_dot = np.einsum("qjd,jkd->qjk", Q.reshape(len(Q), m, dsub), cb)
+    lut_n2 = (cb * cb).sum(axis=2)
+    state = ray.put((q_ids, qnorm, lut_dot, lut_n2))
+    nc = k * rerank
+
+    def adc_partial(t: pa.Table) -> pa.Table:
+        qi, qn, ld, ln2 = ray.get(state)
+        n = len(t)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim_adc": pa.array([], pa.float64())})
+        buf = t.column("codes").combine_chunks()
+        codes = np.frombuffer(buf.buffers()[1], np.uint8,
+                              count=n * m, offset=buf.offset * m).reshape(n, m)
+        ids = t.column("vec_id").to_numpy()
+        # gather: dots (n_q, n) and reconstructed norms (n,)
+        dots = np.zeros((len(qi), n))
+        n2 = np.zeros(n)
+        for j in range(m):
+            cj = codes[:, j]
+            dots += ld[:, j, :][:, cj]
+            n2 += ln2[j, cj]
+        sims = dots / (qn[:, None] * np.sqrt(np.maximum(n2, 1e-30))[None, :])
+        kk = min(nc + 1, n)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qi)), kk)
+        cols = idx.reshape(-1)
+        return pa.table({"query_id": pa.array(qi[rows], pa.int64()),
+                         "neighbor_id": pa.array(ids[cols], pa.int64()),
+                         "sim_adc": pa.array(sims[rows, cols], pa.float64())})
+
+    codes_ds = pq_encode(emb, cb)
+    cand = (codes_ds.map_batches(adc_partial, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = (cand.sort_values(["query_id", "sim_adc", "neighbor_id"],
+                             ascending=[True, False, True])
+            .groupby("query_id", sort=True).head(nc))
+
+    # exact re-rank of the survivors: broadcast candidate-id filter, true
+    # cosines against the (small) query matrix on the driver
+    cand_ids = np.unique(cand["neighbor_id"].to_numpy())
+    idref = ray.put(cand_ids)
+
+    def pick_cand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        want = ray.get(idref)
+        return t.filter(pc.is_in(t["vec_id"],
+                                 value_set=pa.array(want, t["vec_id"].type)))
+
+    cdf = emb.map_batches(pick_cand, batch_format="pyarrow").to_pandas()
+    Cm = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    Cn = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+    Qn = Q / qnorm[:, None]
+    sims = Qn @ Cn.T
+    sim_of = {(int(q), int(v)): float(sims[i, j])
+              for i, q in enumerate(q_ids) for j, v in enumerate(cdf["vec_id"])}
+    cand = cand.copy()
+    cand["sim"] = [sim_of[(int(a), int(b))]
+                   for a, b in zip(cand["query_id"], cand["neighbor_id"])]
+    cand = cand.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].astype(
+        {"query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})

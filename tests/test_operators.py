@@ -2143,3 +2143,49 @@ def test_image_phash_dedup_planted(ray_session):
     with pytest.raises(Exception, match="non-PNG"):
         image_phash(bds, concurrency=1, batch_size=4,
                     strict=True).materialize()
+
+
+def test_ann_topk_pq_recall_and_planted(ray_session):
+    """PQ-ADC top-k: recall@10 vs exact brute force on the synthetic
+    embeddings, and a planted near-duplicate must surface at rank 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.ann import (ann_topk_bruteforce, ann_topk_pq,
+                                              pq_encode, pq_train)
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(400, 64)).astype(np.float32)
+    X[399] = X[0] + 0.01 * rng.normal(size=64).astype(np.float32)  # planted dup of 0
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    emb = ray.data.from_arrow(t).repartition(4)
+
+    exact = ann_topk_bruteforce(emb, query_ids=[0, 1, 2], k=10)
+    approx = ann_topk_pq(emb, query_ids=[0, 1, 2], k=10, m=8, rerank=4)
+
+    # planted near-dup is rank 1 for query 0
+    a0 = approx[approx["query_id"] == 0].sort_values("rank")
+    assert a0.iloc[0]["neighbor_id"] == 399
+
+    hits = 0
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / 30 >= 0.6, f"PQ recall too low: {hits}/30"
+
+    # codes: fixed_size_binary(m), one byte per subspace, deterministic
+    cb = pq_train(emb, m=8)
+    codes = pq_encode(emb, cb).to_pandas()
+    assert len(codes) == 400 and all(len(c) == 8 for c in codes["codes"])
+    codes2 = pq_encode(emb, cb).to_pandas()
+    assert codes.sort_values("vec_id")["codes"].tolist() == \
+        codes2.sort_values("vec_id")["codes"].tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7)
