@@ -1731,6 +1731,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_validate"] = ev_validate
 
+    def ev_first_last(sf):
+        """first_value/last_value window: per-group extreme rows from the
+        bounded argmax shuffle, streamed back onto events (broadcast or
+        hash join by group count) — no global sort."""
+        from parquet_hs_ray.pipelines.windows import first_last_value
+
+        return first_last_value(_read(sf, "events"))
+
+    q["events_first_last"] = ev_first_last
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract
@@ -2820,6 +2830,16 @@ FROM base b LEFT JOIN med m USING (event_type)
     from parquet_hs_ray.functions.sql_oracles import validate_sql
 
     o["events_validate"] = validate_sql("events", _VALIDATE_RULES)
+    # first/last_value with the full-partition frame (last_value under
+    # the default frame would just echo the current row)
+    o["events_first_last"] = """
+SELECT user_id, event_id, value,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
     # first-match regex capture; no-match rows get '' on both sides
     o["doc_extract"] = r"""
 SELECT doc_id, regexp_extract(text, '(\w+) table', 1) AS before_table

@@ -913,3 +913,52 @@ def with_lag(events: "ray.data.Dataset", n: int = 1,
 
     return ray.data.from_pandas_refs(
         [block_shift.remote(r, carries[i]) for i, r in enumerate(refs)])
+
+
+def first_last_value(events: "ray.data.Dataset", key: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     val_col: str = "value",
+                     broadcast_max: int = 1_000_000) -> "ray.data.Dataset":
+    """SQL ``first_value(val)`` / ``last_value(val)`` over
+    ``(PARTITION BY key ORDER BY ts, id)`` with the full-partition frame
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``) —
+    every row annotated with its group's first and last value.
+
+    Scale shape: no global sort — each group's first/last ROW comes from
+    ``stats.grouped_argmax`` (shuffle bounded by groups x blocks, never
+    rows), then streams back onto the events.  When the group map fits a
+    broadcast (<= ``broadcast_max`` groups) the attach is a ``ray.put``
+    merge per batch and the events never move; above that it degrades to
+    one distributed hash join.  Output: (key, id, val, first_<val>,
+    last_<val>)."""
+    from .stats import grouped_argmax
+
+    first = grouped_argmax(events, key, ts_col, value_cols=[val_col],
+                           tiebreak=id_col, how="min")
+    last = grouped_argmax(events, key, ts_col, value_cols=[val_col],
+                          tiebreak=id_col, how="max")
+
+    def trim(name):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[[key, val_col]].copy()
+            return out.rename(columns={val_col: name})
+        return f
+
+    fds = first.map_batches(trim(f"first_{val_col}"), batch_format="pandas")
+    lds = last.map_batches(trim(f"last_{val_col}"), batch_format="pandas")
+
+    base_cols = [key, id_col, val_col]
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[base_cols]
+
+    out = events.map_batches(keep, batch_format="pandas")
+    from .relational import broadcast_join, hash_join
+
+    for side in (fds, lds):
+        side = side.materialize()
+        if side.count() <= broadcast_max:
+            out = broadcast_join(out, side, key, key, how="left")
+        else:
+            out = hash_join(out, side, key, key, how="left")
+    return out

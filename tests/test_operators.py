@@ -2189,3 +2189,39 @@ def test_ann_topk_pq_recall_and_planted(ray_session):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=7)
+
+
+def test_first_last_value_matches_pandas(ray_session):
+    """first/last_value across block boundaries, NULL value at a group's
+    first row, and single-row groups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import first_last_value
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 4, 4],
+        "ts": pd.to_datetime([10, 30, 20, 5, 50, 7, 9, 9], unit="s"),
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "value": [None, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+    })
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:5], df.iloc[5:]])
+    out = (first_last_value(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    exp_first = s.groupby("user_id")["value"].transform("first")  # first incl. NaN?
+    # pandas 'first' skips NaN; SQL first_value does NOT — compute manually
+    fmap = {k: g.iloc[0]["value"] for k, g in s.groupby("user_id")}
+    lmap = {k: g.iloc[-1]["value"] for k, g in s.groupby("user_id")}
+    for _, r in out.iterrows():
+        f, l = fmap[r["user_id"]], lmap[r["user_id"]]
+        assert (np.isnan(r["first_value"]) and (f is None or np.isnan(f))) \
+            or r["first_value"] == f
+        assert r["last_value"] == l
+    # user 1's first row (ts=10) has NULL value -> first_value NULL for all
+    assert out[out["user_id"] == 1]["first_value"].isna().all()
+    # ts tie in user 4 broken by event_id: first=7.0, last=8.0
+    assert (out[out["user_id"] == 4]["first_value"] == 7.0).all()
+    assert (out[out["user_id"] == 4]["last_value"] == 8.0).all()
