@@ -355,6 +355,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  batch_size=16)
 
     q["media_phash_dedup"] = media_phash
+
+    def media_audio_dedup(sf):
+        """Audio near-dup via spectral fingerprints: deterministic WAV
+        corpus with planted volume-scaled copies; actor-pool decode ->
+        64-bit Haitsma-Kalker-style hash -> signature banding.  Rows-only
+        (FFT is not SQL); invariance/recall pytest-asserted."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from parquet_hs_ray.stages.media_codecs import encode_wav
+        from parquet_hs_ray.stages.multimodal import audio_fingerprint_dedup
+
+        rng = np.random.default_rng(11)
+        ids, payloads = [], []
+        clips = []
+        for i in range(30):
+            t = np.arange(6000 + 100 * i)
+            x = (8000 * np.sin(t / (2.0 + 0.37 * i))
+                 + 3000 * np.sin(t / (11.0 + 0.51 * i))
+                 + 300 * rng.normal(size=len(t)))
+            clips.append(x)
+            ids.append(i)
+            payloads.append(encode_wav(x.astype(np.int16)[:, None], 16000))
+        for i in range(6):  # planted: volume-scaled copies
+            ids.append(1000 + i)
+            payloads.append(encode_wav((clips[i] * 0.5).astype(np.int16)[:, None],
+                                       16000))
+        t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                      "payload": pa.array(payloads, pa.binary())})
+        return audio_fingerprint_dedup(ray.data.from_arrow(t), max_hamming=3,
+                                       concurrency=2, batch_size=12)
+
+    q["media_audio_dedup"] = media_audio_dedup
     from parquet_hs_ray.pipelines import windows as win
 
     def events_asof(sf):

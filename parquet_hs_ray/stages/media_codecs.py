@@ -218,3 +218,32 @@ def phash64(img: np.ndarray) -> int:
     bits = block > np.median(block)
     packed = np.packbits(np.append(bits, False), bitorder="little")
     return int.from_bytes(packed.tobytes(), "little")
+
+
+def audio_fingerprint64(pcm: np.ndarray, rate: int) -> int:
+    """64-bit robust audio hash (Haitsma-Kalker shape): mono signal ->
+    9 equal time frames -> per-frame FFT magnitude -> 9 log band
+    energies -> sign of the band-difference-of-frame-difference
+    ``(E[f+1,b]-E[f+1,b+1]) - (E[f,b]-E[f,b+1])`` over 8x8 (frame, band)
+    cells.  Log-energy differences cancel amplitude scaling, so volume
+    changes and re-encodes land within a few hamming bits.  Deterministic
+    (no RNG, fixed frame/band splits); ``rate`` is accepted for signature
+    symmetry but the hash is frame-relative."""
+    x = pcm.astype(np.float64)
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n_frames, n_bands = 9, 9
+    n = len(mono)
+    if n < n_frames * 2 * n_bands:  # too short for spectral framing:
+        mono = np.resize(mono, n_frames * 2 * n_bands)
+        n = len(mono)
+    flen = n // n_frames
+    frames = mono[:flen * n_frames].reshape(n_frames, flen)
+    mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    # 9 equal frequency bands per frame
+    nb = mag.shape[1] // n_bands
+    bands = mag[:, :nb * n_bands].reshape(n_frames, n_bands, nb)
+    e = np.log(bands.sum(axis=2) + 1e-12)  # (frames, bands)
+    d = e[:, :-1] - e[:, 1:]               # adjacent band differences
+    bits = (d[1:, :] - d[:-1, :]) > 0      # (8, 8) frame differences
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    return int.from_bytes(packed.tobytes(), "little")

@@ -331,3 +331,54 @@ def image_phash_dedup(ds, payload_col="payload", id_col="media_id",
     sigs = image_phash(ds, payload_col, id_col, concurrency, batch_size)
     return signature_neardup_pairs(sigs, id_col=id_col, sig_col="phash",
                                    max_hamming=max_hamming)
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: decode WAV payloads and emit a 64-bit robust
+    spectral fingerprint (``media_codecs.audio_fingerprint64``) per clip.
+    Volume changes and re-encodes land within a few hamming bits.
+    Non-WAV / NULL payloads skip (or raise under ``strict``), mirroring
+    :class:`ImagePHashStage`."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 strict: bool = False):
+        from .media_codecs import audio_fingerprint64, decode_wav, sniff_media
+
+        self.payload_col, self.id_col, self.strict = payload_col, id_col, strict
+        self._decode, self._fp, self._sniff = decode_wav, audio_fingerprint64, sniff_media
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_in = t.column(self.id_col)
+        payloads = t.column(self.payload_col).combine_chunks()
+        ids, hashes = [], []
+        for i in range(len(t)):
+            data = payloads[i].as_py()
+            if data is None or self._sniff(data) != "wav":
+                if self.strict:
+                    raise ValueError(
+                        f"non-WAV payload at {self.id_col}="
+                        f"{ids_in[i].as_py()!r} (strict=True)")
+                continue
+            pcm, rate = self._decode(data)
+            hashes.append(self._fp(pcm, rate))
+            ids.append(ids_in[i].as_py())
+        sig = np.asarray(hashes, dtype=np.uint64).view(np.int64)
+        return pa.table({self.id_col: pa.array(ids, ids_in.type),
+                         "afp": pa.array(sig, pa.int64())})
+
+
+def audio_fingerprint_dedup(ds, payload_col="payload", id_col="media_id",
+                            max_hamming: int = 3, concurrency=4,
+                            batch_size=64):
+    """Near-duplicate AUDIO pairs: spectral fingerprints (actor-pool
+    decode) through the generic 4x16-bit signature banding — only
+    (id, fingerprint) rows shuffle, never samples."""
+    from ..pipelines.dedup import signature_neardup_pairs
+
+    sigs = ds.map_batches(
+        AudioFingerprintStage, fn_constructor_kwargs=dict(
+            payload_col=payload_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+    return signature_neardup_pairs(sigs, id_col=id_col, sig_col="afp",
+                                   max_hamming=max_hamming)

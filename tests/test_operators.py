@@ -2225,3 +2225,48 @@ def test_first_last_value_matches_pandas(ray_session):
     # ts tie in user 4 broken by event_id: first=7.0, last=8.0
     assert (out[out["user_id"] == 4]["first_value"] == 7.0).all()
     assert (out[out["user_id"] == 4]["last_value"] == 8.0).all()
+
+
+def test_audio_fingerprint_dedup_planted(ray_session):
+    """Spectral audio fingerprint: volume-scaled and WAV-roundtripped
+    copies are found (hamming<=3), unrelated clips are not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.stages.media_codecs import (audio_fingerprint64,
+                                                    decode_wav, encode_wav)
+    from parquet_hs_ray.stages.multimodal import audio_fingerprint_dedup
+
+    rng = np.random.default_rng(9)
+    clips, payloads, ids = [], [], []
+    for i in range(12):
+        t = np.arange(5000 + 64 * i)
+        x = (9000 * np.sin(t / (2.5 + 0.4 * i))
+             + 2500 * np.sin(t / (13 + 0.7 * i))
+             + 200 * rng.normal(size=len(t)))
+        clips.append(x)
+        ids.append(i)
+        payloads.append(encode_wav(x.astype(np.int16)[:, None], 16000))
+    ids += [100, 101]
+    payloads += [encode_wav((clips[0] * 0.4).astype(np.int16)[:, None], 16000),
+                 encode_wav(clips[1].astype(np.int16)[:, None], 16000)]
+
+    ds = ray.data.from_arrow(pa.table(
+        {"media_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}))
+    pairs = audio_fingerprint_dedup(ds, max_hamming=3, concurrency=2,
+                                    batch_size=6)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 100) in found      # volume-scaled copy
+    assert (1, 101) in found      # bit-identical re-encode
+    for a, b in found:
+        assert {a, b} & {0, 1, 100, 101}, f"false positive ({a},{b})"
+
+    # kernel invariance: amplitude scaling cancels in log-band differences
+    pcm, rate = decode_wav(payloads[0])
+    h1 = audio_fingerprint64(pcm, rate)
+    h2 = audio_fingerprint64((pcm.astype(np.float64) * 0.25).astype(np.int16), rate)
+    assert bin(np.uint64(h1) ^ np.uint64(h2)).count("1") <= 3
+    # short-clip guard: doesn't crash on tiny inputs
+    assert isinstance(audio_fingerprint64(np.ones(5, np.int16), 16000), int)
