@@ -121,6 +121,16 @@ def validate(ds: "ray.data.Dataset", rules: Sequence[tuple]) -> "ray.data.Datase
 
     summed = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
                          ["rule"], ["n_checked", "n_violations"]).to_pandas()
+    # a 0-row input executes no blocks and the empty sum loses its
+    # schema; every rule still gets a row (0 checked, 0 violations)
+    skeleton = pd.DataFrame({"rule": [rule_name(r) for r in rules]})
+    if "rule" not in summed.columns:
+        summed = pd.DataFrame({"rule": pd.Series([], dtype=object),
+                               "n_checked": pd.Series([], dtype=np.int64),
+                               "n_violations": pd.Series([], dtype=np.int64)})
+    summed = skeleton.merge(summed, on="rule", how="left")
+    summed[["n_checked", "n_violations"]] = (
+        summed[["n_checked", "n_violations"]].fillna(0).astype(np.int64))
 
     if uniq_rules:
         from .groupagg import grouped_agg
@@ -140,6 +150,9 @@ def validate(ds: "ray.data.Dataset", rules: Sequence[tuple]) -> "ray.data.Datase
                                ["rule", "value"], {"one": "min"})
 
         def ndv_per_rule(batch: pd.DataFrame) -> pd.DataFrame:
+            if "rule" not in batch.columns:  # empty block lost its schema
+                return pd.DataFrame({"rule": pd.Series([], dtype=object),
+                                     "ndv": pd.Series([], dtype=np.int64)})
             g = batch.groupby("rule", sort=False).size().reset_index(name="ndv")
             g["ndv"] = g["ndv"].astype(np.int64)
             return g
@@ -147,6 +160,11 @@ def validate(ds: "ray.data.Dataset", rules: Sequence[tuple]) -> "ray.data.Datase
         ndv = grouped_sum(distinct.map_batches(ndv_per_rule,
                                                batch_format="pandas"),
                           ["rule"], ["ndv"]).to_pandas()
+        if "rule" not in ndv.columns:
+            # all-empty distinct reduction (empty input / all-null unique
+            # column): Ray's to_pandas drops the schema at 0 rows
+            ndv = pd.DataFrame({"rule": pd.Series([], dtype=object),
+                                "ndv": pd.Series([], dtype=np.int64)})
         summed = summed.merge(ndv, on="rule", how="left")
         is_u = summed["rule"].isin([rule_name(r) for r in uniq_rules])
         summed.loc[is_u, "n_violations"] = (

@@ -930,7 +930,11 @@ def first_last_value(events: "ray.data.Dataset", key: str = "user_id",
     broadcast (<= ``broadcast_max`` groups) the attach is a ``ray.put``
     merge per batch and the events never move; above that it degrades to
     one distributed hash join.  Output: (key, id, val, first_<val>,
-    last_<val>)."""
+    last_<val>).
+
+    Assumes ``ts_col`` is non-null (the events contract here): NULL-ts
+    rows are excluded from the first/last choice (SQL NULLS LAST would
+    instead let one be the frame's last row)."""
     from .stats import grouped_argmax
 
     first = grouped_argmax(events, key, ts_col, value_cols=[val_col],

@@ -760,3 +760,21 @@ def test_validate_unique_only_and_empty_blocks(ray_session):
     assert len(out) == 1
     assert out.loc[0, "n_checked"] == 4       # NULL not counted
     assert out.loc[0, "n_violations"] == 2    # 4 non-null, 2 distinct
+
+
+def test_validate_all_null_unique_and_empty_input(ray_session):
+    """unique over an all-NULL column and a 0-row dataset: no crash, 0/0
+    counts (the empty distinct reduction loses its schema — guarded)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.validate import validate
+
+    allnull = pd.DataFrame({"id": pd.Series([None, None], dtype=object)})
+    out = validate(ray.data.from_pandas(allnull),
+                   [("unique", "id")]).to_pandas()
+    assert out.loc[0, "n_checked"] == 0 and out.loc[0, "n_violations"] == 0
+
+    empty = pd.DataFrame({"id": pd.Series([], dtype=np.int64)})
+    out2 = validate(ray.data.from_pandas(empty),
+                    [("unique", "id"), ("not_null", "id")]).to_pandas()
+    assert (out2["n_checked"] == 0).all() and (out2["n_violations"] == 0).all()
