@@ -248,31 +248,75 @@ def pruned_partition_ids(out_dir: str, predicate, filesystem=None) -> tuple[list
 
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    concurrency: int | None = None, batch_size: int = 1,
-                   filesystem=None, predicate=None) -> "ray.data.Dataset":
+                   filesystem=None, predicate=None,
+                   target_schema=None, unify_schema: bool = False
+                   ) -> "ray.data.Dataset":
     """Lazy decode Dataset over all finished partitions (streaming).
 
     ``predicate`` (see ``_normalize_predicate``) prunes whole partitions by
     manifest min/max stats BEFORE any blob is opened; surviving partitions
     decode the predicate columns FIRST (byte-level frame skip), full-decode
     only on a match, and filter exactly — same semantics, ~selectivity×
-    less IO and decode work."""
+    less IO and decode work.
+
+    Schema evolution: a store appended to across schema versions holds
+    blobs with different column sets.  ``unify_schema=True`` computes the
+    UNION schema (one blob header read per distinct column set — the
+    driver never opens the rest) and every partition adapts to it:
+    missing columns null-pad, order unifies, same-name type conflicts
+    raise — across distinct column sets at the driver, and for blobs
+    whose name set matches the probe but whose types drifted, at decode
+    time in the stage.  Pass ``target_schema`` (a ``pyarrow.Schema``) to pin the
+    contract explicitly instead; ``columns=`` then projects it.
+    Predicates on a column a blob predates see all-NULL semantics
+    (equality/range/is_not_null match nothing, is_null everything)."""
+    import pyarrow as pa
+
     preds = _normalize_predicate(predicate)
     entries = mf.load_manifest(out_dir, filesystem)
+    done = [e for e in entries if e.get("status") == "done"]
+    if unify_schema and target_schema is None:
+        from ..format import blob_schema
+
+        probe: dict[tuple, int] = {}
+        for e in done:
+            key = tuple(sorted(e.get("columns", {}).keys())) or \
+                ("__nostats__", e["partition_id"])
+            probe.setdefault(key, e["partition_id"])
+        fields: dict[str, pa.Field] = {}
+        order: list[str] = []
+        for pid in probe.values():
+            sch = blob_schema(mf.read_blob(out_dir, pid, filesystem))
+            for f in sch:
+                if f.name in fields:
+                    if fields[f.name].type != f.type:
+                        raise ValueError(
+                            f"schema evolution type conflict on {f.name!r}: "
+                            f"{fields[f.name].type} vs {f.type}")
+                else:
+                    fields[f.name] = f
+                    order.append(f.name)
+        target_schema = pa.schema([fields[n] for n in order])
+    if target_schema is not None and columns is not None:
+        unknown = [c for c in columns if c not in target_schema.names]
+        if unknown:
+            raise KeyError(f"columns not in target schema: {unknown}")
     items = [{"partition_id": e["partition_id"], "crc32": e.get("checksum_crc32", -1)}
-             for e in entries
-             if e.get("status") == "done" and _stats_can_match(e, preds)]
+             for e in done if _stats_can_match(e, preds)]
     ds = ray.data.from_items(items)
     if len(items) >= 256:
         return ds.map_batches(
             DecoderStage,
             fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
-                                   "filesystem": filesystem, "predicate": preds},
+                                   "filesystem": filesystem, "predicate": preds,
+                                   "target_schema": target_schema},
             batch_size=batch_size,
             concurrency=concurrency or 8,
             num_cpus=1,
             batch_format="numpy",
         )
-    stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds)
+    stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,
+                         target_schema=target_schema)
     return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 

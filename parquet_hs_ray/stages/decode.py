@@ -25,7 +25,8 @@ class DecoderStage:
     ``columns`` prunes frames at the byte level (length-delimited skip)."""
 
     def __init__(self, out_dir: str, columns: list[str] | None = None, filesystem=None,
-                 predicate: list | None = None):
+                 predicate: list | None = None,
+                 target_schema: pa.Schema | None = None):
         from ..memtune import ensure_process_tuned
 
         ensure_process_tuned()
@@ -33,12 +34,49 @@ class DecoderStage:
         self.columns = columns
         self.filesystem = filesystem
         self.predicate = predicate or []
+        # schema evolution: every partition adapts to this schema —
+        # missing columns null-pad, order unifies; type conflicts raise
+        self.target_schema = target_schema
 
-    def _mask(self, t: pa.Table):
+    def _adapt(self, t: pa.Table) -> pa.Table:
+        """Pad/reorder a decoded table to the target schema (projected
+        through ``columns`` when set)."""
+        fields = [self.target_schema.field(c) for c in self.columns] \
+            if self.columns is not None else list(self.target_schema)
+        arrays = []
+        for f in fields:
+            if f.name in t.schema.names:
+                col = t.column(f.name)
+                if col.type != f.type:
+                    raise ValueError(
+                        f"schema evolution type conflict on {f.name!r}: "
+                        f"blob has {col.type}, target wants {f.type}")
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(t.num_rows, f.type))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+    def _read_cols(self, sch: pa.Schema | None):
+        """Columns to decode from this blob: the projection (or target
+        schema) intersected with what the blob actually has."""
+        if sch is None:
+            return self.columns
+        wanted = self.columns if self.columns is not None \
+            else list(self.target_schema.names)
+        return [c for c in wanted if c in sch.names]
+
+    def _out_schema(self, blob: bytes) -> pa.Schema:
+        if self.target_schema is not None:
+            fields = [self.target_schema.field(c) for c in self.columns] \
+                if self.columns is not None else list(self.target_schema)
+            return pa.schema(fields)
+        return self._pruned_schema(blob_schema(blob))
+
+    def _mask_of(self, t: pa.Table, preds):
         import pyarrow.compute as pc
 
         mask = None
-        for col, op, v in self.predicate:
+        for col, op, v in preds:
             c = t[col]
             if op == "is_null":
                 part = pc.is_null(c)
@@ -67,20 +105,42 @@ class DecoderStage:
                     f"partition {int(pid)}: blob checksum mismatch (corrupt or "
                     f"partially written blob; manifest crc32={int(crcs[i])})"
                 )
+            sch = blob_schema(blob) if self.target_schema is not None else None
             if self.predicate:
                 # two-phase: decode only the predicate columns (byte-level
                 # frame skip), full-decode only partitions with matches
                 pred_cols = sorted({p[0] for p in self.predicate})
-                mask = self._mask(decode_table(blob, pred_cols))
-                n_match = int(pc.sum(mask).as_py() or 0)
-                if n_match == 0:
-                    if out_schema is None:
-                        out_schema = self._pruned_schema(blob_schema(blob))
-                    continue
-                t = decode_table(blob, self.columns)
-                tables.append(t if n_match == t.num_rows else t.filter(mask))
+                if sch is not None:
+                    # evolved store: a predicate on a column this blob
+                    # predates sees all-NULL — equality/range/is_not_null
+                    # match nothing (prune), is_null constrains nothing
+                    missing = [p for p in self.predicate
+                               if p[0] not in sch.names]
+                    if any(p[1] != "is_null" for p in missing):
+                        if out_schema is None:
+                            out_schema = self._out_schema(blob)
+                        continue
+                    pred_cols = sorted({p[0] for p in self.predicate
+                                        if p[0] in sch.names})
+                present_preds = [p for p in self.predicate
+                                 if sch is None or p[0] in sch.names]
+                if pred_cols:
+                    mask = self._mask_of(decode_table(blob, pred_cols),
+                                         present_preds)
+                    n_match = int(pc.sum(mask).as_py() or 0)
+                    if n_match == 0:
+                        if out_schema is None:
+                            out_schema = self._out_schema(blob)
+                        continue
+                else:
+                    mask, n_match = None, -1
+                t = decode_table(blob, self._read_cols(sch))
+                if mask is not None and n_match != t.num_rows:
+                    t = t.filter(mask)
+                tables.append(self._adapt(t) if sch is not None else t)
             else:
-                tables.append(decode_table(blob, self.columns))
+                t = decode_table(blob, self._read_cols(sch))
+                tables.append(self._adapt(t) if sch is not None else t)
         if not tables:
             # every partition in this batch was fully pruned: emit a
             # zero-ROW table with the blob's real schema (never a

@@ -592,3 +592,55 @@ def test_compact_never_merges_across_schemas(ray_session, tmp_path):
     res = compact_dataset(enc, out, token_budget=10**12)
     assert res["groups"] == 2  # huge budget, but schemas differ
     assert decode_dataset(out).count() == decode_dataset(enc).count()
+
+
+def test_schema_evolution_decode(ray_session, tmp_path):
+    """A store appended across schema versions decodes to one unified
+    schema: v1 partitions null-pad the new column, projections and
+    predicates see all-NULL semantics on blobs that predate the column,
+    and same-name type conflicts raise."""
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+    d1 = str(tmp_path / "v1")
+    write_dataset(d1, 600, seed=1, n_files=2)
+    d2 = str(tmp_path / "v2")
+    os.makedirs(d2)
+    t = pq.read_table(sorted(glob.glob(f"{d1}/*.parquet"))[0])
+    langs = pa.array(["en" if i % 2 == 0 else "de" for i in range(t.num_rows)])
+    pq.write_table(t.append_column("lang", langs), f"{d2}/part_v2.parquet")
+
+    out = str(tmp_path / "enc")
+    encode_dataset(d1, out, token_budget=100_000, concurrency=2)
+    allf = sorted(glob.glob(f"{d1}/*.parquet") + glob.glob(f"{d2}/*.parquet"))
+    encode_dataset(allf, out, token_budget=100_000, concurrency=2, append=True)
+
+    df = decode_dataset(out, unify_schema=True).to_pandas()
+    assert "lang" in df.columns and len(df) == 600 + t.num_rows
+    assert int(df["lang"].isna().sum()) == 600      # v1 rows null-padded
+
+    cols = decode_dataset(out, columns=["doc_id", "lang"],
+                          unify_schema=True).to_pandas()
+    assert list(cols.columns) == ["doc_id", "lang"] and len(cols) == len(df)
+
+    en = decode_dataset(out, predicate=("lang", "==", "en"),
+                        unify_schema=True).to_pandas()
+    assert (en["lang"] == "en").all()
+    assert len(en) == sum(1 for i in range(t.num_rows) if i % 2 == 0)
+    nulls = decode_dataset(out, predicate=("lang", "is_null", None),
+                           unify_schema=True).to_pandas()
+    assert len(nulls) == 600 and nulls["lang"].isna().all()
+
+    with pytest.raises(KeyError, match="target schema"):
+        decode_dataset(out, columns=["nope"], unify_schema=True)
+
+    # v3 redefines lang as int64 -> unify must refuse
+    d3 = str(tmp_path / "v3")
+    os.makedirs(d3)
+    pq.write_table(t.append_column("lang", pa.array(
+        np.arange(t.num_rows, dtype=np.int64))), f"{d3}/part_v3.parquet")
+    encode_dataset(sorted(allf + glob.glob(f"{d3}/*.parquet")), out,
+                   token_budget=100_000, concurrency=2, append=True)
+    # v2 and v3 share a column-NAME set, so the driver probe sees only
+    # one of them; the drifted blob is refused at decode time instead
+    with pytest.raises(Exception, match="type conflict"):
+        decode_dataset(out, unify_schema=True).materialize()
