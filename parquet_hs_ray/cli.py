@@ -87,6 +87,10 @@ def main(argv=None):
                      help="predicate 'col OP value' (OP in ==,<,<=,>,>=; value "
                           "int/float/string; repeatable = AND). Partitions whose "
                           "manifest min/max exclude it are never opened.")
+    dec.add_argument("--unify-schema", action="store_true",
+                     help="schema evolution: decode an appended store to the "
+                          "UNION schema (older partitions null-pad columns "
+                          "they predate; type conflicts raise)")
 
     ver = sub.add_parser("verify", help="per-partition round-trip equality vs input")
     ver.add_argument("--encoded", required=True)
@@ -164,10 +168,12 @@ def main(argv=None):
                 from .pipelines.encode_job import decode_to_parquet
 
                 res = decode_to_parquet(args.encoded, args.out, columns=cols,
-                                        predicate=preds, partition_cols=pcols)
+                                        predicate=preds, partition_cols=pcols,
+                                        unify_schema=args.unify_schema)
                 print(json.dumps(res))
                 return 0
-            ds = decode_dataset(args.encoded, columns=cols, predicate=preds)
+            ds = decode_dataset(args.encoded, columns=cols, predicate=preds,
+                                unify_schema=args.unify_schema)
             if pcols:
                 ds.write_parquet(args.out, partition_cols=pcols)
             else:

@@ -246,6 +246,36 @@ def pruned_partition_ids(out_dir: str, predicate, filesystem=None) -> tuple[list
     return kept, len(entries)
 
 
+def _union_schema(out_dir: str, done_entries: list[dict], filesystem=None):
+    """Union schema across an evolved store: one blob header read per
+    DISTINCT column-name set (the driver never opens the rest); same-name
+    type conflicts across probed sets raise here, drift within a name set
+    is caught by the decode stage."""
+    import pyarrow as pa
+
+    from ..format import blob_schema
+
+    probe: dict[tuple, int] = {}
+    for e in done_entries:
+        key = tuple(sorted(e.get("columns", {}).keys())) or \
+            ("__nostats__", e["partition_id"])
+        probe.setdefault(key, e["partition_id"])
+    fields: dict[str, pa.Field] = {}
+    order: list[str] = []
+    for pid in probe.values():
+        sch = blob_schema(mf.read_blob(out_dir, pid, filesystem))
+        for f in sch:
+            if f.name in fields:
+                if fields[f.name].type != f.type:
+                    raise ValueError(
+                        f"schema evolution type conflict on {f.name!r}: "
+                        f"{fields[f.name].type} vs {f.type}")
+            else:
+                fields[f.name] = f
+                order.append(f.name)
+    return pa.schema([fields[n] for n in order])
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    concurrency: int | None = None, batch_size: int = 1,
                    filesystem=None, predicate=None,
@@ -276,27 +306,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     entries = mf.load_manifest(out_dir, filesystem)
     done = [e for e in entries if e.get("status") == "done"]
     if unify_schema and target_schema is None:
-        from ..format import blob_schema
-
-        probe: dict[tuple, int] = {}
-        for e in done:
-            key = tuple(sorted(e.get("columns", {}).keys())) or \
-                ("__nostats__", e["partition_id"])
-            probe.setdefault(key, e["partition_id"])
-        fields: dict[str, pa.Field] = {}
-        order: list[str] = []
-        for pid in probe.values():
-            sch = blob_schema(mf.read_blob(out_dir, pid, filesystem))
-            for f in sch:
-                if f.name in fields:
-                    if fields[f.name].type != f.type:
-                        raise ValueError(
-                            f"schema evolution type conflict on {f.name!r}: "
-                            f"{fields[f.name].type} vs {f.type}")
-                else:
-                    fields[f.name] = f
-                    order.append(f.name)
-        target_schema = pa.schema([fields[n] for n in order])
+        target_schema = _union_schema(out_dir, done, filesystem)
     if target_schema is not None and columns is not None:
         unknown = [c for c in columns if c not in target_schema.names]
         if unknown:
@@ -362,7 +372,8 @@ def verify_roundtrip(input_path: str | list[str], out_dir: str,
 
 def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = None,
                       predicate=None, filesystem=None, dest_filesystem=None,
-                      partition_cols: list[str] | None = None) -> dict:
+                      partition_cols: list[str] | None = None,
+                      target_schema=None, unify_schema: bool = False) -> dict:
     """RESUMABLE decode-to-parquet: one output file per encoded partition
     (``part-<id>.parquet``), written atomically; partitions whose output
     already exists are skipped, so a killed export continues where it
@@ -380,6 +391,8 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
     preds = _normalize_predicate(predicate)
     entries = [e for e in mf.load_manifest(out_dir, filesystem)
                if e.get("status") == "done" and _stats_can_match(e, preds)]
+    if unify_schema and target_schema is None:
+        target_schema = _union_schema(out_dir, entries, filesystem)
     fsio.mkdirs(dest_dir, dest_filesystem)
     if partition_cols:
         done_dir = fsio.join(dest_dir, "_done")
@@ -408,7 +421,8 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
             fsio.write_atomic(fsio.join(dest_dir, rel), buf.getvalue(),
                               dest_filesystem)
 
-        stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds)
+        stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,
+                             target_schema=target_schema)
         done = []
         for pid, crc in zip(batch["partition_id"], batch["crc32"]):
             t = stage({"partition_id": [pid], "crc32": [crc]})

@@ -644,3 +644,34 @@ def test_schema_evolution_decode(ray_session, tmp_path):
     # one of them; the drifted blob is refused at decode time instead
     with pytest.raises(Exception, match="type conflict"):
         decode_dataset(out, unify_schema=True).materialize()
+
+
+def test_schema_evolution_export_and_cli(ray_session, tmp_path):
+    """Resumable parquet export with unify_schema: every part file gets
+    the union schema, so the directory reads back uniformly; the CLI flag
+    drives the same path."""
+    import subprocess
+    import sys
+
+    from parquet_hs_ray.pipelines.encode_job import decode_to_parquet, encode_dataset
+
+    d1 = str(tmp_path / "v1")
+    write_dataset(d1, 400, seed=3, n_files=2)
+    d2 = str(tmp_path / "v2")
+    os.makedirs(d2)
+    t = pq.read_table(sorted(glob.glob(f"{d1}/*.parquet"))[0])
+    pq.write_table(t.append_column("extra", pa.array(
+        np.arange(t.num_rows, dtype=np.int64))), f"{d2}/p.parquet")
+
+    out = str(tmp_path / "enc")
+    encode_dataset(d1, out, token_budget=80_000, concurrency=2)
+    allf = sorted(glob.glob(f"{d1}/*.parquet") + glob.glob(f"{d2}/*.parquet"))
+    encode_dataset(allf, out, token_budget=80_000, concurrency=2, append=True)
+
+    dest = str(tmp_path / "export")
+    res = decode_to_parquet(out, dest, unify_schema=True)
+    assert res["written"] == res["partitions"]
+    back = pq.read_table(dest)
+    assert "extra" in back.schema.names
+    assert back.num_rows == 400 + t.num_rows
+    assert back.column("extra").null_count == 400
