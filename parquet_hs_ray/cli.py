@@ -104,6 +104,12 @@ def main(argv=None):
     cpt.add_argument("--token-budget", type=int, default=4_000_000)
     cpt.add_argument("--no-resume", action="store_true")
 
+    mcp = sub.add_parser(
+        "manifest-compact", help="merge per-partition manifest JSONs into "
+        "one compact-<n>.jsonl (listing-bottleneck fix at millions of "
+        "partitions; crash-safe, loader reads both forms)")
+    mcp.add_argument("--encoded", required=True)
+
     sub.add_parser("synth-help")
     summ = sub.add_parser("summary")
     summ.add_argument("--encoded", required=True)
@@ -142,6 +148,11 @@ def main(argv=None):
         from .state import manifest as mf
 
         print(json.dumps(mf.summary(args.encoded), indent=2))
+        return 0
+    if args.cmd == "manifest-compact":
+        from .state import manifest as mf
+
+        print(json.dumps(mf.compact_manifest(args.encoded)))
         return 0
 
     ray, owns_session = _ray_session(args.num_cpus)

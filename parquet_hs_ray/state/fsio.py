@@ -105,3 +105,12 @@ def open_parquet_input(path: str, filesystem: pafs.FileSystem | None = None):
     if is_local(fs):
         return p
     return fs.open_input_file(p)
+
+
+def delete_file(path: str, filesystem: pafs.FileSystem | None = None) -> None:
+    """Delete one file; missing files are a no-op (idempotent cleanup)."""
+    fs, p = resolve(path, filesystem)
+    try:
+        fs.delete_file(p)
+    except (FileNotFoundError, OSError):
+        pass

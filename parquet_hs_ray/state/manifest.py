@@ -82,18 +82,65 @@ def make_entry(partition, blob: bytes, raw_bytes: int, n_rows: int, n_tokens: in
 
 
 def load_manifest(out_dir: str, filesystem=None) -> list[dict]:
+    """All entries: compacted ``compact-*.jsonl`` files first, then loose
+    per-partition JSONs — loose wins on partition_id collisions (a
+    partition re-encoded after a compaction must override its compacted
+    row; entries are deterministic so ties are equal anyway)."""
     mdir = fsio.join(out_dir, "manifest")
-    entries = []
-    for fn in fsio.list_files(mdir, filesystem):
+    by_id: dict[int, dict] = {}
+    names = fsio.list_files(mdir, filesystem)
+    for fn in names:
+        if fn.startswith("compact-") and fn.endswith(".jsonl"):
+            try:
+                for line in fsio.read_bytes(fsio.join(mdir, fn),
+                                            filesystem).splitlines():
+                    if line.strip():
+                        e = json.loads(line)
+                        by_id[e["partition_id"]] = e
+            except (json.JSONDecodeError, OSError):
+                continue
+    for fn in names:
         if fn.endswith(".json"):
             try:
-                entries.append(json.loads(fsio.read_bytes(fsio.join(mdir, fn), filesystem)))
+                e = json.loads(fsio.read_bytes(fsio.join(mdir, fn), filesystem))
+                by_id[e["partition_id"]] = e
             except (json.JSONDecodeError, OSError):
                 # torn/zero-length entry from a crash mid-write: treat the
                 # partition as unfinished (it will be re-encoded) rather
                 # than failing the whole resume
                 continue
-    return entries
+    return [by_id[k] for k in sorted(by_id)]
+
+
+def compact_manifest(out_dir: str, filesystem=None) -> dict:
+    """Merge all manifest state into ONE ``compact-<n>.jsonl`` file and
+    delete the merged sources — at 10^6 partitions the per-partition JSON
+    listing becomes the resume/decode bottleneck; after compaction the
+    loader reads one file plus whatever landed since.
+
+    Crash-safe by ordering: the new compacted file is written atomically
+    FIRST; only then are the merged loose entries and older compacted
+    files deleted.  A crash between the two steps leaves duplicates,
+    which ``load_manifest`` dedupes by partition_id (loose wins).  New
+    encodes keep appending loose entries; re-compact any time."""
+    mdir = fsio.join(out_dir, "manifest")
+    names = fsio.list_files(mdir, filesystem)
+    loose = [n for n in names if n.endswith(".json")]
+    old_compact = [n for n in names if n.startswith("compact-")
+                   and n.endswith(".jsonl")]
+    entries = load_manifest(out_dir, filesystem)
+    if not entries:
+        return {"entries": 0, "merged_files": 0, "compacted_file": None}
+    next_idx = 1 + max([int(n[len("compact-"):-len(".jsonl")])
+                        for n in old_compact if
+                        n[len("compact-"):-len(".jsonl")].isdigit()] or [0])
+    target = f"compact-{next_idx:06d}.jsonl"
+    payload = b"\n".join(json.dumps(e).encode() for e in entries) + b"\n"
+    fsio.write_atomic(fsio.join(mdir, target), payload, filesystem)
+    for n in loose + old_compact:
+        fsio.delete_file(fsio.join(mdir, n), filesystem)
+    return {"entries": len(entries), "merged_files": len(loose) + len(old_compact),
+            "compacted_file": target}
 
 
 def finished_ids(out_dir: str, filesystem=None) -> set[int]:

@@ -675,3 +675,45 @@ def test_schema_evolution_export_and_cli(ray_session, tmp_path):
     assert "extra" in back.schema.names
     assert back.num_rows == 400 + t.num_rows
     assert back.column("extra").null_count == 400
+
+
+def test_manifest_compaction(ray_session, f1_dir, tmp_path):
+    """compact_manifest merges per-partition JSONs into one jsonl: same
+    entries, resume still skips finished work, a partition re-encoded
+    after compaction overrides its compacted row, and a second compaction
+    merges loose + old compacted (crash-window duplicates dedupe)."""
+    from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+    from parquet_hs_ray.state.manifest import compact_manifest
+
+    out = str(tmp_path / "enc")
+    encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    before = sorted(mf.load_manifest(out), key=lambda e: e["partition_id"])
+    n = len(before)
+
+    res = compact_manifest(out)
+    assert res["entries"] == n and res["merged_files"] == n
+    files = os.listdir(os.path.join(out, "manifest"))
+    assert files == ["compact-000001.jsonl"]
+    after = sorted(mf.load_manifest(out), key=lambda e: e["partition_id"])
+    assert after == before
+
+    # resume over a compacted manifest: everything skips
+    res2 = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    assert res2["skipped_finished"] == n and res2["encoded"] == 0
+    assert decode_dataset(out).count() == 3000
+
+    # delete one blob -> that partition re-encodes, loose entry overrides
+    victim = before[0]["partition_id"]
+    os.remove(mf.blob_path(out, victim))
+    res3 = encode_dataset(f1_dir, out, token_budget=300_000, concurrency=2)
+    assert res3["encoded"] == 1
+    assert len(mf.load_manifest(out)) == n       # dedup by partition_id
+
+    # second compaction merges the loose entry + old compacted file
+    res4 = compact_manifest(out)
+    assert res4["entries"] == n and res4["merged_files"] == 2
+    assert os.listdir(os.path.join(out, "manifest")) == ["compact-000002.jsonl"]
+    assert decode_dataset(out).count() == 3000
+
+    # empty store: no-op
+    assert compact_manifest(str(tmp_path / "nothing"))["entries"] == 0
