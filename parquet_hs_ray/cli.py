@@ -110,6 +110,18 @@ def main(argv=None):
         "partitions; crash-safe, loader reads both forms)")
     mcp.add_argument("--encoded", required=True)
 
+    val = sub.add_parser(
+        "validate", help="run declarative expectation rules over a decoded "
+        "store; one summary line per rule, exit 1 if any rule has "
+        "violations")
+    val.add_argument("--encoded", required=True)
+    val.add_argument("--rules", required=True,
+                     help="JSON file: list of rules, e.g. "
+                          '[["not_null","doc_id"],["range","n_tok",1,100000],'
+                          '["unique","doc_id"],["in_set","source",["a","b"]],'
+                          '["regex","doc_id","^d"]]')
+    val.add_argument("--unify-schema", action="store_true")
+
     sub.add_parser("synth-help")
     summ = sub.add_parser("summary")
     summ.add_argument("--encoded", required=True)
@@ -154,6 +166,19 @@ def main(argv=None):
 
         print(json.dumps(mf.compact_manifest(args.encoded)))
         return 0
+    if args.cmd == "validate":
+        from .pipelines.encode_job import decode_dataset
+        from .pipelines.validate import validate
+
+        with open(args.rules) as f:
+            rules = [tuple(r) for r in json.load(f)]
+        ds = decode_dataset(args.encoded, unify_schema=args.unify_schema)
+        out = validate(ds, rules).to_pandas()
+        for _, r in out.iterrows():
+            print(json.dumps({"rule": r["rule"],
+                              "n_checked": int(r["n_checked"]),
+                              "n_violations": int(r["n_violations"])}))
+        return 1 if int(out["n_violations"].sum()) > 0 else 0
 
     ray, owns_session = _ray_session(args.num_cpus)
     try:
