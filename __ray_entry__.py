@@ -268,6 +268,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exact + planted-dup rank asserted in test_operators
     q["ann_topk_pq"] = lambda sf: ann.ann_topk_pq(_read(sf, "embeddings"), query_ids=list(range(5)), k=10, m=8)
 
+    def emb_ann_join(sf):
+        """Cross-corpus exact top-k cosine join: every vec_id%10==7 vector
+        against the rest of the corpus — left broadcast once, right
+        streams, grouped top-k merge (never a full materialization)."""
+        import pyarrow.compute as pc
+
+        emb = _read(sf, "embeddings")
+
+        def side(want: bool):
+            def f(t):
+                v = t["vec_id"]
+                mod7 = pc.equal(pc.subtract(v, pc.multiply(
+                    pc.divide(v, 10), 10)), 7)
+                return t.filter(mod7 if want else pc.invert(mod7))
+            return f
+
+        left = emb.map_batches(side(True), batch_format="pyarrow")
+        right = emb.map_batches(side(False), batch_format="pyarrow")
+        return ann.ann_join(left, right, k=5)
+
+    q["emb_ann_join"] = emb_ann_join
+
     def ann_ivf_indexed(sf):
         import numpy as np
 
@@ -2089,6 +2111,19 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT query_id, neighbor_id,"
         "         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank"
         "  FROM sims) t WHERE rank <= 10"
+    )
+    # cross-corpus top-k join: same float contract as ann_topk
+    o["emb_ann_join"] = (
+        "WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),"
+        " r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 7),"
+        " sims AS ("
+        " SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,"
+        "        list_cosine_similarity(l.embedding, r.embedding) AS sim"
+        " FROM l CROSS JOIN r)"
+        " SELECT query_id, neighbor_id, rank FROM ("
+        "  SELECT query_id, neighbor_id,"
+        "         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank"
+        "  FROM sims) t WHERE rank <= 5"
     )
     # events_asof: DuckDB's native ASOF JOIN is the oracle; right-side
     # ties at identical (user_id, ts) are deduped to the max event_id in

@@ -754,3 +754,134 @@ def ann_topk_pq(emb: "ray.data.Dataset", query_ids: "list[int]", k: int = 10,
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rank"]].astype(
         {"query_id": np.int64, "neighbor_id": np.int64, "rank": np.int64})
+
+
+def _ann_join_final(partials: "ray.data.Dataset", k: int) -> pd.DataFrame:
+    """Grouped final selection over per-block candidate rows: local prune
+    to k per query per block, grouped top-k with deterministic
+    (sim desc, neighbor_id asc) order, rank assigned in-group."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        order = np.lexsort((b["neighbor_id"].to_numpy(),
+                            -b["sim"].to_numpy()))
+        b = b.iloc[order]
+        keep = b.groupby("query_id", sort=False).cumcount() < k
+        return b[keep.to_numpy()]
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["neighbor_id"].to_numpy(),
+                            -g["sim"].to_numpy()))
+        g = g.iloc[order[:k]].copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = (partials.map_batches(local, batch_format="pandas")
+           .groupby("query_id").map_groups(select, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+            .astype({"query_id": np.int64, "neighbor_id": np.int64,
+                     "rank": np.int64}))
+
+
+def ann_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+             k: int = 10, broadcast_max: int = 100_000,
+             rows_per_block: int = 65536,
+             max_in_flight: int | None = None) -> pd.DataFrame:
+    """Cross-corpus exact top-k cosine join: for EVERY left vector, its
+    ``k`` nearest right vectors — the nearest-neighbor-graph /
+    retrieval-augmentation step between two different tables (contrast
+    :func:`ann_topk_bruteforce`, which searches a corpus for a handful of
+    its own ids).  Returns (query_id, neighbor_id, rank), ties broken by
+    neighbor_id asc.
+
+    Scale shape: when the left side fits a broadcast (<=
+    ``broadcast_max`` rows) its normalized matrix is ``ray.put`` once and
+    the right side streams through one partial-top-k ``map_batches`` —
+    the right corpus never moves.  Larger left sides switch to the
+    block-pair layout (the ``embedding_neardup_pairs`` shape): both sides
+    partition into normalized blocks held in the object store, one
+    bounded-window task per (left block, right block) emits its local
+    top-k rows.  Either way the merge is a grouped top-k over <= k rows
+    per query per block — never a full materialization."""
+    nl = left.count()
+    if nl <= broadcast_max:
+        ldf = left.to_pandas()
+        ids_l = ldf["vec_id"].to_numpy().astype(np.int64)
+        L = np.stack(ldf["embedding"].to_numpy()).astype(np.float64)
+        Ln = L / np.maximum(np.linalg.norm(L, axis=1, keepdims=True), 1e-300)
+        ref = ray.put((ids_l, Ln))
+
+        def partial(t: pa.Table) -> pa.Table:
+            qi, Q = ray.get(ref)
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            M = _emb_matrix(t.column("embedding"))
+            if len(ids) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = Q @ Mn.T
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qi)), kk)
+            cols = idx.reshape(-1)
+            return pa.table({"query_id": pa.array(qi[rows], pa.int64()),
+                             "neighbor_id": pa.array(ids[cols], pa.int64()),
+                             "sim": pa.array(sims[rows, cols], pa.float64())})
+
+        partials = right.map_batches(partial, batch_format="pyarrow")
+        return _ann_join_final(partials, k)
+
+    # large-left path: block-pair decomposition, bounded in-flight window
+    lmat = left.materialize()
+    rmat = right.materialize()
+    lb = max(1, -(-nl // rows_per_block))
+    if lmat.num_blocks() != lb:
+        lmat = lmat.repartition(lb).materialize()
+    nr = rmat.count()
+    rb = max(1, -(-nr // rows_per_block))
+    if rmat.num_blocks() != rb:
+        rmat = rmat.repartition(rb).materialize()
+    lrefs, rrefs = lmat.to_arrow_refs(), rmat.to_arrow_refs()
+
+    def _norm(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _emb_matrix(t.column("embedding"))
+        if len(ids) == 0:
+            return ids, M.reshape(0, max(M.shape[-1], 1))
+        return ids, M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+
+    @ray.remote(num_cpus=1)
+    def pair_topk(tl, tr, k_: int) -> pd.DataFrame:
+        ids_l, Lb = _norm(tl)
+        ids_r, Rb = _norm(tr)
+        if not len(ids_l) or not len(ids_r):
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 "neighbor_id": np.empty(0, np.int64),
+                                 "sim": np.empty(0, np.float64)})
+        sims = Lb @ Rb.T
+        kk = min(k_, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids_l)), kk)
+        cols = idx.reshape(-1)
+        return pd.DataFrame({"query_id": ids_l[rows],
+                             "neighbor_id": ids_r[cols],
+                             "sim": sims[rows, cols]})
+
+    if max_in_flight is None:
+        max_in_flight = max(8, 4 * int(ray.available_resources().get("CPU", 8)))
+    frames, pending = [], []
+    for lr in lrefs:
+        for rr in rrefs:
+            if len(pending) >= max_in_flight:
+                done, pending = ray.wait(pending, num_returns=1)
+                frames.append(ray.get(done[0]))
+            pending.append(pair_topk.remote(lr, rr, k))
+    frames.extend(ray.get(pending))
+    partials = ray.data.from_pandas([f for f in frames if len(f)] or
+                                    [frames[0]])
+    return _ann_join_final(partials, k)

@@ -2270,3 +2270,32 @@ def test_audio_fingerprint_dedup_planted(ray_session):
     assert bin(np.uint64(h1) ^ np.uint64(h2)).count("1") <= 3
     # short-clip guard: doesn't crash on tiny inputs
     assert isinstance(audio_fingerprint64(np.ones(5, np.int16), 16000), int)
+
+
+def test_ann_join_blockpair_matches_broadcast(ray_session):
+    """Cross-corpus top-k join: the large-left block-pair path returns
+    exactly the broadcast path's result; empty right blocks and k larger
+    than one block are exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.ann import ann_join
+
+    rng = np.random.default_rng(17)
+    L = rng.normal(size=(60, 16)).astype(np.float32)
+    R = rng.normal(size=(90, 16)).astype(np.float32)
+
+    def mk(ids0, X):
+        t = pa.table({"vec_id": pa.array(range(ids0, ids0 + len(X)), pa.int64()),
+                      "embedding": pa.array([list(map(float, r)) for r in X],
+                                            pa.list_(pa.float32()))})
+        return ray.data.from_arrow(t).repartition(5)
+
+    left, right = mk(0, L), mk(1000, R)
+    base = ann_join(left, right, k=7)
+    paired = ann_join(left, right, k=7, broadcast_max=10, rows_per_block=25)
+    pd.testing.assert_frame_equal(base, paired)
+    assert set(base["query_id"]) == set(range(60))
+    assert base.groupby("query_id").size().eq(7).all()
+    assert base["neighbor_id"].between(1000, 1089).all()
