@@ -1797,6 +1797,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_first_last"] = ev_first_last
 
+    def ev_feature_join(sf):
+        """Composite-key feature join (the ML feature-enrichment shape):
+        per-(user, event_type) aggregate computed via the bounded partial
+        shuffle, then joined back onto every event on BOTH keys through
+        the multi-key hash join — integer-cents sums, order-exact."""
+        import numpy as np
+        import pandas as pd
+
+        from parquet_hs_ray.pipelines.groupagg import grouped_sum
+
+        ev = _read(sf, "events")
+
+        def partial(b: "pd.DataFrame") -> "pd.DataFrame":
+            v = b["value"].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(v)
+            cents = np.where(ok, np.round(np.where(ok, v, 0.0) * 100.0), 0.0)
+            g = pd.DataFrame({"user_id": b["user_id"],
+                              "event_type": b["event_type"],
+                              "sum_c": cents.astype(np.int64),
+                              "cnt": ok.astype(np.int64)})
+            return (g.groupby(["user_id", "event_type"], sort=False,
+                              as_index=False)[["sum_c", "cnt"]].sum())
+
+        feats = grouped_sum(ev.map_batches(partial, batch_format="pandas"),
+                            ["user_id", "event_type"], ["sum_c", "cnt"])
+        slim = ev.map_batches(
+            lambda b: b[["event_id", "user_id", "event_type"]],
+            batch_format="pandas")
+        return rel.hash_join(slim, feats, ["user_id", "event_type"],
+                             ["user_id", "event_type"])
+
+    q["events_feature_join"] = ev_feature_join
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract
@@ -2899,6 +2932,16 @@ FROM base b LEFT JOIN med m USING (event_type)
     from parquet_hs_ray.functions.sql_oracles import validate_sql
 
     o["events_validate"] = validate_sql("events", _VALIDATE_RULES)
+    # composite-key feature join; integer-cents sums on both sides
+    o["events_feature_join"] = """
+WITH f AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round_even(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_c,
+         count(value)::BIGINT AS cnt
+  FROM events GROUP BY user_id, event_type)
+SELECT e.event_id, e.user_id, e.event_type, f.sum_c, f.cnt
+FROM events e JOIN f USING (user_id, event_type)
+"""
     # first/last_value with the full-partition frame (last_value under
     # the default frame would just echo the current row)
     o["events_first_last"] = """

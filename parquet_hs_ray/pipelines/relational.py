@@ -48,9 +48,35 @@ def broadcast_join(large: "ray.data.Dataset", small: "ray.data.Dataset",
     tables / id sets, not a second fact table); each task reads the
     shared copy from the object store, so the join costs one vectorized
     merge / isin per batch and the large side never moves.
+
+    ``left_key``/``right_key`` may be lists for COMPOSITE keys
+    (inner/left attach only; the sorted-probe semi/anti path is
+    single-key).
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown join type {how!r}")
+    if isinstance(left_key, (list, tuple)) or isinstance(right_key, (list, tuple)):
+        lks, rks = list(left_key), list(right_key)
+        if how in ("semi", "anti"):
+            raise ValueError("composite-key broadcast semi/anti not "
+                             "supported; use semi_anti_join or a single key")
+        sm = small.to_pandas()
+        if not all(k in sm.columns for k in rks):
+            sm = pd.DataFrame({c: pd.Series(dtype=object)
+                               for c in small.schema().names})
+        cols = [c for c in (right_cols or sm.columns) if c not in rks]
+        sm = sm[rks + cols].drop_duplicates(subset=rks)
+        sm_ref = ray.put(sm)
+
+        def attach_multi(batch: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(sm_ref)
+            out = batch.merge(s, left_on=lks, right_on=rks,
+                              how="left" if how == "left" else "inner")
+            drop = [rk for lk, rk in zip(lks, rks)
+                    if rk != lk and rk in out.columns]
+            return out.drop(columns=drop) if drop else out
+
+        return large.map_batches(attach_multi, batch_format="pandas")
     sm = small.to_pandas()
     if right_key not in sm.columns:
         # an empty Dataset collapses to a column-less frame — rebuild the
@@ -179,6 +205,12 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     while at scale the bytes term governs."""
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}, got {how!r}")
+    # composite keys: pass lists of equal length (feature joins on
+    # (entity, category) etc.); the shuffle hashes the key tuple
+    lks = [left_key] if isinstance(left_key, str) else list(left_key)
+    rks = [right_key] if isinstance(right_key, str) else list(right_key)
+    if len(lks) != len(rks):
+        raise ValueError(f"key arity mismatch: {lks} vs {rks}")
     if num_partitions is None:
         try:
             sz = (left.size_bytes() or 0) + (right.size_bytes() or 0)
@@ -187,13 +219,14 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         cpus = int(ray.cluster_resources().get("CPU", 4))
         by_size = max(1, sz // (8 << 20)) if sz else cpus
         num_partitions = max(2, min(cpus, by_size))
-    if right_key != left_key:
+    ren_map = {rk: lk for lk, rk in zip(lks, rks) if rk != lk}
+    if ren_map:
         def ren(t):
             return t.rename_columns(
-                [left_key if c == right_key else c for c in t.column_names])
+                [ren_map.get(c, c) for c in t.column_names])
         right = right.map_batches(ren, batch_format="pyarrow")
     return left.join(right, join_type=_JOIN_TYPES[how],
-                     num_partitions=num_partitions, on=(left_key,))
+                     num_partitions=num_partitions, on=tuple(lks))
 
 
 def sample_n_per_group(ds: "ray.data.Dataset", group: str, n: int,

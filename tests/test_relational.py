@@ -924,3 +924,35 @@ def test_merge_into_latest_wins_and_bad_op(ray_session):
         {"k": [9], "v": ["z"], "_op": ["replace"]}))
     with pytest.raises(Exception, match="unknown _op"):
         merge_into(tgt, bad, "k").materialize()
+
+
+def test_multikey_joins_match_pandas(ray_session):
+    """Composite-key hash_join and broadcast_join vs pandas merge:
+    differing right-side key names are renamed/dropped; arity mismatch
+    and composite semi/anti raise."""
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.pipelines.relational import broadcast_join, hash_join
+
+    left = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "y", "x", "z", "x"],
+                         "v": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"ka": [1, 2, 3, 1], "kb": ["x", "x", "x", "y"],
+                          "w": [100, 200, 300, 400]})
+    lds = ray.data.from_pandas([left.iloc[:2], left.iloc[2:]])
+    rds = ray.data.from_pandas([right.iloc[:2], right.iloc[2:]])
+
+    exp = (left.merge(right, left_on=["a", "b"], right_on=["ka", "kb"])
+           .drop(columns=["ka", "kb"])
+           .sort_values(["a", "b", "v"]).reset_index(drop=True))
+    for joiner in (hash_join, broadcast_join):
+        got = (joiner(lds, rds, ["a", "b"], ["ka", "kb"]).to_pandas()
+               .sort_values(["a", "b", "v"]).reset_index(drop=True))
+        got = got[exp.columns]
+        pd.testing.assert_frame_equal(
+            got.astype({"w": np.int64}), exp.astype({"w": np.int64}))
+
+    with pytest.raises(ValueError, match="arity"):
+        hash_join(lds, rds, ["a", "b"], ["ka"])
+    with pytest.raises(ValueError, match="semi/anti"):
+        broadcast_join(lds, rds, ["a", "b"], ["ka", "kb"], how="semi")
