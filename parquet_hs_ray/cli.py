@@ -23,6 +23,15 @@ def _parse_where(spec: str) -> tuple:
         return (spec.strip()[: -len(" is not null")].strip(), "is_not_null", None)
     if low.endswith(" is null"):
         return (spec.strip()[: -len(" is null")].strip(), "is_null", None)
+    if " contains " in low:
+        i = low.find(" contains ")
+        col, raw = spec[:i], spec[i + len(" contains "):]
+        raw = raw.strip()
+        try:
+            val: object = int(raw)
+        except ValueError:
+            val = raw
+        return (col.strip(), "contains", val)
     for op in ("<=", ">=", "==", "<", ">"):
         if op in spec:
             col, _, raw = spec.partition(op)
@@ -84,9 +93,11 @@ def main(argv=None):
                      help="comma-separated columns to hive-partition the "
                           "decoded parquet output by (resumable-output layout)")
     dec.add_argument("--where", default=None, action="append",
-                     help="predicate 'col OP value' (OP in ==,<,<=,>,>=; value "
-                          "int/float/string; repeatable = AND). Partitions whose "
-                          "manifest min/max exclude it are never opened.")
+                     help="predicate 'col OP value' (OP in ==,<,<=,>,>=, or "
+                          "'col contains value' for list-column element "
+                          "membership; value int/float/string; repeatable = "
+                          "AND). Partitions whose manifest min/max/Bloom "
+                          "stats exclude it are never opened.")
     dec.add_argument("--unify-schema", action="store_true",
                      help="schema evolution: decode an appended store to the "
                           "UNION schema (older partitions null-pad columns "

@@ -187,8 +187,10 @@ def encode_dataset(
 def _normalize_predicate(predicate):
     """Predicate spec: a single (col, op, value) or an AND-list of them,
     op in {"==", "<", "<=", ">", ">=", "between", "is_null",
-    "is_not_null"} ("between" takes a (lo, hi) tuple, inclusive; the
-    null tests ignore the value slot — pass None)."""
+    "is_not_null", "contains"} ("between" takes a (lo, hi) tuple,
+    inclusive; the null tests ignore the value slot — pass None;
+    "contains" tests list-column element membership, pruned by the
+    flattened-element Bloom + min/max stats)."""
     if predicate is None:
         return []
     if isinstance(predicate, tuple) and len(predicate) == 3 and isinstance(predicate[0], str):
@@ -213,7 +215,7 @@ def _stats_can_match(entry: dict, preds: list) -> bool:
                (op == "is_not_null" and nulls == rows):
                 return False
             continue
-        if op == "==" and st.get("bloom") is not None:
+        if op in ("==", "contains") and st.get("bloom") is not None:
             # per-partition Bloom over distinct values: proves absence
             # for point probes min/max can't (uniform high-cardinality
             # ids); a false positive only costs a wasted decode
@@ -225,7 +227,7 @@ def _stats_can_match(entry: dict, preds: list) -> bool:
             continue
         mn, mx = st["min"], st["max"]
         try:
-            if (op == "==" and (v < mn or v > mx)) or \
+            if (op in ("==", "contains") and (v < mn or v > mx)) or \
                (op == ">" and mx <= v) or (op == ">=" and mx < v) or \
                (op == "<" and mn >= v) or (op == "<=" and mn > v) or \
                (op == "between" and (mx < v[0] or mn > v[1])):

@@ -82,6 +82,19 @@ class DecoderStage:
                 part = pc.is_null(c)
             elif op == "is_not_null":
                 part = pc.is_valid(c)
+            elif op == "contains":
+                # list-column element membership: one flattened compare +
+                # offset searchsorted, no per-row Python
+                import numpy as np
+
+                arr = c.combine_chunks()
+                offs = arr.offsets.to_numpy()
+                vals = arr.values.to_numpy(zero_copy_only=False)
+                hit_pos = np.flatnonzero(vals == v)
+                rows = np.searchsorted(offs, hit_pos, side="right") - 1
+                bools = np.zeros(len(arr), dtype=bool)
+                bools[rows] = True
+                part = pa.array(bools)
             else:
                 m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
                      ">": pc.greater, ">=": pc.greater_equal}.get(op)

@@ -64,6 +64,14 @@ def build_column_bloom(arr) -> dict | None:
     import pyarrow.compute as pc
 
     t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+            pa.types.is_fixed_size_list(t):
+        # list columns (e.g. tokens list<int32>): the filter covers the
+        # FLATTENED element values, serving `contains` partition pruning
+        # ("which partitions hold sequences containing token X")
+        arr = (arr.combine_chunks() if hasattr(arr, "combine_chunks")
+               else arr).flatten()
+        t = arr.type
     if pa.types.is_integer(t):
         kind = "int"
     elif pa.types.is_string(t) or pa.types.is_large_string(t):

@@ -47,7 +47,13 @@ def test_bloom_kernel_membership_and_fpr():
     # unsupported types are skipped
     assert bst.build_column_bloom(pa.array([1.5, 2.5])) is None
     assert bst.build_column_bloom(
-        pa.array([[1, 2]], type=pa.list_(pa.int32()))) is None
+        pa.array([[1.5], [2.5]], type=pa.list_(pa.float64()))) is None
+
+    # list columns bloom their FLATTENED elements (token `contains` prune)
+    lb = bst.build_column_bloom(pa.array([[1, 2], [3]], type=pa.list_(pa.int32())))
+    assert lb is not None and lb["kind"] == "int"
+    assert bst.might_contain(lb, 2) and bst.might_contain(lb, 3)
+    assert not bst.might_contain(lb, 999)
 
 
 def test_bloom_build_is_deterministic():
@@ -114,3 +120,45 @@ def test_bloom_stats_optional(ray_session, tmp_path):
     encode_dataset(str(src), out, token_budget=10, bloom_stats=False)
     for e in mf.load_manifest(out):
         assert all("bloom" not in st for st in e["columns"].values())
+
+
+def test_tokens_contains_pruning_e2e(ray_session, tmp_path):
+    """`contains` predicate on the tokens list column: partitions whose
+    flattened-token Bloom lacks the probe are never opened (their blobs
+    deleted), surviving rows match an exact python membership filter."""
+    from parquet_hs_ray.pipelines.encode_job import (decode_dataset,
+                                                     encode_dataset,
+                                                     pruned_partition_ids)
+
+    # disjoint token vocabularies per partition-sized stripe
+    rows, toks = [], []
+    for stripe in range(6):
+        base = stripe * 10_000
+        for i in range(200):
+            rows.append(stripe * 200 + i)
+            toks.append(list(range(base + (i % 37), base + (i % 37) + 30)))
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{r:06d}" for r in rows]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+        "source": pa.array(["s"] * len(rows)),
+    })
+    src = str(tmp_path / "toks.parquet")
+    pq.write_table(tbl, src, row_group_size=200)
+    out = str(tmp_path / "enc")
+    res = encode_dataset(src, out, token_budget=7000)
+    assert res["planned"] >= 6
+
+    probe = 30_005  # lives only in stripe 3
+    pred = ("tokens", "contains", probe)
+    kept, total = pruned_partition_ids(out, pred)
+    assert 0 < len(kept) < total, f"no pruning: {len(kept)}/{total}"
+
+    # delete every pruned blob: decode must not touch them
+    for e in mf.load_manifest(out):
+        if e["partition_id"] not in kept:
+            os.remove(mf.blob_path(out, e["partition_id"]))
+    got = decode_dataset(out, predicate=pred).to_pandas()
+    exp = [t for t in toks if probe in t]
+    assert len(got) == len(exp)
+    assert all(probe in list(t) for t in got["tokens"])
