@@ -193,6 +193,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["f1_len_hist"] = f1_len_hist
     q["encode_job_f1"] = _encode_job_f1
     q["decode_f1"] = _decode_f1
+
+    def decode_f1_contains(sf):
+        """Token-membership decode: `contains` predicate over the encoded
+        store — manifest Bloom/min-max pruning + vectorized flattened
+        membership filter; hash-exact vs list_contains in SQL."""
+        from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+        src, out = _f1_out_dir(sf)
+        encode_dataset(src, out, token_budget=500_000, concurrency=4)
+        return decode_dataset(out, predicate=("tokens", "contains", 777))
+
+    q["decode_f1_contains"] = decode_f1_contains
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
@@ -2046,6 +2058,9 @@ def oracle_sql() -> dict[str, str]:
 
     f1_src = cached_dataset(_F1_ROWS, seed=42, n_files=4)
     o["decode_f1"] = f"SELECT * FROM read_parquet('{f1_src}/*.parquet')"
+    o["decode_f1_contains"] = (
+        f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
+        "WHERE list_contains(tokens, 777)")
     # pack_global: canonical concat-and-chunk is a pure function of the
     # data in doc_id order — global token position via one window, group
     # by gpos // context_len (zero-padded doc ids make string order ==
