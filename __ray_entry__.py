@@ -1842,6 +1842,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_feature_join"] = ev_feature_join
 
+    def ev_incremental(sf):
+        """Micro-batch incremental tumbling windows with persisted state
+        + watermark: three chronological increments + flush reproduce the
+        batch aggregate exactly (integer cents) — the streaming-shaped
+        path the batch windows don't cover."""
+        import shutil
+
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from parquet_hs_ray.pipelines.incremental import (incremental_flush,
+                                                          incremental_tumbling)
+
+        state = f"/tmp/phr_incr/{os.path.basename(os.path.normpath(sf))}"
+        shutil.rmtree(state, ignore_errors=True)
+        ev = _read(sf, "events").to_pandas().sort_values("ts")
+        cuts = [0, len(ev) // 3, 2 * len(ev) // 3, len(ev)]
+        out = []
+        for i in range(3):
+            chunk = ev.iloc[cuts[i]:cuts[i + 1]]
+            ds = ray.data.from_pandas(
+                [chunk.iloc[:len(chunk) // 2], chunk.iloc[len(chunk) // 2:]])
+            em, _ = incremental_tumbling(ds, state,
+                                         window_us=3_600_000_000,
+                                         allowed_lateness_us=0)
+            out.append(em)
+        out.append(incremental_flush(state))
+        res = (pd.concat(out, ignore_index=True)
+               .sort_values(["win", "user_id"]).reset_index(drop=True))
+        return res
+
+    q["events_incremental"] = ev_incremental
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract
@@ -2947,6 +2981,13 @@ FROM base b LEFT JOIN med m USING (event_type)
     from parquet_hs_ray.functions.sql_oracles import validate_sql
 
     o["events_validate"] = validate_sql("events", _VALIDATE_RULES)
+    # incremental windows: the emitted union equals the batch aggregate
+    o["events_incremental"] = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round_even(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_c
+FROM events GROUP BY user_id, win
+"""
     # composite-key feature join; integer-cents sums on both sides
     o["events_feature_join"] = """
 WITH f AS (

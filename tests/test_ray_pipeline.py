@@ -717,3 +717,67 @@ def test_manifest_compaction(ray_session, f1_dir, tmp_path):
 
     # empty store: no-op
     assert compact_manifest(str(tmp_path / "nothing"))["entries"] == 0
+
+
+def test_incremental_tumbling_matches_batch(ray_session, tmp_path):
+    """Three chronological increments + flush == one batch pass (integer
+    cents); watermark closes windows as it advances; late events beyond
+    the budget are dropped AND counted; state survives via the meta.json
+    commit point."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.incremental import (incremental_flush,
+                                                      incremental_tumbling)
+
+    W = 1_000_000  # 1 s windows
+    rng = np.random.default_rng(23)
+    n = 3000
+    ts = np.sort(rng.integers(0, 30 * W, size=n))
+    df = pd.DataFrame({
+        "user_id": rng.integers(1, 6, size=n),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "value": np.round(rng.uniform(0, 10, size=n), 2),
+    })
+    state = str(tmp_path / "state")
+
+    emitted = []
+    infos = []
+    for lo, hi in ((0, 1000), (1000, 2000), (2000, 3000)):
+        ds = ray.data.from_pandas([df.iloc[lo:lo + 500], df.iloc[lo + 500:hi]])
+        em, info = incremental_tumbling(ds, state, window_us=W,
+                                        allowed_lateness_us=2 * W)
+        emitted.append(em)
+        infos.append(info)
+    emitted.append(incremental_flush(state))
+    got = (pd.concat(emitted, ignore_index=True)
+           .sort_values(["win", "user_id"]).reset_index(drop=True))
+
+    # batch truth in the same integer-cents arithmetic
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    exp = (pd.DataFrame({"user_id": df["user_id"], "win": ts // W,
+                         "n_events": 1, "sum_c": cents})
+           .groupby(["user_id", "win"], as_index=False).sum()
+           .sort_values(["win", "user_id"]).reset_index(drop=True)
+           [["user_id", "win", "n_events", "sum_c"]].astype(np.int64))
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    # no window emitted twice; watermark monotone; sorted input -> no drops
+    assert not got.duplicated(["user_id", "win"]).any()
+    assert infos[0]["watermark"] <= infos[1]["watermark"] <= infos[2]["watermark"]
+    assert sum(i["n_late_dropped"] for i in infos) == 0
+
+    # a genuinely late event (window closed long ago) drops and counts
+    late = pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp(0)],
+                         "value": [5.0]})
+    em2, info2 = incremental_tumbling(ray.data.from_pandas(late), state,
+                                      window_us=W, allowed_lateness_us=2 * W)
+    assert info2["n_late_dropped"] == 1 and len(em2) == 0
+
+    # an old-but-in-budget event reopens nothing it shouldn't: inside the
+    # lateness budget it lands in an OPEN window and is kept
+    wm = info2["watermark"]
+    okts = pd.Timestamp((wm // W) * W, unit="us")  # window end > watermark
+    ok = pd.DataFrame({"user_id": [2], "ts": [okts], "value": [1.0]})
+    _, info3 = incremental_tumbling(ray.data.from_pandas(ok), state,
+                                    window_us=W, allowed_lateness_us=2 * W)
+    assert info3["n_late_dropped"] == 0
