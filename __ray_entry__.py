@@ -1876,6 +1876,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_incremental"] = ev_incremental
 
+    def doc_incr_dedup(sf):
+        """Incremental exact dedup: three doc_id-ordered increments
+        against the bucketed hash state == global first-occurrence
+        (min doc_id per content hash)."""
+        import shutil
+
+        import pandas as pd
+        import ray.data
+
+        from parquet_hs_ray.pipelines.incremental import incremental_dedup
+
+        state = f"/tmp/phr_incrdedup/{os.path.basename(os.path.normpath(sf))}"
+        shutil.rmtree(state, ignore_errors=True)
+        docs = _read(sf, "documents").to_pandas().sort_values("doc_id")
+        cuts = [0, len(docs) // 3, 2 * len(docs) // 3, len(docs)]
+        outs = []
+        for i in range(3):
+            chunk = docs.iloc[cuts[i]:cuts[i + 1]]
+            ds = ray.data.from_pandas(
+                [chunk.iloc[:len(chunk) // 2], chunk.iloc[len(chunk) // 2:]])
+            out, _ = incremental_dedup(ds, state)
+            outs.append(out.to_pandas()[["doc_id", "source"]])
+        return (pd.concat(outs, ignore_index=True)
+                .sort_values("doc_id").reset_index(drop=True))
+
+    q["doc_incremental_dedup"] = doc_incr_dedup
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract
@@ -2981,6 +3008,14 @@ FROM base b LEFT JOIN med m USING (event_type)
     from parquet_hs_ray.functions.sql_oracles import validate_sql
 
     o["events_validate"] = validate_sql("events", _VALIDATE_RULES)
+    # incremental dedup: survivors = first occurrence per content hash
+    o["doc_incremental_dedup"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1 ORDER BY doc_id
+"""
     # incremental windows: the emitted union equals the batch aggregate
     o["events_incremental"] = """
 SELECT user_id, epoch_us(ts) // 3600000000 AS win,

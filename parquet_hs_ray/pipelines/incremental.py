@@ -169,3 +169,90 @@ def incremental_flush(state_dir: str, filesystem=None) -> pd.DataFrame:
     empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in _STATE_COLS})
     _write_state(state_dir, empty, watermark, version + 1, filesystem)
     return out
+
+
+def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 64, filesystem=None
+                      ) -> tuple["ray.data.Dataset", dict]:
+    """Micro-batch EXACT dedup against all history: keep each new doc
+    whose content hash has never been seen (earlier increments or earlier
+    in this one — within an increment the smallest ``id_col`` wins, the
+    same canonical rule as ``dedup.dedup_assign``), and persist the new
+    hashes.
+
+    State = md5 hashes hash-partitioned into ``n_buckets`` parquet
+    files, each rewritten atomically when its bucket gains hashes — the
+    seen-set never loads whole; an increment touches only the buckets its
+    own hashes map to, and per-bucket work (sorted-array membership +
+    merge) is one Ray task.  At 100 TB the state is hashes only
+    (16 B/distinct doc) and ``n_buckets`` scales the rewrite granularity.
+
+    Returns ``(survivors_dataset, info)``; crash-safety is per bucket —
+    a re-run of the same increment is idempotent (hashes already merged
+    just match and drop their docs, but those docs were already emitted
+    by the crashed run's caller; treat the emit as at-least-once)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..state import fsio
+
+    fsio.mkdirs(state_dir, filesystem)
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).digest() if isinstance(t, str) else b""
+             for t in batch[text_col]]
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "h": h,
+                             "bucket": np.frombuffer(
+                                 b"".join(x[:1] or b"\0" for x in h),
+                                 dtype=np.uint8) % n_buckets})
+
+    hdf = pd.concat(
+        [b for b in new_docs.map_batches(
+            hashed, batch_format="pandas").iter_batches(batch_format="pandas")],
+        ignore_index=True) if new_docs.count() else pd.DataFrame(
+        {id_col: [], "h": [], "bucket": []})
+
+    @ray.remote(num_cpus=1)
+    def bucket_task(bucket_id: int, sub: pd.DataFrame):
+        path = fsio.join(state_dir, f"bucket-{bucket_id:04d}.parquet")
+        if fsio.exists(path, filesystem):
+            seen = pq.read_table(io.BytesIO(
+                fsio.read_bytes(path, filesystem))).column("h").to_pylist()
+            seen_set = set(seen)
+        else:
+            seen, seen_set = [], set()
+        # canonical within-increment order: smallest id wins its hash
+        sub = sub.sort_values(id_col, kind="mergesort")
+        first = ~sub.duplicated("h", keep="first")
+        fresh = ~sub["h"].isin(seen_set)
+        keep_ids = sub[id_col][first & fresh].to_numpy()
+        new_hashes = sub["h"][first & fresh].tolist()
+        if new_hashes:
+            buf = io.BytesIO()
+            pq.write_table(pa.table({"h": pa.array(seen + new_hashes,
+                                                   pa.binary())}), buf)
+            fsio.write_atomic(path, buf.getvalue(), filesystem)
+        return keep_ids
+
+    tasks = [bucket_task.remote(int(b), sub[[id_col, "h"]])
+             for b, sub in hdf.groupby("bucket")]
+    keep = (np.concatenate(ray.get(tasks)) if tasks
+            else np.empty(0, dtype=np.int64))
+    keep_ref = ray.put(np.sort(keep))
+
+    def filt(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        ids = ray.get(keep_ref)
+        return t.filter(pc.is_in(t[id_col],
+                                 value_set=pa.array(ids, t[id_col].type)))
+
+    out = new_docs.map_batches(filt, batch_format="pyarrow")
+    info = {"n_in": int(new_docs.count()), "n_kept": int(len(keep)),
+            "buckets_touched": int(hdf["bucket"].nunique()) if len(hdf) else 0}
+    return out, info

@@ -781,3 +781,33 @@ def test_incremental_tumbling_matches_batch(ray_session, tmp_path):
     _, info3 = incremental_tumbling(ray.data.from_pandas(ok), state,
                                     window_us=W, allowed_lateness_us=2 * W)
     assert info3["n_late_dropped"] == 0
+
+
+def test_incremental_dedup_exact(ray_session, tmp_path):
+    """Two increments against bucketed hash state == global first-
+    occurrence (min doc_id) dedup; re-running an increment keeps nothing
+    new (idempotent state merge)."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.incremental import incremental_dedup
+
+    state = str(tmp_path / "seen")
+    texts1 = ["alpha", "beta", "alpha", "gamma"]          # in-increment dup
+    d1 = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": texts1})
+    texts2 = ["beta", "delta", "gamma", "epsilon"]        # cross-increment dups
+    d2 = pd.DataFrame({"doc_id": [5, 6, 7, 8], "text": texts2})
+
+    out1, info1 = incremental_dedup(
+        ray.data.from_pandas([d1.iloc[:2], d1.iloc[2:]]), state)
+    kept1 = sorted(out1.to_pandas()["doc_id"])
+    assert kept1 == [1, 2, 4] and info1["n_kept"] == 3
+
+    out2, info2 = incremental_dedup(
+        ray.data.from_pandas([d2.iloc[:2], d2.iloc[2:]]), state)
+    kept2 = sorted(out2.to_pandas()["doc_id"])
+    assert kept2 == [6, 8] and info2["n_kept"] == 2
+
+    # idempotent re-run of increment 2: everything already seen
+    out3, info3 = incremental_dedup(ray.data.from_pandas(d2), state)
+    assert info3["n_kept"] == 0 and out3.count() == 0
+    assert info1["buckets_touched"] >= 1
