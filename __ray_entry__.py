@@ -205,6 +205,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_dataset(out, predicate=("tokens", "contains", 777))
 
     q["decode_f1_contains"] = decode_f1_contains
+
+    def decode_f1_backfill(sf):
+        """Column backfill: a derived tok_sum family added to the encoded
+        store WITHOUT re-encoding it, merged at decode by row position."""
+        import numpy as np
+        import pyarrow as pa
+
+        from parquet_hs_ray.pipelines.encode_job import (backfill_columns,
+                                                         decode_dataset,
+                                                         encode_dataset)
+
+        src, out = _f1_out_dir(sf)
+        encode_dataset(src, out, token_budget=500_000, concurrency=4)
+
+        def fn(base: "pa.Table") -> "pa.Table":
+            arr = base["tokens"].combine_chunks()
+            offs = arr.offsets.to_numpy()
+            vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(vals)])
+            return pa.table({"tok_sum": pa.array(csum[offs[1:]] - csum[offs[:-1]],
+                                                 pa.int64())})
+
+        backfill_columns(out, "toksum", fn)
+        return decode_dataset(out, aux_families=["toksum"])
+
+    q["decode_f1_backfill"] = decode_f1_backfill
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
@@ -2122,6 +2148,9 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_contains"] = (
         f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
         "WHERE list_contains(tokens, 777)")
+    o["decode_f1_backfill"] = (
+        f"SELECT *, COALESCE(CAST(list_sum(tokens) AS BIGINT), 0) AS tok_sum "
+        f"FROM read_parquet('{f1_src}/*.parquet')")
     # pack_global: canonical concat-and-chunk is a pure function of the
     # data in doc_id order — global token position via one window, group
     # by gpos // context_len (zero-padded doc ids make string order ==

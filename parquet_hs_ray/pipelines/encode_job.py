@@ -281,7 +281,8 @@ def _union_schema(out_dir: str, done_entries: list[dict], filesystem=None):
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    concurrency: int | None = None, batch_size: int = 1,
                    filesystem=None, predicate=None,
-                   target_schema=None, unify_schema: bool = False
+                   target_schema=None, unify_schema: bool = False,
+                   aux_families: list[str] | None = None
                    ) -> "ray.data.Dataset":
     """Lazy decode Dataset over all finished partitions (streaming).
 
@@ -315,20 +316,34 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             raise KeyError(f"columns not in target schema: {unknown}")
     items = [{"partition_id": e["partition_id"], "crc32": e.get("checksum_crc32", -1)}
              for e in done if _stats_can_match(e, preds)]
+    aux_dirs = []
+    if aux_families:
+        pids = {it["partition_id"] for it in items}
+        for fam in aux_families:
+            adir = aux_family_dir(out_dir, fam)
+            have = mf.finished_ids(adir, filesystem)
+            missing = pids - have
+            if missing:
+                raise ValueError(
+                    f"aux family {fam!r} is missing {len(missing)} of "
+                    f"{len(pids)} partitions (e.g. {sorted(missing)[:3]}); "
+                    "run backfill_columns to completion first")
+            aux_dirs.append(adir)
     ds = ray.data.from_items(items)
     if len(items) >= 256:
         return ds.map_batches(
             DecoderStage,
             fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
                                    "filesystem": filesystem, "predicate": preds,
-                                   "target_schema": target_schema},
+                                   "target_schema": target_schema,
+                                   "aux_dirs": aux_dirs},
             batch_size=batch_size,
             concurrency=concurrency or 8,
             num_cpus=1,
             batch_format="numpy",
         )
     stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,
-                         target_schema=target_schema)
+                         target_schema=target_schema, aux_dirs=aux_dirs)
     return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 
@@ -591,4 +606,88 @@ def compact_dataset(src_dir: str, out_dir: str,
                              batch_format="numpy").to_pandas()
     result["compacted"] = len(metrics)
     result.update(mf.summary(out_dir, filesystem))
+    return result
+
+
+def aux_family_dir(out_dir: str, family: str) -> str:
+    from ..state import fsio
+
+    return fsio.join(out_dir, "aux", family)
+
+
+def backfill_columns(out_dir: str, family: str, fn, columns: list[str] | None = None,
+                     filesystem=None, concurrency: int | None = None) -> dict:
+    """Add derived columns to an encoded store WITHOUT re-encoding it —
+    the 100 TB backfill: computing a quality score over an already-encoded
+    corpus must not rewrite the corpus.
+
+    For every finished partition, ``fn(table) -> table`` receives the
+    decoded base partition (optionally only ``columns``) and returns the
+    NEW columns (same row count, same order).  Each result encodes
+    through the normal codec selector into its own blob under
+    ``<out>/aux/<family>/`` keyed by the SAME partition id — so decode
+    merges base and family by row position, no join, no shuffle.  The
+    family is itself a mini-store (manifest + atomic blobs + resume):
+    re-running a backfill skips finished partitions; a changed ``fn``
+    needs a new family name.
+
+    Scale shape: one task per partition, each reading exactly one base
+    blob; the family adds bytes proportional to the new columns only."""
+    import ray.data as rd
+
+    from ..state import fsio
+
+    adir = aux_family_dir(out_dir, family)
+    mf.ensure_dirs(adir, filesystem)
+    entries = [e for e in mf.load_manifest(out_dir, filesystem)
+               if e.get("status") == "done"]
+    done = mf.finished_ids(adir, filesystem)
+    todo = [e for e in entries if e["partition_id"] not in done]
+    result = {"partitions": len(entries),
+              "skipped_finished": len(entries) - len(todo),
+              "backfilled": len(todo), "family": family}
+    if not todo:
+        return result
+
+    items = [{"partition_id": e["partition_id"],
+              "row_count": e.get("row_count", -1)} for e in todo]
+
+    def one(batch: dict) -> "pd.DataFrame":
+        import time
+
+        import pandas as pd
+
+        from ..format import decode_table, encode_table
+
+        out_rows = []
+        for i in range(len(batch["partition_id"])):
+            pid = int(batch["partition_id"][i])
+            t0 = time.perf_counter()
+            base = decode_table(mf.read_blob(out_dir, pid, filesystem), columns)
+            new = fn(base)
+            if new.num_rows != base.num_rows:
+                raise ValueError(
+                    f"backfill fn returned {new.num_rows} rows for "
+                    f"partition {pid} ({base.num_rows} expected) — aux "
+                    "columns must align by row position")
+            blob, stats = encode_table(new)
+            mf.write_blob_atomic(adir, pid, blob, filesystem)
+            entry = {"partition_id": pid, "row_count": new.num_rows,
+                     "n_tokens": 0, "raw_bytes": new.nbytes,
+                     "encoded_bytes": len(blob),
+                     "checksum_crc32": __import__("zlib").crc32(blob),
+                     "wall_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                     "columns": {n: {"codec": st.codec}
+                                 for n, st in stats.items()},
+                     "status": "done"}
+            mf.write_entry(adir, entry, filesystem)
+            out_rows.append({"partition_id": pid, "rows": new.num_rows,
+                             "encoded_bytes": len(blob)})
+        return pd.DataFrame(out_rows)
+
+    ds = rd.from_items(items)
+    stats_rows = ds.map_batches(one, batch_size=1, num_cpus=1,
+                                batch_format="numpy").to_pandas()
+    result["rows"] = int(stats_rows["rows"].sum())
+    result["encoded_bytes"] = int(stats_rows["encoded_bytes"].sum())
     return result

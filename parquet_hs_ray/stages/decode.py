@@ -26,7 +26,8 @@ class DecoderStage:
 
     def __init__(self, out_dir: str, columns: list[str] | None = None, filesystem=None,
                  predicate: list | None = None,
-                 target_schema: pa.Schema | None = None):
+                 target_schema: pa.Schema | None = None,
+                 aux_dirs: list | None = None):
         from ..memtune import ensure_process_tuned
 
         ensure_process_tuned()
@@ -37,6 +38,24 @@ class DecoderStage:
         # schema evolution: every partition adapts to this schema —
         # missing columns null-pad, order unifies; type conflicts raise
         self.target_schema = target_schema
+        # backfilled column families: same-partition-id mini-stores whose
+        # columns append by ROW POSITION after the base (and after any
+        # predicate filter, applied identically)
+        self.aux_dirs = aux_dirs or []
+
+    def _with_aux(self, pid: int, t: pa.Table, mask) -> pa.Table:
+        for adir in self.aux_dirs:
+            ablob = mf.read_blob(adir, pid, self.filesystem)
+            at = decode_table(ablob)
+            if mask is not None:
+                at = at.filter(mask)
+            if at.num_rows != t.num_rows:
+                raise ValueError(
+                    f"aux family {adir!r} partition {pid}: {at.num_rows} "
+                    f"rows vs base {t.num_rows} — family out of sync")
+            for name in at.column_names:
+                t = t.append_column(name, at.column(name))
+        return t
 
     def _adapt(self, t: pa.Table) -> pa.Table:
         """Pad/reorder a decoded table to the target schema (projected
@@ -65,12 +84,19 @@ class DecoderStage:
             else list(self.target_schema.names)
         return [c for c in wanted if c in sch.names]
 
-    def _out_schema(self, blob: bytes) -> pa.Schema:
+    def _out_schema(self, blob: bytes, pid: int | None = None) -> pa.Schema:
         if self.target_schema is not None:
             fields = [self.target_schema.field(c) for c in self.columns] \
                 if self.columns is not None else list(self.target_schema)
             return pa.schema(fields)
-        return self._pruned_schema(blob_schema(blob))
+        sch = self._pruned_schema(blob_schema(blob))
+        if self.aux_dirs and pid is not None:
+            # a fully-pruned batch must still emit the aux columns, or
+            # empty and matched batches would disagree on schema
+            for adir in self.aux_dirs:
+                for f in blob_schema(mf.read_blob(adir, pid, self.filesystem)):
+                    sch = sch.append(f)
+        return sch
 
     def _mask_of(self, t: pa.Table, preds):
         import pyarrow.compute as pc
@@ -131,7 +157,7 @@ class DecoderStage:
                                if p[0] not in sch.names]
                     if any(p[1] != "is_null" for p in missing):
                         if out_schema is None:
-                            out_schema = self._out_schema(blob)
+                            out_schema = self._out_schema(blob, int(pid))
                         continue
                     pred_cols = sorted({p[0] for p in self.predicate
                                         if p[0] in sch.names})
@@ -143,16 +169,22 @@ class DecoderStage:
                     n_match = int(pc.sum(mask).as_py() or 0)
                     if n_match == 0:
                         if out_schema is None:
-                            out_schema = self._out_schema(blob)
+                            out_schema = self._out_schema(blob, int(pid))
                         continue
                 else:
                     mask, n_match = None, -1
                 t = decode_table(blob, self._read_cols(sch))
+                applied = None
                 if mask is not None and n_match != t.num_rows:
                     t = t.filter(mask)
+                    applied = mask
+                if self.aux_dirs:
+                    t = self._with_aux(int(pid), t, applied)
                 tables.append(self._adapt(t) if sch is not None else t)
             else:
                 t = decode_table(blob, self._read_cols(sch))
+                if self.aux_dirs:
+                    t = self._with_aux(int(pid), t, None)
                 tables.append(self._adapt(t) if sch is not None else t)
         if not tables:
             # every partition in this batch was fully pruned: emit a

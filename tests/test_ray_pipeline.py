@@ -811,3 +811,54 @@ def test_incremental_dedup_exact(ray_session, tmp_path):
     out3, info3 = incremental_dedup(ray.data.from_pandas(d2), state)
     assert info3["n_kept"] == 0 and out3.count() == 0
     assert info1["buckets_touched"] >= 1
+
+
+def test_backfill_columns_and_aux_decode(ray_session, f1_dir, tmp_path):
+    """Column backfill without re-encoding: a derived family encodes into
+    its own same-partition-id blobs; decode appends it by row position,
+    predicates filter base and family identically, resume skips finished
+    partitions, and an absent family fails loudly."""
+    import pyarrow as pa
+
+    from parquet_hs_ray.pipelines.encode_job import (backfill_columns,
+                                                     decode_dataset,
+                                                     encode_dataset)
+
+    out = str(tmp_path / "enc")
+    encode_dataset(f1_dir, out, token_budget=150_000, concurrency=2)
+
+    def fn(base: pa.Table) -> pa.Table:
+        arr = base["tokens"].combine_chunks()
+        offs = arr.offsets.to_numpy()
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(vals)])
+        tok_sum = csum[offs[1:]] - csum[offs[:-1]]
+        return pa.table({"tok_sum": pa.array(tok_sum, pa.int64())})
+
+    res = backfill_columns(out, "toksum", fn)
+    assert res["backfilled"] == res["partitions"] > 1
+    res2 = backfill_columns(out, "toksum", fn)
+    assert res2["backfilled"] == 0 and res2["skipped_finished"] == res["partitions"]
+
+    df = decode_dataset(out, aux_families=["toksum"]).to_pandas()
+    assert "tok_sum" in df.columns and len(df) == 3000
+    exp = df["tokens"].map(lambda t: int(np.sum(t)))
+    assert (df["tok_sum"].to_numpy() == exp.to_numpy()).all()
+
+    # predicate path: family rows filter in lockstep with the base
+    dfp = decode_dataset(out, predicate=("n_tok", ">=", 200),
+                         aux_families=["toksum"]).to_pandas()
+    assert (dfp["n_tok"] >= 200).all() and len(dfp) > 0
+    expp = dfp["tokens"].map(lambda t: int(np.sum(t)))
+    assert (dfp["tok_sum"].to_numpy() == expp.to_numpy()).all()
+    assert "tok_sum" in decode_dataset(
+        out, predicate=("n_tok", ">=", 200),
+        aux_families=["toksum"]).schema().names
+
+    with pytest.raises(ValueError, match="aux family"):
+        decode_dataset(out, aux_families=["nope"])
+
+    # fn returning the wrong row count is refused
+    bad = lambda t: pa.table({"x": pa.array([1], pa.int64())})  # noqa: E731
+    with pytest.raises(Exception, match="align by row position"):
+        backfill_columns(out, "bad", bad)
