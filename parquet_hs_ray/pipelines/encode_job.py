@@ -686,8 +686,9 @@ def backfill_columns(out_dir: str, family: str, fn, columns: list[str] | None = 
         return pd.DataFrame(out_rows)
 
     ds = rd.from_items(items)
+    kw = {"concurrency": concurrency} if concurrency else {}
     stats_rows = ds.map_batches(one, batch_size=1, num_cpus=1,
-                                batch_format="numpy").to_pandas()
+                                batch_format="numpy", **kw).to_pandas()
     result["rows"] = int(stats_rows["rows"].sum())
     result["encoded_bytes"] = int(stats_rows["encoded_bytes"].sum())
     return result

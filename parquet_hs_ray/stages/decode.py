@@ -114,12 +114,22 @@ class DecoderStage:
                 import numpy as np
 
                 arr = c.combine_chunks()
-                offs = arr.offsets.to_numpy()
-                vals = arr.values.to_numpy(zero_copy_only=False)
-                hit_pos = np.flatnonzero(vals == v)
-                rows = np.searchsorted(offs, hit_pos, side="right") - 1
-                bools = np.zeros(len(arr), dtype=bool)
-                bools[rows] = True
+                if pa.types.is_fixed_size_list(arr.type):
+                    # .values (not .flatten()) keeps null slots' storage,
+                    # so the reshape stays row-aligned; null rows then
+                    # mask to False like SQL list_contains(NULL, v)
+                    w = arr.type.list_size
+                    vals = arr.values.to_numpy(zero_copy_only=False)
+                    vals = vals[arr.offset * w:(arr.offset + len(arr)) * w]
+                    bools = (vals == v).reshape(-1, w).any(axis=1)
+                    bools &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                else:
+                    offs = arr.offsets.to_numpy()
+                    vals = arr.values.to_numpy(zero_copy_only=False)
+                    hit_pos = np.flatnonzero(vals == v)
+                    rows = np.searchsorted(offs, hit_pos, side="right") - 1
+                    bools = np.zeros(len(arr), dtype=bool)
+                    bools[rows] = True
                 part = pa.array(bools)
             else:
                 m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,

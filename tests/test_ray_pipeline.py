@@ -862,3 +862,20 @@ def test_backfill_columns_and_aux_decode(ray_session, f1_dir, tmp_path):
     bad = lambda t: pa.table({"x": pa.array([1], pa.int64())})  # noqa: E731
     with pytest.raises(Exception, match="align by row position"):
         backfill_columns(out, "bad", bad)
+
+
+def test_contains_mask_fixed_size_list_and_nulls():
+    """`contains` masks: variable lists with NULL rows and fixed_size_list
+    (null slots keep storage — .values stays row-aligned)."""
+    from parquet_hs_ray.stages.decode import DecoderStage
+
+    stage = DecoderStage.__new__(DecoderStage)  # kernel-only use
+    t1 = pa.table({"x": pa.array([[1, 2], None, [3], []],
+                                 pa.list_(pa.int32()))})
+    m1 = stage._mask_of(t1, [("x", "contains", 3)])
+    assert m1.to_pylist() == [False, False, True, False]
+
+    t2 = pa.table({"x": pa.array([[1, 2], [3, 4], None, [5, 3]],
+                                 pa.list_(pa.int64(), 2))})
+    m2 = stage._mask_of(t2, [("x", "contains", 3)])
+    assert m2.to_pylist() == [False, True, False, True]
