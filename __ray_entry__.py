@@ -1929,6 +1929,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_incremental_dedup"] = doc_incr_dedup
 
+    def ev_rolling_time(sf):
+        """Time-RANGE rolling sum: per event, exact integer-cents sum of
+        the trailing 10 minutes within its user — per-(key, ts) totals
+        (the reduction that makes RANGE tie semantics exact), one sort,
+        window-bounded boundary carries, composite-key join back."""
+        from parquet_hs_ray.pipelines.windows import rolling_time_sum
+
+        return rolling_time_sum(_read(sf, "events"),
+                                interval_us=600_000_000)
+
+    q["events_rolling_time"] = ev_rolling_time
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract
@@ -3037,6 +3049,15 @@ FROM base b LEFT JOIN med m USING (event_type)
     from parquet_hs_ray.functions.sql_oracles import validate_sql
 
     o["events_validate"] = validate_sql("events", _VALIDATE_RULES)
+    # time-RANGE rolling sum; RANGE peers included on both sides
+    o["events_rolling_time"] = """
+SELECT event_id, user_id,
+  CAST(sum(CAST(round_even(value*100, 0) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS win_c
+FROM events
+"""
     # incremental dedup: survivors = first occurrence per content hash
     o["doc_incremental_dedup"] = """
 SELECT doc_id, source FROM (

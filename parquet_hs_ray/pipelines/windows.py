@@ -966,3 +966,139 @@ def first_last_value(events: "ray.data.Dataset", key: str = "user_id",
         else:
             out = hash_join(out, side, key, key, how="left")
     return out
+
+
+def rolling_time_sum(events: "ray.data.Dataset", interval_us: int,
+                     key: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     val_col: str = "value") -> "ray.data.Dataset":
+    """Per-event sum of ``val`` over the trailing TIME window
+    ``[ts - interval, ts]`` within ``key`` — SQL ``sum() OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <interval> PRECEDING AND
+    CURRENT ROW)``, the time-decayed exposure / rate-limit feature.
+    Integer cents, exact; RANGE peer semantics hold (all events sharing
+    a timestamp see the same window, including each other).
+
+    Contract edge: an event whose value is NULL at a timestamp where NO
+    non-null peer exists gets ``win_c`` NULL (its (key, ts) never enters
+    the totals) — SQL would instead sum the preceding interval; filter
+    such rows upstream if that distinction matters.
+
+    Scale shape: cents first reduce to per-(key, ts) TOTALS (bounded
+    partial shuffle, and the reduction is what makes RANGE tie semantics
+    exact across block splits); the totals sort once on (key, ts); each
+    block computes segment prefix-sums + a searchsorted window start,
+    with a window-bounded boundary carry (the last key's (ts, total)
+    pairs within ``interval`` of the block edge — bounded by window
+    density, never block size).  Events then stream through a composite
+    -key join against the (key, ts) window sums."""
+    import pyarrow as pa
+    import ray
+
+    def prep(t: "pa.Table") -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        tt = t.filter(pc.is_valid(t[val_col]))
+        us = pc.cast(pc.cast(tt[ts_col], pa.timestamp("us")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(tt[val_col], pa.float64()), 100.0),
+            ndigits=0, round_mode="half_to_even"), pa.int64())
+        df = pd.DataFrame({key: tt[key].to_numpy(zero_copy_only=False),
+                           "_us": us.to_numpy(zero_copy_only=False),
+                           "_c": cents.to_numpy(zero_copy_only=False)})
+        return (df.groupby([key, "_us"], sort=False, as_index=False)
+                ["_c"].sum())
+
+    from .groupagg import grouped_sum
+
+    totals = grouped_sum(events.map_batches(prep, batch_format="pyarrow"),
+                         [key, "_us"], ["_c"])
+    srt = totals.sort([key, "_us"]).materialize()
+    refs = srt.to_arrow_refs()
+
+    out_cols = [key, "_us", "win_c"]
+    if not refs:
+        return ray.data.from_pandas(pd.DataFrame(
+            {key: pd.Series(dtype=np.int64),
+             id_col: pd.Series(dtype=np.int64),
+             "win_c": pd.Series(dtype=np.int64)}))
+
+    @ray.remote(num_cpus=0)
+    def tail_summary(t):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return None
+        kcol = t[key].to_numpy(zero_copy_only=False)
+        us = t["_us"].to_numpy(zero_copy_only=False)
+        c = t["_c"].to_numpy(zero_copy_only=False)
+        last = kcol[-1]
+        m = np.flatnonzero(kcol == last)
+        keepm = m[us[m] >= us[-1] - interval_us]
+        return (last, us[keepm].astype(np.int64), c[keepm].astype(np.int64),
+                int(us[-1]))
+
+    sums = ray.get([tail_summary.remote(r) for r in refs])
+    carries: list = [None] * len(refs)
+    run = None  # (key, ts_arr, c_arr)
+    for i, s in enumerate(sums):
+        carries[i] = (run[0], run[1].copy(), run[2].copy()) if run else None
+        if s is None:
+            continue
+        lk, tss, cs, last_ts = s
+        if run is not None and run[0] == lk:
+            tss = np.concatenate([run[1], tss])
+            cs = np.concatenate([run[2], cs])
+        keep = tss >= last_ts - interval_us
+        run = (lk, tss[keep], cs[keep])
+
+    @ray.remote(num_cpus=1)
+    def block_win(t, carry) -> pd.DataFrame:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = t.to_pandas()
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype=np.int64),
+                                 "_us": pd.Series(dtype=np.int64),
+                                 "win_c": pd.Series(dtype=np.int64)})
+        kcol = df[key].to_numpy()
+        us = df["_us"].to_numpy(dtype=np.int64)
+        c = df["_c"].to_numpy(dtype=np.int64)
+        pre = 0
+        if carry is not None and kcol[0] == carry[0]:
+            pre = len(carry[1])
+            kcol = np.concatenate([np.repeat(carry[0], pre), kcol])
+            us = np.concatenate([carry[1], us])
+            c = np.concatenate([carry[2], c])
+        win = np.empty(len(us), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], kcol[1:] != kcol[:-1]]))
+        bounds = np.append(starts, len(us))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg_us, seg_c = us[a:b], c[a:b]
+            cum = np.concatenate([[0], np.cumsum(seg_c)])
+            lo = np.searchsorted(seg_us, seg_us - interval_us, side="left")
+            win[a:b] = cum[np.arange(1, b - a + 1)] - cum[lo]
+        return pd.DataFrame({key: kcol[pre:], "_us": us[pre:],
+                             "win_c": win[pre:]})
+
+    winsums = ray.data.from_pandas_refs(
+        [block_win.remote(r, carries[i]) for i, r in enumerate(refs)])
+
+    def ev_slim(t: "pa.Table") -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pd.DataFrame({id_col: t[id_col].to_numpy(zero_copy_only=False),
+                             key: t[key].to_numpy(zero_copy_only=False),
+                             "_us": us.to_numpy(zero_copy_only=False)})
+
+    from .relational import hash_join
+
+    slim = events.map_batches(ev_slim, batch_format="pyarrow")
+    joined = hash_join(slim, winsums, [key, "_us"], [key, "_us"], how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[id_col, key, "win_c"]].copy()
+
+    return joined.map_batches(finish, batch_format="pandas")

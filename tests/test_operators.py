@@ -2299,3 +2299,44 @@ def test_ann_join_blockpair_matches_broadcast(ray_session):
     assert set(base["query_id"]) == set(range(60))
     assert base.groupby("query_id").size().eq(7).all()
     assert base["neighbor_id"].between(1000, 1089).all()
+
+
+def test_rolling_time_sum_matches_pandas(ray_session):
+    """Time-RANGE rolling sum vs a direct O(n^2) python computation:
+    timestamp ties (RANGE peers see each other), multi-block carries, and
+    the documented NULL-at-lonely-ts contract."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import rolling_time_sum
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(1, 5, size=n),
+        "ts": pd.to_datetime(rng.integers(0, 500, size=n) * 1_000_000
+                             + 1_000_000, unit="us"),  # heavy ts ties
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.uniform(0, 9, size=n), 2),
+    })
+    itv = 60_000_000  # 60 s
+    ds = ray.data.from_pandas([df.iloc[i:i + 75] for i in range(0, n, 75)])
+    got = (rolling_time_sum(ds, interval_us=itv).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    exp = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        m = (df["user_id"].to_numpy() == df["user_id"].iloc[i]) & \
+            (us >= us[i] - itv) & (us <= us[i])
+        exp[i] = cents[m].sum()
+    assert (got["win_c"].to_numpy() == exp).all()
+
+    # NULL value at a lonely ts -> win_c NULL (documented contract)
+    df2 = pd.DataFrame({"user_id": [1, 1], "event_id": [1, 2],
+                        "ts": pd.to_datetime([100, 200], unit="s"),
+                        "value": [1.0, None]})
+    got2 = (rolling_time_sum(ray.data.from_pandas(df2), interval_us=itv)
+            .to_pandas().set_index("event_id"))
+    assert got2.loc[1, "win_c"] == 100
+    assert pd.isna(got2.loc[2, "win_c"])
