@@ -1941,6 +1941,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_rolling_time"] = ev_rolling_time
 
+    def ev_ewma(sf):
+        """EWMA by distributed linear-recurrence scan: block-local seeded
+        scans + scalar boundary carries (a seeded segment == a carried
+        segment with c = x1, since alpha + (1-alpha) = 1).  Rows-only by
+        nature (float recurrence; ~1e-12 parity vs sequential pandas is
+        pytest-asserted)."""
+        from parquet_hs_ray.pipelines.windows import ewma
+
+        return ewma(_read(sf, "events"), alpha=0.25)
+
+    q["events_ewma"] = ev_ewma
+
     def doc_extract(sf):
         """Vectorized regexp capture: the word preceding 'table' (first
         match per doc, '' when absent — DuckDB regexp_extract

@@ -2340,3 +2340,50 @@ def test_rolling_time_sum_matches_pandas(ray_session):
             .to_pandas().set_index("event_id"))
     assert got2.loc[1, "win_c"] == 100
     assert pd.isna(got2.loc[2, "win_c"])
+
+
+def test_ewma_matches_pandas_across_blocks(ray_session):
+    """Distributed linear-recurrence scan vs sequential pandas
+    ewm(adjust=False): multi-block keys, NaN pass-through, single-user
+    corpus spanning every block, leading NaNs."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import ewma
+
+    rng = np.random.default_rng(41)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": np.sort(rng.integers(1, 5, size=n)),
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.uniform(-5, 5, size=n),
+    })
+    df.loc[df.index % 11 == 0, "value"] = np.nan   # NaNs pass state through
+    ds = ray.data.from_pandas([df.iloc[i:i + 60] for i in range(0, n, 60)])
+    got = (ewma(ds, alpha=0.3).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    exp = (df.sort_values(["user_id", "ts", "event_id"])
+           .groupby("user_id")["value"]
+           .transform(lambda s: s.ewm(alpha=0.3, adjust=False, ignore_na=True).mean()))
+    exp = exp.reindex(got.index)
+    both = ~(got["ewma"].isna() | exp.isna())
+    assert both.sum() > 700
+    np.testing.assert_allclose(got["ewma"][both], exp[both], rtol=1e-10)
+    # NaN only where pandas is NaN (leading NaNs of a key)
+    assert (got["ewma"].isna() == exp.isna()).all()
+
+    # single user across all blocks: the pure carry-chain path
+    one = df.copy()
+    one["user_id"] = 7
+    got1 = (ewma(ray.data.from_pandas(
+        [one.iloc[i:i + 60] for i in range(0, n, 60)]), alpha=0.2)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp1 = one["value"].ewm(alpha=0.2, adjust=False, ignore_na=True).mean()
+    b1 = ~(got1["ewma"].isna() | exp1.isna())
+    np.testing.assert_allclose(got1["ewma"][b1], exp1[b1], rtol=1e-10)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(ds, alpha=1.5)
