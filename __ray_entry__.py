@@ -231,6 +231,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_dataset(out, aux_families=["toksum"])
 
     q["decode_f1_backfill"] = decode_f1_backfill
+
+    def dedup_tokens(sf):
+        """MinHash-LSH near-dup over the NATIVE pre-tokenized table:
+        token-id n-gram shingles through the same distributed candidate
+        gen + exact-Jaccard verify as the word path — dedup where the
+        corpus lives, no detokenization.  Corpus = small F1 docs plus
+        planted exact copies (doc_id ending in '0')."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from parquet_hs_ray.pipelines.dedup import dedup_minhash_tokens
+
+        src, _ = _f1_out_dir(sf)
+        ds = ray.data.read_parquet(src)
+        base = ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t["n_tok"], 200)),
+            batch_format="pyarrow")
+
+        def plant(t: "pa.Table") -> "pa.Table":
+            d = t.filter(pc.ends_with(t["doc_id"], "0"))
+            if d.num_rows == 0:
+                return d  # keeps the input schema (no null-typed concat)
+            return pa.table({
+                "doc_id": pc.binary_join_element_wise(
+                    pa.array(["dup_"] * d.num_rows), d["doc_id"].combine_chunks(), ""),
+                "tokens": d["tokens"],
+                "n_tok": d["n_tok"],
+                "source": d["source"],
+            })
+
+        corpus = base.union(base.map_batches(plant, batch_format="pyarrow"))
+        return dedup_minhash_tokens(corpus, threshold=0.8)
+
+    q["dedup_minhash_tokens"] = dedup_tokens
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
@@ -2175,6 +2210,17 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_backfill"] = (
         f"SELECT *, COALESCE(CAST(list_sum(tokens) AS BIGINT), 0) AS tok_sum "
         f"FROM read_parquet('{f1_src}/*.parquet')")
+    from parquet_hs_ray.functions.sql_oracles import minhash_tokens_pairs_sql
+
+    _tok_corpus = (
+        f"(SELECT doc_id, tokens FROM read_parquet('{f1_src}/*.parquet')"
+        f" WHERE n_tok <= 200"
+        f" UNION ALL"
+        f" SELECT 'dup_' || doc_id, tokens FROM read_parquet('{f1_src}/*.parquet')"
+        f" WHERE n_tok <= 200 AND doc_id LIKE '%0')"
+    )
+    o["dedup_minhash_tokens"] = minhash_tokens_pairs_sql(_tok_corpus,
+                                                         threshold=0.8)
     # pack_global: canonical concat-and-chunk is a pure function of the
     # data in doc_id order — global token position via one window, group
     # by gpos // context_len (zero-padded doc ids make string order ==

@@ -66,19 +66,43 @@ def word_ngram_hashes(texts: pd.Series, n: int = 3) -> tuple[np.ndarray, np.ndar
     if not len(flat):
         return np.zeros(len(t), dtype=np.int64), np.empty(0, dtype=np.uint64)
     word_h = word_hashes(flat)
-    # rolling n-gram combine within doc boundaries
+    return _ngram_combine(lens, word_h, n)
+
+
+def _ngram_combine(lens: np.ndarray, unit_h: np.ndarray, n: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling n-gram shingle combine within doc boundaries over the
+    concatenated per-unit hash stream: h = splitmix64(h ^ unit_k),
+    h seeded 0 — shared by word and token shinglers (and replayed in SQL
+    by the `_SH0` chain)."""
     n_sh = np.maximum(lens - n + 1, 0)
     offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
     sh_offs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n_sh)])
     total = int(n_sh.sum())
     if total == 0:
         return n_sh, np.empty(0, dtype=np.uint64)
-    doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_sh)
-    first = np.repeat(offs[:-1], n_sh) + (np.arange(total, dtype=np.int64) - np.repeat(sh_offs[:-1], n_sh))
+    first = np.repeat(offs[:-1], n_sh) + (np.arange(total, dtype=np.int64)
+                                          - np.repeat(sh_offs[:-1], n_sh))
     h = np.zeros(total, dtype=np.uint64)
     for k in range(n):
-        h = _splitmix64(h ^ word_h[first + k])
+        h = _splitmix64(h ^ unit_h[first + k])
     return n_sh, h
+
+
+def token_ngram_hashes(lists: pd.Series, n: int = 3
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of TOKEN-ID n-gram shingles per row of a ``list<int>``
+    column (the engine's native pre-tokenized table) — each token hashes
+    as one splitmix64 of its value (SQL twin: one splitmix chain over
+    ``t::HUGEINT``), then the shared n-gram combine."""
+    arrs = [np.asarray(x, dtype=np.int64) if x is not None and len(x)
+            else np.empty(0, np.int64) for x in lists]
+    lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+    if not lens.sum():
+        return np.zeros(len(lens), dtype=np.int64), np.empty(0, dtype=np.uint64)
+    flat = np.concatenate(arrs)
+    tok_h = _splitmix64(flat.view(np.uint64))
+    return _ngram_combine(lens, tok_h, n)
 
 
 def char_shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.ndarray]:

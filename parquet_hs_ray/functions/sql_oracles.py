@@ -164,9 +164,30 @@ _SH0 = (
 )
 
 
-def _minhash_ctes(table: str) -> str:
-    """The shared WITH-body (word hashes -> ... -> jac) used by both
-    ``minhash_pairs_sql`` and ``minhash_clusters_sql``."""
+def _token_hash_cte(table: str, tokens_col: str = "tokens") -> str:
+    """CTE body yielding (doc_id, wpos, whash) from a ``list<int>``
+    column: one splitmix64 per token value — exactly
+    ``sketches.token_ngram_hashes``'s per-unit hash (``wh`` then feeds
+    the same shared n-gram/minhash chain as the word path)."""
+    q = "SELECT doc_id, wpos, t::HUGEINT AS h FROM tok"
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    return f"""
+tok AS (
+  SELECT doc_id, unnest({tokens_col}) AS t,
+         unnest(range(1, len({tokens_col}) + 1)) AS wpos
+  FROM {table}
+),
+wh AS MATERIALIZED (
+  SELECT doc_id, wpos, h AS whash FROM ({q})
+)"""
+
+
+def _minhash_ctes(table: str, wh_cte: str | None = None) -> str:
+    """The shared WITH-body (unit hashes -> shingles -> signatures ->
+    bands -> candidates -> jaccard) used by the minhash pair/cluster
+    oracles.  ``wh_cte`` overrides the unit-hash CTE (default: the word
+    byte-chain) — the token-id variant plugs in here."""
     from . import sketches as sk
 
     perm_rows = ", ".join(
@@ -186,7 +207,7 @@ def _minhash_ctes(table: str) -> str:
     )
     band_q = _chain_splitmix(bands_in, 4)
 
-    return f"""{_word_hash_cte(table)},
+    return f"""{wh_cte if wh_cte is not None else _word_hash_cte(table)},
 shingle_h AS MATERIALIZED (
   SELECT doc_id, wpos, h FROM ({shingle_q})
 ),
@@ -558,3 +579,16 @@ def validate_sql(table: str, rules: "list[tuple]") -> str:
             raise ValueError(f"unknown rule kind: {r!r}")
     body = "\nUNION ALL\n".join(arms)
     return f"SELECT * FROM (\n{body}\n) ORDER BY rule"
+
+
+def minhash_tokens_pairs_sql(table: str, threshold: float = 0.8) -> str:
+    """``dedup_minhash_tokens`` twin: identical minhash chain to
+    ``minhash_pairs_sql`` but unit hashes come from the token-id splitmix
+    (``_token_hash_cte``) instead of the word byte chain.  ``table`` may
+    be any table expression (e.g. a read_parquet(...) subquery aliased in
+    a WITH upstream)."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes(table, wh_cte=_token_hash_cte(table))}\n"
+        f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}\n"
+        "ORDER BY a, b"
+    )

@@ -47,8 +47,10 @@ def dedup_exact(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.select_columns(["doc_id", "n_dups"])
 
 
-def _sig_batch(batch: pd.DataFrame, n_bands: int, ngram: int) -> pd.DataFrame:
-    n_sh, hashes = sk.word_ngram_hashes(batch["text"], n=ngram)
+def _sig_batch(batch: pd.DataFrame, n_bands: int, ngram: int,
+               shingler=None) -> pd.DataFrame:
+    n_sh, hashes = (shingler(batch) if shingler is not None
+                    else sk.word_ngram_hashes(batch["text"], n=ngram))
     sig = sk.minhash_signatures(n_sh, hashes)
     bands = sk.minhash_bands(sig, n_bands=n_bands)
     n = len(batch)
@@ -80,7 +82,8 @@ def _bucket_pairs_frame(ids: np.ndarray, cap: int = BUCKET_PAIR_CAP) -> pd.DataF
 
 
 def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: int = 3,
-                            bucket_cap: int = BUCKET_PAIR_CAP) -> "ray.data.Dataset":
+                            bucket_cap: int = BUCKET_PAIR_CAP,
+                            shingler=None) -> "ray.data.Dataset":
     """LSH candidate pairs (a < b), deduplicated across bands.
 
     Columns: a, b, n_bands_hit, giant (1 = produced by the star fallback of
@@ -93,7 +96,7 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
     sessionize junction pattern) that re-groups only each block's first
     and last key — the only groups that can straddle a block boundary."""
     bands = docs.map_batches(
-        lambda b: _sig_batch(b, n_bands, ngram), batch_format="pandas"
+        lambda b: _sig_batch(b, n_bands, ngram, shingler), batch_format="pandas"
     )
     srt = bands.sort(["band", "bandhash"]).materialize()
 
@@ -204,7 +207,8 @@ def _drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset | None":
     return ray.data.from_arrow_refs(keep)
 
 
-def minhash_sketches(docs: "ray.data.Dataset", ngram: int = 3) -> "ray.data.Dataset":
+def minhash_sketches(docs: "ray.data.Dataset", ngram: int = 3,
+                     shingler=None) -> "ray.data.Dataset":
     """Per-doc sorted-unique shingle hash sets, packed as a ``binary``
     column of little-endian uint64 bytes.
 
@@ -213,13 +217,15 @@ def minhash_sketches(docs: "ray.data.Dataset", ngram: int = 3) -> "ray.data.Data
     (~8 B/shingle vs the raw text's full size) and exact Jaccard needs only
     the sets."""
 
-    return docs.map_batches(lambda b: _sketch_table(b, ngram), batch_format="pandas")
+    return docs.map_batches(lambda b: _sketch_table(b, ngram, shingler),
+                            batch_format="pandas")
 
 
-def _sketch_table(batch: pd.DataFrame, ngram: int) -> pa.Table:
+def _sketch_table(batch: pd.DataFrame, ngram: int, shingler=None) -> pa.Table:
     """(doc_id, shingles binary) table for one batch; per-doc unique is
     vectorized (sort by (doc, hash), drop consecutive dups)."""
-    n_sh, hashes = sk.word_ngram_hashes(batch["text"], n=ngram)
+    n_sh, hashes = (shingler(batch) if shingler is not None
+                    else sk.word_ngram_hashes(batch["text"], n=ngram))
     n = len(batch)
     doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
     order = np.lexsort((hashes, doc_of))
@@ -249,7 +255,8 @@ def _sketch_rows(arr: pa.Array) -> list[np.ndarray]:
 def dedup_minhash(docs: "ray.data.Dataset", threshold: float = 0.8, ngram: int = 3,
                   num_partitions: int | None = None,
                   bucket_cap: int = BUCKET_PAIR_CAP,
-                  broadcast_threshold: int = 250_000) -> pd.DataFrame:
+                  broadcast_threshold: int = 250_000,
+                  shingler=None) -> pd.DataFrame:
     """Near-duplicate pairs with exact word-ngram Jaccard >= threshold.
 
     Fully distributed (VERDICT r1 #2) — NO text or sketch data ever
@@ -271,7 +278,8 @@ def dedup_minhash(docs: "ray.data.Dataset", threshold: float = 0.8, ngram: int =
     idt = _id_type(docs, "doc_id")
     pair_schema = pa.schema([("a", idt), ("b", idt), ("n_bands_hit", pa.int64()),
                              ("giant", pa.int64())])
-    cand = _enforce_schema(minhash_candidate_pairs(docs, ngram=ngram, bucket_cap=bucket_cap),
+    cand = _enforce_schema(minhash_candidate_pairs(docs, ngram=ngram, bucket_cap=bucket_cap,
+                                                   shingler=shingler),
                            pair_schema).materialize()
     empty = pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
                           "jaccard": pd.Series([], dtype=float)})
@@ -285,10 +293,11 @@ def dedup_minhash(docs: "ray.data.Dataset", threshold: float = 0.8, ngram: int =
     if n_cand <= broadcast_threshold:
         # broadcast verify is map-only — schema-enforced empty blocks are
         # harmless here, no need for the empty-block scrub the join needs
-        out = _minhash_verify_broadcast(docs, cand, threshold, ngram)
+        out = _minhash_verify_broadcast(docs, cand, threshold, ngram, shingler)
     else:
         cand = _drop_empty_blocks(cand)
-        out = _minhash_verify_join(docs, cand, threshold, ngram, idt, num_partitions)
+        out = _minhash_verify_join(docs, cand, threshold, ngram, idt, num_partitions,
+                                   shingler)
     if len(out) == 0 or "a" not in out.columns:
         return empty
     n_giant = int(out["giant"].sum())
@@ -297,7 +306,8 @@ def dedup_minhash(docs: "ray.data.Dataset", threshold: float = 0.8, ngram: int =
     return out
 
 
-def _minhash_verify_broadcast(docs, cand, threshold: float, ngram: int) -> pd.DataFrame:
+def _minhash_verify_broadcast(docs, cand, threshold: float, ngram: int,
+                              shingler=None) -> pd.DataFrame:
     # candidate doc ids: the only thing the driver holds (ids, not data) —
     # shipped ONCE via ray.put, not closure-captured per task (VERDICT r2 #9)
     ids_df = cand.select_columns(["a", "b"]).to_pandas()
@@ -307,7 +317,7 @@ def _minhash_verify_broadcast(docs, cand, threshold: float, ngram: int) -> pd.Da
     def sketch_needed(batch: pd.DataFrame) -> pa.Table:
         # filter FIRST: only candidate docs are shingled at all
         kept = batch[batch["doc_id"].isin(ray.get(need_ref))].reset_index(drop=True)
-        return _sketch_table(kept, ngram)
+        return _sketch_table(kept, ngram, shingler)
 
     sk_refs = docs.map_batches(sketch_needed, batch_format="pandas").materialize().to_arrow_refs()
 
@@ -346,10 +356,11 @@ def _minhash_verify_broadcast(docs, cand, threshold: float, ngram: int) -> pd.Da
 
 
 def _minhash_verify_join(docs, cand, threshold: float, ngram: int, idt,
-                         num_partitions: int | None) -> pd.DataFrame:
+                         num_partitions: int | None,
+                         shingler=None) -> pd.DataFrame:
     if num_partitions is None:
         num_partitions = max(2, int(ray.available_resources().get("CPU", 4)))
-    sketches = minhash_sketches(docs, ngram=ngram)
+    sketches = minhash_sketches(docs, ngram=ngram, shingler=shingler)
     sk_a = _enforce_schema(sketches.rename_columns({"doc_id": "a", "shingles": "sh_a"}),
                            pa.schema([("a", idt), ("sh_a", pa.binary())]))
     sk_b = _enforce_schema(sketches.rename_columns({"doc_id": "b", "shingles": "sh_b"}),
@@ -983,3 +994,25 @@ def dedup_normalized(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     hashed = docs.map_batches(add_hash, batch_format="pandas")
     agg = grouped_agg(hashed, ["h"], {"doc_id": "min", "n_dups": "sum"})
     return agg.select_columns(["doc_id", "n_dups"])
+
+
+def token_shingler(tokens_col: str = "tokens", n: int = 3):
+    """Shingler over the pre-tokenized ``list<int>`` column: token-id
+    n-grams hashed by the shared splitmix chain (one splitmix per token,
+    then the word-path's rolling combine — both SQL-replayable)."""
+
+    def f(batch: pd.DataFrame):
+        return sk.token_ngram_hashes(batch[tokens_col], n=n)
+
+    return f
+
+
+def dedup_minhash_tokens(docs: "ray.data.Dataset", threshold: float = 0.8,
+                         ngram: int = 3, **kw) -> pd.DataFrame:
+    """MinHash-LSH near-dup over the engine's NATIVE pre-tokenized table:
+    identical machinery to :func:`dedup_minhash` (distributed candidate
+    gen + verify, counted giant buckets) but shingling TOKEN-ID n-grams
+    instead of words — dedup runs where the corpus actually lives, with
+    no detokenization.  Requires (doc_id, tokens) columns."""
+    return dedup_minhash(docs, threshold=threshold, ngram=ngram,
+                         shingler=token_shingler("tokens", ngram), **kw)

@@ -2387,3 +2387,39 @@ def test_ewma_matches_pandas_across_blocks(ray_session):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma(ds, alpha=1.5)
+
+
+def test_dedup_minhash_tokens_planted(ray_session):
+    """Token-id minhash dedup: planted exact and near (1-token-edited)
+    copies are found; the shingler handles empty/NULL token lists."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.functions.sketches import token_ngram_hashes
+    from parquet_hs_ray.pipelines.dedup import dedup_minhash_tokens
+
+    rng = np.random.default_rng(51)
+    docs = [rng.integers(0, 500, size=rng.integers(40, 80)).tolist()
+            for _ in range(30)]
+    ids = [f"d{i:03d}" for i in range(30)]
+    near = docs[0][:]
+    near[5] = 499 - near[5]                  # one token edited
+    ids += ["dup_exact", "dup_near", "empty"]
+    docs += [docs[1][:], near, []]
+    t = pa.table({"doc_id": pa.array(ids),
+                  "tokens": pa.array(docs, pa.list_(pa.int32())),
+                  "n_tok": pa.array([len(d) for d in docs], pa.int32()),
+                  "source": pa.array(["s"] * len(docs))})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    pairs = dedup_minhash_tokens(ds, threshold=0.7)
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert ("d001", "dup_exact") in got
+    assert ("d000", "dup_near") in got
+    jac = dict(zip(map(tuple, pairs[["a", "b"]].to_numpy()), pairs["jaccard"]))
+    assert jac[("d001", "dup_exact")] == 1.0
+    assert 0.7 <= jac[("d000", "dup_near")] < 1.0
+
+    # kernel: empty + NULL lists produce zero shingles, short lists < n too
+    n_sh, h = token_ngram_hashes(pd.Series([[1, 2], None, [], [1, 2, 3, 4]]), n=3)
+    assert list(n_sh) == [0, 0, 0, 2] and len(h) == 2
