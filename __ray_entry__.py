@@ -232,17 +232,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decode_f1_backfill"] = decode_f1_backfill
 
-    def dedup_tokens(sf):
-        """MinHash-LSH near-dup over the NATIVE pre-tokenized table:
-        token-id n-gram shingles through the same distributed candidate
-        gen + exact-Jaccard verify as the word path — dedup where the
-        corpus lives, no detokenization.  Corpus = small F1 docs plus
-        planted exact copies (doc_id ending in '0')."""
+    def _f1_token_corpus(sf):
+        """Small F1 docs plus planted exact copies (doc_id ending in '0')
+        — shared by the token minhash and token simhash dedup queries and
+        replicated verbatim in their SQL oracles."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
-
-        from parquet_hs_ray.pipelines.dedup import dedup_minhash_tokens
 
         src, _ = _f1_out_dir(sf)
         ds = ray.data.read_parquet(src)
@@ -262,10 +258,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "source": d["source"],
             })
 
-        corpus = base.union(base.map_batches(plant, batch_format="pyarrow"))
-        return dedup_minhash_tokens(corpus, threshold=0.8)
+        return base.union(base.map_batches(plant, batch_format="pyarrow"))
+
+    def dedup_tokens(sf):
+        """MinHash-LSH near-dup over the NATIVE pre-tokenized table:
+        token-id n-gram shingles through the same distributed candidate
+        gen + exact-Jaccard verify as the word path — dedup where the
+        corpus lives, no detokenization."""
+        from parquet_hs_ray.pipelines.dedup import dedup_minhash_tokens
+
+        return dedup_minhash_tokens(_f1_token_corpus(sf), threshold=0.8)
 
     q["dedup_minhash_tokens"] = dedup_tokens
+
+    def dedup_tokens_simhash(sf):
+        """SimHash over token-id 3-gram shingles + generic signature
+        banding — the O(n) companion to the token minhash path."""
+        from parquet_hs_ray.pipelines.dedup import dedup_simhash_tokens
+
+        return dedup_simhash_tokens(_f1_token_corpus(sf), max_hamming=3)
+
+    q["dedup_simhash_tokens"] = dedup_tokens_simhash
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
@@ -2221,6 +2234,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_minhash_tokens"] = minhash_tokens_pairs_sql(_tok_corpus,
                                                          threshold=0.8)
+    from parquet_hs_ray.functions.sql_oracles import simhash_tokens_pairs_sql
+
+    o["dedup_simhash_tokens"] = simhash_tokens_pairs_sql(_tok_corpus,
+                                                         max_hamming=3)
     # pack_global: canonical concat-and-chunk is a pure function of the
     # data in doc_id order — global token position via one window, group
     # by gpos // context_len (zero-padded doc ids make string order ==

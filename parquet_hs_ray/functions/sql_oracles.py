@@ -592,3 +592,42 @@ def minhash_tokens_pairs_sql(table: str, threshold: float = 0.8) -> str:
         f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}\n"
         "ORDER BY a, b"
     )
+
+
+def simhash_tokens_pairs_sql(table: str, max_hamming: int = 3) -> str:
+    """``dedup_simhash_tokens`` twin: token-id unit hashes
+    (``_token_hash_cte``) -> the shared 3-gram shingle chain -> the
+    simhash majority vote and 4x16-bit band self-join of
+    ``simhash_pairs_sql`` — exact over HUGEINT."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    return f"""
+WITH {_token_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, wpos, h FROM ({shingle_q})
+),
+votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM shingle_h, (SELECT unnest(range(0, 64)) AS bit)
+  GROUP BY doc_id, bit
+),
+sig0 AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0::HUGEINT) AS simhash
+  FROM {table} d LEFT JOIN sig0 s USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) % 65536 AS bandkey
+  FROM sig, (SELECT unnest(range(0, 4)) AS band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+ORDER BY a, b
+"""

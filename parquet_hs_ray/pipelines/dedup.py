@@ -1016,3 +1016,22 @@ def dedup_minhash_tokens(docs: "ray.data.Dataset", threshold: float = 0.8,
     no detokenization.  Requires (doc_id, tokens) columns."""
     return dedup_minhash(docs, threshold=threshold, ngram=ngram,
                          shingler=token_shingler("tokens", ngram), **kw)
+
+
+def dedup_simhash_tokens(docs: "ray.data.Dataset", max_hamming: int = 3,
+                         bucket_cap: int = BUCKET_PAIR_CAP) -> pd.DataFrame:
+    """SimHash near-dup over the NATIVE pre-tokenized table: 64-bit
+    majority-vote signatures over token-id 3-gram shingle hashes (the
+    same splitmix chain as :func:`dedup_minhash_tokens`), then the
+    generic 4x16-bit signature banding — the cheap O(n) companion to the
+    token minhash path."""
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh, hashes = sk.token_ngram_hashes(batch["tokens"], n=3)
+        s = sk.simhash64(n_sh, hashes)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": s})
+
+    sigs = docs.map_batches(sig, batch_format="pandas")
+    return signature_neardup_pairs(sigs, id_col="doc_id", sig_col="simhash",
+                                   max_hamming=max_hamming,
+                                   bucket_cap=bucket_cap)
