@@ -279,6 +279,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_simhash_tokens(_f1_token_corpus(sf), max_hamming=3)
 
     q["dedup_simhash_tokens"] = dedup_tokens_simhash
+
+    def decon_tokens(sf):
+        """Token-native benchmark decontamination: shared token shingles
+        between corpus (small F1 docs) and a 'benchmark' subset (doc_id
+        ending in '7'), counted per corpus doc — broadcast-set probe, the
+        corpus never shuffles."""
+        import pyarrow.compute as pc
+        import ray.data
+
+        from parquet_hs_ray.pipelines.cleaning import decontaminate_tokens
+
+        src, _ = _f1_out_dir(sf)
+        ds = ray.data.read_parquet(src)
+        docs = ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t["n_tok"], 200)),
+            batch_format="pyarrow")
+        bench = ds.map_batches(
+            lambda t: t.filter(pc.ends_with(t["doc_id"], "7")),
+            batch_format="pyarrow")
+        return decontaminate_tokens(docs, bench, ngram=3)
+
+    q["doc_decontaminate_tokens"] = decon_tokens
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
@@ -2238,6 +2260,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_simhash_tokens"] = simhash_tokens_pairs_sql(_tok_corpus,
                                                          max_hamming=3)
+    from parquet_hs_ray.functions.sql_oracles import decontaminate_tokens_sql
+
+    o["doc_decontaminate_tokens"] = decontaminate_tokens_sql(
+        union_table=(f"(SELECT doc_id, tokens FROM "
+                     f"read_parquet('{f1_src}/*.parquet') "
+                     f"WHERE n_tok <= 200 OR doc_id LIKE '%7')"),
+        corpus_table=(f"(SELECT doc_id FROM read_parquet('{f1_src}/*.parquet') "
+                      f"WHERE n_tok <= 200)"),
+        bench_pred="doc_id LIKE '%7'")
     # pack_global: canonical concat-and-chunk is a pure function of the
     # data in doc_id order — global token position via one window, group
     # by gpos // context_len (zero-padded doc ids make string order ==

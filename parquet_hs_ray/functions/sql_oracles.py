@@ -631,3 +631,27 @@ SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 ORDER BY a, b
 """
+
+
+def decontaminate_tokens_sql(union_table: str, corpus_table: str,
+                             bench_pred: str) -> str:
+    """``cleaning.decontaminate_tokens`` twin: token-id 3-gram shingles
+    (shared chain) over ``union_table`` (corpus ∪ benchmark docs, one
+    pass), benchmark = rows matching ``bench_pred`` (a boolean SQL
+    expression over doc_id); per corpus doc, the count of its DISTINCT
+    shingles that appear in the benchmark set."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    return f"""
+WITH {_token_hash_cte(union_table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, h FROM ({shingle_q})
+),
+sh AS (SELECT DISTINCT doc_id, h FROM shingle_h),
+bench AS (SELECT DISTINCT h FROM sh WHERE {bench_pred}),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bench b USING (h) GROUP BY s.doc_id
+)
+SELECT c.doc_id, coalesce(t.n, 0)::BIGINT AS n_shared
+FROM {corpus_table} c LEFT JOIN hits t USING (doc_id)
+"""

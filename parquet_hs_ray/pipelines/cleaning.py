@@ -137,7 +137,7 @@ def line_dedup(docs: "ray.data.Dataset", words_per_line: Optional[int] = None,
 
 
 def decontaminate(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
-                  ngram: int = 3) -> "ray.data.Dataset":
+                  ngram: int = 3, shingler=None) -> "ray.data.Dataset":
     """Per corpus document: how many of its DISTINCT word-``ngram``
     shingles also occur in the benchmark set ``bench`` (the eval-set
     decontamination check: n_shared > 0 => the document leaks benchmark
@@ -150,9 +150,11 @@ def decontaminate(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
     corpus is never shuffled at all.  Shingle hashing is the exact
     splitmix64 chain the minhash pipeline uses, so the DuckDB twin
     replays it bit-exact."""
+    sh = shingler if shingler is not None else (
+        lambda d: sk.word_ngram_hashes(d["text"], n=ngram))
     parts = []
     for b in bench.map_batches(
-            lambda d: pd.DataFrame({"h": np.unique(sk.word_ngram_hashes(d["text"], n=ngram)[1])}),
+            lambda d: pd.DataFrame({"h": np.unique(sh(d)[1])}),
             batch_format="pandas").iter_batches(batch_format="pandas"):
         parts.append(b["h"].to_numpy(dtype=np.uint64))
     bench_set = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
@@ -160,7 +162,7 @@ def decontaminate(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(ref)
-        n_sh, h = sk.word_ngram_hashes(batch["text"], n=ngram)
+        n_sh, h = sh(batch)
         doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
         if len(h):
             dd = pd.DataFrame({"d": doc_of, "h": h}).drop_duplicates()
@@ -409,7 +411,7 @@ def bloom_build(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 
 def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
                         ngram: int = 3, m_bits: int = 1 << 23,
-                        k: int = 7) -> "ray.data.Dataset":
+                        k: int = 7, shingler=None) -> "ray.data.Dataset":
     """Approximate :func:`decontaminate` via a Bloom filter: one-sided
     error (NEVER misses a truly shared shingle; may over-count by the
     filter's false-positive rate ~(1-e^{-kn/m})^k — 1 MiB / k=7 holds
@@ -428,11 +430,12 @@ def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
     # would silently drop blocks and break the one-sided guarantee), and
     # the OR streams in place — stacking n_blocks x m_bits/8 partials for
     # a reduce would hold every partial on the driver at once
+    sh = shingler if shingler is not None else (
+        lambda d: sk.word_ngram_hashes(d["text"], n=ngram))
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     for b in bench.map_batches(
             lambda d: pd.DataFrame({"bits": [bloom_build(
-                np.unique(sk.word_ngram_hashes(d["text"], n=ngram)[1]),
-                m_bits, k).tobytes()]}),
+                np.unique(sh(d)[1]), m_bits, k).tobytes()]}),
             batch_format="pandas").iter_batches(batch_format="pandas"):
         for row in b["bits"]:
             bits |= np.frombuffer(row, dtype=np.uint8)
@@ -440,7 +443,7 @@ def decontaminate_bloom(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(ref)
-        n_sh, h = sk.word_ngram_hashes(batch["text"], n=ngram)
+        n_sh, h = sh(batch)
         doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
         if len(h):
             dd = pd.DataFrame({"d": doc_of, "h": h}).drop_duplicates()
@@ -632,3 +635,16 @@ def extract_pattern(ds: "ray.data.Dataset", col: str, pattern: str,
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def decontaminate_tokens(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
+                         ngram: int = 3) -> "ray.data.Dataset":
+    """Benchmark decontamination over the NATIVE pre-tokenized table:
+    token-id n-gram shingles (the dedup_minhash_tokens chain) instead of
+    word shingles — leakage checks run where the corpus lives, with no
+    detokenization.  Same broadcast-set scale shape as
+    :func:`decontaminate` (the corpus never shuffles)."""
+    from ..pipelines.dedup import token_shingler
+
+    return decontaminate(docs, bench, ngram=ngram,
+                         shingler=token_shingler("tokens", ngram))
