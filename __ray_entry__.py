@@ -301,6 +301,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decontaminate_tokens(docs, bench, ngram=3)
 
     q["doc_decontaminate_tokens"] = decon_tokens
+
+    def pack_starts(sf):
+        """Document-boundary metadata for canonical packing: per packed
+        sequence, the relative positions where documents begin (the
+        block-diagonal attention-mask input) — same sort + int-offset
+        machinery as pack_global, tokens never move."""
+        import ray.data
+
+        from parquet_hs_ray.pipelines.packing import pack_global_doc_starts
+
+        src, _ = _f1_out_dir(sf)
+        return pack_global_doc_starts(ray.data.read_parquet(src),
+                                      context_len=2048)
+
+    q["pack_doc_starts"] = pack_starts
     q["doc_token_count"] = lambda sf: ta.token_counts(_read(sf, "documents"))
     q["doc_quality"] = lambda sf: ta.quality_scores(_read(sf, "documents"))
     q["doc_fingerprint"] = lambda sf: ta.fingerprints(_read(sf, "documents"))
@@ -2245,6 +2260,18 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_backfill"] = (
         f"SELECT *, COALESCE(CAST(list_sum(tokens) AS BIGINT), 0) AS tok_sum "
         f"FROM read_parquet('{f1_src}/*.parquet')")
+    # doc-start positions per packed sequence: one running-sum window
+    o["pack_doc_starts"] = f"""
+WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n
+           FROM read_parquet('{f1_src}/*.parquet')),
+s AS (SELECT doc_id,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+      FROM d)
+SELECT CAST(g // 2048 AS BIGINT) AS seq_id,
+       list(CAST(g % 2048 AS BIGINT) ORDER BY g) AS doc_starts
+FROM s GROUP BY seq_id
+"""
     from parquet_hs_ray.functions.sql_oracles import minhash_tokens_pairs_sql
 
     _tok_corpus = (

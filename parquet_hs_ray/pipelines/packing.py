@@ -253,3 +253,59 @@ def length_bucket_batches(ds: "ray.data.Dataset", id_col: str = "doc_id",
     # block outputs become the result Dataset (no driver concatenation)
     return ray.data.from_pandas_refs(
         [rank_block.remote(r, block_offsets[i]) for i, r in enumerate(refs)])
+
+
+def pack_global_doc_starts(ds: "ray.data.Dataset", context_len: int = 2048,
+                           token_col: str = "tokens",
+                           order_col: str = "doc_id") -> "ray.data.Dataset":
+    """Document-boundary metadata for the canonical packing: per packed
+    sequence (same ``seq_id`` space as :func:`pack_sequences_global`),
+    the sorted positions RELATIVE to the sequence where documents BEGIN
+    — the input a trainer needs to build block-diagonal attention masks
+    so packed documents don't attend across their boundaries.
+
+    Scale shape: the same sort + per-block token-count offsets as the
+    packer (ints only cross the driver); each block emits one
+    (seq_id, rel_start) int pair per document, and ``collect_list``
+    re-nests them — tokens never move at all.  Zero-length/NULL docs
+    still mark a boundary (their start position), matching the SQL
+    window twin."""
+    srt = ds.sort(order_col).materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame(
+            {"seq_id": pd.Series([], dtype=np.int64),
+             "doc_starts": pd.Series([], dtype=object)}))
+
+    @ray.remote(num_cpus=0)
+    def count_tokens(t) -> int:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        return len(t[token_col].combine_chunks().flatten())
+
+    counts = ray.get([count_tokens.remote(r) for r in refs])
+    offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+
+    @ray.remote(num_cpus=1)
+    def starts_block(t, off: int):
+        import pandas as pd
+
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        arr = t[token_col].combine_chunks()
+        if len(arr) == 0:
+            return pd.DataFrame({"seq_id": pd.Series([], dtype=np.int64),
+                                 "rel_start": pd.Series([], dtype=np.int64)})
+        lens = np.diff(arr.offsets.to_numpy()).astype(np.int64)
+        g = off + np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return pd.DataFrame({"seq_id": g // context_len,
+                             "rel_start": g % context_len})
+
+    rows = ray.data.from_pandas_refs(
+        [starts_block.remote(r, int(offsets[i])) for i, r in enumerate(refs)])
+    from .relational import collect_list
+
+    return collect_list(rows, "seq_id", "rel_start",
+                        order_col="rel_start", out_col="doc_starts")

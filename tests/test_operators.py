@@ -2423,3 +2423,41 @@ def test_dedup_minhash_tokens_planted(ray_session):
     # kernel: empty + NULL lists produce zero shingles, short lists < n too
     n_sh, h = token_ngram_hashes(pd.Series([[1, 2], None, [], [1, 2, 3, 4]]), n=3)
     assert list(n_sh) == [0, 0, 0, 2] and len(h) == 2
+
+
+def test_pack_doc_starts_consistent_with_global_pack(ray_session):
+    """Doc-start metadata: every start position is < context_len, each
+    sequence's starts are sorted, the total equals the doc count, and the
+    result is blocking-independent (1 block == 5 blocks)."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.packing import pack_global_doc_starts
+
+    rng = np.random.default_rng(61)
+    docs = [rng.integers(0, 99, size=rng.integers(1, 40)).tolist()
+            for _ in range(120)]
+    docs[7] = []                                     # zero-length doc
+    t = pa.table({"doc_id": pa.array([f"d{i:04d}" for i in range(120)]),
+                  "tokens": pa.array(docs, pa.list_(pa.int32()))})
+    L = 64
+    one = (pack_global_doc_starts(ray.data.from_arrow(t), context_len=L)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    five = (pack_global_doc_starts(ray.data.from_arrow(t).repartition(5),
+                                   context_len=L)
+            .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    assert one["seq_id"].tolist() == five["seq_id"].tolist()
+    for a, b in zip(one["doc_starts"], five["doc_starts"]):
+        assert list(a) == list(b)
+    flat = [s for lst in one["doc_starts"] for s in lst]
+    assert len(flat) == 120                          # every doc marks a start
+    assert all(0 <= s < L for s in flat)
+    for lst in one["doc_starts"]:
+        assert list(lst) == sorted(lst)
+    # direct check against a python scan
+    g = 0
+    exp = {}
+    for d in docs:
+        exp.setdefault(g // L, []).append(g % L)
+        g += len(d)
+    assert {int(r.seq_id): list(r.doc_starts) for r in one.itertuples()} == exp
