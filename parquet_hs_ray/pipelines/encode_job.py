@@ -318,6 +318,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
              for e in done if _stats_can_match(e, preds)]
     aux_dirs = []
     if aux_families:
+        from ..format import blob_schema
+
         pids = {it["partition_id"] for it in items}
         for fam in aux_families:
             adir = aux_family_dir(out_dir, fam)
@@ -329,6 +331,13 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                     f"{len(pids)} partitions (e.g. {sorted(missing)[:3]}); "
                     "run backfill_columns to completion first")
             aux_dirs.append(adir)
+            if target_schema is not None and pids:
+                # the adapt step projects to the target — fold the
+                # family's columns in so aux + unify don't silently drop
+                asch = blob_schema(mf.read_blob(adir, min(pids), filesystem))
+                for f in asch:
+                    if f.name not in target_schema.names:
+                        target_schema = target_schema.append(f)
     ds = ray.data.from_items(items)
     if len(items) >= 256:
         return ds.map_batches(
@@ -670,6 +679,11 @@ def backfill_columns(out_dir: str, family: str, fn, columns: list[str] | None = 
                     f"backfill fn returned {new.num_rows} rows for "
                     f"partition {pid} ({base.num_rows} expected) — aux "
                     "columns must align by row position")
+            clash = set(new.column_names) & set(base.column_names)
+            if clash:
+                raise ValueError(
+                    f"backfill fn returned columns shadowing the base "
+                    f"schema: {sorted(clash)} — pick distinct names")
             blob, stats = encode_table(new)
             mf.write_blob_atomic(adir, pid, blob, filesystem)
             entry = {"partition_id": pid, "row_count": new.num_rows,

@@ -879,3 +879,33 @@ def test_contains_mask_fixed_size_list_and_nulls():
                                  pa.list_(pa.int64(), 2))})
     m2 = stage._mask_of(t2, [("x", "contains", 3)])
     assert m2.to_pylist() == [False, True, False, True]
+
+
+def test_backfill_with_unify_schema_keeps_family(ray_session, tmp_path):
+    """aux_families + unify_schema: the family's columns fold into the
+    union target instead of being silently dropped by the adapt step;
+    name-shadowing backfills are refused."""
+    import pyarrow as pa
+
+    from parquet_hs_ray.pipelines.encode_job import (backfill_columns,
+                                                     decode_dataset,
+                                                     encode_dataset)
+
+    d1 = str(tmp_path / "v1")
+    write_dataset(d1, 400, seed=9, n_files=2)
+    out = str(tmp_path / "enc")
+    encode_dataset(d1, out, token_budget=80_000, concurrency=2)
+
+    def fn(base: pa.Table) -> pa.Table:
+        return pa.table({"flag": pa.array(
+            (np.arange(base.num_rows) % 2).astype(np.int64))})
+
+    backfill_columns(out, "flags", fn)
+    df = decode_dataset(out, aux_families=["flags"],
+                        unify_schema=True).to_pandas()
+    assert "flag" in df.columns and len(df) == 400
+    assert set(df["flag"].unique()) == {0, 1}
+
+    with pytest.raises(Exception, match="shadowing"):
+        backfill_columns(out, "bad", lambda t: pa.table(
+            {"n_tok": pa.array(np.zeros(t.num_rows, np.int64))}))
