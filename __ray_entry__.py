@@ -337,6 +337,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), weight_col="n_chars", rate_per_unit=1 / 4000,
         seed=7, columns=["doc_id", "source", "n_chars"])
     q["doc_surprisal"] = lambda sf: ta.unigram_surprisal(_read(sf, "documents"))
+
+    def doc_dsir(sf):
+        # DSIR importance scores against an in-corpus target slice
+        # (doc_id % 7 == 0 stands in for the domain-target corpus)
+        docs = _read(sf, "documents")
+        target = docs.map_batches(lambda b: b[b["doc_id"] % 7 == 0],
+                                  batch_format="pandas")
+        return ta.dsir_scores(docs, target, n_buckets=256)
+
+    q["doc_dsir"] = doc_dsir
     q["doc_bm25"] = lambda sf: ta.bm25_score(
         _read(sf, "documents"), ["column", "merge", "zebra"])
     q["doc_inverted_index"] = lambda sf: ta.inverted_index(
@@ -2231,6 +2241,12 @@ def oracle_sql() -> dict[str, str]:
         " coalesce(a.surprisal_sum, 0)::BIGINT AS surprisal_sum"
         " FROM documents d LEFT JOIN agg a USING (doc_id)"
     )
+    # doc_dsir: DSIR importance scores — hashed unigram+bigram buckets
+    # via the shared recursive word-hash CTE, bit-length floor-log2
+    # ratio weights (integer-exact on both sides)
+    from parquet_hs_ray.functions.sql_oracles import dsir_sql
+
+    o["doc_dsir"] = dsir_sql("documents", target_mod=7, n_buckets=256)
     # source_top_terms: per-source trending vocabulary == one window
     o["source_top_terms"] = (
         "WITH words AS (SELECT source, unnest(regexp_extract_all(lower(text),"

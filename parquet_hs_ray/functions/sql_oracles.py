@@ -655,3 +655,46 @@ hits AS (
 SELECT c.doc_id, coalesce(t.n, 0)::BIGINT AS n_shared
 FROM {corpus_table} c LEFT JOIN hits t USING (doc_id)
 """
+
+
+def dsir_sql(table: str = "documents", target_mod: int = 7,
+             n_buckets: int = 256) -> str:
+    """``text_analysis.dsir_scores`` twin (DSIR, arXiv:2302.03169,
+    integer-exact variant).  Features = word unigrams (the ``wh`` hash
+    directly) + bigrams (the shared 2-gram splitmix chain), bucketed
+    ``h % n_buckets``; target corpus = rows with
+    ``doc_id % target_mod = 0``; per-bucket log-ratio weight via the
+    same ``printf('%b')`` bit-length floor-log2 as the surprisal twin;
+    per-doc score is an exact BIGINT sum (order-free)."""
+    bi_q = _chain_splitmix(_word_ngram_inner(2), 2)
+    B = n_buckets
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+feats AS MATERIALIZED (
+  SELECT doc_id, (whash % {B})::BIGINT AS bkt FROM wh
+  UNION ALL
+  SELECT doc_id, (h % {B})::BIGINT AS bkt FROM ({bi_q})
+),
+sc AS (SELECT bkt, count(*)::BIGINT AS sn FROM feats GROUP BY bkt),
+tc AS (SELECT bkt, count(*)::BIGINT AS tn FROM feats
+       WHERE doc_id % {target_mod} = 0 GROUP BY bkt),
+tot AS (SELECT (SELECT count(*) FROM feats)::BIGINT AS s_tot,
+  (SELECT count(*) FROM feats WHERE doc_id % {target_mod} = 0)::BIGINT AS t_tot),
+lam AS (
+  SELECT r.bkt,
+    (length(printf('%b', (tot.s_tot + {B}) // (coalesce(sc.sn, 0) + 1))) - 1)
+  - (length(printf('%b', (tot.t_tot + {B}) // (coalesce(tc.tn, 0) + 1))) - 1)
+    AS lam
+  FROM (SELECT unnest(range(0, {B}))::BIGINT AS bkt) r
+  LEFT JOIN sc ON sc.bkt = r.bkt LEFT JOIN tc ON tc.bkt = r.bkt
+  CROSS JOIN tot
+),
+sco AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats,
+               sum(lam)::BIGINT AS dsir_score
+        FROM feats f JOIN lam USING (bkt) GROUP BY f.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(s.dsir_score, 0)::BIGINT AS dsir_score
+FROM {table} d LEFT JOIN sco s USING (doc_id)
+ORDER BY d.doc_id
+"""

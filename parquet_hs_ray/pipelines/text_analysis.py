@@ -784,3 +784,102 @@ def sample_fraction(ds: "ray.data.Dataset", p: float,
         return b[np.asarray([x[:16] for x in h], dtype=object) < thresh_hex]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def _dsir_features(texts: pd.Series, n_buckets: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hashed n-gram feature buckets per document (DSIR's feature space:
+    word unigrams + bigrams, splitmix64-hashed mod ``n_buckets``).  The
+    word hash chain is the shared ``sketches.word_hashes`` finalizer and
+    the bigram combine is the shared ``_ngram_combine``, so the whole
+    feature extraction replays in DuckDB via the recursive word-hash CTE
+    (``sql_oracles.dsir_sql``).  Returns (n_feats per doc, flat bucket
+    ids, flat doc index)."""
+    t = texts.fillna("").str.lower().str.split()
+    lens = t.str.len().astype(np.int64).to_numpy()
+    flat = flatten_words(t, lens)
+    if not len(flat):
+        z = np.zeros(len(t), dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        return z, e, e
+    uh = sk.word_hashes(flat)
+    n_bi, bh = sk._ngram_combine(lens, uh, 2)
+    B = np.uint64(n_buckets)
+    buckets = np.concatenate([uh % B, bh % B]).astype(np.int64)
+    rows = np.arange(len(t), dtype=np.int64)
+    doc_of = np.concatenate([np.repeat(rows, lens), np.repeat(rows, n_bi)])
+    return lens + n_bi, buckets, doc_of
+
+
+def _dsir_bucket_counts(ds: "ray.data.Dataset", n_buckets: int
+                        ) -> np.ndarray:
+    """Corpus-wide feature-bucket histogram (length ``n_buckets``) via
+    the partial-agg pattern: each block reduces to one fixed-size
+    bincount row set; the shuffle carries (bucket, n) — never text."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, buckets, _ = _dsir_features(batch["text"], n_buckets)
+        cnt = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        return pd.DataFrame({"bkt": np.arange(n_buckets, dtype=np.int64),
+                             "n": cnt})
+
+    from .groupagg import grouped_sum
+
+    agg = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                      ["bkt"], ["n"]).to_pandas()
+    out = np.zeros(n_buckets, dtype=np.int64)
+    if len(agg):
+        out[agg["bkt"].to_numpy(dtype=np.int64)] = agg["n"].to_numpy(
+            dtype=np.int64)
+    return out
+
+
+def dsir_scores(raw: "ray.data.Dataset", target: "ray.data.Dataset",
+                n_buckets: int = 256) -> "ray.data.Dataset":
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every ``raw`` document by how much more
+    probable its hashed n-gram features are under the ``target``
+    distribution than under the raw distribution — the standard
+    domain-targeted pretraining-data selection operator (select the
+    top-scoring documents to approximate sampling from the target).
+
+    INTEGER-EXACT variant so the DuckDB twin hashes identical: each
+    feature bucket's log-ratio is approximated by the same bit_length
+    floor-log2 the surprisal operator uses,
+    ``lam[b] = floor(log2((S+B)//(s_b+1))) - floor(log2((T+B)//(t_b+1)))``
+    (``s_b``/``t_b`` = raw/target counts of bucket b, ``S``/``T`` their
+    totals, add-one smoothing over the ``B`` fixed buckets); a document's
+    score is the exact int64 sum of ``lam`` over its feature multiset.
+    High score = feature profile relatively favored by the target.
+    Returns (doc_id, n_feats, dsir_score) for EVERY raw document (empty
+    docs score 0).
+
+    Scale shape: two bucket histograms via partial-agg (the shuffle
+    carries at most ``B`` (bucket, n) rows per block); the ``lam`` vector
+    is ``B`` ints built once on the driver and shipped by ``ray.put``;
+    scoring is one vectorized hash+bincount pass per block — no shuffle
+    touches text, nothing corpus-sized materializes anywhere."""
+    s_cnt = _dsir_bucket_counts(raw, n_buckets)
+    t_cnt = _dsir_bucket_counts(target, n_buckets)
+    s_tot, t_tot = int(s_cnt.sum()), int(t_cnt.sum())
+    B = n_buckets
+    # exact Python-int bit_length math (mirrors unigram_surprisal)
+    lam = np.asarray(
+        [((s_tot + B) // (int(s) + 1)).bit_length() - 1
+         - (((t_tot + B) // (int(t) + 1)).bit_length() - 1)
+         for s, t in zip(s_cnt, t_cnt)], dtype=np.int64)
+    lam_ref = ray.put(lam)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lv = ray.get(lam_ref)
+        n_feats, buckets, doc_of = _dsir_features(batch["text"], B)
+        if len(buckets):
+            # |lam| < 64 and counts fit far under 2^53: float64 bincount
+            # accumulation is exact (the surprisal argument, signed)
+            ssum = np.bincount(doc_of, weights=lv[buckets].astype(np.float64),
+                               minlength=len(batch)).astype(np.int64)
+        else:
+            ssum = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_feats": n_feats,
+                             "dsir_score": ssum})
+
+    return raw.map_batches(score, batch_format="pandas")

@@ -2461,3 +2461,78 @@ def test_pack_doc_starts_consistent_with_global_pack(ray_session):
         exp.setdefault(g // L, []).append(g % L)
         g += len(d)
     assert {int(r.seq_id): list(r.doc_starts) for r in one.itertuples()} == exp
+
+
+def test_dsir_scores_match_bruteforce(docs):
+    """DSIR integer math: the distributed two-histogram + bincount score
+    must equal a driver-side recompute with exact Python-int bit_length
+    arithmetic over the same hashed feature buckets."""
+    import ray.data
+
+    from parquet_hs_ray.functions import sketches as sk
+    from parquet_hs_ray.functions.text import flatten_words
+    from parquet_hs_ray.pipelines.text_analysis import dsir_scores
+
+    B = 64
+    target = docs.map_batches(lambda b: b[b["doc_id"] % 3 == 0],
+                              batch_format="pandas")
+    out = (dsir_scores(docs, target, n_buckets=B).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    raw = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def feats(texts):
+        t = texts.fillna("").str.lower().str.split()
+        lens = t.str.len().astype(np.int64).to_numpy()
+        flat = flatten_words(t, lens)
+        if not len(flat):
+            return lens, np.empty(0, np.int64), np.empty(0, np.int64)
+        uh = sk.word_hashes(flat)
+        n_bi, bh = sk._ngram_combine(lens, uh, 2)
+        bkt = np.concatenate([uh % np.uint64(B),
+                              bh % np.uint64(B)]).astype(np.int64)
+        doc_of = np.concatenate([
+            np.repeat(np.arange(len(t)), lens),
+            np.repeat(np.arange(len(t)), n_bi)]).astype(np.int64)
+        return lens + n_bi, bkt, doc_of
+
+    n_feats, bkt, doc_of = feats(raw["text"])
+    t_mask = (raw["doc_id"].to_numpy() % 3 == 0)
+    s_cnt = np.bincount(bkt, minlength=B)
+    t_cnt = np.bincount(bkt[t_mask[doc_of]], minlength=B)
+    s_tot, t_tot = int(s_cnt.sum()), int(t_cnt.sum())
+    lam = [((s_tot + B) // (int(s) + 1)).bit_length()
+           - ((t_tot + B) // (int(t) + 1)).bit_length()
+           for s, t in zip(s_cnt, t_cnt)]
+    ref_score = np.zeros(len(raw), dtype=np.int64)
+    for d, b in zip(doc_of, bkt):
+        ref_score[d] += lam[b]
+    assert (out["doc_id"].to_numpy() == raw["doc_id"].to_numpy()).all()
+    assert (out["n_feats"].to_numpy() == n_feats).all()
+    assert (out["dsir_score"].to_numpy() == ref_score).all()
+
+
+def test_dsir_planted_target_affinity(ray_session):
+    """Documents sharing the target slice's vocabulary must outscore
+    vocabulary-disjoint documents; empty docs score 0 and stay present."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import dsir_scores
+
+    target_text = "quantum flux capacitor resonance cascade"
+    rows = []
+    for i in range(8):
+        rows.append({"doc_id": i, "text": target_text})          # target-like
+    for i in range(8, 16):
+        rows.append({"doc_id": i, "text": "mundane filler boilerplate words"})
+    rows.append({"doc_id": 16, "text": ""})
+    raw = ray.data.from_pandas(pd.DataFrame(rows))
+    target = raw.map_batches(lambda b: b[b["doc_id"] < 4],
+                             batch_format="pandas")
+    out = (dsir_scores(raw, target, n_buckets=128).to_pandas()
+           .set_index("doc_id"))
+    assert len(out) == 17
+    like = out.loc[range(8), "dsir_score"].min()
+    unlike = out.loc[range(8, 16), "dsir_score"].max()
+    assert like > unlike
+    assert out.loc[16, "dsir_score"] == 0 and out.loc[16, "n_feats"] == 0
