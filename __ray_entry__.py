@@ -675,6 +675,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_freq"] = token_freq
 
+    def token_remap(sf):
+        # vocabulary compaction over the native pre-tokenized table:
+        # re-id every token to its global frequency rank
+        import ray.data
+
+        from parquet_hs_ray.pipelines.tokenize import remap_tokens_by_frequency
+
+        src, _ = _f1_out_dir(sf)
+        return remap_tokens_by_frequency(ray.data.read_parquet(src))
+
+    q["token_remap"] = token_remap
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -2276,6 +2288,22 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_backfill"] = (
         f"SELECT *, COALESCE(CAST(list_sum(tokens) AS BIGINT), 0) AS tok_sum "
         f"FROM read_parquet('{f1_src}/*.parquet')")
+    # token_remap: frequency-rank vocabulary compaction — rank rule
+    # (count desc, token_id asc) as one window, list rebuilt in position
+    # order (generate_subscripts), value type preserved (INTEGER)
+    o["token_remap"] = f"""
+WITH f AS (SELECT * FROM read_parquet('{f1_src}/*.parquet')),
+u AS MATERIALIZED (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS pos
+  FROM f),
+cnt AS (SELECT t, count(*)::BIGINT AS n FROM u GROUP BY t),
+rk AS (SELECT t, (row_number() OVER (ORDER BY n DESC, t ASC) - 1)::INTEGER
+         AS new_id FROM cnt),
+l AS (SELECT u.doc_id, list(rk.new_id ORDER BY u.pos) AS tokens
+      FROM u JOIN rk USING (t) GROUP BY u.doc_id)
+SELECT f.doc_id, coalesce(l.tokens, []::INTEGER[]) AS tokens, f.n_tok, f.source
+FROM f LEFT JOIN l USING (doc_id) ORDER BY f.doc_id
+"""
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

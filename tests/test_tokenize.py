@@ -4,6 +4,7 @@ encode input)."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -177,3 +178,68 @@ def test_vocab_coverage_monotone_and_exact(ray_session):
         assert row["coverage"] == cov / total
     assert out["coverage"].is_monotonic_increasing
     assert out["coverage"].iloc[-1] == 1.0
+
+
+def test_remap_tokens_by_frequency_rank_and_inverse(ray_session):
+    """Frequency-rank compaction: the most frequent token becomes id 0,
+    ranks follow (count desc, old-id asc), the rewrite is invertible,
+    row order / other columns / list value type are preserved, and
+    empty + null lists survive."""
+    import collections
+
+    import ray.data
+
+    from parquet_hs_ray.pipelines.tokenize import remap_tokens_by_frequency
+
+    toks = [[7, 7, 3, 9], [3, 7], [], None, [9, 9, 9, 7]]
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "n_tok": pa.array([4, 2, 0, 0, 4], pa.int64()),
+    })
+    out_t = pa.concat_tables(
+        remap_tokens_by_frequency(ray.data.from_arrow(t))
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    out = pd.DataFrame({
+        "doc_id": out_t["doc_id"].to_pylist(),
+        "tokens": out_t["tokens"].to_pylist(),
+        "n_tok": out_t["n_tok"].to_pylist(),
+    }).set_index("doc_id").loc[["a", "b", "c", "d", "e"]]
+    # counts: 7 -> 4x, 9 -> 4x, 3 -> 2x  =>  ranks 7->0, 9->1, 3->2
+    lut = {7: 0, 9: 1, 3: 2}
+    got = [None if x is None else list(x) for x in out["tokens"]]
+    want = [None if x is None else [lut[v] for v in x] for x in toks]
+    assert got == want
+    assert list(out["n_tok"]) == [4, 2, 0, 0, 4]
+
+    # corpus-level: remapped ids are a bijection of the old ids with
+    # identical multiplicity profile
+    flat_old = [v for x in toks if x for v in x]
+    flat_new = [v for x in got if x for v in x]
+    assert (sorted(collections.Counter(flat_old).values())
+            == sorted(collections.Counter(flat_new).values()))
+
+
+def test_remap_tokens_shrinks_bitpack_width(ray_session):
+    """The compaction's purpose: a sparse-huge-id corpus must re-encode
+    smaller after remap (ids become 0..V-1, so FOR/bit-pack widths
+    collapse)."""
+    import ray.data
+
+    from parquet_hs_ray.format import encode_table
+    from parquet_hs_ray.pipelines.tokenize import remap_tokens_by_frequency
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(np.int64(2) ** 40, size=64, replace=False)
+    toks = [ids[rng.integers(0, 64, size=100)].tolist() for _ in range(50)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(50)]),
+        "tokens": pa.array(toks, pa.list_(pa.int64())),
+    })
+    before = len(encode_table(t)[0])
+    remapped = pa.concat_tables(
+        remap_tokens_by_frequency(ray.data.from_arrow(t))
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    after = len(encode_table(remapped)[0])
+    assert after < before
+    assert pa.compute.max(remapped["tokens"].combine_chunks().flatten()).as_py() == 63
