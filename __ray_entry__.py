@@ -687,6 +687,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_remap"] = token_remap
 
+    def _f1_raw(sf):
+        import ray.data
+
+        src, _ = _f1_out_dir(sf)
+        return ray.data.read_parquet(src)
+
+    # training-prep family over the native pre-tokenized table
+    def token_mask_mlm(sf):
+        from parquet_hs_ray.pipelines.trainprep import mask_tokens_mlm
+
+        return mask_tokens_mlm(_f1_raw(sf), mask_id=50_000, rate_pct=15,
+                               seed=1)
+
+    def token_shift_labels(sf):
+        from parquet_hs_ray.pipelines.trainprep import shift_labels
+
+        return shift_labels(_f1_raw(sf))
+
+    def token_truncate(sf):
+        from parquet_hs_ray.pipelines.trainprep import truncate_sequences
+
+        return truncate_sequences(_f1_raw(sf), max_len=128)
+
+    q["token_mask_mlm"] = token_mask_mlm
+    q["token_shift_labels"] = token_shift_labels
+    q["token_truncate"] = token_truncate
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -2304,6 +2331,16 @@ l AS (SELECT u.doc_id, list(rk.new_id ORDER BY u.pos) AS tokens
 SELECT f.doc_id, coalesce(l.tokens, []::INTEGER[]) AS tokens, f.n_tok, f.source
 FROM f LEFT JOIN l USING (doc_id) ORDER BY f.doc_id
 """
+    # training-prep family: deterministic MLM masking (splitmix chain
+    # replay), next-token label shift, head truncation
+    from parquet_hs_ray.functions.sql_oracles import (
+        mask_tokens_sql, shift_labels_sql, truncate_sequences_sql)
+
+    _f1_tbl = f"read_parquet('{f1_src}/*.parquet')"
+    o["token_mask_mlm"] = mask_tokens_sql(_f1_tbl, mask_id=50_000,
+                                          rate_pct=15, seed=1)
+    o["token_shift_labels"] = shift_labels_sql(_f1_tbl)
+    o["token_truncate"] = truncate_sequences_sql(_f1_tbl, max_len=128)
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

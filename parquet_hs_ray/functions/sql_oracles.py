@@ -698,3 +698,57 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN sco s USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def mask_tokens_sql(table: str, mask_id: int, rate_pct: int = 15,
+                    seed: int = 1, ignore_id: int = -100) -> str:
+    """``trainprep.mask_tokens_mlm`` twin: the per-position mask decision
+    ``splitmix64(splitmix64(token ^ seed) ^ pos) % 100 < rate_pct``
+    replayed in HUGEINT arithmetic (the proven splitmix emulation),
+    lists rebuilt in position order."""
+    inner = (f"SELECT doc_id, unnest(tokens) AS torig, "
+             f"(generate_subscripts(tokens, 1) - 1)::HUGEINT AS pos "
+             f"FROM {table}")
+    q = f"SELECT *, xor(torig::HUGEINT, {seed}::HUGEINT) AS h FROM ({inner})"
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    q = f"SELECT * REPLACE (xor(h, pos) AS h) FROM ({q})"
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT doc_id, pos, torig, (h % 100) < {rate_pct} AS is_m FROM ({q})
+),
+l AS (SELECT doc_id,
+        list(CASE WHEN is_m THEN {mask_id}::INTEGER ELSE torig END
+             ORDER BY pos) AS tokens,
+        list(CASE WHEN is_m THEN torig ELSE {ignore_id}::INTEGER END
+             ORDER BY pos) AS labels,
+        (count(*) FILTER (WHERE is_m))::BIGINT AS n_masked
+      FROM m GROUP BY doc_id)
+SELECT d.doc_id, coalesce(l.tokens, []::INTEGER[]) AS tokens,
+       coalesce(l.labels, []::INTEGER[]) AS labels,
+       coalesce(l.n_masked, 0)::BIGINT AS n_masked
+FROM {table} d LEFT JOIN l USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def shift_labels_sql(table: str, ignore_id: int = -100) -> str:
+    """``trainprep.shift_labels`` twin: next-token targets as a list
+    slice + append, empty lists preserved."""
+    return f"""
+SELECT doc_id, tokens, n_tok, source,
+       CASE WHEN len(tokens) = 0 THEN []::INTEGER[]
+            ELSE list_append(tokens[2:], {ignore_id}::INTEGER) END AS labels
+FROM {table} ORDER BY doc_id
+"""
+
+
+def truncate_sequences_sql(table: str, max_len: int) -> str:
+    """``trainprep.truncate_sequences`` twin: head slice + length clamp
+    (DuckDB list slices are 1-based inclusive)."""
+    return f"""
+SELECT doc_id, tokens[1:{max_len}] AS tokens,
+       least(n_tok, {max_len}) AS n_tok, source
+FROM {table} ORDER BY doc_id
+"""

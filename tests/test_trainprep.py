@@ -1,0 +1,81 @@
+"""Training-prep transforms: deterministic MLM masking, label shift,
+truncation — edge cases (empty/null/single-token lists) and the
+determinism/loss-mask contracts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from parquet_hs_ray.pipelines.trainprep import (
+    mask_tokens_mlm, shift_labels, truncate_sequences)
+
+
+def _tbl(toks, vtype=pa.int32()):
+    return pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(toks))]),
+        "tokens": pa.array(toks, pa.list_(vtype)),
+        "n_tok": pa.array([0 if x is None else len(x) for x in toks],
+                          pa.int32()),
+        "source": pa.array(["s"] * len(toks)),
+    })
+
+
+def _collect(ds):
+    return pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+
+
+def test_mask_tokens_deterministic_and_loss_mask(ray_session):
+    toks = [[5, 9, 5, 9, 5, 9] * 20, [7], [], None]
+    out = _collect(mask_tokens_mlm(ray.data.from_arrow(_tbl(toks)),
+                                   mask_id=999, rate_pct=50, seed=3))
+    tok_l = out["tokens"].to_pylist()
+    lab_l = out["labels"].to_pylist()
+    nm = out["n_masked"].to_pylist()
+    # same (token, pos) -> same decision: re-run must be identical
+    out2 = _collect(mask_tokens_mlm(ray.data.from_arrow(_tbl(toks)),
+                                    mask_id=999, rate_pct=50, seed=3))
+    assert tok_l == out2["tokens"].to_pylist()
+    # loss-mask contract: masked <-> labels carry the original value
+    orig = toks[0]
+    for t, l, o in zip(tok_l[0], lab_l[0], orig):
+        if t == 999:
+            assert l == o
+        else:
+            assert t == o and l == -100
+    assert nm[0] == sum(1 for t in tok_l[0] if t == 999)
+    # at 50% over 120 positions some but not all mask
+    assert 0 < nm[0] < len(orig)
+    # empties / nulls survive
+    assert tok_l[2] == [] and tok_l[3] is None and nm[2] == 0 and nm[3] == 0
+    # rate 0 masks nothing; rate 100 masks everything
+    all0 = _collect(mask_tokens_mlm(ray.data.from_arrow(_tbl(toks)),
+                                    mask_id=999, rate_pct=0))
+    assert all0["n_masked"].to_pylist()[0] == 0
+    all100 = _collect(mask_tokens_mlm(ray.data.from_arrow(_tbl(toks)),
+                                      mask_id=999, rate_pct=100))
+    assert all100["n_masked"].to_pylist()[0] == len(orig)
+
+
+def test_shift_labels_boundaries(ray_session):
+    toks = [[1, 2, 3], [7], [], None]
+    out = _collect(shift_labels(ray.data.from_arrow(_tbl(toks))))
+    assert out["labels"].to_pylist() == [[2, 3, -100], [-100], [], None]
+    # input columns untouched
+    assert out["tokens"].to_pylist() == [[1, 2, 3], [7], [], None]
+
+
+def test_truncate_sequences_clamps(ray_session):
+    toks = [[1, 2, 3, 4, 5], [9], [], None]
+    out = _collect(truncate_sequences(ray.data.from_arrow(_tbl(toks)),
+                                      max_len=3))
+    assert out["tokens"].to_pylist() == [[1, 2, 3], [9], [], None]
+    assert out["n_tok"].to_pylist() == [3, 1, 0, 0]
+    assert out["tokens"].type.value_type == pa.int32()
+    with pytest.raises(ValueError):
+        truncate_sequences(ray.data.from_arrow(_tbl(toks)), max_len=-1)
+    z = _collect(truncate_sequences(ray.data.from_arrow(_tbl(toks)),
+                                    max_len=0))
+    assert z["tokens"].to_pylist() == [[], [], [], None]
