@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _read(sf, "documents"), ngram=2)
     q["doc_span_dedup"] = lambda sf: cleaning.span_dedup(
         _read(sf, "documents"), window=5)
+    q["doc_span_rewrite"] = lambda sf: cleaning.span_dedup_rewrite(
+        _read(sf, "documents"), window=5)
 
     def doc_tokenize(sf):
         from parquet_hs_ray.pipelines.tokenize import tokenize_corpus
@@ -2698,6 +2700,9 @@ ORDER BY doc_id, line_no
     o["doc_decontaminate"] = decontaminate_sql("documents", mod=17)
     o["doc_corpus_overlap"] = corpus_overlap_sql("documents", mod=17)
     o["doc_span_dedup"] = span_dedup_sql("documents", window=5)
+    from parquet_hs_ray.functions.sql_oracles import span_dedup_rewrite_sql
+
+    o["doc_span_rewrite"] = span_dedup_rewrite_sql("documents", window=5)
     # tokenizer: vocab = top-64 terms (count desc, word asc), OOV id 64;
     # token order restored with list(t ORDER BY i)
     o["doc_tokenize"] = """

@@ -752,3 +752,36 @@ SELECT doc_id, tokens[1:{max_len}] AS tokens,
        least(n_tok, {max_len}) AS n_tok, source
 FROM {table} ORDER BY doc_id
 """
+
+
+def span_dedup_rewrite_sql(table: str = "documents", window: int = 5,
+                           shift: int = 1 << 20) -> str:
+    """``cleaning.span_dedup_rewrite`` twin: duplicated span occurrences
+    (count >= 2 per hash) other than the global min-okey one mark their
+    ``window`` covered positions; documents rebuild from the surviving
+    lowercased word stream (string_agg in position order)."""
+    span_q = _chain_splitmix(_word_ngram_inner(window), window)
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+occ AS MATERIALIZED (
+  SELECT doc_id, wpos - 1 AS s, h,
+         doc_id * {shift} + (wpos - 1) AS okey
+  FROM ({span_q})),
+agg AS (SELECT h, count(*)::BIGINT AS c, min(okey) AS mo FROM occ GROUP BY h),
+dup AS (SELECT o.doc_id, o.s FROM occ o JOIN agg USING (h)
+        WHERE agg.c >= 2 AND o.okey <> agg.mo),
+cov AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM dup, (SELECT unnest(range(0, {window})) AS off) t),
+kept AS (SELECT w.doc_id, w.wpos, w.w FROM words w
+         LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.p = w.wpos - 1
+         WHERE cov.p IS NULL),
+agg2 AS (SELECT doc_id, string_agg(w, ' ' ORDER BY wpos) AS text_clean,
+                count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+nw AS (SELECT doc_id, count(*)::BIGINT AS n_words FROM words GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       coalesce(nw.n_words, 0)::BIGINT AS n_words,
+       (coalesce(nw.n_words, 0) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM {table} d LEFT JOIN agg2 a USING (doc_id) LEFT JOIN nw USING (doc_id)
+ORDER BY d.doc_id
+"""

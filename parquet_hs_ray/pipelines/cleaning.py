@@ -648,3 +648,147 @@ def decontaminate_tokens(docs: "ray.data.Dataset", bench: "ray.data.Dataset",
 
     return decontaminate(docs, bench, ngram=ngram,
                          shingler=token_shingler("tokens", ngram))
+
+
+def span_dedup_rewrite(docs: "ray.data.Dataset", window: int = 5,
+                       num_partitions: Optional[int] = None
+                       ) -> "ray.data.Dataset":
+    """Exact substring deduplication WITH REMOVAL (the rewrite
+    counterpart of :func:`span_dedup` — Lee et al. 2021's ExactSubstr:
+    every duplicated substring survives exactly once, at its globally
+    first occurrence).  A ``window``-word rolling span whose hash occurs
+    at >= 2 positions corpus-wide keeps only the occurrence with the
+    minimum order key ``doc_id * 2^20 + start``; every word position
+    covered by a non-canonical duplicate occurrence is dropped, and the
+    document is rebuilt from the surviving words (lowercased,
+    single-space joined — the canonical word-stream form shared with the
+    DuckDB twin).  Returns (doc_id, text_clean, n_words, n_removed) for
+    EVERY input document (documents under ``window`` words pass through
+    whole).  Documents are assumed < 2^20 words (the line_dedup order-key
+    contract).
+
+    Scale shape (100 TB): spans hash in-block (8 B each, text never
+    shuffles); the (count, min-okey) reduction per hash pre-combines per
+    block before one grouped_agg; only occurrences of ACTUALLY-duplicated
+    hashes flow into the join (the dup-hash set is output-sized); removal
+    starts re-nest per doc through ``collect_list`` (ints only); the
+    rebuild is one diff-array coverage pass per block.  The only
+    corpus-sized shuffle is the occurrence-vs-dup-hash join — the same
+    linear exchange the suffix-array construction of the exact method
+    needs."""
+    import pyarrow as pa
+
+    from ..functions.text import flatten_words
+    from .dedup import _drop_empty_blocks, _enforce_schema
+    from .groupagg import grouped_agg
+    from .relational import collect_list
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.available_resources().get("CPU", 4))))
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh, h = sk.word_ngram_hashes(batch["text"], n=window)
+        ids = batch["doc_id"].to_numpy()
+        doc_of = np.repeat(ids, n_sh)
+        s = (np.arange(int(n_sh.sum()), dtype=np.int64)
+             - np.repeat(np.cumsum(n_sh) - n_sh, n_sh))
+        return pd.DataFrame({
+            "doc_id": doc_of, "s": s, "h": h,
+            "okey": doc_of * _LINE_SHIFT + s,
+        })
+
+    occ_schema = pa.schema([("doc_id", pa.int64()), ("s", pa.int64()),
+                            ("h", pa.uint64()), ("okey", pa.int64())])
+    occ = _enforce_schema(docs.map_batches(occurrences,
+                                           batch_format="pandas"),
+                          occ_schema)
+
+    def hash_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": b["h"], "c": np.int64(1), "mo": b["okey"]})
+
+    agg = grouped_agg(occ.map_batches(hash_partial, batch_format="pandas"),
+                      ["h"], {"c": "sum", "mo": "min"})
+    dupset = agg.map_batches(lambda b: b[b["c"] >= 2][["h", "mo"]],
+                             batch_format="pandas")
+    dupset = _drop_empty_blocks(_enforce_schema(
+        dupset, pa.schema([("h", pa.uint64()),
+                           ("mo", pa.int64())])).materialize())
+
+    def rebuild_factory(rm_by_doc):
+        def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+            words = batch["text"].fillna("").str.lower().str.split()
+            lens = words.str.len().astype(np.int64).to_numpy()
+            total = int(lens.sum())
+            flat = flatten_words(words, lens)
+            offs = np.cumsum(lens) - lens
+            diff = np.zeros(total + 1, dtype=np.int64)
+            n_removed = np.zeros(len(batch), dtype=np.int64)
+            starts_col = (batch[rm_by_doc].to_numpy()
+                          if rm_by_doc in batch.columns else
+                          np.full(len(batch), None, dtype=object))
+            for i, st in enumerate(starts_col):
+                if st is None or (isinstance(st, float) and np.isnan(st)):
+                    continue
+                sarr = (np.frombuffer(st, dtype="<i8")
+                        if isinstance(st, (bytes, bytearray))
+                        else np.asarray(st, dtype=np.int64))
+                if not len(sarr):
+                    continue
+                np.add.at(diff, offs[i] + sarr, 1)
+                np.add.at(diff, offs[i] + sarr + window, -1)
+            cov = np.cumsum(diff[:total]) > 0 if total else np.zeros(0, bool)
+            doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+            if total:
+                n_removed = np.bincount(doc_of, weights=cov.astype(np.float64),
+                                        minlength=len(batch)).astype(np.int64)
+            kept_mask = ~cov
+            kept_words = flat[kept_mask] if total else flat
+            kept_doc = doc_of[kept_mask] if total else doc_of
+            # per-doc single-space join over the kept word stream
+            texts = [""] * len(batch)
+            if len(kept_words):
+                cut = np.flatnonzero(kept_doc[1:] != kept_doc[:-1]) + 1
+                starts_k = np.concatenate([[0], cut])
+                ends_k = np.concatenate([cut, [len(kept_words)]])
+                for s0, e0 in zip(starts_k, ends_k):
+                    texts[int(kept_doc[s0])] = " ".join(kept_words[s0:e0])
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "text_clean": pd.Series(texts, dtype=object).to_numpy(),
+                "n_words": lens,
+                "n_removed": n_removed,
+            })
+        return rebuild
+
+    if dupset is None:  # nothing duplicated anywhere: pure pass-through
+        return docs.map_batches(rebuild_factory("_none_"),
+                                batch_format="pandas")
+
+    j = occ.join(dupset, join_type="inner", num_partitions=num_partitions,
+                 on=("h",))
+    rm = j.map_batches(
+        lambda b: b[b["okey"] != b["mo"]][["doc_id", "s"]],
+        batch_format="pandas")
+    rm = _enforce_schema(rm, pa.schema([("doc_id", pa.int64()),
+                                        ("s", pa.int64())]))
+    rm_nested = collect_list(rm, key="doc_id", value_col="s",
+                             order_col="s", out_col="rm_starts")
+
+    # Arrow hash join can't carry list payloads: ship the starts as one
+    # little-endian int64 buffer per doc (decoded with np.frombuffer)
+    def pack_starts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "rm_starts": [np.asarray(x, dtype="<i8").tobytes()
+                          for x in b["rm_starts"]],
+        })
+
+    rm_packed = _enforce_schema(
+        rm_nested.map_batches(pack_starts, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("rm_starts", pa.binary())]))
+    joined = docs.join(rm_packed, join_type="left_outer",
+                       num_partitions=num_partitions, on=("doc_id",))
+    return joined.map_batches(rebuild_factory("rm_starts"),
+                              batch_format="pandas")

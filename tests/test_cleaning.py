@@ -476,3 +476,74 @@ def test_extract_pattern_first_match_and_empty(ray_session):
     assert out["w"].tolist() == ["big", "", "x"]
     with pytest.raises(ValueError, match="capture group"):
         extract_pattern(ds, "text", r"(\w+) (table)")
+
+
+def test_span_dedup_rewrite_planted(ray_session):
+    """ExactSubstr removal: a duplicated sentence survives only at its
+    first (doc_id, pos) occurrence; within-doc repeats drop too;
+    overlapping duplicate spans merge their coverage; short docs pass
+    through whole."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite
+
+    sent = "the quick brown fox jumps"          # exactly window=5 words
+    rows = [
+        {"doc_id": 1, "text": f"alpha beta {sent} gamma delta"},
+        {"doc_id": 2, "text": f"intro words here {sent} outro tail"},
+        # within-doc repeat: second copy must drop
+        {"doc_id": 3, "text": f"{sent} filler one two three {sent}"},
+        {"doc_id": 4, "text": "too short"},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = (span_dedup_rewrite(ray.data.from_pandas(pd.DataFrame(rows)),
+                              window=5).to_pandas()
+           .set_index("doc_id").sort_index())
+    # doc 1 holds the canonical (min okey) occurrence: untouched
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[1, "text_clean"] == f"alpha beta {sent} gamma delta"
+    # doc 2's copy is removed, surrounding words survive
+    assert out.loc[2, "n_removed"] == 5
+    assert out.loc[2, "text_clean"] == "intro words here outro tail"
+    # doc 3: first in-doc copy removed too (doc 1 is canonical), so both go
+    assert out.loc[3, "n_removed"] == 10
+    assert out.loc[3, "text_clean"] == "filler one two three"
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[4, "text_clean"] == "too short"
+    assert out.loc[5, "n_words"] == 0 and out.loc[5, "text_clean"] == ""
+
+
+def test_span_dedup_rewrite_overlap_merge(ray_session):
+    """Two overlapping duplicate spans cover their union, not 2x window
+    words; the canonical doc keeps everything."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite
+
+    six = "w1 w2 w3 w4 w5 w6"   # 6 words -> two overlapping 5-spans
+    rows = [
+        {"doc_id": 10, "text": f"{six} pad"},
+        {"doc_id": 11, "text": f"lead {six}"},
+    ]
+    out = (span_dedup_rewrite(ray.data.from_pandas(pd.DataFrame(rows)),
+                              window=5).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[10, "n_removed"] == 0
+    # doc 11: both 5-spans of the 6-word run are duplicates of doc 10's;
+    # union coverage = 6 words, not 10
+    assert out.loc[11, "n_removed"] == 6
+    assert out.loc[11, "text_clean"] == "lead"
+
+
+def test_span_dedup_rewrite_no_dups_passthrough(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite
+
+    rows = [{"doc_id": i,
+             "text": f"a{i} b{i} c{i} d{i} e{i} f{i} g{i}"}
+            for i in range(6)]
+    out = (span_dedup_rewrite(ray.data.from_pandas(pd.DataFrame(rows)),
+                              window=5).to_pandas())
+    assert (out["n_removed"] == 0).all()
+    assert len(out) == 6
