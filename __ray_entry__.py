@@ -712,6 +712,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return truncate_sequences(_f1_raw(sf), max_len=128)
 
+    def token_span_rewrite(sf):
+        # ExactSubstr removal on the native token table: dk = the
+        # numeric doc suffix (global order key for "first occurrence")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite_tokens
+
+        def add_dk(t):
+            dk = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 1 << 30),
+                         pa.int64())
+            return t.append_column("dk", dk)
+
+        return span_dedup_rewrite_tokens(
+            _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow"),
+            window=5)
+
+    q["token_span_rewrite"] = token_span_rewrite
     q["token_mask_mlm"] = token_mask_mlm
     q["token_shift_labels"] = token_shift_labels
     q["token_truncate"] = token_truncate
@@ -2339,6 +2357,10 @@ FROM f LEFT JOIN l USING (doc_id) ORDER BY f.doc_id
         mask_tokens_sql, shift_labels_sql, truncate_sequences_sql)
 
     _f1_tbl = f"read_parquet('{f1_src}/*.parquet')"
+    from parquet_hs_ray.functions.sql_oracles import span_dedup_rewrite_tokens_sql
+
+    o["token_span_rewrite"] = span_dedup_rewrite_tokens_sql(
+        _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)", window=5)
     o["token_mask_mlm"] = mask_tokens_sql(_f1_tbl, mask_id=50_000,
                                           rate_pct=15, seed=1)
     o["token_shift_labels"] = shift_labels_sql(_f1_tbl)

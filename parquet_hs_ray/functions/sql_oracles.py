@@ -785,3 +785,40 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN agg2 a USING (doc_id) LEFT JOIN nw USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def span_dedup_rewrite_tokens_sql(table: str, dk_expr: str,
+                                  window: int = 5,
+                                  shift: int = 1 << 20) -> str:
+    """``cleaning.span_dedup_rewrite_tokens`` twin over a pre-tokenized
+    table: token-id n-gram span hashes (the shared splitmix chain),
+    canonical occurrence = min ``dk * shift + start`` where ``dk`` is
+    ``dk_expr`` evaluated per row (the caller's numeric doc order key);
+    sequences rebuild with list(t ORDER BY wpos) over uncovered
+    positions."""
+    span_q = _chain_splitmix(_word_ngram_inner(window), window)
+    return f"""
+WITH {_token_hash_cte(table)},
+dk AS (SELECT doc_id, {dk_expr} AS dkv FROM {table}),
+occ AS MATERIALIZED (
+  SELECT sp.doc_id, sp.wpos - 1 AS s, sp.h,
+         dk.dkv * {shift} + (sp.wpos - 1) AS okey
+  FROM ({span_q}) sp JOIN dk ON dk.doc_id = sp.doc_id),
+agg AS (SELECT h, count(*)::BIGINT AS c, min(okey) AS mo FROM occ GROUP BY h),
+dup AS (SELECT o.doc_id, o.s FROM occ o JOIN agg USING (h)
+        WHERE agg.c >= 2 AND o.okey <> agg.mo),
+cov AS (SELECT DISTINCT doc_id, s + off AS p
+        FROM dup, (SELECT unnest(range(0, {window})) AS off) t),
+kept AS (SELECT tk.doc_id, tk.wpos, tk.t FROM tok tk
+         LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.wpos - 1
+         WHERE cov.p IS NULL),
+l AS (SELECT doc_id, list(t ORDER BY wpos) AS tokens,
+             count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+n0 AS (SELECT doc_id, coalesce(len(tokens), 0)::BIGINT AS n_in FROM {table})
+SELECT d.doc_id,
+       coalesce(l.tokens, []::INTEGER[]) AS tokens,
+       coalesce(l.n_kept, 0)::BIGINT AS n_tok,
+       (n0.n_in - coalesce(l.n_kept, 0))::BIGINT AS n_removed
+FROM {table} d JOIN n0 USING (doc_id) LEFT JOIN l USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -705,16 +705,7 @@ def span_dedup_rewrite(docs: "ray.data.Dataset", window: int = 5,
                                            batch_format="pandas"),
                           occ_schema)
 
-    def hash_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"h": b["h"], "c": np.int64(1), "mo": b["okey"]})
-
-    agg = grouped_agg(occ.map_batches(hash_partial, batch_format="pandas"),
-                      ["h"], {"c": "sum", "mo": "min"})
-    dupset = agg.map_batches(lambda b: b[b["c"] >= 2][["h", "mo"]],
-                             batch_format="pandas")
-    dupset = _drop_empty_blocks(_enforce_schema(
-        dupset, pa.schema([("h", pa.uint64()),
-                           ("mo", pa.int64())])).materialize())
+    rm_packed = _span_removals(occ, pa.int64(), num_partitions)
 
     def rebuild_factory(rm_by_doc):
         def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
@@ -762,22 +753,52 @@ def span_dedup_rewrite(docs: "ray.data.Dataset", window: int = 5,
             })
         return rebuild
 
-    if dupset is None:  # nothing duplicated anywhere: pure pass-through
+    if rm_packed is None:  # nothing duplicated anywhere: pure pass-through
         return docs.map_batches(rebuild_factory("_none_"),
                                 batch_format="pandas")
+
+    joined = docs.join(rm_packed, join_type="left_outer",
+                       num_partitions=num_partitions, on=("doc_id",))
+    return joined.map_batches(rebuild_factory("rm_starts"),
+                              batch_format="pandas")
+
+
+def _span_removals(occ: "ray.data.Dataset", key_type, num_partitions: int):
+    """Shared ExactSubstr machinery: from an occurrence dataset
+    (doc_id:``key_type``, s, h, okey), find the non-canonical occurrences
+    of every duplicated span hash and re-nest their start positions per
+    doc as one little-endian int64 buffer (Arrow hash joins can't carry
+    list payloads).  Returns a (doc_id, rm_starts binary) Dataset, or
+    None when nothing is duplicated."""
+    import pyarrow as pa
+
+    from .dedup import _drop_empty_blocks, _enforce_schema
+    from .groupagg import grouped_agg
+    from .relational import collect_list
+
+    def hash_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": b["h"], "c": np.int64(1), "mo": b["okey"]})
+
+    agg = grouped_agg(occ.map_batches(hash_partial, batch_format="pandas"),
+                      ["h"], {"c": "sum", "mo": "min"})
+    dupset = agg.map_batches(lambda b: b[b["c"] >= 2][["h", "mo"]],
+                             batch_format="pandas")
+    dupset = _drop_empty_blocks(_enforce_schema(
+        dupset, pa.schema([("h", pa.uint64()),
+                           ("mo", pa.int64())])).materialize())
+    if dupset is None:
+        return None
 
     j = occ.join(dupset, join_type="inner", num_partitions=num_partitions,
                  on=("h",))
     rm = j.map_batches(
         lambda b: b[b["okey"] != b["mo"]][["doc_id", "s"]],
         batch_format="pandas")
-    rm = _enforce_schema(rm, pa.schema([("doc_id", pa.int64()),
+    rm = _enforce_schema(rm, pa.schema([("doc_id", key_type),
                                         ("s", pa.int64())]))
     rm_nested = collect_list(rm, key="doc_id", value_col="s",
                              order_col="s", out_col="rm_starts")
 
-    # Arrow hash join can't carry list payloads: ship the starts as one
-    # little-endian int64 buffer per doc (decoded with np.frombuffer)
     def pack_starts(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": b["doc_id"].to_numpy(),
@@ -785,10 +806,106 @@ def span_dedup_rewrite(docs: "ray.data.Dataset", window: int = 5,
                           for x in b["rm_starts"]],
         })
 
-    rm_packed = _enforce_schema(
+    return _enforce_schema(
         rm_nested.map_batches(pack_starts, batch_format="pandas"),
-        pa.schema([("doc_id", pa.int64()), ("rm_starts", pa.binary())]))
-    joined = docs.join(rm_packed, join_type="left_outer",
+        pa.schema([("doc_id", key_type), ("rm_starts", pa.binary())]))
+
+
+def span_dedup_rewrite_tokens(tok: "ray.data.Dataset", window: int = 5,
+                              order_col: str = "dk",
+                              num_partitions: Optional[int] = None
+                              ) -> "ray.data.Dataset":
+    """ExactSubstr removal over the NATIVE pre-tokenized table: a
+    ``window``-token rolling span (splitmix token-id n-gram chain, the
+    dedup_minhash_tokens hashes) duplicated corpus-wide survives only at
+    the occurrence with minimum ``dk * 2^20 + start`` — ``order_col``
+    must be an int64 column giving each document's global order rank
+    (doc_ids are strings here, so the caller supplies the numeric key).
+    Covered token positions drop; sequences rebuild as the same list
+    type.  Returns (doc_id, tokens, n_tok, n_removed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import _enforce_schema
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.available_resources().get("CPU", 4))))
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh, h = sk.token_ngram_hashes(batch["tokens"], n=window)
+        doc_of = np.repeat(batch["doc_id"].to_numpy(), n_sh)
+        dk = np.repeat(batch[order_col].to_numpy(dtype=np.int64), n_sh)
+        s = (np.arange(int(n_sh.sum()), dtype=np.int64)
+             - np.repeat(np.cumsum(n_sh) - n_sh, n_sh))
+        return pd.DataFrame({"doc_id": doc_of, "s": s, "h": h,
+                             "okey": dk * _LINE_SHIFT + s})
+
+    occ = _enforce_schema(
+        tok.map_batches(occurrences, batch_format="pandas"),
+        pa.schema([("doc_id", pa.string()), ("s", pa.int64()),
+                   ("h", pa.uint64()), ("okey", pa.int64())]))
+    rm_packed = _span_removals(occ, pa.string(), num_partitions)
+
+    # Arrow hash joins reject list payloads, so the token sequences ride
+    # through the join as one little-endian buffer per doc (the same
+    # memcpy the join's block serialization would do anyway)
+    vtype = tok.schema().base_schema.field("tokens").type.value_type
+    np_dt = np.dtype(vtype.to_pandas_dtype()).newbyteorder("<")
+
+    def pack_tok(t: pa.Table) -> pa.Table:
+        col = t["tokens"].combine_chunks() if isinstance(
+            t["tokens"], pa.ChunkedArray) else t["tokens"]
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        flat = (col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np_dt, copy=False))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokbin": pa.array([flat[offs[i]:offs[i + 1]].tobytes()
+                                for i in range(len(lens))], pa.binary()),
+        })
+
+    slim = tok.map_batches(pack_tok, batch_format="pyarrow")
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        bufs = t["tokbin"].to_pylist()
+        lens = np.asarray([len(b) // np_dt.itemsize for b in bufs],
+                          dtype=np.int64)
+        total = int(lens.sum())
+        flat = (np.frombuffer(b"".join(bufs), dtype=np_dt)
+                if total else np.empty(0, dtype=np_dt))
+        offs = np.cumsum(lens) - lens
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if "rm_starts" in t.schema.names:
+            for i, st in enumerate(t["rm_starts"].to_pylist()):
+                if not st:
+                    continue
+                sarr = np.frombuffer(st, dtype="<i8")
+                np.add.at(diff, offs[i] + sarr, 1)
+                np.add.at(diff, offs[i] + sarr + window, -1)
+        cov = np.cumsum(diff[:total]) > 0 if total else np.zeros(0, bool)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n_removed = (np.bincount(doc_of, weights=cov.astype(np.float64),
+                                 minlength=len(lens)).astype(np.int64)
+                     if total else np.zeros(len(lens), dtype=np.int64))
+        new_lens = lens - n_removed
+        new_offs = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(new_lens, out=new_offs[1:])
+        kept = flat[~cov] if total else flat
+        arr = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                       pa.array(kept, type=vtype))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": arr,
+            "n_tok": pa.array(new_lens, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    if rm_packed is None:
+        return slim.map_batches(rebuild, batch_format="pyarrow")
+    joined = slim.join(rm_packed, join_type="left_outer",
                        num_partitions=num_partitions, on=("doc_id",))
-    return joined.map_batches(rebuild_factory("rm_starts"),
-                              batch_format="pandas")
+    return joined.map_batches(rebuild, batch_format="pyarrow")

@@ -547,3 +547,36 @@ def test_span_dedup_rewrite_no_dups_passthrough(ray_session):
                               window=5).to_pandas())
     assert (out["n_removed"] == 0).all()
     assert len(out) == 6
+
+
+def test_span_dedup_rewrite_tokens_planted(ray_session):
+    """Token-native ExactSubstr: the duplicated 5-token run survives only
+    in the doc with the smallest order key; value type is preserved."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite_tokens
+
+    run = [11, 22, 33, 44, 55]
+    toks = [
+        [1, 2] + run + [3],          # dk 0: canonical
+        [9] + run + [8, 7],          # dk 1: run removed
+        [5, 6, 7],                   # untouched
+        [],
+    ]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(4)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "dk": pa.array(list(range(4)), pa.int64()),
+    })
+    out = pa.concat_tables(
+        span_dedup_rewrite_tokens(ray.data.from_arrow(t), window=5)
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    got = dict(zip(out["doc_id"].to_pylist(), out["tokens"].to_pylist()))
+    nrm = dict(zip(out["doc_id"].to_pylist(), out["n_removed"].to_pylist()))
+    assert got["d0"] == toks[0] and nrm["d0"] == 0
+    assert got["d1"] == [9, 8, 7] and nrm["d1"] == 5
+    assert got["d2"] == [5, 6, 7] and nrm["d2"] == 0
+    assert got["d3"] == [] and nrm["d3"] == 0
+    assert out["tokens"].type.value_type == pa.int32()
+    assert out["n_tok"].to_pylist() == [len(got[f"d{i}"]) for i in range(4)]
