@@ -730,6 +730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             window=5)
 
     q["token_span_rewrite"] = token_span_rewrite
+    q["token_repetition"] = lambda sf: cleaning.repetition_stats_tokens(
+        _f1_raw(sf), ngram=3)
     q["token_mask_mlm"] = token_mask_mlm
     q["token_shift_labels"] = token_shift_labels
     q["token_truncate"] = token_truncate
@@ -2359,6 +2361,9 @@ FROM f LEFT JOIN l USING (doc_id) ORDER BY f.doc_id
     _f1_tbl = f"read_parquet('{f1_src}/*.parquet')"
     from parquet_hs_ray.functions.sql_oracles import span_dedup_rewrite_tokens_sql
 
+    from parquet_hs_ray.functions.sql_oracles import repetition_tokens_sql
+
+    o["token_repetition"] = repetition_tokens_sql(_f1_tbl, ngram=3)
     o["token_span_rewrite"] = span_dedup_rewrite_tokens_sql(
         _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)", window=5)
     o["token_mask_mlm"] = mask_tokens_sql(_f1_tbl, mask_id=50_000,

@@ -822,3 +822,27 @@ SELECT d.doc_id,
 FROM {table} d JOIN n0 USING (doc_id) LEFT JOIN l USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def repetition_tokens_sql(table: str, ngram: int = 2,
+                          dup_ratio_denom: int = 4) -> str:
+    """``cleaning.repetition_stats_tokens`` twin: token n-gram hashes via
+    the shared splitmix chain, per-doc occurrence/distinct/top-count in
+    exact integer aggregates."""
+    gram_q = _chain_splitmix(_word_ngram_inner(ngram), ngram)
+    return f"""
+WITH {_token_hash_cte(table)},
+c AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM ({gram_q})
+      GROUP BY doc_id, h),
+per AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,
+               count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_count
+        FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(p.top_count, 0)::BIGINT AS top_count,
+       (coalesce(p.n_grams, 0) - coalesce(p.n_distinct, 0))
+         * {dup_ratio_denom} > coalesce(p.n_grams, 0) AS repetitive
+FROM {table} d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -909,3 +909,43 @@ def span_dedup_rewrite_tokens(tok: "ray.data.Dataset", window: int = 5,
     joined = slim.join(rm_packed, join_type="left_outer",
                        num_partitions=num_partitions, on=("doc_id",))
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def repetition_stats_tokens(tok: "ray.data.Dataset", ngram: int = 2,
+                            dup_ratio_denom: int = 4) -> "ray.data.Dataset":
+    """Gopher-style in-document repetition signals over the NATIVE
+    pre-tokenized table: token-id ``ngram``-gram occurrences / distinct /
+    top count and the integer-exact ``repetitive`` verdict — the same
+    contract as :func:`repetition_stats`, with n-grams identified by the
+    shared splitmix chain hash (collisions ~n²/2^64, shared with the SQL
+    twin by design).  Embarrassingly parallel: one hash pass + one
+    lexsort run-length reduction per block; no shuffle."""
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh, h = sk.token_ngram_hashes(batch["tokens"], n=ngram)
+        n = len(batch)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(h):
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+            order = np.lexsort((h, doc_of))
+            d2, h2 = doc_of[order], h[order]
+            new = np.concatenate([[True],
+                                  (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])])
+            starts = np.flatnonzero(new)
+            run_doc = d2[starts]
+            n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+            run_len = np.diff(np.concatenate([starts, [len(h2)]]))
+            np.maximum.at(top, run_doc, run_len)
+        ng = n_sh.astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_grams": ng,
+            "n_distinct": n_distinct,
+            "top_count": top,
+            "repetitive": (ng - n_distinct) * dup_ratio_denom > ng,
+        })
+
+    return tok.map_batches(f, batch_format="pandas")

@@ -580,3 +580,34 @@ def test_span_dedup_rewrite_tokens_planted(ray_session):
     assert got["d3"] == [] and nrm["d3"] == 0
     assert out["tokens"].type.value_type == pa.int32()
     assert out["n_tok"].to_pylist() == [len(got[f"d{i}"]) for i in range(4)]
+
+
+def test_repetition_stats_tokens_planted(ray_session):
+    """Token-native Gopher repetition: a sequence that is one bigram
+    repeated flags repetitive; a distinct sequence doesn't; empties are
+    all-zero."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import repetition_stats_tokens
+
+    toks = [
+        [1, 2] * 10,                  # 19 bigrams, 2 distinct -> repetitive
+        list(range(20)),              # all distinct
+        [],
+        [5],                          # under the window
+    ]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(4)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    out = (repetition_stats_tokens(ray.data.from_arrow(t), ngram=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc["d0", "n_grams"] == 19
+    assert out.loc["d0", "n_distinct"] == 2
+    assert out.loc["d0", "top_count"] == 10
+    assert bool(out.loc["d0", "repetitive"])
+    assert out.loc["d1", "n_distinct"] == 19
+    assert not bool(out.loc["d1", "repetitive"])
+    assert (out.loc[["d2", "d3"], ["n_grams", "n_distinct", "top_count"]]
+            .to_numpy() == 0).all()
