@@ -31,11 +31,16 @@ _POLICY_MIN_RUN = {"for": None, "rle": 8, "bitpack": 1 << 31}
 
 
 def _wrap_deltas(values: np.ndarray, ref: int) -> np.ndarray:
-    """(values - ref) with two's-complement wraparound, as unsigned."""
+    """(values - ref) with two's-complement wraparound, as unsigned.
+    When ref == 0 this returns a VIEW of the input (no copy — a full
+    pass over a 100M-value token column costs real wall time); callers
+    must not mutate the result."""
     if values.dtype.kind == "i":
         u = values.view(values.dtype.str.replace("i", "u"))
     else:
         u = values
+    if ref == 0:
+        return u
     return u - u.dtype.type(ref & ((1 << (8 * u.dtype.itemsize)) - 1))
 
 

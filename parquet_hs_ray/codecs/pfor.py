@@ -102,15 +102,32 @@ def encode_pfor(values: np.ndarray) -> bytes:
         exc_pos = np.empty(0, dtype=np.int64)
         exc_high = np.empty(0, dtype=np.uint64)
     else:
-        # native-dtype masking/shifts (no widening: memory traffic matters)
-        base = deltas & deltas.dtype.type((1 << w) - 1)
         high = deltas >> deltas.dtype.type(w)
         exc_pos = np.flatnonzero(high)
         exc_high = high[exc_pos].astype(np.uint64)
+        base = None  # built lazily: byte-aligned widths never need it
     pad = (-n) % 8
-    if pad:
-        base = np.concatenate([base, np.zeros(pad, dtype=base.dtype)])
-    base_bits = pack_bits_le(base, w)
+    if w % 8 == 0 and w > 0:
+        # byte-aligned width: the low w//8 little-endian bytes of each
+        # delta ARE the packed stream — no mask copy, no pad concatenate
+        # (both were full passes over the column)
+        nb = w // 8
+        it = deltas.dtype.itemsize
+        u8 = np.ascontiguousarray(deltas).view(np.uint8).reshape(n, it)
+        base_bits = (u8.tobytes() if nb == it
+                     else u8[:, :nb].tobytes()) + b"\x00" * (pad * nb)
+    else:
+        if base is None:
+            # native-dtype mask (no widening: memory traffic matters)
+            base = deltas & deltas.dtype.type((1 << w) - 1)
+        # pad only the <8-value tail: concatenating the pad onto the
+        # full column would copy the whole array again
+        n_full = n - (n % 8)
+        base_bits = pack_bits_le(base[:n_full], w)
+        if n_full < n:
+            tail = np.zeros(8, dtype=base.dtype)
+            tail[: n - n_full] = base[n_full:]
+            base_bits += pack_bits_le(tail, w)
     parts = [
         encode_varint(zigzag_encode(ref)),
         bytes([w, 0]),

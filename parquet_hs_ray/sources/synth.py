@@ -16,6 +16,11 @@ import pyarrow.parquet as pq
 
 VOCAB = 50_257
 SOURCES = ["web", "code", "books", "wiki", "news", "forums", "papers", "social"]
+# parquet row-group size for the synthetic writers: slice reads in the
+# encode job touch only overlapping row groups, so whole-file row groups
+# force every partition to decode the full file (2x+ read amplification
+# at 2 partitions/file). 512 rows ~ 430 KB ~ one token-budget fraction.
+_ROW_GROUP = 512
 SOURCE_WEIGHTS = [0.45, 0.15, 0.1, 0.08, 0.08, 0.07, 0.05, 0.02]
 
 SCHEMA = pa.schema(
@@ -109,15 +114,19 @@ def write_dataset(
             break
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
         tbl = gen_batch(rows, seed=seed, start_row=row, skew=skew, nulls=nulls)
-        pq.write_table(tbl, path)
+        pq.write_table(tbl, path, row_group_size=_ROW_GROUP)
         paths.append(path)
         row += rows
     return paths
 
 
 def cached_dataset(n_rows: int, seed: int = 42, n_files: int = 16, skew=False, nulls=False) -> str:
-    """Generate-once cache under /tmp keyed by parameters."""
-    tag = f"f1_r{n_rows}_s{seed}_f{n_files}{'_skew' if skew else ''}{'_null' if nulls else ''}"
+    """Generate-once cache under /tmp keyed by parameters (incl. the
+    row-group size — caches written before the sized-row-group change
+    must not be reused: one whole-file row group makes every encode-job
+    slice read decode the full file)."""
+    tag = (f"f1_r{n_rows}_s{seed}_f{n_files}_g{_ROW_GROUP}"
+           f"{'_skew' if skew else ''}{'_null' if nulls else ''}")
     out_dir = os.path.join("/tmp", "phr_synth", tag)
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
@@ -138,7 +147,8 @@ def write_dataset_ray(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 
     @ray.remote(num_cpus=1)
     def _write(i: int, row: int, rows: int) -> str:
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
-        pq.write_table(gen_batch(rows, seed=seed, start_row=row), path)
+        pq.write_table(gen_batch(rows, seed=seed, start_row=row), path,
+                       row_group_size=_ROW_GROUP)
         return path
 
     refs = []
@@ -154,7 +164,7 @@ def write_dataset_ray(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 
 
 
 def cached_dataset_ray(n_rows: int, seed: int = 42, n_files: int = 32) -> str:
-    tag = f"f1_r{n_rows}_s{seed}_f{n_files}"
+    tag = f"f1_r{n_rows}_s{seed}_f{n_files}_g{_ROW_GROUP}"
     out_dir = os.path.join("/tmp", "phr_synth", tag)
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
