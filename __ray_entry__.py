@@ -732,6 +732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_span_rewrite"] = token_span_rewrite
     q["token_repetition"] = lambda sf: cleaning.repetition_stats_tokens(
         _f1_raw(sf), ngram=3)
+    q["token_dedup_exact"] = lambda sf: dedup.dedup_exact_tokens(_f1_raw(sf))
+    q["token_budget_mix"] = lambda sf: ta.token_budget_mix(
+        _f1_raw(sf), total_tokens=2_000_000, alpha=0.5)
     q["token_mask_mlm"] = token_mask_mlm
     q["token_shift_labels"] = token_shift_labels
     q["token_truncate"] = token_truncate
@@ -2364,6 +2367,19 @@ FROM f LEFT JOIN l USING (doc_id) ORDER BY f.doc_id
     from parquet_hs_ray.functions.sql_oracles import repetition_tokens_sql
 
     o["token_repetition"] = repetition_tokens_sql(_f1_tbl, ngram=3)
+    o["token_dedup_exact"] = (
+        f"SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups "
+        f"FROM {_f1_tbl} GROUP BY tokens")
+    o["token_budget_mix"] = f"""
+WITH c AS (SELECT source, sum(n_tok)::BIGINT AS toks FROM {_f1_tbl} GROUP BY source),
+w AS (SELECT source, toks, pow(toks, 0.5) AS wt FROM c),
+t AS (SELECT source, CAST(floor(2000000.0 * wt / (SELECT sum(wt) FROM w)) AS BIGINT) AS quota FROM w),
+r AS (SELECT doc_id, source, n_tok,
+      sum(n_tok::BIGINT) OVER (PARTITION BY source
+        ORDER BY md5('42:' || doc_id), doc_id) AS cum FROM {_f1_tbl})
+SELECT r.doc_id, r.source, r.n_tok FROM r JOIN t USING (source)
+WHERE cum <= t.quota ORDER BY doc_id
+"""
     o["token_span_rewrite"] = span_dedup_rewrite_tokens_sql(
         _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)", window=5)
     o["token_mask_mlm"] = mask_tokens_sql(_f1_tbl, mask_id=50_000,

@@ -1035,3 +1035,47 @@ def dedup_simhash_tokens(docs: "ray.data.Dataset", max_hamming: int = 3,
     return signature_neardup_pairs(sigs, id_col="doc_id", sig_col="simhash",
                                    max_hamming=max_hamming,
                                    bucket_cap=bucket_cap)
+
+
+def dedup_exact_tokens(tok: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact sequence dedup over the NATIVE pre-tokenized table: one row
+    per distinct token SEQUENCE, keyed (doc_id = min over the duplicate
+    group, n_dups).  The group key is the md5 of the sequence's raw
+    little-endian value buffer — 16 B per row crosses the shuffle, never
+    token streams (the ``dedup_exact`` shape on list columns, which SQL
+    GROUP BY tokens matches exactly).
+
+    Scale shape: one zero-copy flatten + per-row buffer-slice hash per
+    block (the md5 is per row but each call hashes a contiguous memory
+    view — no Python token loops), then the same min/sum grouped_agg."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def add_hash(t: pa.Table) -> pd.DataFrame:
+        col = t["tokens"].combine_chunks() if isinstance(
+            t["tokens"], pa.ChunkedArray) else t["tokens"]
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        flat = (col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.dtype(col.type.value_type.to_pandas_dtype())
+                        .newbyteorder("<"), copy=False))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        mv = memoryview(np.ascontiguousarray(flat)).cast("B")
+        it = flat.dtype.itemsize
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        # a NULL sequence is its own group, distinct from [] (SQL GROUP BY)
+        hs = [(hashlib.md5(mv[offs[i] * it:offs[i + 1] * it]).hexdigest()
+               if valid[i] else "null")
+              for i in range(len(lens))]
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_pylist(),
+            "h": pd.Series(hs, dtype=object),
+            "n_dups": np.ones(len(lens), dtype=np.int64),
+        })
+
+    from .groupagg import grouped_agg
+
+    hashed = tok.map_batches(add_hash, batch_format="pyarrow")
+    agg = grouped_agg(hashed, ["h"], {"doc_id": "min", "n_dups": "sum"})
+    return agg.select_columns(["doc_id", "n_dups"])

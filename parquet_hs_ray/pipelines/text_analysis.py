@@ -883,3 +883,62 @@ def dsir_scores(raw: "ray.data.Dataset", target: "ray.data.Dataset",
                              "dsir_score": ssum})
 
     return raw.map_batches(score, batch_format="pandas")
+
+
+def token_budget_mix(ds: "ray.data.Dataset", total_tokens: int,
+                     alpha: float = 0.5, group: str = "source",
+                     id_col: str = "doc_id", weight_col: str = "n_tok",
+                     seed: int = 42) -> "ray.data.Dataset":
+    """Temperature mixing by TOKEN budget: per-source quotas are
+    ``floor(total_tokens * toks_s^alpha / sum(toks^alpha))`` over each
+    source's total token count, and within a source the md5-ranked docs
+    are kept while their cumulative ``weight_col`` stays within quota —
+    the mixing recipe an LLM pre-training run actually needs (epochs are
+    token counts, not document counts).  Deterministic end-to-end: same
+    IEEE op order as the DuckDB twin, md5 ranking, no RNG.
+
+    Scale shape: the per-source token aggregate is source-sized; the
+    quota map broadcasts in the closure; the per-block prune keeps only
+    rows whose LOCAL md5-order running total is within quota (the global
+    prefix sum can only be larger, so the prune is lossless); the final
+    per-source pass sees only survivors."""
+    import hashlib
+
+    from .groupagg import grouped_sum
+
+    cnt = (grouped_sum(ds.map_batches(
+        lambda b: pd.DataFrame({group: b[group].to_numpy(),
+                                "toks": b[weight_col].to_numpy(dtype=np.int64)}),
+        batch_format="pandas"), [group], ["toks"]).to_pandas()
+        .set_index(group)["toks"])
+    w = np.power(cnt.to_numpy().astype(np.float64), np.float64(alpha))
+    quota = np.floor(np.float64(total_tokens) * w / w.sum()).astype(np.int64)
+    qmap = dict(zip(cnt.index, quota.tolist()))
+
+    def key_of(b: pd.DataFrame) -> np.ndarray:
+        return np.asarray([hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                           for v in b[id_col]], dtype=object)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, group, weight_col]]
+        if not len(b):
+            return b
+        order = np.lexsort((b[id_col].to_numpy(), key_of(b)))
+        b = b.iloc[order]
+        cum = b.groupby(group, sort=False)[weight_col].cumsum().to_numpy(
+            dtype=np.int64)
+        lim = b[group].map(qmap).fillna(0).to_numpy(dtype=np.int64)
+        return b[cum <= lim]
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g
+        lim = int(qmap.get(g[group].iloc[0], 0))
+        order = np.lexsort((g[id_col].to_numpy(), key_of(g)))
+        g = g.iloc[order]
+        cum = g[weight_col].to_numpy(dtype=np.int64).cumsum()
+        return g[cum <= lim]
+
+    return pruned.groupby(group).map_groups(select, batch_format="pandas")

@@ -2536,3 +2536,63 @@ def test_dsir_planted_target_affinity(ray_session):
     unlike = out.loc[range(8, 16), "dsir_score"].max()
     assert like > unlike
     assert out.loc[16, "dsir_score"] == 0 and out.loc[16, "n_feats"] == 0
+
+
+def test_dedup_exact_tokens_planted(ray_session):
+    """Identical token sequences group (min doc_id wins); [] and NULL are
+    DISTINCT groups (SQL GROUP BY semantics); value dtype doesn't leak
+    into the hash (same ids in int32 vs padded values differ)."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import dedup_exact_tokens
+
+    toks = [[1, 2, 3], [1, 2, 3], [9], [], [], None, [1, 2], [1, 2, 3]]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(8)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    out = (dedup_exact_tokens(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["n_dups"]))
+    assert got == {"d0": 3, "d2": 1, "d3": 2, "d5": 1, "d6": 1}
+
+
+def test_token_budget_mix_quota_conservation(ray_session):
+    """Kept token mass per source never exceeds its quota; adding one
+    more md5-ranked doc would exceed it (greedy maximality); output is a
+    row subset of the input."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.text_analysis import token_budget_mix
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": [f"doc-{i:06d}" for i in range(n)],
+        "source": rng.choice(["a", "b", "c"], size=n),
+        "n_tok": rng.integers(10, 500, size=n).astype(np.int32),
+    })
+    ds = ray.data.from_pandas([df.iloc[i:i + 50] for i in range(0, n, 50)])
+    total = 20_000
+    out = token_budget_mix(ds, total_tokens=total, alpha=0.5).to_pandas()
+    toks = df.groupby("source")["n_tok"].sum().astype(np.float64)
+    w = np.power(toks.to_numpy(), 0.5)
+    quota = dict(zip(toks.index,
+                     np.floor(total * w / w.sum()).astype(np.int64)))
+    # subset + per-source conservation + maximality
+    merged = out.merge(df, on=["doc_id", "source", "n_tok"], how="left",
+                       indicator=True)
+    assert (merged["_merge"] == "both").all()
+    for src, g in df.groupby("source"):
+        kept = set(out.loc[out["source"] == src, "doc_id"])
+        k = g.copy()
+        k["h"] = [hashlib.md5(f"42:{v}".encode()).hexdigest()
+                  for v in k["doc_id"]]
+        k = k.sort_values(["h", "doc_id"], kind="mergesort")
+        cum = k["n_tok"].astype(np.int64).cumsum()
+        want = set(k.loc[cum <= quota[src], "doc_id"])
+        assert kept == want, src
