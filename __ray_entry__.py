@@ -67,7 +67,11 @@ def _f1_out_dir(sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     src = cached_dataset(_F1_ROWS, seed=42, n_files=4)
-    return src, os.path.join("/tmp", "phr_encode", f"{tag}_r{_F1_ROWS}")
+    # key the store on the CACHE GENERATION too (basename carries rows/
+    # seed/files/row-group): a regenerated source cache must not resume
+    # against a plan built over the old file list
+    return src, os.path.join("/tmp", "phr_encode",
+                             f"{tag}_{os.path.basename(src)}")
 
 
 def _encode_job_f1(sf_dir: str):
@@ -733,6 +737,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_repetition"] = lambda sf: cleaning.repetition_stats_tokens(
         _f1_raw(sf), ngram=3)
     q["token_dedup_exact"] = lambda sf: dedup.dedup_exact_tokens(_f1_raw(sf))
+
+    def token_bigram_surprisal(sf):
+        from parquet_hs_ray.pipelines.tokenize import bigram_surprisal_tokens
+
+        return bigram_surprisal_tokens(_f1_raw(sf))
+
+    q["token_bigram_surprisal"] = token_bigram_surprisal
     q["token_budget_mix"] = lambda sf: ta.token_budget_mix(
         _f1_raw(sf), total_tokens=2_000_000, alpha=0.5)
     q["token_mask_mlm"] = token_mask_mlm
@@ -2367,6 +2378,24 @@ FROM f LEFT JOIN l USING (doc_id) ORDER BY f.doc_id
     from parquet_hs_ray.functions.sql_oracles import repetition_tokens_sql
 
     o["token_repetition"] = repetition_tokens_sql(_f1_tbl, ngram=3)
+    o["token_bigram_surprisal"] = f"""
+WITH u AS MATERIALIZED (SELECT doc_id, unnest(tokens) AS t,
+       generate_subscripts(tokens, 1) AS pos FROM {_f1_tbl}),
+bg AS MATERIALIZED (SELECT x.doc_id, x.t AS a, y.t AS b
+      FROM u x JOIN u y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+cnt AS (SELECT a, b, count(*)::BIGINT AS n FROM bg GROUP BY a, b),
+cp AS (SELECT a, sum(n)::BIGINT AS np FROM cnt GROUP BY a),
+d AS (SELECT count(*)::BIGINT AS nd FROM cnt),
+sv AS (SELECT cnt.a, cnt.b,
+       (length(printf('%b', (cp.np + d.nd) // (cnt.n + 1))) - 1)::BIGINT AS sv
+       FROM cnt JOIN cp USING (a) CROSS JOIN d),
+agg AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        sum(sv.sv)::BIGINT AS surprisal_sum
+        FROM bg JOIN sv ON sv.a = bg.a AND sv.b = bg.b GROUP BY bg.doc_id)
+SELECT f.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(agg.surprisal_sum, 0)::BIGINT AS surprisal_sum
+FROM {_f1_tbl} f LEFT JOIN agg USING (doc_id) ORDER BY f.doc_id
+"""
     o["token_dedup_exact"] = (
         f"SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups "
         f"FROM {_f1_tbl} GROUP BY tokens")

@@ -412,3 +412,104 @@ def remap_tokens_by_frequency(tok: "ray.data.Dataset",
         return t.set_column(i, token_col, arr)
 
     return tok.map_batches(f, batch_format="pyarrow")
+
+
+def bigram_surprisal_tokens(tok: "ray.data.Dataset",
+                            num_partitions: int | None = None
+                            ) -> "ray.data.Dataset":
+    """Bigram conditional surprisal over the NATIVE pre-tokenized table —
+    the n-gram LM upgrade of ``unigram_surprisal`` (a KenLM-style
+    perplexity proxy with no model artifact): each bigram position
+    scores ``floor(log2((Cp(a) + D) // (C(a,b) + 1)))`` where ``C(a,b)``
+    is the corpus bigram count, ``Cp(a) = sum_b C(a,b)`` the prefix
+    count, and ``D`` the number of distinct bigrams (add-one smoothing
+    over the observed bigram space) — INTEGER-EXACT on both sides, so
+    the DuckDB twin hashes identical.  Returns (doc_id, n_bigrams,
+    surprisal_sum) for every document.
+
+    Scale shape (100 TB): the bigram table is built by partial-agg (each
+    block pre-reduces its (a, b) pairs, the shuffle carries
+    distinct-bigram-bounded count rows); the prefix counts reduce the
+    bigram table again; scoring JOINS the per-doc (a, b, n) partials
+    against the (a, b, sv) table on the composite key — no driver-side
+    or broadcast bigram map anywhere, so the vocabulary can be web-scale
+    (contrast: unigram_surprisal broadcasts its vocab-sized map)."""
+    import pyarrow.compute as pc
+
+    from ..codecs.pfor import _bit_lengths
+    from .groupagg import grouped_sum
+
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.available_resources().get("CPU", 4))))
+
+    def bigram_partial(t: pa.Table) -> pd.DataFrame:
+        col = t["tokens"].combine_chunks() if isinstance(
+            t["tokens"], pa.ChunkedArray) else t["tokens"]
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.maximum(lens - 1, 0)
+        offs = np.cumsum(lens) - lens
+        first = (np.arange(int(nb.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(nb) - nb, nb) + np.repeat(offs, nb))
+        doc_of = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=object),
+                           nb)
+        return (pd.DataFrame({"doc_id": doc_of, "a": flat[first],
+                              "b": flat[first + 1]})
+                .groupby(["doc_id", "a", "b"], sort=False).size()
+                .rename("n").reset_index())
+
+    occ_schema = pa.schema([("doc_id", pa.string()), ("a", pa.int64()),
+                            ("b", pa.int64()), ("n", pa.int64())])
+    from .dedup import _enforce_schema
+
+    occ = _enforce_schema(
+        tok.map_batches(bigram_partial, batch_format="pyarrow"), occ_schema)
+    occ = occ.materialize()  # reused for counts AND scoring
+
+    big = grouped_sum(occ.map_batches(
+        lambda b: b[["a", "b", "n"]], batch_format="pandas"),
+        ["a", "b"], ["n"]).materialize()
+    cp = grouped_sum(big.map_batches(
+        lambda b: pd.DataFrame({"a": b["a"], "np": b["n"]}),
+        batch_format="pandas"), ["a"], ["np"])
+    n_distinct = big.count()
+
+    svt = big.join(cp, join_type="inner", num_partitions=num_partitions,
+                   on=("a",))
+
+    def sv_of(b: pd.DataFrame) -> pd.DataFrame:
+        q = ((b["np"].to_numpy(dtype=np.int64) + np.int64(n_distinct))
+             // (b["n"].to_numpy(dtype=np.int64) + 1))
+        sv = _bit_lengths(q.astype(np.uint64)).astype(np.int64) - 1
+        return pd.DataFrame({"a": b["a"], "b": b["b"], "sv": sv})
+
+    svt = _enforce_schema(svt.map_batches(sv_of, batch_format="pandas"),
+                          pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                     ("sv", pa.int64())]))
+
+    j = occ.join(svt, join_type="inner", num_partitions=num_partitions,
+                 on=("a", "b"))
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_bigrams": n,
+                             "surprisal_sum": n * b["sv"].to_numpy(np.int64)})
+
+    agg = grouped_sum(j.map_batches(doc_partial, batch_format="pandas"),
+                      ["doc_id"], ["n_bigrams", "surprisal_sum"])
+    agg = _enforce_schema(agg, pa.schema([("doc_id", pa.string()),
+                                          ("n_bigrams", pa.int64()),
+                                          ("surprisal_sum", pa.int64())]))
+
+    base = tok.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype(str)}),
+        batch_format="pandas")
+    out = base.join(agg, join_type="left_outer",
+                    num_partitions=num_partitions, on=("doc_id",))
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_bigrams": b["n_bigrams"].fillna(0).astype(np.int64),
+            "surprisal_sum": b["surprisal_sum"].fillna(0).astype(np.int64)}),
+        batch_format="pandas")

@@ -243,3 +243,45 @@ def test_remap_tokens_shrinks_bitpack_width(ray_session):
     after = len(encode_table(remapped)[0])
     assert after < before
     assert pa.compute.max(remapped["tokens"].combine_chunks().flatten()).as_py() == 63
+
+
+def test_bigram_surprisal_tokens_matches_bruteforce(ray_session):
+    """Distributed bigram scoring (partial-agg + composite-key joins)
+    must equal a driver recompute with exact Python-int bit_length math;
+    docs with < 2 tokens appear with zeros."""
+    from collections import Counter
+
+    from parquet_hs_ray.pipelines.tokenize import bigram_surprisal_tokens
+
+    rng = np.random.default_rng(5)
+    toks = [rng.integers(0, 12, size=rng.integers(0, 30)).tolist()
+            for _ in range(60)]
+    toks += [[], [7]]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:03d}" for i in range(len(toks))]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t)
+    out = (bigram_surprisal_tokens(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    cnt = Counter()
+    for seq in toks:
+        for a, b in zip(seq[:-1], seq[1:]):
+            cnt[(a, b)] += 1
+    cp = Counter()
+    for (a, _), n in cnt.items():
+        cp[a] += n
+    D = len(cnt)
+    sv = {k: ((cp[k[0]] + D) // (n + 1)).bit_length() - 1
+          for k, n in cnt.items()}
+    ref_rows = []
+    for i, seq in enumerate(toks):
+        pairs = list(zip(seq[:-1], seq[1:]))
+        ref_rows.append((f"d{i:03d}", len(pairs),
+                         sum(sv[p] for p in pairs)))
+    ref = (pd.DataFrame(ref_rows,
+                        columns=["doc_id", "n_bigrams", "surprisal_sum"])
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"n_bigrams": np.int64, "surprisal_sum": np.int64}), ref)
