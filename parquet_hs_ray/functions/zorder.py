@@ -52,9 +52,10 @@ def scale_to_u16(x: np.ndarray, lo: float, hi: float) -> np.ndarray:
         return np.zeros(len(xi), dtype=np.uint16)
     xi = np.clip(xi, lo_i, hi_i)
     # differences in modular uint64: exact even when hi-lo itself would
-    # overflow int64 (a full-range column)
-    span = np.uint64(hi_i) - np.uint64(lo_i)
-    off = xi.astype(np.uint64) - np.uint64(lo_i)
+    # overflow int64 (a full-range column) — the wrap is intended
+    with np.errstate(over="ignore"):
+        span = np.uint64(hi_i) - np.uint64(lo_i)
+        off = xi.astype(np.uint64) - np.uint64(lo_i)
     shift = max(0, int(span).bit_length() - 47)
     if shift:
         off >>= np.uint64(shift)
