@@ -236,6 +236,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decode_f1_backfill"] = decode_f1_backfill
 
+    def decode_f1_deleted(sf):
+        """Row-level DELETE via deletion-vector sidecars (state/deletes.py,
+        the Delta/Iceberg design): two successive deletes union, decode
+        applies the keep mask — hash-exact vs the SQL survivor set.
+        Uses its OWN store dir: sidecars must not leak into the shared
+        cached store other decode_f1 queries read."""
+        import shutil
+
+        from parquet_hs_ray.pipelines.encode_job import (decode_dataset,
+                                                         delete_rows,
+                                                         encode_dataset)
+
+        src, out = _f1_out_dir(sf)
+        out = out + "_del"
+        # deletes are monotone on a persisted store; start fresh so the
+        # survivor set matches the oracle exactly on every driver run
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(src, out, token_budget=500_000, concurrency=4)
+        delete_rows(out, ("n_tok", ">", 900))
+        delete_rows(out, ("source", "==", "web"))
+        return decode_dataset(out)
+
+    q["decode_f1_deleted"] = decode_f1_deleted
+
     def _f1_token_corpus(sf):
         """Small F1 docs plus planted exact copies (doc_id ending in '0')
         — shared by the token minhash and token simhash dedup queries and
@@ -2351,6 +2375,12 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_backfill"] = (
         f"SELECT *, COALESCE(CAST(list_sum(tokens) AS BIGINT), 0) AS tok_sum "
         f"FROM read_parquet('{f1_src}/*.parquet')")
+    # DELETE WHERE semantics: only TRUE deletes, so the survivor set is
+    # `pred IS NOT TRUE` per delete (no NULLs in the synth table, but the
+    # twin states the exact rule)
+    o["decode_f1_deleted"] = (
+        f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
+        "WHERE (n_tok > 900) IS NOT TRUE AND (source = 'web') IS NOT TRUE")
     # token_remap: frequency-rank vocabulary compaction — rank rule
     # (count desc, token_id asc) as one window, list rebuilt in position
     # order (generate_subscripts), value type preserved (INTEGER)

@@ -98,10 +98,20 @@ def main(argv=None):
                           "membership; value int/float/string; repeatable = "
                           "AND). Partitions whose manifest min/max/Bloom "
                           "stats exclude it are never opened.")
+    dec.add_argument("--keep-deleted", action="store_true",
+                     help="ignore deletion vectors (audit the base data)")
     dec.add_argument("--unify-schema", action="store_true",
                      help="schema evolution: decode an appended store to the "
                           "UNION schema (older partitions null-pad columns "
                           "they predate; type conflicts raise)")
+
+    dele = sub.add_parser(
+        "delete", help="row-level DELETE WHERE via deletion-vector "
+        "sidecars (no blob rewrite; compact materializes)")
+    dele.add_argument("--encoded", required=True)
+    dele.add_argument("--where", required=True, action="append",
+                      help='e.g. "n_tok > 900" (repeat = AND); rows '
+                      "matching are deleted")
 
     ver = sub.add_parser("verify", help="per-partition round-trip equality vs input")
     ver.add_argument("--encoded", required=True)
@@ -168,9 +178,12 @@ def main(argv=None):
         return 0
 
     if args.cmd == "summary":
+        from .state import deletes as dvs
         from .state import manifest as mf
 
-        print(json.dumps(mf.summary(args.encoded), indent=2))
+        out = mf.summary(args.encoded)
+        out.update(dvs.deletes_summary(args.encoded))
+        print(json.dumps(out, indent=2))
         return 0
     if args.cmd == "manifest-compact":
         from .state import manifest as mf
@@ -205,6 +218,11 @@ def main(argv=None):
                 bloom_stats=not args.no_bloom,
             )
             print(json.dumps(res))
+        elif args.cmd == "delete":
+            from .pipelines.encode_job import delete_rows
+
+            preds = [_parse_where(w) for w in args.where]
+            print(json.dumps(delete_rows(args.encoded, preds)))
         elif args.cmd == "decode":
             from .pipelines.encode_job import decode_dataset
 
@@ -216,11 +234,13 @@ def main(argv=None):
 
                 res = decode_to_parquet(args.encoded, args.out, columns=cols,
                                         predicate=preds, partition_cols=pcols,
-                                        unify_schema=args.unify_schema)
+                                        unify_schema=args.unify_schema,
+                                        apply_deletes=not args.keep_deleted)
                 print(json.dumps(res))
                 return 0
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds,
-                                unify_schema=args.unify_schema)
+                                unify_schema=args.unify_schema,
+                                apply_deletes=not args.keep_deleted)
             if pcols:
                 ds.write_parquet(args.out, partition_cols=pcols)
             else:
@@ -232,9 +252,13 @@ def main(argv=None):
                 print(json.dumps({"rows": ds.count(), "out": args.out,
                                   "partitions_read": len(kept), "partitions_total": total}))
             else:
+                from .state import deletes as dvs
                 from .state import manifest as mf
 
-                print(json.dumps({"rows": mf.summary(args.encoded)["rows"], "out": args.out}))
+                rows = mf.summary(args.encoded)["rows"]
+                if not args.keep_deleted:
+                    rows -= dvs.deletes_summary(args.encoded)["rows_deleted"]
+                print(json.dumps({"rows": rows, "out": args.out}))
         elif args.cmd == "compact":
             from .pipelines.encode_job import compact_dataset
 

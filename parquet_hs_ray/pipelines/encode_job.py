@@ -278,11 +278,74 @@ def _union_schema(out_dir: str, done_entries: list[dict], filesystem=None):
     return pa.schema([fields[n] for n in order])
 
 
+def delete_rows(out_dir: str, predicate, filesystem=None,
+                concurrency: int | None = None) -> dict:
+    """Row-level DELETE over an encoded store, without rewriting blobs.
+
+    Rows where ``predicate`` (same grammar as ``decode_dataset``)
+    evaluates TRUE are recorded in per-partition deletion-vector
+    sidecars (``state/deletes.py`` — the Delta/Iceberg design);
+    ``decode_dataset``/``decode_to_parquet`` apply them as keep masks
+    and ``compact_dataset`` materializes them.  SQL ``DELETE WHERE``
+    semantics: NULL evaluations do NOT delete (the surviving set is
+    ``WHERE pred IS NOT TRUE``).  Repeated deletes union; re-running
+    the same delete is idempotent and writes nothing.
+
+    Distributed shape: manifest min/max + Bloom stats prune partitions
+    that cannot contain a matching row before any blob is opened;
+    surviving partitions decode ONLY the predicate columns.  Only
+    (partition_id, counts) rows return to the driver."""
+    from ..state import deletes as dvs
+
+    preds = _normalize_predicate(predicate)
+    if not preds:
+        raise ValueError("delete_rows requires a predicate")
+    entries = [e for e in mf.load_manifest(out_dir, filesystem)
+               if e.get("status") == "done"]
+    items = [{"partition_id": e["partition_id"]}
+             for e in entries if _stats_can_match(e, preds)]
+    result = {"partitions": len(entries),
+              "partitions_scanned": len(items),
+              "partitions_changed": 0, "rows_newly_deleted": 0}
+    if not items:
+        return result
+
+    def scan(batch: dict) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..format import decode_table
+        from ..stages.decode import predicate_mask
+
+        pred_cols = sorted({p[0] for p in preds})
+        pids, new = [], []
+        for pid in batch["partition_id"]:
+            pid = int(pid)
+            blob = mf.read_blob(out_dir, pid, filesystem)
+            mask = predicate_mask(decode_table(blob, pred_cols), preds)
+            # only TRUE deletes (NULL keeps) — is_in on a filtered index
+            idx = np.flatnonzero(
+                pc.fill_null(mask, False).to_numpy(zero_copy_only=False))
+            n = dvs.write_delete_vector(out_dir, pid, idx, filesystem) \
+                if len(idx) else 0
+            pids.append(pid)
+            new.append(n)
+        return {"partition_id": np.asarray(pids), "new": np.asarray(new)}
+
+    res = ray.data.from_items(items).map_batches(
+        scan, batch_size=4, num_cpus=1, batch_format="numpy",
+        concurrency=concurrency).to_pandas()
+    result["partitions_changed"] = int((res["new"] > 0).sum())
+    result["rows_newly_deleted"] = int(res["new"].sum())
+    return result
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    concurrency: int | None = None, batch_size: int = 1,
                    filesystem=None, predicate=None,
                    target_schema=None, unify_schema: bool = False,
-                   aux_families: list[str] | None = None
+                   aux_families: list[str] | None = None,
+                   apply_deletes: bool = True
                    ) -> "ray.data.Dataset":
     """Lazy decode Dataset over all finished partitions (streaming).
 
@@ -302,12 +365,19 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     time in the stage.  Pass ``target_schema`` (a ``pyarrow.Schema``) to pin the
     contract explicitly instead; ``columns=`` then projects it.
     Predicates on a column a blob predates see all-NULL semantics
-    (equality/range/is_not_null match nothing, is_null everything)."""
+    (equality/range/is_not_null match nothing, is_null everything).
+
+    ``apply_deletes`` (default True) honors deletion-vector sidecars
+    written by ``delete_rows``; pass False to audit the base data."""
     import pyarrow as pa
+
+    from ..state import deletes as dvs
 
     preds = _normalize_predicate(predicate)
     entries = mf.load_manifest(out_dir, filesystem)
     done = [e for e in entries if e.get("status") == "done"]
+    deleted_pids = dvs.list_delete_pids(out_dir, filesystem) \
+        if apply_deletes else set()
     if unify_schema and target_schema is None:
         target_schema = _union_schema(out_dir, done, filesystem)
     if target_schema is not None and columns is not None:
@@ -345,14 +415,16 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
                                    "filesystem": filesystem, "predicate": preds,
                                    "target_schema": target_schema,
-                                   "aux_dirs": aux_dirs},
+                                   "aux_dirs": aux_dirs,
+                                   "deleted_pids": deleted_pids},
             batch_size=batch_size,
             concurrency=concurrency or 8,
             num_cpus=1,
             batch_format="numpy",
         )
     stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,
-                         target_schema=target_schema, aux_dirs=aux_dirs)
+                         target_schema=target_schema, aux_dirs=aux_dirs,
+                         deleted_pids=deleted_pids)
     return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 
@@ -399,7 +471,8 @@ def verify_roundtrip(input_path: str | list[str], out_dir: str,
 def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = None,
                       predicate=None, filesystem=None, dest_filesystem=None,
                       partition_cols: list[str] | None = None,
-                      target_schema=None, unify_schema: bool = False) -> dict:
+                      target_schema=None, unify_schema: bool = False,
+                      apply_deletes: bool = True) -> dict:
     """RESUMABLE decode-to-parquet: one output file per encoded partition
     (``part-<id>.parquet``), written atomically; partitions whose output
     already exists are skipped, so a killed export continues where it
@@ -411,10 +484,17 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
     from the files per hive convention); completion is then tracked with
     atomic ``_done/part-<id>.done`` markers (underscore-prefixed dirs are
     ignored by parquet dataset discovery), since one encoded partition may
-    fan out to several hive files."""
+    fan out to several hive files.
+
+    NOTE: an already-exported partition is NOT re-exported when a later
+    ``delete_rows`` touches it — export before delete, or export to a
+    fresh dest."""
+    from ..state import deletes as dvs
     from ..state import fsio
 
     preds = _normalize_predicate(predicate)
+    deleted_pids = dvs.list_delete_pids(out_dir, filesystem) \
+        if apply_deletes else set()
     entries = [e for e in mf.load_manifest(out_dir, filesystem)
                if e.get("status") == "done" and _stats_can_match(e, preds)]
     if unify_schema and target_schema is None:
@@ -448,7 +528,8 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
                               dest_filesystem)
 
         stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,
-                             target_schema=target_schema)
+                             target_schema=target_schema,
+                             deleted_pids=deleted_pids)
         done = []
         for pid, crc in zip(batch["partition_id"], batch["crc32"]):
             t = stage({"partition_id": [pid], "crc32": [crc]})
@@ -527,6 +608,11 @@ def compact_dataset(src_dir: str, out_dir: str,
     - the source is never mutated; the output manifest entry carries
       ``source_partitions`` + ``compacted_from`` lineage, fresh
       per-column stats and Bloom filters.
+    - deletion vectors (``delete_rows``) are MATERIALIZED: deleted rows
+      are dropped during the merge and the compacted store carries no
+      sidecars — compaction is the vacuum step.  Group token weights
+      use manifest ``n_tokens`` (an upper bound on stores with
+      deletes).
     - resumable exactly like encode: finished output partitions are
       skipped on re-run (blob AND manifest entry required).
 
@@ -539,6 +625,9 @@ def compact_dataset(src_dir: str, out_dir: str,
     import numpy as np
     import pyarrow as pa
 
+    from ..state import deletes as dvs
+
+    deleted_pids = dvs.list_delete_pids(src_dir, src_filesystem)
     entries = sorted((e for e in mf.load_manifest(src_dir, src_filesystem)
                       if e.get("status") == "done"),
                      key=lambda e: e["partition_id"])
@@ -583,14 +672,21 @@ def compact_dataset(src_dir: str, out_dir: str,
         from ..format import decode_table, encode_table
         from ..stages.encode import attach_bloom_stats
 
+        def load(pid: int) -> pa.Table:
+            t = decode_table(mf.read_blob(src_dir, pid, src_filesystem))
+            if pid in deleted_pids:
+                dv = dvs.read_delete_vector(src_dir, pid, src_filesystem)
+                if dv is not None and len(dv):
+                    t = t.filter(pa.array(dvs.keep_mask(dv, t.num_rows)))
+            return t
+
         out = {"partition_id": [], "row_count": [], "encoded_bytes": []}
         for i in range(len(batch["partition_id"])):
             t0 = time.perf_counter()
             gid = int(batch["partition_id"][i])
             src_ids = [int(x) for x in batch["src_ids"][i]]
             tbl = pa.concat_tables(
-                [decode_table(mf.read_blob(src_dir, pid, src_filesystem))
-                 for pid in src_ids]).combine_chunks()
+                [load(pid) for pid in src_ids]).combine_chunks()
             blob, stats = encode_table(tbl)
             mf.write_blob_atomic(out_dir, gid, blob, filesystem)
             part = Partition(partition_id=gid, path=f"compact:{src_dir}",

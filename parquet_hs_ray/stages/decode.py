@@ -16,7 +16,53 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..format import blob_schema, decode_table
+from ..state import deletes as dvs
 from ..state import manifest as mf
+
+
+def predicate_mask(t: pa.Table, preds):
+    """Boolean Arrow mask for a normalized predicate conjunction over
+    ``t`` (shared by DecoderStage and delete_rows)."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, v in preds:
+        c = t[col]
+        if op == "is_null":
+            part = pc.is_null(c)
+        elif op == "is_not_null":
+            part = pc.is_valid(c)
+        elif op == "contains":
+            # list-column element membership: one flattened compare +
+            # offset searchsorted, no per-row Python
+            import numpy as np
+
+            arr = c.combine_chunks()
+            if pa.types.is_fixed_size_list(arr.type):
+                # .values (not .flatten()) keeps null slots' storage,
+                # so the reshape stays row-aligned; null rows then
+                # mask to False like SQL list_contains(NULL, v)
+                w = arr.type.list_size
+                vals = arr.values.to_numpy(zero_copy_only=False)
+                vals = vals[arr.offset * w:(arr.offset + len(arr)) * w]
+                bools = (vals == v).reshape(-1, w).any(axis=1)
+                bools &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            else:
+                offs = arr.offsets.to_numpy()
+                vals = arr.values.to_numpy(zero_copy_only=False)
+                hit_pos = np.flatnonzero(vals == v)
+                rows = np.searchsorted(offs, hit_pos, side="right") - 1
+                bools = np.zeros(len(arr), dtype=bool)
+                bools[rows] = True
+            part = pa.array(bools)
+        else:
+            m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                 ">": pc.greater, ">=": pc.greater_equal}.get(op)
+            part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]),
+                                             pc.less_equal(c, v[1]))
+        mask = part if mask is None else pc.and_(mask, part)
+    return mask
+
 
 
 class DecoderStage:
@@ -27,10 +73,14 @@ class DecoderStage:
     def __init__(self, out_dir: str, columns: list[str] | None = None, filesystem=None,
                  predicate: list | None = None,
                  target_schema: pa.Schema | None = None,
-                 aux_dirs: list | None = None):
+                 aux_dirs: list | None = None,
+                 deleted_pids=None):
         from ..memtune import ensure_process_tuned
 
         ensure_process_tuned()
+        # partitions with a deletion vector (the driver lists the deletes
+        # dir ONCE; tasks only read vectors for pids actually in this set)
+        self.deleted_pids = frozenset(deleted_pids or ())
         self.out_dir = out_dir
         self.columns = columns
         self.filesystem = filesystem
@@ -99,45 +149,7 @@ class DecoderStage:
         return sch
 
     def _mask_of(self, t: pa.Table, preds):
-        import pyarrow.compute as pc
-
-        mask = None
-        for col, op, v in preds:
-            c = t[col]
-            if op == "is_null":
-                part = pc.is_null(c)
-            elif op == "is_not_null":
-                part = pc.is_valid(c)
-            elif op == "contains":
-                # list-column element membership: one flattened compare +
-                # offset searchsorted, no per-row Python
-                import numpy as np
-
-                arr = c.combine_chunks()
-                if pa.types.is_fixed_size_list(arr.type):
-                    # .values (not .flatten()) keeps null slots' storage,
-                    # so the reshape stays row-aligned; null rows then
-                    # mask to False like SQL list_contains(NULL, v)
-                    w = arr.type.list_size
-                    vals = arr.values.to_numpy(zero_copy_only=False)
-                    vals = vals[arr.offset * w:(arr.offset + len(arr)) * w]
-                    bools = (vals == v).reshape(-1, w).any(axis=1)
-                    bools &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
-                else:
-                    offs = arr.offsets.to_numpy()
-                    vals = arr.values.to_numpy(zero_copy_only=False)
-                    hit_pos = np.flatnonzero(vals == v)
-                    rows = np.searchsorted(offs, hit_pos, side="right") - 1
-                    bools = np.zeros(len(arr), dtype=bool)
-                    bools[rows] = True
-                part = pa.array(bools)
-            else:
-                m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
-                     ">": pc.greater, ">=": pc.greater_equal}.get(op)
-                part = m(c, v) if m else pc.and_(pc.greater_equal(c, v[0]),
-                                                 pc.less_equal(c, v[1]))
-            mask = part if mask is None else pc.and_(mask, part)
-        return mask
+        return predicate_mask(t, preds)
 
     def __call__(self, batch: dict) -> pa.Table:
         import zlib
@@ -155,6 +167,10 @@ class DecoderStage:
                     f"partially written blob; manifest crc32={int(crcs[i])})"
                 )
             sch = blob_schema(blob) if self.target_schema is not None else None
+            dv = dvs.read_delete_vector(self.out_dir, int(pid), self.filesystem) \
+                if int(pid) in self.deleted_pids else None
+            if dv is not None and not len(dv):
+                dv = None
             if self.predicate:
                 # two-phase: decode only the predicate columns (byte-level
                 # frame skip), full-decode only partitions with matches
@@ -174,8 +190,11 @@ class DecoderStage:
                 present_preds = [p for p in self.predicate
                                  if sch is None or p[0] in sch.names]
                 if pred_cols:
-                    mask = self._mask_of(decode_table(blob, pred_cols),
-                                         present_preds)
+                    pt = decode_table(blob, pred_cols)
+                    mask = self._mask_of(pt, present_preds)
+                    if dv is not None:
+                        mask = pc.and_(mask, pa.array(
+                            dvs.keep_mask(dv, pt.num_rows)))
                     n_match = int(pc.sum(mask).as_py() or 0)
                     if n_match == 0:
                         if out_schema is None:
@@ -184,6 +203,11 @@ class DecoderStage:
                 else:
                     mask, n_match = None, -1
                 t = decode_table(blob, self._read_cols(sch))
+                if mask is None and dv is not None:
+                    # evolved-store all-is_null fast path decoded no
+                    # predicate columns: the keep mask still applies
+                    mask = pa.array(dvs.keep_mask(dv, t.num_rows))
+                    n_match = int(pc.sum(mask).as_py() or 0)
                 applied = None
                 if mask is not None and n_match != t.num_rows:
                     t = t.filter(mask)
@@ -193,8 +217,12 @@ class DecoderStage:
                 tables.append(self._adapt(t) if sch is not None else t)
             else:
                 t = decode_table(blob, self._read_cols(sch))
+                applied = None
+                if dv is not None:
+                    applied = pa.array(dvs.keep_mask(dv, t.num_rows))
+                    t = t.filter(applied)
                 if self.aux_dirs:
-                    t = self._with_aux(int(pid), t, None)
+                    t = self._with_aux(int(pid), t, applied)
                 tables.append(self._adapt(t) if sch is not None else t)
         if not tables:
             # every partition in this batch was fully pruned: emit a
