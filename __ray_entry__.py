@@ -260,6 +260,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decode_f1_deleted"] = decode_f1_deleted
 
+    def decode_f1_in(sf):
+        """SQL IN-list predicate pushed into the decode: partitions whose
+        min/max + Bloom prove every listed value absent never open."""
+        from parquet_hs_ray.pipelines.encode_job import decode_dataset, encode_dataset
+
+        src, out = _f1_out_dir(sf)
+        encode_dataset(src, out, token_budget=500_000, concurrency=4)
+        return decode_dataset(
+            out, predicate=("source", "in", ["wiki", "news", "papers"]))
+
+    q["decode_f1_in"] = decode_f1_in
+
     def _f1_token_corpus(sf):
         """Small F1 docs plus planted exact copies (doc_id ending in '0')
         — shared by the token minhash and token simhash dedup queries and
@@ -2381,6 +2393,9 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_deleted"] = (
         f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
         "WHERE (n_tok > 900) IS NOT TRUE AND (source = 'web') IS NOT TRUE")
+    o["decode_f1_in"] = (
+        f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
+        "WHERE source IN ('wiki', 'news', 'papers')")
     # token_remap: frequency-rank vocabulary compaction — rank rule
     # (count desc, token_id asc) as one window, list rebuilt in position
     # order (generate_subscripts), value type preserved (INTEGER)

@@ -17,8 +17,23 @@ import sys
 
 def _parse_where(spec: str) -> tuple:
     """'col OP value' -> (col, op, typed value); also 'col IS NULL' /
-    'col IS NOT NULL' (case-insensitive)."""
+    'col IS NOT NULL' and 'col IN (v1, v2, ...)' (case-insensitive)."""
     low = spec.strip().lower()
+    if " in " in low and spec.rstrip().endswith(")"):
+        i = low.find(" in ")
+        col, raw = spec[:i].strip(), spec[i + 4:].strip()
+        if col and " " not in col and raw.startswith("("):
+            vals = []
+            for tok in raw[1:-1].split(","):
+                tok = tok.strip().strip("'\"")
+                try:
+                    vals.append(int(tok))
+                except ValueError:
+                    try:
+                        vals.append(float(tok))
+                    except ValueError:
+                        vals.append(tok)
+            return (col, "in", vals)
     if low.endswith(" is not null"):
         return (spec.strip()[: -len(" is not null")].strip(), "is_not_null", None)
     if low.endswith(" is null"):

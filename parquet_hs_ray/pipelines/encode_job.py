@@ -186,11 +186,13 @@ def encode_dataset(
 
 def _normalize_predicate(predicate):
     """Predicate spec: a single (col, op, value) or an AND-list of them,
-    op in {"==", "<", "<=", ">", ">=", "between", "is_null",
+    op in {"==", "<", "<=", ">", ">=", "between", "in", "is_null",
     "is_not_null", "contains"} ("between" takes a (lo, hi) tuple,
-    inclusive; the null tests ignore the value slot — pass None;
-    "contains" tests list-column element membership, pruned by the
-    flattened-element Bloom + min/max stats)."""
+    inclusive; "in" takes a list of values — SQL IN-list, pruned when
+    EVERY value misses the partition's min/max and Bloom; the null
+    tests ignore the value slot — pass None; "contains" tests
+    list-column element membership, pruned by the flattened-element
+    Bloom + min/max stats)."""
     if predicate is None:
         return []
     if isinstance(predicate, tuple) and len(predicate) == 3 and isinstance(predicate[0], str):
@@ -213,6 +215,27 @@ def _stats_can_match(entry: dict, preds: list) -> bool:
                 continue
             if (op == "is_null" and nulls == 0) or \
                (op == "is_not_null" and nulls == rows):
+                return False
+            continue
+        if op == "in":
+            # prunable iff EVERY listed value provably misses
+            from ..state import bloomstats as bst
+
+            mn, mx = st.get("min"), st.get("max")
+            bloom = st.get("bloom")
+
+            def value_may_hit(x) -> bool:
+                if mn is not None and mx is not None:
+                    try:
+                        if x < mn or x > mx:
+                            return False
+                    except TypeError:
+                        return True
+                if bloom is not None and not bst.might_contain(bloom, x):
+                    return False
+                return True
+
+            if not any(value_may_hit(x) for x in v):
                 return False
             continue
         if op in ("==", "contains") and st.get("bloom") is not None:

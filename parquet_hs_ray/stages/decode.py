@@ -55,6 +55,8 @@ def predicate_mask(t: pa.Table, preds):
                 bools = np.zeros(len(arr), dtype=bool)
                 bools[rows] = True
             part = pa.array(bools)
+        elif op == "in":
+            part = pc.is_in(c, value_set=pa.array(list(v)))
         else:
             m = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
                  ">": pc.greater, ">=": pc.greater_equal}.get(op)

@@ -162,3 +162,51 @@ def test_tokens_contains_pruning_e2e(ray_session, tmp_path):
     exp = [t for t in toks if probe in t]
     assert len(got) == len(exp)
     assert all(probe in list(t) for t in got["tokens"])
+
+
+def test_in_list_predicate_pruning_e2e(ray_session, tmp_path):
+    """SQL IN-list predicate: a partition is pruned only when EVERY
+    listed value provably misses (min/max + Bloom); decode matches an
+    exact isin filter, proven by deleting pruned blobs."""
+    from parquet_hs_ray.pipelines.encode_job import (decode_dataset,
+                                                     encode_dataset,
+                                                     pruned_partition_ids)
+
+    n = 12_000
+    rng = np.random.default_rng(11)
+    ids = np.array([f"doc-{h:08x}" for h in
+                    rng.integers(0, 1 << 32, size=n, dtype=np.uint64)])
+    df = pd.DataFrame({"doc_id": ids,
+                       "v": np.arange(n, dtype=np.int64),
+                       "n_tok": np.full(n, 10, dtype=np.int32)})
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=500)
+    out = str(tmp_path / "enc")
+    encode_dataset(str(src), out, token_budget=10_000)
+
+    targets = [str(ids[10]), str(ids[n // 2]), str(ids[n - 7]), "doc-nowhere"]
+    pred = [("doc_id", "in", targets)]
+    kept, total = pruned_partition_ids(out, pred)
+    assert total >= 10
+    # 3 real values -> at most ~3 partitions + bloom false positives
+    assert len(kept) <= max(4, total // 2), (len(kept), total)
+
+    for e in mf.load_manifest(out):
+        if e["partition_id"] not in kept:
+            os.remove(mf.blob_path(out, e["partition_id"]))
+    got = decode_dataset(out, predicate=pred).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    exp = df[df["doc_id"].isin(targets)].reset_index(drop=True)
+    assert got.equals(exp)
+
+    # integer IN-list: dense v column, min/max ranges prune exactly
+    kept2, _ = pruned_partition_ids(out, [("v", "in", [3, 11_999])])
+    holders = [e["partition_id"] for e in mf.load_manifest(out)
+               if any(e["row_start"] <= x < e["row_start"] + e["row_count"]
+                      for x in (3, 11_999))]
+    assert set(holders) <= set(kept2)
+
+    # empty IN-list matches nothing and prunes everything
+    kept3, _ = pruned_partition_ids(out, [("v", "in", [])])
+    assert kept3 == []
