@@ -1395,6 +1395,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_chars_dense_rank"] = doc_drank
 
+    def doc_rank_gaps(sf):
+        from parquet_hs_ray.pipelines.stats import rank_with_gaps
+
+        ds = _read(sf, "documents").map_batches(
+            lambda b: b[["doc_id", "source", "n_chars"]],
+            batch_format="pandas")
+        return rank_with_gaps(ds, "n_chars", "source")
+
+    q["doc_chars_rank"] = doc_rank_gaps
+
     def ev_zscore(sf):
         from parquet_hs_ray.pipelines.stats import zscore
 
@@ -3606,6 +3616,11 @@ FROM x JOIN s USING (event_type) WHERE s.n > 1
     o["doc_chars_dense_rank"] = """
 SELECT doc_id, source, n_chars,
   CAST(dense_rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS drank
+FROM documents
+"""
+    o["doc_chars_rank"] = """
+SELECT doc_id, source, n_chars,
+  CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rnk
 FROM documents
 """
     # Q6-shaped filtered-scan aggregate (no join, map-side only)

@@ -940,6 +940,51 @@ def dense_rank(ds: "ray.data.Dataset", col: str, by: str,
     return ds.map_batches(attach, batch_format="pandas")
 
 
+def rank_with_gaps(ds: "ray.data.Dataset", col: str, by: str,
+                   out_col: str = "rnk") -> "ray.data.Dataset":
+    """SQL ``rank() OVER (PARTITION BY by ORDER BY col)``: ties share a
+    rank and the next distinct value SKIPS (rank = 1 + #rows strictly
+    smaller in the group) — the gapped companion of ``dense_rank``.
+
+    Same scale shape as dense_rank: the shuffle carries one row per
+    distinct (group, value) pair; gapped ranks are one shifted cumsum
+    over the sorted pairs (rank = cumsum(cnt) - cnt + 1), broadcast via
+    ray.put; the attach is a vectorized merge.  NULLs rank after every
+    non-null row (DuckDB NULLS LAST): rank = #non-null rows + 1, shared
+    by all null rows; an all-null group ranks 1."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (batch.dropna(subset=[col]).groupby([by, col], sort=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    from .groupagg import grouped_sum
+
+    pairs = (grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                         [by, col], ["cnt"]).to_pandas()
+             .sort_values([by, col], kind="mergesort"))
+    csum = pairs.groupby(by, sort=False)["cnt"].cumsum().to_numpy()
+    pairs[out_col] = csum - pairs["cnt"].to_numpy() + 1
+    null_rank = pairs.groupby(by, sort=False)["cnt"].sum() + 1
+    import ray as _ray
+
+    pref = _ray.put((pairs[[by, col, out_col]], null_rank))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        p, nr = _ray.get(pref)
+        out = b.merge(p, on=[by, col], how="left")
+        na = out[col].isna().to_numpy()
+        if na.any():
+            fill = nr.reindex(out[by][na]).fillna(1).to_numpy()
+            r = out[out_col].to_numpy(dtype=np.float64)
+            r[na] = fill
+            out[out_col] = r
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
 def zscore(ds: "ray.data.Dataset", col: str, by: str,
            out_col: str = "z") -> "ray.data.Dataset":
     """Per-group z-score transform over integer cents: the decomposable

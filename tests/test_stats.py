@@ -778,3 +778,33 @@ def test_validate_all_null_unique_and_empty_input(ray_session):
     out2 = validate(ray.data.from_pandas(empty),
                     [("unique", "id"), ("not_null", "id")]).to_pandas()
     assert (out2["n_checked"] == 0).all() and (out2["n_violations"] == 0).all()
+
+
+def test_rank_with_gaps_ties_skip(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import rank_with_gaps
+
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 3,
+                       "v": [10, 10, 20, 30, 30, 5, 5, 6],
+                       "id": range(8)})
+    ds = ray.data.from_pandas([df.iloc[:4], df.iloc[4:].reset_index(drop=True)])
+    out = (rank_with_gaps(ds, "v", "g").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # ties share, next value SKIPS: [1,1,3,4,4] and [1,1,3]
+    assert out["rnk"].tolist() == [1, 1, 3, 4, 4, 1, 1, 3]
+
+
+def test_rank_with_gaps_nulls_last(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import rank_with_gaps
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"],
+                       "v": [10.0, 10.0, np.nan, 20.0, np.nan],
+                       "id": range(5)})
+    out = (rank_with_gaps(ray.data.from_pandas(df), "v", "g").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # a: [1,1,4(null: 3 non-null + 1),3]; b all-null -> 1
+    assert out["rnk"].tolist() == [1, 1, 4, 3, 1]
+    assert str(out["rnk"].dtype) == "int64"
