@@ -1405,6 +1405,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_chars_rank"] = doc_rank_gaps
 
+    def li_pagerank(sf):
+        """Integer-exact simplified PageRank over the supplier->part
+        bipartite graph (parts namespaced +1e6): Pregel-shaped — one
+        hash-shuffle join + one grouped sum per iteration, rank state
+        stays a node-sized Dataset in the object store."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.graph import pagerank
+
+        edges = _read(sf, "lineitem").map_batches(
+            lambda b: pa.table({
+                "src": b["l_suppkey"],
+                "dst": pc.add(b["l_partkey"], 1_000_000)}),
+            batch_format="pyarrow")
+        return pagerank(edges, iters=3)
+
+    q["li_pagerank"] = li_pagerank
+
     def ev_zscore(sf):
         from parquet_hs_ray.pipelines.stats import zscore
 
@@ -3623,6 +3642,25 @@ SELECT doc_id, source, n_chars,
   CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rnk
 FROM documents
 """
+    # li_pagerank: unrolled integer-exact iterations (// = floor division
+    # on BIGINT in DuckDB, same as numpy int64 // on the Ray side)
+    _pr_scale, _pr_damp, _pr_iters = 10**12, 85, 3
+    _pr_base = (_pr_scale * (100 - _pr_damp)) // 100
+    _pr = ["WITH e AS (SELECT DISTINCT l_suppkey AS src,"
+           " l_partkey + 1000000 AS dst FROM lineitem),",
+           "deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),",
+           "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+           f"r0 AS (SELECT node, CAST({_pr_scale} AS BIGINT) AS val FROM nodes)"]
+    for _i in range(_pr_iters):
+        _pr.append(
+            f", r{_i + 1} AS (SELECT n.node, CAST({_pr_base} + COALESCE(s.c, 0)"
+            f" AS BIGINT) AS val FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst AS node, CAST(SUM((r.val * {_pr_damp}) //"
+            f" (100 * d.outdeg)) AS BIGINT) AS c"
+            f" FROM e JOIN deg d USING (src) JOIN r{_i} r ON r.node = e.src"
+            f" GROUP BY e.dst) s USING (node))")
+    _pr.append(f" SELECT node, val AS rank_u FROM r{_pr_iters}")
+    o["li_pagerank"] = "\n".join(_pr)
     # Q6-shaped filtered-scan aggregate (no join, map-side only)
     o["tpch_q6_forecast"] = """
 SELECT CAST(coalesce(sum(CAST(round_even(l_extendedprice*l_discount*100,0) AS BIGINT)), 0) AS BIGINT) AS revenue_c,
