@@ -260,6 +260,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decode_f1_deleted"] = decode_f1_deleted
 
+    def decode_f1_snapshot(sf):
+        """Time travel: snapshot after the first delete pins its survivor
+        set; a later delete is invisible to the snapshot read."""
+        import shutil
+
+        from parquet_hs_ray.pipelines.encode_job import (decode_dataset,
+                                                         delete_rows,
+                                                         encode_dataset)
+        from parquet_hs_ray.state import snapshots as snaps
+
+        src, out = _f1_out_dir(sf)
+        out = out + "_snap"
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataset(src, out, token_budget=500_000, concurrency=4)
+        delete_rows(out, ("n_tok", ">", 900))
+        snaps.create_snapshot(out, "v1")
+        delete_rows(out, ("source", "==", "web"))   # must be invisible
+        return decode_dataset(out, snapshot="v1")
+
+    q["decode_f1_snapshot"] = decode_f1_snapshot
+
     def decode_f1_in(sf):
         """SQL IN-list predicate pushed into the decode: partitions whose
         min/max + Bloom prove every listed value absent never open."""
@@ -2425,6 +2446,10 @@ def oracle_sql() -> dict[str, str]:
     o["decode_f1_in"] = (
         f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
         "WHERE source IN ('wiki', 'news', 'papers')")
+    # the snapshot pins the state after the FIRST delete only
+    o["decode_f1_snapshot"] = (
+        f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
+        "WHERE (n_tok > 900) IS NOT TRUE")
     # token_remap: frequency-rank vocabulary compaction — rank rule
     # (count desc, token_id asc) as one window, list rebuilt in position
     # order (generate_subscripts), value type preserved (INTEGER)

@@ -115,10 +115,20 @@ def main(argv=None):
                           "stats exclude it are never opened.")
     dec.add_argument("--keep-deleted", action="store_true",
                      help="ignore deletion vectors (audit the base data)")
+    dec.add_argument("--snapshot", default=None,
+                     help="time travel: decode the state pinned by "
+                     "`snapshot --name <n>` (later appends/deletes invisible)")
     dec.add_argument("--unify-schema", action="store_true",
                      help="schema evolution: decode an appended store to the "
                           "UNION schema (older partitions null-pad columns "
                           "they predate; type conflicts raise)")
+
+    snp = sub.add_parser(
+        "snapshot", help="pin the store's current visible state "
+        "(partitions + delete vectors) under a name for time-travel reads")
+    snp.add_argument("--encoded", required=True)
+    snp.add_argument("--name", default=None,
+                     help="snapshot name; omit to list existing snapshots")
 
     dele = sub.add_parser(
         "delete", help="row-level DELETE WHERE via deletion-vector "
@@ -200,6 +210,18 @@ def main(argv=None):
         out.update(dvs.deletes_summary(args.encoded))
         print(json.dumps(out, indent=2))
         return 0
+    if args.cmd == "snapshot":
+        from .state import snapshots as snaps
+
+        if args.name is None:
+            print(json.dumps({"snapshots": snaps.list_snapshots(args.encoded)}))
+            return 0
+        snap = snaps.create_snapshot(args.encoded, args.name)
+        print(json.dumps({"name": snap["name"],
+                          "partitions": len(snap["partitions"]),
+                          "with_deletes": sum(1 for r in snap["partitions"]
+                                              if "deletes_b64" in r)}))
+        return 0
     if args.cmd == "manifest-compact":
         from .state import manifest as mf
 
@@ -255,7 +277,8 @@ def main(argv=None):
                 return 0
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds,
                                 unify_schema=args.unify_schema,
-                                apply_deletes=not args.keep_deleted)
+                                apply_deletes=not args.keep_deleted,
+                                snapshot=args.snapshot)
             if pcols:
                 ds.write_parquet(args.out, partition_cols=pcols)
             else:
@@ -270,9 +293,20 @@ def main(argv=None):
                 from .state import deletes as dvs
                 from .state import manifest as mf
 
-                rows = mf.summary(args.encoded)["rows"]
-                if not args.keep_deleted:
-                    rows -= dvs.deletes_summary(args.encoded)["rows_deleted"]
+                if args.snapshot:
+                    from .state import snapshots as snaps
+
+                    snap = snaps.load_snapshot(args.encoded, args.snapshot)
+                    pids = {int(r["partition_id"]) for r in snap["partitions"]}
+                    rows = sum(e["row_count"]
+                               for e in mf.load_manifest(args.encoded)
+                               if e["partition_id"] in pids)
+                    rows -= sum(len(v) for v in
+                                snaps.snapshot_delete_vectors(snap).values())
+                else:
+                    rows = mf.summary(args.encoded)["rows"]
+                    if not args.keep_deleted:
+                        rows -= dvs.deletes_summary(args.encoded)["rows_deleted"]
                 print(json.dumps({"rows": rows, "out": args.out}))
         elif args.cmd == "compact":
             from .pipelines.encode_job import compact_dataset

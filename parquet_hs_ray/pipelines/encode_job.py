@@ -368,7 +368,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    filesystem=None, predicate=None,
                    target_schema=None, unify_schema: bool = False,
                    aux_families: list[str] | None = None,
-                   apply_deletes: bool = True
+                   apply_deletes: bool = True,
+                   snapshot: str | None = None
                    ) -> "ray.data.Dataset":
     """Lazy decode Dataset over all finished partitions (streaming).
 
@@ -391,7 +392,13 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     (equality/range/is_not_null match nothing, is_null everything).
 
     ``apply_deletes`` (default True) honors deletion-vector sidecars
-    written by ``delete_rows``; pass False to audit the base data."""
+    written by ``delete_rows``; pass False to audit the base data.
+
+    ``snapshot`` time-travels: only partitions recorded by
+    ``state.snapshots.create_snapshot`` are visible, the snapshot's
+    PINNED delete vectors apply (later deletes are ignored), and blob
+    crc32s are checked against the snapshot (an immutability violation
+    refuses to decode)."""
     import pyarrow as pa
 
     from ..state import deletes as dvs
@@ -399,15 +406,35 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     preds = _normalize_predicate(predicate)
     entries = mf.load_manifest(out_dir, filesystem)
     done = [e for e in entries if e.get("status") == "done"]
-    deleted_pids = dvs.list_delete_pids(out_dir, filesystem) \
-        if apply_deletes else set()
+    snap_crc: dict[int, int] | None = None
+    delete_vectors = None
+    if snapshot is not None:
+        from ..state import snapshots as snaps
+
+        snap = snaps.load_snapshot(out_dir, snapshot, filesystem)
+        snap_crc = {int(r["partition_id"]): int(r.get("crc32", -1))
+                    for r in snap["partitions"]}
+        have = {e["partition_id"] for e in done}
+        missing = sorted(set(snap_crc) - have)
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot!r} references partitions no longer in "
+                f"the manifest (e.g. {missing[:3]}) — store was rebuilt")
+        done = [e for e in done if e["partition_id"] in snap_crc]
+        delete_vectors = snaps.snapshot_delete_vectors(snap)
+        deleted_pids = set(delete_vectors)
+    else:
+        deleted_pids = dvs.list_delete_pids(out_dir, filesystem) \
+            if apply_deletes else set()
     if unify_schema and target_schema is None:
         target_schema = _union_schema(out_dir, done, filesystem)
     if target_schema is not None and columns is not None:
         unknown = [c for c in columns if c not in target_schema.names]
         if unknown:
             raise KeyError(f"columns not in target schema: {unknown}")
-    items = [{"partition_id": e["partition_id"], "crc32": e.get("checksum_crc32", -1)}
+    items = [{"partition_id": e["partition_id"],
+              "crc32": (snap_crc[e["partition_id"]] if snap_crc is not None
+                        else e.get("checksum_crc32", -1))}
              for e in done if _stats_can_match(e, preds)]
     aux_dirs = []
     if aux_families:
@@ -439,7 +466,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                                    "filesystem": filesystem, "predicate": preds,
                                    "target_schema": target_schema,
                                    "aux_dirs": aux_dirs,
-                                   "deleted_pids": deleted_pids},
+                                   "deleted_pids": deleted_pids,
+                                   "delete_vectors": delete_vectors},
             batch_size=batch_size,
             concurrency=concurrency or 8,
             num_cpus=1,
@@ -447,7 +475,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         )
     stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,
                          target_schema=target_schema, aux_dirs=aux_dirs,
-                         deleted_pids=deleted_pids)
+                         deleted_pids=deleted_pids,
+                         delete_vectors=delete_vectors)
     return ds.map_batches(stage, batch_size=batch_size, num_cpus=1, batch_format="numpy")
 
 

@@ -76,13 +76,16 @@ class DecoderStage:
                  predicate: list | None = None,
                  target_schema: pa.Schema | None = None,
                  aux_dirs: list | None = None,
-                 deleted_pids=None):
+                 deleted_pids=None, delete_vectors=None):
         from ..memtune import ensure_process_tuned
 
         ensure_process_tuned()
         # partitions with a deletion vector (the driver lists the deletes
         # dir ONCE; tasks only read vectors for pids actually in this set)
         self.deleted_pids = frozenset(deleted_pids or ())
+        # snapshot reads pass the PINNED vectors directly (pid -> sorted
+        # positions): the live sidecars may have accreted later deletes
+        self.delete_vectors = delete_vectors
         self.out_dir = out_dir
         self.columns = columns
         self.filesystem = filesystem
@@ -169,8 +172,12 @@ class DecoderStage:
                     f"partially written blob; manifest crc32={int(crcs[i])})"
                 )
             sch = blob_schema(blob) if self.target_schema is not None else None
-            dv = dvs.read_delete_vector(self.out_dir, int(pid), self.filesystem) \
-                if int(pid) in self.deleted_pids else None
+            if self.delete_vectors is not None:
+                dv = self.delete_vectors.get(int(pid))
+            else:
+                dv = dvs.read_delete_vector(self.out_dir, int(pid),
+                                            self.filesystem) \
+                    if int(pid) in self.deleted_pids else None
             if dv is not None and not len(dv):
                 dv = None
             if self.predicate:
