@@ -807,6 +807,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_shift_labels"] = token_shift_labels
     q["token_truncate"] = token_truncate
 
+    def token_fim(sf):
+        from parquet_hs_ray.pipelines.trainprep import fim_transform
+
+        return fim_transform(_f1_raw(sf), rate_pct=50)
+
+    q["token_fim"] = token_fim
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -2514,6 +2521,25 @@ WHERE cum <= t.quota ORDER BY doc_id
                                           rate_pct=15, seed=1)
     o["token_shift_labels"] = shift_labels_sql(_f1_tbl)
     o["token_truncate"] = truncate_sequences_sql(_f1_tbl, max_len=128)
+    # FIM (PSM reorder): selection + split points all from md5(doc_id)
+    # hex slices; 1-based inclusive list slices mirror tokens[:a]/[a:b]/[b:]
+    o["token_fim"] = f"""
+WITH f AS (SELECT doc_id, tokens, source, md5(doc_id) AS hx,
+                  coalesce(len(tokens), 0) AS n FROM {_f1_tbl}),
+s AS (SELECT *, (('0x' || substr(hx, 1, 8))::UBIGINT % 100) AS bucket,
+             ('0x' || substr(hx, 9, 8))::BIGINT AS h1,
+             ('0x' || substr(hx, 17, 8))::BIGINT AS h2 FROM f),
+p AS (SELECT *, (bucket < 50 AND n >= 2) AS fim,
+      CASE WHEN bucket < 50 AND n >= 2 THEN 1 + h1 % (n - 1) END AS a FROM s),
+p2 AS (SELECT *, CASE WHEN fim THEN a + h2 % (n - a) END AS b FROM p)
+SELECT doc_id,
+  CASE WHEN fim THEN [50281]::INTEGER[] || tokens[1:a] || [50282]::INTEGER[]
+                     || tokens[b+1:n] || [50283]::INTEGER[] || tokens[a+1:b]
+       ELSE tokens END AS tokens,
+  CAST(CASE WHEN fim THEN n + 3 ELSE n END AS INTEGER) AS n_tok,
+  source, fim
+FROM p2 ORDER BY doc_id
+"""
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

@@ -136,3 +136,93 @@ def truncate_sequences(ds: "ray.data.Dataset", max_len: int,
         return out
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def fim_transform(ds: "ray.data.Dataset", rate_pct: int = 50,
+                  pre_id: int = 50281, suf_id: int = 50282,
+                  mid_id: int = 50283, token_col: str = "tokens",
+                  id_col: str = "doc_id", len_col: str = "n_tok"
+                  ) -> "ray.data.Dataset":
+    """Fill-in-the-middle (PSM) transformation (Bavarian et al. 2022,
+    arXiv:2207.14255): selected documents are reordered to
+    ``[pre_id] prefix [suf_id] suffix [mid_id] middle`` so an
+    autoregressive model learns infilling.
+
+    Fully DETERMINISTIC by doc id — no RNG state, identical on any
+    cluster size or block layout, hash-exact SQL twin:
+
+    - selection: first 8 md5 hex chars of ``id_col`` mod 100 <
+      ``rate_pct`` (the ``deterministic_mix`` rule);
+    - split points from the NEXT md5 hex slices: ``a = 1 + h1 % (n-1)``
+      (prefix = first ``a`` tokens), ``b = a + h2 % (n-a)``
+      (middle = tokens[a:b], may be empty; suffix = tokens[b:], never
+      empty).  Documents with fewer than 2 tokens (or null) pass
+      through unchanged.
+
+    Streaming ``map_batches``: one flatten, one vectorized gather-index
+    construction (six masked assignments over a global position array),
+    one ListArray rebuild — no per-row Python on the token path.
+    Output adds a ``fim`` bool column; ``len_col`` is recomputed
+    (``n + 3`` where applied) preserving its type."""
+    if not (0 <= rate_pct <= 100):
+        raise ValueError("rate_pct must be 0..100")
+
+    def f(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..functions.text import md5_hex
+
+        vtype, lens, valid, flat = _list_parts(t[token_col])
+        n_rows = len(lens)
+        hx = md5_hex(pd.Series(t[id_col].to_pylist()).astype(str))
+        bucket = np.asarray([int(x[:8], 16) for x in hx],
+                            dtype=np.int64) % 100
+        h1 = np.asarray([int(x[8:16], 16) for x in hx], dtype=np.int64)
+        h2 = np.asarray([int(x[16:24], 16) for x in hx], dtype=np.int64)
+
+        app = (bucket < rate_pct) & (lens >= 2) & valid
+        a = np.where(app, 1 + h1 % np.maximum(lens - 1, 1), 0)
+        b = np.where(app, a + h2 % np.maximum(lens - a, 1), 0)
+
+        out_lens = lens + np.where(app, 3, 0)
+        in_starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=in_starts[1:]) if n_rows > 1 else None
+        out_starts = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            np.cumsum(out_lens[:-1], out=out_starts[1:])
+        total = int(out_lens.sum())
+        p = np.arange(total, dtype=np.int64) - np.repeat(out_starts, out_lens)
+        S = np.repeat(in_starts, out_lens)
+        A = np.repeat(a, out_lens)
+        B = np.repeat(b, out_lens)
+        N = np.repeat(lens, out_lens)
+        APP = np.repeat(app, out_lens)
+        suf = N - B
+
+        out_vals = np.empty(total, dtype=np.int64)
+        m = ~APP
+        out_vals[m] = flat[(S + p)[m]]
+        m = APP & (p == 0)
+        out_vals[m] = pre_id
+        m = APP & (p >= 1) & (p <= A)
+        out_vals[m] = flat[(S + p - 1)[m]]
+        m = APP & (p == A + 1)
+        out_vals[m] = suf_id
+        m = APP & (p >= A + 2) & (p <= A + 1 + suf)
+        out_vals[m] = flat[(S + B + p - A - 2)[m]]
+        m = APP & (p == A + 2 + suf)
+        out_vals[m] = mid_id
+        m = APP & (p > A + 2 + suf)
+        out_vals[m] = flat[(S + A + p - A - 3 - suf)[m]]
+
+        arr = _rebuild(out_lens, valid, out_vals, vtype)
+        out = t.set_column(t.schema.get_field_index(token_col),
+                           token_col, arr)
+        if len_col in t.column_names:
+            new_len = pa.array(out_lens, pa.int64()).cast(
+                t.schema.field(len_col).type)
+            out = out.set_column(out.schema.get_field_index(len_col),
+                                 len_col, new_len)
+        return out.append_column("fim", pa.array(app))
+
+    return ds.map_batches(f, batch_format="pyarrow")

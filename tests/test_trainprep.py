@@ -79,3 +79,71 @@ def test_truncate_sequences_clamps(ray_session):
     z = _collect(truncate_sequences(ray.data.from_arrow(_tbl(toks)),
                                     max_len=0))
     assert z["tokens"].to_pylist() == [[], [], [], None]
+
+
+def test_fim_transform_psm_layout(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.trainprep import fim_transform
+
+    t = pa.table({"doc_id": ["a", "b", "c", "d"],
+                  "tokens": [[1, 2, 3, 4, 5], [9], None, [7, 8]],
+                  "n_tok": pa.array([5, 1, 0, 2], pa.int32())})
+    out = pa.concat_tables(ray.get(
+        fim_transform(ray.data.from_arrow(t), rate_pct=100).to_arrow_refs()))
+    d = out.to_pydict()
+
+    def expect(did, toks):
+        n = len(toks)
+        hx = hashlib.md5(did.encode()).hexdigest()
+        a = 1 + int(hx[8:16], 16) % (n - 1)
+        b = a + int(hx[16:24], 16) % (n - a)
+        return [50281] + toks[:a] + [50282] + toks[b:] + [50283] + toks[a:b]
+
+    assert d["tokens"][0] == expect("a", [1, 2, 3, 4, 5])
+    assert d["tokens"][3] == expect("d", [7, 8])
+    assert d["tokens"][1] == [9] and d["tokens"][2] is None  # too short / null
+    assert d["fim"] == [True, False, False, True]
+    assert d["n_tok"] == [8, 1, 0, 5]
+    assert out.schema.field("n_tok").type == pa.int32()  # type preserved
+    # suffix is never empty; token multiset preserved (+3 sentinels)
+    assert sorted(d["tokens"][0]) == sorted([1, 2, 3, 4, 5, 50281, 50282, 50283])
+
+
+def test_fim_rate_zero_is_identity(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.trainprep import fim_transform
+
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [[1, 2, 3], [4, 5]],
+                  "n_tok": pa.array([3, 2], pa.int32())})
+    out = pa.concat_tables(ray.get(
+        fim_transform(ray.data.from_arrow(t), rate_pct=0).to_arrow_refs()))
+    assert out["tokens"].to_pylist() == [[1, 2, 3], [4, 5]]
+    assert out["fim"].to_pylist() == [False, False]
+
+
+def test_fim_blocking_independent(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.trainprep import fim_transform
+
+    rng = np.random.default_rng(3)
+    rows = [{"doc_id": f"doc-{i:04d}",
+             "tokens": rng.integers(0, 1000, rng.integers(1, 40)).tolist(),
+             "n_tok": 0} for i in range(300)]
+    df = pd.DataFrame(rows)
+    df["n_tok"] = df["tokens"].str.len().astype("int32")
+    a = pa.concat_tables(ray.get(fim_transform(
+        ray.data.from_pandas(df)).to_arrow_refs())).sort_by("doc_id")
+    b = pa.concat_tables(ray.get(fim_transform(ray.data.from_pandas(
+        [df.iloc[i::7].reset_index(drop=True) for i in range(7)]))
+        .to_arrow_refs())).sort_by("doc_id")
+    assert a.equals(b.select(a.column_names).cast(a.schema))
