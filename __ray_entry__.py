@@ -443,6 +443,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.embedding_clusters_srp(aug, tau=0.9)
 
     q["emb_clusters_srp"] = emb_clusters_srp
+    # SemDeDup: k-means clustering is iterative/non-SQL -> rows-only by
+    # design; correctness pinned by planted-group exemplar tests
+    q["emb_semdedup"] = lambda sf: dedup.semdedup(
+        _read(sf, "embeddings"), tau=0.95, n_clusters=8)
 
     def emb_quantize(sf):
         return ann.quantize_embeddings(_read(sf, "embeddings")).drop_columns(["codes"])

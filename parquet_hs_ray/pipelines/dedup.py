@@ -920,7 +920,8 @@ def dedup_assign(docs: "ray.data.Dataset", num_partitions: int | None = None) ->
 
 def embedding_neardup_pairs_ivf(emb: "ray.data.Dataset", tau: float = 0.5,
                                 n_clusters: int = 16, nprobe: int = 2,
-                                sample_size: int = 4096, seed: int = 42) -> pd.DataFrame:
+                                sample_size: int = 4096, seed: int = 42,
+                                centroids: "np.ndarray | None" = None) -> pd.DataFrame:
     """APPROXIMATE near-dup pairs, sub-quadratic: assign every vector to its
     ``nprobe`` nearest coarse centroids (multi-assignment gives boundary
     overlap), compute all-pairs cosine only WITHIN each cluster bucket via
@@ -931,7 +932,8 @@ def embedding_neardup_pairs_ivf(emb: "ray.data.Dataset", tau: float = 0.5,
     ``embedding_neardup_pairs`` when completeness is required."""
     from .ann import _train_centroids
 
-    C = _train_centroids(emb, n_clusters, sample_size, seed)
+    C = centroids if centroids is not None \
+        else _train_centroids(emb, n_clusters, sample_size, seed)
     ref = ray.put(C)
 
     def explode(batch: pd.DataFrame) -> pa.Table:
@@ -971,6 +973,98 @@ def embedding_neardup_pairs_ivf(emb: "ray.data.Dataset", tau: float = 0.5,
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
     return (out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
                .reset_index(drop=True).astype(np.int64))
+
+
+def semdedup(emb: "ray.data.Dataset", tau: float = 0.9,
+             n_clusters: int = 16, sample_size: int = 4096,
+             seed: int = 42, refine_iters: int = 2) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup —
+    spherical k-means clusters the embedding space, near-duplicate
+    groups (exact cosine >= ``tau``) form WITHIN clusters only, and
+    each group keeps ONE exemplar: the member with the LOWEST cosine to
+    its cluster centroid (the paper's choice — the most distinctive
+    representative survives; ties break to the smaller vec_id).
+
+    Returns (vec_id, cluster, keep) for every vector.
+
+    Scale shape: centroids = seeded unbiased sample + full-corpus Lloyd
+    partials (``ann.kmeans_refine_distributed`` — the corpus never
+    moves); pair generation = within-cluster buckets only
+    (~O(n²/n_clusters), hard assignment nprobe=1 per the paper); the
+    duplicate-group resolution is a driver union-find over the TINY
+    pair list plus one centroid-similarity lookup for just those ids;
+    the verdict ships back as one broadcast drop-set applied in a
+    single vectorized pass."""
+    from .ann import _train_centroids, kmeans_refine_distributed
+
+    C0 = _train_centroids(emb, n_clusters, sample_size, seed)
+    C, _ = kmeans_refine_distributed(emb, C0, iters=refine_iters)
+    ref = ray.put(C)
+
+    pairs = embedding_neardup_pairs_ivf(emb, tau=tau, n_clusters=n_clusters,
+                                        nprobe=1, centroids=C)
+
+    # union-find over the pair graph (same machinery as dedup_clusters)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    for root, mem in members.items():
+        mem.append(root)
+
+    cand_ids = {x for mem in members.values() for x in mem}
+    drop: set[int] = set()
+    if cand_ids:
+        idref = ray.put(cand_ids)
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            want = ray.get(idref)
+            m = batch["vec_id"].isin(want).to_numpy()
+            if not m.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                     "csim": pd.Series([], dtype=np.float64)})
+            b = batch[m]
+            M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = Mn @ ray.get(ref).T
+            return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+                                 "csim": sims.max(axis=1)})
+
+        csim = (emb.map_batches(pick, batch_format="pandas").to_pandas()
+                .set_index("vec_id")["csim"])
+        for mem in members.values():
+            # keep lowest-centroid-similarity member; ties -> smaller id
+            keep_id = min(mem, key=lambda i: (csim[i], i))
+            drop.update(i for i in mem if i != keep_id)
+
+    dropref = ray.put(drop)
+
+    def out(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dropref)
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        cl = np.argmax(Mn @ ray.get(ref).T, axis=1).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": ids, "cluster": cl,
+            "keep": ~np.isin(ids, np.fromiter(d, dtype=np.int64,
+                                              count=len(d)))})
+
+    return emb.map_batches(out, batch_format="pandas")
 
 
 def dedup_normalized(docs: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -2596,3 +2596,57 @@ def test_token_budget_mix_quota_conservation(ray_session):
         cum = k["n_tok"].astype(np.int64).cumsum()
         want = set(k.loc[cum <= quota[src], "doc_id"])
         assert kept == want, src
+
+
+def test_semdedup_planted_groups(ray_session):
+    """Planted near-identical embedding groups: exactly one exemplar
+    survives per group (the farthest-from-centroid member), distinct
+    vectors all survive."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, gid = [], 0
+    truth_groups = []
+    for i in range(40):
+        if i % 5 == 0:  # plant a near-dup triple
+            grp = []
+            for j in range(3):
+                v = base[i] + rng.normal(scale=1e-4, size=16)
+                rows.append({"vec_id": gid, "embedding": v.tolist()})
+                grp.append(gid)
+                gid += 1
+            truth_groups.append(grp)
+        else:
+            rows.append({"vec_id": gid, "embedding": base[i].tolist()})
+            gid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas([df.iloc[i::3].reset_index(drop=True)
+                               for i in range(3)])
+    out = semdedup(ds, tau=0.999, n_clusters=4, sample_size=64,
+                   seed=3).to_pandas().set_index("vec_id")
+    # every planted triple keeps exactly one member
+    for grp in truth_groups:
+        assert out.loc[grp, "keep"].sum() == 1, grp
+    # vectors outside any planted group all survive
+    planted = {x for g in truth_groups for x in g}
+    others = [i for i in range(gid) if i not in planted]
+    assert out.loc[others, "keep"].all()
+    assert out["cluster"].between(0, 3).all()
+
+
+def test_semdedup_no_dups_keeps_everything(ray_session):
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(23)
+    M = rng.normal(size=(30, 8))
+    df = pd.DataFrame({"vec_id": np.arange(30),
+                       "embedding": [v.tolist() for v in M]})
+    out = semdedup(ray.data.from_pandas(df), tau=0.9999,
+                   n_clusters=3, sample_size=32).to_pandas()
+    assert out["keep"].all() and len(out) == 30
