@@ -818,6 +818,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_fim"] = token_fim
 
+    def token_span_corrupt(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.trainprep import span_corrupt
+
+        def add_dk(t):
+            dk = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 1 << 30),
+                         pa.int64())
+            return t.append_column("dk", dk)
+
+        return span_corrupt(
+            _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow"),
+            span_len=3, rate_pct=15)
+
+    q["token_span_corrupt"] = token_span_corrupt
+
+    def token_chunk(sf):
+        from parquet_hs_ray.pipelines.trainprep import chunk_sequences
+
+        return chunk_sequences(_f1_raw(sf), max_len=96, stride=64)
+
+    q["token_chunk"] = token_chunk
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -2544,6 +2568,14 @@ SELECT doc_id,
   source, fim
 FROM p2 ORDER BY doc_id
 """
+    from parquet_hs_ray.functions.sql_oracles import span_corrupt_sql
+
+    o["token_span_corrupt"] = span_corrupt_sql(
+        _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)",
+        span_len=3, rate_pct=15)
+    from parquet_hs_ray.functions.sql_oracles import chunk_sequences_sql
+
+    o["token_chunk"] = chunk_sequences_sql(_f1_tbl, max_len=96, stride=64)
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

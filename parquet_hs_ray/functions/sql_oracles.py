@@ -846,3 +846,68 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN per p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def span_corrupt_sql(table: str, dk_expr: str, span_len: int = 3,
+                     rate_pct: int = 15, seed: int = 9,
+                     sentinel_base: int = 50_100) -> str:
+    """``trainprep.span_corrupt`` twin: the per-(doc, block) corruption
+    decision ``splitmix64(splitmix64(dk ^ seed) ^ b) % 100 < rate_pct``
+    replayed in HUGEINT arithmetic; blocks exploded with ``unnest(range)``,
+    sentinel index k = exclusive running count of corrupted blocks,
+    inputs/targets rebuilt with ordered ``flatten(list(...))``."""
+    L = span_len
+    q = (f"SELECT doc_id, tokens, coalesce(len(tokens), 0)::HUGEINT AS n, "
+         f"xor(CAST({dk_expr} AS HUGEINT), {seed}::HUGEINT) AS h "
+         f"FROM {table}")
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    q = (f"SELECT doc_id, tokens, n, h, "
+         f"unnest(range(CAST((n + {L - 1}) // {L} AS BIGINT))) AS b "
+         f"FROM ({q})")
+    q = f"SELECT * REPLACE (xor(h, b::HUGEINT) AS h) FROM ({q})"
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    return f"""
+WITH sel AS MATERIALIZED (
+  SELECT doc_id, tokens, n, b, (h % 100) < {rate_pct} AS sel FROM ({q})
+),
+k AS (SELECT *,
+        (count(*) FILTER (WHERE sel) OVER (PARTITION BY doc_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::INTEGER AS k,
+        tokens[b * {L} + 1 : least((b + 1) * {L}, n)::BIGINT] AS bt
+      FROM sel),
+l AS (SELECT doc_id,
+        flatten(list(CASE WHEN sel THEN [({sentinel_base} + k)::INTEGER]
+                          ELSE bt END ORDER BY b)) AS inputs,
+        flatten(list(CASE WHEN sel
+                          THEN list_prepend(({sentinel_base} + k)::INTEGER, bt)
+                          ELSE []::INTEGER[] END ORDER BY b)) AS targets,
+        (count(*) FILTER (WHERE sel))::BIGINT AS n_spans
+      FROM k GROUP BY doc_id)
+SELECT d.doc_id, coalesce(l.inputs, []::INTEGER[]) AS inputs,
+       coalesce(l.targets, []::INTEGER[]) AS targets,
+       coalesce(l.n_spans, 0)::BIGINT AS n_spans
+FROM {table} d LEFT JOIN l USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def chunk_sequences_sql(table: str, max_len: int = 2048,
+                        stride: int = 1536) -> str:
+    """``trainprep.chunk_sequences`` twin: window count by integer-exact
+    ceil division, windows exploded with ``unnest(range(...))``, each
+    window a 1-based inclusive list slice."""
+    M, S = max_len, stride
+    return f"""
+WITH d AS (SELECT doc_id, tokens, coalesce(len(tokens), 0)::BIGINT AS n
+           FROM {table}),
+c AS (SELECT doc_id, tokens, n,
+             unnest(range(CASE WHEN n = 0 THEN 0
+                          ELSE 1 + (greatest(n - {M}, 0) + {S - 1}) // {S}
+                          END)) AS k
+      FROM d)
+SELECT doc_id, k::BIGINT AS chunk_id,
+       tokens[k * {S} + 1 : least(k * {S} + {M}, n)] AS tokens,
+       least(n - k * {S}, {M})::INTEGER AS n_tok
+FROM c ORDER BY doc_id, chunk_id
+"""

@@ -226,3 +226,159 @@ def fim_transform(ds: "ray.data.Dataset", rate_pct: int = 50,
         return out.append_column("fim", pa.array(app))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def span_corrupt(ds: "ray.data.Dataset", span_len: int = 3,
+                 rate_pct: int = 15, seed: int = 9,
+                 sentinel_base: int = 50_100, token_col: str = "tokens",
+                 key_col: str = "dk", id_col: str = "doc_id"
+                 ) -> "ray.data.Dataset":
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683),
+    FIXED-LENGTH-BLOCK variant: the sequence is cut into consecutive
+    blocks of ``span_len`` tokens; block ``b`` of a document is
+    corrupted iff ``splitmix64(splitmix64(dk ^ seed) ^ b) % 100 <
+    rate_pct`` (``dk`` = the int64 document key in ``key_col``) —
+    non-overlapping spans by construction, so the decision is per
+    (doc, block) with NO sequential scan, deterministic on any cluster
+    size or block layout, and exactly replayable in SQL (the proven
+    HUGEINT splitmix chain).  T5 samples span lengths; fixing them is
+    the documented simplification that buys blockwise exactness.
+
+    Outputs per document: ``inputs`` (original tokens with each
+    corrupted block collapsed to one sentinel — ``sentinel_base + k``
+    for the doc's k-th corrupted block, 0-based), ``targets``
+    (``[sentinel_k, span tokens...]`` concatenated in block order) and
+    ``n_spans``.  One flatten + vectorized segment arithmetic + two
+    ListArray rebuilds per batch; no per-row Python."""
+    from ..functions.sketches import _splitmix64
+
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    L = span_len
+    sd = np.uint64(seed)
+
+    def f(t: pa.Table) -> pa.Table:
+        vtype, lens, valid, flat = _list_parts(t[token_col])
+        n_rows = len(lens)
+        dk = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
+                        dtype=np.int64).astype(np.uint64)
+        h0 = _splitmix64(dk ^ sd)
+
+        nb = (lens + L - 1) // L                       # blocks per row
+        total_b = int(nb.sum())
+        b_starts = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            np.cumsum(nb[:-1], out=b_starts[1:])
+        blk = np.arange(total_b, dtype=np.int64) - np.repeat(b_starts, nb)
+        h = _splitmix64(np.repeat(h0, nb) ^ blk.astype(np.uint64))
+        sel = (h % np.uint64(100)) < np.uint64(rate_pct)
+        # k = per-row EXCLUSIVE running count of selected blocks
+        incl = np.cumsum(sel.astype(np.int64))
+        excl = incl - sel.astype(np.int64)
+        k_blk = excl - np.repeat(excl[b_starts], nb) if total_b else excl
+        blk_len = np.minimum(np.repeat(lens, nb) - blk * L, L)
+
+        in_starts = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            np.cumsum(lens[:-1], out=in_starts[1:])
+
+        # ---- inputs: per block contributes blk_len (kept) or 1 (sentinel)
+        in_contrib = np.where(sel, 1, blk_len)
+        row_in_lens = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(row_in_lens, np.repeat(np.arange(n_rows), nb), in_contrib)
+        tot_in = int(in_contrib.sum())
+        # expand per block: local offset q within the block's contribution
+        q = np.arange(tot_in, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(in_contrib[:-1])])
+            if total_b else np.zeros(0, np.int64), in_contrib)
+        SEL = np.repeat(sel, in_contrib)
+        SRC = np.repeat(np.repeat(in_starts, nb) + blk * L, in_contrib)
+        KV = np.repeat(sentinel_base + k_blk, in_contrib)
+        in_vals = np.where(SEL, KV, 0)
+        m = ~SEL
+        in_vals[m] = flat[(SRC + q)[m]] if len(flat) else 0
+
+        # ---- targets: selected blocks contribute 1 + blk_len
+        tg_contrib = np.where(sel, blk_len + 1, 0)
+        row_tg_lens = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(row_tg_lens, np.repeat(np.arange(n_rows), nb), tg_contrib)
+        tot_tg = int(tg_contrib.sum())
+        qt = np.arange(tot_tg, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(tg_contrib[:-1])])
+            if total_b else np.zeros(0, np.int64), tg_contrib)
+        SRCt = np.repeat(np.repeat(in_starts, nb) + blk * L, tg_contrib)
+        KVt = np.repeat(sentinel_base + k_blk, tg_contrib)
+        tg_vals = np.where(qt == 0, KVt, 0)
+        m = qt > 0
+        tg_vals[m] = flat[(SRCt + qt - 1)[m]] if len(flat) else 0
+
+        n_spans = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(n_spans, np.repeat(np.arange(n_rows), nb),
+                  sel.astype(np.int64))
+
+        return pa.table({
+            id_col: t[id_col],
+            "inputs": _rebuild(row_in_lens, valid, in_vals, vtype),
+            "targets": _rebuild(row_tg_lens, valid, tg_vals, vtype),
+            "n_spans": pa.array(n_spans, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_sequences(ds: "ray.data.Dataset", max_len: int = 2048,
+                    stride: int = 1536, token_col: str = "tokens",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Sliding-window chunking for long-context training: each document
+    explodes into overlapping windows ``tokens[k*stride : k*stride +
+    max_len]`` for ``k = 0 .. ceil(max(n - max_len, 0) / stride)`` —
+    the HuggingFace ``return_overflowing_tokens`` + ``stride``
+    convention (consecutive windows overlap by ``max_len - stride``
+    tokens, the last window is the only one allowed shorter, empty
+    documents yield no chunks).  Pure per-row arithmetic: a
+    ``map_batches`` explode with one flatten + vectorized gather + one
+    ListArray rebuild per block, no shuffle, deterministic on any block
+    layout, and exactly replayable in SQL (``unnest(range(...))`` +
+    1-based list slices).
+
+    Output: ``(doc_id, chunk_id, tokens, n_tok)``, one row per window.
+    """
+    if stride < 1 or max_len < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    M, S = max_len, stride
+
+    def f(t: pa.Table) -> pa.Table:
+        vtype, lens, valid, flat = _list_parts(t[token_col])
+        n_rows = len(lens)
+        over = np.maximum(lens - M, 0)
+        nc = np.where(lens > 0, 1 + (over + S - 1) // S, 0)
+        total = int(nc.sum())
+        row_of = np.repeat(np.arange(n_rows), nc)
+        c_starts = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            np.cumsum(nc[:-1], out=c_starts[1:])
+        k = np.arange(total, dtype=np.int64) - np.repeat(c_starts, nc)
+        s = k * S
+        clens = np.minimum(lens[row_of] - s, M)
+
+        in_starts = np.zeros(n_rows, dtype=np.int64)
+        if n_rows > 1:
+            np.cumsum(lens[:-1], out=in_starts[1:])
+        tot_v = int(clens.sum())
+        v_starts = np.concatenate([[0], np.cumsum(clens[:-1])]) if total \
+            else np.zeros(0, np.int64)
+        q = np.arange(tot_v, dtype=np.int64) - np.repeat(v_starts, clens)
+        vals = flat[np.repeat(in_starts[row_of] + s, clens) + q] \
+            if tot_v else np.zeros(0, np.int64)
+
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({
+            id_col: ids.take(pa.array(row_of, pa.int64())),
+            "chunk_id": pa.array(k, pa.int64()),
+            "tokens": _rebuild(clens, np.ones(total, dtype=bool), vals,
+                               vtype),
+            "n_tok": pa.array(clens.astype(np.int32), pa.int32()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -147,3 +147,135 @@ def test_fim_blocking_independent(ray_session):
         [df.iloc[i::7].reset_index(drop=True) for i in range(7)]))
         .to_arrow_refs())).sort_by("doc_id")
     assert a.equals(b.select(a.column_names).cast(a.schema))
+
+
+def _dk_tbl(toks):
+    """Native-shape table with the int64 doc key span_corrupt hashes on."""
+    t = _tbl(toks)
+    return t.append_column(
+        "dk", pa.array(np.arange(len(toks), dtype=np.int64) * 13 + 5))
+
+
+def test_span_corrupt_reconstruction(ray_session):
+    """Replacing each sentinel in `inputs` with its span from `targets`
+    reproduces the original tokens exactly (the T5 corruption
+    invariant), for every document including empty and sub-block ones."""
+    from parquet_hs_ray.pipelines.trainprep import span_corrupt
+
+    rng = np.random.default_rng(11)
+    toks = [rng.integers(0, 50000, int(rng.integers(0, 25))).tolist()
+            for _ in range(200)]
+    t = _dk_tbl(toks)
+    out = _collect(span_corrupt(ray.data.from_arrow(t), span_len=3,
+                                rate_pct=40, sentinel_base=90_000))
+    assert out.column_names == ["doc_id", "inputs", "targets", "n_spans"]
+    orig = {d: x for d, x in zip(t["doc_id"].to_pylist(),
+                                 t["tokens"].to_pylist())}
+    saw_span = 0
+    for d, inp, tgt, ns in zip(out["doc_id"].to_pylist(),
+                               out["inputs"].to_pylist(),
+                               out["targets"].to_pylist(),
+                               out["n_spans"].to_pylist()):
+        # split targets at sentinel positions -> span k follows sentinel k
+        spans = {}
+        cur = None
+        for v in tgt:
+            if v >= 90_000:
+                cur = v
+                spans[cur] = []
+            else:
+                spans[cur].append(v)
+        assert len(spans) == ns
+        rebuilt = []
+        for v in inp:
+            rebuilt.extend(spans[v] if v >= 90_000 else [v])
+        assert rebuilt == orig[d]
+        saw_span += ns
+    assert saw_span > 0
+
+
+def test_span_corrupt_rate_zero_and_full(ray_session):
+    from parquet_hs_ray.pipelines.trainprep import span_corrupt
+
+    toks = [[1, 2, 3, 4, 5], [], [7]]
+    t = _dk_tbl(toks)
+    z = _collect(span_corrupt(ray.data.from_arrow(t), rate_pct=0))
+    assert z["inputs"].to_pylist() == toks
+    assert z["targets"].to_pylist() == [[], [], []]
+    assert z["n_spans"].to_pylist() == [0, 0, 0]
+    f = _collect(span_corrupt(ray.data.from_arrow(t), span_len=2,
+                              rate_pct=100, sentinel_base=900))
+    # every block corrupted: inputs are pure sentinels 900,901,...
+    assert f["inputs"].to_pylist() == [[900, 901, 902], [], [900]]
+    assert f["targets"].to_pylist() == [
+        [900, 1, 2, 901, 3, 4, 902, 5], [], [900, 7]]
+
+
+def test_span_corrupt_block_layout_independent(ray_session):
+    from parquet_hs_ray.pipelines.trainprep import span_corrupt
+
+    rng = np.random.default_rng(5)
+    toks = [rng.integers(0, 100, int(rng.integers(0, 30))).tolist()
+            for _ in range(150)]
+    t = _dk_tbl(toks)
+    a = _collect(span_corrupt(ray.data.from_arrow(t)))
+    parts = [t.slice(i, 1) for i in range(t.num_rows)]
+    b = _collect(span_corrupt(ray.data.from_arrow_refs(
+        [ray.put(pa.concat_tables(parts[i::11])) for i in range(11)])))
+    assert a.equals(b)
+
+
+def test_chunk_sequences_windows(ray_session):
+    """Window layout: stride overlap, short-tail last window, empty doc
+    yields no chunks, exactly-max_len doc yields one window."""
+    from parquet_hs_ray.pipelines.trainprep import chunk_sequences
+
+    toks = [list(range(10)),   # M=4,S=3 -> [0:4],[3:7],[6:10]
+            [],                # no chunks
+            [1, 2, 3, 4],      # exactly M -> one chunk
+            [5, 6, 7, 8, 9]]   # M+1 -> [0:4],[3:5]
+    t = _tbl(toks)
+    out = _collect(chunk_sequences(ray.data.from_arrow(t), max_len=4,
+                                   stride=3))
+    got = {}
+    for d, k, c in zip(out["doc_id"].to_pylist(),
+                       out["chunk_id"].to_pylist(),
+                       out["tokens"].to_pylist()):
+        got.setdefault(d, []).append((k, c))
+    assert got["d0"] == [(0, [0, 1, 2, 3]), (1, [3, 4, 5, 6]),
+                         (2, [6, 7, 8, 9])]
+    assert "d1" not in got
+    assert got["d2"] == [(0, [1, 2, 3, 4])]
+    assert got["d3"] == [(0, [5, 6, 7, 8]), (1, [8, 9])]
+    assert out["n_tok"].to_pylist() == [len(c) for c in
+                                        out["tokens"].to_pylist()]
+
+
+def test_chunk_sequences_coverage_and_layout(ray_session):
+    """Every token position is covered by >=1 window; window k starts at
+    k*stride; identical output across block layouts."""
+    from parquet_hs_ray.pipelines.trainprep import chunk_sequences
+
+    rng = np.random.default_rng(17)
+    toks = [rng.integers(0, 1000, int(rng.integers(0, 80))).tolist()
+            for _ in range(120)]
+    t = _tbl(toks)
+    a = _collect(chunk_sequences(ray.data.from_arrow(t), max_len=16,
+                                 stride=11))
+    orig = {d: x for d, x in zip(t["doc_id"].to_pylist(),
+                                 t["tokens"].to_pylist())}
+    cov = {d: set() for d in orig}
+    for d, k, c in zip(a["doc_id"].to_pylist(), a["chunk_id"].to_pylist(),
+                       a["tokens"].to_pylist()):
+        s = k * 11
+        assert c == orig[d][s:s + 16]
+        cov[d].update(range(s, s + len(c)))
+    for d, x in orig.items():
+        assert cov[d] == set(range(len(x)))
+    parts = [t.slice(i, 1) for i in range(t.num_rows)]
+    b = _collect(chunk_sequences(ray.data.from_arrow_refs(
+        [ray.put(pa.concat_tables(parts[i::9])) for i in range(9)]),
+        max_len=16, stride=11))
+    assert a.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")]) \
+        .equals(b.sort_by([("doc_id", "ascending"),
+                           ("chunk_id", "ascending")]))
