@@ -842,6 +842,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_chunk"] = token_chunk
 
+    def token_ngram_novelty(sf):
+        from parquet_hs_ray.pipelines.cleaning import ngram_novelty_tokens
+
+        return ngram_novelty_tokens(_f1_raw(sf), ngram=3, common_df=2)
+
+    q["token_ngram_novelty"] = token_ngram_novelty
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -2576,6 +2583,10 @@ FROM p2 ORDER BY doc_id
     from parquet_hs_ray.functions.sql_oracles import chunk_sequences_sql
 
     o["token_chunk"] = chunk_sequences_sql(_f1_tbl, max_len=96, stride=64)
+    from parquet_hs_ray.functions.sql_oracles import ngram_novelty_tokens_sql
+
+    o["token_ngram_novelty"] = ngram_novelty_tokens_sql(
+        _f1_tbl, ngram=3, common_df=2)
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

@@ -911,3 +911,23 @@ SELECT doc_id, k::BIGINT AS chunk_id,
        least(n - k * {S}, {M})::INTEGER AS n_tok
 FROM c ORDER BY doc_id, chunk_id
 """
+
+
+def ngram_novelty_tokens_sql(table: str, ngram: int = 3,
+                             common_df: int = 2) -> str:
+    """``cleaning.ngram_novelty_tokens`` twin: per-doc DISTINCT gram
+    hashes via the shared splitmix chain, document frequency by a
+    GROUP BY over the hash, per-doc common-gram counts by join-back."""
+    gram_q = _chain_splitmix(_word_ngram_inner(ngram), ngram)
+    return f"""
+WITH {_token_hash_cte(table)},
+g AS (SELECT DISTINCT doc_id, h FROM ({gram_q})),
+dfq AS (SELECT h, count(*)::BIGINT AS df FROM g GROUP BY h),
+per AS (SELECT g.doc_id, count(*)::BIGINT AS n_distinct,
+               (count(*) FILTER (WHERE dfq.df >= {common_df}))::BIGINT
+                 AS n_common
+        FROM g JOIN dfq USING (h) GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(per.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(per.n_common, 0)::BIGINT AS n_common
+FROM {table} d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""

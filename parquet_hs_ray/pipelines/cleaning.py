@@ -949,3 +949,81 @@ def repetition_stats_tokens(tok: "ray.data.Dataset", ngram: int = 2,
         })
 
     return tok.map_batches(f, batch_format="pandas")
+
+
+def ngram_novelty_tokens(tok: "ray.data.Dataset", ngram: int = 3,
+                         common_df: int = 2,
+                         num_partitions: int | None = None
+                         ) -> "ray.data.Dataset":
+    """CROSS-document n-gram novelty over the native pre-tokenized
+    table: for each document, how many of its DISTINCT token-id
+    ``ngram``-grams also occur in at least ``common_df`` documents
+    corpus-wide — the memorization/boilerplate signal that in-document
+    repetition stats (:func:`repetition_stats_tokens`) cannot see.
+    Returns ``(doc_id, n_distinct, n_common)`` for every document
+    (``n_common <= n_distinct``; a high ratio marks near-boilerplate).
+
+    Scale shape (100 TB): per-block partials emit per-doc DISTINCT
+    (doc_id, gram-hash) pairs (8 B/gram, rows are whole docs so
+    per-block dedup IS global dedup); gram document frequency is a
+    ``grouped_sum`` over the hash only; scoring joins the pair stream
+    back against the df table on the hash — no broadcast vocabulary,
+    no driver-side state, same shape as ``bigram_surprisal_tokens``.
+    Grams are identified by the shared splitmix chain hash (collision
+    odds ~n²/2^64, shared with the SQL twin by design)."""
+    import pyarrow as pa
+
+    from .dedup import _enforce_schema
+    from .groupagg import grouped_sum
+
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(
+            ray.available_resources().get("CPU", 4))))
+
+    def pairs_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh, h = sk.token_ngram_hashes(batch["tokens"], n=ngram)
+        doc_of = np.repeat(np.asarray(batch["doc_id"], dtype=object), n_sh)
+        return (pd.DataFrame({"doc_id": doc_of, "h": h.view(np.int64)})
+                .drop_duplicates(ignore_index=True))
+
+    pair_schema = pa.schema([("doc_id", pa.string()), ("h", pa.int64())])
+    pairs = _enforce_schema(
+        tok.map_batches(pairs_partial, batch_format="pandas"), pair_schema)
+    pairs = pairs.materialize()  # reused for df counts AND scoring
+
+    dft = grouped_sum(pairs.map_batches(
+        lambda b: pd.DataFrame({"h": b["h"], "n": np.int64(1)}),
+        batch_format="pandas"), ["h"], ["n"])
+    dft = _enforce_schema(dft, pa.schema([("h", pa.int64()),
+                                          ("n", pa.int64())]))
+
+    j = pairs.join(dft, join_type="inner", num_partitions=num_partitions,
+                   on=("h",))
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_distinct": np.int64(1),
+            "n_common": (b["n"].to_numpy(dtype=np.int64)
+                         >= np.int64(common_df)).astype(np.int64),
+        })
+
+    agg = grouped_sum(j.map_batches(doc_partial, batch_format="pandas"),
+                      ["doc_id"], ["n_distinct", "n_common"])
+    agg = _enforce_schema(agg, pa.schema([("doc_id", pa.string()),
+                                          ("n_distinct", pa.int64()),
+                                          ("n_common", pa.int64())]))
+
+    base = tok.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype(str)}),
+        batch_format="pandas")
+    out = base.join(agg, join_type="left_outer",
+                    num_partitions=num_partitions, on=("doc_id",))
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_distinct": b["n_distinct"].fillna(0).astype(np.int64),
+            "n_common": b["n_common"].fillna(0).astype(np.int64)}),
+        batch_format="pandas")

@@ -611,3 +611,57 @@ def test_repetition_stats_tokens_planted(ray_session):
     assert not bool(out.loc["d1", "repetitive"])
     assert (out.loc[["d2", "d3"], ["n_grams", "n_distinct", "top_count"]]
             .to_numpy() == 0).all()
+
+
+def test_ngram_novelty_tokens_planted(ray_session):
+    """Cross-doc novelty: a trigram run shared by two docs counts as
+    common in BOTH; within-doc repeats don't inflate df; doc-less grams
+    and gram-less docs come back zero."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import ngram_novelty_tokens
+
+    toks = [
+        [1, 2, 3, 4],          # grams (1,2,3),(2,3,4); (1,2,3) shared w/ d1
+        [1, 2, 3, 9],          # grams (1,2,3),(2,3,9)
+        [7, 7, 7, 7, 7],       # (7,7,7) x3 occurrences but ONE distinct,
+                               # unique to this doc -> common 0
+        [],
+        [5, 6],                # under the window
+    ]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(5)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    out = (ngram_novelty_tokens(ray.data.from_arrow(t), ngram=3,
+                                common_df=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc["d0", "n_distinct"] == 2 and out.loc["d0", "n_common"] == 1
+    assert out.loc["d1", "n_distinct"] == 2 and out.loc["d1", "n_common"] == 1
+    assert out.loc["d2", "n_distinct"] == 1 and out.loc["d2", "n_common"] == 0
+    assert (out.loc[["d3", "d4"], ["n_distinct", "n_common"]]
+            .to_numpy() == 0).all()
+
+
+def test_ngram_novelty_tokens_layout_independent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import ngram_novelty_tokens
+
+    rng = np.random.default_rng(31)
+    toks = [rng.integers(0, 50, int(rng.integers(0, 20))).tolist()
+            for _ in range(120)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:03d}" for i in range(120)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    })
+    a = (ngram_novelty_tokens(ray.data.from_arrow(t))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    parts = [t.slice(i, 1) for i in range(t.num_rows)]
+    b = (ngram_novelty_tokens(ray.data.from_arrow_refs(
+        [ray.put(pa.concat_tables(parts[i::7])) for i in range(7)]))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
