@@ -849,6 +849,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_ngram_novelty"] = token_ngram_novelty
 
+    def token_ul2(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from parquet_hs_ray.pipelines.trainprep import ul2_mixture
+
+        def add_dk(t):
+            dk = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 1 << 30),
+                         pa.int64())
+            return t.append_column("dk", dk)
+
+        return ul2_mixture(
+            _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow"))
+
+    q["token_ul2"] = token_ul2
+
     def doc_decontaminate(sf):
         docs = _read(sf, "documents")
         bench = docs.map_batches(lambda b: b[b["doc_id"] % 17 == 0],
@@ -2587,6 +2603,10 @@ FROM p2 ORDER BY doc_id
 
     o["token_ngram_novelty"] = ngram_novelty_tokens_sql(
         _f1_tbl, ngram=3, common_df=2)
+    from parquet_hs_ray.functions.sql_oracles import ul2_mixture_sql
+
+    o["token_ul2"] = ul2_mixture_sql(
+        _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)")
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

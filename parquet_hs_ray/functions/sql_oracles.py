@@ -931,3 +931,40 @@ SELECT d.doc_id, coalesce(per.n_distinct, 0)::BIGINT AS n_distinct,
        coalesce(per.n_common, 0)::BIGINT AS n_common
 FROM {table} d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
 """
+
+
+def ul2_mixture_sql(table: str, dk_expr: str, seed: int = 9,
+                    cls_seed: int = 77, sentinel_base: int = 50_100) -> str:
+    """``trainprep.ul2_mixture`` twin: the class decision
+    ``splitmix64(dk ^ cls_seed) % 4`` replayed in HUGEINT arithmetic;
+    the three span branches reuse :func:`span_corrupt_sql` over the
+    class-filtered table; the S branch (PrefixLM) is two list slices."""
+    q = (f"SELECT doc_id, tokens, "
+         f"xor(CAST({dk_expr} AS HUGEINT), {cls_seed}::HUGEINT) AS h "
+         f"FROM {table}")
+    for layer in _splitmix_layers("h"):
+        q = f"{layer} FROM ({q})"
+    cls_tbl = f"(SELECT doc_id, tokens, (h % 4)::INTEGER AS cls FROM ({q}))"
+    branches = []
+    for i, (tag, L, r) in enumerate((("r", 3, 15), ("x", 12, 15),
+                                     ("xd", 3, 50))):
+        sub = f"(SELECT doc_id, tokens FROM {cls_tbl} WHERE cls = {i})"
+        sq = span_corrupt_sql(sub, dk_expr=dk_expr, span_len=L, rate_pct=r,
+                              seed=seed, sentinel_base=sentinel_base)
+        branches.append(
+            f"SELECT doc_id, inputs, targets, n_spans, '{tag}' AS denoiser "
+            f"FROM ({sq})")
+    branches.append(f"""
+SELECT doc_id,
+  CASE WHEN n = 0 THEN []::INTEGER[]
+       ELSE list_append(tokens[1:(3 * n) // 4],
+                        {sentinel_base}::INTEGER) END AS inputs,
+  CASE WHEN n = 0 THEN []::INTEGER[]
+       ELSE list_prepend({sentinel_base}::INTEGER,
+                         tokens[(3 * n) // 4 + 1 : n]) END AS targets,
+  (n > 0)::BIGINT AS n_spans, 's' AS denoiser
+FROM (SELECT doc_id, tokens, coalesce(len(tokens), 0)::BIGINT AS n
+      FROM {cls_tbl} WHERE cls = 3)
+""")
+    return (" UNION ALL ".join(f"({b})" for b in branches)
+            + " ORDER BY doc_id")

@@ -250,80 +250,92 @@ def span_corrupt(ds: "ray.data.Dataset", span_len: int = 3,
     (``[sentinel_k, span tokens...]`` concatenated in block order) and
     ``n_spans``.  One flatten + vectorized segment arithmetic + two
     ListArray rebuilds per batch; no per-row Python."""
-    from ..functions.sketches import _splitmix64
-
     if span_len < 1:
         raise ValueError("span_len must be >= 1")
-    L = span_len
-    sd = np.uint64(seed)
+    L, r, sd, base = span_len, rate_pct, seed, sentinel_base
 
     def f(t: pa.Table) -> pa.Table:
-        vtype, lens, valid, flat = _list_parts(t[token_col])
-        n_rows = len(lens)
-        dk = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
-                        dtype=np.int64).astype(np.uint64)
-        h0 = _splitmix64(dk ^ sd)
-
-        nb = (lens + L - 1) // L                       # blocks per row
-        total_b = int(nb.sum())
-        b_starts = np.zeros(n_rows, dtype=np.int64)
-        if n_rows > 1:
-            np.cumsum(nb[:-1], out=b_starts[1:])
-        blk = np.arange(total_b, dtype=np.int64) - np.repeat(b_starts, nb)
-        h = _splitmix64(np.repeat(h0, nb) ^ blk.astype(np.uint64))
-        sel = (h % np.uint64(100)) < np.uint64(rate_pct)
-        # k = per-row EXCLUSIVE running count of selected blocks
-        incl = np.cumsum(sel.astype(np.int64))
-        excl = incl - sel.astype(np.int64)
-        k_blk = excl - np.repeat(excl[b_starts], nb) if total_b else excl
-        blk_len = np.minimum(np.repeat(lens, nb) - blk * L, L)
-
-        in_starts = np.zeros(n_rows, dtype=np.int64)
-        if n_rows > 1:
-            np.cumsum(lens[:-1], out=in_starts[1:])
-
-        # ---- inputs: per block contributes blk_len (kept) or 1 (sentinel)
-        in_contrib = np.where(sel, 1, blk_len)
-        row_in_lens = np.zeros(n_rows, dtype=np.int64)
-        np.add.at(row_in_lens, np.repeat(np.arange(n_rows), nb), in_contrib)
-        tot_in = int(in_contrib.sum())
-        # expand per block: local offset q within the block's contribution
-        q = np.arange(tot_in, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(in_contrib[:-1])])
-            if total_b else np.zeros(0, np.int64), in_contrib)
-        SEL = np.repeat(sel, in_contrib)
-        SRC = np.repeat(np.repeat(in_starts, nb) + blk * L, in_contrib)
-        KV = np.repeat(sentinel_base + k_blk, in_contrib)
-        in_vals = np.where(SEL, KV, 0)
-        m = ~SEL
-        in_vals[m] = flat[(SRC + q)[m]] if len(flat) else 0
-
-        # ---- targets: selected blocks contribute 1 + blk_len
-        tg_contrib = np.where(sel, blk_len + 1, 0)
-        row_tg_lens = np.zeros(n_rows, dtype=np.int64)
-        np.add.at(row_tg_lens, np.repeat(np.arange(n_rows), nb), tg_contrib)
-        tot_tg = int(tg_contrib.sum())
-        qt = np.arange(tot_tg, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(tg_contrib[:-1])])
-            if total_b else np.zeros(0, np.int64), tg_contrib)
-        SRCt = np.repeat(np.repeat(in_starts, nb) + blk * L, tg_contrib)
-        KVt = np.repeat(sentinel_base + k_blk, tg_contrib)
-        tg_vals = np.where(qt == 0, KVt, 0)
-        m = qt > 0
-        tg_vals[m] = flat[(SRCt + qt - 1)[m]] if len(flat) else 0
-
-        n_spans = np.zeros(n_rows, dtype=np.int64)
-        np.add.at(n_spans, np.repeat(np.arange(n_rows), nb),
-                  sel.astype(np.int64))
-
-        return pa.table({
-            id_col: t[id_col],
-            "inputs": _rebuild(row_in_lens, valid, in_vals, vtype),
-            "targets": _rebuild(row_tg_lens, valid, tg_vals, vtype),
-            "n_spans": pa.array(n_spans, pa.int64()),
-        })
+        return _span_corrupt_table(t, L, r, sd, base, token_col, key_col,
+                                   id_col)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _span_corrupt_table(t: pa.Table, span_len: int, rate_pct: int,
+                        seed: int, sentinel_base: int, token_col: str,
+                        key_col: str, id_col: str) -> pa.Table:
+    """Per-batch kernel of :func:`span_corrupt` (shared with
+    :func:`ul2_mixture`): fixed-length-block T5 corruption of one Arrow
+    table -> (id, inputs, targets, n_spans)."""
+    from ..functions.sketches import _splitmix64
+
+    L = span_len
+    sd = np.uint64(seed)
+    vtype, lens, valid, flat = _list_parts(t[token_col])
+    n_rows = len(lens)
+    dk = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
+                    dtype=np.int64).astype(np.uint64)
+    h0 = _splitmix64(dk ^ sd)
+
+    nb = (lens + L - 1) // L                       # blocks per row
+    total_b = int(nb.sum())
+    b_starts = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 1:
+        np.cumsum(nb[:-1], out=b_starts[1:])
+    blk = np.arange(total_b, dtype=np.int64) - np.repeat(b_starts, nb)
+    h = _splitmix64(np.repeat(h0, nb) ^ blk.astype(np.uint64))
+    sel = (h % np.uint64(100)) < np.uint64(rate_pct)
+    # k = per-row EXCLUSIVE running count of selected blocks
+    incl = np.cumsum(sel.astype(np.int64))
+    excl = incl - sel.astype(np.int64)
+    k_blk = excl - np.repeat(excl[b_starts], nb) if total_b else excl
+    blk_len = np.minimum(np.repeat(lens, nb) - blk * L, L)
+
+    in_starts = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 1:
+        np.cumsum(lens[:-1], out=in_starts[1:])
+
+    # ---- inputs: per block contributes blk_len (kept) or 1 (sentinel)
+    in_contrib = np.where(sel, 1, blk_len)
+    row_in_lens = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(row_in_lens, np.repeat(np.arange(n_rows), nb), in_contrib)
+    tot_in = int(in_contrib.sum())
+    # expand per block: local offset q within the block's contribution
+    q = np.arange(tot_in, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(in_contrib[:-1])])
+        if total_b else np.zeros(0, np.int64), in_contrib)
+    SEL = np.repeat(sel, in_contrib)
+    SRC = np.repeat(np.repeat(in_starts, nb) + blk * L, in_contrib)
+    KV = np.repeat(sentinel_base + k_blk, in_contrib)
+    in_vals = np.where(SEL, KV, 0)
+    m = ~SEL
+    in_vals[m] = flat[(SRC + q)[m]] if len(flat) else 0
+
+    # ---- targets: selected blocks contribute 1 + blk_len
+    tg_contrib = np.where(sel, blk_len + 1, 0)
+    row_tg_lens = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(row_tg_lens, np.repeat(np.arange(n_rows), nb), tg_contrib)
+    tot_tg = int(tg_contrib.sum())
+    qt = np.arange(tot_tg, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(tg_contrib[:-1])])
+        if total_b else np.zeros(0, np.int64), tg_contrib)
+    SRCt = np.repeat(np.repeat(in_starts, nb) + blk * L, tg_contrib)
+    KVt = np.repeat(sentinel_base + k_blk, tg_contrib)
+    tg_vals = np.where(qt == 0, KVt, 0)
+    m = qt > 0
+    tg_vals[m] = flat[(SRCt + qt - 1)[m]] if len(flat) else 0
+
+    n_spans = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_spans, np.repeat(np.arange(n_rows), nb),
+              sel.astype(np.int64))
+
+    return pa.table({
+        id_col: t[id_col],
+        "inputs": _rebuild(row_in_lens, valid, in_vals, vtype),
+        "targets": _rebuild(row_tg_lens, valid, tg_vals, vtype),
+        "n_spans": pa.array(n_spans, pa.int64()),
+    })
+
 
 
 def chunk_sequences(ds: "ray.data.Dataset", max_len: int = 2048,
@@ -380,5 +392,102 @@ def chunk_sequences(ds: "ray.data.Dataset", max_len: int = 2048,
                                vtype),
             "n_tok": pa.array(clens.astype(np.int32), pa.int32()),
         })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _prefix_lm_table(t: pa.Table, sentinel_base: int, token_col: str,
+                     id_col: str) -> pa.Table:
+    """S-denoiser kernel (PrefixLM): the suffix quarter (``n - 3n//4``
+    tokens, >=1 for non-empty docs) is the single corrupted span —
+    ``inputs = prefix + [sentinel]``, ``targets = [sentinel] + suffix``."""
+    vtype, lens, valid, flat = _list_parts(t[token_col])
+    n_rows = len(lens)
+    c = (3 * lens) // 4
+    in_lens = np.where(lens > 0, c + 1, 0)
+    tg_lens = np.where(lens > 0, lens - c + 1, 0)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+
+    tot_in = int(in_lens.sum())
+    q = np.arange(tot_in, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(in_lens[:-1])])
+        if n_rows else np.zeros(0, np.int64), in_lens)
+    sent = q == np.repeat(c, in_lens)
+    in_vals = np.where(sent, np.int64(sentinel_base), 0)
+    m = ~sent
+    in_vals[m] = flat[(np.repeat(starts, in_lens) + q)[m]] if len(flat) \
+        else 0
+
+    tot_tg = int(tg_lens.sum())
+    qt = np.arange(tot_tg, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(tg_lens[:-1])])
+        if n_rows else np.zeros(0, np.int64), tg_lens)
+    tg_vals = np.where(qt == 0, np.int64(sentinel_base), 0)
+    m = qt > 0
+    tg_vals[m] = flat[(np.repeat(starts + c, tg_lens) + qt - 1)[m]] \
+        if len(flat) else 0
+
+    return pa.table({
+        id_col: t[id_col],
+        "inputs": _rebuild(in_lens, valid, in_vals, vtype),
+        "targets": _rebuild(tg_lens, valid, tg_vals, vtype),
+        "n_spans": pa.array((lens > 0).astype(np.int64), pa.int64()),
+    })
+
+
+#: UL2 denoiser configs: tag -> (span_len, rate_pct); 's' is PrefixLM.
+UL2_CONFIGS = (("r", 3, 15), ("x", 12, 15), ("xd", 3, 50), ("s", None, None))
+
+
+def ul2_mixture(ds: "ray.data.Dataset", seed: int = 9, cls_seed: int = 77,
+                sentinel_base: int = 50_100, token_col: str = "tokens",
+                key_col: str = "dk", id_col: str = "doc_id"
+                ) -> "ray.data.Dataset":
+    """UL2 mixture-of-denoisers (Tay et al. 2022, arXiv:2205.05131):
+    each document is assigned ONE denoiser by
+    ``splitmix64(dk ^ cls_seed) % 4`` —
+
+    - 0 ``r``: R-denoiser, short spans / low rate (span_len 3, 15%)
+    - 1 ``x``: X-denoiser, long spans (span_len 12, 15%)
+    - 2 ``xd``: X-denoiser, dense (span_len 3, 50%)
+    - 3 ``s``: S-denoiser (PrefixLM): the suffix quarter is the single
+      corrupted span
+
+    — so the mixture is deterministic by document key, reproducible on
+    any cluster size or block layout, and each branch replays exactly
+    in SQL (the shared splitmix chain + the span-corrupt twin).  All
+    four branches run inside ONE ``map_batches`` (an Arrow mask filter
+    per class, the shared span-corrupt kernel, one concat) — no
+    dataset-level fan-out, no shuffle.  Output:
+    ``(doc_id, inputs, targets, n_spans, denoiser)``."""
+    from ..functions.sketches import _splitmix64
+
+    cs = np.uint64(cls_seed)
+
+    def f(t: pa.Table) -> pa.Table:
+        dk = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
+                        dtype=np.int64).astype(np.uint64)
+        cls = (_splitmix64(dk ^ cs) % np.uint64(4)).astype(np.int64)
+        outs = []
+        for i, (tag, L, r) in enumerate(UL2_CONFIGS):
+            sub = t.filter(pa.array(cls == i))
+            if sub.num_rows == 0:
+                continue
+            part = (_prefix_lm_table(sub, sentinel_base, token_col, id_col)
+                    if L is None else
+                    _span_corrupt_table(sub, L, r, seed, sentinel_base,
+                                        token_col, key_col, id_col))
+            outs.append(part.append_column(
+                "denoiser", pa.array([tag] * sub.num_rows, pa.string())))
+        if not outs:
+            sch = pa.schema([
+                (id_col, t.schema.field(id_col).type),
+                ("inputs", t.schema.field(token_col).type),
+                ("targets", t.schema.field(token_col).type),
+                ("n_spans", pa.int64()), ("denoiser", pa.string())])
+            return sch.empty_table()
+        return pa.concat_tables(outs)
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -279,3 +279,68 @@ def test_chunk_sequences_coverage_and_layout(ray_session):
     assert a.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")]) \
         .equals(b.sort_by([("doc_id", "ascending"),
                            ("chunk_id", "ascending")]))
+
+
+def test_ul2_mixture_partition_and_reconstruction(ray_session):
+    """Every doc appears exactly once with one denoiser tag; span
+    branches obey the T5 reconstruction invariant; the S branch is
+    prefix + sentinel / sentinel + suffix-quarter."""
+    from parquet_hs_ray.pipelines.trainprep import ul2_mixture
+
+    rng = np.random.default_rng(43)
+    toks = [rng.integers(0, 50000, int(rng.integers(0, 30))).tolist()
+            for _ in range(300)]
+    t = _dk_tbl(toks)
+    out = _collect(ul2_mixture(ray.data.from_arrow(t),
+                               sentinel_base=90_000))
+    assert out.column_names == ["doc_id", "inputs", "targets", "n_spans",
+                                "denoiser"]
+    assert sorted(out["doc_id"].to_pylist()) == \
+        sorted(t["doc_id"].to_pylist())
+    tags = set(out["denoiser"].to_pylist())
+    assert tags == {"r", "x", "xd", "s"}
+    orig = {d: x for d, x in zip(t["doc_id"].to_pylist(),
+                                 t["tokens"].to_pylist())}
+    for d, inp, tgt, ns, tag in zip(out["doc_id"].to_pylist(),
+                                    out["inputs"].to_pylist(),
+                                    out["targets"].to_pylist(),
+                                    out["n_spans"].to_pylist(),
+                                    out["denoiser"].to_pylist()):
+        x = orig[d]
+        if tag == "s":
+            if not x:
+                assert inp == [] and tgt == [] and ns == 0
+                continue
+            c = (3 * len(x)) // 4
+            assert inp == x[:c] + [90_000]
+            assert tgt == [90_000] + x[c:]
+            assert ns == 1
+        else:
+            spans, cur = {}, None
+            for v in tgt:
+                if v >= 90_000:
+                    cur = v
+                    spans[cur] = []
+                else:
+                    spans[cur].append(v)
+            assert len(spans) == ns
+            rebuilt = []
+            for v in inp:
+                rebuilt.extend(spans[v] if v >= 90_000 else [v])
+            assert rebuilt == x
+
+
+def test_ul2_mixture_layout_independent(ray_session):
+    from parquet_hs_ray.pipelines.trainprep import ul2_mixture
+
+    rng = np.random.default_rng(47)
+    toks = [rng.integers(0, 100, int(rng.integers(0, 25))).tolist()
+            for _ in range(160)]
+    t = _dk_tbl(toks)
+    key = [("doc_id", "ascending")]
+    a = _collect(ul2_mixture(ray.data.from_arrow(t))).sort_by(key)
+    parts = [t.slice(i, 1) for i in range(t.num_rows)]
+    b = _collect(ul2_mixture(ray.data.from_arrow_refs(
+        [ray.put(pa.concat_tables(parts[i::13])) for i in range(13)]))
+        ).sort_by(key)
+    assert a.equals(b)
