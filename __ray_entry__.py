@@ -777,22 +777,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return truncate_sequences(_f1_raw(sf), max_len=128)
 
-    def token_span_rewrite(sf):
-        # ExactSubstr removal on the native token table: dk = the
-        # numeric doc suffix (global order key for "first occurrence")
+    def _f1_with_dk(sf):
+        # dk = the numeric doc-id suffix as int64: the per-doc hash key
+        # the key-deterministic transforms share with _DK_EXPR in SQL
         import pyarrow as pa
         import pyarrow.compute as pc
-
-        from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite_tokens
 
         def add_dk(t):
             dk = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 1 << 30),
                          pa.int64())
             return t.append_column("dk", dk)
 
-        return span_dedup_rewrite_tokens(
-            _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow"),
-            window=5)
+        return _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow")
+
+    def token_span_rewrite(sf):
+        # ExactSubstr removal on the native token table: dk = the
+        # global order key for "first occurrence"
+        from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite_tokens
+
+        return span_dedup_rewrite_tokens(_f1_with_dk(sf), window=5)
 
     q["token_span_rewrite"] = token_span_rewrite
     q["token_repetition"] = lambda sf: cleaning.repetition_stats_tokens(
@@ -819,19 +822,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_fim"] = token_fim
 
     def token_span_corrupt(sf):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         from parquet_hs_ray.pipelines.trainprep import span_corrupt
 
-        def add_dk(t):
-            dk = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 1 << 30),
-                         pa.int64())
-            return t.append_column("dk", dk)
-
-        return span_corrupt(
-            _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow"),
-            span_len=3, rate_pct=15)
+        return span_corrupt(_f1_with_dk(sf), span_len=3, rate_pct=15)
 
     q["token_span_corrupt"] = token_span_corrupt
 
@@ -850,18 +843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_ngram_novelty"] = token_ngram_novelty
 
     def token_ul2(sf):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         from parquet_hs_ray.pipelines.trainprep import ul2_mixture
 
-        def add_dk(t):
-            dk = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 1 << 30),
-                         pa.int64())
-            return t.append_column("dk", dk)
-
-        return ul2_mixture(
-            _f1_raw(sf).map_batches(add_dk, batch_format="pyarrow"))
+        return ul2_mixture(_f1_with_dk(sf))
 
     q["token_ul2"] = token_ul2
 
@@ -2566,8 +2550,10 @@ r AS (SELECT doc_id, source, n_tok,
 SELECT r.doc_id, r.source, r.n_tok FROM r JOIN t USING (source)
 WHERE cum <= t.quota ORDER BY doc_id
 """
+    # int64 doc key: the SQL twin of queries()._f1_with_dk
+    _dk_expr = "CAST(substr(doc_id, 5) AS BIGINT)"
     o["token_span_rewrite"] = span_dedup_rewrite_tokens_sql(
-        _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)", window=5)
+        _f1_tbl, dk_expr=_dk_expr, window=5)
     o["token_mask_mlm"] = mask_tokens_sql(_f1_tbl, mask_id=50_000,
                                           rate_pct=15, seed=1)
     o["token_shift_labels"] = shift_labels_sql(_f1_tbl)
@@ -2594,7 +2580,7 @@ FROM p2 ORDER BY doc_id
     from parquet_hs_ray.functions.sql_oracles import span_corrupt_sql
 
     o["token_span_corrupt"] = span_corrupt_sql(
-        _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)",
+        _f1_tbl, dk_expr=_dk_expr,
         span_len=3, rate_pct=15)
     from parquet_hs_ray.functions.sql_oracles import chunk_sequences_sql
 
@@ -2606,7 +2592,7 @@ FROM p2 ORDER BY doc_id
     from parquet_hs_ray.functions.sql_oracles import ul2_mixture_sql
 
     o["token_ul2"] = ul2_mixture_sql(
-        _f1_tbl, dk_expr="CAST(substr(doc_id, 5) AS BIGINT)")
+        _f1_tbl, dk_expr=_dk_expr)
     # doc-start positions per packed sequence: one running-sum window
     o["pack_doc_starts"] = f"""
 WITH d AS (SELECT doc_id, coalesce(len(tokens), 0) AS n

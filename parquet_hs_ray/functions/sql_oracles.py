@@ -944,17 +944,17 @@ def ul2_mixture_sql(table: str, dk_expr: str, seed: int = 9,
          f"FROM {table}")
     for layer in _splitmix_layers("h"):
         q = f"{layer} FROM ({q})"
-    cls_tbl = f"(SELECT doc_id, tokens, (h % 4)::INTEGER AS cls FROM ({q}))"
+    # the class table and per-class configs come from ONE shared constant
+    # (trainprep.UL2_CONFIGS) so pipeline and twin cannot drift
+    from ..pipelines.trainprep import UL2_CONFIGS
+
+    n_cls = len(UL2_CONFIGS)
+    cls_tbl = (f"(SELECT doc_id, tokens, (h % {n_cls})::INTEGER AS cls "
+               f"FROM ({q}))")
     branches = []
-    for i, (tag, L, r) in enumerate((("r", 3, 15), ("x", 12, 15),
-                                     ("xd", 3, 50))):
-        sub = f"(SELECT doc_id, tokens FROM {cls_tbl} WHERE cls = {i})"
-        sq = span_corrupt_sql(sub, dk_expr=dk_expr, span_len=L, rate_pct=r,
-                              seed=seed, sentinel_base=sentinel_base)
-        branches.append(
-            f"SELECT doc_id, inputs, targets, n_spans, '{tag}' AS denoiser "
-            f"FROM ({sq})")
-    branches.append(f"""
+    for i, (tag, L, r) in enumerate(UL2_CONFIGS):
+        if L is None:  # S-denoiser (PrefixLM): two list slices
+            branches.append(f"""
 SELECT doc_id,
   CASE WHEN n = 0 THEN []::INTEGER[]
        ELSE list_append(tokens[1:(3 * n) // 4],
@@ -962,9 +962,16 @@ SELECT doc_id,
   CASE WHEN n = 0 THEN []::INTEGER[]
        ELSE list_prepend({sentinel_base}::INTEGER,
                          tokens[(3 * n) // 4 + 1 : n]) END AS targets,
-  (n > 0)::BIGINT AS n_spans, 's' AS denoiser
+  (n > 0)::BIGINT AS n_spans, '{tag}' AS denoiser
 FROM (SELECT doc_id, tokens, coalesce(len(tokens), 0)::BIGINT AS n
-      FROM {cls_tbl} WHERE cls = 3)
+      FROM {cls_tbl} WHERE cls = {i})
 """)
+            continue
+        sub = f"(SELECT doc_id, tokens FROM {cls_tbl} WHERE cls = {i})"
+        sq = span_corrupt_sql(sub, dk_expr=dk_expr, span_len=L, rate_pct=r,
+                              seed=seed, sentinel_base=sentinel_base)
+        branches.append(
+            f"SELECT doc_id, inputs, targets, n_spans, '{tag}' AS denoiser "
+            f"FROM ({sq})")
     return (" UNION ALL ".join(f"({b})" for b in branches)
             + " ORDER BY doc_id")

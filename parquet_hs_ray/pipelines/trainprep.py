@@ -288,7 +288,10 @@ def _span_corrupt_table(t: pa.Table, span_len: int, rate_pct: int,
     # k = per-row EXCLUSIVE running count of selected blocks
     incl = np.cumsum(sel.astype(np.int64))
     excl = incl - sel.astype(np.int64)
-    k_blk = excl - np.repeat(excl[b_starts], nb) if total_b else excl
+    # rows with nb == 0 at the END of the batch have b_starts == total_b
+    # (out of range); clip — their repeat count is 0 so the value is unused
+    k_blk = (excl - np.repeat(excl[np.minimum(b_starts, total_b - 1)], nb)
+             if total_b else excl)
     blk_len = np.minimum(np.repeat(lens, nb) - blk * L, L)
 
     in_starts = np.zeros(n_rows, dtype=np.int64)
@@ -357,6 +360,10 @@ def chunk_sequences(ds: "ray.data.Dataset", max_len: int = 2048,
     """
     if stride < 1 or max_len < 1:
         raise ValueError("max_len and stride must be >= 1")
+    if stride > max_len:
+        # the overlap convention (max_len - stride) is meaningless past
+        # max_len and the window-count formula would skip tokens
+        raise ValueError(f"stride ({stride}) must be <= max_len ({max_len})")
     M, S = max_len, stride
 
     def f(t: pa.Table) -> pa.Table:

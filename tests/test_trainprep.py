@@ -344,3 +344,29 @@ def test_ul2_mixture_layout_independent(ray_session):
         [ray.put(pa.concat_tables(parts[i::13])) for i in range(13)]))
         ).sort_by(key)
     assert a.equals(b)
+
+
+def test_span_corrupt_trailing_empty_docs(ray_session):
+    """Empty/null docs at the END of a batch must not crash the block
+    arithmetic (regression: b_starts indexed past excl)."""
+    from parquet_hs_ray.pipelines.trainprep import span_corrupt, ul2_mixture
+
+    toks = [[1, 2, 3, 4, 5, 6], [], []]
+    t = _dk_tbl(toks)
+    out = _collect(span_corrupt(ray.data.from_arrow(t), rate_pct=100,
+                                span_len=2, sentinel_base=700))
+    assert out["inputs"].to_pylist() == [[700, 701, 702], [], []]
+    assert out["n_spans"].to_pylist() == [3, 0, 0]
+    # and through every ul2 class (the filtered sub-table can also end
+    # in an empty doc)
+    big = _dk_tbl([[1, 2, 3]] * 8 + [[]] * 8)
+    u = _collect(ul2_mixture(ray.data.from_arrow(big)))
+    assert len(u) == 16
+
+
+def test_chunk_sequences_rejects_stride_gt_max_len(ray_session):
+    from parquet_hs_ray.pipelines.trainprep import chunk_sequences
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_sequences(ray.data.from_arrow(_tbl([[1, 2, 3]])),
+                        max_len=2, stride=10)
