@@ -69,7 +69,9 @@ from .selector import (
     select_int_codec,
 )
 from .codecs import alp as alp_codec
+from .codecs import front as front_codec
 from .codecs import fsst as fsst_codec
+from .selector import FRONT
 
 MAGIC = b"PHR1"
 VERSION = 1
@@ -296,7 +298,23 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         sample = None
         if codec_override is None:
             sample = _sample_binary(lens_np, raw)
-            codec, stats = select_binary_codec(lens_np, len(raw), sample, fsst_trial=fsst_codec.trial_ratio)
+            # front-coding trial on a CONSECUTIVE prefix (adjacent-value
+            # locality is what the codec exploits; the scattered sample
+            # can't see it): measured suffix-bytes ratio, None = refused
+            front_ratio = None
+            n_vals = len(lens_np)
+            if (n_vals >= 8 and len(raw)
+                    and int(lens_np.max()) <= front_codec.MAX_VALUE_LEN):
+                k = min(n_vals, 2048)
+                head_lens = lens_np[:k]
+                head_bytes = int(head_lens.sum())
+                if head_bytes:
+                    plens = front_codec.front_prefix_lens(
+                        head_lens, np.frombuffer(raw, dtype=np.uint8)[:head_bytes])
+                    front_ratio = 1.0 - float(plens.sum()) / head_bytes
+            codec, stats = select_binary_codec(
+                lens_np, len(raw), sample, fsst_trial=fsst_codec.trial_ratio,
+                front_ratio=front_ratio)
         else:
             codec, stats = codec_override, ColumnStats(codec=CODEC_NAMES[codec_override])
         if codec == DICT:
@@ -314,6 +332,8 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         elif codec == FSST:
             table = fsst_codec.table_for_sample(tuple(sample)) if sample else None
             payload = fsst_codec.encode_fsst(lens_np, raw, table=table)
+        elif codec == FRONT:
+            payload = front_codec.encode_front(lens_np, raw)
         else:
             codec = PLAIN
             payload = encode_binary(lens_np, raw)
@@ -475,6 +495,9 @@ def decode_array(data: bytes, pos: int, t: pa.DataType) -> tuple[pa.Array, int]:
             out_lens = dlens[inv]
         elif codec == FSST:
             out_lens, out_bytes, pos = fsst_codec.decode_fsst(data, pos)
+            out_raw = np.frombuffer(out_bytes, dtype=np.uint8)
+        elif codec == FRONT:
+            out_lens, out_bytes, pos = front_codec.decode_front(data, pos)
             out_raw = np.frombuffer(out_bytes, dtype=np.uint8)
         else:
             out_lens, raw, pos = decode_binary(data, pos)

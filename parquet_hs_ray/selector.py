@@ -26,15 +26,18 @@ SAMPLE_MAX = 1 << 16
 # codec ids shared with format.py frames
 PLAIN, DICT, RLE, BITPACK, FOR, FSST, PFOR, DELTA, ALP, ALPRD = (
     0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+FRONT = 10
 CODEC_NAMES = {0: "plain", 1: "dict", 2: "rle", 3: "bitpack", 4: "for",
-               5: "fsst", 6: "pfor", 7: "delta", 8: "alp", 9: "alprd"}
+               5: "fsst", 6: "pfor", 7: "delta", 8: "alp", 9: "alprd",
+               10: "front"}
 
 # a dictionary larger than this is never attempted (scale guard: the dict is
 # per-column-chunk state held by the encoder actor)
 _DICT_MAX_CARD = 1 << 16
 
 # deterministic tie-break: run-aware codecs first
-_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "pfor": 4, "delta": 5, "fsst": 6, "plain": 7}
+_TIE_PRIORITY = {"for": 0, "rle": 1, "dict": 2, "bitpack": 3, "pfor": 4,
+                 "delta": 5, "front": 6, "fsst": 7, "plain": 8}
 
 
 def _sample(values: np.ndarray) -> np.ndarray:
@@ -155,13 +158,17 @@ def select_float_codec(values: np.ndarray) -> tuple[int, ColumnStats]:
 
 
 def select_binary_codec(
-    lengths: np.ndarray, data_nbytes: int, sample_values: list[bytes], fsst_trial=None
+    lengths: np.ndarray, data_nbytes: int, sample_values: list[bytes],
+    fsst_trial=None, front_ratio: "float | None" = None,
 ) -> tuple[int, ColumnStats]:
-    """Pick PLAIN / DICT / FSST for a variable-binary column.
+    """Pick PLAIN / DICT / FSST / FRONT for a variable-binary column.
 
     ``sample_values`` is a deterministic sample of the value bytes;
     ``fsst_trial`` is an optional callable ``sample -> compressed_ratio``
-    supplied by the FSST codec (trial-encode on the sample)."""
+    supplied by the FSST codec (trial-encode on the sample);
+    ``front_ratio`` is the measured suffix-bytes ratio of a CONSECUTIVE
+    prefix of the column (front coding exploits adjacent-value locality,
+    which a scattered sample cannot estimate) — None disables FRONT."""
     n = len(lengths)
     stats = ColumnStats(n=n)
     if n == 0:
@@ -184,10 +191,14 @@ def select_binary_codec(
         ratio = fsst_trial(sample_values)
         if ratio < 0.95:
             est["fsst"] = data_nbytes * ratio + 2 * n + 2048
+    if front_ratio is not None and front_ratio < 0.8:
+        # suffix bytes + a SECOND lens stream (prefix lens) vs plain's one
+        est["front"] = data_nbytes * front_ratio + 4 * n + 16
     choice = min(est, key=lambda k: (est[k], k))
     stats.predicted = {k: int(v) for k, v in est.items()}
     stats.codec = choice
-    return {"plain": PLAIN, "dict": DICT, "fsst": FSST}[choice], stats
+    return {"plain": PLAIN, "dict": DICT, "fsst": FSST,
+            "front": FRONT}[choice], stats
 
 
 def advise_sort_order(tbl, max_keys: int = 3, sample_rows: int = 16384,

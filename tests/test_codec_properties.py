@@ -284,7 +284,10 @@ def test_fsst_escapes_through_table_roundtrip():
 
     from parquet_hs_ray.format import decode_table, encode_table
 
-    texts = [f"https://example.com/{i}/page" for i in range(500)]
+    # random id LEADS so no adjacent-prefix locality hands the column to
+    # front coding — this test exercises FSST's escape path end to end
+    rng = np.random.default_rng(5)
+    texts = [f"{rng.integers(0, 10**9)}.example.com/page" for _ in range(500)]
     texts += ["café ☃ über"]  # multi-byte UTF-8 absent from sample
     t = pa.table({"s": pa.array(texts)})
     blob, stats = encode_table(t)
@@ -318,3 +321,105 @@ def test_sample_weighted_rule_matches_bigint_reference(ids, weights, rate_denom,
     ours = (h // np.uint64(T)) < np.maximum(w, 0).astype(np.uint64)
     ref = np.asarray([int(hh) < int(ww) * T for hh, ww in zip(h, w)])
     assert (ours == ref).all()
+
+
+# --- FRONT (incremental / prefix) coding -------------------------------
+
+import pytest  # noqa: E402
+
+from parquet_hs_ray.codecs.front import (  # noqa: E402
+    MAX_VALUE_LEN, decode_front, encode_front, front_prefix_lens)
+
+
+def _front_rt(vals):
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    raw = b"".join(vals)
+    blob = encode_front(lens, raw)
+    l2, r2, pos = decode_front(blob)
+    assert pos == len(blob)
+    assert (l2 == lens).all()
+    assert r2 == raw
+    return blob
+
+
+def test_front_goldens():
+    _front_rt([])
+    _front_rt([b""])
+    _front_rt([b"", b"", b""])
+    _front_rt([b"doc_000001", b"doc_000002", b"doc_000010", b"doc_1"])
+    _front_rt([b"abc", b"", b"abcd", b"ab\x00cd", b"ab\x00ce"])  # NULs
+    _front_rt([b"zzz", b"aaa", b"zzz"])  # unsorted still round-trips
+    # prefix lens are exactly the pairwise lcp capped by both lengths
+    p = front_prefix_lens(np.array([3, 4, 2], dtype=np.int64),
+                          b"abcabcdab")
+    assert p.tolist() == [0, 3, 2]
+
+
+def test_front_sorted_ids_compress():
+    ids = [f"doc_{i:09d}".encode() for i in range(5000)]
+    blob = _front_rt(ids)
+    assert len(blob) < sum(len(v) for v in ids) // 4
+
+
+def test_front_rejects_oversized_values():
+    with pytest.raises(ValueError, match="caps value length"):
+        encode_front(np.array([MAX_VALUE_LEN + 1], dtype=np.int64),
+                     b"x" * (MAX_VALUE_LEN + 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 200))
+def test_front_roundtrip_fuzz(seed, n):
+    rng = np.random.default_rng(seed)
+    vals, prev = [], b""
+    for _ in range(n):
+        mode = rng.integers(0, 4)
+        if mode == 0:
+            vals.append(bytes(rng.integers(0, 256, int(rng.integers(0, 40)),
+                                           dtype=np.uint8)))
+        elif mode == 1 and vals:
+            k = int(rng.integers(0, len(vals[-1]) + 1))
+            vals.append(vals[-1][:k] + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 16)),
+                             dtype=np.uint8)))
+        elif mode == 2:
+            vals.append(b"")
+        else:
+            vals.append(("p/" + str(int(rng.integers(0, 30)))).encode())
+    _front_rt(vals)
+
+
+def test_front_chain_invariant_checked():
+    # a prefix len pointing past the previous value must be rejected
+    from parquet_hs_ray.codecs.intpack import encode_int
+    from parquet_hs_ray.codecs.varint import encode_varint
+    plens = encode_int(np.array([0, 5], dtype=np.int64), "for")
+    slens = encode_int(np.array([2, 1], dtype=np.int64), "for")
+    blob = (encode_varint(2) + encode_varint(len(plens)) + plens
+            + encode_varint(len(slens)) + slens + encode_varint(3) + b"abc")
+    with pytest.raises(ValueError, match="chain invariant"):
+        decode_front(blob)
+
+
+def test_front_through_table_roundtrip_with_nulls():
+    import pyarrow as pa
+
+    from parquet_hs_ray.format import decode_table, encode_table
+
+    ids = [f"user/{i:07d}" if i % 9 else None for i in range(4000)]
+    t = pa.table({"k": pa.array(ids, pa.string())})
+    blob, stats = encode_table(t)
+    assert stats["k"].codec == "front"
+    assert decode_table(blob).equals(t.combine_chunks())
+
+
+def test_front_not_picked_for_random_strings():
+    import pyarrow as pa
+
+    from parquet_hs_ray.format import encode_table
+
+    rng = np.random.default_rng(3)
+    vals = ["".join(chr(97 + c) for c in rng.integers(0, 26, 12))
+            for _ in range(3000)]
+    _, stats = encode_table(pa.table({"k": pa.array(vals)}))
+    assert stats["k"].codec != "front"

@@ -151,9 +151,15 @@ def test_selector_corner_tables():
     frame, _ = encode_array(clustered)
     assert len(frame) < 1000 * 8 / 4  # at least 4x better than plain
 
-    strings = pa.array([f"https://example.com/{rng.integers(0, 10**9)}/page" for _ in range(500)])
+    # high-card compressible WITHOUT adjacent-prefix locality (the random
+    # id leads) -> fsst; with a long shared run prefix front would compete
+    strings = pa.array([f"{rng.integers(0, 10**9)}.example.com/page" for _ in range(500)])
     _, st = encode_array(strings)
     assert st.codec == "fsst"
+
+    seq_ids = pa.array([f"https://example.com/{i:09d}/page" for i in range(500)])
+    _, st = encode_array(seq_ids)
+    assert st.codec == "front"
 
     lowcard_s = pa.array([["a", "b", "c", "d"][i % 4] for i in range(1000)])
     _, st = encode_array(lowcard_s)
