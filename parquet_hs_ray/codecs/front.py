@@ -6,17 +6,22 @@ the byte length of its common prefix with the PREVIOUS value and only
 the remaining suffix bytes.  Sorted or clustered string columns (ids,
 paths, URLs, date-strings) collapse to a few bytes per row.
 
-Both directions are fully vectorized over a padded (n x max_len) byte
-matrix — no per-row Python:
+Both directions are fully vectorized over padded byte matrices — no
+per-row Python — and both process the column in ROW CHUNKS whose
+matrix working set is bounded (``_CHUNK_BYTES``), with each chunk's
+width set by ITS OWN longest value: one 4 KB outlier in a column of
+12-byte ids widens only its own chunk instead of inflating an
+n x max_len matrix (the naive layout is O(n * global_max) memory and
+time).  Chunks carry a one-row overlap (encode: the previous value for
+the boundary lcp; decode: the previous RECONSTRUCTED value, which owns
+every inherited column).
 
-- encode: one scatter fill, one ``==`` compare of adjacent rows, one
-  ``cumprod`` per-row prefix run, one ragged suffix gather;
+- encode: scatter fill, adjacent-row ``==`` compare, per-row ``cumprod``
+  prefix run, ragged suffix gather;
 - decode: suffix scatter + per-COLUMN inheritance — for column j the
   authoritative byte of row i lives in the nearest row r <= i with
   ``prefix_len[r] <= j`` (it wrote its own byte there), found with one
-  ``np.maximum.accumulate`` per column.  max_len is capped (the matrix
-  is the working set), so the column loop is bounded and each pass is
-  a contiguous O(n) kernel.
+  ``np.maximum.accumulate`` per column.
 
 Layout: ``varint(n)`` + FOR-encoded prefix lens + FOR-encoded suffix
 lens + ``varint(raw_len)`` + suffix bytes.
@@ -29,23 +34,47 @@ import numpy as np
 from .intpack import decode_int, encode_int
 from .varint import decode_varint, encode_varint
 
-#: hard cap on the padded row width: past this the matrix working set
-#: (n x max_len) stops being cache-friendly and the codec is refused —
-#: the selector never picks FRONT above it.
+#: hard cap on a single value's length: past this the padded-matrix
+#: kernels stop being reasonable and the codec is refused — the
+#: selector never picks FRONT above it.
 MAX_VALUE_LEN = 4096
 
+#: matrix working-set budget per row chunk (rows x chunk_max_len bytes)
+_CHUNK_BYTES = 1 << 24
 
-def _byte_matrix(lens: np.ndarray, flat: np.ndarray,
-                 max_len: int) -> np.ndarray:
-    """(n x max_len) zero-padded byte matrix from ragged (lens, flat)."""
+_CHUNK_ROWS = 1 << 16
+
+
+def _iter_chunks(lens: np.ndarray):
+    """Yield (start, end, width) row chunks with end-start > 0 and
+    (end-start) * width <= _CHUNK_BYTES (width = chunk's own max len;
+    a single row is always allowed — MAX_VALUE_LEN bounds its width)."""
     n = len(lens)
-    m = np.zeros((n, max_len), dtype=np.uint8)
-    if len(flat):
-        starts = np.cumsum(lens) - lens
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        cols = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        m[rows, cols] = flat
-    return m
+    s = 0
+    while s < n:
+        e = min(n, s + _CHUNK_ROWS)
+        while True:
+            w = int(lens[s:e].max()) if e > s else 0
+            if w == 0 or (e - s) * w <= _CHUNK_BYTES or e == s + 1:
+                break
+            e = s + max(1, (e - s) // 2)
+        yield s, e, w
+        s = e
+
+
+def _fill_matrix(m: np.ndarray, row0: int, lens: np.ndarray,
+                 starts: np.ndarray, flat: np.ndarray, width: int) -> None:
+    """Scatter each row's first min(len, width) bytes into matrix rows
+    ``row0..`` (rows longer than width are clipped — callers only ever
+    need the first ``width`` bytes for comparisons)."""
+    cl = np.minimum(lens, width)
+    total = int(cl.sum())
+    if not total:
+        return
+    rows = row0 + np.repeat(np.arange(len(cl), dtype=np.int64), cl)
+    cols = (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cl) - cl, cl))
+    m[rows, cols] = flat[cols + np.repeat(starts, cl)]
 
 
 def front_prefix_lens(lens: np.ndarray, raw: bytes | np.ndarray
@@ -58,14 +87,20 @@ def front_prefix_lens(lens: np.ndarray, raw: bytes | np.ndarray
         return np.zeros(0, dtype=np.int64)
     flat = np.frombuffer(raw, dtype=np.uint8) if isinstance(
         raw, (bytes, bytearray, memoryview)) else raw.astype(np.uint8)
-    max_len = int(lens.max()) if n else 0
-    if max_len == 0:
-        return np.zeros(n, dtype=np.int64)
-    m = _byte_matrix(lens, flat, max_len)
-    eq = m[1:] == m[:-1]
-    run = np.cumprod(eq, axis=1, dtype=np.uint8).sum(axis=1).astype(np.int64)
-    lcp = np.minimum(run, np.minimum(lens[1:], lens[:-1]))
-    return np.concatenate([np.zeros(1, dtype=np.int64), lcp])
+    starts = np.cumsum(lens) - lens
+    out = np.zeros(n, dtype=np.int64)
+    for s, e, w in _iter_chunks(lens):
+        if w == 0:
+            continue
+        lo = s - 1 if s > 0 else s  # overlap row for the boundary pair
+        m = np.zeros((e - lo, w), dtype=np.uint8)
+        _fill_matrix(m, 0, lens[lo:e], starts[lo:e], flat, w)
+        eq = m[1:] == m[:-1]
+        run = (np.cumprod(eq, axis=1, dtype=np.uint8).sum(axis=1)
+               .astype(np.int64))
+        lcp = np.minimum(run, np.minimum(lens[lo + 1:e], lens[lo:e - 1]))
+        out[lo + 1:e] = lcp
+    return out
 
 
 def encode_front(lens: np.ndarray, raw: bytes | np.ndarray) -> bytes:
@@ -113,35 +148,48 @@ def decode_front(data: bytes, pos: int = 0
     pos += raw_len
     if len(plens) != n or len(slens) != n:
         raise ValueError("front length sections row-count mismatch")
-    lens = plens + slens
     if n == 0:
-        return lens, b"", pos
-    if plens[0] != 0 or (plens[1:] > lens[:-1]).any() or (plens < 0).any():
-        raise ValueError("front prefix lens violate the chain invariant")
-    max_len = int(lens.max())
-    if max_len > MAX_VALUE_LEN:
-        raise ValueError("front value length exceeds codec cap")
-    if max_len == 0:
-        return lens, b"", pos
-
-    m = np.zeros((n, max_len), dtype=np.uint8)
-    # place suffix bytes at columns [plens[i], lens[i])
-    s_starts = np.cumsum(slens) - slens
-    rows = np.repeat(np.arange(n, dtype=np.int64), slens)
-    cols = (np.arange(len(sfx), dtype=np.int64)
-            - np.repeat(s_starts, slens) + np.repeat(plens, slens))
+        return np.zeros(0, dtype=np.int64), b"", pos
+    if (slens < 0).any():
+        raise ValueError("front suffix lens must be non-negative")
     if len(sfx) != int(slens.sum()):
         raise ValueError("front suffix byte count mismatch")
-    m[rows, cols] = sfx
-    # inherit prefix bytes: per column j, the byte comes from the nearest
-    # row above with plens <= j (row 0 always qualifies: plens[0] == 0)
-    ridx = np.arange(n, dtype=np.int64)
-    for j in range(max_len):
-        owners = np.maximum.accumulate(np.where(plens <= j, ridx, -1))
-        col = m[:, j]
-        col[:] = col[owners]
-    starts = np.cumsum(lens) - lens
-    gather = (np.arange(int(lens.sum()), dtype=np.int64)
-              - np.repeat(starts, lens)
-              + np.repeat(ridx * max_len, lens))
-    return lens, m.reshape(-1)[gather].tobytes(), pos
+    lens = plens + slens
+    if plens[0] != 0 or (plens[1:] > lens[:-1]).any() or (plens < 0).any():
+        raise ValueError("front prefix lens violate the chain invariant")
+    if int(lens.max()) > MAX_VALUE_LEN:
+        raise ValueError("front value length exceeds codec cap")
+
+    out = np.empty(int(lens.sum()), dtype=np.uint8)
+    out_starts = np.cumsum(lens) - lens
+    s_starts = np.cumsum(slens) - slens
+    prev = np.zeros(0, dtype=np.uint8)  # previous RECONSTRUCTED value
+    for s, e, w in _iter_chunks(lens):
+        if w == 0:
+            continue
+        k = e - s
+        m = np.zeros((k + 1, w), dtype=np.uint8)
+        m[0, :min(len(prev), w)] = prev[:w]
+        # suffix bytes for rows s..e at columns [plens, lens)
+        cs = slens[s:e]
+        rows = 1 + np.repeat(np.arange(k, dtype=np.int64), cs)
+        cols = (np.arange(int(cs.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(cs) - cs, cs)
+                + np.repeat(plens[s:e], cs))
+        m[rows, cols] = sfx[s_starts[s]:s_starts[s] + int(cs.sum())]
+        # inherit: per column j, nearest row above with plens <= j wrote
+        # its own byte there; the overlap row 0 (plens -1 -> always owns)
+        pl = np.concatenate([[-1], plens[s:e]])
+        ridx = np.arange(k + 1, dtype=np.int64)
+        for j in range(w):
+            owners = np.maximum.accumulate(np.where(pl <= j, ridx, -1))
+            col = m[:, j]
+            col[:] = col[owners]
+        ls = lens[s:e]
+        gather = (np.arange(int(ls.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(ls) - ls, ls)
+                  + np.repeat((1 + np.arange(k, dtype=np.int64)) * w, ls))
+        out[out_starts[s]:out_starts[s] + int(ls.sum())] = \
+            m.reshape(-1)[gather]
+        prev = m[k, :lens[e - 1]]
+    return lens, out.tobytes(), pos

@@ -59,6 +59,7 @@ from .selector import (
     DELTA,
     DICT,
     FOR,
+    FRONT,
     FSST,
     PFOR,
     PLAIN,
@@ -71,7 +72,37 @@ from .selector import (
 from .codecs import alp as alp_codec
 from .codecs import front as front_codec
 from .codecs import fsst as fsst_codec
-from .selector import FRONT
+
+
+def _front_trial_ratio(lens: np.ndarray, raw: bytes) -> "float | None":
+    """Measured suffix-bytes ratio of front coding on contiguous row
+    WINDOWS spread through the column (adjacent-value locality is what
+    the codec exploits, so windows must be consecutive rows — and they
+    must cover the whole column, not just the head: a sorted head
+    followed by a shuffled tail would otherwise mis-sell FRONT).
+    Each window's first row contributes prefix 0 (conservative).
+    Returns None when the column is too small/large to bother."""
+    n = len(lens)
+    if n < 8 or not len(raw) or int(lens.max()) > front_codec.MAX_VALUE_LEN:
+        return None
+    flat = np.frombuffer(raw, dtype=np.uint8)
+    offs = np.cumsum(lens)
+    n_win, win = 8, 256
+    if n <= n_win * win:
+        spans = [(0, n)]
+    else:
+        step = n // n_win
+        spans = [(i * step, i * step + win) for i in range(n_win)]
+    pre = tot = 0
+    for s, e in spans:
+        lo = int(offs[s - 1]) if s else 0
+        hi = int(offs[e - 1])
+        if hi == lo:
+            continue
+        pre += int(front_codec.front_prefix_lens(
+            lens[s:e], flat[lo:hi]).sum())
+        tot += hi - lo
+    return 1.0 - pre / tot if tot else None
 
 MAGIC = b"PHR1"
 VERSION = 1
@@ -298,23 +329,9 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, codec_override: int | None = N
         sample = None
         if codec_override is None:
             sample = _sample_binary(lens_np, raw)
-            # front-coding trial on a CONSECUTIVE prefix (adjacent-value
-            # locality is what the codec exploits; the scattered sample
-            # can't see it): measured suffix-bytes ratio, None = refused
-            front_ratio = None
-            n_vals = len(lens_np)
-            if (n_vals >= 8 and len(raw)
-                    and int(lens_np.max()) <= front_codec.MAX_VALUE_LEN):
-                k = min(n_vals, 2048)
-                head_lens = lens_np[:k]
-                head_bytes = int(head_lens.sum())
-                if head_bytes:
-                    plens = front_codec.front_prefix_lens(
-                        head_lens, np.frombuffer(raw, dtype=np.uint8)[:head_bytes])
-                    front_ratio = 1.0 - float(plens.sum()) / head_bytes
             codec, stats = select_binary_codec(
                 lens_np, len(raw), sample, fsst_trial=fsst_codec.trial_ratio,
-                front_ratio=front_ratio)
+                front_ratio=_front_trial_ratio(lens_np, raw))
         else:
             codec, stats = codec_override, ColumnStats(codec=CODEC_NAMES[codec_override])
         if codec == DICT:

@@ -423,3 +423,61 @@ def test_front_not_picked_for_random_strings():
             for _ in range(3000)]
     _, stats = encode_table(pa.table({"k": pa.array(vals)}))
     assert stats["k"].codec != "front"
+
+
+def test_front_chunked_kernels_match_unchunked(monkeypatch):
+    """Force tiny row chunks: the chunk-overlap plumbing (encode boundary
+    lcp, decode reconstructed-prev inheritance) must be invisible."""
+    import parquet_hs_ray.codecs.front as fr
+
+    rng = np.random.default_rng(11)
+    vals = []
+    for i in range(500):
+        if i % 7 == 0:
+            vals.append(b"")
+        elif i % 3 == 0 and vals:
+            k = int(rng.integers(0, len(vals[-1]) + 1))
+            vals.append(vals[-1][:k] + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 10)),
+                             dtype=np.uint8)))
+        else:
+            vals.append(f"path/{i // 50}/{i:05d}".encode())
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    raw = b"".join(vals)
+    ref_blob = fr.encode_front(lens, raw)
+    monkeypatch.setattr(fr, "_CHUNK_ROWS", 7)
+    monkeypatch.setattr(fr, "_CHUNK_BYTES", 64)
+    blob = fr.encode_front(lens, raw)
+    assert blob == ref_blob  # chunking is an implementation detail
+    l2, r2, pos = fr.decode_front(blob)
+    assert pos == len(blob) and (l2 == lens).all() and r2 == raw
+
+
+def test_front_outlier_value_stays_bounded():
+    """One long value must widen only its own chunk (regression: the
+    n x global_max matrix blow-up)."""
+    import parquet_hs_ray.codecs.front as fr
+
+    vals = [f"doc_{i:09d}".encode() for i in range(20000)]
+    vals.append(b"x" * 4096)
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    raw = b"".join(vals)
+    blob = fr.encode_front(lens, raw)
+    l2, r2, _ = fr.decode_front(blob)
+    assert (l2 == lens).all() and r2 == raw
+    assert len(blob) < len(raw) // 3
+
+
+def test_front_not_picked_for_sorted_head_random_tail():
+    """The selector's trial samples windows through the WHOLE column, so
+    a sorted head can't sell FRONT for a shuffled tail."""
+    import pyarrow as pa
+
+    from parquet_hs_ray.format import encode_table
+
+    rng = np.random.default_rng(9)
+    vals = [f"doc_{i:07d}" for i in range(2048)]
+    vals += ["".join(chr(97 + c) for c in rng.integers(0, 26, 12))
+             for _ in range(20000)]
+    _, stats = encode_table(pa.table({"k": pa.array(vals)}))
+    assert stats["k"].codec != "front"
