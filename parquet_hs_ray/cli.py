@@ -18,22 +18,35 @@ import sys
 def _parse_where(spec: str) -> tuple:
     """'col OP value' -> (col, op, typed value); also 'col IS NULL' /
     'col IS NOT NULL' and 'col IN (v1, v2, ...)' (case-insensitive)."""
+    import csv
+    import io
+    import re
+
     low = spec.strip().lower()
-    if " in " in low and spec.rstrip().endswith(")"):
-        i = low.find(" in ")
-        col, raw = spec[:i].strip(), spec[i + 4:].strip()
-        if col and " " not in col and raw.startswith("("):
-            vals = []
-            for tok in raw[1:-1].split(","):
-                tok = tok.strip().strip("'\"")
+    # IN-list: strict shape (identifier, 'in', parenthesized list) and a
+    # quote-aware value tokenizer — a quoted string containing a comma
+    # ('a, b') must stay ONE value (ADVICE-r3: bare-comma split used to
+    # mis-tokenize it).  No match falls through to the scalar ops below.
+    m = re.match(r"^(\w+)\s+in\s+\((.*)\)\s*$", spec.strip(),
+                 flags=re.IGNORECASE | re.DOTALL)
+    if m:
+        col, body = m.group(1), m.group(2)
+        vals = []
+        for tok in next(csv.reader(io.StringIO(body),
+                                   quotechar="'", skipinitialspace=True)):
+            tok = tok.strip()
+            # csv strips the outer single quotes it parsed; still strip
+            # double quotes for "v" style literals
+            if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+                tok = tok[1:-1]
+            try:
+                vals.append(int(tok))
+            except ValueError:
                 try:
-                    vals.append(int(tok))
+                    vals.append(float(tok))
                 except ValueError:
-                    try:
-                        vals.append(float(tok))
-                    except ValueError:
-                        vals.append(tok)
-            return (col, "in", vals)
+                    vals.append(tok)
+        return (col, "in", vals)
     if low.endswith(" is not null"):
         return (spec.strip()[: -len(" is not null")].strip(), "is_not_null", None)
     if low.endswith(" is null"):

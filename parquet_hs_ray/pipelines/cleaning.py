@@ -862,10 +862,16 @@ def span_dedup_rewrite_tokens(tok: "ray.data.Dataset", window: int = 5,
         flat = (col.flatten().to_numpy(zero_copy_only=False)
                 .astype(np_dt, copy=False))
         offs = np.concatenate([[0], np.cumsum(lens)])
+        # carry the list validity: null sequences pack to empty buffers
+        # like empty lists do, so without this flag rebuild could not
+        # tell them apart and nulls would come back as [] (the string
+        # variant preserves nulls via its valid mask).
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": t["doc_id"],
             "tokbin": pa.array([flat[offs[i]:offs[i + 1]].tobytes()
                                 for i in range(len(lens))], pa.binary()),
+            "tokvalid": pa.array(valid, pa.bool_()),
         })
 
     slim = tok.map_batches(pack_tok, batch_format="pyarrow")
@@ -895,12 +901,19 @@ def span_dedup_rewrite_tokens(tok: "ray.data.Dataset", window: int = 5,
         new_offs = np.zeros(len(lens) + 1, dtype=np.int32)
         np.cumsum(new_lens, out=new_offs[1:])
         kept = flat[~cov] if total else flat
-        arr = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
-                                       pa.array(kept, type=vtype))
+        if "tokvalid" in t.schema.names:
+            valid = np.asarray(t["tokvalid"].to_numpy(zero_copy_only=False),
+                               dtype=bool)
+        else:
+            valid = np.ones(len(lens), dtype=bool)
+        arr = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), pa.array(kept, type=vtype),
+            mask=pa.array(~valid) if not valid.all() else None)
         return pa.table({
             "doc_id": t["doc_id"],
             "tokens": arr,
-            "n_tok": pa.array(new_lens, pa.int64()),
+            "n_tok": pa.array(np.where(valid, new_lens, 0), pa.int64(),
+                              mask=~valid),
             "n_removed": pa.array(n_removed, pa.int64()),
         })
 

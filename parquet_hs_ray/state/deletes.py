@@ -81,20 +81,35 @@ def write_delete_vector(out_dir: str, partition_id: int, indices: np.ndarray,
     """MERGE ``indices`` into the partition's vector (union with any
     existing one) and write it atomically.  Returns the number of newly
     deleted positions (0 writes nothing — idempotent re-deletes are
-    free)."""
+    free).
+
+    Concurrency: the read-union-write merge runs under a per-partition
+    ``fsio.file_lock``, so two concurrent delete jobs touching the same
+    partition serialize on local filesystems (neither union is lost).
+    On non-local filesystems the lock is a no-op — there the job layer
+    must run at most one delete job per store at a time (last rename
+    would win otherwise).
+
+    Durability: vectors are fsynced unconditionally (``durable=True``).
+    Unlike blobs — whose tearing the manifest crc32 catches at decode —
+    a power-crash that reverts a renamed-but-unflushed vector would
+    silently resurrect acknowledged DELETEs; nothing checks for an
+    ABSENT sidecar.  The write is tiny and off the encode hot path."""
     idx = np.unique(np.asarray(indices, dtype=np.uint64))
-    existing = read_delete_vector(out_dir, partition_id, filesystem)
-    if existing is not None and len(existing):
-        before = len(existing)
-        idx = np.union1d(existing, idx)
-        new = len(idx) - before
-    else:
-        new = len(idx)
-    if new == 0:
-        return 0
     fsio.mkdirs(deletes_dir(out_dir), filesystem)
-    fsio.write_atomic(delete_vector_path(out_dir, partition_id),
-                      encode_delete_vector(idx), filesystem)
+    path = delete_vector_path(out_dir, partition_id)
+    with fsio.file_lock(path, filesystem):
+        existing = read_delete_vector(out_dir, partition_id, filesystem)
+        if existing is not None and len(existing):
+            before = len(existing)
+            idx = np.union1d(existing, idx)
+            new = len(idx) - before
+        else:
+            new = len(idx)
+        if new == 0:
+            return 0
+        fsio.write_atomic(path, encode_delete_vector(idx), filesystem,
+                          durable=True)
     return int(new)
 
 

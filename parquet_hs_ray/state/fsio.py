@@ -58,18 +58,28 @@ def mkdirs(path: str, filesystem: pafs.FileSystem | None = None) -> None:
     fs.create_dir(p, recursive=True)
 
 
-def write_atomic(path: str, data: bytes, filesystem: pafs.FileSystem | None = None) -> None:
+def write_atomic(path: str, data: bytes, filesystem: pafs.FileSystem | None = None,
+                 durable: bool = False) -> None:
     """Atomic-visible write: temp+rename on local, direct put elsewhere.
 
-    Local fsync is OPT-IN (``PHR_LOCAL_FSYNC=1``), not the default:
-    rename alone already makes the write atomic against PROCESS crashes
-    (the kill -9 / resume contract), and a kernel/power crash that tears
-    a renamed blob is caught at read time by the manifest's crc32 (the
-    decode stage verifies it and the torn partition re-encodes).  The
-    default matters for throughput: concurrent fsyncs serialize on the
-    journal — measured 34% of the encode job's wall on the bench host —
-    and the scale deployment writes to object stores, where close() is
-    the commit and fsync doesn't exist."""
+    Local fsync on the BLOB hot path is OPT-IN (``PHR_LOCAL_FSYNC=1``),
+    not the default: rename alone already makes the write atomic against
+    PROCESS crashes (the kill -9 / resume contract), and a kernel/power
+    crash that tears a renamed blob is caught at read time by the
+    manifest's crc32 (the decode stage verifies it and the torn
+    partition re-encodes).  The default matters for throughput:
+    concurrent fsyncs serialize on the journal — measured 34% of the
+    encode job's wall on the bench host — and the scale deployment
+    writes to object stores, where close() is the commit and fsync
+    doesn't exist.
+
+    ``durable=True`` forces the fsync regardless of the env toggle.  It
+    exists for SMALL state files whose loss is NOT caught by the
+    manifest-crc32 safety net: deletion vectors and snapshots.  A
+    power-crash that reverts a renamed-but-unflushed ``del-*.bin`` would
+    silently resurrect acknowledged DELETEs — there is no reader-side
+    checksum of *absence* — so those writes pay the (tiny, off-hot-path)
+    fsync unconditionally."""
     fs, p = resolve(path, filesystem)
     if is_local(fs):
         import os
@@ -77,7 +87,7 @@ def write_atomic(path: str, data: bytes, filesystem: pafs.FileSystem | None = No
         tmp = f"{p}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(data)
-            if os.environ.get("PHR_LOCAL_FSYNC", "0") == "1":
+            if durable or os.environ.get("PHR_LOCAL_FSYNC", "0") == "1":
                 f.flush()
                 os.fsync(f.fileno())
         os.replace(tmp, p)
@@ -116,6 +126,62 @@ def open_parquet_input(path: str, filesystem: pafs.FileSystem | None = None):
     if is_local(fs):
         return p
     return fs.open_input_file(p)
+
+
+class file_lock:
+    """Advisory per-path lock for read-modify-write merges (deletion
+    vectors).  Local filesystems get a real mutual-exclusion lock via
+    ``O_CREAT|O_EXCL`` on ``<path>.lock`` with bounded retry; stale locks
+    (holder died) are broken after ``stale_after`` seconds.  Non-local
+    filesystems are a documented no-op — object stores lack an atomic
+    create-exclusive primitive, so concurrent mergers there must be
+    prevented by the JOB layer (one delete job per store at a time; the
+    driver-side ``delete_rows`` entry point is single-writer by
+    construction)."""
+
+    def __init__(self, path: str, filesystem: pafs.FileSystem | None = None,
+                 timeout: float = 30.0, stale_after: float = 300.0):
+        self.fs, self.p = resolve(path, filesystem)
+        self.timeout = timeout
+        self.stale_after = stale_after
+        self._held = False
+
+    def __enter__(self):
+        if not is_local(self.fs):
+            return self
+        import os
+        import time
+
+        lock = f"{self.p}.lock"
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self._held = True
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lock).st_mtime
+                    if age > self.stale_after:
+                        os.unlink(lock)  # break a stale lock and retry
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire {lock}")
+                time.sleep(0.02)
+
+    def __exit__(self, *exc):
+        if self._held:
+            import os
+
+            try:
+                os.unlink(f"{self.p}.lock")
+            except FileNotFoundError:
+                pass
+        return False
 
 
 def delete_file(path: str, filesystem: pafs.FileSystem | None = None) -> None:

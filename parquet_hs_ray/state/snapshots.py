@@ -59,8 +59,11 @@ def create_snapshot(out_dir: str, name: str, filesystem=None) -> dict:
         parts.append(rec)
     snap = {"name": name, "partitions": parts}
     fsio.mkdirs(fsio.join(out_dir, "snapshots"), filesystem)
+    # durable: a snapshot is a user-visible commit point with no
+    # reader-side way to detect a power-crash-reverted rename (unlike
+    # blobs, whose crc32 lives in the manifest) — fsync unconditionally.
     fsio.write_atomic(snapshot_path(out_dir, name),
-                      json.dumps(snap).encode(), filesystem)
+                      json.dumps(snap).encode(), filesystem, durable=True)
     return snap
 
 

@@ -582,6 +582,38 @@ def test_span_dedup_rewrite_tokens_planted(ray_session):
     assert out["n_tok"].to_pylist() == [len(got[f"d{i}"]) for i in range(4)]
 
 
+def test_span_dedup_rewrite_tokens_null_sequences(ray_session):
+    """Null token lists survive as NULL (not empty lists): pack_tok
+    carries a validity column and rebuild applies it as the list mask —
+    the ADVICE-r3 regression (nulls used to come back as [])."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_hs_ray.pipelines.cleaning import span_dedup_rewrite_tokens
+
+    run = [11, 22, 33, 44, 55]
+    toks = [
+        [1, 2] + run + [3],
+        None,                        # null sequence, must stay null
+        [9] + run + [8, 7],
+        [],                          # empty list, must stay []
+    ]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(4)]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "dk": pa.array(list(range(4)), pa.int64()),
+    })
+    out = pa.concat_tables(
+        span_dedup_rewrite_tokens(ray.data.from_arrow(t), window=5)
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    got = dict(zip(out["doc_id"].to_pylist(), out["tokens"].to_pylist()))
+    ntk = dict(zip(out["doc_id"].to_pylist(), out["n_tok"].to_pylist()))
+    assert got["d0"] == toks[0]
+    assert got["d1"] is None and ntk["d1"] is None
+    assert got["d2"] == [9, 8, 7]
+    assert got["d3"] == [] and ntk["d3"] == 0
+
+
 def test_repetition_stats_tokens_planted(ray_session):
     """Token-native Gopher repetition: a sequence that is one bigram
     repeated flags repetitive; a distinct sequence doesn't; empties are

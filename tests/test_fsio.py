@@ -237,3 +237,57 @@ def test_encode_job_from_http_range_source(ray_session, tmp_path):
         assert v["mismatched_partitions"] == 0 and v["rows"] == tbl.num_rows
     finally:
         srv.shutdown()
+
+
+def test_parse_where_in_list_quote_aware():
+    """ADVICE-r3: quoted values containing commas stay one value; the
+    strict-regex shape rejects look-alikes into the scalar fallthrough."""
+    import pytest
+
+    from parquet_hs_ray.cli import _parse_where
+
+    assert _parse_where("src in ('a, b', 'c')") == ("src", "in", ["a, b", "c"])
+    assert _parse_where("x in (1, 2, 3)") == ("x", "in", [1, 2, 3])
+    assert _parse_where("s IN ('hello world', \"x\")") == (
+        "s", "in", ["hello world", "x"])
+    assert _parse_where("n_tok >= 5") == ("n_tok", ">=", 5)
+    with pytest.raises(SystemExit):
+        _parse_where("col within (1,2)")
+
+
+def test_file_lock_mutual_exclusion(tmp_path):
+    """Two merging writers under fsio.file_lock serialize: concurrent
+    write_delete_vector unions both survive (ADVICE-r3 lost-union)."""
+    import threading
+
+    import numpy as np
+
+    from parquet_hs_ray.state import deletes as dvs
+
+    out = str(tmp_path)
+    barrier = threading.Barrier(2)
+
+    def worker(lo):
+        barrier.wait()
+        for k in range(10):
+            dvs.write_delete_vector(out, 7, np.array([lo + k], dtype=np.uint64))
+
+    ts = [threading.Thread(target=worker, args=(lo,)) for lo in (0, 100)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    got = dvs.read_delete_vector(out, 7)
+    want = sorted(list(range(10)) + list(range(100, 110)))
+    assert got is not None and got.tolist() == want
+
+
+def test_file_lock_breaks_stale_lock(tmp_path):
+    from parquet_hs_ray.state import fsio
+
+    target = str(tmp_path / "x.bin")
+    lockfile = target + ".lock"
+    with open(lockfile, "w") as f:
+        f.write("999999")
+    os.utime(lockfile, (0, 0))  # ancient mtime -> stale
+    with fsio.file_lock(target, timeout=2.0, stale_after=60.0):
+        pass  # acquired by breaking the stale lock
+    assert not os.path.exists(lockfile)
