@@ -542,3 +542,101 @@ def test_advise_sort_order_wins_and_protects():
     orders = pq.read_table("/root/testdata/sf0.01/orders.parquet")
     okeys, oreport = advise_sort_order(orders)
     assert okeys == [], oreport  # identity protected by the margin
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.booleans(),
+       st.sampled_from(["1.0", "2.0"]),
+       st.sampled_from(["NONE", "snappy"]))
+@settings(max_examples=20, deadline=None)
+def test_parquet_pages_plain_types_fuzz_vs_pyarrow(seed, with_nulls,
+                                                   page_version,
+                                                   compression):
+    """The full PLAIN primitive-width set (INT32/FLOAT/DOUBLE/BOOLEAN +
+    the original INT64/BYTE_ARRAY) decodes bit-identically through our
+    page kernels — a strict superset of the reference, which errors on
+    everything but INT64/BYTE_ARRAY (Stream/Reader.hs:205-209)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 80))
+
+    def maybe_null(arr, t):
+        if not with_nulls:
+            return pa.array(arr, t)
+        mask = rng.random(n) < 0.25
+        return pa.array([None if m else v for v, m in zip(arr, mask)], t)
+
+    tbl = pa.table({
+        "i32": maybe_null(rng.integers(-2**30, 2**30, n).tolist(), pa.int32()),
+        "i64": maybe_null(rng.integers(-2**60, 2**60, n).tolist(), pa.int64()),
+        "f32": maybe_null(rng.random(n).astype(np.float32).tolist(), pa.float32()),
+        "f64": maybe_null(rng.random(n).tolist(), pa.float64()),
+        "b": maybe_null(rng.integers(0, 2, n).astype(bool).tolist(), pa.bool_()),
+        "s": maybe_null([f"v{int(v)}" for v in rng.integers(0, 99, n)],
+                        pa.string()),
+    })
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(tbl, path, compression=compression,
+                       use_dictionary=False,
+                       version="2.6" if page_version == "2.0" else "1.0",
+                       data_page_version=page_version)
+        ours = read_parquet_via_kernels(path)
+        theirs = pq.read_table(path)
+    for name in theirs.column_names:
+        assert ours[name].combine_chunks().equals(
+            theirs[name].combine_chunks()), name
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.booleans(),
+       st.sampled_from(["1.0", "2.0"]))
+@settings(max_examples=20, deadline=None)
+def test_parquet_pages_delta_encodings_fuzz_vs_pyarrow(seed, with_nulls,
+                                                       page_version):
+    """DELTA_BINARY_PACKED (int32+int64), DELTA_LENGTH_BYTE_ARRAY and
+    DELTA_BYTE_ARRAY pages written by pyarrow decode identically through
+    our kernels.  The reference declares these encodings in its enum
+    universe (Types/Enums.hs:70-79) but never implements them; our own
+    format has the DELTA/FRONT codec twins (codecs/delta.py,
+    codecs/front.py) and this wires the parquet wire formats."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 300))
+
+    def maybe_null(vals, t):
+        if not with_nulls:
+            return pa.array(vals, t)
+        mask = rng.random(n) < 0.2
+        return pa.array([None if m else v for v, m in zip(vals, mask)], t)
+
+    tbl = pa.table({
+        "di64": maybe_null(np.cumsum(rng.integers(-50, 1000, n)).tolist(),
+                           pa.int64()),
+        "di32": maybe_null(rng.integers(-2**28, 2**28, n).tolist(),
+                           pa.int32()),
+        "dba": maybe_null([f"key_{int(v):08d}_{'x' * int(rng.integers(0, 6))}"
+                           for v in rng.integers(0, 10**6, n)], pa.string()),
+        "dlen": maybe_null([f"p{int(v)}" * int(rng.integers(1, 4))
+                            for v in rng.integers(0, 999, n)], pa.string()),
+    })
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(
+            tbl, path, compression="NONE", use_dictionary=False,
+            version="2.6", data_page_version=page_version,
+            column_encoding={"di64": "DELTA_BINARY_PACKED",
+                             "di32": "DELTA_BINARY_PACKED",
+                             "dba": "DELTA_BYTE_ARRAY",
+                             "dlen": "DELTA_LENGTH_BYTE_ARRAY"})
+        ours = read_parquet_via_kernels(path)
+        theirs = pq.read_table(path)
+    for name in theirs.column_names:
+        assert ours[name].combine_chunks().equals(
+            theirs[name].combine_chunks()), name
