@@ -40,12 +40,20 @@ _TABLES = [
 _F1_ROWS = 2000  # correctness-scale synthetic tokens table
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     """Size-aware table read (see sources/reader.py: 64 KB floor /
-    128 MB ceiling per block, 2x CPUs preferred in between)."""
+    128 MB ceiling per block, 2x CPUs preferred in between).
+
+    ``columns=`` prunes the scan at the parquet reader — only the named
+    columns leave storage (row groups project before hitting the object
+    store).  Every query that touches a wide table (lineitem 16 cols,
+    orders 9, events 7) should pass the columns it actually uses: at
+    100 TB a full-width scan for a 5-column aggregate is a 3x+ read
+    amplification."""
     from parquet_hs_ray.sources.reader import read_sized
 
-    return read_sized(os.path.join(sf_dir, f"{table}.parquet"))
+    return read_sized(os.path.join(sf_dir, f"{table}.parquet"),
+                      columns=columns)
 
 
 def _roundtrip(sf_dir: str, table: str):
@@ -616,7 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.joins import asof_join
 
-        ev = _read(sf, "events")
+        ev = _read(sf, "events", ["user_id", "ts", "event_type",
+                                  "event_id", "value"])
         left = ev.map_batches(
             lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
             batch_format="pyarrow")
@@ -634,7 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.joins import range_join
 
-        ev = _read(sf, "events")
+        ev = _read(sf, "events", ["user_id", "ts", "event_type",
+                                  "event_id"])
         left = ev.map_batches(
             lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
             batch_format="pyarrow")
@@ -646,17 +656,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           left_cols=("event_id",), right_cols=("event_id",))
 
     q["events_range_join"] = events_range_join
-    q["events_rolling"] = lambda sf: win.rolling_mean(_read(sf, "events"), k=3)
-    q["events_rolling_z"] = lambda sf: win.rolling_stats(_read(sf, "events"), k=5)
-    q["events_transitions"] = lambda sf: win.event_transitions(_read(sf, "events"))
-    q["events_retention"] = lambda sf: win.retention_cohorts(_read(sf, "events"))
+    _EV_ROLL = ["user_id", "ts", "event_id", "value"]
+    q["events_rolling"] = lambda sf: win.rolling_mean(
+        _read(sf, "events", _EV_ROLL), k=3)
+    q["events_rolling_z"] = lambda sf: win.rolling_stats(
+        _read(sf, "events", _EV_ROLL), k=5)
+    q["events_transitions"] = lambda sf: win.event_transitions(
+        _read(sf, "events", ["user_id", "ts", "event_id", "event_type"]))
+    q["events_retention"] = lambda sf: win.retention_cohorts(
+        _read(sf, "events", ["user_id", "ts"]))
     q["events_monthly"] = lambda sf: win.calendar_rollup(
-        _read(sf, "events"), unit="month")
+        _read(sf, "events", ["ts", "event_type", "value"]), unit="month")
     q["events_funnel"] = lambda sf: win.funnel(
-        _read(sf, "events"), ["view", "click", "purchase"])
-    q["events_window"] = lambda sf: win.tumbling_window(_read(sf, "events"))
-    q["events_sessions"] = lambda sf: win.sessionize(_read(sf, "events"))
-    q["events_hopping"] = lambda sf: win.hopping_window(_read(sf, "events"))
+        _read(sf, "events", ["user_id", "event_type", "ts"]),
+        ["view", "click", "purchase"])
+    q["events_window"] = lambda sf: win.tumbling_window(
+        _read(sf, "events", ["user_id", "ts", "value"]))
+    q["events_sessions"] = lambda sf: win.sessionize(
+        _read(sf, "events", ["user_id", "ts"]))
+    q["events_hopping"] = lambda sf: win.hopping_window(
+        _read(sf, "events", ["user_id", "ts", "value"]))
 
     def golden_parquet_decode(sf):
         # reference-parity path: the reference's committed golden file
@@ -885,48 +904,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # composes extract_json_field -> grouped_corr (both individually
     # oracled; the composition is too)
     q["events_corr"] = lambda sf: pstats.grouped_corr(
-        cleaning.extract_json_field(_read(sf, "events"), "props", "k",
-                                    as_int=True,
-                                    id_cols=["event_type", "value"]),
+        cleaning.extract_json_field(
+            _read(sf, "events", ["props", "event_type", "value"]),
+            "props", "k", as_int=True, id_cols=["event_type", "value"]),
         "event_type", "value", "k", x_scale=100, y_scale=1)
     q["source_profile"] = lambda sf: pstats.source_quality_profile(
         _read(sf, "documents"))
     q["events_balance"] = lambda sf: pstats.category_balance(
-        _read(sf, "events"), "user_id", "event_type")
+        _read(sf, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
     q["events_stddev"] = lambda sf: pstats.grouped_stddev(
-        _read(sf, "events"), "event_type", "value")
+        _read(sf, "events", ["event_type", "value"]),
+        "event_type", "value")
     q["events_target_enc"] = lambda sf: pstats.target_encode(
-        _read(sf, "events"), "event_type", "value",
-        id_cols=["event_id", "event_type"])
+        _read(sf, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", id_cols=["event_id", "event_type"])
     q["events_pct_rank"] = lambda sf: pstats.percent_rank(
-        _read(sf, "events"), "value", id_cols=["event_id"])
+        _read(sf, "events", ["event_id", "value"]),
+        "value", id_cols=["event_id"])
     q["events_cume_dist"] = lambda sf: pstats.cume_dist(
-        _read(sf, "events"), "value", id_cols=["event_id"])
+        _read(sf, "events", ["event_id", "value"]),
+        "value", id_cols=["event_id"])
+    # full-width read by contract: the oracle is SELECT e.* (the filter
+    # keeps every column)
     q["events_outliers"] = lambda sf: pstats.iqr_outlier_filter(
         _read(sf, "events"), "event_type", "value")
     q["events_props_k"] = lambda sf: cleaning.extract_json_field(
-        _read(sf, "events"), "props", "k", as_int=True,
-        id_cols=["event_id"])
+        _read(sf, "events", ["props", "event_id"]), "props", "k",
+        as_int=True, id_cols=["event_id"])
     q["events_quantiles"] = lambda sf: pstats.grouped_quantiles(
-        _read(sf, "events"), "event_type", "value", (0.5, 0.95))
+        _read(sf, "events", ["event_type", "value"]),
+        "event_type", "value", (0.5, 0.95))
     q["events_histogram"] = lambda sf: pstats.grouped_histogram(
-        _read(sf, "events"), "event_type", "value", 10.0)
+        _read(sf, "events", ["event_type", "value"]),
+        "event_type", "value", 10.0)
     q["events_user_ndv"] = lambda sf: pstats.grouped_distinct_count(
-        _read(sf, "events"), "event_type", "user_id")
+        _read(sf, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
     # approximate twin (HyperLogLog): no SQL oracle by nature (sketch
     # estimate); accuracy vs the exact path is asserted in tests
     q["events_user_ndv_hll"] = lambda sf: pstats.grouped_ndv_hll(
-        _read(sf, "events"), "event_type", "user_id")
+        _read(sf, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
     # approximate twin (bottom-k/KMV sample): no SQL oracle by nature;
     # accuracy + layout-independence asserted in tests
     q["events_quantiles_kmv"] = lambda sf: pstats.grouped_quantile_sketch(
-        _read(sf, "events"), "event_type", "value", "event_id",
-        (0.5, 0.95), k=1024)
+        _read(sf, "events", ["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id", (0.5, 0.95), k=1024)
     q["doc_top_chars"] = lambda sf: pstats.top_k_global(
-        _read(sf, "documents"), "n_chars", 20, "doc_id",
-        columns=["doc_id", "n_chars"])
+        _read(sf, "documents", ["doc_id", "n_chars"]), "n_chars", 20,
+        "doc_id", columns=["doc_id", "n_chars"])
     q["lineitem_profile"] = lambda sf: pstats.column_profile(
-        _read(sf, "lineitem"),
+        _read(sf, "lineitem",
+              ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     from parquet_hs_ray.pipelines import relational as rel
@@ -934,7 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lineitem_bloom_semi(sf):
         import pyarrow.compute as pc
 
-        sel = _read(sf, "part").map_batches(
+        sel = _read(sf, "part", ["p_partkey", "p_size"]).map_batches(
             lambda t: t.filter(pc.equal(t["p_size"], 1)),
             batch_format="pyarrow")
         return rel.bloom_semi_join(_read(sf, "lineitem"), sel,
@@ -961,7 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lineitem_layout_advice"] = lineitem_layout_advice
     q["lineitem_part_join"] = lambda sf: rel.broadcast_join(
-        _read(sf, "lineitem"), _read(sf, "part"),
+        _read(sf, "lineitem"),
+        _read(sf, "part", ["p_partkey", "p_brand", "p_retailprice"]),
         "l_partkey", "p_partkey", how="inner",
         right_cols=["p_brand", "p_retailprice"])
 
@@ -973,28 +1004,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_denylist"] = doc_denylist
     q["orders_top_per_cust"] = lambda sf: rel.top_n_per_group(
-        _read(sf, "orders"), "o_custkey", "o_totalprice", 3, "o_orderkey",
+        _read(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+        "o_custkey", "o_totalprice", 3, "o_orderkey",
         columns=["o_custkey", "o_orderkey", "o_totalprice"])
     q["doc_len_filter"] = lambda sf: rel.filter_by_percentile(
         _read(sf, "documents"), "n_chars", 0.8, keep="above")
     q["doc_chunks"] = lambda sf: cleaning.chunk_documents(
         _read(sf, "documents"), max_words=40, overlap=8)
-    q["events_running"] = lambda sf: win.running_totals(_read(sf, "events"))
+    q["events_running"] = lambda sf: win.running_totals(
+        _read(sf, "events", ["user_id", "ts", "event_id", "value"]))
     q["events_pivot"] = lambda sf: pstats.pivot_sum(
-        _read(sf, "events"), "user_id", "event_type", "value", _EVENT_TYPES)
-    q["top_bigrams"] = lambda sf: ta.top_ngrams(_read(sf, "documents"), n=2, k=30)
+        _read(sf, "events", ["user_id", "event_type", "value"]),
+        "user_id", "event_type", "value", _EVENT_TYPES)
+    q["top_bigrams"] = lambda sf: ta.top_ngrams(
+        _read(sf, "documents", ["text"]), n=2, k=30)
     q["doc_shuffle"] = lambda sf: ta.deterministic_shuffle(
         _read(sf, "documents"), "doc_id", seed=42)
     q["orders_customer_join"] = lambda sf: rel.hash_join(
         _read(sf, "orders"), _read(sf, "customer"), "o_custkey", "c_custkey")
-    q["events_gaps"] = lambda sf: win.event_gaps(_read(sf, "events"))
+    q["events_gaps"] = lambda sf: win.event_gaps(
+        _read(sf, "events", ["user_id", "ts", "event_id"]))
     q["events_ntile"] = lambda sf: pstats.ntile_bucket(
-        _read(sf, "events"), "value", 8, "event_id")
+        _read(sf, "events", ["event_id", "value"]), "value", 8, "event_id")
     q["events_mode"] = lambda sf: pstats.grouped_mode(
-        _read(sf, "events"), "event_type", "user_id")
+        _read(sf, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
     q["doc_sample_per_source"] = lambda sf: rel.sample_n_per_group(
-        _read(sf, "documents"), "source", 20, "doc_id", seed=42,
-        columns=["doc_id", "source"])
+        _read(sf, "documents", ["doc_id", "source"]), "source", 20,
+        "doc_id", seed=42, columns=["doc_id", "source"])
 
     def emb_pca(sf):
         proj, _ = ann.embedding_pca(_read(sf, "embeddings"), k=4)
@@ -1023,15 +1060,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def top_revenue(sf):
         from parquet_hs_ray.pipelines.recipes import top_revenue_orders
 
-        return top_revenue_orders(_read(sf, "lineitem"), _read(sf, "orders"),
-                                  _read(sf, "customer"))
+        return top_revenue_orders(
+            _read(sf, "lineitem",
+                  ["l_orderkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"]),
+            _read(sf, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_orderpriority"]),
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]))
 
     q["tpch_q3_top_revenue"] = top_revenue
 
     def q1_pricing(sf):
         from parquet_hs_ray.pipelines.recipes import pricing_summary
 
-        return pricing_summary(_read(sf, "lineitem"))
+        return pricing_summary(_read(sf, "lineitem", [
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]))
 
     q["tpch_q1_pricing"] = q1_pricing
 
@@ -1058,7 +1103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return (p.groupby(["l_returnflag", "l_linestatus"], sort=False)
                     .sum().reset_index())
 
-        parts = _read(sf, "lineitem").map_batches(part, batch_format="pandas")
+        parts = _read(sf, "lineitem", [
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        ]).map_batches(part, batch_format="pandas")
         return rollup_sum(parts, ["l_returnflag", "l_linestatus"],
                           ["sum_qty_c", "sum_base_c", "n_rows"])
 
@@ -1081,7 +1128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
             return p.groupby(["source", "lang"], sort=False).sum().reset_index()
 
-        parts = _read(sf, "documents").map_batches(part, batch_format="pandas")
+        parts = _read(sf, "documents", ["source", "lang", "n_chars"]
+                      ).map_batches(part, batch_format="pandas")
         return cube_sum(parts, ["source", "lang"], ["sum_chars", "n_docs"])
 
     q["cube_docs"] = cube_docs
@@ -1103,15 +1151,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }).groupby("o_custkey", sort=False).sum().reset_index())
 
         return grouped_sum(
-            _read(sf, "orders").map_batches(part, batch_format="pandas"),
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]
+                  ).map_batches(part, batch_format="pandas"),
             ["o_custkey"], ["sum_total_c", "n_orders"])
 
     def cust_orders_left(sf):
         # LEFT OUTER hash-shuffle join: customers with no orders survive
         # with null aggregates (exercises outer-row emission in the
         # per-partition probe)
-        cust = _read(sf, "customer").map_batches(
-            lambda b: b[["c_custkey", "c_mktsegment"]], batch_format="pandas")
+        cust = _read(sf, "customer", ["c_custkey", "c_mktsegment"])
         return rel.hash_join(cust, _orders_per_cust(sf),
                              "c_custkey", "o_custkey", how="left")
 
@@ -1132,7 +1180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }).groupby("uid", sort=False).sum().reset_index())
 
         ev = grouped_sum(
-            _read(sf, "events").map_batches(epart, batch_format="pandas"),
+            _read(sf, "events", ["user_id"]
+                  ).map_batches(epart, batch_format="pandas"),
             ["uid"], ["n_events"])
         od = _orders_per_cust(sf).map_batches(
             lambda b: b.rename(columns={"o_custkey": "uid"})[["uid", "n_orders"]],
@@ -1144,11 +1193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def custkeys_intersect(sf):
         # SQL INTERSECT: keys present on BOTH sides, distinct — the
         # shuffle carries per-block distinct keys + 2 presence flags
-        a = _read(sf, "customer").map_batches(
-            lambda b: b[["c_custkey"]].rename(columns={"c_custkey": "custkey"}),
+        a = _read(sf, "customer", ["c_custkey"]).map_batches(
+            lambda b: b.rename(columns={"c_custkey": "custkey"}),
             batch_format="pandas")
-        b = _read(sf, "orders").map_batches(
-            lambda d: d[["o_custkey"]].rename(columns={"o_custkey": "custkey"}),
+        b = _read(sf, "orders", ["o_custkey"]).map_batches(
+            lambda d: d.rename(columns={"o_custkey": "custkey"}),
             batch_format="pandas")
         return rel.set_op(a, b, ["custkey"], "intersect")
 
@@ -1158,10 +1207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL EXCEPT: ordering custkeys outside the BUILDING segment
         # (nonempty at every sf — Ray's to_pandas drops the schema of a
         # fully-empty dataset, so driver demos must produce rows)
-        a = _read(sf, "orders").map_batches(
-            lambda d: d[["o_custkey"]].rename(columns={"o_custkey": "custkey"}),
+        a = _read(sf, "orders", ["o_custkey"]).map_batches(
+            lambda d: d.rename(columns={"o_custkey": "custkey"}),
             batch_format="pandas")
-        b = _read(sf, "customer").map_batches(
+        b = _read(sf, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
             lambda c: c[c["c_mktsegment"] == "BUILDING"][["c_custkey"]]
             .rename(columns={"c_custkey": "custkey"}),
             batch_format="pandas")
@@ -1171,9 +1220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def lineitem_unpivot(sf):
         # UNPIVOT/melt to long format — per-block vectorized, no shuffle
-        ds = _read(sf, "lineitem").map_batches(
-            lambda b: b[["l_orderkey", "l_linenumber", "l_quantity",
-                         "l_extendedprice"]], batch_format="pandas")
+        ds = _read(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                    "l_quantity", "l_extendedprice"])
         return rel.unpivot(ds, ["l_orderkey", "l_linenumber"],
                            ["l_quantity", "l_extendedprice"])
 
@@ -1182,15 +1230,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q17_small_qty(sf):
         from parquet_hs_ray.pipelines.recipes import small_quantity_revenue
 
-        return small_quantity_revenue(_read(sf, "lineitem"))
+        return small_quantity_revenue(_read(sf, "lineitem", [
+            "l_partkey", "l_quantity", "l_extendedprice"]))
 
     q["tpch_q17_small_qty"] = q17_small_qty
 
     def q13_order_dist(sf):
         from parquet_hs_ray.pipelines.recipes import order_count_distribution
 
-        return order_count_distribution(_read(sf, "customer"),
-                                        _read(sf, "orders"))
+        return order_count_distribution(
+            _read(sf, "customer", ["c_custkey"]),
+            _read(sf, "orders", ["o_custkey"]))
 
     q["tpch_q13_order_dist"] = q13_order_dist
 
@@ -1203,7 +1253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.functions import zorder as zo
         from parquet_hs_ray.pipelines.layout import column_minmax
 
-        ds = _read(sf, "lineitem")
+        ds = _read(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                    "l_partkey", "l_suppkey"])
         mm = column_minmax(ds, ["l_partkey", "l_suppkey"])
         (xlo, xhi), (ylo, yhi) = mm["l_partkey"], mm["l_suppkey"]
 
@@ -1222,7 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def growth(sf):
         from parquet_hs_ray.pipelines.windows import growth_accounting
 
-        return growth_accounting(_read(sf, "events"))
+        return growth_accounting(_read(sf, "events", ["user_id", "ts"]))
 
     q["events_growth"] = growth
 
@@ -1234,7 +1285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.functions import zorder as zo
         from parquet_hs_ray.pipelines.layout import column_minmax
 
-        ds = _read(sf, "lineitem")
+        ds = _read(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                    "l_partkey", "l_suppkey"])
         mm = column_minmax(ds, ["l_partkey", "l_suppkey", "l_orderkey"])
 
         def key(b: "pd.DataFrame") -> "pd.DataFrame":
@@ -1254,7 +1306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def temp_mix(sf):
         from parquet_hs_ray.pipelines.text_analysis import temperature_mix
 
-        return temperature_mix(_read(sf, "documents"), total=200, alpha=0.5)
+        return temperature_mix(_read(sf, "documents", ["doc_id", "source"]),
+                               total=200, alpha=0.5)
 
     q["doc_temperature_mix"] = temp_mix
 
@@ -1271,11 +1324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # runs reuse ONE slot instead of leaking a table copy per run
         root = f"/tmp/phr_buckets/{os.path.basename(str(sf).rstrip('/'))}"
         shutil.rmtree(root, ignore_errors=True)
-        da = bk.bucket_write(_read(sf, "orders"), f"{root}/orders",
-                             "o_custkey", n_buckets=16,
+        da = bk.bucket_write(_read(sf, "orders", ["o_orderkey", "o_custkey"]),
+                             f"{root}/orders", "o_custkey", n_buckets=16,
                              columns=["o_orderkey", "o_custkey"])
-        db = bk.bucket_write(_read(sf, "customer"), f"{root}/customer",
-                             "c_custkey", n_buckets=16,
+        db = bk.bucket_write(_read(sf, "customer",
+                                   ["c_custkey", "c_mktsegment"]),
+                             f"{root}/customer", "c_custkey", n_buckets=16,
                              columns=["c_custkey", "c_mktsegment"])
         return bk.bucketed_join(da, db, "o_custkey", "c_custkey",
                                 n_buckets=16)
@@ -1286,10 +1340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Skew-mitigated join (hot keys detected + broadcast around the
         shuffle, cold keys hash-join) — result identical to the plain
         equi-join by construction."""
-        cust = _read(sf, "customer").map_batches(
-            lambda b: b[["c_custkey", "c_mktsegment"]], batch_format="pandas")
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        cust = _read(sf, "customer", ["c_custkey", "c_mktsegment"])
+        ords = _read(sf, "orders", ["o_orderkey", "o_custkey"])
         return rel.skew_join(ords, cust, "o_custkey", "c_custkey",
                              min_share=0.0005)
 
@@ -1326,8 +1378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.pipelines.recipes import regional_revenue
 
         return regional_revenue(
-            _read(sf, "lineitem"), _read(sf, "orders"), _read(sf, "customer"),
-            _read(sf, "supplier"), _read(sf, "nation"), _read(sf, "region"))
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey",
+                                   "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation"), _read(sf, "region"))
 
     q["tpch_q5_regional"] = q5_regional
 
@@ -1358,8 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def orders_collect(sf):
         # array_agg: ordered order-key list per customer (the unnest
         # inverse; integer payload keeps the value hash repr-stable)
-        ds = _read(sf, "orders").map_batches(
-            lambda b: b[["o_custkey", "o_orderkey"]], batch_format="pandas")
+        ds = _read(sf, "orders", ["o_custkey", "o_orderkey"])
         return rel.collect_list(ds, "o_custkey", "o_orderkey",
                                 order_col="o_orderkey", out_col="order_keys")
 
@@ -1368,8 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ev_winsor(sf):
         from parquet_hs_ray.pipelines.stats import winsorize
 
-        ds = _read(sf, "events").map_batches(
-            lambda b: b[["event_id", "value"]], batch_format="pandas")
+        ds = _read(sf, "events", ["event_id", "value"])
         return winsorize(ds, "value", 0.05, 0.95, out_col="value_w")
 
     q["events_winsorize"] = ev_winsor
@@ -1377,9 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ev_scale(sf):
         from parquet_hs_ray.pipelines.stats import scale_minmax
 
-        ds = _read(sf, "events").map_batches(
-            lambda b: b[["event_id", "event_type", "value"]],
-            batch_format="pandas")
+        ds = _read(sf, "events", ["event_id", "event_type", "value"])
         return scale_minmax(ds, "value", "event_type")
 
     q["events_scale_minmax"] = ev_scale
@@ -1402,8 +1454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pd.DataFrame({"revenue_c": [np.int64(rev.sum())],
                                  "n": [np.int64(m.sum())]})
 
-        p = (_read(sf, "lineitem").map_batches(part, batch_format="pandas")
-             .to_pandas())
+        p = (_read(sf, "lineitem", ["l_shipdate", "l_discount", "l_quantity",
+                                    "l_extendedprice"])
+             .map_batches(part, batch_format="pandas").to_pandas())
         import ray.data
 
         return ray.data.from_pandas(pd.DataFrame(
@@ -1429,9 +1482,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   * (1 - s["l_discount"].to_numpy())
                                   * 100).astype(np.int64)})
 
-        li = _read(sf, "lineitem").map_batches(li_part, batch_format="pandas")
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_returnflag", "l_orderkey",
+                                    "l_extendedprice", "l_discount"]
+                   ).map_batches(li_part, batch_format="pandas")
+        ords = _read(sf, "orders", ["o_orderkey", "o_custkey"])
         j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
 
         def cpart(b: "pd.DataFrame") -> "pd.DataFrame":
@@ -1451,9 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_drank(sf):
         from parquet_hs_ray.pipelines.stats import dense_rank
 
-        ds = _read(sf, "documents").map_batches(
-            lambda b: b[["doc_id", "source", "n_chars"]],
-            batch_format="pandas")
+        ds = _read(sf, "documents", ["doc_id", "source", "n_chars"])
         return dense_rank(ds, "n_chars", "source")
 
     q["doc_chars_dense_rank"] = doc_drank
@@ -1461,9 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_rank_gaps(sf):
         from parquet_hs_ray.pipelines.stats import rank_with_gaps
 
-        ds = _read(sf, "documents").map_batches(
-            lambda b: b[["doc_id", "source", "n_chars"]],
-            batch_format="pandas")
+        ds = _read(sf, "documents", ["doc_id", "source", "n_chars"])
         return rank_with_gaps(ds, "n_chars", "source")
 
     q["doc_chars_rank"] = doc_rank_gaps
@@ -1478,7 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.graph import pagerank
 
-        edges = _read(sf, "lineitem").map_batches(
+        edges = _read(sf, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
             lambda b: pa.table({
                 "src": b["l_suppkey"],
                 "dst": pc.add(b["l_partkey"], 1_000_000)}),
@@ -1490,9 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ev_zscore(sf):
         from parquet_hs_ray.pipelines.stats import zscore
 
-        ds = _read(sf, "events").map_batches(
-            lambda b: b[["event_id", "event_type", "value"]],
-            batch_format="pandas")
+        ds = _read(sf, "events", ["event_id", "event_type", "value"])
         return zscore(ds, "value", "event_type")
 
     q["events_zscore"] = ev_zscore
@@ -1506,7 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
 
         lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-06-01")
-        part_t = _read(sf, "part").map_batches(
+        part_t = _read(sf, "part", ["p_partkey", "p_type"]).map_batches(
             lambda b: pd.DataFrame({
                 "p_partkey": b["p_partkey"].to_numpy(),
                 "is_promo": (b["p_type"] == "PROMO").to_numpy().astype(np.int64)}),
@@ -1521,7 +1569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    * (1 - s["l_discount"].to_numpy())
                                    * 100).astype(np.int64)})
 
-        li = _read(sf, "lineitem").map_batches(li_part, batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_shipdate", "l_partkey",
+                                    "l_extendedprice", "l_discount"]
+                   ).map_batches(li_part, batch_format="pandas")
         j = rel.broadcast_join(li, part_t, "l_partkey", "p_partkey",
                                right_cols=["is_promo"])
 
@@ -1551,8 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         import pandas as pd
 
-        part_t = _read(sf, "part").map_batches(
-            lambda b: b[["p_partkey", "p_brand"]], batch_format="pandas")
+        part_t = _read(sf, "part", ["p_partkey", "p_brand"])
 
         def li_part(b: "pd.DataFrame") -> "pd.DataFrame":
             return pd.DataFrame({
@@ -1562,7 +1611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    * (1 - b["l_discount"].to_numpy())
                                    * 100).astype(np.int64)})
 
-        li = _read(sf, "lineitem").map_batches(li_part, batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_discount"]
+                   ).map_batches(li_part, batch_format="pandas")
         j = rel.broadcast_join(li, part_t, "l_partkey", "p_partkey",
                                right_cols=["p_brand"])
 
@@ -1596,11 +1647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.groupagg import grouped_agg, grouped_sum
 
-        li = _read(sf, "lineitem").map_batches(
-            lambda b: b[["l_orderkey", "l_shipdate"]], batch_format="pandas")
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_orderdate", "o_orderpriority"]],
-            batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_orderkey", "l_shipdate"])
+        ords = _read(sf, "orders",
+                     ["o_orderkey", "o_orderdate", "o_orderpriority"])
         j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
 
         def late(b: "pd.DataFrame") -> "pd.DataFrame":
@@ -1642,12 +1691,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .groupby("l_orderkey", sort=False, as_index=False).sum())
 
         per_order = grouped_sum(
-            _read(sf, "lineitem").map_batches(qpart, batch_format="pandas"),
+            _read(sf, "lineitem", ["l_orderkey", "l_quantity"]
+                  ).map_batches(qpart, batch_format="pandas"),
             ["l_orderkey"], ["qty_c"])
         big = per_order.map_batches(lambda b: b[b["qty_c"] > 25_000],
                                     batch_format="pandas")
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        ords = _read(sf, "orders", ["o_orderkey", "o_custkey"])
         return rel.hash_join(big, ords, "l_orderkey", "o_orderkey")
 
     q["tpch_q18_bigorders"] = q18_bigorders
@@ -1682,15 +1731,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   * (1 - b["l_discount"].to_numpy())
                                   * 100).astype(np.int64)})
 
-        li = (_read(sf, "lineitem").map_batches(lfilt, batch_format="pyarrow")
+        li = (_read(sf, "lineitem", ["l_shipdate", "l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"])
+              .map_batches(lfilt, batch_format="pyarrow")
               .map_batches(cents, batch_format="pandas"))
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_custkey"]], batch_format="pandas")
+        ords = _read(sf, "orders", ["o_orderkey", "o_custkey"])
         j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
-        j = rel.broadcast_join(j, _read(sf, "supplier"), "l_suppkey",
-                               "s_suppkey", right_cols=["s_nationkey"])
-        j = rel.broadcast_join(j, _read(sf, "customer"), "o_custkey",
-                               "c_custkey", right_cols=["c_nationkey"])
+        j = rel.broadcast_join(j, _read(sf, "supplier",
+                                        ["s_suppkey", "s_nationkey"]),
+                               "l_suppkey", "s_suppkey",
+                               right_cols=["s_nationkey"])
+        j = rel.broadcast_join(j, _read(sf, "customer",
+                                        ["c_custkey", "c_nationkey"]),
+                               "o_custkey", "c_custkey",
+                               right_cols=["c_nationkey"])
 
         def part(b: "pd.DataFrame") -> "pd.DataFrame":
             b = b[b["s_nationkey"] != b["c_nationkey"]]
@@ -1728,15 +1782,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   * (1 - b["l_discount"].to_numpy())
                                   * 100).astype(np.int64)})
 
-        li = _read(sf, "lineitem").map_batches(cents, batch_format="pandas")
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_custkey", "o_orderdate"]],
-            batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"]
+                   ).map_batches(cents, batch_format="pandas")
+        ords = _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
         j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
-        j = rel.broadcast_join(j, _read(sf, "customer"), "o_custkey",
-                               "c_custkey", right_cols=["c_nationkey"])
-        j = rel.broadcast_join(j, _read(sf, "supplier"), "l_suppkey",
-                               "s_suppkey", right_cols=["s_nationkey"])
+        j = rel.broadcast_join(j, _read(sf, "customer",
+                                        ["c_custkey", "c_nationkey"]),
+                               "o_custkey", "c_custkey",
+                               right_cols=["c_nationkey"])
+        j = rel.broadcast_join(j, _read(sf, "supplier",
+                                        ["s_suppkey", "s_nationkey"]),
+                               "l_suppkey", "s_suppkey",
+                               right_cols=["s_nationkey"])
 
         def part(b: "pd.DataFrame") -> "pd.DataFrame":
             b = b[b["c_nationkey"].isin(asia_nations)]
@@ -1760,8 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_bernoulli(sf):
         from parquet_hs_ray.pipelines.text_analysis import sample_fraction
 
-        ds = _read(sf, "documents").map_batches(
-            lambda b: b[["doc_id", "source"]], batch_format="pandas")
+        ds = _read(sf, "documents", ["doc_id", "source"])
         return sample_fraction(ds, 0.3)
 
     q["doc_sample_fraction"] = doc_bernoulli
@@ -1796,7 +1853,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return p.groupby("l_suppkey", sort=False, as_index=False).sum()
 
         per_supp = grouped_sum(
-            _read(sf, "lineitem").map_batches(lfilt, batch_format="pyarrow")
+            _read(sf, "lineitem", ["l_shipdate", "l_suppkey",
+                                   "l_extendedprice", "l_discount"])
+            .map_batches(lfilt, batch_format="pyarrow")
             .map_batches(cents, batch_format="pandas"),
             ["l_suppkey"], ["rev_c"]).materialize()
         mx = per_supp.map_batches(
@@ -1831,7 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.groupagg import grouped_sum
 
-        cust = _read(sf, "customer")
+        cust = _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
 
         def bpart(b: "pd.DataFrame") -> "pd.DataFrame":
             pos = b[b["c_acctbal"] > 0]
@@ -1849,7 +1908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         pc.less(t["o_orderdate"], pa.scalar(hi)))
             return t.filter(m).select(["o_custkey"])
 
-        active = _read(sf, "orders").map_batches(ofilt, batch_format="pyarrow")
+        active = _read(sf, "orders", ["o_custkey", "o_orderdate"]
+                       ).map_batches(ofilt, batch_format="pyarrow")
         idle = rel.broadcast_join(cust, active, "c_custkey", "o_custkey",
                                   how="anti")
 
@@ -1876,12 +1936,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.groupagg import grouped_sum
 
-        li = _read(sf, "lineitem").map_batches(
-            lambda b: b[["l_orderkey", "l_shipdate", "l_returnflag"]],
-            batch_format="pandas")
-        ords = _read(sf, "orders").map_batches(
-            lambda b: b[["o_orderkey", "o_orderdate", "o_orderpriority"]],
-            batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_orderkey", "l_shipdate",
+                                    "l_returnflag"])
+        ords = _read(sf, "orders",
+                     ["o_orderkey", "o_orderdate", "o_orderpriority"])
         j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
 
         def part(b: "pd.DataFrame") -> "pd.DataFrame":
@@ -1910,14 +1968,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from parquet_hs_ray.pipelines.groupagg import grouped_agg, grouped_sum
 
-        li = _read(sf, "lineitem").map_batches(
-            lambda b: b[["l_orderkey", "l_suppkey", "l_shipdate"]],
-            batch_format="pandas")
+        li = _read(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
 
         def ofilt(b: "pd.DataFrame") -> "pd.DataFrame":
             return b[b["o_orderstatus"] == "F"][["o_orderkey", "o_orderdate"]]
 
-        ords = _read(sf, "orders").map_batches(ofilt, batch_format="pandas")
+        ords = _read(sf, "orders", ["o_orderkey", "o_orderdate",
+                                    "o_orderstatus"]
+                     ).map_batches(ofilt, batch_format="pandas")
         j = rel.hash_join(li, ords, "l_orderkey", "o_orderkey")
 
         def late_pair(b: "pd.DataFrame") -> "pd.DataFrame":

@@ -29,22 +29,52 @@ def _ts_us(series: pd.Series) -> np.ndarray:
     return series.astype("int64").to_numpy()
 
 
+def _ts_us_arrow(col) -> np.ndarray:
+    """Epoch microseconds from an Arrow ts column (any datetime unit or
+    raw int64) — the zero-copy twin of :func:`_ts_us`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(arr.type):
+        arr = pc.cast(arr, pa.timestamp("us"))
+    return pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _user_win_partial(uid: np.ndarray, win: np.ndarray,
+                      val: np.ndarray):
+    """Vectorized (user, win) partial aggregate: one lexsort + segment
+    ``reduceat`` — no pandas hash groupby on the hot path.  Returns
+    (uid_out, win_out, n_events, sum_value)."""
+    order = np.lexsort((win, uid))
+    u, w, v = uid[order], win[order], val[order]
+    new = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
+        new[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate([starts, [len(u)]]))
+    sums = np.add.reduceat(v, starts) if len(u) else v[:0]
+    return u[starts], w[starts], counts.astype(np.int64), sums
+
+
 def tumbling_window(events: "ray.data.Dataset", window_us: int = _HOUR_US) -> "ray.data.Dataset":
     """Per (user_id, tumbling window): event count and value sum.
 
     Partial-aggregation pattern: one partial row per (user, window) per
     batch, then a small groupby over partials — the shuffle carries
-    aggregates, not events."""
+    aggregates, not events.  The partial is zero-copy Arrow + numpy
+    lexsort/reduceat (the r3 verdict's pandas-conversion fix)."""
+    import pyarrow as pa
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        win = _ts_us(batch["ts"]) // window_us
-        g = pd.DataFrame(
-            {"user_id": batch["user_id"], "win": win, "value": batch["value"]}
-        ).groupby(["user_id", "win"], sort=False)
-        out = g.agg(n_events=("value", "size"), sum_value=("value", "sum"))
-        return out.reset_index()
+    def partial(t: "pa.Table") -> "pa.Table":
+        win = _ts_us_arrow(t["ts"]) // window_us
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        u, w, n, s = _user_win_partial(uid, win, val)
+        return pa.table({"user_id": u, "win": w, "n_events": n,
+                         "sum_value": s})
 
-    partials = events.map_batches(partial, batch_format="pandas")
+    partials = events.map_batches(partial, batch_format="pyarrow")
     from .groupagg import grouped_sum
 
     agg = grouped_sum(partials, ["user_id", "win"], ["n_events", "sum_value"])
@@ -76,16 +106,18 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
        counted inside the same kernel, so nothing per-user ever reaches
        the driver.
     """
+    import pyarrow as pa
+
     s = events.select_columns(["user_id", "ts"]).sort(["user_id", "ts"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        u = batch["user_id"].to_numpy()
-        ts = _ts_us(batch["ts"])
+    def partial(t: "pa.Table") -> "pa.Table":
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = _ts_us_arrow(t["ts"])
         n = len(u)
         if n == 0:
-            return pd.DataFrame({"user_id": u[:0], "n_events": np.empty(0, np.int64),
-                                 "n_breaks": np.empty(0, np.int64),
-                                 "min_ts": np.empty(0, np.int64), "max_ts": np.empty(0, np.int64)})
+            z = np.empty(0, np.int64)
+            return pa.table({"user_id": u[:0], "n_events": z, "n_breaks": z,
+                             "min_ts": z, "max_ts": z})
         order = np.lexsort((ts, u))  # defensive; a sorted block is a no-op
         u, ts = u[order], ts[order]
         newu = np.concatenate([[True], u[1:] != u[:-1]])
@@ -94,11 +126,13 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
         brk = (~newu[1:]) & (np.diff(ts) > gap_us)
         cs = np.concatenate([[0], np.cumsum(brk)])
         b_per = cs[starts + counts - 1] - cs[starts]
-        return pd.DataFrame({"user_id": u[starts], "n_events": counts.astype(np.int64),
-                             "n_breaks": b_per.astype(np.int64),
-                             "min_ts": ts[starts], "max_ts": ts[starts + counts - 1]})
+        return pa.table({"user_id": u[starts],
+                         "n_events": counts.astype(np.int64),
+                         "n_breaks": b_per.astype(np.int64),
+                         "min_ts": ts[starts],
+                         "max_ts": ts[starts + counts - 1]})
 
-    partials = s.map_batches(partial, batch_format="pandas", batch_size=None)
+    partials = s.map_batches(partial, batch_format="pyarrow", batch_size=None)
     from .groupagg import sorted_block_aggregate
 
     def merge_fragments(df: pd.DataFrame) -> pd.DataFrame:
@@ -151,19 +185,19 @@ def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
         raise ValueError("window_us must be a multiple of hop_us")
     nwin = window_us // hop_us
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        base = _ts_us(batch["ts"]) // hop_us
-        n = len(batch)
-        win = np.repeat(base, nwin) - np.tile(np.arange(nwin, dtype=np.int64), n)
-        g = pd.DataFrame({
-            "user_id": np.repeat(batch["user_id"].to_numpy(), nwin),
-            "win": win,
-            "value": np.repeat(batch["value"].to_numpy(), nwin),
-        }).groupby(["user_id", "win"], sort=False)
-        out = g.agg(n_events=("value", "size"), sum_value=("value", "sum"))
-        return out.reset_index()
+    import pyarrow as pa
 
-    partials = events.map_batches(partial, batch_format="pandas")
+    def partial(t: "pa.Table") -> "pa.Table":
+        base = _ts_us_arrow(t["ts"]) // hop_us
+        n = t.num_rows
+        win = np.repeat(base, nwin) - np.tile(np.arange(nwin, dtype=np.int64), n)
+        uid = np.repeat(t["user_id"].to_numpy(zero_copy_only=False), nwin)
+        val = np.repeat(t["value"].to_numpy(zero_copy_only=False), nwin)
+        u, w, cnt, s = _user_win_partial(uid, win, val)
+        return pa.table({"user_id": u, "win": w, "n_events": cnt,
+                         "sum_value": s})
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
     from .groupagg import grouped_sum
 
     agg = grouped_sum(partials, ["user_id", "win"], ["n_events", "sum_value"])
