@@ -47,6 +47,27 @@ def dedup_exact(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.select_columns(["doc_id", "n_dups"])
 
 
+# Ceiling on the EXACT all-pairs twins' block count (r3 verdict #7):
+# B blocks mean B*(B+1)/2 block-pair tasks — 512 blocks (~33M rows at
+# the default 65536 rows/block) is ~131k tasks, already generous.  Past
+# it the quadratic path is certainly the wrong tool; fail loudly with
+# the sub-quadratic pointer instead of grinding.
+ALL_PAIRS_MAX_BLOCKS = 512
+
+
+def _check_all_pairs_blocks(n_blocks: int, max_blocks: int | None,
+                            fn: str, scale_path: str) -> None:
+    cap = ALL_PAIRS_MAX_BLOCKS if max_blocks is None else int(max_blocks)
+    if n_blocks > cap:
+        raise ValueError(
+            f"{fn}: {n_blocks} sketch blocks would mean "
+            f"{n_blocks * (n_blocks + 1) // 2} block-pair tasks (cap "
+            f"{cap}). This EXACT all-pairs path is the small-corpus / "
+            f"verifier twin — at this scale use {scale_path}, or raise "
+            "max_blocks / rows_per_block explicitly if you really want "
+            "the quadratic run.")
+
+
 def _sig_batch(batch: pd.DataFrame, n_bands: int, ngram: int,
                shingler=None) -> pd.DataFrame:
     n_sh, hashes = (shingler(batch) if shingler is not None
@@ -465,7 +486,8 @@ def signature_neardup_pairs(sigs: "ray.data.Dataset", id_col: str = "doc_id",
 
 def dedup_jaccard(docs: "ray.data.Dataset", threshold: float = 0.8,
                   ngram: int = 3, rows_per_block: int = 65536,
-                  max_in_flight: int | None = None) -> pd.DataFrame:
+                  max_in_flight: int | None = None,
+                  max_blocks: int | None = None) -> pd.DataFrame:
     """EXACT all-pairs word-ngram Jaccard >= threshold — no LSH, no
     candidate recall loss (the brief's standalone "n-gram Jaccard" dedup
     entry; use :func:`dedup_minhash` at corpus scale, this as the exact
@@ -480,6 +502,8 @@ def dedup_jaccard(docs: "ray.data.Dataset", threshold: float = 0.8,
     sk_ds = minhash_sketches(docs, ngram=ngram).materialize()
     n = sk_ds.count()
     target_blocks = max(1, -(-n // rows_per_block))
+    _check_all_pairs_blocks(target_blocks, max_blocks, "dedup_jaccard",
+                            "dedup_minhash (LSH)")
     if sk_ds.num_blocks() != target_blocks:
         sk_ds = sk_ds.repartition(target_blocks).materialize()
     refs = sk_ds.to_arrow_refs()
@@ -574,7 +598,8 @@ def dedup_stats_by_source(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def dedup_containment(docs: "ray.data.Dataset", threshold: float = 0.8,
                       ngram: int = 3, rows_per_block: int = 65536,
-                      max_in_flight: int | None = None) -> pd.DataFrame:
+                      max_in_flight: int | None = None,
+                      max_blocks: int | None = None) -> pd.DataFrame:
     """DIRECTED containment pairs: (src, dst, containment) with
     ``containment = |src ∩ dst| / |src|`` over distinct word-``ngram``
     shingle sets — the asymmetric cousin of Jaccard that catches quotes
@@ -589,6 +614,8 @@ def dedup_containment(docs: "ray.data.Dataset", threshold: float = 0.8,
     sk_ds = minhash_sketches(docs, ngram=ngram).materialize()
     n = sk_ds.count()
     target_blocks = max(1, -(-n // rows_per_block))
+    _check_all_pairs_blocks(target_blocks, max_blocks, "dedup_containment",
+                            "dedup_minhash (LSH)")
     if sk_ds.num_blocks() != target_blocks:
         sk_ds = sk_ds.repartition(target_blocks).materialize()
     refs = sk_ds.to_arrow_refs()
@@ -702,7 +729,8 @@ def embedding_clusters_srp(emb: "ray.data.Dataset", tau: float = 0.9,
 
 def embedding_neardup_pairs(emb: "ray.data.Dataset", tau: float = 0.5,
                             rows_per_block: int = 65536,
-                            max_in_flight: int | None = None) -> pd.DataFrame:
+                            max_in_flight: int | None = None,
+                            max_blocks: int | None = None) -> pd.DataFrame:
     """EXACT pairs (a < b) with cosine similarity >= tau, by block-pair
     decomposition (VERDICT r1 #3 rework).
 
@@ -723,6 +751,9 @@ def embedding_neardup_pairs(emb: "ray.data.Dataset", tau: float = 0.5,
     mat = emb.materialize()
     n = mat.count()
     target_blocks = max(1, -(-n // rows_per_block))
+    _check_all_pairs_blocks(target_blocks, max_blocks,
+                            "embedding_neardup_pairs",
+                            "embedding_neardup_pairs_ivf / semdedup")
     if mat.num_blocks() != target_blocks:
         # bound per-task memory (2 blocks) and task count (B*(B+1)/2)
         mat = mat.repartition(target_blocks).materialize()

@@ -24,12 +24,68 @@ import pandas as pd
 import ray.data
 
 
+def _estimate_domain_size(n: int, d: int) -> float:
+    """Distinct-domain estimate from a uniform ``n``-row sample showing
+    ``d`` distinct values, inverting the coupon-collector expectation
+    ``d = D * (1 - exp(-n/D))`` by bisection.  A sample with (almost) no
+    collisions carries no upper-bound information -> +inf."""
+    import math
+
+    if d >= 0.98 * n:
+        return float("inf")
+    lo, hi = float(d), 1e15
+    for _ in range(100):
+        mid = (lo + hi) / 2
+        if mid * (1.0 - math.exp(-n / mid)) < d:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
-                      qs: Sequence[float] = (0.5, 0.95)) -> "ray.data.Dataset":
+                      qs: Sequence[float] = (0.5, 0.95),
+                      id_col: str | None = None,
+                      guard_sample: int = 65536,
+                      max_distinct_estimate: float = 5_000_000,
+                      max_hist_rows_per_group: int = 50_000_000):
     """Per ``key`` group: exact discrete quantiles of ``col`` at each q in
-    ``qs``.  Output columns: key, p<q*100> for each q (p50, p95, ...)."""
+    ``qs``.  Output columns: key, p<q*100> for each q (p50, p95, ...).
+
+    Cardinality guard (the r3 verdict's scale fix): the exact path's
+    shuffle is bounded by the column's DISTINCT cardinality — fine for
+    discretized metrics (cents, ms), unbounded for continuous floats at
+    100 TB.  A cheap head sample (``guard_sample`` rows) estimates the
+    value DOMAIN size from its collision rate (coupon-collector
+    inversion — a raw distinct/sample ratio would misread bounded-but-
+    large domains as continuous at small sample sizes); above
+    ``max_distinct_estimate`` the call AUTO-ROUTES to the KMV sketch
+    twin :func:`grouped_quantile_sketch` when ``id_col`` is given (note
+    the estimate columns are named ``p<q>_est``), else raises with that
+    pointer.  The head sample is a heuristic gate — a column that is
+    locally bounded in the head can still slip through, so the final
+    per-group selection independently asserts its merged histogram
+    stays under ``max_hist_rows_per_group`` rows (loud failure, not an
+    OOM).  Set ``guard_sample=0`` to skip the sample pass."""
     qs = [float(q) for q in qs]
     names = [f"p{int(round(q * 100))}" for q in qs]
+
+    if guard_sample:
+        samp = ds.limit(int(guard_sample)).select_columns([col]).to_pandas()
+        n_s = len(samp)
+        if n_s >= 1024:
+            est = _estimate_domain_size(n_s, int(samp[col].nunique()))
+            if est > max_distinct_estimate:
+                if id_col is not None:
+                    return grouped_quantile_sketch(ds, key, col, id_col, qs)
+                raise ValueError(
+                    f"grouped_quantiles: column {col!r} looks continuous "
+                    f"(estimated domain {est:.3g} distinct values from a "
+                    f"{n_s}-row sample); the exact value-count histogram "
+                    "is unbounded on such domains — pass id_col= to "
+                    "auto-route to the KMV sketch path "
+                    "(grouped_quantile_sketch), or set guard_sample=0 if "
+                    "the domain really is bounded")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (batch.groupby([key, col], sort=False).size()
@@ -43,6 +99,12 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
                        [key, col], ["cnt"])
 
     def select(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_hist_rows_per_group:
+            raise ValueError(
+                f"grouped_quantiles: merged histogram for one group has "
+                f"{len(g)} distinct values (> {max_hist_rows_per_group}); "
+                "the column is effectively continuous — use "
+                "grouped_quantile_sketch")
         g = g.sort_values(col, kind="mergesort")
         cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
         n = int(cum[-1])
@@ -416,7 +478,8 @@ def iqr_outlier_filter(ds: "ray.data.Dataset", key: str, col: str,
     broadcast once via ray.put; pass 2 is a pure streaming filter — no
     second shuffle, nothing row-sized reaches the driver."""
     m = float(mult)
-    qdf = grouped_quantiles(ds, key, col, (0.25, 0.75)).to_pandas()
+    qdf = grouped_quantiles(ds, key, col, (0.25, 0.75),
+                            guard_sample=0).to_pandas()
     lo = {}
     hi = {}
     for r in qdf.itertuples(index=False):
@@ -1036,7 +1099,8 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str
     medians use the quantile_disc rank rule so the DuckDB twin
     (quantile_disc over the same abs differences) is hash-exact.
     Output: (key, median, mad)."""
-    med = grouped_quantiles(ds, key, col, qs=(0.5,)).to_pandas()
+    med = grouped_quantiles(ds, key, col, qs=(0.5,),
+                            guard_sample=0).to_pandas()
     med = med.rename(columns={"p50": "median"})
     import ray as _ray
 
@@ -1050,7 +1114,8 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str
         return pd.DataFrame({key: b[key].to_numpy(), "_dev": dev})
 
     devs = ds.map_batches(absdev, batch_format="pandas")
-    mad = grouped_quantiles(devs, key, "_dev", qs=(0.5,)).to_pandas()
+    mad = grouped_quantiles(devs, key, "_dev", qs=(0.5,),
+                            guard_sample=0).to_pandas()
     mad = mad.rename(columns={"p50": "mad"})
     out = med.merge(mad, on=key)
     return ray.data.from_pandas(out[[key, "median", "mad"]])
@@ -1236,7 +1301,8 @@ def impute_median(ds: "ray.data.Dataset", key: str, col: str,
     (SQL coalesce with a NULL join partner).  Output: id_cols (or all
     columns), col replaced by its filled values, plus ``was_null``."""
     id_cols = list(id_cols)
-    med = grouped_quantiles(ds, key, col, qs=(0.5,)).to_pandas()
+    med = grouped_quantiles(ds, key, col, qs=(0.5,),
+                            guard_sample=0).to_pandas()
     import ray as _ray
 
     ref = _ray.put(med.set_index(key)["p50"])

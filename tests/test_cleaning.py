@@ -697,3 +697,35 @@ def test_ngram_novelty_tokens_layout_independent(ray_session):
         [ray.put(pa.concat_tables(parts[i::7])) for i in range(7)]))
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_all_pairs_block_ceiling(ray_session):
+    """The exact all-pairs twins refuse past the block cap with a
+    pointer to the sub-quadratic path; an explicit max_blocks override
+    allows the run (r3 verdict #7)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import (
+        dedup_jaccard,
+        embedding_neardup_pairs,
+    )
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"alpha beta gamma delta {i}" for i in range(40)],
+    }))
+    # rows_per_block=4 -> 10 blocks > cap 2
+    with pytest.raises(ValueError, match="dedup_minhash"):
+        dedup_jaccard(docs, rows_per_block=4, max_blocks=2)
+    out = dedup_jaccard(docs, rows_per_block=4, max_blocks=64)
+    assert isinstance(out, pd.DataFrame)
+
+    emb = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(24, dtype=np.int64),
+        "embedding": [list(np.eye(4)[i % 4]) for i in range(24)],
+    }))
+    with pytest.raises(ValueError, match="ivf"):
+        embedding_neardup_pairs(emb, rows_per_block=4, max_blocks=2)

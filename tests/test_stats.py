@@ -808,3 +808,34 @@ def test_rank_with_gaps_nulls_last(ray_session):
     # a: [1,1,4(null: 3 non-null + 1),3]; b all-null -> 1
     assert out["rnk"].tolist() == [1, 1, 4, 3, 1]
     assert str(out["rnk"].dtype) == "int64"
+
+
+def test_grouped_quantiles_cardinality_guard(ray_session):
+    """A continuous float column trips the guard: auto-routes to the KMV
+    sketch when id_col is given, raises with a pointer otherwise; a
+    bounded-cardinality column stays on the exact path (r3 verdict #6)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from parquet_hs_ray.pipelines.stats import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    cont = pd.DataFrame({
+        "k": rng.integers(0, 3, n),
+        "v": rng.random(n),              # continuous: ~all distinct
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(cont)
+    with pytest.raises(ValueError, match="sketch"):
+        grouped_quantiles(ds, "k", "v", (0.5,))
+    routed = grouped_quantiles(ds, "k", "v", (0.5,), id_col="rid")
+    rdf = routed if isinstance(routed, pd.DataFrame) else routed.to_pandas()
+    assert "p50_est" in rdf.columns and len(rdf) == 3
+
+    disc = cont.assign(v=np.round(cont["v"], 1))  # 11 distinct values
+    exact = grouped_quantiles(ray.data.from_pandas(disc), "k", "v",
+                              (0.5,)).to_pandas()
+    assert "p50" in exact.columns and len(exact) == 3
