@@ -166,6 +166,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pack_sequences"] = pack_f1
 
+    def pack_conservation(sf):
+        """Token-conservation invariant of pack_sequences (r3 verdict
+        #4): the packed output must hold exactly the input's tokens —
+        sum(n_tok) over chunks == sum(n_tok) over source rows — and no
+        chunk exceeds context_len.  The sums are SQL-checkable against
+        the source even though the chunk LAYOUT is block-dependent."""
+        import pandas as pd
+        import pyarrow as pa
+
+        packed = pack_f1(sf)
+        parts = [
+            (int(t["n_tok"].to_pandas().astype("int64").sum()),
+             int(t["n_tok"].to_pandas().astype("int64").max())
+             if t.num_rows else 0)
+            for t in packed.iter_batches(batch_format="pyarrow")
+            if isinstance(t, pa.Table)
+        ]
+        total = sum(p[0] for p in parts)
+        mx = max((p[1] for p in parts), default=0)
+        return pd.DataFrame({"total_packed_tokens": [total],
+                             "max_chunk": [mx]})
+
+    q["pack_conservation"] = pack_conservation
+
     def pack_global(sf):
         import ray.data
 
@@ -2531,6 +2555,13 @@ def oracle_sql() -> dict[str, str]:
 
     f1_src = cached_dataset(_F1_ROWS, seed=42, n_files=4)
     o["decode_f1"] = f"SELECT * FROM read_parquet('{f1_src}/*.parquet')"
+    # pack_sequences conservation: packed token total == source token
+    # total; the max chunk is exactly context_len because every input
+    # block carries >= context_len tokens (fixed 2000-row synth table)
+    o["pack_conservation"] = (
+        f"SELECT sum(n_tok)::BIGINT AS total_packed_tokens, "
+        f"least(2048, sum(n_tok))::BIGINT AS max_chunk "
+        f"FROM read_parquet('{f1_src}/*.parquet')")
     o["decode_f1_contains"] = (
         f"SELECT * FROM read_parquet('{f1_src}/*.parquet') "
         "WHERE list_contains(tokens, 777)")
@@ -2946,12 +2977,17 @@ FROM s GROUP BY seq_id
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing; the
-    # canonical pack_global variant IS oracled), doc_text_stats (BPE
-    # count needs a lookahead regex RE2 lacks), ann_ivf / ann_ivf_indexed
-    # / emb_neardup_ivf (approximate by design, recall-tested instead),
-    # media_features (opaque-bytes fake path), media_real_decode (real
-    # stdlib PNG/WAV decode; content equality pytest-asserted), emb_pca
+    # canonical pack_global variant IS oracled AND the pack_conservation
+    # invariant is hash-checked), doc_text_stats (BPE count needs a
+    # lookahead regex RE2 lacks; the fingerprint half IS oracled as
+    # doc_roll_fp), ann_ivf / ann_ivf_indexed / emb_neardup_ivf
+    # (approximate by design, recall-tested instead), media_features
+    # (opaque-bytes fake path), media_real_decode (real stdlib PNG/WAV
+    # decode; content equality pytest-asserted), emb_pca
     # (eigendecomposition — numpy-parity pytest-asserted instead).
+    # Promoted in r4: doc_decontaminate_bloom and events_quantiles_kmv
+    # (both deterministic sketches — their SQL twins replay the Bloom
+    # probe positions / the splitmix bottom-k sample exactly).
     # sequential scrub: each rule counted against the text as the
     # previous rules left it (nested projections mirror the kernel)
     p1, r1 = _SCRUB_RULES[0]
@@ -3000,12 +3036,24 @@ FROM lines l JOIN firsts f
 ORDER BY doc_id, line_no
 """
     from parquet_hs_ray.functions.sql_oracles import (
+        bloom_decontaminate_sql,
         corpus_overlap_sql,
         decontaminate_sql,
+        kmv_quantile_sql,
         span_dedup_sql,
     )
 
     o["doc_decontaminate"] = decontaminate_sql("documents", mod=17)
+    # the Bloom filter is deterministic: its false positives replay
+    # exactly in SQL (probe positions vs the bench position set) —
+    # promoted from rows-only in r4
+    o["doc_decontaminate_bloom"] = bloom_decontaminate_sql(
+        "documents", mod=17)
+    # KMV bottom-k is a deterministic splitmix64 sample; quantile_disc
+    # over it replays exactly — promoted from rows-only in r4
+    o["events_quantiles_kmv"] = kmv_quantile_sql(
+        "events", key="event_type", col="value", id_col="event_id",
+        qs=(0.5, 0.95), k=1024, seed=17)
     o["doc_corpus_overlap"] = corpus_overlap_sql("documents", mod=17)
     o["doc_span_dedup"] = span_dedup_sql("documents", window=5)
     from parquet_hs_ray.functions.sql_oracles import span_dedup_rewrite_sql

@@ -382,6 +382,85 @@ ORDER BY doc_id
 """
 
 
+def bloom_decontaminate_sql(table: str = "documents", mod: int = 17,
+                            m_bits: int = 1 << 23, k: int = 7) -> str:
+    """``doc_decontaminate_bloom`` twin — the Bloom filter IS
+    deterministic, so its false positives replay exactly in SQL: per
+    shingle hash h the k Kirsch–Mitzenmacher probe positions are
+    ``(h + i*(splitmix64(h)|1)) mod 2^64 mod m_bits``; a corpus shingle
+    counts iff ALL k of its positions are in the DISTINCT set of
+    positions any benchmark shingle set (bit-set membership == position
+    set membership — no bitset needed on the SQL side)."""
+    shingle_q = _chain_splitmix(_SH0, 3)
+    # h2 = splitmix64(h), computed on a copy so h survives
+    h2_q = "SELECT doc_id, h, h AS h2 FROM shingle_h"
+    for layer in _splitmix_layers("h2"):
+        h2_q = f"{layer} FROM ({h2_q})"
+    two64 = "18446744073709551616::HUGEINT"
+    pos = f"((h + i * h2o) % {two64}) % {m_bits}::HUGEINT"
+    return f"""
+WITH RECURSIVE {_word_hash_cte(table)},
+shingle_h AS MATERIALIZED (
+  SELECT doc_id, h FROM ({shingle_q})
+),
+sh2 AS MATERIALIZED (
+  SELECT doc_id, h, (h2 - (h2 % 2) + 1) AS h2o FROM ({h2_q})
+),
+ks AS (SELECT unnest(range(0, {k}))::HUGEINT AS i),
+bench_pos AS MATERIALIZED (
+  SELECT DISTINCT {pos} AS p
+  FROM (SELECT DISTINCT h, h2o FROM sh2 WHERE doc_id % {mod} = 0)
+  CROSS JOIN ks
+),
+corpus AS (
+  SELECT DISTINCT doc_id, h, h2o FROM sh2 WHERE doc_id % {mod} <> 0
+),
+cpos AS (
+  SELECT doc_id, h, {pos} AS p FROM corpus CROSS JOIN ks
+),
+hits AS (
+  SELECT doc_id, h FROM cpos
+  LEFT JOIN bench_pos ON cpos.p = bench_pos.p
+  GROUP BY doc_id, h HAVING count(bench_pos.p) = {k}
+),
+cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(cnt.n, 0)::BIGINT AS n_shared_bloom
+FROM (SELECT doc_id FROM {table} WHERE doc_id % {mod} <> 0) d
+LEFT JOIN cnt USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def kmv_quantile_sql(table: str = "events", key: str = "event_type",
+                     col: str = "value", id_col: str = "event_id",
+                     qs=(0.5, 0.95), k: int = 1024, seed: int = 17) -> str:
+    """``events_quantiles_kmv`` twin — the KMV bottom-k sample is
+    DETERMINISTIC (k smallest ``splitmix64(id ^ seed)`` per group;
+    splitmix64 is a bijection so there are no hash ties), and the
+    estimate is plain ``quantile_disc`` over the sampled values, so the
+    sketch replays exactly in SQL."""
+    h_q = (f"SELECT {key}, {col}, "
+           f"xor({id_col}::HUGEINT, {seed}::HUGEINT) AS h "
+           f"FROM {table} WHERE {col} IS NOT NULL")
+    for layer in _splitmix_layers("h"):
+        h_q = f"{layer} FROM ({h_q})"
+    est = ", ".join(
+        f"quantile_disc({col}, {q}) AS p{int(round(q * 100))}_est"
+        for q in qs)
+    return f"""
+WITH ranked AS (
+  SELECT {key}, {col},
+         row_number() OVER (PARTITION BY {key} ORDER BY h) AS rn
+  FROM ({h_q})
+)
+SELECT {key}, {est}
+FROM ranked WHERE rn <= {k}
+GROUP BY {key} ORDER BY {key}
+"""
+
+
 def bm25_sql(table: str, terms: "list[str]", k1: float = 1.2,
              b: float = 0.75) -> str:
     """``doc_bm25`` twin.  Float-exact by construction: the contribution
