@@ -185,13 +185,25 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
     files, each rewritten atomically when its bucket gains hashes — the
     seen-set never loads whole; an increment touches only the buckets its
     own hashes map to, and per-bucket work (sorted-array membership +
-    merge) is one Ray task.  At 100 TB the state is hashes only
-    (16 B/distinct doc) and ``n_buckets`` scales the rewrite granularity.
+    merge) is one Ray task.  At 100 TB a bucket row is hash + keeper id
+    (16 B + the id rendered as a string, ~24-36 B/distinct doc) and
+    ``n_buckets`` scales the rewrite granularity.
 
-    Returns ``(survivors_dataset, info)``; crash-safety is per bucket —
-    a re-run of the same increment is idempotent (hashes already merged
-    just match and drop their docs, but those docs were already emitted
-    by the crashed run's caller; treat the emit as at-least-once)."""
+    Returns ``(survivors_dataset, info)``; crash-safety is per bucket,
+    and re-running the same increment is EXACTLY idempotent: each bucket
+    row stores the KEEPER's id alongside the hash, so a doc whose hash
+    was persisted by a crashed run of this same increment re-claims it
+    (``keeper_id == its own id`` — the within-increment winner is
+    deterministic, smallest id) and is emitted again, while true
+    duplicates from earlier increments still drop.  Without the keeper
+    id a crash after the bucket write but before the caller consumed the
+    survivors would silently lose those docs on re-run — the r4 kill -9
+    drive (tests/test_incremental_kill.py) checks exactly this.
+
+    PRECONDITION: ``id_col`` must be globally unique ACROSS increments
+    (a re-used id whose content matches a persisted keeper would be
+    re-emitted as that keeper instead of dropped).  Ids are matched by
+    their ``str()`` rendering, so any orderable id dtype works."""
     import hashlib
 
     import pyarrow as pa
@@ -221,21 +233,38 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
     def bucket_task(bucket_id: int, sub: pd.DataFrame):
         path = fsio.join(state_dir, f"bucket-{bucket_id:04d}.parquet")
         if fsio.exists(path, filesystem):
-            seen = pq.read_table(io.BytesIO(
-                fsio.read_bytes(path, filesystem))).column("h").to_pylist()
-            seen_set = set(seen)
+            t = pq.read_table(io.BytesIO(fsio.read_bytes(path, filesystem)))
+            seen = t.column("h").to_pylist()
+            # keeper ids persist as strings (any id dtype); legacy files
+            # without the column get None — matches no real id, so they
+            # keep the old always-drop semantics
+            kids = (t.column("kid").to_pylist() if "kid" in t.column_names
+                    else [None] * len(seen))
+            seen_map = dict(zip(seen, kids))
         else:
-            seen, seen_set = [], set()
+            seen, kids, seen_map = [], [], {}
         # canonical within-increment order: smallest id wins its hash
         sub = sub.sort_values(id_col, kind="mergesort")
-        first = ~sub.duplicated("h", keep="first")
-        fresh = ~sub["h"].isin(seen_set)
-        keep_ids = sub[id_col][first & fresh].to_numpy()
-        new_hashes = sub["h"][first & fresh].tolist()
-        if new_hashes:
+        first = ~sub.duplicated("h", keep="first").to_numpy()
+        ids_np = sub[id_col].to_numpy()
+        ids_str = sub[id_col].astype(str).to_numpy()
+        # fresh, OR persisted by a crashed run of this very increment
+        # (keeper id == this doc's id): exactly-once re-emit on re-run
+        persisted_kid = sub["h"].map(seen_map)  # NaN if hash unseen
+        unseen = ~sub["h"].isin(seen_map.keys()).to_numpy()
+        fresh = unseen | (persisted_kid.to_numpy() == ids_str)
+        keep_mask = first & fresh
+        keep_ids = ids_np[keep_mask]
+        new_mask = keep_mask & unseen
+        if new_mask.any():
             buf = io.BytesIO()
-            pq.write_table(pa.table({"h": pa.array(seen + new_hashes,
-                                                   pa.binary())}), buf)
+            pq.write_table(pa.table({
+                "h": pa.array(
+                    seen + sub["h"].to_numpy()[new_mask].tolist(),
+                    pa.binary()),
+                "kid": pa.array(kids + ids_str[new_mask].tolist(),
+                                pa.string()),
+            }), buf)
             fsio.write_atomic(path, buf.getvalue(), filesystem)
         return keep_ids
 

@@ -26,9 +26,32 @@ reconnects rather than sharing handles.
 
 from __future__ import annotations
 
+import os as _os
 import posixpath
 
 import pyarrow.fs as pafs
+
+
+def _parse_kill_spec() -> tuple[str, int] | None:
+    """Crash-injection hook for the kill -9 resume drives
+    (tests/test_incremental_kill.py): ``PHR_TEST_KILL_AFTER_WRITE=
+    "<path-substring>:<pid>"`` makes :func:`write_atomic` SIGKILL
+    ``<pid>`` (the job driver) right after a local write whose path
+    contains the fragment completes — a crash at exactly that commit
+    boundary.  Parsed ONCE at import so the durability-critical write
+    path pays no per-call env lookup and a malformed value fails here,
+    loudly, not inside a production write."""
+    spec = _os.environ.get("PHR_TEST_KILL_AFTER_WRITE")
+    if not spec:
+        return None
+    frag, _, pid = spec.rpartition(":")
+    if not frag or not pid.isdigit():
+        raise ValueError(
+            f"PHR_TEST_KILL_AFTER_WRITE must be '<frag>:<pid>', got {spec!r}")
+    return frag, int(pid)
+
+
+_KILL_AFTER_WRITE = _parse_kill_spec()
 
 
 def resolve(path: str, filesystem: pafs.FileSystem | None = None) -> tuple[pafs.FileSystem, str]:
@@ -91,6 +114,10 @@ def write_atomic(path: str, data: bytes, filesystem: pafs.FileSystem | None = No
                 f.flush()
                 os.fsync(f.fileno())
         os.replace(tmp, p)
+        if _KILL_AFTER_WRITE is not None and _KILL_AFTER_WRITE[0] in p:
+            import signal
+
+            os.kill(_KILL_AFTER_WRITE[1], signal.SIGKILL)  # see _parse_kill_spec
     else:
         with fs.open_output_stream(p) as f:
             f.write(data)

@@ -785,8 +785,10 @@ def test_incremental_tumbling_matches_batch(ray_session, tmp_path):
 
 def test_incremental_dedup_exact(ray_session, tmp_path):
     """Two increments against bucketed hash state == global first-
-    occurrence (min doc_id) dedup; re-running an increment keeps nothing
-    new (idempotent state merge)."""
+    occurrence (min doc_id) dedup; re-running an increment re-emits the
+    SAME survivors (exactly-once via keeper ids — the r4 crash-safety
+    contract: a crashed run's persisted hashes no longer swallow its
+    docs), while genuinely new docs with seen content still drop."""
     import ray.data
 
     from parquet_hs_ray.pipelines.incremental import incremental_dedup
@@ -807,9 +809,16 @@ def test_incremental_dedup_exact(ray_session, tmp_path):
     kept2 = sorted(out2.to_pandas()["doc_id"])
     assert kept2 == [6, 8] and info2["n_kept"] == 2
 
-    # idempotent re-run of increment 2: everything already seen
+    # re-run of increment 2: the SAME survivors re-emit (their hashes
+    # carry their own keeper ids), dup docs still drop
     out3, info3 = incremental_dedup(ray.data.from_pandas(d2), state)
-    assert info3["n_kept"] == 0 and out3.count() == 0
+    assert sorted(out3.to_pandas()["doc_id"]) == [6, 8]
+    assert info3["n_kept"] == 2
+
+    # a NEW increment with already-seen content keeps nothing
+    d3 = pd.DataFrame({"doc_id": [20, 21], "text": ["delta", "epsilon"]})
+    out4, info4 = incremental_dedup(ray.data.from_pandas(d3), state)
+    assert info4["n_kept"] == 0 and out4.count() == 0
     assert info1["buckets_touched"] >= 1
 
 
