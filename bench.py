@@ -37,8 +37,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_MODE = os.environ.get("GRAFT_BENCH_MODE", "full")
 
-# F1 rows by scale factor (~840 tokens/row mean)
-_ROWS_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+# F1 rows by scale factor (~840 tokens/row mean); sf1 inputs come from
+# tools/make_sf1.py (deterministic 10x sf0.1 under /tmp, VERDICT r3 #9)
+_ROWS_BY_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000,
+               "phr_sf1": 1_000_000, "sf1": 1_000_000}
 # scaling-mode input: big enough that per-core compute dominates fixed
 # overheads for the 2-vs-8 pair, small enough that a 2-CPU leg finishes in
 # minutes on this host (see BASELINE.md round-2 notes)

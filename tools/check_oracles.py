@@ -3,7 +3,12 @@ DuckDB oracle side-by-side; compare row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified) — mirroring the grading driver.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [sf_dir] [query ...] [--json out.json]
+
+--json writes the full machine-readable result (one record per query:
+status ok/rows_only/fail, rows, columns, seconds, plus run metadata) —
+the committed ORACLES_full.json is produced this way so the 150+ queries
+the driver's 50-query sample skips stay auditable (VERDICT r3 #5).
 """
 
 from __future__ import annotations
@@ -57,8 +62,14 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], int]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -74,6 +85,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,10 +95,15 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
             failures += 1
+            records[name] = {"status": "fail",
+                             "error": f"{type(e).__name__}: {e}"}
             continue
         el = time.perf_counter() - t0
         if name not in oracles:
             print(f"ok?   {name}: rows={len(ours)} cols={sorted(ours.columns)} ({el:.1f}s) [rows-only]")
+            records[name] = {"status": "rows_only", "rows": len(ours),
+                             "columns": sorted(map(str, ours.columns)),
+                             "seconds": round(el, 1)}
             continue
         theirs = con.execute(oracles[name]).df()
         n1, c1, h1 = canon(ours)
@@ -96,6 +113,9 @@ def main():
             failures += 1
         print(f"{status}  {name}: ours({n1} rows, {c1}) vs oracle({n2} rows, {c2}) "
               f"hash={'=' if h1 == h2 else '!='} ({el:.1f}s)")
+        records[name] = {"status": "ok" if status == "OK  " else "fail",
+                         "rows": n1, "oracle_rows": n2, "columns": c1,
+                         "hash_match": h1 == h2, "seconds": round(el, 1)}
         if status == "FAIL" and n1 == n2 and c1 == c2:
             merged = ours[sorted(ours.columns)].sort_values(sorted(ours.columns)).reset_index(drop=True)
             m2 = theirs[sorted(theirs.columns)].sort_values(sorted(theirs.columns)).reset_index(drop=True)
@@ -103,6 +123,25 @@ def main():
             print("   first diffs:\n", merged[diff].head(3), "\n   vs\n", m2[diff].head(3))
     ray.shutdown()
     print("failures:", failures)
+    if json_out:
+        import json
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        summary = {
+            "sf_dir": sf_dir, "commit": commit,
+            "n_queries": len(records),
+            "n_ok": sum(r["status"] == "ok" for r in records.values()),
+            "n_rows_only": sum(r["status"] == "rows_only" for r in records.values()),
+            "n_fail": failures,
+            "results": records,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
