@@ -31,9 +31,15 @@ def _parse_where(spec: str) -> tuple:
                  flags=re.IGNORECASE | re.DOTALL)
     if m:
         col, body = m.group(1), m.group(2)
+        # newlines in the list body are separators-equivalent whitespace,
+        # not csv row breaks (a raw csv.reader would silently drop values
+        # after a line break); an empty body is a legitimate empty IN
+        # list (matches nothing)
+        body = body.replace("\r", " ").replace("\n", " ").strip()
+        rows = list(csv.reader(io.StringIO(body),
+                               quotechar="'", skipinitialspace=True))
         vals = []
-        for tok in next(csv.reader(io.StringIO(body),
-                                   quotechar="'", skipinitialspace=True)):
+        for tok in (rows[0] if rows else []):
             tok = tok.strip()
             # csv strips the outer single quotes it parsed; still strip
             # double quotes for "v" style literals

@@ -231,6 +231,17 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
 
     @ray.remote(num_cpus=1)
     def bucket_task(bucket_id: int, sub: pd.DataFrame):
+        # read-modify-write under the per-bucket flock: within one job
+        # each bucket is exactly one task, but two CONCURRENT increments
+        # against the same state_dir would otherwise both read the old
+        # file and the last rename would drop the other's hashes (on
+        # non-local fs the lock is a no-op — there the caller must run
+        # increments against a state_dir one at a time)
+        with fsio.file_lock(fsio.join(state_dir, f"bucket-{bucket_id:04d}"),
+                            filesystem):
+            return _bucket_merge(bucket_id, sub)
+
+    def _bucket_merge(bucket_id: int, sub: pd.DataFrame):
         path = fsio.join(state_dir, f"bucket-{bucket_id:04d}.parquet")
         if fsio.exists(path, filesystem):
             t = pq.read_table(io.BytesIO(fsio.read_bytes(path, filesystem)))

@@ -60,9 +60,13 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
     inversion — a raw distinct/sample ratio would misread bounded-but-
     large domains as continuous at small sample sizes); above
     ``max_distinct_estimate`` the call AUTO-ROUTES to the KMV sketch
-    twin :func:`grouped_quantile_sketch` when ``id_col`` is given (note
-    the estimate columns are named ``p<q>_est``), else raises with that
-    pointer.  The head sample is a heuristic gate — a column that is
+    twin :func:`grouped_quantile_sketch` when ``id_col`` is given, else
+    raises with that pointer.  The routed result keeps the SAME return
+    type (Ray Dataset) and the SAME column names (``p50``, ``p95`` …)
+    so the route is not a data-dependent API break — but routed values
+    are KMV ESTIMATES (sketch error bounds are asserted <=5% in tests),
+    not exact discrete quantiles; callers that must never get estimates
+    should pass ``id_col=None`` and handle the ValueError.  The head sample is a heuristic gate — a column that is
     locally bounded in the head can still slip through, so the final
     per-group selection independently asserts its merged histogram
     stays under ``max_hist_rows_per_group`` rows (loud failure, not an
@@ -77,7 +81,11 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, col: str,
             est = _estimate_domain_size(n_s, int(samp[col].nunique()))
             if est > max_distinct_estimate:
                 if id_col is not None:
-                    return grouped_quantile_sketch(ds, key, col, id_col, qs)
+                    import ray.data
+
+                    sk = grouped_quantile_sketch(ds, key, col, id_col, qs)
+                    sk = sk.rename(columns={f"{n}_est": n for n in names})
+                    return ray.data.from_pandas(sk)
                 raise ValueError(
                     f"grouped_quantiles: column {col!r} looks continuous "
                     f"(estimated domain {est:.3g} distinct values from a "

@@ -45,9 +45,16 @@ def _user_win_partial(uid: np.ndarray, win: np.ndarray,
                       val: np.ndarray):
     """Vectorized (user, win) partial aggregate: one lexsort + segment
     ``reduceat`` — no pandas hash groupby on the hot path.  Returns
-    (uid_out, win_out, n_events, sum_value)."""
+    (uid_out, win_out, n_events, sum_value).
+
+    Null/NaN values sum as 0 (SQL SUM / pandas skipna semantics — a raw
+    ``reduceat`` would poison the whole group's sum with one NaN); rows
+    with null values still count in n_events, matching the pandas
+    groupby this kernel replaced."""
     order = np.lexsort((win, uid))
     u, w, v = uid[order], win[order], val[order]
+    if v.dtype.kind == "f" and np.isnan(v).any():
+        v = np.nan_to_num(v, nan=0.0)
     new = np.ones(len(u), dtype=bool)
     if len(u) > 1:
         new[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])

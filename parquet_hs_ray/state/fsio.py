@@ -157,57 +157,58 @@ def open_parquet_input(path: str, filesystem: pafs.FileSystem | None = None):
 
 class file_lock:
     """Advisory per-path lock for read-modify-write merges (deletion
-    vectors).  Local filesystems get a real mutual-exclusion lock via
-    ``O_CREAT|O_EXCL`` on ``<path>.lock`` with bounded retry; stale locks
-    (holder died) are broken after ``stale_after`` seconds.  Non-local
-    filesystems are a documented no-op — object stores lack an atomic
-    create-exclusive primitive, so concurrent mergers there must be
-    prevented by the JOB layer (one delete job per store at a time; the
-    driver-side ``delete_rows`` entry point is single-writer by
-    construction)."""
+    vectors, incremental-dedup buckets).  Local filesystems get a real
+    mutual-exclusion lock: ``flock(LOCK_EX)`` on ``<path>.lock``.  The
+    kernel releases a flock when its holder dies (fd closed at process
+    exit, kill -9 included), so there is no staleness window and no
+    stale-break race — the previous ``O_CREAT|O_EXCL`` + age-based break
+    had a stat-then-unlink TOCTOU where two waiters could both "break"
+    one stale lock and the second would unlink the first's fresh lock.
+    The lock FILE is never unlinked (unlink-while-locked would let a
+    third process lock a fresh inode at the same path while the second
+    still holds the old one); an empty ``.lock`` file persisting next to
+    the state is expected.  ``stale_after`` is kept for API compat and
+    ignored.  Non-local filesystems are a documented no-op — object
+    stores lack an atomic lock primitive, so concurrent mergers there
+    must be prevented by the JOB layer (one delete job per store at a
+    time; the driver-side ``delete_rows`` entry point is single-writer
+    by construction)."""
 
     def __init__(self, path: str, filesystem: pafs.FileSystem | None = None,
                  timeout: float = 30.0, stale_after: float = 300.0):
         self.fs, self.p = resolve(path, filesystem)
         self.timeout = timeout
-        self.stale_after = stale_after
-        self._held = False
+        self._fd = None
 
     def __enter__(self):
         if not is_local(self.fs):
             return self
+        import fcntl
         import os
         import time
 
         lock = f"{self.p}.lock"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
         deadline = time.monotonic() + self.timeout
         while True:
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                self._held = True
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self._fd = fd
                 return self
-            except FileExistsError:
-                try:
-                    age = time.time() - os.stat(lock).st_mtime
-                    if age > self.stale_after:
-                        os.unlink(lock)  # break a stale lock and retry
-                        continue
-                except FileNotFoundError:
-                    continue
+            except (BlockingIOError, PermissionError):
                 if time.monotonic() > deadline:
+                    os.close(fd)
                     raise TimeoutError(f"could not acquire {lock}")
                 time.sleep(0.02)
 
     def __exit__(self, *exc):
-        if self._held:
+        if self._fd is not None:
+            import fcntl
             import os
 
-            try:
-                os.unlink(f"{self.p}.lock")
-            except FileNotFoundError:
-                pass
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
         return False
 
 

@@ -251,6 +251,10 @@ def test_parse_where_in_list_quote_aware():
     assert _parse_where("s IN ('hello world', \"x\")") == (
         "s", "in", ["hello world", "x"])
     assert _parse_where("n_tok >= 5") == ("n_tok", ">=", 5)
+    # r4 review: empty IN list must not crash; a newline inside the list
+    # body must not silently drop the values after it
+    assert _parse_where("x in ()") == ("x", "in", [])
+    assert _parse_where("x in (1,\n2)") == ("x", "in", [1, 2])
     with pytest.raises(SystemExit):
         _parse_where("col within (1,2)")
 
@@ -280,14 +284,51 @@ def test_file_lock_mutual_exclusion(tmp_path):
     assert got is not None and got.tolist() == want
 
 
-def test_file_lock_breaks_stale_lock(tmp_path):
+def test_file_lock_dead_holder_releases(tmp_path):
+    """flock semantics: a lock file left by a DEAD holder is acquirable
+    immediately (the kernel released the flock when the holder's fd
+    closed) — no staleness window, no age-based breaking.  The lock file
+    itself persists by design (unlink-while-locked would let a third
+    process lock a fresh inode at the same path)."""
     from parquet_hs_ray.state import fsio
 
     target = str(tmp_path / "x.bin")
     lockfile = target + ".lock"
     with open(lockfile, "w") as f:
-        f.write("999999")
-    os.utime(lockfile, (0, 0))  # ancient mtime -> stale
-    with fsio.file_lock(target, timeout=2.0, stale_after=60.0):
-        pass  # acquired by breaking the stale lock
-    assert not os.path.exists(lockfile)
+        f.write("999999")  # a dead process's leftover lock file
+    with fsio.file_lock(target, timeout=2.0):
+        pass  # acquired instantly — no 'stale' wait
+    assert os.path.exists(lockfile)  # file persists, by design
+
+
+def test_file_lock_kill9_holder_releases(tmp_path):
+    """A holder killed with SIGKILL mid-critical-section releases the
+    flock automatically; a waiter acquires within its timeout."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from parquet_hs_ray.state import fsio
+
+    target = str(tmp_path / "y.bin")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys, time; sys.path.insert(0, %r);"
+            "from parquet_hs_ray.state import fsio;"
+            "lk = fsio.file_lock(%r, timeout=5.0); lk.__enter__();"
+            "print('held', flush=True); time.sleep(60)" % (repo, target))],
+        stdout=subprocess.PIPE, text=True)
+    assert proc.stdout.readline().strip() == "held"
+    t0 = time.monotonic()
+    try:
+        with fsio.file_lock(target, timeout=0.3):
+            raise AssertionError("lock acquired while holder alive")
+    except TimeoutError:
+        pass
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+    with fsio.file_lock(target, timeout=5.0):
+        pass  # released by the kernel on holder death
+    assert time.monotonic() - t0 < 10

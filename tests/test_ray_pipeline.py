@@ -249,6 +249,27 @@ def test_encode_append_new_files(ray_session, f1_dir, tmp_path):
     assert decode_dataset(out).count() == 4000
 
 
+def test_tumbling_window_null_values_sum_as_zero(ray_session):
+    """r4 review: a null value in a (user, window) group must not poison
+    the group's sum with NaN — SQL SUM / pandas-skipna semantics (the
+    row still counts in n_events)."""
+    import pandas as pd
+    import ray.data
+
+    from parquet_hs_ray.pipelines.windows import tumbling_window
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [10, 20, 30],
+        "value": [1.5, None, None],
+    })
+    out = tumbling_window(ray.data.from_pandas(ev),
+                          window_us=100).to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["sum_value"].tolist() == [1.5, 0.0]
+
+
 def test_hopping_window_matches_pandas(ray_session):
     import ray.data
 

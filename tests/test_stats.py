@@ -832,8 +832,15 @@ def test_grouped_quantiles_cardinality_guard(ray_session):
     with pytest.raises(ValueError, match="sketch"):
         grouped_quantiles(ds, "k", "v", (0.5,))
     routed = grouped_quantiles(ds, "k", "v", (0.5,), id_col="rid")
-    rdf = routed if isinstance(routed, pd.DataFrame) else routed.to_pandas()
-    assert "p50_est" in rdf.columns and len(rdf) == 3
+    # the route is NOT a data-dependent API break: same return type
+    # (Dataset) and same column names as the exact path
+    assert isinstance(routed, ray.data.Dataset)
+    rdf = routed.to_pandas()
+    assert "p50" in rdf.columns and len(rdf) == 3
+    # routed values are KMV estimates: within sketch error of the truth
+    truth = cont.groupby("k")["v"].quantile(0.5)
+    for _, r in rdf.iterrows():
+        assert abs(r["p50"] - truth[r["k"]]) < 0.05
 
     disc = cont.assign(v=np.round(cont["v"], 1))  # 11 distinct values
     exact = grouped_quantiles(ray.data.from_pandas(disc), "k", "v",

@@ -66,6 +66,9 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracles.py [sf_dir] [query ...] "
+                     "[--json out.json] (--json needs a path)")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
