@@ -86,6 +86,7 @@ _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE, _ENC_BIT_PACKED = 0, 2, 3, 4
 _ENC_RLE_DICT = 8  # same data-page wire format as PLAIN_DICTIONARY
 _ENC_DELTA_BP, _ENC_DELTA_LEN_BA, _ENC_DELTA_BA = 5, 6, 7
+_ENC_BYTE_STREAM_SPLIT = 9
 
 
 def _decode_levels(buf: bytes, pos: int, n: int, max_level: int,
@@ -424,6 +425,21 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
                 raise ValueError("boolean RLE stream overran its length")
             vals = bits.astype(bool)
             p += 4 + rle_len
+        elif enc == _ENC_BYTE_STREAM_SPLIT:
+            # BYTE_STREAM_SPLIT (parquet-format Encodings.md): the values
+            # section is W byte-streams of n bytes each (stream j holds
+            # byte j of every value) — transpose back and reinterpret.
+            # Defined for fixed-width types; pyarrow writes it for
+            # FLOAT/DOUBLE (and INT32/INT64 since format 2.11)
+            if physical not in _PLAIN_FIXED:
+                raise ValueError(
+                    f"BYTE_STREAM_SPLIT on non-fixed-width type {physical}")
+            dt, w = _PLAIN_FIXED[physical]
+            nb = n_present * w
+            mat = np.frombuffer(body, dtype=np.uint8, count=nb,
+                                offset=p).reshape(w, n_present)
+            vals = np.ascontiguousarray(mat.T).reshape(-1).view(dt)
+            p += nb
         elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
             if dictionary is None:
                 raise ValueError("PLAIN_DICTIONARY page without dictionary page")

@@ -594,6 +594,53 @@ def test_parquet_pages_plain_types_fuzz_vs_pyarrow(seed, with_nulls,
 @given(st.integers(min_value=0, max_value=10**9), st.booleans(),
        st.sampled_from(["1.0", "2.0"]))
 @settings(max_examples=20, deadline=None)
+def test_parquet_pages_byte_stream_split_fuzz_vs_pyarrow(seed, with_nulls,
+                                                         page_version):
+    """BYTE_STREAM_SPLIT pages (float32/float64/int32/int64) written by
+    pyarrow decode identically through our kernels — the float-column
+    encoding the format added in 2.8/2.11 (byte-transposed streams);
+    another strict superset of the reference's PLAIN-only value path."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 300))
+
+    def maybe_null(vals, t):
+        if not with_nulls:
+            return pa.array(vals, t)
+        mask = rng.random(n) < 0.2
+        return pa.array([None if m else v for v, m in zip(vals, mask)], t)
+
+    tbl = pa.table({
+        "f32": maybe_null(rng.normal(0, 100, n).astype(np.float32).tolist(),
+                          pa.float32()),
+        "f64": maybe_null((rng.normal(0, 1, n) * 10.0**rng.integers(-3, 9)
+                           ).tolist(), pa.float64()),
+        "i32": maybe_null(rng.integers(-2**30, 2**30, n).tolist(),
+                          pa.int32()),
+        "i64": maybe_null(rng.integers(-2**60, 2**60, n).tolist(),
+                          pa.int64()),
+    })
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(
+            tbl, path, compression="NONE", use_dictionary=False,
+            version="2.6", data_page_version=page_version,
+            column_encoding={c: "BYTE_STREAM_SPLIT"
+                             for c in tbl.column_names})
+        ours = read_parquet_via_kernels(path)
+        theirs = pq.read_table(path)
+    for name in theirs.column_names:
+        assert ours[name].combine_chunks().equals(
+            theirs[name].combine_chunks()), name
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.booleans(),
+       st.sampled_from(["1.0", "2.0"]))
+@settings(max_examples=20, deadline=None)
 def test_parquet_pages_delta_encodings_fuzz_vs_pyarrow(seed, with_nulls,
                                                        page_version):
     """DELTA_BINARY_PACKED (int32+int64), DELTA_LENGTH_BYTE_ARRAY and
