@@ -185,7 +185,10 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
     files, each rewritten atomically when its bucket gains hashes — the
     seen-set never loads whole; an increment touches only the buckets its
     own hashes map to, and per-bucket work (sorted-array membership +
-    merge) is one Ray task.  At 100 TB a bucket row is hash + keeper id
+    merge) is one ``groupby("bucket").map_groups`` group running in the
+    cluster — the increment's (id, hash) rows shuffle straight to their
+    bucket's worker, and only SURVIVOR ids return to the driver (the old
+    shape concatenated every doc's hash row on the driver first).  At 100 TB a bucket row is hash + keeper id
     (16 B + the id rendered as a string, ~24-36 B/distinct doc) and
     ``n_buckets`` scales the rewrite granularity.
 
@@ -223,23 +226,29 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
                                  b"".join(x[:1] or b"\0" for x in h),
                                  dtype=np.uint8) % n_buckets})
 
-    hdf = pd.concat(
-        [b for b in new_docs.map_batches(
-            hashed, batch_format="pandas").iter_batches(batch_format="pandas")],
-        ignore_index=True) if new_docs.count() else pd.DataFrame(
-        {id_col: [], "h": [], "bucket": []})
-
-    @ray.remote(num_cpus=1)
-    def bucket_task(bucket_id: int, sub: pd.DataFrame):
-        # read-modify-write under the per-bucket flock: within one job
-        # each bucket is exactly one task, but two CONCURRENT increments
+    def merge_group(sub: pd.DataFrame) -> pd.DataFrame:
+        # one call per bucket (map_groups delivers whole groups), running
+        # IN the cluster — the increment's (id, hash) rows shuffle to
+        # their bucket's worker instead of concatenating on the driver.
+        # Read-modify-write under the per-bucket flock: within one job
+        # each bucket is exactly one group, but two CONCURRENT increments
         # against the same state_dir would otherwise both read the old
         # file and the last rename would drop the other's hashes (on
         # non-local fs the lock is a no-op — there the caller must run
         # increments against a state_dir one at a time)
+        bucket_id = int(sub["bucket"].iloc[0])
         with fsio.file_lock(fsio.join(state_dir, f"bucket-{bucket_id:04d}"),
                             filesystem):
-            return _bucket_merge(bucket_id, sub)
+            keep_ids = _bucket_merge(bucket_id, sub)
+        if len(keep_ids) == 0:
+            # sentinel so buckets_touched still counts all-duplicate
+            # buckets (kept=False rows are dropped before the filter)
+            return pd.DataFrame({id_col: sub[id_col].iloc[:1],
+                                 "bucket": np.int64(bucket_id),
+                                 "kept": False})
+        return pd.DataFrame({id_col: keep_ids,
+                             "bucket": np.full(len(keep_ids), bucket_id),
+                             "kept": True})
 
     def _bucket_merge(bucket_id: int, sub: pd.DataFrame):
         path = fsio.join(state_dir, f"bucket-{bucket_id:04d}.parquet")
@@ -279,11 +288,17 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
             fsio.write_atomic(path, buf.getvalue(), filesystem)
         return keep_ids
 
-    tasks = [bucket_task.remote(int(b), sub[[id_col, "h"]])
-             for b, sub in hdf.groupby("bucket")]
-    keep = (np.concatenate(ray.get(tasks)) if tasks
-            else np.empty(0, dtype=np.int64))
-    keep_ref = ray.put(np.sort(keep))
+    n_in = int(new_docs.count())
+    if n_in:
+        kept_df = (new_docs.map_batches(hashed, batch_format="pandas")
+                   .groupby("bucket")
+                   .map_groups(merge_group, batch_format="pandas")
+                   .to_pandas())  # survivor ids (+ per-bucket sentinels)
+    else:
+        kept_df = pd.DataFrame({id_col: [], "bucket": [], "kept": []})
+    n_buckets_touched = int(kept_df["bucket"].nunique())
+    keep = np.sort(kept_df[id_col][kept_df["kept"].astype(bool)].to_numpy())
+    keep_ref = ray.put(keep)
 
     def filt(t: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
@@ -293,6 +308,6 @@ def incremental_dedup(new_docs: "ray.data.Dataset", state_dir: str,
                                  value_set=pa.array(ids, t[id_col].type)))
 
     out = new_docs.map_batches(filt, batch_format="pyarrow")
-    info = {"n_in": int(new_docs.count()), "n_kept": int(len(keep)),
-            "buckets_touched": int(hdf["bucket"].nunique()) if len(hdf) else 0}
+    info = {"n_in": n_in, "n_kept": int(len(keep)),
+            "buckets_touched": n_buckets_touched}
     return out, info
