@@ -27,11 +27,23 @@ kernels:
   for chains of OPTIONAL+REPEATED levels (Spark 3-level list encoding, the
   shape of the reference's integration fixture).
 
-Scope mirrors the reference's — PLAIN / PLAIN_DICTIONARY only, INT64 /
-BYTE_ARRAY leaves — EXCEPT compression, where this reader is a strict
-superset: SNAPPY / GZIP / ZSTD / BROTLI pages decompress via pyarrow's
-bundled codecs (the reference rejects everything but UNCOMPRESSED,
-`validateCompression`, Stream/Reader.hs:316-322).
+Scope STARTED as the reference's — PLAIN / PLAIN_DICTIONARY, INT64 /
+BYTE_ARRAY leaves — and is now a strict superset on every axis the
+reference errors on:
+
+- compression: SNAPPY / GZIP / ZSTD / BROTLI pages decompress via
+  pyarrow's bundled codecs (the reference rejects everything but
+  UNCOMPRESSED, `validateCompression`, Stream/Reader.hs:316-322).
+- physical types: ALL of them — INT32 / FLOAT / DOUBLE / BOOLEAN,
+  FIXED_LEN_BYTE_ARRAY (decimal128 big-endian two's-complement,
+  fixed-size binary, float16) and deprecated INT96 timestamps
+  (Julian-day + nanos-of-day → epoch ns), where the reference errors
+  with "Don't know how to decode value of type ... yet"
+  (Stream/Reader.hs:205-209).
+- value encodings: DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+  DELTA_BYTE_ARRAY (declared in the reference's enum universe,
+  Types/Enums.hs:70-79, never implemented there), BYTE_STREAM_SPLIT
+  (fixed-width AND FLBA), and boolean RLE value pages.
 """
 
 from __future__ import annotations
@@ -148,12 +160,30 @@ class ByteArrayValues:
         )
 
     def to_arrow(self, t: pa.DataType) -> pa.Array:
+        n = len(self.lens)
+        data = np.ascontiguousarray(self.data)
+        if pa.types.is_fixed_size_binary(t):
+            return pa.Array.from_buffers(t, n, [None, pa.py_buffer(data)])
+        if pa.types.is_decimal128(t):
+            # Parquet FLBA decimals are big-endian two's-complement of
+            # `length` bytes; Arrow decimal128 storage is 16-byte
+            # little-endian.  Byte-reverse + sign-extend, all vectorized.
+            w = int(self.lens[0]) if n else 16
+            mat = data.reshape(n, w)
+            out = np.zeros((n, 16), dtype=np.uint8)
+            out[:, :w] = mat[:, ::-1]
+            if w < 16:
+                out[mat[:, 0] >= 0x80, w:] = 0xFF
+            return pa.Array.from_buffers(t, n, [None, pa.py_buffer(out)])
+        if pa.types.is_float16(t):
+            # float16 logical type = FLBA(2), little-endian IEEE half
+            return pa.array(data.view("<f2"), type=t)
         big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
         off_dt = np.int64 if big else np.int32
         offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(self.lens)]).astype(off_dt)
         return pa.Array.from_buffers(
-            t, len(self.lens),
-            [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(self.data))],
+            t, n,
+            [None, pa.py_buffer(offsets), pa.py_buffer(data)],
         )
 
     def tolist(self) -> list[bytes]:
@@ -172,11 +202,33 @@ _PLAIN_FIXED = {"INT64": ("<i8", 8), "INT32": ("<i4", 4),
                 "FLOAT": ("<f4", 4), "DOUBLE": ("<f8", 8)}
 
 
-def _decode_plain_values(buf: bytes, pos: int, n: int, physical: str):
+def _decode_plain_values(buf: bytes, pos: int, n: int, physical: str,
+                         type_length: int = 0):
     if physical in _PLAIN_FIXED:
         dt, w = _PLAIN_FIXED[physical]
         vals = np.frombuffer(buf, dtype=dt, count=n, offset=pos)
         return vals, pos + w * n
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        # Constant-width byte arrays (decimal128 / float16 / UUID carriers):
+        # one contiguous slab, widths from the schema's type_length
+        if type_length <= 0:
+            raise ValueError("FIXED_LEN_BYTE_ARRAY needs a type_length")
+        nb = n * type_length
+        data = np.frombuffer(buf, dtype=np.uint8, count=nb, offset=pos).copy()
+        return ByteArrayValues(np.full(n, type_length, dtype=np.int64),
+                               data), pos + nb
+    if physical == "INT96":
+        # Deprecated 12-byte timestamps (legacy Spark/Impala): 8 bytes
+        # little-endian nanos-of-day + 4 bytes little-endian Julian day.
+        # Converted here to epoch nanoseconds (what pyarrow reads them as).
+        nb = n * 12
+        mat = np.frombuffer(buf, dtype=np.uint8, count=nb,
+                            offset=pos).reshape(n, 12)
+        nanos = np.ascontiguousarray(mat[:, :8]).view("<u8").reshape(n)
+        jday = np.ascontiguousarray(mat[:, 8:12]).view("<u4").reshape(n)
+        ns = ((jday.astype(np.int64) - 2440588) * 86_400_000_000_000
+              + nanos.astype(np.int64))
+        return ns, pos + nb
     if physical == "BOOLEAN":
         # PLAIN booleans are bit-packed LSB-first, one bit per value
         nbytes = (n + 7) // 8
@@ -322,8 +374,10 @@ def read_column_chunk_values(path: str, row_group: int, column: int):
         fh.seek(start)
         chunk = fh.read(meta.total_compressed_size)
 
+    tl = leaf.length if meta.physical_type == "FIXED_LEN_BYTE_ARRAY" else 0
     rep, dfl, vals = decode_column_chunk_pages(chunk, meta.num_values, meta.physical_type,
-                                              max_rep, max_def, codec=codec)
+                                              max_rep, max_def, codec=codec,
+                                              type_length=tl)
     return rep, dfl, vals, max_rep, max_def
 
 
@@ -342,7 +396,8 @@ def _decode_levels_v2(buf: bytes, pos: int, byte_len: int, n: int,
 
 
 def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
-                              max_rep: int, max_def: int, codec=None):
+                              max_rep: int, max_def: int, codec=None,
+                              type_length: int = 0):
     """Page loop over one column chunk's raw bytes -> (rep, def, values).
     V1 level encodings come from the DataPageHeader
     (definition_level_encoding = field 3, repetition_level_encoding =
@@ -369,7 +424,8 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
             body = codec.decompress(body, header[2]).to_pybytes()
         if ptype == _PAGE_DICT:
             dph = header[7]
-            dictionary, _ = _decode_plain_values(body, 0, dph[1], physical)
+            dictionary, _ = _decode_plain_values(body, 0, dph[1], physical,
+                                                 type_length)
             continue
         if ptype == _PAGE_DATA:
             dph = header[5]
@@ -398,7 +454,8 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
             raise ValueError(f"unsupported page type {ptype}")
         n_present = int(np.count_nonzero(dfl == max_def))
         if enc == _ENC_PLAIN:
-            vals, p = _decode_plain_values(body, p, n_present, physical)
+            vals, p = _decode_plain_values(body, p, n_present, physical,
+                                           type_length)
         elif enc == _ENC_DELTA_BP:
             if physical not in ("INT32", "INT64"):
                 raise ValueError(
@@ -431,14 +488,22 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
             # byte j of every value) — transpose back and reinterpret.
             # Defined for fixed-width types; pyarrow writes it for
             # FLOAT/DOUBLE (and INT32/INT64 since format 2.11)
-            if physical not in _PLAIN_FIXED:
+            if physical == "FIXED_LEN_BYTE_ARRAY" and type_length > 0:
+                dt, w = None, type_length
+            elif physical in _PLAIN_FIXED:
+                dt, w = _PLAIN_FIXED[physical]
+            else:
                 raise ValueError(
                     f"BYTE_STREAM_SPLIT on non-fixed-width type {physical}")
-            dt, w = _PLAIN_FIXED[physical]
             nb = n_present * w
             mat = np.frombuffer(body, dtype=np.uint8, count=nb,
                                 offset=p).reshape(w, n_present)
-            vals = np.ascontiguousarray(mat.T).reshape(-1).view(dt)
+            flat = np.ascontiguousarray(mat.T).reshape(-1)
+            if dt is None:
+                vals = ByteArrayValues(
+                    np.full(n_present, w, dtype=np.int64), flat)
+            else:
+                vals = flat.view(dt)
             p += nb
         elif enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
             if dictionary is None:

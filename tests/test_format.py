@@ -687,3 +687,87 @@ def test_parquet_pages_delta_encodings_fuzz_vs_pyarrow(seed, with_nulls,
     for name in theirs.column_names:
         assert ours[name].combine_chunks().equals(
             theirs[name].combine_chunks()), name
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.booleans(),
+       st.booleans(), st.sampled_from(["1.0", "2.0"]),
+       st.sampled_from(["NONE", "snappy"]))
+@settings(max_examples=20, deadline=None)
+def test_parquet_pages_flba_int96_fuzz_vs_pyarrow(seed, with_nulls,
+                                                  use_dict, page_version,
+                                                  compression):
+    """FIXED_LEN_BYTE_ARRAY carriers (decimal128 small+max precision,
+    fixed-size binary, float16) and deprecated INT96 timestamps decode
+    bit-identically through our page kernels — the remaining real-world
+    physical types beyond the reference's INT64/BYTE_ARRAY world
+    (Stream/Reader.hs:205-209 errors on them), covering legacy
+    Spark/Impala files (INT96) and decimal-heavy warehouse exports."""
+    import datetime
+    import decimal
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 120))
+
+    def maybe_null(vals, t):
+        if not with_nulls:
+            return pa.array(vals, t)
+        mask = rng.random(n) < 0.25
+        return pa.array([None if m else v for v, m in zip(vals, mask)], t)
+
+    epoch = datetime.datetime(1995, 5, 17)
+    tbl = pa.table({
+        "dec": maybe_null([decimal.Decimal(int(v)).scaleb(-2)
+                           for v in rng.integers(-10**12, 10**12, n)],
+                          pa.decimal128(14, 2)),
+        "bigdec": maybe_null([decimal.Decimal(int(v)) * 10**15
+                              for v in rng.integers(-10**17, 10**17, n)],
+                             pa.decimal128(38, 0)),
+        "fsb": maybe_null([bytes(rng.integers(0, 256, 5, dtype=np.uint8))
+                           for _ in range(n)], pa.binary(5)),
+        "f16": maybe_null(list(rng.normal(0, 10, n).astype(np.float16)),
+                          pa.float16()),
+        "ts96": maybe_null([epoch + datetime.timedelta(
+                                seconds=int(s), microseconds=int(u))
+                            for s, u in zip(rng.integers(0, 10**9, n),
+                                            rng.integers(0, 10**6, n))],
+                           pa.timestamp("us")),
+    })
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(tbl, path, compression=compression,
+                       use_dictionary=use_dict,
+                       version="2.6" if page_version == "2.0" else "1.0",
+                       data_page_version=page_version,
+                       use_deprecated_int96_timestamps=True)
+        ours = read_parquet_via_kernels(path)
+        theirs = pq.read_table(path)
+    for name in theirs.column_names:
+        assert ours[name].combine_chunks().equals(
+            theirs[name].combine_chunks()), name
+
+
+def test_parquet_pages_byte_stream_split_flba():
+    """BYTE_STREAM_SPLIT over a FIXED_LEN_BYTE_ARRAY column (float16):
+    the format-2.11 extension of BSS to fixed-width byte arrays."""
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    rng = np.random.default_rng(7)
+    tbl = pa.table({"f16": pa.array(rng.normal(0, 1, 200).astype(np.float16),
+                                    pa.float16())})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(tbl, path, compression="NONE", use_dictionary=False,
+                       version="2.6",
+                       column_encoding={"f16": "BYTE_STREAM_SPLIT"})
+        ours = read_parquet_via_kernels(path)
+        theirs = pq.read_table(path)
+    assert ours["f16"].combine_chunks().equals(
+        theirs["f16"].combine_chunks())
