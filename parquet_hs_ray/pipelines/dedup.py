@@ -104,7 +104,8 @@ def _bucket_pairs_frame(ids: np.ndarray, cap: int = BUCKET_PAIR_CAP) -> pd.DataF
 
 def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: int = 3,
                             bucket_cap: int = BUCKET_PAIR_CAP,
-                            shingler=None) -> "ray.data.Dataset":
+                            shingler=None,
+                            small_rows: int = 2_000_000) -> "ray.data.Dataset":
     """LSH candidate pairs (a < b), deduplicated across bands.
 
     Columns: a, b, n_bands_hit, giant (1 = produced by the star fallback of
@@ -115,7 +116,16 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
     ONE sort on (band, bandhash), then per-BLOCK vectorized segment pairs
     for groups fully interior to a block, plus a tiny second pass (the
     sessionize junction pattern) that re-groups only each block's first
-    and last key — the only groups that can straddle a block boundary."""
+    and last key — the only groups that can straddle a block boundary.
+
+    The two remaining wide ops (edge-row grouping, cross-band pair dedup)
+    are ADAPTIVE: both streams are usually minuscule (edge rows ~2
+    segments/block; pairs ~O(duplicates), not O(corpus)), and a Ray
+    sort-shuffle costs ~0.7s of fixed scheduling however small the data —
+    so below ``small_rows`` they coalesce to one block and dedup with a
+    local pandas groupby (identical semantics), and above it the
+    shuffle-based path runs unchanged.  At sf0.1 this halves the
+    candidate phase; at 100 TB a giant pair stream takes the shuffle."""
     bands = docs.map_batches(
         lambda b: _sig_batch(b, n_bands, ngram, shingler), batch_format="pandas"
     )
@@ -166,9 +176,45 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
     interior = srt.map_batches(interior_pairs, batch_format="pandas", batch_size=None,
                                zero_copy_batch=True)
     edges = srt.map_batches(edge_rows, batch_format="pandas", batch_size=None,
-                            zero_copy_batch=True)
-    edge_pairs = edges.groupby(["band", "bandhash"]).map_groups(bucket_pairs,
-                                                                batch_format="pandas")
+                            zero_copy_batch=True).materialize()
+
+    # ``small_rows``: rows below which a stream is cheaper to coalesce +
+    # group locally than to sort-shuffle (~50 MB of (a, b, giant) int64s
+    # at the default cap)
+
+    def bucket_pairs_local(g: pd.DataFrame) -> pd.DataFrame:
+        # one task, all straddling groups: local groupby, same semantics
+        # as the distributed map_groups branch
+        if not len(g):
+            return _empty_pairs
+        return pd.concat([bucket_pairs(grp) for _, grp in
+                          g.groupby(["band", "bandhash"], sort=False)]) \
+            if len(g) else _empty_pairs
+
+    if edges.count() <= small_rows:
+        edge_pairs = edges.repartition(1).map_batches(
+            bucket_pairs_local, batch_format="pandas", batch_size=None)
+    else:
+        edge_pairs = edges.groupby(["band", "bandhash"]).map_groups(
+            bucket_pairs, batch_format="pandas")
+
+    pairs = interior.union(edge_pairs).materialize()
+
+    def dedup_pairs_local(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"a": g.get("a", _empty_pairs["a"]),
+                                 "b": g.get("b", _empty_pairs["b"]),
+                                 "n_bands_hit": pd.Series([], dtype=np.int64),
+                                 "giant": pd.Series([], dtype=np.int64)})
+        agg = g.groupby(["a", "b"], sort=False).agg(
+            n_bands_hit=("giant", "size"), giant=("giant", "max"))
+        return agg.reset_index().astype({"n_bands_hit": np.int64,
+                                         "giant": np.int64})
+
+    if pairs.count() <= small_rows:
+        return pairs.repartition(1).map_batches(
+            dedup_pairs_local, batch_format="pandas", batch_size=None)
+
     # coalesce the pair stream before the aggregate: LSH pairs are sparse,
     # but the union inherits one block per upstream sorted block, and the
     # sort-based shuffle emits one OUTPUT partition per INPUT block — a few
@@ -178,7 +224,7 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
     # merges, so use a block count proportional to the corpus: ~16 sorted
     # corpus blocks' worth of pairs per partition at any scale.)
     pair_blocks = max(2, srt.num_blocks() // 16)
-    pairs = interior.union(edge_pairs).repartition(pair_blocks)
+    pairs = pairs.repartition(pair_blocks)
     from ray.data.aggregate import Count, Max
 
     return (

@@ -56,6 +56,37 @@ def test_minhash_finds_planted_dups(ray_session):
     assert not any(3 in p for p in got)
 
 
+def test_minhash_candidate_branches_agree(ray_session):
+    """The adaptive local-dedup path (pairs coalesced to one block) and
+    the shuffle path (small_rows=0 forces groupby/aggregate) produce the
+    identical candidate set with identical n_bands_hit / giant flags."""
+    import ray.data
+
+    from parquet_hs_ray.pipelines.dedup import minhash_candidate_pairs
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(400)]
+    rows = []
+    for d in range(60):
+        base = " ".join(rng.choice(words, 80))
+        rows.append({"doc_id": 2 * d, "text": base})
+        # near-dup twin for even d
+        if d % 2 == 0:
+            rows.append({"doc_id": 2 * d + 1,
+                         "text": base.replace(base.split()[3], "zz", 1)})
+    ds = ray.data.from_items(rows).repartition(8)
+
+    def run(small_rows):
+        out = minhash_candidate_pairs(ds, small_rows=small_rows).to_pandas()
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    local, shuffled = run(2_000_000), run(0)
+    assert len(local) > 0
+    pd.testing.assert_frame_equal(
+        local[["a", "b", "n_bands_hit", "giant"]].astype(np.int64),
+        shuffled[["a", "b", "n_bands_hit", "giant"]].astype(np.int64))
+
+
 def test_simhash_finds_planted_dups(ray_session):
     import ray.data
 
