@@ -188,8 +188,7 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", n_bands: int = 16, ngram: 
         if not len(g):
             return _empty_pairs
         return pd.concat([bucket_pairs(grp) for _, grp in
-                          g.groupby(["band", "bandhash"], sort=False)]) \
-            if len(g) else _empty_pairs
+                          g.groupby(["band", "bandhash"], sort=False)])
 
     if edges.count() <= small_rows:
         edge_pairs = edges.repartition(1).map_batches(

@@ -165,15 +165,28 @@ class ByteArrayValues:
         if pa.types.is_fixed_size_binary(t):
             return pa.Array.from_buffers(t, n, [None, pa.py_buffer(data)])
         if pa.types.is_decimal128(t):
-            # Parquet FLBA decimals are big-endian two's-complement of
-            # `length` bytes; Arrow decimal128 storage is 16-byte
-            # little-endian.  Byte-reverse + sign-extend, all vectorized.
-            w = int(self.lens[0]) if n else 16
-            mat = data.reshape(n, w)
+            # Parquet FLBA *and* variable-length BYTE_ARRAY decimals are
+            # big-endian two's-complement (BYTE_ARRAY carriers may use a
+            # different minimal width per value — parquet-java/Avro do);
+            # Arrow decimal128 storage is 16-byte little-endian.
+            # Ragged byte-reverse + sign-extend, all vectorized.
+            lens = self.lens.astype(np.int64)
+            if n and lens.max() > 16:
+                raise ValueError(
+                    f"decimal byte width {int(lens.max())} > 16")
             out = np.zeros((n, 16), dtype=np.uint8)
-            out[:, :w] = mat[:, ::-1]
-            if w < 16:
-                out[mat[:, 0] >= 0x80, w:] = 0xFF
+            if n:
+                offs = np.concatenate([np.zeros(1, np.int64),
+                                       np.cumsum(lens)])
+                total = int(offs[-1])
+                row = np.repeat(np.arange(n), lens)
+                within = np.arange(total) - np.repeat(offs[:-1], lens)
+                out[row, np.repeat(lens, lens) - 1 - within] = data[:total]
+                neg = np.zeros(n, dtype=bool)
+                nz = lens > 0
+                neg[nz] = data[offs[:-1][nz]] >= 0x80
+                ext = (np.arange(16)[None, :] >= lens[:, None]) & neg[:, None]
+                out[ext] = 0xFF
             return pa.Array.from_buffers(t, n, [None, pa.py_buffer(out)])
         if pa.types.is_float16(t):
             # float16 logical type = FLBA(2), little-endian IEEE half
@@ -251,8 +264,9 @@ def _decode_plain_values(buf: bytes, pos: int, n: int, physical: str,
 
         data = np.frombuffer(buf, dtype=np.uint8)
         return ByteArrayValues(lens, data[_ragged_indices(starts, lens)]), pos
-    raise ValueError(f"unsupported physical type {physical} "
-                     "(INT32/INT64/FLOAT/DOUBLE/BOOLEAN/BYTE_ARRAY)")
+    raise ValueError(
+        f"unsupported physical type {physical} (INT32/INT64/FLOAT/DOUBLE/"
+        "BOOLEAN/BYTE_ARRAY/FIXED_LEN_BYTE_ARRAY/INT96)")
 
 
 def _decode_delta_binary_packed(buf: bytes, pos: int, n: int
@@ -541,6 +555,19 @@ def assemble_optional_list_chain(rep, dfl, values, depth: int, n_records: int, v
     Vectorized offsets/validity construction, no per-record interpreter."""
     if isinstance(values, ByteArrayValues):
         arr = values.to_arrow(value_type)
+    elif (pa.types.is_decimal128(value_type)
+          and isinstance(values, np.ndarray)
+          and np.issubdtype(values.dtype, np.integer)):
+        # INT32/INT64-backed parquet decimals (duckdb/Spark store
+        # precision<=9 / <=18 this way): the ints are UNSCALED —
+        # pa.array(ints, decimal) would multiply by 10^scale, so build
+        # the 16-byte little-endian storage directly.
+        v = np.ascontiguousarray(values.astype("<i8"))
+        out = np.zeros((len(v), 16), dtype=np.uint8)
+        out[:, :8] = v.view(np.uint8).reshape(len(v), 8)
+        out[v < 0, 8:] = 0xFF
+        arr = pa.Array.from_buffers(value_type, len(v),
+                                    [None, pa.py_buffer(out)])
     else:
         arr = pa.array(values if isinstance(values, list) else values.tolist(), value_type)
     rep = np.asarray(rep, dtype=np.int64)
