@@ -612,24 +612,114 @@ def assemble_optional_list_chain(rep, dfl, values, depth: int, n_records: int, v
     return out
 
 
+def _scatter_leaf(dfl: np.ndarray, vals, max_def: int,
+                  leaf_type: pa.DataType) -> pa.Array:
+    """Full-length leaf array from def levels + present-only values
+    (non-repeated column): value at slot i iff dfl[i] == max_def."""
+    if isinstance(vals, ByteArrayValues):
+        arr = vals.to_arrow(leaf_type)
+    else:
+        arr = pa.array(vals if isinstance(vals, list) else vals.tolist(),
+                       leaf_type)
+    n = len(dfl)
+    present = dfl == max_def
+    taken = int(np.count_nonzero(present))
+    if taken == n:
+        return arr
+    idx = np.full(n, -1, dtype=np.int64)
+    idx[present] = np.arange(taken)
+    return arr.take(pa.array([int(i) if i >= 0 else None for i in idx],
+                             pa.int64()))
+
+
+def _assemble_struct(field: pa.Field, leaves: list, d_self: int) -> pa.Array:
+    """Dremel inverse for a NON-REPEATED struct tree (structs of
+    primitives / nested structs; every rep level 0).  ``leaves`` is the
+    depth-first list of (dfl, vals, max_def, leaf_arrow_type) for this
+    subtree; ``d_self`` counts OPTIONAL nodes on the path root..self.
+    A node is present at slot i iff def[i] >= d_self; a leaf value
+    exists iff def[i] == its max_def.  The reference's instruction
+    machinery (Reader.hs:461-537) never handles groups beyond its list
+    fixture — struct assembly is a strict superset."""
+    t = field.type
+    if pa.types.is_struct(t):
+        children = []
+        cursor = 0
+        first_dfl = leaves[0][0]
+        for child in t:
+            n_leaves = _count_leaves(child.type)
+            sub = leaves[cursor:cursor + n_leaves]
+            cursor += n_leaves
+            children.append(_assemble_struct(
+                child, sub, d_self + (1 if child.nullable else 0)))
+        valid = first_dfl >= d_self
+        mask = None if valid.all() else pa.array(~valid)
+        return pa.StructArray.from_arrays(
+            children, fields=list(t), mask=mask)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        raise NotImplementedError(
+            "lists nested inside struct columns are not supported by the "
+            "kernel page path (use the engine's pyarrow read)")
+    dfl, vals, max_def, _ = leaves[0]
+    if max_def != d_self:
+        raise ValueError(
+            f"def-level mismatch for {field.name}: schema walk gives "
+            f"{d_self}, footer says {max_def}")
+    return _scatter_leaf(dfl, vals, max_def, t)
+
+
+def _count_leaves(t: pa.DataType) -> int:
+    if pa.types.is_struct(t):
+        return sum(_count_leaves(f.type) for f in t)
+    return 1
+
+
 def read_parquet_via_kernels(path: str) -> pa.Table:
     """Decode a whole (reference-scope) parquet file through our kernels."""
     f = pq.ParquetFile(path)
     schema = f.schema_arrow
-    n_records = f.metadata.num_rows
-    cols = {}
+    # group parquet leaf columns under their top-level field, in order
+    leaf_groups: dict[str, list[int]] = {}
     for ci in range(f.metadata.num_columns):
         name = f.metadata.schema.column(ci).path.split(".")[0]
-        t = schema.field(name).type
-        depth = 0
-        vt = t
-        while pa.types.is_list(vt):
-            depth += 1
-            vt = vt.value_type
+        leaf_groups.setdefault(name, []).append(ci)
+    cols = {}
+    for name in schema.names:
+        field = schema.field(name)
+        t = field.type
+        idxs = leaf_groups[name]
         parts = []
-        for rg in range(f.num_row_groups):
-            rep, dfl, vals, max_rep, max_def = read_column_chunk_values(path, rg, ci)
-            n_rg = f.metadata.row_group(rg).num_rows
-            parts.append(assemble_optional_list_chain(rep, dfl, vals, depth, n_rg, vt))
+        if pa.types.is_struct(t):
+            for rg in range(f.num_row_groups):
+                leaves = []
+                for ci in idxs:
+                    rep, dfl, vals, max_rep, max_def = \
+                        read_column_chunk_values(path, rg, ci)
+                    if max_rep:
+                        raise NotImplementedError(
+                            "repeated fields inside struct columns are not "
+                            "supported by the kernel page path")
+                    lt = f.metadata.schema.column(ci)
+                    leaves.append((np.asarray(dfl, dtype=np.int64), vals,
+                                   max_def, lt))
+                # leaf arrow types come from the struct tree itself
+                parts.append(_assemble_struct(
+                    field, [(d, v, m, None) for d, v, m, _ in leaves],
+                    1 if field.nullable else 0))
+        else:
+            if len(idxs) != 1:
+                raise NotImplementedError(
+                    f"column {name}: nested group shape with {len(idxs)} "
+                    "leaves is not supported by the kernel page path")
+            ci = idxs[0]
+            depth = 0
+            vt = t
+            while pa.types.is_list(vt):
+                depth += 1
+                vt = vt.value_type
+            for rg in range(f.num_row_groups):
+                rep, dfl, vals, max_rep, max_def = read_column_chunk_values(path, rg, ci)
+                n_rg = f.metadata.row_group(rg).num_rows
+                parts.append(assemble_optional_list_chain(rep, dfl, vals, depth, n_rg, vt))
         cols[name] = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
     return pa.table(cols)
