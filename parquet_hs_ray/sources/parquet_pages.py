@@ -21,11 +21,12 @@ kernels:
 - values: PLAIN INT64 / BYTE_ARRAY (`decodeValue`, `:190-209`) and
   PLAIN_DICTIONARY (1-byte bit width + hybrid indexes, `:148-155`);
   nulls consume no index (`construct_dict_values`, `:163-182`).
-- record assembly to Arrow lists from rep/def levels — the Dremel inverse
+- record assembly to Arrow from rep/def levels — the Dremel inverse
   (`generateInstructions`/`mkInstructions`, `/root/reference/src/Parquet/
-  Reader.hs:369-537`) collapsed to vectorized offset/validity construction
-  for chains of OPTIONAL+REPEATED levels (Spark 3-level list encoding, the
-  shape of the reference's integration fixture).
+  Reader.hs:369-537`) generalized to vectorized offset/validity
+  construction over ARBITRARY schema trees (`_construct_node`): lists,
+  large lists, structs, maps and any interleaving — strictly more than
+  the reference's list fixture.
 
 Scope STARTED as the reference's — PLAIN / PLAIN_DICTIONARY, INT64 /
 BYTE_ARRAY leaves — and is now a strict superset on every axis the
@@ -44,6 +45,10 @@ reference errors on:
   DELTA_BYTE_ARRAY (declared in the reference's enum universe,
   Types/Enums.hs:70-79, never implemented there), BYTE_STREAM_SPLIT
   (fixed-width AND FLBA), and boolean RLE value pages.
+- record shapes: nested struct trees, list<struct>, struct<list>, maps
+  and deeper interleavings assemble through the general Dremel inverse
+  (fuzzed vs pyarrow); the reference's machinery handles only its own
+  3-level list fixture.
 """
 
 from __future__ import annotations
@@ -544,20 +549,12 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
     return rep, dfl, vals
 
 
-def assemble_optional_list_chain(rep, dfl, values, depth: int, n_records: int, value_type=pa.int64()):
-    """Dremel inverse for a chain of ``depth`` OPTIONAL+REPEATED list levels
-    over an OPTIONAL leaf (Spark 3-level list encoding). Definition-level
-    semantics (mirroring `mkInstructions`, `/root/reference/src/Parquet/
-    Reader.hs:461-537`): a position is a *slot* at nesting level l iff
-    ``rep <= l`` (starts a new level-l element) and ``def >= 2l`` (some
-    ancestor didn't cut the path short); the level-l value is non-null iff
-    ``def >= 2l+1``; a level-l list is non-empty iff ``def >= 2l+2``.
-    Vectorized offsets/validity construction, no per-record interpreter."""
+def _leaf_values_to_arrow(values, t: pa.DataType) -> pa.Array:
+    """Present-only leaf values -> Arrow array of the leaf's arrow type."""
     if isinstance(values, ByteArrayValues):
-        arr = values.to_arrow(value_type)
-    elif (pa.types.is_decimal128(value_type)
-          and isinstance(values, np.ndarray)
-          and np.issubdtype(values.dtype, np.integer)):
+        return values.to_arrow(t)
+    if (pa.types.is_decimal128(t) and isinstance(values, np.ndarray)
+            and np.issubdtype(values.dtype, np.integer)):
         # INT32/INT64-backed parquet decimals (duckdb/Spark store
         # precision<=9 / <=18 this way): the ints are UNSCALED —
         # pa.array(ints, decimal) would multiply by 10^scale, so build
@@ -566,64 +563,117 @@ def assemble_optional_list_chain(rep, dfl, values, depth: int, n_records: int, v
         out = np.zeros((len(v), 16), dtype=np.uint8)
         out[:, :8] = v.view(np.uint8).reshape(len(v), 8)
         out[v < 0, 8:] = 0xFF
-        arr = pa.Array.from_buffers(value_type, len(v),
-                                    [None, pa.py_buffer(out)])
-    else:
-        arr = pa.array(values if isinstance(values, list) else values.tolist(), value_type)
-    rep = np.asarray(rep, dtype=np.int64)
-    dfl = np.asarray(dfl, dtype=np.int64)
+        return pa.Array.from_buffers(t, len(v), [None, pa.py_buffer(out)])
+    return pa.array(values if isinstance(values, list) else values.tolist(), t)
 
-    def construct(level: int):
-        slots = np.flatnonzero((rep <= level) & (dfl >= 2 * level))
-        slot_def = dfl[slots]
-        if level == depth:
-            present = slot_def >= 2 * depth + 1
-            taken = int(np.count_nonzero(present))
-            n = len(slots)
-            vals_slice = arr.slice(0, 0)
-            # leaf values are consumed in stream order by present slots
-            construct.cursor_vals = getattr(construct, "cursor_vals", 0)
-            vals_slice = arr.slice(construct.cursor_vals, taken)
-            construct.cursor_vals += taken
-            if taken == n:
-                return vals_slice, slots
-            idx = np.full(n, -1, dtype=np.int64)
-            idx[present] = np.arange(taken)
-            scattered = vals_slice.take(
-                pa.array([int(i) if i >= 0 else None for i in idx], pa.int64())
-            )
-            return scattered, slots
-        child, child_slots = construct(level + 1)
-        non_null = slot_def >= 2 * level + 1
-        parent_of_child = np.searchsorted(slots, child_slots, side="right") - 1
+
+def _leaf_count(t: pa.DataType) -> int:
+    """Number of parquet leaf columns under an arrow type."""
+    if pa.types.is_struct(t):
+        return sum(_leaf_count(f.type) for f in t)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _leaf_count(t.value_type)
+    if pa.types.is_map(t):
+        return _leaf_count(t.key_type) + _leaf_count(t.item_type)
+    return 1
+
+
+def _construct_node(t: pa.DataType, nullable: bool, r: int, d_slot: int,
+                    d_par: int, leaves: list) -> pa.Array:
+    """General Dremel inverse over one schema-tree node.
+
+    ``leaves`` is the depth-first list of this subtree's parquet leaf
+    streams, each ``(rep, def, values, max_def)`` (rep/def int64 arrays
+    over the whole stream; values present-only).  ``r`` is the node's
+    repetition level; ``d_slot`` the definition level at which a stream
+    position materializes a SLOT of this node (for struct children this
+    equals the struct's own d_slot — Arrow struct children carry an
+    entry even under a null struct); ``d_par`` the definition level
+    meaning "every optional ancestor is present".  Semantics (the
+    generalization of the reference's `mkInstructions`,
+    `/root/reference/src/Parquet/Reader.hs:461-537`, which only handles
+    its list fixture):
+
+    - a stream position is a *slot* of this node iff ``rep <= r`` (it
+      starts a new instance at this level) and ``def >= d_slot``;
+    - the node is non-null at a slot iff ``def >= d_def`` where
+      ``d_def = d_par + 1`` for optional nodes (``= d_par`` if required);
+    - a list/map has an element iff ``def >= d_def + 1`` (the repeated
+      group's own +1), and element slots carry ``rep = r + 1`` — unlike
+      struct children, element slots exist only where the list reaches;
+    - a leaf value exists iff ``def == max_def``, consumed in stream
+      order.
+
+    Everything is vectorized (flatnonzero / searchsorted / add.at); no
+    per-record interpreter.  Supports arbitrary interleavings of
+    structs, lists, large_lists and maps over any supported leaf type.
+    """
+    rep0, dfl0 = leaves[0][0], leaves[0][1]
+    slots = np.flatnonzero((rep0 <= r) & (dfl0 >= d_slot))
+    slot_def = dfl0[slots]
+    d_def = d_par + (1 if nullable else 0)
+    valid = slot_def >= d_def if nullable else None
+    mask = (pa.array(~valid)
+            if valid is not None and not valid.all() else None)
+
+    if pa.types.is_struct(t):
+        children, cursor = [], 0
+        for child in t:
+            k = _leaf_count(child.type)
+            children.append(_construct_node(child.type, child.nullable, r,
+                                            d_slot, d_def,
+                                            leaves[cursor:cursor + k]))
+            cursor += k
+        return pa.StructArray.from_arrays(children, fields=list(t),
+                                          mask=mask)
+
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_map(t)):
+        if pa.types.is_map(t):
+            entries = pa.struct([t.key_field, t.item_field])
+            child = _construct_node(entries, False, r + 1, d_def + 1,
+                                    d_def + 1, leaves)
+        else:
+            vf = t.value_field
+            child = _construct_node(vf.type, vf.nullable, r + 1, d_def + 1,
+                                    d_def + 1, leaves)
+        child_slots = np.flatnonzero((rep0 <= r + 1) & (dfl0 >= d_def + 1))
         counts = np.zeros(len(slots), dtype=np.int64)
-        np.add.at(counts, parent_of_child, 1)
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        out = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
-            child,
-            mask=pa.array(~non_null) if not non_null.all() else None,
-        )
-        return out, slots
+        if len(child_slots):
+            parent = np.searchsorted(slots, child_slots, side="right") - 1
+            np.add.at(counts, parent, 1)
+        off_np = np.concatenate([[0], np.cumsum(counts)])
+        if pa.types.is_map(t):
+            # null maps via offsets-with-nulls (MapArray has no mask=):
+            # a null at offsets[i] marks entry i null (i < n)
+            offs = off_np.astype(np.int32).tolist()
+            if valid is not None and not valid.all():
+                offs = [None if i < len(valid) and not valid[i] else o
+                        for i, o in enumerate(offs)]
+            return pa.MapArray.from_arrays(pa.array(offs, pa.int32()),
+                                           child.field(0), child.field(1),
+                                           type=t)
+        off_dt = np.int64 if pa.types.is_large_list(t) else np.int32
+        off_t = pa.int64() if pa.types.is_large_list(t) else pa.int32()
+        cls = (pa.LargeListArray if pa.types.is_large_list(t)
+               else pa.ListArray)
+        return cls.from_arrays(pa.array(off_np.astype(off_dt), off_t),
+                               child, mask=mask)
 
-    construct.cursor_vals = 0
-    out, slots = construct(0)
-    assert len(out) == n_records, (len(out), n_records)
-    return out
+    if pa.types.is_fixed_size_list(t):
+        raise NotImplementedError(
+            "fixed_size_list columns are not supported by the kernel page "
+            "path (use the engine's pyarrow read)")
 
-
-def _scatter_leaf(dfl: np.ndarray, vals, max_def: int,
-                  leaf_type: pa.DataType) -> pa.Array:
-    """Full-length leaf array from def levels + present-only values
-    (non-repeated column): value at slot i iff dfl[i] == max_def."""
-    if isinstance(vals, ByteArrayValues):
-        arr = vals.to_arrow(leaf_type)
-    else:
-        arr = pa.array(vals if isinstance(vals, list) else vals.tolist(),
-                       leaf_type)
-    n = len(dfl)
-    present = dfl == max_def
+    rep, dfl, values, max_def = leaves[0]
+    if max_def != d_def:
+        raise ValueError(
+            f"def-level mismatch at leaf {t}: schema walk gives {d_def}, "
+            f"footer says {max_def}")
+    arr = _leaf_values_to_arrow(values, t)
+    present = slot_def == max_def
     taken = int(np.count_nonzero(present))
+    n = len(slots)
     if taken == n:
         return arr
     idx = np.full(n, -1, dtype=np.int64)
@@ -632,53 +682,39 @@ def _scatter_leaf(dfl: np.ndarray, vals, max_def: int,
                              pa.int64()))
 
 
-def _assemble_struct(field: pa.Field, leaves: list, d_self: int) -> pa.Array:
-    """Dremel inverse for a NON-REPEATED struct tree (structs of
-    primitives / nested structs; every rep level 0).  ``leaves`` is the
-    depth-first list of (dfl, vals, max_def, leaf_arrow_type) for this
-    subtree; ``d_self`` counts OPTIONAL nodes on the path root..self.
-    A node is present at slot i iff def[i] >= d_self; a leaf value
-    exists iff def[i] == its max_def.  The reference's instruction
-    machinery (Reader.hs:461-537) never handles groups beyond its list
-    fixture — struct assembly is a strict superset."""
-    t = field.type
-    if pa.types.is_struct(t):
-        children = []
-        cursor = 0
-        first_dfl = leaves[0][0]
-        for child in t:
-            n_leaves = _count_leaves(child.type)
-            sub = leaves[cursor:cursor + n_leaves]
-            cursor += n_leaves
-            children.append(_assemble_struct(
-                child, sub, d_self + (1 if child.nullable else 0)))
-        valid = first_dfl >= d_self
-        mask = None if valid.all() else pa.array(~valid)
-        return pa.StructArray.from_arrays(
-            children, fields=list(t), mask=mask)
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        raise NotImplementedError(
-            "lists nested inside struct columns are not supported by the "
-            "kernel page path (use the engine's pyarrow read)")
-    dfl, vals, max_def, _ = leaves[0]
-    if max_def != d_self:
-        raise ValueError(
-            f"def-level mismatch for {field.name}: schema walk gives "
-            f"{d_self}, footer says {max_def}")
-    return _scatter_leaf(dfl, vals, max_def, t)
+def assemble_record_tree(field: pa.Field, leaves: list,
+                         n_records: int) -> pa.Array:
+    """Assemble one top-level column from its DFS-ordered leaf streams."""
+    out = _construct_node(field.type, field.nullable, 0, 0, 0, leaves)
+    assert len(out) == n_records, (field.name, len(out), n_records)
+    return out
 
 
-def _count_leaves(t: pa.DataType) -> int:
-    if pa.types.is_struct(t):
-        return sum(_count_leaves(f.type) for f in t)
-    return 1
+def assemble_optional_list_chain(rep, dfl, values, depth: int,
+                                 n_records: int, value_type=pa.int64()):
+    """Dremel inverse for a chain of ``depth`` OPTIONAL+REPEATED list
+    levels over an OPTIONAL leaf (Spark 3-level list encoding — the
+    shape of the reference's golden fixture).  Retained as the named
+    reference-parity entry point; now a special case of
+    :func:`_construct_node` (level-l slot iff ``rep <= l`` and
+    ``def >= 2l``; value non-null iff ``def >= 2l+1``)."""
+    t = value_type
+    for _ in range(depth):
+        t = pa.list_(t)
+    leaves = [(np.asarray(rep, dtype=np.int64),
+               np.asarray(dfl, dtype=np.int64), values, 2 * depth + 1)]
+    out = _construct_node(t, True, 0, 0, 0, leaves)
+    assert len(out) == n_records, (len(out), n_records)
+    return out
 
 
 def read_parquet_via_kernels(path: str) -> pa.Table:
-    """Decode a whole (reference-scope) parquet file through our kernels."""
+    """Decode a whole parquet file through our kernels: thrift page
+    reader + bit-level value kernels + general record assembly."""
     f = pq.ParquetFile(path)
     schema = f.schema_arrow
-    # group parquet leaf columns under their top-level field, in order
+    # group parquet leaf columns under their top-level field, in order;
+    # parquet flattens the schema tree depth-first, matching arrow's
     leaf_groups: dict[str, list[int]] = {}
     for ci in range(f.metadata.num_columns):
         name = f.metadata.schema.column(ci).path.split(".")[0]
@@ -686,40 +722,21 @@ def read_parquet_via_kernels(path: str) -> pa.Table:
     cols = {}
     for name in schema.names:
         field = schema.field(name)
-        t = field.type
         idxs = leaf_groups[name]
+        if len(idxs) != _leaf_count(field.type):
+            raise ValueError(
+                f"column {name}: footer has {len(idxs)} leaves but the "
+                f"arrow type {field.type} implies {_leaf_count(field.type)}")
         parts = []
-        if pa.types.is_struct(t):
-            for rg in range(f.num_row_groups):
-                leaves = []
-                for ci in idxs:
-                    rep, dfl, vals, max_rep, max_def = \
-                        read_column_chunk_values(path, rg, ci)
-                    if max_rep:
-                        raise NotImplementedError(
-                            "repeated fields inside struct columns are not "
-                            "supported by the kernel page path")
-                    lt = f.metadata.schema.column(ci)
-                    leaves.append((np.asarray(dfl, dtype=np.int64), vals,
-                                   max_def, lt))
-                # leaf arrow types come from the struct tree itself
-                parts.append(_assemble_struct(
-                    field, [(d, v, m, None) for d, v, m, _ in leaves],
-                    1 if field.nullable else 0))
-        else:
-            if len(idxs) != 1:
-                raise NotImplementedError(
-                    f"column {name}: nested group shape with {len(idxs)} "
-                    "leaves is not supported by the kernel page path")
-            ci = idxs[0]
-            depth = 0
-            vt = t
-            while pa.types.is_list(vt):
-                depth += 1
-                vt = vt.value_type
-            for rg in range(f.num_row_groups):
-                rep, dfl, vals, max_rep, max_def = read_column_chunk_values(path, rg, ci)
-                n_rg = f.metadata.row_group(rg).num_rows
-                parts.append(assemble_optional_list_chain(rep, dfl, vals, depth, n_rg, vt))
+        for rg in range(f.num_row_groups):
+            leaves = []
+            for ci in idxs:
+                rep, dfl, vals, _mr, max_def = \
+                    read_column_chunk_values(path, rg, ci)
+                leaves.append((np.asarray(rep, dtype=np.int64),
+                               np.asarray(dfl, dtype=np.int64), vals,
+                               max_def))
+            parts.append(assemble_record_tree(
+                field, leaves, f.metadata.row_group(rg).num_rows))
         cols[name] = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
     return pa.table(cols)

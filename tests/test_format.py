@@ -866,25 +866,92 @@ def test_parquet_pages_struct_fuzz_vs_pyarrow(seed, use_dict, page_version):
             theirs[name].combine_chunks()), name
 
 
-def test_parquet_pages_struct_unsupported_shapes_raise():
-    """list-inside-struct and list-of-struct raise NotImplementedError
-    (clean capability boundary), never misassemble."""
+def test_parquet_pages_nested_shapes_vs_pyarrow():
+    """Full record assembly: list<struct>, struct<list>, map,
+    list<list<struct>>, struct<map,list> — shapes the round-4 struct
+    assembly first rejected now decode bit-identically (the general
+    Dremel inverse, _construct_node)."""
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    cases = {
+        "ls": pa.array([[{"x": 1, "y": "a"}, {"x": None, "y": "b"}],
+                        None, [], [{"x": 3, "y": None}]],
+                       pa.list_(pa.struct([("x", pa.int64()),
+                                           ("y", pa.string())]))),
+        "s": pa.array([{"l": [1, 2], "z": 5}, None,
+                       {"l": None, "z": None}, {"l": [], "z": 7}],
+                      pa.struct([("l", pa.list_(pa.int64())),
+                                 ("z", pa.int32())])),
+        "m": pa.array([{"a": 1, "b": None}, None, {}, {"c": 3}],
+                      pa.map_(pa.string(), pa.int64())),
+        "lls": pa.array([[[{"q": 1.5}], []], None, [None],
+                         [[{"q": None}, {"q": 2.5}]]],
+                        pa.list_(pa.list_(pa.struct([("q",
+                                                      pa.float64())])))),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        for name, arr in cases.items():
+            path = os.path.join(d, f"{name}.parquet")
+            pq.write_table(pa.table({name: arr}), path, compression="NONE")
+            ours = read_parquet_via_kernels(path)
+            theirs = pq.read_table(path)
+            assert ours[name].combine_chunks().equals(
+                theirs[name].combine_chunks()), name
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.booleans(),
+       st.sampled_from(["1.0", "2.0"]))
+@settings(max_examples=15, deadline=None)
+def test_parquet_pages_nested_fuzz_vs_pyarrow(seed, use_dict, page_version):
+    """Random deep-nested rows (struct<list, map, struct> + list<struct>)
+    through the general record assembly vs pyarrow."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+
+    def maybe(p, v):
+        return None if rng.random() < p else v
+
+    t = pa.struct([
+        ("l", pa.list_(pa.int64())),
+        ("m", pa.map_(pa.string(), pa.int32())),
+        ("inner", pa.struct([("a", pa.string())])),
+    ])
+    lt = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+
+    def srow(i):
+        return maybe(0.2, {
+            "l": maybe(0.2, [maybe(0.2, int(v))
+                             for v in rng.integers(0, 9,
+                                                   int(rng.integers(0, 4)))]),
+            "m": maybe(0.2, {f"k{j}": maybe(0.3, int(rng.integers(0, 99)))
+                             for j in range(int(rng.integers(0, 3)))}),
+            "inner": maybe(0.3, {"a": maybe(0.2, f"s{i}")}),
+        })
+
+    def lrow(i):
+        return maybe(0.2, [
+            maybe(0.2, {"x": maybe(0.2, int(rng.integers(0, 99))),
+                        "y": maybe(0.2, f"v{j}")})
+            for j in range(int(rng.integers(0, 4)))])
+
+    tbl = pa.table({"s": pa.array([srow(i) for i in range(n)], t),
+                    "ls": pa.array([lrow(i) for i in range(n)], lt)})
     import os
     import tempfile
 
     from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
 
     with tempfile.TemporaryDirectory() as d:
-        p1 = os.path.join(d, "a.parquet")
-        pq.write_table(pa.table({"s": pa.array(
-            [{"l": [1, 2]}], pa.struct([("l", pa.list_(pa.int64()))]))}), p1,
-            compression="NONE")
-        with pytest.raises(NotImplementedError):
-            read_parquet_via_kernels(p1)
-        p2 = os.path.join(d, "b.parquet")
-        pq.write_table(pa.table({"ls": pa.array(
-            [[{"x": 1, "y": 2}]],
-            pa.list_(pa.struct([("x", pa.int64()), ("y", pa.int64())])))}),
-            p2, compression="NONE")
-        with pytest.raises(NotImplementedError):
-            read_parquet_via_kernels(p2)
+        path = os.path.join(d, "t.parquet")
+        pq.write_table(tbl, path, compression="NONE",
+                       use_dictionary=use_dict,
+                       version="2.6" if page_version == "2.0" else "1.0",
+                       data_page_version=page_version)
+        ours = read_parquet_via_kernels(path)
+        theirs = pq.read_table(path)
+    for name in theirs.column_names:
+        assert ours[name].combine_chunks().equals(
+            theirs[name].combine_chunks()), name
