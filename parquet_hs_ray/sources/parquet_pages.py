@@ -646,26 +646,28 @@ def _construct_node(t: pa.DataType, nullable: bool, r: int, d_slot: int,
         if pa.types.is_map(t):
             # null maps via offsets-with-nulls (MapArray has no mask=):
             # a null at offsets[i] marks entry i null (i < n)
-            offs = off_np.astype(np.int32).tolist()
             if valid is not None and not valid.all():
-                offs = [None if i < len(valid) and not valid[i] else o
-                        for i, o in enumerate(offs)]
-            return pa.MapArray.from_arrays(pa.array(offs, pa.int32()),
-                                           child.field(0), child.field(1),
-                                           type=t)
+                offs = pa.array(off_np.astype(np.int32),
+                                mask=np.concatenate([~valid, [False]]))
+            else:
+                offs = pa.array(off_np.astype(np.int32), pa.int32())
+            return pa.MapArray.from_arrays(offs, child.field(0),
+                                           child.field(1), type=t)
         off_dt = np.int64 if pa.types.is_large_list(t) else np.int32
         off_t = pa.int64() if pa.types.is_large_list(t) else pa.int32()
         cls = (pa.LargeListArray if pa.types.is_large_list(t)
                else pa.ListArray)
+        # type=t keeps the file's value-field name/nullability (e.g.
+        # "element: int64 not null") — required for struct parents
         return cls.from_arrays(pa.array(off_np.astype(off_dt), off_t),
-                               child, mask=mask)
+                               child, type=t, mask=mask)
 
     if pa.types.is_fixed_size_list(t):
         raise NotImplementedError(
             "fixed_size_list columns are not supported by the kernel page "
             "path (use the engine's pyarrow read)")
 
-    rep, dfl, values, max_def = leaves[0]
+    _, _, values, max_def = leaves[0]  # structure already read via rep0/dfl0
     if max_def != d_def:
         raise ValueError(
             f"def-level mismatch at leaf {t}: schema walk gives {d_def}, "
@@ -713,20 +715,21 @@ def read_parquet_via_kernels(path: str) -> pa.Table:
     reader + bit-level value kernels + general record assembly."""
     f = pq.ParquetFile(path)
     schema = f.schema_arrow
-    # group parquet leaf columns under their top-level field, in order;
-    # parquet flattens the schema tree depth-first, matching arrow's
-    leaf_groups: dict[str, list[int]] = {}
-    for ci in range(f.metadata.num_columns):
-        name = f.metadata.schema.column(ci).path.split(".")[0]
-        leaf_groups.setdefault(name, []).append(ci)
+    # footer leaves are contiguous in depth-first schema order, so each
+    # top-level field owns the next _leaf_count(type) leaf indices — no
+    # name parsing (column names may themselves contain dots)
+    n_leaves_total = f.metadata.num_columns
     cols = {}
+    next_leaf = 0
     for name in schema.names:
         field = schema.field(name)
-        idxs = leaf_groups[name]
-        if len(idxs) != _leaf_count(field.type):
+        k = _leaf_count(field.type)
+        idxs = list(range(next_leaf, next_leaf + k))
+        next_leaf += k
+        if idxs and idxs[-1] >= n_leaves_total:
             raise ValueError(
-                f"column {name}: footer has {len(idxs)} leaves but the "
-                f"arrow type {field.type} implies {_leaf_count(field.type)}")
+                f"column {name}: arrow type {field.type} implies leaves "
+                f"{idxs} but the footer has only {n_leaves_total}")
         parts = []
         for rg in range(f.num_row_groups):
             leaves = []

@@ -955,3 +955,38 @@ def test_parquet_pages_nested_fuzz_vs_pyarrow(seed, use_dict, page_version):
     for name in theirs.column_names:
         assert ours[name].combine_chunks().equals(
             theirs[name].combine_chunks()), name
+
+
+def test_parquet_pages_schema_fidelity_edge_cases():
+    """Review regressions: (1) non-nullable list elements must keep the
+    file's value-field name/nullability (type=t on from_arrays) — both
+    nested under a struct (used to crash StructArray.from_arrays) and
+    top-level (used to silently diverge from schema_arrow); (2) column
+    names containing dots must not be mis-grouped by path parsing."""
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+    cases = {
+        "a": pa.table({"s": pa.array(
+            [{"l": [1, 2], "z": 5}, None, {"l": None, "z": 3}],
+            pa.struct([("l", pa.list_(pa.field("element", pa.int64(),
+                                               nullable=False))),
+                       ("z", pa.int32())]))}),
+        "b": pa.table({"l": pa.array(
+            [[1, 2], [], None],
+            pa.list_(pa.field("element", pa.int64(), nullable=False)))}),
+        "c": pa.table({"a.b": pa.array([1, 2, 3]),
+                       "a": pa.array(["x", "y", "z"])}),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        for tag, tbl in cases.items():
+            path = os.path.join(d, f"{tag}.parquet")
+            pq.write_table(tbl, path, compression="NONE")
+            ours = read_parquet_via_kernels(path)
+            theirs = pq.read_table(path)
+            assert ours.schema.equals(theirs.schema), tag
+            for name in theirs.column_names:
+                assert ours[name].combine_chunks().equals(
+                    theirs[name].combine_chunks()), (tag, name)
