@@ -781,6 +781,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["nested_kernel_decode"] = nested_kernel_decode
 
+    def kernel_writer_roundtrip(sf):
+        # the kernel parquet WRITER, driver-gradeable with an INDEPENDENT
+        # reader in the loop: write the embeddings table (int64 + int32 +
+        # list<float32>, snappy) as standard parquet through OUR thrift/
+        # level/value kernels, read it back with DuckDB, and hash-check
+        # against DuckDB reading the original file.
+        import os
+        import tempfile
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from parquet_hs_ray.sources.parquet_writer import write_parquet_via_kernels
+
+        t = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        t = t.replace_schema_metadata(None)
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "emb.parquet")
+            write_parquet_via_kernels(t, p, compression="SNAPPY")
+            out = duckdb.sql(
+                f"SELECT vec_id, embedding, label FROM read_parquet('{p}')"
+            ).arrow()
+        return out
+
+    q["kernel_writer_roundtrip"] = kernel_writer_roundtrip
+
     from parquet_hs_ray.pipelines import cleaning
     from parquet_hs_ray.pipelines import stats as pstats
 
@@ -3040,6 +3066,11 @@ FROM s GROUP BY seq_id
         " n_regionkey::BIGINT AS m_r,"
         " (1 + CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS m_n"
         " FROM nation"
+    )
+    # kernel_writer_roundtrip: our thrift/level/value WRITE kernels with
+    # DuckDB as the independent reader of the produced file.
+    o["kernel_writer_roundtrip"] = (
+        "SELECT vec_id, embedding, label FROM embeddings"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing; the

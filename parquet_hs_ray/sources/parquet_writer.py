@@ -1,0 +1,320 @@
+"""Minimal standard-Parquet WRITER through our own kernels.
+
+The encode twin of `parquet_pages.py`: thrift compact-protocol struct
+writing (PageHeader / DataPageHeader / SchemaElement / ColumnMetaData /
+RowGroup / FileMetaData), Dremel *shredding* (values + validity →
+rep/def level streams, the inverse of `_construct_node`), RLE/BP-hybrid
+level encoding via the shared ``encode_hybrid`` kernel, and PLAIN value
+encoding — producing files that pyarrow, DuckDB and our own kernel
+reader all read back bit-identically (asserted in tests).
+
+The reference is decode-only (its encoder surface stops at
+``encodeVarint``, `/root/reference/src/Parquet/Decoder.hs`); a writer is
+a strict superset that makes the kernel path bidirectional.
+
+Scope (correctness-first; the engine's production sink remains
+``Dataset.write_parquet``): flat primitive columns (required/optional)
+and one-level ``list<primitive>`` (Spark 3-level encoding), PLAIN
+values, RLE levels, UNCOMPRESSED / SNAPPY / GZIP / ZSTD page
+compression, multiple row groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.rle_hybrid import encode_hybrid
+
+# thrift compact type ids
+_CT_BOOL_TRUE = 1
+_CT_BOOL_FALSE = 2
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_STRUCT = 12
+
+# parquet physical types
+_PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
+       "BYTE_ARRAY": 6}
+_CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+_ENC_PLAIN, _ENC_RLE = 0, 3
+_CONVERTED_UTF8, _CONVERTED_LIST = 0, 3
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _ivarint(v: int) -> bytes:
+    return _uvarint(_zigzag(v))
+
+
+class _Struct:
+    """Thrift compact-protocol struct writer (field-id delta headers)."""
+
+    def __init__(self):
+        self._fields: list[tuple[int, int, bytes]] = []
+
+    def i32(self, fid: int, v: int) -> "_Struct":
+        self._fields.append((fid, _CT_I32, _ivarint(int(v))))
+        return self
+
+    def i64(self, fid: int, v: int) -> "_Struct":
+        self._fields.append((fid, _CT_I64, _ivarint(int(v))))
+        return self
+
+    def binary(self, fid: int, v: bytes | str) -> "_Struct":
+        b = v.encode() if isinstance(v, str) else v
+        self._fields.append((fid, _CT_BINARY, _uvarint(len(b)) + b))
+        return self
+
+    def struct(self, fid: int, s: "_Struct") -> "_Struct":
+        self._fields.append((fid, _CT_STRUCT, s.tobytes()))
+        return self
+
+    def list_i32(self, fid: int, vals: list[int]) -> "_Struct":
+        self._fields.append((fid, _CT_LIST,
+                             _list_header(len(vals), _CT_I32)
+                             + b"".join(_ivarint(v) for v in vals)))
+        return self
+
+    def list_binary(self, fid: int, vals: list[str]) -> "_Struct":
+        body = b"".join(_uvarint(len(v.encode())) + v.encode()
+                        for v in vals)
+        self._fields.append((fid, _CT_LIST,
+                             _list_header(len(vals), _CT_BINARY) + body))
+        return self
+
+    def list_struct(self, fid: int, vals: list["_Struct"]) -> "_Struct":
+        body = b"".join(s.tobytes() for s in vals)
+        self._fields.append((fid, _CT_LIST,
+                             _list_header(len(vals), _CT_STRUCT) + body))
+        return self
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        last = 0
+        for fid, ctype, payload in sorted(self._fields):
+            delta = fid - last
+            if 1 <= delta <= 15:
+                out.append((delta << 4) | ctype)
+            else:
+                out.append(ctype)
+                out += _ivarint(fid)
+            out += payload
+            last = fid
+        out.append(0)  # STOP
+        return bytes(out)
+
+
+def _list_header(n: int, elem_ctype: int) -> bytes:
+    if n < 15:
+        return bytes([(n << 4) | elem_ctype])
+    return bytes([0xF0 | elem_ctype]) + _uvarint(n)
+
+
+def _physical(t: pa.DataType) -> str:
+    if pa.types.is_int64(t):
+        return "INT64"
+    if pa.types.is_int32(t):
+        return "INT32"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_float32(t):
+        return "FLOAT"
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        return "BYTE_ARRAY"
+    raise NotImplementedError(f"kernel parquet writer: leaf type {t}")
+
+
+def _plain_encode(arr: pa.Array, physical: str) -> bytes:
+    """PLAIN values for the non-null elements of ``arr``, in order."""
+    arr = arr.drop_null()
+    if physical == "BOOLEAN":
+        v = arr.to_numpy(zero_copy_only=False).astype(bool)
+        return np.packbits(v, bitorder="little").tobytes()
+    if physical == "BYTE_ARRAY":
+        a = arr.cast(pa.binary()) if not pa.types.is_binary(arr.type) else arr
+        vals = a.to_pylist()
+        # u32-LE length prefix per value; payload scatter is one join
+        return b"".join(len(v).to_bytes(4, "little") + v for v in vals)
+    dt = {"INT64": "<i8", "INT32": "<i4",
+          "DOUBLE": "<f8", "FLOAT": "<f4"}[physical]
+    return np.ascontiguousarray(
+        arr.to_numpy(zero_copy_only=False)).astype(dt).tobytes()
+
+
+def _level_stream(levels: np.ndarray, max_level: int) -> bytes:
+    """V1 level stream: u32-LE byte length + RLE/BP hybrid runs."""
+    width = int(max_level).bit_length()
+    body = encode_hybrid(levels.astype(np.uint64), width)
+    return len(body).to_bytes(4, "little") + body
+
+
+def _shred_flat(arr: pa.Array, nullable: bool):
+    """(rep, def, values, max_rep, max_def) for a flat column."""
+    n = len(arr)
+    if not nullable:
+        if arr.null_count:
+            raise ValueError("nulls in a required column")
+        return None, None, arr, 0, 0
+    if arr.null_count:
+        dfl = np.asarray(arr.is_valid(), dtype=np.uint32)
+    else:
+        dfl = np.ones(n, dtype=np.uint32)
+    return None, dfl, arr, 0, 1
+
+
+def _shred_list(arr: pa.Array):
+    """Spark 3-level shredding of list<primitive> (optional list,
+    optional elements): null list -> (rep 0, def 0); empty -> (0, 1);
+    null element -> def 2; value -> def 3.  Vectorized."""
+    import pyarrow.compute as pc
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    valid = np.asarray(arr.is_valid(), dtype=bool)
+    counts = np.asarray(pc.fill_null(pc.list_value_length(arr), 0),
+                        dtype=np.int64)
+    child = pc.list_flatten(arr)  # elements of valid lists only, in order
+    entries = np.maximum(counts, 1)
+    total = int(entries.sum())
+    # rep: 0 at each row start, 1 elsewhere
+    row_start = np.concatenate([[0], np.cumsum(entries)[:-1]])
+    rep = np.ones(total, dtype=np.uint32)
+    rep[row_start] = 0
+    # def per entry
+    dfl = np.full(total, 3, dtype=np.uint32)
+    empty_or_null = counts == 0
+    dfl[row_start[empty_or_null]] = np.where(valid[empty_or_null], 1, 0)
+    if child.null_count:
+        elem_valid = np.asarray(child.is_valid(), dtype=bool)
+        # element-stream positions: every entry except the placeholder
+        # rows of empty/null lists, in order
+        keep = np.ones(total, dtype=bool)
+        keep[row_start[empty_or_null]] = False
+        pos = np.flatnonzero(keep)
+        dfl[pos[~elem_valid]] = 2
+    return rep, dfl, child, 1, 3
+
+
+def _schema_elements(schema: pa.Schema) -> list[_Struct]:
+    els = [_Struct().binary(4, "schema").i32(5, len(schema))]
+    for field in schema:
+        repn = 1 if field.nullable else 0
+        t = field.type
+        if pa.types.is_list(t):
+            els.append(_Struct().i32(3, repn).binary(4, field.name)
+                       .i32(5, 1).i32(6, _CONVERTED_LIST))
+            els.append(_Struct().i32(3, 2).binary(4, "list").i32(5, 1))
+            vt = t.value_type
+            e = _Struct().i32(1, _PT[_physical(vt)]) \
+                .i32(3, 1 if t.value_field.nullable else 0) \
+                .binary(4, "element")
+            if pa.types.is_string(vt):
+                e.i32(6, _CONVERTED_UTF8)
+            els.append(e)
+        else:
+            e = _Struct().i32(1, _PT[_physical(t)]).i32(3, repn) \
+                .binary(4, field.name)
+            if pa.types.is_string(t):
+                e.i32(6, _CONVERTED_UTF8)
+            els.append(e)
+    return els
+
+
+def write_parquet_via_kernels(table: pa.Table, path: str,
+                              compression: str = "UNCOMPRESSED",
+                              row_group_size: int = 1 << 20) -> dict:
+    """Write ``table`` as standard Parquet through our kernels.
+
+    Returns a small stats dict ({rows, row_groups, bytes}).  One data
+    page per column chunk per row group (pages are whole-chunk; fine at
+    the row_group_size granularity this writer targets)."""
+    compression = compression.upper()
+    if compression == "NONE":
+        compression = "UNCOMPRESSED"
+    if compression not in _CODECS:
+        raise ValueError(f"unsupported compression {compression}")
+    codec = (None if compression == "UNCOMPRESSED"
+             else pa.Codec(compression.lower()))
+    table = table.combine_chunks()
+
+    out = bytearray(b"PAR1")
+    row_groups: list[_Struct] = []
+    for start in range(0, max(table.num_rows, 1), row_group_size):
+        chunk = table.slice(start, row_group_size)
+        if chunk.num_rows == 0 and start > 0:
+            break
+        col_chunks: list[_Struct] = []
+        total_comp = 0
+        for ci, field in enumerate(table.schema):
+            arr = chunk.column(ci).combine_chunks()
+            if pa.types.is_list(field.type):
+                rep, dfl, leaf, max_rep, max_def = _shred_list(arr)
+                physical = _physical(field.type.value_type)
+                path_in_schema = [field.name, "list", "element"]
+            else:
+                rep, dfl, leaf, max_rep, max_def = _shred_flat(
+                    arr, field.nullable)
+                physical = _physical(field.type)
+                path_in_schema = [field.name]
+            n_values = len(dfl) if dfl is not None else len(leaf)
+            body = b""
+            if max_rep:
+                body += _level_stream(rep, max_rep)
+            if max_def:
+                body += _level_stream(dfl, max_def)
+            body += _plain_encode(leaf, physical)
+            comp = codec.compress(body).to_pybytes() if codec else body
+            dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN)
+                   .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+            header = (_Struct().i32(1, 0)  # DATA_PAGE
+                      .i32(2, len(body)).i32(3, len(comp))
+                      .struct(5, dph).tobytes())
+            page_offset = len(out)
+            out += header
+            out += comp
+            page_bytes = len(header) + len(comp)
+            total_comp += page_bytes
+            meta = (_Struct().i32(1, _PT[physical])
+                    .list_i32(2, [_ENC_PLAIN, _ENC_RLE])
+                    .list_binary(3, path_in_schema)
+                    .i32(4, _CODECS[compression])
+                    .i64(5, n_values)
+                    .i64(6, len(header) + len(body))
+                    .i64(7, page_bytes)
+                    .i64(9, page_offset))
+            col_chunks.append(_Struct().i64(2, page_offset).struct(3, meta))
+        row_groups.append(_Struct().list_struct(1, col_chunks)
+                          .i64(2, total_comp).i64(3, chunk.num_rows))
+        if table.num_rows == 0:
+            break
+
+    footer = (_Struct().i32(1, 1)
+              .list_struct(2, _schema_elements(table.schema))
+              .i64(3, table.num_rows)
+              .list_struct(4, row_groups)
+              .binary(6, "parquet_hs_ray kernel writer")).tobytes()
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path, "wb") as fh:
+        fh.write(out)
+    return {"rows": table.num_rows, "row_groups": len(row_groups),
+            "bytes": len(out)}

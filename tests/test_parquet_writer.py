@@ -1,0 +1,131 @@
+"""Kernel parquet WRITER: files we write must read back bit-identical
+through THREE independent readers — pyarrow, DuckDB, and our own kernel
+page reader (tests/test_format.py covers the reader side)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+from parquet_hs_ray.sources.parquet_writer import write_parquet_via_kernels
+
+
+def _roundtrip(tbl: pa.Table, tmpdir, compression="UNCOMPRESSED",
+               row_group_size=1 << 20):
+    import os
+
+    path = os.path.join(str(tmpdir), "t.parquet")
+    write_parquet_via_kernels(tbl, path, compression=compression,
+                              row_group_size=row_group_size)
+    for tag, back in (
+        ("pyarrow", pq.read_table(path)),
+        ("duckdb", duckdb.sql(
+            f"SELECT * FROM read_parquet('{path}')").arrow()),
+        ("kernels", read_parquet_via_kernels(path)),
+    ):
+        # list element names canonicalize to parquet's "element"; cast
+        # back for comparison (nullability itself is preserved)
+        assert back.cast(tbl.schema).equals(tbl), (tag, compression)
+
+
+def test_writer_all_types_with_nulls(tmp_path):
+    tbl = pa.table({
+        "doc_id": pa.array(["d1", "d2", None, "d4"]),
+        "tokens": pa.array([[1, 2, 3], [], None, [7, None, 9]],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 0, None, 3], pa.int32()),
+        "f64": pa.array([1.5, None, 2.5, 3.5]),
+        "f32": pa.array(np.array([1, 2, 3, 4], np.float32)),
+        "b": pa.array([True, False, None, True]),
+        "bin": pa.array([b"\x00\xff", b"", None, b"xyz"], pa.binary()),
+        "req": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    sch = tbl.schema.set(7, pa.field("req", pa.int64(), nullable=False))
+    tbl = tbl.cast(sch)
+    for comp in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"):
+        _roundtrip(tbl, tmp_path, compression=comp)
+
+
+def test_writer_multi_row_group_and_empty(tmp_path):
+    big = pa.table({"x": pa.array(np.arange(50000)),
+                    "s": pa.array([f"v{i % 97}" for i in range(50000)])})
+    _roundtrip(big, tmp_path, compression="SNAPPY", row_group_size=13000)
+    _roundtrip(big.slice(0, 0), tmp_path)
+
+
+def test_writer_required_null_raises(tmp_path):
+    import os
+
+    # bypass pyarrow's own cast validation: declare non-nullable in the
+    # schema while the data carries a null
+    tbl = pa.Table.from_arrays(
+        [pa.array([1, None])],
+        schema=pa.schema([pa.field("x", pa.int64(), nullable=False)]))
+    with pytest.raises(ValueError):
+        write_parquet_via_kernels(tbl, os.path.join(str(tmp_path),
+                                                    "x.parquet"))
+
+
+def test_writer_unsupported_type_raises(tmp_path):
+    import os
+
+    tbl = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a",
+                                                          pa.int64())]))})
+    with pytest.raises(NotImplementedError):
+        write_parquet_via_kernels(tbl, os.path.join(str(tmp_path),
+                                                    "x.parquet"))
+
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.sampled_from(["UNCOMPRESSED", "SNAPPY"]))
+@settings(max_examples=20, deadline=None)
+def test_writer_fuzz_three_readers(seed, compression):
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 200))
+
+    def mask():
+        return rng.random(n) < rng.choice([0.0, 0.25])
+
+    tbl = pa.table({
+        "i64": pa.array(rng.integers(-2**60, 2**60, n), mask=mask()),
+        "i32": pa.array(rng.integers(-2**30, 2**30, n).astype(np.int32),
+                        mask=mask()),
+        "f64": pa.array(rng.normal(0, 1e6, n), mask=mask()),
+        "s": pa.array([None if m else f"s{int(v)}" * int(v % 4)
+                       for v, m in zip(rng.integers(0, 99, n), mask())],
+                      pa.string()),
+        "lt": pa.array([None if m else
+                        [None if rng.random() < 0.2 else int(x)
+                         for x in rng.integers(0, 9,
+                                               int(rng.integers(0, 5)))]
+                        for m in mask()], pa.list_(pa.int64())),
+        "bo": pa.array(rng.integers(0, 2, n).astype(bool), mask=mask()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        write_parquet_via_kernels(tbl, path, compression=compression,
+                                  row_group_size=64)
+        for tag, back in (
+            ("pyarrow", pq.read_table(path)),
+            ("duckdb", duckdb.sql(
+                f"SELECT * FROM read_parquet('{path}')").arrow()),
+            ("kernels", read_parquet_via_kernels(path)),
+        ):
+            assert back.cast(tbl.schema).equals(tbl), (tag, n)
+
+
+def test_writer_testdata_tables(tmp_path):
+    """Real testdata tables (scalar-only schemas + the embeddings list
+    table) through the writer and all three readers."""
+    for name in ("nation", "supplier", "embeddings"):
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
+        tbl = tbl.replace_schema_metadata(None)
+        _roundtrip(tbl, tmp_path, compression="SNAPPY")
