@@ -39,7 +39,7 @@ _CT_STRUCT = 12
 _PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
        "BYTE_ARRAY": 6}
 _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
-_ENC_PLAIN, _ENC_RLE = 0, 3
+_ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _CONVERTED_UTF8, _CONVERTED_LIST = 0, 3
 
 
@@ -127,6 +127,10 @@ def _list_header(n: int, elem_ctype: int) -> bytes:
     return bytes([0xF0 | elem_ctype]) + _uvarint(n)
 
 
+def _leaf_count_w(t: pa.DataType) -> int:
+    return _leaf_count_w(t.value_type) if pa.types.is_list(t) else 1
+
+
 def _physical(t: pa.DataType) -> str:
     if pa.types.is_int64(t):
         return "INT64"
@@ -158,6 +162,61 @@ def _plain_encode(arr: pa.Array, physical: str) -> bytes:
           "DOUBLE": "<f8", "FLOAT": "<f4"}[physical]
     return np.ascontiguousarray(
         arr.to_numpy(zero_copy_only=False)).astype(dt).tobytes()
+
+
+def _plain_size(arr: pa.Array, physical: str) -> int:
+    """Byte size the PLAIN encoding of ``arr`` would take (no encode)."""
+    n = len(arr) - arr.null_count
+    if physical == "BOOLEAN":
+        return (n + 7) // 8
+    if physical == "BYTE_ARRAY":
+        a = arr.drop_null()
+        a = a.cast(pa.binary()) if not pa.types.is_binary(a.type) else a
+        import pyarrow.compute as pc
+
+        return 4 * n + int(pc.sum(pc.binary_length(a)).as_py() or 0)
+    return n * {"INT64": 8, "DOUBLE": 8, "INT32": 4, "FLOAT": 4}[physical]
+
+
+def _dict_encode(arr: pa.Array, physical: str):
+    """Classic PLAIN_DICTIONARY chunk: (dict-page PLAIN values,
+    data-page body = 1-byte bit width + hybrid indices), or None when
+    the type/cardinality makes a dictionary pointless."""
+    if physical == "BOOLEAN":
+        return None
+    vals = arr.drop_null()
+    if len(vals) == 0:
+        return None
+    denc = vals.dictionary_encode()
+    dictionary = denc.dictionary
+    if len(dictionary) > max(1, len(vals) // 2) or len(dictionary) > 65536:
+        return None  # high cardinality: dictionary would not pay
+    idx = np.asarray(denc.indices, dtype=np.int64)
+    width = max(1, int(len(dictionary) - 1).bit_length())
+    index_body = bytes([width]) + encode_hybrid(idx.astype(np.uint64),
+                                                width)
+    return _plain_encode(dictionary, physical), index_body, len(dictionary)
+
+
+def _statistics(arr: pa.Array, physical: str, n_values: int):
+    """Statistics struct (min_value/max_value/null_count) for the types
+    with unambiguous orderings; floats are skipped (NaN semantics)."""
+    import pyarrow.compute as pc
+
+    null_count = n_values - (len(arr) - arr.null_count)
+    st = _Struct().i64(3, null_count)
+    if physical in ("INT32", "INT64", "BYTE_ARRAY") and \
+            len(arr) - arr.null_count > 0:
+        mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
+        if physical == "BYTE_ARRAY":
+            lo = mn.encode() if isinstance(mn, str) else mn
+            hi = mx.encode() if isinstance(mx, str) else mx
+        else:
+            w = 4 if physical == "INT32" else 8
+            lo = int(mn).to_bytes(w, "little", signed=True)
+            hi = int(mx).to_bytes(w, "little", signed=True)
+        st.binary(5, hi).binary(6, lo)
+    return st
 
 
 def _level_stream(levels: np.ndarray, max_level: int) -> bytes:
@@ -240,7 +299,8 @@ def _schema_elements(schema: pa.Schema) -> list[_Struct]:
 
 def write_parquet_via_kernels(table: pa.Table, path: str,
                               compression: str = "UNCOMPRESSED",
-                              row_group_size: int = 1 << 20) -> dict:
+                              row_group_size: int = 1 << 20,
+                              use_dictionary: bool = True) -> dict:
     """Write ``table`` as standard Parquet through our kernels.
 
     Returns a small stats dict ({rows, row_groups, bytes}).  One data
@@ -275,42 +335,88 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                 physical = _physical(field.type)
                 path_in_schema = [field.name]
             n_values = len(dfl) if dfl is not None else len(leaf)
-            body = b""
+            levels = b""
             if max_rep:
-                body += _level_stream(rep, max_rep)
+                levels += _level_stream(rep, max_rep)
             if max_def:
-                body += _level_stream(dfl, max_def)
-            body += _plain_encode(leaf, physical)
-            comp = codec.compress(body).to_pybytes() if codec else body
-            dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN)
-                   .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-            header = (_Struct().i32(1, 0)  # DATA_PAGE
-                      .i32(2, len(body)).i32(3, len(comp))
-                      .struct(5, dph).tobytes())
-            page_offset = len(out)
-            out += header
-            out += comp
-            page_bytes = len(header) + len(comp)
-            total_comp += page_bytes
+                levels += _level_stream(dfl, max_def)
+
+            # dictionary attempt: classic PLAIN_DICTIONARY (dict page +
+            # 1-byte-width hybrid indices) when it actually shrinks the
+            # chunk; PLAIN otherwise
+            dict_blob = None
+            if use_dictionary:
+                enc = _dict_encode(leaf, physical)
+                if enc is not None and (len(enc[0]) + len(enc[1])
+                                        < _plain_size(leaf, physical)):
+                    dict_blob = enc
+            pages: list[tuple[int, bytes, _Struct]] = []
+            if dict_blob is not None:
+                dict_values_plain, index_body, n_dict = dict_blob
+                dphd = _Struct().i32(1, n_dict).i32(2, _ENC_PLAIN_DICT)
+                pages.append((2, dict_values_plain,
+                              _Struct().struct(7, dphd)))
+                body = levels + index_body
+                dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN_DICT)
+                       .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+                pages.append((0, body, _Struct().struct(5, dph)))
+                encodings = [_ENC_PLAIN_DICT, _ENC_RLE]
+            else:
+                body = levels + _plain_encode(leaf, physical)
+                dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN)
+                       .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+                pages.append((0, body, _Struct().struct(5, dph)))
+                encodings = [_ENC_PLAIN, _ENC_RLE]
+
+            first_offset = len(out)
+            dict_page_offset = None
+            data_page_offset = None
+            uncomp_total = comp_total = 0
+            for ptype, body, extra in pages:
+                comp = codec.compress(body).to_pybytes() if codec else body
+                header = (_Struct().i32(1, ptype)
+                          .i32(2, len(body)).i32(3, len(comp)))
+                header._fields += extra._fields
+                hb = header.tobytes()
+                if ptype == 2:
+                    dict_page_offset = len(out)
+                else:
+                    data_page_offset = len(out)
+                out += hb
+                out += comp
+                uncomp_total += len(hb) + len(body)
+                comp_total += len(hb) + len(comp)
+            total_comp += comp_total
             meta = (_Struct().i32(1, _PT[physical])
-                    .list_i32(2, [_ENC_PLAIN, _ENC_RLE])
+                    .list_i32(2, encodings)
                     .list_binary(3, path_in_schema)
                     .i32(4, _CODECS[compression])
                     .i64(5, n_values)
-                    .i64(6, len(header) + len(body))
-                    .i64(7, page_bytes)
-                    .i64(9, page_offset))
-            col_chunks.append(_Struct().i64(2, page_offset).struct(3, meta))
+                    .i64(6, uncomp_total)
+                    .i64(7, comp_total)
+                    .i64(9, data_page_offset))
+            if dict_page_offset is not None:
+                meta.i64(11, dict_page_offset)
+            st = _statistics(leaf, physical, n_values)
+            if st is not None:
+                meta.struct(12, st)
+            col_chunks.append(_Struct().i64(2, first_offset)
+                              .struct(3, meta))
         row_groups.append(_Struct().list_struct(1, col_chunks)
                           .i64(2, total_comp).i64(3, chunk.num_rows))
         if table.num_rows == 0:
             break
 
+    # column_orders: TYPE_ORDER for every leaf — without it readers
+    # (pyarrow included) ignore min_value/max_value statistics
+    n_leaves = sum(_leaf_count_w(f.type) for f in table.schema)
+    type_order = _Struct().struct(1, _Struct())  # ColumnOrder union
     footer = (_Struct().i32(1, 1)
               .list_struct(2, _schema_elements(table.schema))
               .i64(3, table.num_rows)
               .list_struct(4, row_groups)
-              .binary(6, "parquet_hs_ray kernel writer")).tobytes()
+              .binary(6, "parquet_hs_ray kernel writer")
+              .list_struct(7, [type_order] * n_leaves)).tobytes()
     out += footer
     out += len(footer).to_bytes(4, "little")
     out += b"PAR1"

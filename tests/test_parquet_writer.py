@@ -129,3 +129,38 @@ def test_writer_testdata_tables(tmp_path):
         tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
         tbl = tbl.replace_schema_metadata(None)
         _roundtrip(tbl, tmp_path, compression="SNAPPY")
+
+
+def test_writer_dictionary_and_statistics(tmp_path):
+    """Dictionary pages kick in when they shrink the chunk (classic
+    PLAIN_DICTIONARY: dict page + 1-byte-width hybrid indices), and
+    min_value/max_value/null_count statistics are written with
+    column_orders so other readers trust them."""
+    import os
+
+    n = 20000
+    tbl = pa.table({
+        "cat": pa.array([f"c{i % 7}" for i in range(n)]),
+        "k": pa.array(np.arange(n) % 13),
+        "lt": pa.array([[i % 5] * (i % 3) for i in range(n)],
+                       pa.list_(pa.int64())),
+    })
+    pd_path = os.path.join(str(tmp_path), "d.parquet")
+    pp_path = os.path.join(str(tmp_path), "p.parquet")
+    s_dict = write_parquet_via_kernels(tbl, pd_path, use_dictionary=True)
+    s_plain = write_parquet_via_kernels(tbl, pp_path, use_dictionary=False)
+    assert s_dict["bytes"] < s_plain["bytes"] / 5  # low-card: dict pays
+    for p in (pd_path, pp_path):
+        assert pq.read_table(p).cast(tbl.schema).equals(tbl)
+        assert duckdb.sql(
+            f"SELECT * FROM read_parquet('{p}')").arrow().cast(
+                tbl.schema).equals(tbl)
+        assert read_parquet_via_kernels(p).cast(tbl.schema).equals(tbl)
+    meta = pq.ParquetFile(pd_path).metadata.row_group(0)
+    c0 = meta.column(0)
+    assert "PLAIN_DICTIONARY" in c0.encodings
+    assert c0.dictionary_page_offset is not None
+    assert (c0.statistics.min, c0.statistics.max) == ("c0", "c6")
+    c2 = meta.column(2)
+    assert (c2.statistics.min, c2.statistics.max) == (0, 4)
+    assert c2.statistics.null_count == 6667  # empty-list placeholders
