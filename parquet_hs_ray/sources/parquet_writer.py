@@ -247,6 +247,9 @@ def _shred_list(arr: pa.Array):
     import pyarrow.compute as pc
 
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(arr) == 0:
+        empty = np.empty(0, dtype=np.uint32)
+        return empty, empty, pc.list_flatten(arr), 1, 3
     valid = np.asarray(arr.is_valid(), dtype=bool)
     counts = np.asarray(pc.fill_null(pc.list_value_length(arr), 0),
                         dtype=np.int64)
@@ -322,7 +325,7 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
         if chunk.num_rows == 0 and start > 0:
             break
         col_chunks: list[_Struct] = []
-        total_comp = 0
+        total_uncomp = 0
         for ci, field in enumerate(table.schema):
             arr = chunk.column(ci).combine_chunks()
             if pa.types.is_list(field.type):
@@ -386,7 +389,7 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                 out += comp
                 uncomp_total += len(hb) + len(body)
                 comp_total += len(hb) + len(comp)
-            total_comp += comp_total
+            total_uncomp += uncomp_total
             meta = (_Struct().i32(1, _PT[physical])
                     .list_i32(2, encodings)
                     .list_binary(3, path_in_schema)
@@ -402,8 +405,10 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                 meta.struct(12, st)
             col_chunks.append(_Struct().i64(2, first_offset)
                               .struct(3, meta))
+        # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
+        # parquet spec (readers use it to budget decode memory)
         row_groups.append(_Struct().list_struct(1, col_chunks)
-                          .i64(2, total_comp).i64(3, chunk.num_rows))
+                          .i64(2, total_uncomp).i64(3, chunk.num_rows))
         if table.num_rows == 0:
             break
 

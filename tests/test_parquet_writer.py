@@ -164,3 +164,39 @@ def test_writer_dictionary_and_statistics(tmp_path):
     c2 = meta.column(2)
     assert (c2.statistics.min, c2.statistics.max) == (0, 4)
     assert c2.statistics.null_count == 6667  # empty-list placeholders
+
+
+def test_writer_empty_table_with_list_column(tmp_path):
+    """0-row tables must write (and read back) for every supported
+    shape, including list columns — the _shred_list row_start indexing
+    regression."""
+    tbl = pa.table({
+        "tokens": pa.array([], pa.list_(pa.int64())),
+        "doc_id": pa.array([], pa.string()),
+        "n": pa.array([], pa.int32()),
+    })
+    _roundtrip(tbl, tmp_path)
+    _roundtrip(tbl, tmp_path, compression="ZSTD")
+
+
+def test_writer_total_byte_size_is_uncompressed(tmp_path):
+    """RowGroup.total_byte_size is the UNCOMPRESSED data size per the
+    parquet spec, not the compressed size."""
+    import os
+
+    rng = np.random.default_rng(11)
+    tbl = pa.table({
+        "v": pa.array(rng.integers(0, 1 << 40, 4000)),
+        "s": pa.array([f"payload-{i % 37}-{'x' * (i % 11)}"
+                       for i in range(4000)]),
+    })
+    path = os.path.join(str(tmp_path), "t.parquet")
+    write_parquet_via_kernels(tbl, path, compression="ZSTD",
+                              use_dictionary=False)
+    rg = pq.ParquetFile(path).metadata.row_group(0)
+    comp = sum(rg.column(i).total_compressed_size
+               for i in range(rg.num_columns))
+    unc = sum(rg.column(i).total_uncompressed_size
+              for i in range(rg.num_columns))
+    assert comp < unc  # ZSTD actually compressed something
+    assert rg.total_byte_size == unc
