@@ -13,10 +13,11 @@ The reference is decode-only (its encoder surface stops at
 a strict superset that makes the kernel path bidirectional.
 
 Scope (correctness-first; the engine's production sink remains
-``Dataset.write_parquet``): flat primitive columns (required/optional)
-and one-level ``list<primitive>`` (Spark 3-level encoding), PLAIN
-values, RLE levels, UNCOMPRESSED / SNAPPY / GZIP / ZSTD page
-compression, multiple row groups.
+``Dataset.write_parquet``): arbitrary nestings of struct / list /
+large_list / map over the primitive leaf types (the same shapes the
+kernel reader's general record assembly decodes), PLAIN /
+PLAIN_DICTIONARY values, RLE levels, UNCOMPRESSED / SNAPPY / GZIP /
+ZSTD page compression, multiple row groups.
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ _PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
        "BYTE_ARRAY": 6}
 _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
-_CONVERTED_UTF8, _CONVERTED_LIST = 0, 3
+_CONVERTED_UTF8, _CONVERTED_MAP, _CONVERTED_LIST = 0, 1, 3
 
 
 def _uvarint(v: int) -> bytes:
@@ -127,8 +128,29 @@ def _list_header(n: int, elem_ctype: int) -> bytes:
     return bytes([0xF0 | elem_ctype]) + _uvarint(n)
 
 
-def _leaf_count_w(t: pa.DataType) -> int:
-    return _leaf_count_w(t.value_type) if pa.types.is_list(t) else 1
+def _walk_leaves(name: str, t: pa.DataType, nullable: bool,
+                 r: int, d: int, path: tuple) -> list[dict]:
+    """DFS leaf metadata (path_in_schema, physical, max_rep, max_def)
+    in the exact order ``_shred_node`` emits streams."""
+    d += 1 if nullable else 0
+    if pa.types.is_struct(t):
+        out = []
+        for f in t:
+            out += _walk_leaves(f.name, f.type, f.nullable, r, d,
+                                path + (name,))
+        return out
+    if pa.types.is_map(t):
+        kv = path + (name, "key_value")
+        return (_walk_leaves("key", t.key_field.type, False, r + 1,
+                             d + 1, kv)
+                + _walk_leaves("value", t.item_field.type,
+                               t.item_field.nullable, r + 1, d + 1, kv))
+    if _is_listish(t):
+        vf = t.value_field
+        return _walk_leaves("element", vf.type, vf.nullable, r + 1,
+                            d + 1, path + (name, "list"))
+    return [{"path": list(path + (name,)), "physical": _physical(t),
+             "max_rep": r, "max_def": d}]
 
 
 def _physical(t: pa.DataType) -> str:
@@ -226,78 +248,235 @@ def _level_stream(levels: np.ndarray, max_level: int) -> bytes:
     return len(body).to_bytes(4, "little") + body
 
 
-def _shred_flat(arr: pa.Array, nullable: bool):
-    """(rep, def, values, max_rep, max_def) for a flat column."""
-    n = len(arr)
-    if not nullable:
+def _is_listish(t: pa.DataType) -> bool:
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_map(t))
+
+
+def _splice_placeholders(streams, miss_mask: np.ndarray,
+                         miss_rep: np.ndarray, miss_def: np.ndarray,
+                         r: int):
+    """Insert one (rep, def, no-value) placeholder entry per masked slot
+    into each leaf stream, in slot order.
+
+    ``miss_mask`` is over the node's slots; present slots each own a run
+    of entries in every leaf stream whose first entry is the only one
+    with ``rep <= r`` (deeper repetition carries ``rep > r``) — so run
+    starts are one ``flatnonzero`` and the placeholder for missing slot
+    j lands before the run of the next present slot.  Vectorized; the
+    inverse of the reader's slot selection in ``_construct_node``.
+    """
+    if not miss_mask.any():
+        return streams
+    # number of present slots strictly before each missing slot
+    before = np.cumsum(~miss_mask)[miss_mask]
+    out = []
+    for rep, dfl, values in streams:
+        starts = np.append(np.flatnonzero(rep <= r), len(rep))
+        pos = starts[before]
+        out.append((np.insert(rep, pos, miss_rep),
+                    np.insert(dfl, pos, miss_def), values))
+    return out
+
+
+def _shred_node(arr: pa.Array, t: pa.DataType, nullable: bool, r: int,
+                d_par: int, rep_in: np.ndarray):
+    """General Dremel shredding of one schema-tree node — the exact
+    inverse of the reader's ``_construct_node``
+    (`parquet_pages.py`): returns the DFS-ordered list of this
+    subtree's leaf streams, each ``(rep, def, values)`` with values
+    keeping their nulls (encoders drop them).
+
+    ``rep_in`` carries the repetition level of each slot (decided by
+    ancestors); ``d_par`` is the definition level meaning "every
+    optional/repeated ancestor is present"; this node adds one def
+    level if optional (``d_def = d_par + 1``) and, for lists/maps, one
+    more for element presence (child ``d_par = d_def + 1`` at
+    ``rep = r + 1``).  Null structs and null/empty lists do not
+    descend: they splice a single placeholder entry per slot into every
+    child leaf stream.  Vectorized throughout.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d_def = d_par + (1 if nullable else 0)
+    if arr.null_count and not nullable:
+        raise ValueError(f"nulls in a required column of type {t}")
+
+    if pa.types.is_struct(t):
+        valid_pa = arr.is_valid()
+        valid = np.asarray(valid_pa, dtype=bool)
+        all_valid = bool(valid.all())
+        child_rep = rep_in if all_valid else rep_in[valid]
+        streams = []
+        for i, f in enumerate(t):
+            child = arr.field(i)
+            if not all_valid:
+                child = child.filter(valid_pa)
+            streams.extend(_shred_node(child, f.type, f.nullable, r,
+                                       d_def, child_rep))
+        miss = ~valid
+        return _splice_placeholders(
+            streams, miss, rep_in[miss],
+            np.full(int(miss.sum()), d_par, np.int64), r)
+
+    if _is_listish(t):
+        import pyarrow.compute as pc
+
+        if pa.types.is_map(t):
+            # normalize to list<struct<key, value>>: identical offsets
+            # and children, and the list kernels below apply uniformly
+            kv = pa.struct([t.key_field, t.item_field])
+            arr = arr.cast(pa.list_(pa.field("key_value", kv,
+                                             nullable=False)))
+            t = arr.type
+        valid = np.asarray(arr.is_valid(), dtype=bool)
+        counts = np.asarray(pc.fill_null(pc.list_value_length(arr), 0),
+                            dtype=np.int64)
+        flat = pc.list_flatten(arr)  # valid lists' elements, in order
+        has = counts > 0
+        n_child = int(counts.sum())
+        child_rep = np.full(n_child, r + 1, np.int64)
+        if has.any():
+            starts = np.concatenate([[0], np.cumsum(counts[has])[:-1]])
+            child_rep[starts] = rep_in[has]
+        ct, cn = t.value_field.type, t.value_field.nullable
+        streams = _shred_node(flat, ct, cn, r + 1, d_def + 1, child_rep)
+        miss = ~has  # null or empty: no element entries
+        miss_def = np.where(valid[miss], d_def, d_par)
+        return _splice_placeholders(streams, miss, rep_in[miss],
+                                    miss_def.astype(np.int64), r)
+
+    if not (pa.types.is_nested(t) or pa.types.is_dictionary(t)):
         if arr.null_count:
-            raise ValueError("nulls in a required column")
-        return None, None, arr, 0, 0
-    if arr.null_count:
-        dfl = np.asarray(arr.is_valid(), dtype=np.uint32)
-    else:
-        dfl = np.ones(n, dtype=np.uint32)
-    return None, dfl, arr, 0, 1
+            dfl = np.where(np.asarray(arr.is_valid(), bool), d_def,
+                           d_par).astype(np.int64)
+        else:
+            dfl = np.full(len(arr), d_def, np.int64)
+        return [(rep_in, dfl, arr)]
+    raise NotImplementedError(f"kernel parquet writer: node type {t}")
 
 
-def _shred_list(arr: pa.Array):
-    """Spark 3-level shredding of list<primitive> (optional list,
-    optional elements): null list -> (rep 0, def 0); empty -> (0, 1);
-    null element -> def 2; value -> def 3.  Vectorized."""
-    import pyarrow.compute as pc
+def _shred_field(arr, field: pa.Field):
+    """Shred one top-level column into DFS leaf streams."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return _shred_node(arr, field.type, field.nullable, 0, 0,
+                       np.zeros(len(arr), np.int64))
 
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    if len(arr) == 0:
-        empty = np.empty(0, dtype=np.uint32)
-        return empty, empty, pc.list_flatten(arr), 1, 3
-    valid = np.asarray(arr.is_valid(), dtype=bool)
-    counts = np.asarray(pc.fill_null(pc.list_value_length(arr), 0),
-                        dtype=np.int64)
-    child = pc.list_flatten(arr)  # elements of valid lists only, in order
-    entries = np.maximum(counts, 1)
-    total = int(entries.sum())
-    # rep: 0 at each row start, 1 elsewhere
-    row_start = np.concatenate([[0], np.cumsum(entries)[:-1]])
-    rep = np.ones(total, dtype=np.uint32)
-    rep[row_start] = 0
-    # def per entry
-    dfl = np.full(total, 3, dtype=np.uint32)
-    empty_or_null = counts == 0
-    dfl[row_start[empty_or_null]] = np.where(valid[empty_or_null], 1, 0)
-    if child.null_count:
-        elem_valid = np.asarray(child.is_valid(), dtype=bool)
-        # element-stream positions: every entry except the placeholder
-        # rows of empty/null lists, in order
-        keep = np.ones(total, dtype=bool)
-        keep[row_start[empty_or_null]] = False
-        pos = np.flatnonzero(keep)
-        dfl[pos[~elem_valid]] = 2
-    return rep, dfl, child, 1, 3
+
+def _schema_element_tree(name: str, t: pa.DataType,
+                         repetition: int) -> list[_Struct]:
+    """DFS SchemaElement list for one field (repetition: 0 required /
+    1 optional / 2 repeated)."""
+    if pa.types.is_struct(t):
+        els = [_Struct().i32(3, repetition).binary(4, name).i32(5, len(t))]
+        for f in t:
+            els += _schema_element_tree(f.name, f.type,
+                                        1 if f.nullable else 0)
+        return els
+    if pa.types.is_map(t):
+        els = [_Struct().i32(3, repetition).binary(4, name)
+               .i32(5, 1).i32(6, _CONVERTED_MAP),
+               _Struct().i32(3, 2).binary(4, "key_value").i32(5, 2)]
+        els += _schema_element_tree("key", t.key_field.type, 0)
+        els += _schema_element_tree("value", t.item_field.type,
+                                    1 if t.item_field.nullable else 0)
+        return els
+    if _is_listish(t):
+        vf = t.value_field
+        return ([_Struct().i32(3, repetition).binary(4, name)
+                 .i32(5, 1).i32(6, _CONVERTED_LIST),
+                 _Struct().i32(3, 2).binary(4, "list").i32(5, 1)]
+                + _schema_element_tree("element", vf.type,
+                                       1 if vf.nullable else 0))
+    e = _Struct().i32(1, _PT[_physical(t)]).i32(3, repetition) \
+        .binary(4, name)
+    if pa.types.is_string(t):
+        e.i32(6, _CONVERTED_UTF8)
+    return [e]
 
 
 def _schema_elements(schema: pa.Schema) -> list[_Struct]:
     els = [_Struct().binary(4, "schema").i32(5, len(schema))]
     for field in schema:
-        repn = 1 if field.nullable else 0
-        t = field.type
-        if pa.types.is_list(t):
-            els.append(_Struct().i32(3, repn).binary(4, field.name)
-                       .i32(5, 1).i32(6, _CONVERTED_LIST))
-            els.append(_Struct().i32(3, 2).binary(4, "list").i32(5, 1))
-            vt = t.value_type
-            e = _Struct().i32(1, _PT[_physical(vt)]) \
-                .i32(3, 1 if t.value_field.nullable else 0) \
-                .binary(4, "element")
-            if pa.types.is_string(vt):
-                e.i32(6, _CONVERTED_UTF8)
-            els.append(e)
-        else:
-            e = _Struct().i32(1, _PT[_physical(t)]).i32(3, repn) \
-                .binary(4, field.name)
-            if pa.types.is_string(t):
-                e.i32(6, _CONVERTED_UTF8)
-            els.append(e)
+        els += _schema_element_tree(field.name, field.type,
+                                    1 if field.nullable else 0)
     return els
+
+
+def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
+                        rep: np.ndarray, dfl: np.ndarray, lm: dict,
+                        codec, compression: str,
+                        use_dictionary: bool) -> int:
+    """Emit one leaf's pages into ``out`` and its ColumnChunk struct
+    into ``col_chunks``; returns the chunk's uncompressed byte size."""
+    physical, max_rep, max_def = lm["physical"], lm["max_rep"], lm["max_def"]
+    n_values = len(dfl)
+    levels = b""
+    if max_rep:
+        levels += _level_stream(rep, max_rep)
+    if max_def:
+        levels += _level_stream(dfl, max_def)
+
+    # dictionary attempt: classic PLAIN_DICTIONARY (dict page +
+    # 1-byte-width hybrid indices) when it actually shrinks the
+    # chunk; PLAIN otherwise
+    dict_blob = None
+    if use_dictionary:
+        enc = _dict_encode(leaf, physical)
+        if enc is not None and (len(enc[0]) + len(enc[1])
+                                < _plain_size(leaf, physical)):
+            dict_blob = enc
+    pages: list[tuple[int, bytes, _Struct]] = []
+    if dict_blob is not None:
+        dict_values_plain, index_body, n_dict = dict_blob
+        dphd = _Struct().i32(1, n_dict).i32(2, _ENC_PLAIN_DICT)
+        pages.append((2, dict_values_plain, _Struct().struct(7, dphd)))
+        body = levels + index_body
+        dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN_DICT)
+               .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+        pages.append((0, body, _Struct().struct(5, dph)))
+        encodings = [_ENC_PLAIN_DICT, _ENC_RLE]
+    else:
+        body = levels + _plain_encode(leaf, physical)
+        dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN)
+               .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+        pages.append((0, body, _Struct().struct(5, dph)))
+        encodings = [_ENC_PLAIN, _ENC_RLE]
+
+    first_offset = len(out)
+    dict_page_offset = None
+    data_page_offset = None
+    uncomp_total = comp_total = 0
+    for ptype, body, extra in pages:
+        comp = codec.compress(body).to_pybytes() if codec else body
+        header = (_Struct().i32(1, ptype)
+                  .i32(2, len(body)).i32(3, len(comp)))
+        header._fields += extra._fields
+        hb = header.tobytes()
+        if ptype == 2:
+            dict_page_offset = len(out)
+        else:
+            data_page_offset = len(out)
+        out += hb
+        out += comp
+        uncomp_total += len(hb) + len(body)
+        comp_total += len(hb) + len(comp)
+    meta = (_Struct().i32(1, _PT[physical])
+            .list_i32(2, encodings)
+            .list_binary(3, lm["path"])
+            .i32(4, _CODECS[compression])
+            .i64(5, n_values)
+            .i64(6, uncomp_total)
+            .i64(7, comp_total)
+            .i64(9, data_page_offset))
+    if dict_page_offset is not None:
+        meta.i64(11, dict_page_offset)
+    st = _statistics(leaf, physical, n_values)
+    if st is not None:
+        meta.struct(12, st)
+    col_chunks.append(_Struct().i64(2, first_offset).struct(3, meta))
+    return uncomp_total
 
 
 def write_parquet_via_kernels(table: pa.Table, path: str,
@@ -328,83 +507,14 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
         total_uncomp = 0
         for ci, field in enumerate(table.schema):
             arr = chunk.column(ci).combine_chunks()
-            if pa.types.is_list(field.type):
-                rep, dfl, leaf, max_rep, max_def = _shred_list(arr)
-                physical = _physical(field.type.value_type)
-                path_in_schema = [field.name, "list", "element"]
-            else:
-                rep, dfl, leaf, max_rep, max_def = _shred_flat(
-                    arr, field.nullable)
-                physical = _physical(field.type)
-                path_in_schema = [field.name]
-            n_values = len(dfl) if dfl is not None else len(leaf)
-            levels = b""
-            if max_rep:
-                levels += _level_stream(rep, max_rep)
-            if max_def:
-                levels += _level_stream(dfl, max_def)
-
-            # dictionary attempt: classic PLAIN_DICTIONARY (dict page +
-            # 1-byte-width hybrid indices) when it actually shrinks the
-            # chunk; PLAIN otherwise
-            dict_blob = None
-            if use_dictionary:
-                enc = _dict_encode(leaf, physical)
-                if enc is not None and (len(enc[0]) + len(enc[1])
-                                        < _plain_size(leaf, physical)):
-                    dict_blob = enc
-            pages: list[tuple[int, bytes, _Struct]] = []
-            if dict_blob is not None:
-                dict_values_plain, index_body, n_dict = dict_blob
-                dphd = _Struct().i32(1, n_dict).i32(2, _ENC_PLAIN_DICT)
-                pages.append((2, dict_values_plain,
-                              _Struct().struct(7, dphd)))
-                body = levels + index_body
-                dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN_DICT)
-                       .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-                pages.append((0, body, _Struct().struct(5, dph)))
-                encodings = [_ENC_PLAIN_DICT, _ENC_RLE]
-            else:
-                body = levels + _plain_encode(leaf, physical)
-                dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN)
-                       .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-                pages.append((0, body, _Struct().struct(5, dph)))
-                encodings = [_ENC_PLAIN, _ENC_RLE]
-
-            first_offset = len(out)
-            dict_page_offset = None
-            data_page_offset = None
-            uncomp_total = comp_total = 0
-            for ptype, body, extra in pages:
-                comp = codec.compress(body).to_pybytes() if codec else body
-                header = (_Struct().i32(1, ptype)
-                          .i32(2, len(body)).i32(3, len(comp)))
-                header._fields += extra._fields
-                hb = header.tobytes()
-                if ptype == 2:
-                    dict_page_offset = len(out)
-                else:
-                    data_page_offset = len(out)
-                out += hb
-                out += comp
-                uncomp_total += len(hb) + len(body)
-                comp_total += len(hb) + len(comp)
-            total_uncomp += uncomp_total
-            meta = (_Struct().i32(1, _PT[physical])
-                    .list_i32(2, encodings)
-                    .list_binary(3, path_in_schema)
-                    .i32(4, _CODECS[compression])
-                    .i64(5, n_values)
-                    .i64(6, uncomp_total)
-                    .i64(7, comp_total)
-                    .i64(9, data_page_offset))
-            if dict_page_offset is not None:
-                meta.i64(11, dict_page_offset)
-            st = _statistics(leaf, physical, n_values)
-            if st is not None:
-                meta.struct(12, st)
-            col_chunks.append(_Struct().i64(2, first_offset)
-                              .struct(3, meta))
+            streams = _shred_field(arr, field)
+            metas = _walk_leaves(field.name, field.type, field.nullable,
+                                 0, 0, ())
+            assert len(streams) == len(metas), field.name
+            for (rep, dfl, leaf), lm in zip(streams, metas):
+                total_uncomp += _write_column_chunk(
+                    out, col_chunks, leaf, rep, dfl, lm, codec,
+                    compression, use_dictionary)
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
         # parquet spec (readers use it to budget decode memory)
         row_groups.append(_Struct().list_struct(1, col_chunks)
@@ -414,7 +524,8 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
 
     # column_orders: TYPE_ORDER for every leaf — without it readers
     # (pyarrow included) ignore min_value/max_value statistics
-    n_leaves = sum(_leaf_count_w(f.type) for f in table.schema)
+    n_leaves = sum(len(_walk_leaves(f.name, f.type, f.nullable, 0, 0, ()))
+                   for f in table.schema)
     type_order = _Struct().struct(1, _Struct())  # ColumnOrder union
     footer = (_Struct().i32(1, 1)
               .list_struct(2, _schema_elements(table.schema))

@@ -74,11 +74,82 @@ def test_writer_required_null_raises(tmp_path):
 def test_writer_unsupported_type_raises(tmp_path):
     import os
 
-    tbl = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a",
-                                                          pa.int64())]))})
+    # decimal stays outside the supported leaf universe
+    tbl = pa.table({"d": pa.array([1], pa.decimal128(10, 2))})
     with pytest.raises(NotImplementedError):
         write_parquet_via_kernels(tbl, os.path.join(str(tmp_path),
                                                     "x.parquet"))
+
+
+def test_writer_nested_shapes(tmp_path):
+    """General Dremel shredding: struct / map / list-of-struct /
+    struct-of-list / list-of-list / deep map nesting, with nulls at
+    every level, back through all three readers."""
+    inner = pa.struct([("x", pa.int32()), ("y", pa.list_(pa.string()))])
+    tables = {
+        "struct": pa.table({"s": pa.array(
+            [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"}],
+            pa.struct([("a", pa.int64()), ("b", pa.string())]))}),
+        "map": pa.table({"m": pa.array(
+            [[("k1", 1), ("k2", 2)], None, []],
+            pa.map_(pa.string(), pa.int64()))}),
+        "list_struct": pa.table({"ls": pa.array(
+            [[{"a": 1}, None, {"a": 3}], None, []],
+            pa.list_(pa.struct([("a", pa.int64())])))}),
+        "struct_list": pa.table({"sl": pa.array(
+            [{"v": [1, 2]}, {"v": None}, None],
+            pa.struct([("v", pa.list_(pa.int32()))]))}),
+        "list_list": pa.table({"ll": pa.array(
+            [[[1, 2], [], None], [], None, [[5]]],
+            pa.list_(pa.list_(pa.int64())))}),
+        "deep": pa.table({"deep": pa.array(
+            [[("a", [{"x": 1, "y": ["p", None]}, None])], None,
+             [("b", [])]],
+            pa.map_(pa.string(), pa.list_(inner)))}),
+        "large_list": pa.table({"L": pa.array(
+            [[1, 2], None, []], pa.large_list(pa.int64()))}),
+    }
+    for i, (tag, tbl) in enumerate(tables.items()):
+        comp = ("UNCOMPRESSED", "SNAPPY", "ZSTD")[i % 3]
+        _roundtrip(tbl, tmp_path, compression=comp)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=15, deadline=None)
+def test_writer_nested_fuzz_three_readers(seed):
+    """Randomized list<struct<int64, list<string>>> tables with nulls
+    at every level, written by our kernels, read back by pyarrow,
+    DuckDB and our kernel reader."""
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 60))
+
+    def maybe(p, v):
+        return None if rng.random() < p else v
+
+    t = pa.list_(pa.struct([("a", pa.int64()),
+                            ("ys", pa.list_(pa.string()))]))
+    rows = [maybe(0.2, [
+        maybe(0.2, {"a": maybe(0.3, int(rng.integers(-99, 99))),
+                    "ys": maybe(0.3, [maybe(0.3, f"s{int(x)}")
+                                      for x in rng.integers(
+                                          0, 9, int(rng.integers(0, 4)))])})
+        for _ in range(int(rng.integers(0, 4)))]) for _ in range(n)]
+    tbl = pa.table({"c": pa.array(rows, t),
+                    "k": pa.array(rng.integers(0, 9, n))})
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        write_parquet_via_kernels(tbl, path, compression="SNAPPY",
+                                  row_group_size=17)
+        for tag, back in (
+            ("pyarrow", pq.read_table(path)),
+            ("duckdb", duckdb.sql(
+                f"SELECT * FROM read_parquet('{path}')").arrow()),
+            ("kernels", read_parquet_via_kernels(path)),
+        ):
+            assert back.cast(tbl.schema).equals(tbl), (tag, n)
 
 
 @given(st.integers(min_value=0, max_value=10**9),
