@@ -74,6 +74,12 @@ class _Struct:
         self._fields.append((fid, _CT_I32, _ivarint(int(v))))
         return self
 
+    def bool_(self, fid: int, v: bool) -> "_Struct":
+        # compact-protocol booleans live in the field header itself
+        self._fields.append((fid, _CT_BOOL_TRUE if v else _CT_BOOL_FALSE,
+                             b""))
+        return self
+
     def i64(self, fid: int, v: int) -> "_Struct":
         self._fields.append((fid, _CT_I64, _ivarint(int(v))))
         return self
@@ -166,7 +172,25 @@ def _physical(t: pa.DataType) -> str:
         return "BOOLEAN"
     if pa.types.is_string(t) or pa.types.is_binary(t):
         return "BYTE_ARRAY"
+    if pa.types.is_timestamp(t):
+        if t.unit not in ("ms", "us", "ns") or t.tz not in (None, "UTC"):
+            raise NotImplementedError(
+                f"kernel parquet writer: timestamp {t} (parquet has no "
+                "seconds unit; non-UTC zones need schema metadata)")
+        return "INT64"
+    if pa.types.is_date32(t):
+        return "INT32"
     raise NotImplementedError(f"kernel parquet writer: leaf type {t}")
+
+
+def _storage_cast(arr: pa.Array) -> pa.Array:
+    """Logical-typed leaves -> their parquet physical storage ints."""
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        return arr.cast(pa.int64())
+    if pa.types.is_date32(t):
+        return arr.cast(pa.int32())
+    return arr
 
 
 def _plain_encode(arr: pa.Array, physical: str) -> bytes:
@@ -306,6 +330,8 @@ def _shred_node(arr: pa.Array, t: pa.DataType, nullable: bool, r: int,
         valid_pa = arr.is_valid()
         valid = np.asarray(valid_pa, dtype=bool)
         all_valid = bool(valid.all())
+        if not all_valid and rep_in is None:
+            rep_in = np.zeros(len(arr), np.int64)
         child_rep = rep_in if all_valid else rep_in[valid]
         streams = []
         for i, f in enumerate(t):
@@ -316,7 +342,7 @@ def _shred_node(arr: pa.Array, t: pa.DataType, nullable: bool, r: int,
                                        d_def, child_rep))
         miss = ~valid
         return _splice_placeholders(
-            streams, miss, rep_in[miss],
+            streams, miss, None if rep_in is None else rep_in[miss],
             np.full(int(miss.sum()), d_par, np.int64), r)
 
     if _is_listish(t):
@@ -329,6 +355,8 @@ def _shred_node(arr: pa.Array, t: pa.DataType, nullable: bool, r: int,
             arr = arr.cast(pa.list_(pa.field("key_value", kv,
                                              nullable=False)))
             t = arr.type
+        if rep_in is None:
+            rep_in = np.zeros(len(arr), np.int64)
         valid = np.asarray(arr.is_valid(), dtype=bool)
         counts = np.asarray(pc.fill_null(pc.list_value_length(arr), 0),
                             dtype=np.int64)
@@ -347,7 +375,9 @@ def _shred_node(arr: pa.Array, t: pa.DataType, nullable: bool, r: int,
                                     miss_def.astype(np.int64), r)
 
     if not (pa.types.is_nested(t) or pa.types.is_dictionary(t)):
-        if arr.null_count:
+        if d_def == 0:
+            dfl = None  # required all the way down: no def stream
+        elif arr.null_count:
             dfl = np.where(np.asarray(arr.is_valid(), bool), d_def,
                            d_par).astype(np.int64)
         else:
@@ -357,11 +387,14 @@ def _shred_node(arr: pa.Array, t: pa.DataType, nullable: bool, r: int,
 
 
 def _shred_field(arr, field: pa.Field):
-    """Shred one top-level column into DFS leaf streams."""
+    """Shred one top-level column into DFS leaf streams.
+
+    ``rep_in=None`` means "all zeros": flat columns never materialize a
+    repetition array (max_rep 0 drops it anyway); the struct/list
+    branches materialize it lazily the first time they index it."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return _shred_node(arr, field.type, field.nullable, 0, 0,
-                       np.zeros(len(arr), np.int64))
+    return _shred_node(arr, field.type, field.nullable, 0, 0, None)
 
 
 def _schema_element_tree(name: str, t: pa.DataType,
@@ -393,6 +426,20 @@ def _schema_element_tree(name: str, t: pa.DataType,
         .binary(4, name)
     if pa.types.is_string(t):
         e.i32(6, _CONVERTED_UTF8)
+    elif pa.types.is_timestamp(t):
+        # ConvertedType (ms/us only; ns has none) + LogicalType
+        # TIMESTAMP for all units so modern readers get the unit exactly
+        if t.unit == "ms":
+            e.i32(6, 9)   # TIMESTAMP_MILLIS
+        elif t.unit == "us":
+            e.i32(6, 10)  # TIMESTAMP_MICROS
+        unit_fid = {"ms": 1, "us": 2, "ns": 3}[t.unit]  # TimeUnit union
+        ts = (_Struct().bool_(1, t.tz == "UTC")
+              .struct(2, _Struct().struct(unit_fid, _Struct())))
+        e.struct(10, _Struct().struct(8, ts))  # LogicalType.TIMESTAMP
+    elif pa.types.is_date32(t):
+        e.i32(6, 6)  # DATE
+        e.struct(10, _Struct().struct(6, _Struct()))  # LogicalType.DATE
     return [e]
 
 
@@ -411,7 +458,8 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     """Emit one leaf's pages into ``out`` and its ColumnChunk struct
     into ``col_chunks``; returns the chunk's uncompressed byte size."""
     physical, max_rep, max_def = lm["physical"], lm["max_rep"], lm["max_def"]
-    n_values = len(dfl)
+    leaf = _storage_cast(leaf)
+    n_values = len(dfl) if dfl is not None else len(leaf)
     levels = b""
     if max_rep:
         levels += _level_stream(rep, max_rep)
@@ -496,6 +544,8 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
     codec = (None if compression == "UNCOMPRESSED"
              else pa.Codec(compression.lower()))
     table = table.combine_chunks()
+    field_metas = [_walk_leaves(f.name, f.type, f.nullable, 0, 0, ())
+                   for f in table.schema]
 
     out = bytearray(b"PAR1")
     row_groups: list[_Struct] = []
@@ -508,9 +558,11 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
         for ci, field in enumerate(table.schema):
             arr = chunk.column(ci).combine_chunks()
             streams = _shred_field(arr, field)
-            metas = _walk_leaves(field.name, field.type, field.nullable,
-                                 0, 0, ())
-            assert len(streams) == len(metas), field.name
+            metas = field_metas[ci]
+            if len(streams) != len(metas):  # schema/shred divergence
+                raise RuntimeError(
+                    f"leaf stream count mismatch for {field.name}: "
+                    f"{len(streams)} streams vs {len(metas)} leaves")
             for (rep, dfl, leaf), lm in zip(streams, metas):
                 total_uncomp += _write_column_chunk(
                     out, col_chunks, leaf, rep, dfl, lm, codec,
@@ -524,8 +576,7 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
 
     # column_orders: TYPE_ORDER for every leaf — without it readers
     # (pyarrow included) ignore min_value/max_value statistics
-    n_leaves = sum(len(_walk_leaves(f.name, f.type, f.nullable, 0, 0, ()))
-                   for f in table.schema)
+    n_leaves = sum(len(m) for m in field_metas)
     type_order = _Struct().struct(1, _Struct())  # ColumnOrder union
     footer = (_Struct().i32(1, 1)
               .list_struct(2, _schema_elements(table.schema))

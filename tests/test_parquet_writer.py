@@ -196,10 +196,40 @@ def test_writer_fuzz_three_readers(seed, compression):
 def test_writer_testdata_tables(tmp_path):
     """Real testdata tables (scalar-only schemas + the embeddings list
     table) through the writer and all three readers."""
-    for name in ("nation", "supplier", "embeddings"):
+    for name in ("nation", "supplier", "embeddings", "documents",
+                 "events"):
         tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
         tbl = tbl.replace_schema_metadata(None)
         _roundtrip(tbl, tmp_path, compression="SNAPPY")
+
+
+def test_writer_timestamp_and_date(tmp_path):
+    """Timestamps (ms/us/ns, naive and UTC) and date32 write as
+    INT64/INT32 with TIMESTAMP/DATE logical types and roundtrip
+    through all three readers; unsupported units/zones raise."""
+    import datetime as dt
+    import os
+
+    ts = [dt.datetime(2024, 1, 1, 12, 0, 0, 123456), None,
+          dt.datetime(1969, 12, 31, 23, 59, 59)]
+    for unit in ("ms", "us", "ns"):
+        _roundtrip(pa.table({"t": pa.array(ts, pa.timestamp(unit))}),
+                   tmp_path)
+    _roundtrip(pa.table({"t": pa.array(ts, pa.timestamp("us",
+                                                        tz="UTC"))}),
+               tmp_path, compression="ZSTD")
+    _roundtrip(pa.table({"d": pa.array(
+        [dt.date(2024, 2, 29), None, dt.date(1970, 1, 1)],
+        pa.date32())}), tmp_path)
+    _roundtrip(pa.table({"lt": pa.array(
+        [[dt.datetime(2024, 1, 1)], None, []],
+        pa.list_(pa.timestamp("us")))}), tmp_path, compression="SNAPPY")
+    for bad in (pa.timestamp("s"),
+                pa.timestamp("us", tz="America/New_York")):
+        with pytest.raises(NotImplementedError):
+            write_parquet_via_kernels(
+                pa.table({"t": pa.array([], bad)}),
+                os.path.join(str(tmp_path), "bad.parquet"))
 
 
 def test_writer_dictionary_and_statistics(tmp_path):
@@ -239,8 +269,9 @@ def test_writer_dictionary_and_statistics(tmp_path):
 
 def test_writer_empty_table_with_list_column(tmp_path):
     """0-row tables must write (and read back) for every supported
-    shape, including list columns — the _shred_list row_start indexing
-    regression."""
+    shape, including list columns — the empty-list row-start indexing
+    regression (the ``has.any()`` guard in ``_shred_node``'s list
+    branch)."""
     tbl = pa.table({
         "tokens": pa.array([], pa.list_(pa.int64())),
         "doc_id": pa.array([], pa.string()),
