@@ -807,6 +807,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_writer_roundtrip"] = kernel_writer_roundtrip
 
+    def kernel_sink_roundtrip(sf):
+        # the DISTRIBUTED kernel-parquet sink: stream the events table
+        # (ints + strings + double + timestamp[us]) through
+        # Dataset.write_datasink over our write kernels (one atomically-
+        # written file per write task + committed manifest), then read
+        # the directory back with DuckDB and hash-check against DuckDB
+        # reading the original file.
+        import os
+        import tempfile
+
+        import duckdb
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_sink_manifest, write_parquet_kernels)
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet")).repartition(4)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            m = write_parquet_kernels(ds, out, compression="SNAPPY")
+            assert m == read_sink_manifest(out)
+            res = duckdb.sql(
+                "SELECT event_id, ts, user_id, event_type, value, props"
+                f" FROM read_parquet('{out}/*.parquet') ORDER BY event_id"
+            ).arrow()
+        return res
+
+    q["kernel_sink_roundtrip"] = kernel_sink_roundtrip
+
     from parquet_hs_ray.pipelines import cleaning
     from parquet_hs_ray.pipelines import stats as pstats
 
@@ -3071,6 +3101,13 @@ FROM s GROUP BY seq_id
     # DuckDB as the independent reader of the produced file.
     o["kernel_writer_roundtrip"] = (
         "SELECT vec_id, embedding, label FROM embeddings"
+    )
+    # kernel_sink_roundtrip: the distributed Datasink over the same
+    # write kernels (events table exercises the timestamp logical type),
+    # DuckDB reading the produced directory.
+    o["kernel_sink_roundtrip"] = (
+        "SELECT event_id, ts, user_id, event_type, value, props"
+        " FROM events ORDER BY event_id"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing; the

@@ -137,6 +137,10 @@ def main(argv=None):
     dec.add_argument("--snapshot", default=None,
                      help="time travel: decode the state pinned by "
                      "`snapshot --name <n>` (later appends/deletes invisible)")
+    dec.add_argument("--writer", default="pyarrow",
+                     choices=("pyarrow", "kernels"),
+                     help="parquet encoder for --resumable output: pyarrow "
+                          "or our own write kernels")
     dec.add_argument("--unify-schema", action="store_true",
                      help="schema evolution: decode an appended store to the "
                           "UNION schema (older partitions null-pad columns "
@@ -291,7 +295,8 @@ def main(argv=None):
                 res = decode_to_parquet(args.encoded, args.out, columns=cols,
                                         predicate=preds, partition_cols=pcols,
                                         unify_schema=args.unify_schema,
-                                        apply_deletes=not args.keep_deleted)
+                                        apply_deletes=not args.keep_deleted,
+                                        writer=args.writer)
                 print(json.dumps(res))
                 return 0
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds,

@@ -524,7 +524,8 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
                       predicate=None, filesystem=None, dest_filesystem=None,
                       partition_cols: list[str] | None = None,
                       target_schema=None, unify_schema: bool = False,
-                      apply_deletes: bool = True) -> dict:
+                      apply_deletes: bool = True,
+                      writer: str = "pyarrow") -> dict:
     """RESUMABLE decode-to-parquet: one output file per encoded partition
     (``part-<id>.parquet``), written atomically; partitions whose output
     already exists are skipped, so a killed export continues where it
@@ -538,9 +539,15 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
     ignored by parquet dataset discovery), since one encoded partition may
     fan out to several hive files.
 
+    ``writer="kernels"`` routes the parquet encode through our own
+    write kernels (`sources/parquet_writer.py`) instead of pyarrow —
+    the fully self-hosted path (kernel decode -> kernel parquet).
+
     NOTE: an already-exported partition is NOT re-exported when a later
     ``delete_rows`` touches it — export before delete, or export to a
     fresh dest."""
+    if writer not in ("pyarrow", "kernels"):
+        raise ValueError(f"writer must be 'pyarrow' or 'kernels', got {writer!r}")
     from ..state import deletes as dvs
     from ..state import fsio
 
@@ -574,9 +581,15 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
         import pyarrow.parquet as pq
 
         def write_one(t: pa.Table, rel: str) -> None:
-            buf = io.BytesIO()
-            pq.write_table(t, buf)
-            fsio.write_atomic(fsio.join(dest_dir, rel), buf.getvalue(),
+            if writer == "kernels":
+                from ..sources.parquet_writer import encode_parquet_bytes
+
+                blob = encode_parquet_bytes(t, compression="SNAPPY")
+            else:
+                buf = io.BytesIO()
+                pq.write_table(t, buf)
+                blob = buf.getvalue()
+            fsio.write_atomic(fsio.join(dest_dir, rel), blob,
                               dest_filesystem)
 
         stage = DecoderStage(out_dir, columns, filesystem=filesystem, predicate=preds,

@@ -1,0 +1,113 @@
+"""Distributed Parquet sink built on our own write kernels.
+
+``KernelParquetDatasink`` plugs ``encode_parquet_bytes`` (thrift footer,
+Dremel shredding, RLE levels, PLAIN / PLAIN_DICTIONARY pages —
+`parquet_writer.py`) into Ray Data's ``Dataset.write_datasink`` write
+operator, so a streaming pipeline can land standard Parquet without
+pyarrow's writer anywhere on the path: one file per write task
+(``part-<task>-<seq>.parquet``), each written atomically
+(write-then-rename via ``fsio.write_atomic``), plus a committed
+``_kernel_manifest.json`` listing every file with row/byte counts —
+consumers treat a directory without the manifest as an aborted write.
+
+The reference is decode-only (`/root/reference/src/Parquet/Decoder.hs`
+stops at ``encodeVarint``); a distributed sink is the strict-superset
+write half, shaped for the brief's "resumable output: partitioned
+Parquet, never one giant file".
+
+Scale notes: blocks stream through write tasks with backpressure (no
+driver materialization); each task holds only its current block plus
+the encoded image. File count == write-task count, controlled upstream
+with ``repartition`` / block size.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable
+
+from ray.data import Datasink
+from ray.data._internal.execution.interfaces import TaskContext
+
+from ..state import fsio
+from .parquet_writer import encode_parquet_bytes
+
+MANIFEST_NAME = "_kernel_manifest.json"
+
+
+class KernelParquetDatasink(Datasink):
+    """Write a Dataset as standard Parquet through our kernels."""
+
+    def __init__(self, path: str, compression: str = "SNAPPY",
+                 row_group_size: int = 1 << 20,
+                 use_dictionary: bool = True, filesystem=None):
+        self._path = path
+        self._compression = compression
+        self._row_group_size = row_group_size
+        self._use_dictionary = use_dictionary
+        self._filesystem = filesystem
+
+    def get_name(self) -> str:
+        return "KernelParquet"
+
+    def on_write_start(self) -> None:
+        fsio.mkdirs(self._path, self._filesystem)
+        # a fresh write invalidates any previous commit marker
+        marker = fsio.join(self._path, MANIFEST_NAME)
+        if fsio.exists(marker, self._filesystem):
+            fsio.delete_file(marker, self._filesystem)
+
+    def write(self, blocks: Iterable, ctx: TaskContext) -> list[dict]:
+        from ray.data.block import BlockAccessor
+
+        results = []
+        for seq, block in enumerate(blocks):
+            t = BlockAccessor.for_block(block).to_arrow()
+            if t.num_rows == 0:
+                continue
+            blob = encode_parquet_bytes(
+                t, compression=self._compression,
+                row_group_size=self._row_group_size,
+                use_dictionary=self._use_dictionary)
+            name = f"part-{ctx.task_idx:06d}-{seq:04d}.parquet"
+            fsio.write_atomic(fsio.join(self._path, name), blob,
+                              self._filesystem)
+            results.append({"file": name, "rows": t.num_rows,
+                            "bytes": len(blob)})
+        return results
+
+    def on_write_complete(self, write_result) -> None:
+        files = [r for task in write_result.write_returns for r in task]
+        manifest = {
+            "files": sorted(files, key=lambda r: r["file"]),
+            "rows": sum(r["rows"] for r in files),
+            "bytes": sum(r["bytes"] for r in files),
+            "compression": self._compression,
+        }
+        fsio.write_atomic(fsio.join(self._path, MANIFEST_NAME),
+                          json.dumps(manifest, indent=1).encode(),
+                          self._filesystem, durable=True)
+
+
+def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
+                          row_group_size: int = 1 << 20,
+                          use_dictionary: bool = True,
+                          filesystem=None, concurrency=None) -> dict:
+    """``Dataset.write_parquet`` twin over the kernel writer: streams
+    the dataset's blocks through ``KernelParquetDatasink`` and returns
+    the committed manifest."""
+    sink = KernelParquetDatasink(path, compression=compression,
+                                 row_group_size=row_group_size,
+                                 use_dictionary=use_dictionary,
+                                 filesystem=filesystem)
+    ds.write_datasink(sink, concurrency=concurrency)
+    return read_sink_manifest(path, filesystem)
+
+
+def read_sink_manifest(path: str, filesystem=None) -> dict:
+    """Load the commit manifest; raises if the write never committed."""
+    marker = fsio.join(path, MANIFEST_NAME)
+    if not fsio.exists(marker, filesystem):
+        raise FileNotFoundError(
+            f"{marker} missing: the kernel-sink write did not complete")
+    return json.loads(fsio.read_bytes(marker, filesystem))

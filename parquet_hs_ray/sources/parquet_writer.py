@@ -201,9 +201,29 @@ def _plain_encode(arr: pa.Array, physical: str) -> bytes:
         return np.packbits(v, bitorder="little").tobytes()
     if physical == "BYTE_ARRAY":
         a = arr.cast(pa.binary()) if not pa.types.is_binary(arr.type) else arr
-        vals = a.to_pylist()
-        # u32-LE length prefix per value; payload scatter is one join
-        return b"".join(len(v).to_bytes(4, "little") + v for v in vals)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        n = len(a)
+        if n == 0:
+            return b""
+        # u32-LE length prefix per value, built from the Arrow offsets
+        # and data buffers — offsets are monotone into one shared data
+        # buffer, so the payload bytes are already the desired
+        # concatenation: one boolean-mask interleave, no per-value loop
+        off = np.frombuffer(a.buffers()[1], np.int32, n + 1,
+                            offset=a.offset * 4).astype(np.int64)
+        lens = np.diff(off)
+        total = int(4 * n + lens.sum())
+        out = np.empty(total, np.uint8)
+        dst = np.cumsum(lens + 4) - (lens + 4)  # start of each record
+        hdr = (dst[:, None] + np.arange(4)).ravel()
+        out[hdr] = lens.astype("<u4").view(np.uint8).reshape(n, 4).ravel()
+        if total > 4 * n:
+            mask = np.ones(total, bool)
+            mask[hdr] = False
+            data = np.frombuffer(a.buffers()[2], np.uint8)
+            out[mask] = data[off[0]:off[-1]]
+        return out.tobytes()
     dt = {"INT64": "<i8", "INT32": "<i4",
           "DOUBLE": "<f8", "FLOAT": "<f4"}[physical]
     return np.ascontiguousarray(
@@ -533,9 +553,26 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                               use_dictionary: bool = True) -> dict:
     """Write ``table`` as standard Parquet through our kernels.
 
-    Returns a small stats dict ({rows, row_groups, bytes}).  One data
-    page per column chunk per row group (pages are whole-chunk; fine at
-    the row_group_size granularity this writer targets)."""
+    Returns a small stats dict ({rows, row_groups, bytes})."""
+    blob = encode_parquet_bytes(table, compression=compression,
+                                row_group_size=row_group_size,
+                                use_dictionary=use_dictionary)
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    return {"rows": table.num_rows,
+            "row_groups": max(1, -(-table.num_rows // row_group_size)),
+            "bytes": len(blob)}
+
+
+def encode_parquet_bytes(table: pa.Table,
+                         compression: str = "UNCOMPRESSED",
+                         row_group_size: int = 1 << 20,
+                         use_dictionary: bool = True) -> bytes:
+    """Encode ``table`` as a standard Parquet file image through our
+    kernels (thrift footer, Dremel shredding, RLE levels, PLAIN /
+    PLAIN_DICTIONARY values).  One data page per column chunk per row
+    group (pages are whole-chunk; fine at the row_group_size
+    granularity this writer targets)."""
     compression = compression.upper()
     if compression == "NONE":
         compression = "UNCOMPRESSED"
@@ -587,7 +624,4 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
     out += footer
     out += len(footer).to_bytes(4, "little")
     out += b"PAR1"
-    with open(path, "wb") as fh:
-        fh.write(out)
-    return {"rows": table.num_rows, "row_groups": len(row_groups),
-            "bytes": len(out)}
+    return bytes(out)

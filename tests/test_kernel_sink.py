@@ -1,0 +1,92 @@
+"""Distributed kernel-parquet sink: Dataset.write_datasink through our
+own write kernels, committed manifest, and the fully self-hosted
+decode->kernel-parquet export path."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import duckdb
+
+from parquet_hs_ray.sources.kernel_sink import (
+    MANIFEST_NAME, read_sink_manifest, write_parquet_kernels)
+from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(t: pa.Table, schema: pa.Schema, keys: list[str]) -> pa.Table:
+    return t.cast(schema).sort_by([(k, "ascending") for k in keys])
+
+
+def test_kernel_sink_roundtrip(ray_session, tmp_path):
+    import ray
+
+    src = pq.read_table(f"{SF}/lineitem.parquet").replace_schema_metadata(
+        None)
+    out = str(tmp_path / "sink")
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet").repartition(4)
+    manifest = write_parquet_kernels(ds, out, compression="SNAPPY")
+    assert manifest["rows"] == src.num_rows
+    assert len(manifest["files"]) >= 1
+    assert manifest == read_sink_manifest(out)
+
+    keys = ["l_orderkey", "l_linenumber"]
+    want = _canon(src, src.schema, keys)
+    # pyarrow dataset discovery must skip the _-prefixed manifest
+    assert _canon(pq.read_table(out), src.schema, keys).equals(want)
+    back = duckdb.sql(
+        f"SELECT * FROM read_parquet('{out}/*.parquet')").arrow()
+    assert _canon(back, src.schema, keys).equals(want)
+    parts = [read_parquet_via_kernels(os.path.join(out, r["file"]))
+             for r in manifest["files"]]
+    ours = pa.concat_tables(p.cast(src.schema) for p in parts)
+    assert _canon(ours, src.schema, keys).equals(want)
+
+
+def test_kernel_sink_manifest_commit_semantics(ray_session, tmp_path):
+    """No manifest => not committed; a fresh write invalidates a stale
+    one before writing."""
+    import ray
+
+    out = str(tmp_path / "sink2")
+    with pytest.raises(FileNotFoundError):
+        read_sink_manifest(out + "-missing")
+    ds = ray.data.range(100).map_batches(
+        lambda b: {"x": b["id"]}, batch_format="numpy")
+    m1 = write_parquet_kernels(ds, out)
+    assert m1["rows"] == 100
+    # marker content is valid JSON listing each file exactly once
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        j = json.load(fh)
+    names = [r["file"] for r in j["files"]]
+    assert len(names) == len(set(names))
+    # rewrite into the same dir commits a fresh manifest
+    m2 = write_parquet_kernels(ds.repartition(2), out)
+    assert m2["rows"] == 100
+
+
+def test_decode_to_parquet_kernel_writer(ray_session, tmp_path):
+    """decode_to_parquet(writer='kernels'): the store decodes and lands
+    as kernel-written parquet, byte-readable by pyarrow and equal to
+    the pyarrow-writer export."""
+    from parquet_hs_ray.pipelines.encode_job import (
+        decode_to_parquet, encode_dataset)
+
+    store = str(tmp_path / "store")
+    encode_dataset(f"{SF}/lineitem.parquet", store, token_col="l_quantity",
+                   token_budget=200_000)
+    d_pa = str(tmp_path / "out_pa")
+    d_kn = str(tmp_path / "out_kn")
+    decode_to_parquet(store, d_pa)
+    res = decode_to_parquet(store, d_kn, writer="kernels")
+    assert res["written"] >= 1
+    a = pq.read_table(d_pa)
+    b = pq.read_table(d_kn)
+    keys = ["l_orderkey", "l_linenumber"]
+    assert _canon(b, a.schema, keys).equals(_canon(a, a.schema, keys))
+    with pytest.raises(ValueError):
+        decode_to_parquet(store, d_kn, writer="nope")
