@@ -299,6 +299,10 @@ def main(argv=None):
                                         writer=args.writer)
                 print(json.dumps(res))
                 return 0
+            if args.writer != "pyarrow":
+                raise SystemExit(
+                    "--writer kernels requires --resumable (the streaming "
+                    "write path uses Dataset.write_parquet)")
             ds = decode_dataset(args.encoded, columns=cols, predicate=preds,
                                 unify_schema=args.unify_schema,
                                 apply_deletes=not args.keep_deleted,

@@ -52,10 +52,16 @@ class KernelParquetDatasink(Datasink):
 
     def on_write_start(self) -> None:
         fsio.mkdirs(self._path, self._filesystem)
-        # a fresh write invalidates any previous commit marker
+        # a fresh write invalidates any previous commit marker AND its
+        # part files: a rewrite with fewer write tasks must not leave
+        # stale parts for glob-based readers to double-count
         marker = fsio.join(self._path, MANIFEST_NAME)
         if fsio.exists(marker, self._filesystem):
             fsio.delete_file(marker, self._filesystem)
+        for name in fsio.list_files(self._path, self._filesystem):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                fsio.delete_file(fsio.join(self._path, name),
+                                 self._filesystem)
 
     def write(self, blocks: Iterable, ctx: TaskContext) -> list[dict]:
         from ray.data.block import BlockAccessor

@@ -567,12 +567,13 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
 def encode_parquet_bytes(table: pa.Table,
                          compression: str = "UNCOMPRESSED",
                          row_group_size: int = 1 << 20,
-                         use_dictionary: bool = True) -> bytes:
+                         use_dictionary: bool = True) -> bytearray:
     """Encode ``table`` as a standard Parquet file image through our
     kernels (thrift footer, Dremel shredding, RLE levels, PLAIN /
     PLAIN_DICTIONARY values).  One data page per column chunk per row
     group (pages are whole-chunk; fine at the row_group_size
-    granularity this writer targets)."""
+    granularity this writer targets).  Returns the bytearray itself —
+    no defensive copy; file.write / fsio.write_atomic take it as-is."""
     compression = compression.upper()
     if compression == "NONE":
         compression = "UNCOMPRESSED"
@@ -624,4 +625,4 @@ def encode_parquet_bytes(table: pa.Table,
     out += footer
     out += len(footer).to_bytes(4, "little")
     out += b"PAR1"
-    return bytes(out)
+    return out

@@ -64,9 +64,18 @@ def test_kernel_sink_manifest_commit_semantics(ray_session, tmp_path):
         j = json.load(fh)
     names = [r["file"] for r in j["files"]]
     assert len(names) == len(set(names))
-    # rewrite into the same dir commits a fresh manifest
+    # rewrite into the same dir commits a fresh manifest AND removes
+    # stale part files from the previous (wider) write, so glob readers
+    # never double-count
     m2 = write_parquet_kernels(ds.repartition(2), out)
     assert m2["rows"] == 100
+    on_disk = sorted(f for f in os.listdir(out)
+                     if f.startswith("part-") and f.endswith(".parquet"))
+    assert on_disk == sorted(r["file"] for r in m2["files"])
+    back = duckdb.sql(
+        f"SELECT count(*) c, sum(x) s FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert back == (100, sum(range(100)))
 
 
 def test_decode_to_parquet_kernel_writer(ray_session, tmp_path):
