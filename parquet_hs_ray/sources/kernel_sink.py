@@ -40,11 +40,13 @@ class KernelParquetDatasink(Datasink):
 
     def __init__(self, path: str, compression: str = "SNAPPY",
                  row_group_size: int = 1 << 20,
-                 use_dictionary: bool = True, filesystem=None):
+                 use_dictionary: bool = True, encodings: str = "classic",
+                 filesystem=None):
         self._path = path
         self._compression = compression
         self._row_group_size = row_group_size
         self._use_dictionary = use_dictionary
+        self._encodings = encodings
         self._filesystem = filesystem
 
     def get_name(self) -> str:
@@ -74,7 +76,8 @@ class KernelParquetDatasink(Datasink):
             blob = encode_parquet_bytes(
                 t, compression=self._compression,
                 row_group_size=self._row_group_size,
-                use_dictionary=self._use_dictionary)
+                use_dictionary=self._use_dictionary,
+                encodings=self._encodings)
             name = f"part-{ctx.task_idx:06d}-{seq:04d}.parquet"
             fsio.write_atomic(fsio.join(self._path, name), blob,
                               self._filesystem)
@@ -98,6 +101,7 @@ class KernelParquetDatasink(Datasink):
 def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                           row_group_size: int = 1 << 20,
                           use_dictionary: bool = True,
+                          encodings: str = "classic",
                           filesystem=None, concurrency=None) -> dict:
     """``Dataset.write_parquet`` twin over the kernel writer: streams
     the dataset's blocks through ``KernelParquetDatasink`` and returns
@@ -105,6 +109,7 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
     sink = KernelParquetDatasink(path, compression=compression,
                                  row_group_size=row_group_size,
                                  use_dictionary=use_dictionary,
+                                 encodings=encodings,
                                  filesystem=filesystem)
     ds.write_datasink(sink, concurrency=concurrency)
     return read_sink_manifest(path, filesystem)

@@ -12,12 +12,15 @@ The reference is decode-only (its encoder surface stops at
 ``encodeVarint``, `/root/reference/src/Parquet/Decoder.hs`); a writer is
 a strict superset that makes the kernel path bidirectional.
 
-Scope (correctness-first; the engine's production sink remains
-``Dataset.write_parquet``): arbitrary nestings of struct / list /
-large_list / map over the primitive leaf types (the same shapes the
-kernel reader's general record assembly decodes), PLAIN /
-PLAIN_DICTIONARY values, RLE levels, UNCOMPRESSED / SNAPPY / GZIP /
-ZSTD page compression, multiple row groups.
+Scope (correctness-first; the engine's production sinks are
+``Dataset.write_parquet`` and the kernel datasink in `kernel_sink.py`):
+arbitrary nestings of struct / list / large_list / map over the
+primitive leaf types plus timestamp/date32 logical types (the same
+shapes the kernel reader's general record assembly decodes); PLAIN /
+PLAIN_DICTIONARY values, with opt-in ``encodings="auto"`` per-chunk
+selection of DELTA_BINARY_PACKED (ints) and BYTE_STREAM_SPLIT
+(floats); RLE levels; UNCOMPRESSED / SNAPPY / GZIP / ZSTD page
+compression; multiple row groups.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ _PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
        "BYTE_ARRAY": 6}
 _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
+_ENC_DELTA_BP, _ENC_BYTE_STREAM_SPLIT = 5, 9
 _CONVERTED_UTF8, _CONVERTED_MAP, _CONVERTED_LIST = 0, 1, 3
 
 
@@ -264,6 +268,67 @@ def _dict_encode(arr: pa.Array, physical: str):
     return _plain_encode(dictionary, physical), index_body, len(dictionary)
 
 
+def _delta_bp_encode(vals: np.ndarray) -> bytes:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md): block 256 /
+    8 miniblocks of 32.  The inverse of the reader's
+    ``_decode_delta_binary_packed`` (`parquet_pages.py`); arithmetic is
+    mod 2^64 throughout, so wild deltas still roundtrip exactly.
+    All n_mini width bytes are emitted per block; miniblock payloads
+    past the final value are omitted (both allowed by the spec)."""
+    from ..codecs.bitpack import pack_bits_le
+    from ..codecs.varint import encode_varint, zigzag_encode
+
+    n = len(vals)
+    first = int(vals[0]) if n else 0
+    out = bytearray(encode_varint(256) + encode_varint(8)
+                    + encode_varint(n)
+                    + encode_varint(zigzag_encode(first)))
+    if n <= 1:
+        return bytes(out)
+    v = vals.astype(np.int64)
+    with np.errstate(over="ignore"):
+        deltas = (v[1:].view(np.uint64)
+                  - v[:-1].view(np.uint64)).view(np.int64)
+    for bs in range(0, len(deltas), 256):
+        block = deltas[bs:bs + 256]
+        min_delta = int(block.min())
+        with np.errstate(over="ignore"):
+            adj = (block.view(np.uint64)
+                   - np.uint64(min_delta & 0xFFFFFFFFFFFFFFFF))
+        out += encode_varint(zigzag_encode(min_delta))
+        widths = bytearray(8)
+        bodies = []
+        for mi in range(8):
+            mb = adj[mi * 32:(mi + 1) * 32]
+            if len(mb) == 0:
+                break  # trailing miniblocks: width byte 0, no payload
+            w = int(mb.max()).bit_length()
+            widths[mi] = w
+            if len(mb) < 32:
+                mb = np.concatenate([mb, np.zeros(32 - len(mb),
+                                                  np.uint64)])
+            bodies.append(pack_bits_le(mb, w))
+        out += widths
+        for b in bodies:
+            out += b
+    return bytes(out)
+
+
+def _bss_encode(arr: pa.Array, physical: str) -> bytes:
+    """BYTE_STREAM_SPLIT: byte plane j of every value, planes
+    concatenated — a pure permutation of PLAIN (pays only under page
+    compression)."""
+    dt = {"INT64": "<i8", "INT32": "<i4",
+          "DOUBLE": "<f8", "FLOAT": "<f4"}[physical]
+    v = np.ascontiguousarray(
+        arr.drop_null().to_numpy(zero_copy_only=False)).astype(dt)
+    n = len(v)
+    if n == 0:
+        return b""
+    mat = v.view(np.uint8).reshape(n, v.dtype.itemsize)
+    return np.ascontiguousarray(mat.T).tobytes()
+
+
 def _statistics(arr: pa.Array, physical: str, n_values: int):
     """Statistics struct (min_value/max_value/null_count) for the types
     with unambiguous orderings; floats are skipped (NaN semantics)."""
@@ -474,9 +539,16 @@ def _schema_elements(schema: pa.Schema) -> list[_Struct]:
 def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                         rep: np.ndarray, dfl: np.ndarray, lm: dict,
                         codec, compression: str,
-                        use_dictionary: bool) -> int:
+                        use_dictionary: bool,
+                        encodings_mode: str = "classic") -> int:
     """Emit one leaf's pages into ``out`` and its ColumnChunk struct
-    into ``col_chunks``; returns the chunk's uncompressed byte size."""
+    into ``col_chunks``; returns the chunk's uncompressed byte size.
+
+    ``encodings_mode="auto"`` extends the per-chunk codec selection
+    beyond dict-vs-plain: DELTA_BINARY_PACKED for int chunks when it
+    measures smaller than PLAIN, BYTE_STREAM_SPLIT for float chunks
+    under page compression (a permutation of PLAIN that compresses
+    better)."""
     physical, max_rep, max_def = lm["physical"], lm["max_rep"], lm["max_def"]
     leaf = _storage_cast(leaf)
     n_values = len(dfl) if dfl is not None else len(leaf)
@@ -495,6 +567,16 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         if enc is not None and (len(enc[0]) + len(enc[1])
                                 < _plain_size(leaf, physical)):
             dict_blob = enc
+    value_enc, value_body = None, None
+    if dict_blob is None and encodings_mode == "auto":
+        if physical in ("INT32", "INT64") and len(leaf):
+            vals = leaf.drop_null().to_numpy(zero_copy_only=False)
+            delta = _delta_bp_encode(np.asarray(vals, np.int64))
+            if len(delta) < _plain_size(leaf, physical):
+                value_enc, value_body = _ENC_DELTA_BP, delta
+        elif physical in ("FLOAT", "DOUBLE") and codec is not None:
+            value_enc = _ENC_BYTE_STREAM_SPLIT
+            value_body = _bss_encode(leaf, physical)
     pages: list[tuple[int, bytes, _Struct]] = []
     if dict_blob is not None:
         dict_values_plain, index_body, n_dict = dict_blob
@@ -506,11 +588,14 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         pages.append((0, body, _Struct().struct(5, dph)))
         encodings = [_ENC_PLAIN_DICT, _ENC_RLE]
     else:
-        body = levels + _plain_encode(leaf, physical)
-        dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN)
+        if value_enc is None:
+            value_enc, value_body = _ENC_PLAIN, _plain_encode(leaf,
+                                                              physical)
+        body = levels + value_body
+        dph = (_Struct().i32(1, n_values).i32(2, value_enc)
                .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
         pages.append((0, body, _Struct().struct(5, dph)))
-        encodings = [_ENC_PLAIN, _ENC_RLE]
+        encodings = [value_enc, _ENC_RLE]
 
     first_offset = len(out)
     dict_page_offset = None
@@ -550,13 +635,15 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
 def write_parquet_via_kernels(table: pa.Table, path: str,
                               compression: str = "UNCOMPRESSED",
                               row_group_size: int = 1 << 20,
-                              use_dictionary: bool = True) -> dict:
+                              use_dictionary: bool = True,
+                              encodings: str = "classic") -> dict:
     """Write ``table`` as standard Parquet through our kernels.
 
     Returns a small stats dict ({rows, row_groups, bytes})."""
     blob = encode_parquet_bytes(table, compression=compression,
                                 row_group_size=row_group_size,
-                                use_dictionary=use_dictionary)
+                                use_dictionary=use_dictionary,
+                                encodings=encodings)
     with open(path, "wb") as fh:
         fh.write(blob)
     return {"rows": table.num_rows,
@@ -567,7 +654,8 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
 def encode_parquet_bytes(table: pa.Table,
                          compression: str = "UNCOMPRESSED",
                          row_group_size: int = 1 << 20,
-                         use_dictionary: bool = True) -> bytearray:
+                         use_dictionary: bool = True,
+                         encodings: str = "classic") -> bytearray:
     """Encode ``table`` as a standard Parquet file image through our
     kernels (thrift footer, Dremel shredding, RLE levels, PLAIN /
     PLAIN_DICTIONARY values).  One data page per column chunk per row
@@ -579,6 +667,9 @@ def encode_parquet_bytes(table: pa.Table,
         compression = "UNCOMPRESSED"
     if compression not in _CODECS:
         raise ValueError(f"unsupported compression {compression}")
+    if encodings not in ("classic", "auto"):
+        raise ValueError(
+            f"encodings must be 'classic' or 'auto', got {encodings!r}")
     codec = (None if compression == "UNCOMPRESSED"
              else pa.Codec(compression.lower()))
     table = table.combine_chunks()
@@ -604,7 +695,7 @@ def encode_parquet_bytes(table: pa.Table,
             for (rep, dfl, leaf), lm in zip(streams, metas):
                 total_uncomp += _write_column_chunk(
                     out, col_chunks, leaf, rep, dfl, lm, codec,
-                    compression, use_dictionary)
+                    compression, use_dictionary, encodings)
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
         # parquet spec (readers use it to budget decode memory)
         row_groups.append(_Struct().list_struct(1, col_chunks)

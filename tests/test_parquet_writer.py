@@ -267,6 +267,80 @@ def test_writer_dictionary_and_statistics(tmp_path):
     assert c2.statistics.null_count == 6667  # empty-list placeholders
 
 
+def test_writer_auto_encodings(tmp_path):
+    """encodings='auto' per-chunk selection: DELTA_BINARY_PACKED wins
+    on near-sorted ints (and only when it measures smaller), and
+    BYTE_STREAM_SPLIT is used for floats under page compression —
+    files stay readable by all three readers."""
+    import os
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    tbl = pa.table({
+        "sorted_id": pa.array(np.cumsum(rng.integers(0, 5, n))),
+        "rand64": pa.array(rng.integers(-2**62, 2**62, n)),
+        "i32seq": pa.array((np.arange(n) * 3).astype(np.int32),
+                           mask=rng.random(n) < 0.1),
+        "f64": pa.array(rng.normal(0, 1, n)),
+        "lt": pa.array([[i, i + 1] for i in range(n)],
+                       pa.list_(pa.int64())),
+    })
+    pauto = os.path.join(str(tmp_path), "auto.parquet")
+    pcls = os.path.join(str(tmp_path), "classic.parquet")
+    sa = write_parquet_via_kernels(tbl, pauto, compression="SNAPPY",
+                                   use_dictionary=False,
+                                   encodings="auto")
+    sc = write_parquet_via_kernels(tbl, pcls, compression="SNAPPY",
+                                   use_dictionary=False)
+    assert sa["bytes"] < sc["bytes"]  # delta columns must pay here
+    for tag, back in (
+        ("pyarrow", pq.read_table(pauto)),
+        ("duckdb", duckdb.sql(
+            f"SELECT * FROM read_parquet('{pauto}')").arrow()),
+        ("kernels", read_parquet_via_kernels(pauto)),
+    ):
+        assert back.cast(tbl.schema).equals(tbl), tag
+    meta = pq.ParquetFile(pauto).metadata.row_group(0)
+    encs = {meta.column(i).path_in_schema: set(meta.column(i).encodings)
+            for i in range(meta.num_columns)}
+    assert "DELTA_BINARY_PACKED" in encs["sorted_id"]
+    assert "DELTA_BINARY_PACKED" in encs["i32seq"]
+    assert "DELTA_BINARY_PACKED" in encs["lt.list.element"]
+    assert "BYTE_STREAM_SPLIT" in encs["f64"]
+    assert "PLAIN" in encs["rand64"]  # delta would not shrink it
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=20, deadline=None)
+def test_writer_delta_fuzz(seed):
+    """DELTA_BINARY_PACKED at block/miniblock boundaries, wild
+    wraparound deltas, nulls — three-reader equality."""
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 600))
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        v = np.cumsum(rng.integers(0, 9, n))
+    elif kind == 1:
+        v = rng.integers(-2**63, 2**63, n, dtype=np.int64)
+    else:
+        v = rng.integers(-50, 50, n)
+    tbl = pa.table({"x": pa.array(v, mask=rng.random(n) < 0.2)})
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        write_parquet_via_kernels(tbl, p, use_dictionary=False,
+                                  encodings="auto", row_group_size=97)
+        for tag, back in (
+            ("pyarrow", pq.read_table(p)),
+            ("duckdb", duckdb.sql(
+                f"SELECT * FROM read_parquet('{p}')").arrow()),
+            ("kernels", read_parquet_via_kernels(p)),
+        ):
+            assert back.cast(tbl.schema).equals(tbl), (tag, n, kind)
+
+
 def test_writer_empty_table_with_list_column(tmp_path):
     """0-row tables must write (and read back) for every supported
     shape, including list columns — the empty-list row-start indexing
