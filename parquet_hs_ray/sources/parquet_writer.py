@@ -41,7 +41,7 @@ _CT_STRUCT = 12
 
 # parquet physical types
 _PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
-       "BYTE_ARRAY": 6}
+       "BYTE_ARRAY": 6, "FIXED_LEN_BYTE_ARRAY": 7}
 _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_BYTE_STREAM_SPLIT = 5, 9
@@ -160,7 +160,16 @@ def _walk_leaves(name: str, t: pa.DataType, nullable: bool,
         return _walk_leaves("element", vf.type, vf.nullable, r + 1,
                             d + 1, path + (name, "list"))
     return [{"path": list(path + (name,)), "physical": _physical(t),
-             "max_rep": r, "max_def": d}]
+             "max_rep": r, "max_def": d,
+             "type_length": (_decimal_flba_len(t.precision)
+                             if pa.types.is_decimal128(t) else 0)}]
+
+
+def _decimal_flba_len(precision: int) -> int:
+    """Minimal FLBA byte length holding ``precision`` decimal digits in
+    two's-complement (what pyarrow/parquet-java write; DuckDB rejects
+    over-wide carriers)."""
+    return ((10 ** precision - 1).bit_length() + 1 + 7) // 8
 
 
 def _physical(t: pa.DataType) -> str:
@@ -184,6 +193,8 @@ def _physical(t: pa.DataType) -> str:
         return "INT64"
     if pa.types.is_date32(t):
         return "INT32"
+    if pa.types.is_decimal128(t):
+        return "FIXED_LEN_BYTE_ARRAY"  # 16-byte big-endian
     raise NotImplementedError(f"kernel parquet writer: leaf type {t}")
 
 
@@ -197,9 +208,22 @@ def _storage_cast(arr: pa.Array) -> pa.Array:
     return arr
 
 
-def _plain_encode(arr: pa.Array, physical: str) -> bytes:
+def _plain_encode(arr: pa.Array, physical: str,
+                  type_length: int = 0) -> bytes:
     """PLAIN values for the non-null elements of ``arr``, in order."""
     arr = arr.drop_null()
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        # decimal128: Arrow 16-byte little-endian storage -> parquet
+        # FLBA big-endian two's-complement; one row-wise byte flip,
+        # then keep only the low type_length bytes (the high bytes are
+        # sign extension for values that fit the declared precision)
+        n = len(arr)
+        if n == 0:
+            return b""
+        mat = np.frombuffer(arr.buffers()[1], np.uint8, n * 16,
+                            offset=arr.offset * 16).reshape(n, 16)
+        return np.ascontiguousarray(
+            mat[:, ::-1][:, 16 - type_length:]).tobytes()
     if physical == "BOOLEAN":
         v = arr.to_numpy(zero_copy_only=False).astype(bool)
         return np.packbits(v, bitorder="little").tobytes()
@@ -234,11 +258,14 @@ def _plain_encode(arr: pa.Array, physical: str) -> bytes:
         arr.to_numpy(zero_copy_only=False)).astype(dt).tobytes()
 
 
-def _plain_size(arr: pa.Array, physical: str) -> int:
+def _plain_size(arr: pa.Array, physical: str,
+                type_length: int = 0) -> int:
     """Byte size the PLAIN encoding of ``arr`` would take (no encode)."""
     n = len(arr) - arr.null_count
     if physical == "BOOLEAN":
         return (n + 7) // 8
+    if physical == "FIXED_LEN_BYTE_ARRAY":
+        return type_length * n
     if physical == "BYTE_ARRAY":
         a = arr.drop_null()
         a = a.cast(pa.binary()) if not pa.types.is_binary(a.type) else a
@@ -252,7 +279,7 @@ def _dict_encode(arr: pa.Array, physical: str):
     """Classic PLAIN_DICTIONARY chunk: (dict-page PLAIN values,
     data-page body = 1-byte bit width + hybrid indices), or None when
     the type/cardinality makes a dictionary pointless."""
-    if physical == "BOOLEAN":
+    if physical in ("BOOLEAN", "FIXED_LEN_BYTE_ARRAY"):
         return None
     vals = arr.drop_null()
     if len(vals) == 0:
@@ -509,7 +536,13 @@ def _schema_element_tree(name: str, t: pa.DataType,
                                        1 if vf.nullable else 0))
     e = _Struct().i32(1, _PT[_physical(t)]).i32(3, repetition) \
         .binary(4, name)
-    if pa.types.is_string(t):
+    if pa.types.is_decimal128(t):
+        # minimal FLBA + DECIMAL converted/logical types
+        e.i32(2, _decimal_flba_len(t.precision))
+        e.i32(6, 5).i32(7, t.scale).i32(8, t.precision)
+        dec = _Struct().i32(1, t.scale).i32(2, t.precision)
+        e.struct(10, _Struct().struct(5, dec))
+    elif pa.types.is_string(t):
         e.i32(6, _CONVERTED_UTF8)
     elif pa.types.is_timestamp(t):
         # ConvertedType (ms/us only; ns has none) + LogicalType
@@ -589,8 +622,9 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         encodings = [_ENC_PLAIN_DICT, _ENC_RLE]
     else:
         if value_enc is None:
-            value_enc, value_body = _ENC_PLAIN, _plain_encode(leaf,
-                                                              physical)
+            value_enc = _ENC_PLAIN
+            value_body = _plain_encode(leaf, physical,
+                                       lm.get("type_length", 0))
         body = levels + value_body
         dph = (_Struct().i32(1, n_values).i32(2, value_enc)
                .i32(3, _ENC_RLE).i32(4, _ENC_RLE))

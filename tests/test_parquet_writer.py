@@ -74,11 +74,41 @@ def test_writer_required_null_raises(tmp_path):
 def test_writer_unsupported_type_raises(tmp_path):
     import os
 
-    # decimal stays outside the supported leaf universe
-    tbl = pa.table({"d": pa.array([1], pa.decimal128(10, 2))})
+    # duration stays outside the supported leaf universe
+    tbl = pa.table({"d": pa.array([1], pa.duration("s"))})
     with pytest.raises(NotImplementedError):
         write_parquet_via_kernels(tbl, os.path.join(str(tmp_path),
                                                     "x.parquet"))
+
+
+def test_writer_decimal128(tmp_path):
+    """decimal128 leaves write as minimal-length FLBA big-endian
+    two's-complement (DuckDB rejects over-wide carriers) with DECIMAL
+    converted + logical types, across precisions and inside lists."""
+    from decimal import Decimal
+
+    import os
+
+    t = pa.table({"d": pa.array(
+        [Decimal("123.45"), None, Decimal("-99999.99"),
+         Decimal("0.01")], pa.decimal128(10, 2))})
+    _roundtrip(t, tmp_path)
+    _roundtrip(t, tmp_path, compression="SNAPPY")
+    _roundtrip(pa.table({"big": pa.array(
+        [Decimal(str(-(10 ** 30))), Decimal("0"), None],
+        pa.decimal128(38, 0))}), tmp_path, compression="ZSTD")
+    _roundtrip(pa.table({"ld": pa.array(
+        [[Decimal("1.5"), None], None, []],
+        pa.list_(pa.decimal128(5, 1)))}), tmp_path)
+    _roundtrip(pa.table({
+        "p1": pa.array([Decimal("5"), Decimal("-9")],
+                       pa.decimal128(1, 0)),
+        "p3": pa.array([Decimal("-99.9"), Decimal("99.9")],
+                       pa.decimal128(3, 1))}), tmp_path)
+    # the declared FLBA length is minimal, matching pyarrow's layout
+    p = os.path.join(str(tmp_path), "t.parquet")
+    write_parquet_via_kernels(t, p)
+    assert "fixed_len_byte_array(5)" in str(pq.ParquetFile(p).schema)
 
 
 def test_writer_nested_shapes(tmp_path):
