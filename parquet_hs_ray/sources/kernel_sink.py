@@ -42,6 +42,14 @@ class KernelParquetDatasink(Datasink):
                  row_group_size: int = 1 << 20,
                  use_dictionary: bool = True, encodings: str = "classic",
                  filesystem=None):
+        # validate up front: on_write_start destructively clears the
+        # destination, so a bad mode must fail before any cleanup
+        if encodings not in ("classic", "auto"):
+            raise ValueError(
+                f"encodings must be 'classic' or 'auto', got {encodings!r}")
+        if compression.upper() not in ("UNCOMPRESSED", "NONE", "SNAPPY",
+                                       "GZIP", "ZSTD"):
+            raise ValueError(f"unsupported compression {compression}")
         self._path = path
         self._compression = compression
         self._row_group_size = row_group_size

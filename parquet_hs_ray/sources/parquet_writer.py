@@ -194,7 +194,14 @@ def _physical(t: pa.DataType) -> str:
     if pa.types.is_date32(t):
         return "INT32"
     if pa.types.is_decimal128(t):
-        return "FIXED_LEN_BYTE_ARRAY"  # 16-byte big-endian
+        if t.scale < 0 or t.scale > t.precision:
+            # Arrow permits negative scale; the parquet DECIMAL logical
+            # type does not — a file written with one has an invalid
+            # footer no standard reader can open
+            raise NotImplementedError(
+                f"kernel parquet writer: decimal {t} (parquet DECIMAL "
+                "requires 0 <= scale <= precision)")
+        return "FIXED_LEN_BYTE_ARRAY"  # big-endian two's-complement
     raise NotImplementedError(f"kernel parquet writer: leaf type {t}")
 
 
@@ -295,27 +302,40 @@ def _dict_encode(arr: pa.Array, physical: str):
     return _plain_encode(dictionary, physical), index_body, len(dictionary)
 
 
-def _delta_bp_encode(vals: np.ndarray) -> bytes:
+def _delta_bp_encode(vals: np.ndarray, bits: int = 64,
+                     max_bytes: int | None = None) -> bytes | None:
     """DELTA_BINARY_PACKED (parquet-format Encodings.md): block 256 /
     8 miniblocks of 32.  The inverse of the reader's
-    ``_decode_delta_binary_packed`` (`parquet_pages.py`); arithmetic is
-    mod 2^64 throughout, so wild deltas still roundtrip exactly.
-    All n_mini width bytes are emitted per block; miniblock payloads
-    past the final value are omitted (both allowed by the spec)."""
+    ``_decode_delta_binary_packed`` (`parquet_pages.py`); delta
+    arithmetic wraps at the PHYSICAL width (``bits``: 32 for INT32, 64
+    for INT64) — readers accumulate in that width, and a 64-bit delta
+    stream over int32 values emits >32-bit miniblocks that pyarrow
+    rejects.  All n_mini width bytes are emitted per block; miniblock
+    payloads past the final value are omitted (both allowed by the
+    spec).  ``max_bytes`` aborts with None once the stream exceeds it
+    (the caller is about to lose a size comparison anyway)."""
     from ..codecs.bitpack import pack_bits_le
     from ..codecs.varint import encode_varint, zigzag_encode
 
     n = len(vals)
-    first = int(vals[0]) if n else 0
+    if bits == 32:
+        v32 = vals.astype(np.int32)
+        first = int(v32[0]) if n else 0
+        with np.errstate(over="ignore"):
+            deltas = (v32[1:].view(np.uint32)
+                      - v32[:-1].view(np.uint32)).view(
+                          np.int32).astype(np.int64)
+    else:
+        v = vals.astype(np.int64)
+        first = int(v[0]) if n else 0
+        with np.errstate(over="ignore"):
+            deltas = (v[1:].view(np.uint64)
+                      - v[:-1].view(np.uint64)).view(np.int64)
     out = bytearray(encode_varint(256) + encode_varint(8)
                     + encode_varint(n)
                     + encode_varint(zigzag_encode(first)))
     if n <= 1:
         return bytes(out)
-    v = vals.astype(np.int64)
-    with np.errstate(over="ignore"):
-        deltas = (v[1:].view(np.uint64)
-                  - v[:-1].view(np.uint64)).view(np.int64)
     for bs in range(0, len(deltas), 256):
         block = deltas[bs:bs + 256]
         min_delta = int(block.min())
@@ -338,6 +358,8 @@ def _delta_bp_encode(vals: np.ndarray) -> bytes:
         out += widths
         for b in bodies:
             out += b
+        if max_bytes is not None and len(out) > max_bytes:
+            return None  # already bigger than the alternative encoding
     return bytes(out)
 
 
@@ -604,8 +626,11 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     if dict_blob is None and encodings_mode == "auto":
         if physical in ("INT32", "INT64") and len(leaf):
             vals = leaf.drop_null().to_numpy(zero_copy_only=False)
-            delta = _delta_bp_encode(np.asarray(vals, np.int64))
-            if len(delta) < _plain_size(leaf, physical):
+            delta = _delta_bp_encode(
+                np.asarray(vals, np.int64),
+                bits=32 if physical == "INT32" else 64,
+                max_bytes=_plain_size(leaf, physical) - 1)
+            if delta is not None:
                 value_enc, value_body = _ENC_DELTA_BP, delta
         elif physical in ("FLOAT", "DOUBLE") and codec is not None:
             value_enc = _ENC_BYTE_STREAM_SPLIT

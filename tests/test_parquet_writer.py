@@ -340,6 +340,57 @@ def test_writer_auto_encodings(tmp_path):
     assert "PLAIN" in encs["rand64"]  # delta would not shrink it
 
 
+def test_writer_delta_int32_wraparound(tmp_path):
+    """INT32 delta streams must wrap at 32 bits: a 64-bit delta over
+    int32 extremes emits >32-bit miniblocks pyarrow rejects and DuckDB
+    silently mis-reads."""
+    import os
+
+    n = 300
+    v = np.zeros(n, np.int32)
+    v[150] = -2**31
+    v[151] = 2**31 - 1
+    tbl = pa.table({"x": pa.array(v)})
+    p = os.path.join(str(tmp_path), "w.parquet")
+    write_parquet_via_kernels(tbl, p, use_dictionary=False,
+                              encodings="auto")
+    meta = pq.ParquetFile(p).metadata.row_group(0)
+    assert "DELTA_BINARY_PACKED" in meta.column(0).encodings
+    for tag, back in (
+        ("pyarrow", pq.read_table(p)),
+        ("duckdb", duckdb.sql(
+            f"SELECT * FROM read_parquet('{p}')").arrow()),
+        ("kernels", read_parquet_via_kernels(p)),
+    ):
+        assert back.cast(tbl.schema).equals(tbl), tag
+
+
+def test_writer_decimal_negative_scale_raises(tmp_path):
+    """Arrow allows decimal128(5, -2); the parquet DECIMAL logical type
+    does not — the writer must refuse instead of emitting a footer no
+    reader can open."""
+    from decimal import Decimal
+
+    import os
+
+    tbl = pa.table({"d": pa.array([Decimal("100")],
+                                  pa.decimal128(5, -2))})
+    with pytest.raises(NotImplementedError):
+        write_parquet_via_kernels(tbl, os.path.join(str(tmp_path),
+                                                    "x.parquet"))
+
+
+def test_kernel_sink_rejects_bad_modes_before_cleanup(tmp_path):
+    """A typo'd encodings/compression must fail at sink construction,
+    not after on_write_start has destroyed the destination."""
+    from parquet_hs_ray.sources.kernel_sink import KernelParquetDatasink
+
+    with pytest.raises(ValueError):
+        KernelParquetDatasink(str(tmp_path), encodings="delta")
+    with pytest.raises(ValueError):
+        KernelParquetDatasink(str(tmp_path), compression="LZ4")
+
+
 @given(st.integers(min_value=0, max_value=10**9))
 @settings(max_examples=20, deadline=None)
 def test_writer_delta_fuzz(seed):
@@ -350,13 +401,16 @@ def test_writer_delta_fuzz(seed):
 
     rng = np.random.default_rng(seed)
     n = int(rng.integers(0, 600))
-    kind = int(rng.integers(0, 3))
+    kind = int(rng.integers(0, 4))
     if kind == 0:
         v = np.cumsum(rng.integers(0, 9, n))
     elif kind == 1:
         v = rng.integers(-2**63, 2**63, n, dtype=np.int64)
-    else:
+    elif kind == 2:
         v = rng.integers(-50, 50, n)
+    else:  # int32 full range: wraparound deltas at the 32-bit width
+        v = rng.integers(-2**31, 2**31, n, dtype=np.int64).astype(
+            np.int32)
     tbl = pa.table({"x": pa.array(v, mask=rng.random(n) < 0.2)})
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "t.parquet")
