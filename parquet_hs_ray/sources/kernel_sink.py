@@ -41,12 +41,15 @@ class KernelParquetDatasink(Datasink):
     def __init__(self, path: str, compression: str = "SNAPPY",
                  row_group_size: int = 1 << 20,
                  use_dictionary: bool = True, encodings: str = "classic",
-                 filesystem=None):
+                 page_version: str = "1.0", filesystem=None):
         # validate up front: on_write_start destructively clears the
         # destination, so a bad mode must fail before any cleanup
         if encodings not in ("classic", "auto"):
             raise ValueError(
                 f"encodings must be 'classic' or 'auto', got {encodings!r}")
+        if page_version not in ("1.0", "2.0"):
+            raise ValueError(
+                f"page_version must be '1.0' or '2.0', got {page_version!r}")
         if compression.upper() not in ("UNCOMPRESSED", "NONE", "SNAPPY",
                                        "GZIP", "ZSTD"):
             raise ValueError(f"unsupported compression {compression}")
@@ -55,6 +58,7 @@ class KernelParquetDatasink(Datasink):
         self._row_group_size = row_group_size
         self._use_dictionary = use_dictionary
         self._encodings = encodings
+        self._page_version = page_version
         self._filesystem = filesystem
 
     def get_name(self) -> str:
@@ -85,7 +89,8 @@ class KernelParquetDatasink(Datasink):
                 t, compression=self._compression,
                 row_group_size=self._row_group_size,
                 use_dictionary=self._use_dictionary,
-                encodings=self._encodings)
+                encodings=self._encodings,
+                page_version=self._page_version)
             name = f"part-{ctx.task_idx:06d}-{seq:04d}.parquet"
             fsio.write_atomic(fsio.join(self._path, name), blob,
                               self._filesystem)
@@ -110,6 +115,7 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                           row_group_size: int = 1 << 20,
                           use_dictionary: bool = True,
                           encodings: str = "classic",
+                          page_version: str = "1.0",
                           filesystem=None, concurrency=None) -> dict:
     """``Dataset.write_parquet`` twin over the kernel writer: streams
     the dataset's blocks through ``KernelParquetDatasink`` and returns
@@ -118,6 +124,7 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                                  row_group_size=row_group_size,
                                  use_dictionary=use_dictionary,
                                  encodings=encodings,
+                                 page_version=page_version,
                                  filesystem=filesystem)
     ds.write_datasink(sink, concurrency=concurrency)
     return read_sink_manifest(path, filesystem)

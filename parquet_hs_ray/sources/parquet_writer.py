@@ -595,7 +595,8 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                         rep: np.ndarray, dfl: np.ndarray, lm: dict,
                         codec, compression: str,
                         use_dictionary: bool,
-                        encodings_mode: str = "classic") -> int:
+                        encodings_mode: str = "classic",
+                        page_version: str = "1.0") -> int:
     """Emit one leaf's pages into ``out`` and its ColumnChunk struct
     into ``col_chunks``; returns the chunk's uncompressed byte size.
 
@@ -603,15 +604,13 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     beyond dict-vs-plain: DELTA_BINARY_PACKED for int chunks when it
     measures smaller than PLAIN, BYTE_STREAM_SPLIT for float chunks
     under page compression (a permutation of PLAIN that compresses
-    better)."""
+    better).  ``page_version="2.0"`` emits DataPageHeaderV2 pages:
+    level streams stay UNCOMPRESSED at the page front with their byte
+    lengths in the header (no u32 prefixes), only the values section
+    compresses."""
     physical, max_rep, max_def = lm["physical"], lm["max_rep"], lm["max_def"]
     leaf = _storage_cast(leaf)
     n_values = len(dfl) if dfl is not None else len(leaf)
-    levels = b""
-    if max_rep:
-        levels += _level_stream(rep, max_rep)
-    if max_def:
-        levels += _level_stream(dfl, max_def)
 
     # dictionary attempt: classic PLAIN_DICTIONARY (dict page +
     # 1-byte-width hybrid indices) when it actually shrinks the
@@ -623,7 +622,10 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                                 < _plain_size(leaf, physical)):
             dict_blob = enc
     value_enc, value_body = None, None
-    if dict_blob is None and encodings_mode == "auto":
+    if dict_blob is not None:
+        dict_values_plain, index_body, n_dict = dict_blob
+        value_enc, value_body = _ENC_PLAIN_DICT, index_body
+    elif encodings_mode == "auto":
         if physical in ("INT32", "INT64") and len(leaf):
             vals = leaf.drop_null().to_numpy(zero_copy_only=False)
             delta = _delta_bp_encode(
@@ -635,41 +637,66 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         elif physical in ("FLOAT", "DOUBLE") and codec is not None:
             value_enc = _ENC_BYTE_STREAM_SPLIT
             value_body = _bss_encode(leaf, physical)
-    pages: list[tuple[int, bytes, _Struct]] = []
-    if dict_blob is not None:
-        dict_values_plain, index_body, n_dict = dict_blob
-        dphd = _Struct().i32(1, n_dict).i32(2, _ENC_PLAIN_DICT)
-        pages.append((2, dict_values_plain, _Struct().struct(7, dphd)))
-        body = levels + index_body
-        dph = (_Struct().i32(1, n_values).i32(2, _ENC_PLAIN_DICT)
-               .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-        pages.append((0, body, _Struct().struct(5, dph)))
-        encodings = [_ENC_PLAIN_DICT, _ENC_RLE]
-    else:
-        if value_enc is None:
-            value_enc = _ENC_PLAIN
-            value_body = _plain_encode(leaf, physical,
-                                       lm.get("type_length", 0))
-        body = levels + value_body
-        dph = (_Struct().i32(1, n_values).i32(2, value_enc)
-               .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-        pages.append((0, body, _Struct().struct(5, dph)))
-        encodings = [value_enc, _ENC_RLE]
+    if value_enc is None:
+        value_enc = _ENC_PLAIN
+        value_body = _plain_encode(leaf, physical,
+                                   lm.get("type_length", 0))
+    encodings = [value_enc, _ENC_RLE]
 
     first_offset = len(out)
     dict_page_offset = None
-    data_page_offset = None
     uncomp_total = comp_total = 0
-    for ptype, body, extra in pages:
+    if dict_blob is not None:
+        # dictionary pages keep the v1 layout under both page versions
+        body = dict_values_plain
         comp = codec.compress(body).to_pybytes() if codec else body
-        header = (_Struct().i32(1, ptype)
-                  .i32(2, len(body)).i32(3, len(comp)))
-        header._fields += extra._fields
-        hb = header.tobytes()
-        if ptype == 2:
-            dict_page_offset = len(out)
-        else:
-            data_page_offset = len(out)
+        dphd = _Struct().i32(1, n_dict).i32(2, _ENC_PLAIN_DICT)
+        hb = (_Struct().i32(1, 2).i32(2, len(body)).i32(3, len(comp))
+              .struct(7, dphd)).tobytes()
+        dict_page_offset = len(out)
+        out += hb
+        out += comp
+        uncomp_total += len(hb) + len(body)
+        comp_total += len(hb) + len(comp)
+
+    data_page_offset = len(out)
+    if page_version == "2.0":
+        rep_b = (encode_hybrid(rep.astype(np.uint64),
+                               int(max_rep).bit_length())
+                 if max_rep else b"")
+        def_b = (encode_hybrid(dfl.astype(np.uint64),
+                               int(max_def).bit_length())
+                 if max_def else b"")
+        vals_comp = (codec.compress(value_body).to_pybytes()
+                     if codec else value_body)
+        num_rows = int((rep == 0).sum()) if max_rep else n_values
+        num_nulls = n_values - (len(leaf) - leaf.null_count)
+        dph2 = (_Struct().i32(1, n_values).i32(2, num_nulls)
+                .i32(3, num_rows).i32(4, value_enc)
+                .i32(5, len(def_b)).i32(6, len(rep_b))
+                .bool_(7, codec is not None))
+        uncomp = len(rep_b) + len(def_b) + len(value_body)
+        comp_len = len(rep_b) + len(def_b) + len(vals_comp)
+        hb = (_Struct().i32(1, 3).i32(2, uncomp).i32(3, comp_len)
+              .struct(8, dph2)).tobytes()
+        out += hb
+        out += rep_b
+        out += def_b
+        out += vals_comp
+        uncomp_total += len(hb) + uncomp
+        comp_total += len(hb) + comp_len
+    else:
+        levels = b""
+        if max_rep:
+            levels += _level_stream(rep, max_rep)
+        if max_def:
+            levels += _level_stream(dfl, max_def)
+        body = levels + value_body
+        comp = codec.compress(body).to_pybytes() if codec else body
+        dph = (_Struct().i32(1, n_values).i32(2, value_enc)
+               .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+        hb = (_Struct().i32(1, 0).i32(2, len(body)).i32(3, len(comp))
+              .struct(5, dph)).tobytes()
         out += hb
         out += comp
         uncomp_total += len(hb) + len(body)
@@ -695,14 +722,16 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                               compression: str = "UNCOMPRESSED",
                               row_group_size: int = 1 << 20,
                               use_dictionary: bool = True,
-                              encodings: str = "classic") -> dict:
+                              encodings: str = "classic",
+                              page_version: str = "1.0") -> dict:
     """Write ``table`` as standard Parquet through our kernels.
 
     Returns a small stats dict ({rows, row_groups, bytes})."""
     blob = encode_parquet_bytes(table, compression=compression,
                                 row_group_size=row_group_size,
                                 use_dictionary=use_dictionary,
-                                encodings=encodings)
+                                encodings=encodings,
+                                page_version=page_version)
     with open(path, "wb") as fh:
         fh.write(blob)
     return {"rows": table.num_rows,
@@ -714,7 +743,8 @@ def encode_parquet_bytes(table: pa.Table,
                          compression: str = "UNCOMPRESSED",
                          row_group_size: int = 1 << 20,
                          use_dictionary: bool = True,
-                         encodings: str = "classic") -> bytearray:
+                         encodings: str = "classic",
+                         page_version: str = "1.0") -> bytearray:
     """Encode ``table`` as a standard Parquet file image through our
     kernels (thrift footer, Dremel shredding, RLE levels, PLAIN /
     PLAIN_DICTIONARY values).  One data page per column chunk per row
@@ -729,6 +759,9 @@ def encode_parquet_bytes(table: pa.Table,
     if encodings not in ("classic", "auto"):
         raise ValueError(
             f"encodings must be 'classic' or 'auto', got {encodings!r}")
+    if page_version not in ("1.0", "2.0"):
+        raise ValueError(
+            f"page_version must be '1.0' or '2.0', got {page_version!r}")
     codec = (None if compression == "UNCOMPRESSED"
              else pa.Codec(compression.lower()))
     table = table.combine_chunks()
@@ -754,7 +787,7 @@ def encode_parquet_bytes(table: pa.Table,
             for (rep, dfl, leaf), lm in zip(streams, metas):
                 total_uncomp += _write_column_chunk(
                     out, col_chunks, leaf, rep, dfl, lm, codec,
-                    compression, use_dictionary, encodings)
+                    compression, use_dictionary, encodings, page_version)
         # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
         # parquet spec (readers use it to budget decode memory)
         row_groups.append(_Struct().list_struct(1, col_chunks)

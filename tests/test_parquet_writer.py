@@ -425,6 +425,48 @@ def test_writer_delta_fuzz(seed):
             assert back.cast(tbl.schema).equals(tbl), (tag, n, kind)
 
 
+def test_writer_data_page_v2(tmp_path):
+    """page_version='2.0' emits DataPageHeaderV2 pages (uncompressed
+    level streams with header byte lengths, values-only compression) —
+    readable by all three readers across types/nesting/compression."""
+    import os
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    tbl = pa.table({
+        "i": pa.array(rng.integers(0, 10**12, n),
+                      mask=rng.random(n) < 0.1),
+        "s": pa.array([None if rng.random() < 0.1 else f"s{i % 7}"
+                       for i in range(n)]),
+        "f": pa.array(rng.normal(0, 1, n)),
+        "lt": pa.array([None if rng.random() < 0.2 else
+                        [int(x) for x in
+                         rng.integers(0, 9, int(rng.integers(0, 4)))]
+                        for _ in range(n)], pa.list_(pa.int64())),
+    })
+    for comp in ("UNCOMPRESSED", "SNAPPY"):
+        p = os.path.join(str(tmp_path), "v2.parquet")
+        write_parquet_via_kernels(tbl, p, compression=comp,
+                                  page_version="2.0",
+                                  row_group_size=1100)
+        for tag, back in (
+            ("pyarrow", pq.read_table(p)),
+            ("duckdb", duckdb.sql(
+                f"SELECT * FROM read_parquet('{p}')").arrow()),
+            ("kernels", read_parquet_via_kernels(p)),
+        ):
+            assert back.cast(tbl.schema).equals(tbl), (tag, comp)
+    # v2 + auto encodings together
+    p = os.path.join(str(tmp_path), "v2a.parquet")
+    write_parquet_via_kernels(tbl, p, compression="ZSTD",
+                              page_version="2.0", encodings="auto",
+                              use_dictionary=False)
+    assert pq.read_table(p).cast(tbl.schema).equals(tbl)
+    assert read_parquet_via_kernels(p).cast(tbl.schema).equals(tbl)
+    with pytest.raises(ValueError):
+        write_parquet_via_kernels(tbl, p, page_version="3.0")
+
+
 def test_writer_empty_table_with_list_column(tmp_path):
     """0-row tables must write (and read back) for every supported
     shape, including list columns — the empty-list row-start indexing
