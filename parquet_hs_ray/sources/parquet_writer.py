@@ -44,7 +44,7 @@ _PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
        "BYTE_ARRAY": 6, "FIXED_LEN_BYTE_ARRAY": 7}
 _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
-_ENC_DELTA_BP, _ENC_BYTE_STREAM_SPLIT = 5, 9
+_ENC_DELTA_BP, _ENC_RLE_DICT, _ENC_BYTE_STREAM_SPLIT = 5, 8, 9
 _CONVERTED_UTF8, _CONVERTED_MAP, _CONVERTED_LIST = 0, 1, 3
 
 
@@ -641,23 +641,36 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         value_enc = _ENC_PLAIN
         value_body = _plain_encode(leaf, physical,
                                    lm.get("type_length", 0))
-    encodings = [value_enc, _ENC_RLE]
+    if dict_blob is not None and page_version == "2.0":
+        # the spec deprecates PLAIN_DICTIONARY for v2 data pages: the
+        # dict page declares PLAIN, the data page RLE_DICTIONARY
+        value_enc = _ENC_RLE_DICT
+        encodings = [_ENC_PLAIN, _ENC_RLE_DICT, _ENC_RLE]
+    else:
+        encodings = [value_enc, _ENC_RLE]
 
     first_offset = len(out)
     dict_page_offset = None
     uncomp_total = comp_total = 0
+
+    def emit(header: _Struct, raw_len: int, *parts: bytes) -> None:
+        nonlocal uncomp_total, comp_total
+        hb = header.tobytes()
+        out.extend(hb)
+        for p in parts:
+            out.extend(p)
+        uncomp_total += len(hb) + raw_len
+        comp_total += len(hb) + sum(len(p) for p in parts)
+
     if dict_blob is not None:
         # dictionary pages keep the v1 layout under both page versions
         body = dict_values_plain
         comp = codec.compress(body).to_pybytes() if codec else body
-        dphd = _Struct().i32(1, n_dict).i32(2, _ENC_PLAIN_DICT)
-        hb = (_Struct().i32(1, 2).i32(2, len(body)).i32(3, len(comp))
-              .struct(7, dphd)).tobytes()
+        denc = _ENC_PLAIN if page_version == "2.0" else _ENC_PLAIN_DICT
+        dphd = _Struct().i32(1, n_dict).i32(2, denc)
         dict_page_offset = len(out)
-        out += hb
-        out += comp
-        uncomp_total += len(hb) + len(body)
-        comp_total += len(hb) + len(comp)
+        emit(_Struct().i32(1, 2).i32(2, len(body)).i32(3, len(comp))
+             .struct(7, dphd), len(body), comp)
 
     data_page_offset = len(out)
     if page_version == "2.0":
@@ -676,15 +689,9 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                 .i32(5, len(def_b)).i32(6, len(rep_b))
                 .bool_(7, codec is not None))
         uncomp = len(rep_b) + len(def_b) + len(value_body)
-        comp_len = len(rep_b) + len(def_b) + len(vals_comp)
-        hb = (_Struct().i32(1, 3).i32(2, uncomp).i32(3, comp_len)
-              .struct(8, dph2)).tobytes()
-        out += hb
-        out += rep_b
-        out += def_b
-        out += vals_comp
-        uncomp_total += len(hb) + uncomp
-        comp_total += len(hb) + comp_len
+        emit(_Struct().i32(1, 3).i32(2, uncomp)
+             .i32(3, len(rep_b) + len(def_b) + len(vals_comp))
+             .struct(8, dph2), uncomp, rep_b, def_b, vals_comp)
     else:
         levels = b""
         if max_rep:
@@ -695,12 +702,8 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         comp = codec.compress(body).to_pybytes() if codec else body
         dph = (_Struct().i32(1, n_values).i32(2, value_enc)
                .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-        hb = (_Struct().i32(1, 0).i32(2, len(body)).i32(3, len(comp))
-              .struct(5, dph)).tobytes()
-        out += hb
-        out += comp
-        uncomp_total += len(hb) + len(body)
-        comp_total += len(hb) + len(comp)
+        emit(_Struct().i32(1, 0).i32(2, len(body)).i32(3, len(comp))
+             .struct(5, dph), len(body), comp)
     meta = (_Struct().i32(1, _PT[physical])
             .list_i32(2, encodings)
             .list_binary(3, lm["path"])

@@ -456,13 +456,23 @@ def test_writer_data_page_v2(tmp_path):
             ("kernels", read_parquet_via_kernels(p)),
         ):
             assert back.cast(tbl.schema).equals(tbl), (tag, comp)
-    # v2 + auto encodings together
+    # v2 dictionary chunks must declare RLE_DICTIONARY (the spec
+    # deprecates PLAIN_DICTIONARY in v2 data pages)
+    meta = pq.ParquetFile(p).metadata.row_group(0)
+    s_encs = set(meta.column(1).encodings)
+    assert "RLE_DICTIONARY" in s_encs and "PLAIN_DICTIONARY" not in s_encs
+    # v2 + auto encodings together, all three readers
     p = os.path.join(str(tmp_path), "v2a.parquet")
     write_parquet_via_kernels(tbl, p, compression="ZSTD",
                               page_version="2.0", encodings="auto",
                               use_dictionary=False)
-    assert pq.read_table(p).cast(tbl.schema).equals(tbl)
-    assert read_parquet_via_kernels(p).cast(tbl.schema).equals(tbl)
+    for tag, back in (
+        ("pyarrow", pq.read_table(p)),
+        ("duckdb", duckdb.sql(
+            f"SELECT * FROM read_parquet('{p}')").arrow()),
+        ("kernels", read_parquet_via_kernels(p)),
+    ):
+        assert back.cast(tbl.schema).equals(tbl), tag
     with pytest.raises(ValueError):
         write_parquet_via_kernels(tbl, p, page_version="3.0")
 
