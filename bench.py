@@ -225,6 +225,22 @@ def main() -> None:
     timed("ann_topk",
           lambda: ann.ann_topk_bruteforce(emb, query_ids=list(range(5)), k=10))
 
+    # kernel-parquet distributed sink (NOT summed into the headline —
+    # new surface this round; BASELINE.md "kernel writer / distributed
+    # sink" section holds the reference numbers)
+    from parquet_hs_ray.sources.kernel_sink import write_parquet_kernels
+
+    sink_times = []
+    for _ in range(2):
+        d = "/tmp/bench_kernel_sink"
+        shutil.rmtree(d, ignore_errors=True)
+        ds = read_sized(f"{SF_DIR}/lineitem.parquet").repartition(16)
+        t0 = time.perf_counter()
+        sink_manifest = write_parquet_kernels(ds, d, compression="SNAPPY",
+                                              encodings="auto")
+        sink_times.append(time.perf_counter() - t0)
+    shutil.rmtree("/tmp/bench_kernel_sink", ignore_errors=True)
+
     # compression comparison vs pyarrow parquet (reference world: dict on,
     # UNCOMPRESSED) on one deterministic shard
     import io
@@ -254,6 +270,9 @@ def main() -> None:
         "raw_bytes": summ["raw_bytes"],
         "shard_encoded_bytes": len(shard_blob),
         "shard_parquet_uncompressed_bytes": buf.tell(),
+        "kernel_sink_sec": round(min(sink_times), 3),
+        "kernel_sink_passes": [round(t, 3) for t in sink_times],
+        "kernel_sink_bytes": sink_manifest["bytes"],
     }
     # real-table compression vs the reference world (exercises the full
     # codec family: ALP decimals, FSST/dict strings, FOR/delta ints,
