@@ -837,6 +837,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_sink_roundtrip"] = kernel_sink_roundtrip
 
+    def kernel_read_dataset(sf):
+        # the DISTRIBUTED kernel READ path: kernel-sink a table, then
+        # read the directory back as a ray.data.Dataset decoded by OUR
+        # page/level/assembly kernels (one task per file) with
+        # column-chunk pruning — pyarrow appears only for footer
+        # metadata. Fully self-hosted IO both directions.
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_parquet_kernels, write_parquet_kernels)
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "events.parquet")).repartition(4)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            write_parquet_kernels(ds, out, compression="SNAPPY",
+                                  encodings="auto", page_version="2.0")
+            back = read_parquet_kernels(
+                out, columns=["event_id", "user_id", "event_type"])
+            t = pa.concat_tables(
+                [ray.get(r) for r in back.to_arrow_refs()])
+        return t.sort_by([("event_id", "ascending")])
+
+    q["kernel_read_dataset"] = kernel_read_dataset
+
     from parquet_hs_ray.pipelines import cleaning
     from parquet_hs_ray.pipelines import stats as pstats
 
@@ -3108,6 +3137,12 @@ FROM s GROUP BY seq_id
     o["kernel_sink_roundtrip"] = (
         "SELECT event_id, ts, user_id, event_type, value, props"
         " FROM events ORDER BY event_id"
+    )
+    # kernel_read_dataset: distributed kernel READ (per-file decode
+    # tasks, column-chunk pruning) over a kernel-sink'd v2/auto store.
+    o["kernel_read_dataset"] = (
+        "SELECT event_id, user_id, event_type FROM events"
+        " ORDER BY event_id"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing; the

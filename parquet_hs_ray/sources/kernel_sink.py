@@ -137,3 +137,47 @@ def read_sink_manifest(path: str, filesystem=None) -> dict:
         raise FileNotFoundError(
             f"{marker} missing: the kernel-sink write did not complete")
     return json.loads(fsio.read_bytes(marker, filesystem))
+
+
+def read_parquet_kernels(path: str, columns: list[str] | None = None,
+                         concurrency=None):
+    """Distributed parquet READ through our kernels: the inverse of
+    ``write_parquet_kernels`` — one decode task per file, column-chunk
+    pruning via ``columns``, returns a ``ray.data.Dataset``.
+
+    ``path`` is a single parquet file, a directory (``_``-prefixed
+    entries skipped per parquet dataset convention), or an explicit
+    list of files.  Blocks stream out of the decode tasks with
+    backpressure; the driver never holds the data.  pyarrow appears
+    only for footer metadata — page decode, levels and record assembly
+    are the `parquet_pages.py` kernels."""
+    import os
+
+    import ray
+
+    from .parquet_pages import read_parquet_via_kernels
+
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n) for n in os.listdir(path)
+            if n.endswith(".parquet") and not n.startswith(("_", ".")))
+    else:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    def decode_one(batch):
+        out = [read_parquet_via_kernels(p, columns=columns)
+               for p in batch["path"].tolist()]
+        import pyarrow as pa
+
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(
+        [{"path": p} for p in files]).map_batches(
+            decode_one, batch_size=1, batch_format="numpy",
+            concurrency=concurrency)

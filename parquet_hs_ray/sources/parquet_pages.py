@@ -710,11 +710,20 @@ def assemble_optional_list_chain(rep, dfl, values, depth: int,
     return out
 
 
-def read_parquet_via_kernels(path: str) -> pa.Table:
+def read_parquet_via_kernels(path: str,
+                             columns: list[str] | None = None) -> pa.Table:
     """Decode a whole parquet file through our kernels: thrift page
-    reader + bit-level value kernels + general record assembly."""
+    reader + bit-level value kernels + general record assembly.
+
+    ``columns`` prunes at the column-chunk level — unselected leaves'
+    pages are never read or decoded (scan pruning, same contract as
+    ``pq.read_table(columns=...)``)."""
     f = pq.ParquetFile(path)
     schema = f.schema_arrow
+    if columns is not None:
+        missing = set(columns) - set(schema.names)
+        if missing:
+            raise KeyError(f"columns not in schema: {sorted(missing)}")
     # footer leaves are contiguous in depth-first schema order, so each
     # top-level field owns the next _leaf_count(type) leaf indices — no
     # name parsing (column names may themselves contain dots)
@@ -726,6 +735,8 @@ def read_parquet_via_kernels(path: str) -> pa.Table:
         k = _leaf_count(field.type)
         idxs = list(range(next_leaf, next_leaf + k))
         next_leaf += k
+        if columns is not None and name not in columns:
+            continue
         if idxs and idxs[-1] >= n_leaves_total:
             raise ValueError(
                 f"column {name}: arrow type {field.type} implies leaves "
@@ -742,4 +753,6 @@ def read_parquet_via_kernels(path: str) -> pa.Table:
             parts.append(assemble_record_tree(
                 field, leaves, f.metadata.row_group(rg).num_rows))
         cols[name] = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+    if columns is not None:
+        return pa.table({c: cols[c] for c in columns})
     return pa.table(cols)

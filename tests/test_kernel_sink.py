@@ -78,6 +78,40 @@ def test_kernel_sink_manifest_commit_semantics(ray_session, tmp_path):
     assert back == (100, sum(range(100)))
 
 
+def test_kernel_read_dataset(ray_session, tmp_path):
+    """Distributed kernel READ: sink a table, read the directory back
+    through per-file kernel decode tasks, with column pruning."""
+    import ray
+
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    src = pq.read_table(f"{SF}/lineitem.parquet").replace_schema_metadata(
+        None)
+    out = str(tmp_path / "kr")
+    write_parquet_kernels(
+        ray.data.read_parquet(f"{SF}/lineitem.parquet").repartition(3),
+        out, encodings="auto", page_version="2.0")
+    keys = ["l_orderkey", "l_linenumber"]
+    full = pa.concat_tables(
+        [ray.get(r) for r in read_parquet_kernels(out).to_arrow_refs()])
+    assert _canon(full, src.schema, keys).equals(_canon(src, src.schema,
+                                                        keys))
+    pruned = pa.concat_tables([ray.get(r) for r in read_parquet_kernels(
+        out, columns=["l_quantity", "l_orderkey"]).to_arrow_refs()])
+    assert pruned.schema.names == ["l_quantity", "l_orderkey"]
+    assert pruned.num_rows == src.num_rows
+    with pytest.raises(FileNotFoundError):
+        read_parquet_kernels(str(tmp_path / "nope"))
+    with pytest.raises(KeyError):
+        from parquet_hs_ray.sources.parquet_pages import \
+            read_parquet_via_kernels
+
+        f0 = sorted(os.listdir(out))
+        f0 = [n for n in f0 if n.endswith(".parquet")][0]
+        read_parquet_via_kernels(os.path.join(out, f0),
+                                 columns=["not_a_column"])
+
+
 def test_decode_to_parquet_kernel_writer(ray_session, tmp_path):
     """decode_to_parquet(writer='kernels'): the store decodes and lands
     as kernel-written parquet, byte-readable by pyarrow and equal to
