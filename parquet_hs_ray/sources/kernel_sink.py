@@ -145,12 +145,18 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     ``write_parquet_kernels`` — one decode task per file, column-chunk
     pruning via ``columns``, returns a ``ray.data.Dataset``.
 
-    ``path`` is a single parquet file, a directory (``_``-prefixed
-    entries skipped per parquet dataset convention), or an explicit
-    list of files.  Blocks stream out of the decode tasks with
-    backpressure; the driver never holds the data.  pyarrow appears
-    only for footer metadata — page decode, levels and record assembly
-    are the `parquet_pages.py` kernels."""
+    ``path`` is a single parquet file, a directory, or an explicit
+    list of files.  A directory holding a ``_kernel_manifest.json``
+    reads the COMMITTED file list (a sink dir without one is an
+    aborted write and raises — partial data never reads back
+    silently); other directories glob ``*.parquet`` with ``_``/``.``
+    entries skipped per parquet dataset convention.  Blocks stream out
+    of the decode tasks with backpressure; the driver never holds the
+    data.  pyarrow appears only for footer metadata — page decode,
+    levels and record assembly are the `parquet_pages.py` kernels.
+    Local filesystem only (the kernel decode seeks raw local files);
+    the manifest-committed layout is what a remote store would sync
+    down."""
     import os
 
     import ray
@@ -160,15 +166,45 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     if isinstance(path, (list, tuple)):
         files = list(path)
     elif os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, n) for n in os.listdir(path)
+        marker = os.path.join(path, MANIFEST_NAME)
+        listing = sorted(
+            n for n in os.listdir(path)
             if n.endswith(".parquet") and not n.startswith(("_", ".")))
+        if os.path.exists(marker):
+            manifest = read_sink_manifest(path)
+            names = [r["file"] for r in manifest["files"]]
+            missing = set(names) - set(listing)
+            if missing:
+                raise FileNotFoundError(
+                    f"manifest lists files absent on disk: "
+                    f"{sorted(missing)[:5]}")
+            files = [os.path.join(path, n) for n in names]
+            if not files:  # committed EMPTY write: 0-row dataset
+                import pyarrow as pa
+
+                return ray.data.from_arrow(pa.table({}))
+        elif any(n.startswith("part-") for n in listing):
+            # sink-shaped dir without a commit marker: aborted write
+            raise FileNotFoundError(
+                f"{marker} missing: refusing to read a possibly "
+                "partial kernel-sink write")
+        else:
+            files = [os.path.join(path, n) for n in listing]
     else:
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         files = [path]
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
+
+    if columns is not None:
+        # fail fast on the driver, not as a deferred per-task RayTaskError
+        import pyarrow.parquet as pq
+
+        known = set(pq.read_schema(files[0]).names)
+        missing = set(columns) - known
+        if missing:
+            raise KeyError(f"columns not in schema: {sorted(missing)}")
 
     def decode_one(batch):
         out = [read_parquet_via_kernels(p, columns=columns)

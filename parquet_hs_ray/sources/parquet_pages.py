@@ -378,10 +378,14 @@ def _page_codec(compression: str):
     return pa.Codec(name)
 
 
-def read_column_chunk_values(path: str, row_group: int, column: int):
+def read_column_chunk_values(path: str, row_group: int, column: int,
+                             pf=None):
     """Decode one column chunk -> (rep_levels, def_levels, values,
-    max_rep, max_def). Values has one entry per non-null leaf slot."""
-    f = pq.ParquetFile(path)
+    max_rep, max_def). Values has one entry per non-null leaf slot.
+    ``pf`` reuses an already-open ``pq.ParquetFile`` (its parsed
+    footer) — the whole-file reader passes it so a wide table is not
+    O(row_groups x columns) footer parses."""
+    f = pf if pf is not None else pq.ParquetFile(path)
     meta = f.metadata.row_group(row_group).column(column)
     codec = _page_codec(meta.compression)
     schema = f.metadata.schema
@@ -746,13 +750,23 @@ def read_parquet_via_kernels(path: str,
             leaves = []
             for ci in idxs:
                 rep, dfl, vals, _mr, max_def = \
-                    read_column_chunk_values(path, rg, ci)
+                    read_column_chunk_values(path, rg, ci, pf=f)
                 leaves.append((np.asarray(rep, dtype=np.int64),
                                np.asarray(dfl, dtype=np.int64), vals,
                                max_def))
             parts.append(assemble_record_tree(
                 field, leaves, f.metadata.row_group(rg).num_rows))
-        cols[name] = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
+        if not parts:  # zero-row-group file (pyarrow writes these)
+            cols[name] = pa.array([], type=field.type)
+        else:
+            cols[name] = (pa.concat_arrays(parts) if len(parts) > 1
+                          else parts[0])
     if columns is not None:
+        if not columns:
+            # 0-column projection preserves the row count, matching
+            # pq.read_table(columns=[])
+            return pa.table(
+                {"__n": pa.nulls(f.metadata.num_rows)}).drop_columns(
+                    ["__n"])
         return pa.table({c: cols[c] for c in columns})
     return pa.table(cols)

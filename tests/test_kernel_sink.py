@@ -102,14 +102,56 @@ def test_kernel_read_dataset(ray_session, tmp_path):
     assert pruned.num_rows == src.num_rows
     with pytest.raises(FileNotFoundError):
         read_parquet_kernels(str(tmp_path / "nope"))
+    # typo'd column fails fast on the DRIVER, not as a RayTaskError
     with pytest.raises(KeyError):
-        from parquet_hs_ray.sources.parquet_pages import \
-            read_parquet_via_kernels
+        read_parquet_kernels(out, columns=["not_a_column"])
+    # columns=[] preserves the row count (pq.read_table contract)
+    from parquet_hs_ray.sources.parquet_pages import \
+        read_parquet_via_kernels
 
-        f0 = sorted(os.listdir(out))
-        f0 = [n for n in f0 if n.endswith(".parquet")][0]
-        read_parquet_via_kernels(os.path.join(out, f0),
-                                 columns=["not_a_column"])
+    f0 = [n for n in sorted(os.listdir(out))
+          if n.endswith(".parquet")][0]
+    t0 = read_parquet_via_kernels(os.path.join(out, f0), columns=[])
+    assert t0.num_columns == 0
+    assert t0.num_rows == pq.read_metadata(
+        os.path.join(out, f0)).num_rows
+    # zero-row-group files (pyarrow writes these for empty tables)
+    pempty = str(tmp_path / "zero_rg.parquet")
+    pq.write_table(src.slice(0, 0), pempty)
+    z = read_parquet_via_kernels(pempty)
+    assert z.num_rows == 0 and z.schema.names == src.schema.names
+
+
+def test_kernel_read_commit_semantics(ray_session, tmp_path):
+    """A sink dir whose manifest vanished (aborted write) refuses to
+    read; a committed EMPTY write reads back as a 0-row dataset."""
+    import ray
+
+    from parquet_hs_ray.sources.kernel_sink import (
+        MANIFEST_NAME, read_parquet_kernels)
+
+    out = str(tmp_path / "aborted")
+    ds = ray.data.range(50).map_batches(lambda b: {"x": b["id"]},
+                                        batch_format="numpy")
+    write_parquet_kernels(ds, out)
+    os.remove(os.path.join(out, MANIFEST_NAME))  # simulate crash window
+    with pytest.raises(FileNotFoundError):
+        read_parquet_kernels(out)
+    # committed empty write
+    eout = str(tmp_path / "empty")
+    empty = ray.data.from_items([{"x": 1}]).filter(lambda r: False)
+    m = write_parquet_kernels(empty, eout)
+    assert m["rows"] == 0 and m["files"] == []
+    back = read_parquet_kernels(eout)
+    assert back.count() == 0
+    # a PLAIN parquet directory (no manifest, not sink-shaped) still reads
+    pdir = str(tmp_path / "plaindir")
+    os.makedirs(pdir)
+    tbl = pa.table({"a": [1, 2, 3]})
+    pq.write_table(tbl, os.path.join(pdir, "f0.parquet"))
+    got = pa.concat_tables(
+        [ray.get(r) for r in read_parquet_kernels(pdir).to_arrow_refs()])
+    assert got.equals(tbl)
 
 
 def test_decode_to_parquet_kernel_writer(ray_session, tmp_path):
