@@ -866,6 +866,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_read_dataset"] = kernel_read_dataset
 
+    def kernel_read_pruned(sf):
+        # predicate pushdown on the kernel read path: the writer's
+        # chunk statistics prune row groups at the footer, the exact
+        # filter applies to survivors — pushdown as pruning, not as
+        # semantics.
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_parquet_kernels, write_parquet_kernels)
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "lineitem.parquet")).sort(
+                "l_orderkey").repartition(4)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            write_parquet_kernels(ds, out, compression="SNAPPY",
+                                  encodings="auto", row_group_size=2000)
+            back = read_parquet_kernels(
+                out, columns=["l_orderkey", "l_linenumber",
+                              "l_quantity"],
+                predicate=[("l_orderkey", "<=", 4000),
+                           ("l_linenumber", ">", 1)])
+            t = pa.concat_tables(
+                [ray.get(r) for r in back.to_arrow_refs()])
+        return t.sort_by([("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])
+
+    q["kernel_read_pruned"] = kernel_read_pruned
+
     from parquet_hs_ray.pipelines import cleaning
     from parquet_hs_ray.pipelines import stats as pstats
 
@@ -3143,6 +3176,13 @@ FROM s GROUP BY seq_id
     o["kernel_read_dataset"] = (
         "SELECT event_id, user_id, event_type FROM events"
         " ORDER BY event_id"
+    )
+    # kernel_read_pruned: stats-based row-group pruning + exact filter
+    # on the kernel read path.
+    o["kernel_read_pruned"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
+        " ORDER BY l_orderkey, l_linenumber"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing; the

@@ -140,7 +140,7 @@ def read_sink_manifest(path: str, filesystem=None) -> dict:
 
 
 def read_parquet_kernels(path: str, columns: list[str] | None = None,
-                         concurrency=None):
+                         predicate=None, concurrency=None):
     """Distributed parquet READ through our kernels: the inverse of
     ``write_parquet_kernels`` — one decode task per file, column-chunk
     pruning via ``columns``, returns a ``ray.data.Dataset``.
@@ -156,7 +156,14 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     levels and record assembly are the `parquet_pages.py` kernels.
     Local filesystem only (the kernel decode seeks raw local files);
     the manifest-committed layout is what a remote store would sync
-    down."""
+    down.
+
+    ``predicate`` is one ``(column, op, value)`` tuple or a list of
+    them (AND semantics; ops ``== != < <= > >=``): row groups whose
+    footer min/max provably cannot match are never decoded (the
+    writer's chunk statistics feed this), then the EXACT filter is
+    applied to the decoded rows — pushdown as pruning, not as
+    semantics."""
     import os
 
     import ray
@@ -197,20 +204,66 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
 
-    if columns is not None:
+    preds = None
+    if predicate is not None:
+        preds = ([tuple(predicate)] if isinstance(predicate, tuple)
+                 else [tuple(p) for p in predicate])
+        for p in preds:
+            if len(p) != 3:
+                raise ValueError(f"predicate must be (col, op, value): {p}")
+    if columns is not None or preds:
         # fail fast on the driver, not as a deferred per-task RayTaskError
         import pyarrow.parquet as pq
 
         known = set(pq.read_schema(files[0]).names)
-        missing = set(columns) - known
+        need = set(columns or [])
+        if preds:
+            need |= {c for c, _, _ in preds}
+        missing = need - known
         if missing:
             raise KeyError(f"columns not in schema: {sorted(missing)}")
 
-    def decode_one(batch):
-        out = [read_parquet_via_kernels(p, columns=columns)
-               for p in batch["path"].tolist()]
-        import pyarrow as pa
+    # the filter needs its columns decoded even when projected away
+    read_cols = columns
+    if preds and columns is not None:
+        read_cols = columns + [c for c, _, _ in preds
+                               if c not in columns]
 
+    def decode_one(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .parquet_pages import prune_row_groups_by_stats
+
+        paths = batch["path"].tolist()
+        out = []
+        for p in paths:
+            rgs = None
+            if preds:
+                rgs = prune_row_groups_by_stats(pq.read_metadata(p),
+                                                preds)
+                if not rgs:
+                    continue  # file provably empty for this predicate
+            t = read_parquet_via_kernels(p, columns=read_cols,
+                                         row_groups=rgs)
+            if preds:
+                mask = None
+                op_fn = {"==": pc.equal, "!=": pc.not_equal,
+                         "<": pc.less, "<=": pc.less_equal,
+                         ">": pc.greater, ">=": pc.greater_equal}
+                for col, op, val in preds:
+                    m = op_fn[op](t[col], val)
+                    mask = m if mask is None else pc.and_kleene(mask, m)
+                t = t.filter(pc.fill_null(mask, False))
+                if columns is not None:
+                    t = t.select(columns)
+            out.append(t)
+        if not out:
+            # all row groups pruned: a 0-row table with the RIGHT
+            # schema (an empty {} block poisons downstream concat)
+            return read_parquet_via_kernels(paths[0], columns=columns,
+                                            row_groups=[])
         return pa.concat_tables(out)
 
     return ray.data.from_items(

@@ -714,14 +714,56 @@ def assemble_optional_list_chain(rep, dfl, values, depth: int,
     return out
 
 
+_PRED_OPS = {
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "!=": lambda lo, hi, v: not (lo == hi == v),
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
+    """Row groups that MAY satisfy every ``(column, op, value)``
+    predicate, judged from the footer min/max statistics (the scan-
+    pruning half of predicate pushdown; the caller still applies the
+    exact filter).  Missing/typeless stats keep the row group."""
+    name_to_leaf = {meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)}
+    kept = []
+    for rg in range(meta.num_row_groups):
+        ok = True
+        for col, op, val in preds:
+            li = name_to_leaf.get(col)
+            if li is None or op not in _PRED_OPS:
+                continue  # nested/unknown column: cannot prune on it
+            st = meta.row_group(rg).column(li).statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                if not _PRED_OPS[op](st.min, st.max, val):
+                    ok = False
+                    break
+            except TypeError:  # incomparable types: no pruning
+                continue
+        if ok:
+            kept.append(rg)
+    return kept
+
+
 def read_parquet_via_kernels(path: str,
-                             columns: list[str] | None = None) -> pa.Table:
+                             columns: list[str] | None = None,
+                             row_groups: list[int] | None = None
+                             ) -> pa.Table:
     """Decode a whole parquet file through our kernels: thrift page
     reader + bit-level value kernels + general record assembly.
 
     ``columns`` prunes at the column-chunk level — unselected leaves'
     pages are never read or decoded (scan pruning, same contract as
-    ``pq.read_table(columns=...)``)."""
+    ``pq.read_table(columns=...)``).  ``row_groups`` restricts decode
+    to the listed row groups (pair with
+    ``prune_row_groups_by_stats``)."""
     f = pq.ParquetFile(path)
     schema = f.schema_arrow
     if columns is not None:
@@ -746,7 +788,8 @@ def read_parquet_via_kernels(path: str,
                 f"column {name}: arrow type {field.type} implies leaves "
                 f"{idxs} but the footer has only {n_leaves_total}")
         parts = []
-        for rg in range(f.num_row_groups):
+        for rg in (range(f.num_row_groups) if row_groups is None
+                   else row_groups):
             leaves = []
             for ci in idxs:
                 rep, dfl, vals, _mr, max_def = \
@@ -765,8 +808,9 @@ def read_parquet_via_kernels(path: str,
         if not columns:
             # 0-column projection preserves the row count, matching
             # pq.read_table(columns=[])
-            return pa.table(
-                {"__n": pa.nulls(f.metadata.num_rows)}).drop_columns(
-                    ["__n"])
+            nr = (f.metadata.num_rows if row_groups is None else
+                  sum(f.metadata.row_group(rg).num_rows
+                      for rg in row_groups))
+            return pa.table({"__n": pa.nulls(nr)}).drop_columns(["__n"])
         return pa.table({c: cols[c] for c in columns})
     return pa.table(cols)

@@ -122,6 +122,56 @@ def test_kernel_read_dataset(ray_session, tmp_path):
     assert z.num_rows == 0 and z.schema.names == src.schema.names
 
 
+def test_kernel_read_predicate_pushdown(ray_session, tmp_path):
+    """Row groups whose footer min/max provably cannot match are never
+    decoded; the exact filter then applies to the survivors."""
+    import pyarrow.compute as pc
+    import ray
+
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+    from parquet_hs_ray.sources.parquet_pages import (
+        prune_row_groups_by_stats)
+
+    src = f"{SF}/lineitem.parquet"
+    srct = pq.read_table(src).replace_schema_metadata(None)
+    out = str(tmp_path / "pred")
+    write_parquet_kernels(
+        ray.data.read_parquet(src).sort("l_orderkey").repartition(2),
+        out, encodings="auto", row_group_size=500)
+    # stats really prune: a selective range keeps a strict subset
+    f0 = [n for n in sorted(os.listdir(out))
+          if n.endswith(".parquet")][0]
+    meta = pq.read_metadata(os.path.join(out, f0))
+    kept = prune_row_groups_by_stats(meta,
+                                     [("l_orderkey", "<=", 2000)])
+    assert 0 < len(kept) <= meta.num_row_groups
+    # exact semantics vs pyarrow filter, with projection
+    got = pa.concat_tables([ray.get(r) for r in read_parquet_kernels(
+        out, columns=["l_orderkey", "l_quantity"],
+        predicate=("l_orderkey", "<=", 2000)).to_arrow_refs()])
+    want = srct.filter(
+        pc.less_equal(srct["l_orderkey"], 2000)).select(
+            ["l_orderkey", "l_quantity"])
+    k = [("l_orderkey", "ascending"), ("l_quantity", "ascending")]
+    assert got.sort_by(k).equals(want.cast(got.schema).sort_by(k))
+    # AND predicates, no projection
+    got2 = pa.concat_tables([ray.get(r) for r in read_parquet_kernels(
+        out, predicate=[("l_orderkey", ">", 3000),
+                        ("l_linenumber", "==", 1)]).to_arrow_refs()])
+    want2 = srct.filter(pc.and_(pc.greater(srct["l_orderkey"], 3000),
+                                pc.equal(srct["l_linenumber"], 1)))
+    assert got2.num_rows == want2.num_rows
+    # nothing matches: 0 rows, right schema
+    got3 = pa.concat_tables([ray.get(r) for r in read_parquet_kernels(
+        out, columns=["l_quantity"],
+        predicate=("l_orderkey", "<", -5)).to_arrow_refs()])
+    assert got3.num_rows == 0 and got3.schema.names == ["l_quantity"]
+    with pytest.raises(KeyError):
+        read_parquet_kernels(out, predicate=("nope", "==", 1))
+    with pytest.raises(ValueError):
+        read_parquet_kernels(out, predicate=("l_orderkey", "<="))
+
+
 def test_kernel_read_commit_semantics(ray_session, tmp_path):
     """A sink dir whose manifest vanished (aborted write) refuses to
     read; a committed EMPTY write reads back as a 0-row dataset."""
