@@ -206,20 +206,33 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
 
     preds = None
     if predicate is not None:
+        from .parquet_pages import _PRED_OPS
+
         preds = ([tuple(predicate)] if isinstance(predicate, tuple)
                  else [tuple(p) for p in predicate])
         for p in preds:
             if len(p) != 3:
                 raise ValueError(f"predicate must be (col, op, value): {p}")
+            if p[1] not in _PRED_OPS:
+                raise ValueError(
+                    f"unknown predicate op {p[1]!r} (use "
+                    f"{sorted(_PRED_OPS)})")
     if columns is not None or preds:
         # fail fast on the driver, not as a deferred per-task RayTaskError
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        known = set(pq.read_schema(files[0]).names)
-        need = set(columns or [])
+        sch = pq.read_schema(files[0])
+        known = set(sch.names)
+        missing = set(columns or []) - known
         if preds:
-            need |= {c for c, _, _ in preds}
-        missing = need - known
+            for c, _, _ in preds:
+                if c not in known:
+                    missing.add(c)
+                elif pa.types.is_nested(sch.field(c).type):
+                    raise ValueError(
+                        f"predicate column {c!r} is nested; only flat "
+                        "columns filter")
         if missing:
             raise KeyError(f"columns not in schema: {sorted(missing)}")
 
@@ -236,22 +249,22 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
 
         from .parquet_pages import prune_row_groups_by_stats
 
+        op_fn = {"==": pc.equal, "!=": pc.not_equal,
+                 "<": pc.less, "<=": pc.less_equal,
+                 ">": pc.greater, ">=": pc.greater_equal}
         paths = batch["path"].tolist()
         out = []
         for p in paths:
-            rgs = None
+            rgs, pf = None, None
             if preds:
-                rgs = prune_row_groups_by_stats(pq.read_metadata(p),
-                                                preds)
+                pf = pq.ParquetFile(p)  # one footer parse, reused below
+                rgs = prune_row_groups_by_stats(pf.metadata, preds)
                 if not rgs:
                     continue  # file provably empty for this predicate
             t = read_parquet_via_kernels(p, columns=read_cols,
-                                         row_groups=rgs)
+                                         row_groups=rgs, pf=pf)
             if preds:
                 mask = None
-                op_fn = {"==": pc.equal, "!=": pc.not_equal,
-                         "<": pc.less, "<=": pc.less_equal,
-                         ">": pc.greater, ">=": pc.greater_equal}
                 for col, op, val in preds:
                     m = op_fn[op](t[col], val)
                     mask = m if mask is None else pc.and_kleene(mask, m)

@@ -728,8 +728,13 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
     """Row groups that MAY satisfy every ``(column, op, value)``
     predicate, judged from the footer min/max statistics (the scan-
     pruning half of predicate pushdown; the caller still applies the
-    exact filter).  Missing/typeless stats keep the row group."""
-    name_to_leaf = {meta.schema.column(i).name: i
+    exact filter).  Missing/typeless stats keep the row group.
+
+    Only FLAT top-level columns prune (leaf ``path`` == bare name) — a
+    nested leaf that happens to share a flat column's name (``s.x`` vs
+    ``x``) must never shadow it: wrong stats would silently drop
+    matching rows."""
+    name_to_leaf = {meta.schema.column(i).path: i
                     for i in range(meta.num_columns)}
     kept = []
     for rg in range(meta.num_row_groups):
@@ -754,8 +759,8 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
 
 def read_parquet_via_kernels(path: str,
                              columns: list[str] | None = None,
-                             row_groups: list[int] | None = None
-                             ) -> pa.Table:
+                             row_groups: list[int] | None = None,
+                             pf=None) -> pa.Table:
     """Decode a whole parquet file through our kernels: thrift page
     reader + bit-level value kernels + general record assembly.
 
@@ -763,8 +768,10 @@ def read_parquet_via_kernels(path: str,
     pages are never read or decoded (scan pruning, same contract as
     ``pq.read_table(columns=...)``).  ``row_groups`` restricts decode
     to the listed row groups (pair with
-    ``prune_row_groups_by_stats``)."""
-    f = pq.ParquetFile(path)
+    ``prune_row_groups_by_stats``).  ``pf`` reuses an already-open
+    ``pq.ParquetFile`` so callers that pre-read the footer (pruning)
+    parse it once."""
+    f = pf if pf is not None else pq.ParquetFile(path)
     schema = f.schema_arrow
     if columns is not None:
         missing = set(columns) - set(schema.names)

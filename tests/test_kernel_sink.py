@@ -170,6 +170,33 @@ def test_kernel_read_predicate_pushdown(ray_session, tmp_path):
         read_parquet_kernels(out, predicate=("nope", "==", 1))
     with pytest.raises(ValueError):
         read_parquet_kernels(out, predicate=("l_orderkey", "<="))
+    with pytest.raises(ValueError):  # SQL-style '=' typo fails fast
+        read_parquet_kernels(out, predicate=("l_orderkey", "=", 1))
+
+
+def test_prune_stats_nested_leaf_never_shadows(tmp_path):
+    """A nested leaf sharing a flat column's bare name (s.x vs x) must
+    not drive that column's pruning — wrong stats would silently drop
+    matching rows."""
+    from parquet_hs_ray.sources.parquet_pages import (
+        prune_row_groups_by_stats)
+    from parquet_hs_ray.sources.parquet_writer import (
+        write_parquet_via_kernels)
+
+    tbl = pa.table({
+        "x": pa.array([1, 2, 3]),
+        "s": pa.array([{"x": 100}, {"x": 200}, {"x": 300}],
+                      pa.struct([("x", pa.int64())])),
+    })
+    p = os.path.join(str(tmp_path), "shadow.parquet")
+    write_parquet_via_kernels(tbl, p)
+    meta = pq.read_metadata(p)
+    # flat x has min 1: the row group MUST survive x < 5 (the shadow
+    # bug checked s.x's stats, min 100, and dropped it)
+    assert prune_row_groups_by_stats(meta, [("x", "<", 5)]) == [0]
+    # an explicit dotted path addresses the nested leaf's own stats
+    assert prune_row_groups_by_stats(meta, [("s.x", "<", 5)]) == []
+    assert prune_row_groups_by_stats(meta, [("s.x", ">=", 100)]) == [0]
 
 
 def test_kernel_read_commit_semantics(ray_session, tmp_path):
