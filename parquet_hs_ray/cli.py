@@ -200,6 +200,22 @@ def main(argv=None):
     adv.add_argument("--input", required=True, help="parquet file or dir")
     adv.add_argument("--sample-rows", type=int, default=16384)
 
+    trc = sub.add_parser(
+        "transcode", help="rewrite parquet through the kernel writer "
+        "(standard parquet out; per-chunk dict/delta/BSS auto-selection "
+        "usually shrinks pyarrow-written files)")
+    trc.add_argument("--input", required=True, help="parquet file or dir")
+    trc.add_argument("--out", required=True, help="output directory")
+    trc.add_argument("--compression", default="SNAPPY",
+                     choices=("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"))
+    trc.add_argument("--encodings", default="auto",
+                     choices=("classic", "auto"))
+    trc.add_argument("--page-version", default="1.0",
+                     choices=("1.0", "2.0"))
+    trc.add_argument("--row-group-size", type=int, default=1 << 20)
+    trc.add_argument("--partitions", type=int, default=None,
+                     help="repartition before writing (file count)")
+
     lay = sub.add_parser(
         "layout", help="rewrite parquet clustered along the 2-D Morton "
         "curve of --zorder colx,coly so per-partition manifest min/max "
@@ -343,6 +359,23 @@ def main(argv=None):
                                   token_budget=args.token_budget,
                                   resume=not args.no_resume)
             print(json.dumps(res))
+        elif args.cmd == "transcode":
+            import ray.data
+
+            from .sources.kernel_sink import write_parquet_kernels
+
+            ds = ray.data.read_parquet(args.input)
+            if args.partitions:
+                ds = ds.repartition(args.partitions)
+            manifest = write_parquet_kernels(
+                ds, args.out, compression=args.compression,
+                encodings=args.encodings,
+                page_version=args.page_version,
+                row_group_size=args.row_group_size)
+            print(json.dumps({"rows": manifest["rows"],
+                              "bytes": manifest["bytes"],
+                              "files": len(manifest["files"]),
+                              "out": args.out}))
         elif args.cmd == "layout":
             import ray.data
 

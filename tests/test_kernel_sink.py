@@ -231,6 +231,27 @@ def test_kernel_read_commit_semantics(ray_session, tmp_path):
     assert got.equals(tbl)
 
 
+def test_cli_transcode(ray_session, tmp_path, capsys):
+    """cli transcode: any parquet in, kernel-written standard parquet
+    out (must not tear down the caller's Ray session)."""
+    import ray
+
+    from parquet_hs_ray.cli import main
+
+    out = str(tmp_path / "trc")
+    rc = main(["transcode", "--input", f"{SF}/supplier.parquet",
+               "--out", out, "--partitions", "2",
+               "--page-version", "2.0"])
+    assert rc == 0 and ray.is_initialized()
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    src = pq.read_table(f"{SF}/supplier.parquet").replace_schema_metadata(
+        None)
+    assert res["rows"] == src.num_rows
+    back = pq.read_table(out)
+    assert _canon(back, src.schema, ["s_suppkey"]).equals(
+        _canon(src, src.schema, ["s_suppkey"]))
+
+
 def test_decode_to_parquet_kernel_writer(ray_session, tmp_path):
     """decode_to_parquet(writer='kernels'): the store decodes and lands
     as kernel-written parquet, byte-readable by pyarrow and equal to
