@@ -584,7 +584,8 @@ def decode_to_parquet(out_dir: str, dest_dir: str, columns: list[str] | None = N
             if writer == "kernels":
                 from ..sources.parquet_writer import encode_parquet_bytes
 
-                blob = encode_parquet_bytes(t, compression="SNAPPY")
+                blob = encode_parquet_bytes(t, compression="SNAPPY",
+                                            encodings="auto")
             else:
                 buf = io.BytesIO()
                 pq.write_table(t, buf)
