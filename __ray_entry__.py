@@ -899,6 +899,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_read_pruned"] = kernel_read_pruned
 
+    def kernel_footer_decode(sf):
+        # the FULLY self-hosted read: footer (thrift compact
+        # FileMetaData, schema tree, leaf rep/def levels), pages,
+        # levels, values and record assembly are ALL our kernels — no
+        # pyarrow metadata anywhere (parquet_footer.py; the reference's
+        # readMetadata + calcMaxEncodingLevels, Reader.hs:197-213,
+        # Stream/Reader.hs:286-306).
+        import os
+
+        from parquet_hs_ray.sources.parquet_pages import (
+            read_parquet_via_kernels)
+
+        t = read_parquet_via_kernels(
+            os.path.join(sf, "orders.parquet"), footer="kernels",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_orderdate"])
+        return t.sort_by([("o_orderkey", "ascending")])
+
+    q["kernel_footer_decode"] = kernel_footer_decode
+
     from parquet_hs_ray.pipelines import cleaning
     from parquet_hs_ray.pipelines import stats as pstats
 
@@ -3183,6 +3203,12 @@ FROM s GROUP BY seq_id
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
         " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
         " ORDER BY l_orderkey, l_linenumber"
+    )
+    # kernel_footer_decode: fully self-hosted read (our thrift footer
+    # parser + page kernels + record assembly, zero pyarrow metadata).
+    o["kernel_footer_decode"] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate"
+        " FROM orders ORDER BY o_orderkey"
     )
     # Rows-only remainder, with reasons: encode_job_f1 (manifest/job
     # metadata), pack_sequences (block-boundary-dependent packing; the

@@ -93,10 +93,44 @@ def _read_compact_struct(buf: bytes, pos: int) -> tuple[dict[int, object], int]:
             ln, pos = decode_varint(buf, pos)
             fields[fid] = buf[pos : pos + ln]
             pos += ln
+        elif ctype == 9:  # LIST (footer structs: schema/row_groups/...)
+            fields[fid], pos = _read_compact_list(buf, pos)
         elif ctype == 12:  # STRUCT
             fields[fid], pos = _read_compact_struct(buf, pos)
         else:
             raise ValueError(f"unsupported thrift compact type {ctype} (field {fid})")
+
+
+def _read_compact_list(buf: bytes, pos: int) -> tuple[list, int]:
+    """Thrift compact list: header byte (size<<4 | elem_type, size 0xF
+    means varint size follows), then the elements."""
+    header = buf[pos]
+    pos += 1
+    n = header >> 4
+    etype = header & 0x0F
+    if n == 0xF:
+        n, pos = decode_varint(buf, pos)
+    out = []
+    for _ in range(n):
+        if etype in (1, 2):  # bool list elements carry a full byte
+            out.append(buf[pos] == 1)
+            pos += 1
+        elif etype in (3, 4, 5, 6):
+            zz, pos = decode_varint(buf, pos)
+            out.append(zigzag_decode(zz))
+        elif etype == 8:
+            ln, pos = decode_varint(buf, pos)
+            out.append(buf[pos : pos + ln])
+            pos += ln
+        elif etype == 9:
+            v, pos = _read_compact_list(buf, pos)
+            out.append(v)
+        elif etype == 12:
+            v, pos = _read_compact_struct(buf, pos)
+            out.append(v)
+        else:
+            raise ValueError(f"unsupported thrift list element type {etype}")
+    return out, pos
 
 
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
@@ -760,7 +794,8 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
 def read_parquet_via_kernels(path: str,
                              columns: list[str] | None = None,
                              row_groups: list[int] | None = None,
-                             pf=None) -> pa.Table:
+                             pf=None, footer: str = "pyarrow"
+                             ) -> pa.Table:
     """Decode a whole parquet file through our kernels: thrift page
     reader + bit-level value kernels + general record assembly.
 
@@ -770,9 +805,48 @@ def read_parquet_via_kernels(path: str,
     to the listed row groups (pair with
     ``prune_row_groups_by_stats``).  ``pf`` reuses an already-open
     ``pq.ParquetFile`` so callers that pre-read the footer (pruning)
-    parse it once."""
-    f = pf if pf is not None else pq.ParquetFile(path)
-    schema = f.schema_arrow
+    parse it once.  ``footer="kernels"`` parses the footer through our
+    own thrift kernels too (`parquet_footer.py`) — the FULLY
+    self-hosted read: no pyarrow anywhere on the path (large_list
+    canonicalizes to list; parquet cannot express the difference)."""
+    if footer == "kernels":
+        from .parquet_footer import read_footer_via_kernels
+
+        km = read_footer_via_kernels(path)
+        schema = km.schema
+        n_leaves_total = len(km.leaves)
+        n_row_groups = len(km.row_groups)
+        rg_rows = [r.num_rows for r in km.row_groups]
+        total_rows = km.num_rows
+
+        def read_chunk(rg: int, ci: int):
+            leaf, cc = km.leaves[ci], km.row_groups[rg].columns[ci]
+            codec = _page_codec(cc.codec)
+            with open(path, "rb") as fh:
+                start = (cc.dictionary_page_offset
+                         if cc.dictionary_page_offset is not None
+                         else cc.data_page_offset)
+                fh.seek(start)
+                chunk = fh.read(cc.total_compressed_size)
+            rep, dfl, vals = decode_column_chunk_pages(
+                chunk, cc.num_values, leaf.physical, leaf.max_rep,
+                leaf.max_def, codec=codec,
+                type_length=leaf.type_length)
+            return rep, dfl, vals, leaf.max_rep, leaf.max_def
+    elif footer == "pyarrow":
+        f = pf if pf is not None else pq.ParquetFile(path)
+        schema = f.schema_arrow
+        n_leaves_total = f.metadata.num_columns
+        n_row_groups = f.num_row_groups
+        rg_rows = [f.metadata.row_group(rg).num_rows
+                   for rg in range(n_row_groups)]
+        total_rows = f.metadata.num_rows
+
+        def read_chunk(rg: int, ci: int):
+            return read_column_chunk_values(path, rg, ci, pf=f)
+    else:
+        raise ValueError(f"footer must be 'pyarrow' or 'kernels', "
+                         f"got {footer!r}")
     if columns is not None:
         missing = set(columns) - set(schema.names)
         if missing:
@@ -780,7 +854,6 @@ def read_parquet_via_kernels(path: str,
     # footer leaves are contiguous in depth-first schema order, so each
     # top-level field owns the next _leaf_count(type) leaf indices — no
     # name parsing (column names may themselves contain dots)
-    n_leaves_total = f.metadata.num_columns
     cols = {}
     next_leaf = 0
     for name in schema.names:
@@ -795,17 +868,16 @@ def read_parquet_via_kernels(path: str,
                 f"column {name}: arrow type {field.type} implies leaves "
                 f"{idxs} but the footer has only {n_leaves_total}")
         parts = []
-        for rg in (range(f.num_row_groups) if row_groups is None
+        for rg in (range(n_row_groups) if row_groups is None
                    else row_groups):
             leaves = []
             for ci in idxs:
-                rep, dfl, vals, _mr, max_def = \
-                    read_column_chunk_values(path, rg, ci, pf=f)
+                rep, dfl, vals, _mr, max_def = read_chunk(rg, ci)
                 leaves.append((np.asarray(rep, dtype=np.int64),
                                np.asarray(dfl, dtype=np.int64), vals,
                                max_def))
-            parts.append(assemble_record_tree(
-                field, leaves, f.metadata.row_group(rg).num_rows))
+            parts.append(assemble_record_tree(field, leaves,
+                                              rg_rows[rg]))
         if not parts:  # zero-row-group file (pyarrow writes these)
             cols[name] = pa.array([], type=field.type)
         else:
@@ -815,9 +887,8 @@ def read_parquet_via_kernels(path: str,
         if not columns:
             # 0-column projection preserves the row count, matching
             # pq.read_table(columns=[])
-            nr = (f.metadata.num_rows if row_groups is None else
-                  sum(f.metadata.row_group(rg).num_rows
-                      for rg in row_groups))
+            nr = (total_rows if row_groups is None else
+                  sum(rg_rows[rg] for rg in row_groups))
             return pa.table({"__n": pa.nulls(nr)}).drop_columns(["__n"])
         return pa.table({c: cols[c] for c in columns})
     return pa.table(cols)
