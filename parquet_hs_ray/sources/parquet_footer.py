@@ -75,12 +75,15 @@ def _leaf_arrow_type(el: dict) -> pa.DataType:
     phys = _PHYSICAL[el[1]]
     conv = el.get(6)
     logical = el.get(10) or {}
+    # LogicalType union field ids (parquet.thrift): 1 STRING, 2 MAP,
+    # 3 LIST, 4 ENUM, 5 DECIMAL, 6 DATE, 7 TIME, 8 TIMESTAMP,
+    # 10 INTEGER, 12 JSON, 13 BSON, 15 FLOAT16
     if conv == _CONV_DECIMAL or 5 in logical:
         dec = logical.get(5, {})
         scale = dec.get(1, el.get(7, 0))
         precision = dec.get(2, el.get(8, 0))
         return pa.decimal128(precision, scale)
-    if 8 in logical:  # LogicalType.TIMESTAMP
+    if 8 in logical:  # TIMESTAMP
         ts = logical[8]
         unit = {1: "ms", 2: "us", 3: "ns"}[next(iter(ts.get(2, {1: {}})))]
         return pa.timestamp(unit, tz="UTC" if ts.get(1) else None)
@@ -90,9 +93,39 @@ def _leaf_arrow_type(el: dict) -> pa.DataType:
         return pa.timestamp("us")
     if conv == _CONV_DATE or 6 in logical:
         return pa.date32()
+    if 7 in logical:  # TIME {1: isAdjustedToUTC, 2: TimeUnit union}
+        unit = {1: "ms", 2: "us", 3: "ns"}[
+            next(iter(logical[7].get(2, {1: {}})))]
+        return pa.time32(unit) if unit == "ms" else pa.time64(unit)
+    if conv == 7:  # TIME_MILLIS
+        return pa.time32("ms")
+    if conv == 8:  # TIME_MICROS
+        return pa.time64("us")
+    if 10 in logical:  # INTEGER {1: bitWidth, 2: isSigned}
+        bits = logical[10].get(1, 32)
+        signed = logical[10].get(2, True)
+        return {(8, True): pa.int8(), (16, True): pa.int16(),
+                (32, True): pa.int32(), (64, True): pa.int64(),
+                (8, False): pa.uint8(), (16, False): pa.uint16(),
+                (32, False): pa.uint32(), (64, False): pa.uint64()}[
+                    (bits, signed)]
+    if conv is not None and 11 <= conv <= 18:
+        # ConvertedType UINT_8..UINT_64 (11-14), INT_8..INT_64 (15-18)
+        return [pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+                pa.int8(), pa.int16(), pa.int32(),
+                pa.int64()][conv - 11]
+    if 15 in logical:  # FLOAT16 (FLBA(2))
+        return pa.float16()
     if phys == "BYTE_ARRAY":
-        return pa.string() if (conv == _CONV_UTF8
-                               or 7 in logical) else pa.binary()
+        if (conv in (_CONV_UTF8, 4, 19) or 1 in logical or 4 in logical
+                or 12 in logical):  # UTF8 / ENUM / JSON
+            return pa.string()
+        return pa.binary()  # raw, BSON included
+    if conv is not None and conv not in (_CONV_UTF8, 20):
+        # anything still annotated and unhandled (INTERVAL, ...) must
+        # not silently fall back to the raw physical type
+        raise NotImplementedError(
+            f"kernel footer: converted type {conv} on {phys}")
     if phys == "FIXED_LEN_BYTE_ARRAY":
         return pa.binary(el.get(2, 0))
     if phys == "INT96":
@@ -127,15 +160,31 @@ def _build_node(els: list[dict], i: int, r: int, d: int,
     conv = el.get(6)
     logical = el.get(10) or {}
     if conv == _CONV_LIST or 3 in logical:
-        # 3-level list: group(LIST) > repeated group > element
         mid = els[i + 1]
-        if mid.get(5, 0) == 1:
+        mid_name = mid[4].decode()
+        # parquet-format LogicalTypes.md backward-compat rules: the
+        # repeated node IS the element (2-level list) when it is a
+        # leaf, has != 1 child, or is named "array" / "<name>_tuple"
+        three_level = (mid.get(3) == _REPEATED and mid.get(5, 0) == 1
+                       and mid_name != "array"
+                       and not mid_name.endswith("_tuple"))
+        if three_level:
             elem, nxt = _build_node(els, i + 2, r2 + 1, d2 + 1, leaves,
-                                    prefix + (name, mid[4].decode()))
+                                    prefix + (name, mid_name))
             return pa.field(name, pa.list_(elem), nullable=nullable), nxt
-        # 2-level legacy list: repeated element directly
-    if conv in (_CONV_MAP, _CONV_MAP_KV) or 1 in logical:
-        kv = els[i + 1]  # repeated key_value group with 2 children
+        # 2-level legacy list: the repeated node itself is the element
+        elem, nxt = _build_node(els, i + 1, r2, d2, leaves,
+                                prefix + (name,))
+        return pa.field(
+            name, pa.list_(elem.with_nullable(False)),
+            nullable=nullable), nxt
+    if conv in (_CONV_MAP, _CONV_MAP_KV) or 2 in logical:
+        kv = els[i + 1]  # repeated key_value group
+        if kv.get(5, 0) != 2:
+            raise NotImplementedError(
+                f"kernel footer: map group {name!r} with "
+                f"{kv.get(5, 0)} key_value children (key-only maps "
+                "are not supported)")
         kvp = prefix + (name, kv[4].decode())
         key, j = _build_node(els, i + 2, r2 + 1, d2 + 1, leaves, kvp)
         val, nxt = _build_node(els, j, r2 + 1, d2 + 1, leaves, kvp)

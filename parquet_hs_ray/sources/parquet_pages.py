@@ -86,7 +86,11 @@ def _read_compact_struct(buf: bytes, pos: int) -> tuple[dict[int, object], int]:
         last_id = fid
         if ctype in (1, 2):  # BOOLEAN_TRUE / BOOLEAN_FALSE
             fields[fid] = ctype == 1
-        elif ctype in (3, 4, 5, 6):  # BYTE, I16, I32, I64
+        elif ctype == 3:  # BYTE: one raw signed byte, NOT a varint
+            fields[fid] = int.from_bytes(buf[pos:pos + 1], "little",
+                                         signed=True)
+            pos += 1
+        elif ctype in (4, 5, 6):  # I16, I32, I64
             zz, pos = decode_varint(buf, pos)
             fields[fid] = zigzag_decode(zz)
         elif ctype == 8:  # BINARY
@@ -115,7 +119,11 @@ def _read_compact_list(buf: bytes, pos: int) -> tuple[list, int]:
         if etype in (1, 2):  # bool list elements carry a full byte
             out.append(buf[pos] == 1)
             pos += 1
-        elif etype in (3, 4, 5, 6):
+        elif etype == 3:  # BYTE elements are raw bytes
+            out.append(int.from_bytes(buf[pos:pos + 1], "little",
+                                      signed=True))
+            pos += 1
+        elif etype in (4, 5, 6):
             zz, pos = decode_varint(buf, pos)
             out.append(zigzag_decode(zz))
         elif etype == 8:
@@ -591,6 +599,16 @@ def _leaf_values_to_arrow(values, t: pa.DataType) -> pa.Array:
     """Present-only leaf values -> Arrow array of the leaf's arrow type."""
     if isinstance(values, ByteArrayValues):
         return values.to_arrow(t)
+    if (pa.types.is_unsigned_integer(t) and isinstance(values, np.ndarray)
+            and values.dtype.kind == "i"):
+        # UINT_* logical types store wrapped two's-complement in the
+        # signed physical type: reinterpret, don't range-check
+        v = np.ascontiguousarray(values.astype(np.int64)).view(np.uint64)
+        if t.bit_width < 64:
+            v = v & np.uint64((1 << t.bit_width) - 1)
+        return pa.array(v.astype({8: np.uint8, 16: np.uint16,
+                                  32: np.uint32, 64: np.uint64}[
+                                      t.bit_width]), t)
     if (pa.types.is_decimal128(t) and isinstance(values, np.ndarray)
             and np.issubdtype(values.dtype, np.integer)):
         # INT32/INT64-backed parquet decimals (duckdb/Spark store
@@ -810,6 +828,11 @@ def read_parquet_via_kernels(path: str,
     self-hosted read: no pyarrow anywhere on the path (large_list
     canonicalizes to list; parquet cannot express the difference)."""
     if footer == "kernels":
+        if pf is not None:
+            raise ValueError(
+                "pf (a pyarrow ParquetFile) cannot combine with "
+                "footer='kernels' — the pre-parsed footer would be "
+                "silently discarded")
         from .parquet_footer import read_footer_via_kernels
 
         km = read_footer_via_kernels(path)
@@ -823,9 +846,10 @@ def read_parquet_via_kernels(path: str,
             leaf, cc = km.leaves[ci], km.row_groups[rg].columns[ci]
             codec = _page_codec(cc.codec)
             with open(path, "rb") as fh:
+                # falsy-or, not is-None: older parquet-mr/Impala write
+                # dictionary_page_offset=0 for "no dictionary page"
                 start = (cc.dictionary_page_offset
-                         if cc.dictionary_page_offset is not None
-                         else cc.data_page_offset)
+                         or cc.data_page_offset)
                 fh.seek(start)
                 chunk = fh.read(cc.total_compressed_size)
             rep, dfl, vals = decode_column_chunk_pages(

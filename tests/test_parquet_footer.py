@@ -103,6 +103,83 @@ def test_fully_self_hosted_read(tmp_path):
         read_parquet_via_kernels(p, footer="thrift")
 
 
+def test_footer_uint_time_float16(tmp_path):
+    """UINT_8/32/64 (wrapped two's-complement), INT_16, TIME_MILLIS/
+    MICROS and FLOAT16 map and decode correctly through both footer
+    paths."""
+    import numpy as np
+
+    tbl = pa.table({
+        "u8": pa.array([0, 255, None], pa.uint8()),
+        "u32": pa.array([0, 2 ** 32 - 1, None], pa.uint32()),
+        "u64": pa.array([0, 2 ** 64 - 1, None], pa.uint64()),
+        "i16": pa.array([-5, 100, None], pa.int16()),
+        "t32": pa.array([1000, None, 7200000], pa.time32("ms")),
+        "t64": pa.array([123456789, None, 1], pa.time64("us")),
+        "f16": pa.array(np.array([1.5, 0.25, 2.0], np.float16)),
+    })
+    p = os.path.join(str(tmp_path), "x.parquet")
+    pq.write_table(tbl, p, store_schema=False, use_dictionary=False)
+    m = read_footer_via_kernels(p)
+    assert m.schema.equals(pq.read_schema(p).remove_metadata())
+    want = pq.read_table(p).replace_schema_metadata(None)
+    assert read_parquet_via_kernels(p, footer="kernels").equals(want)
+    assert read_parquet_via_kernels(p).equals(want)
+
+
+def test_build_node_logical_only_and_legacy_shapes():
+    """SchemaElement trees beyond what our writers emit: LogicalType-
+    only STRING/MAP annotations (ConvertedType omitted — legal, it is
+    deprecated), legacy 2-level lists, the 'array'-named repeated
+    group, and key-only maps."""
+    from parquet_hs_ray.sources.parquet_footer import _build_node
+
+    def leaf(name, t=6, rep=1, extra=None):
+        return {1: t, 3: rep, 4: name.encode(), **(extra or {})}
+
+    def group(name, n, rep=1, extra=None):
+        return {3: rep, 4: name.encode(), 5: n, **(extra or {})}
+
+    # LogicalType-only STRING (union field 1; field 7 is TIME)
+    f, _ = _build_node([leaf("s", 6, 1, {10: {1: {}}})], 0, 0, 0,
+                       [], ())
+    assert f.type == pa.string()
+    # LogicalType-only MAP (union field 2; field 1 is STRING)
+    els = [group("m", 1, 1, {10: {2: {}}}),
+           group("key_value", 2, rep=2),
+           leaf("key", 6, 0, {6: 0}), leaf("value", 2, 1)]
+    leaves = []
+    f, nxt = _build_node(els, 0, 0, 0, leaves, ())
+    assert f.type.equals(pa.map_(pa.string(), pa.int64())) and nxt == 4
+    assert [(x.max_rep, x.max_def) for x in leaves] == [(1, 2), (1, 3)]
+    # legacy 2-level list: repeated leaf directly under the LIST group
+    els = [group("col", 1, 1, {6: 3}), leaf("element", 1, rep=2)]
+    leaves = []
+    f, _ = _build_node(els, 0, 0, 0, leaves, ())
+    assert f.type.equals(pa.list_(pa.field("element", pa.int32(),
+                                           nullable=False)))
+    assert (leaves[0].max_rep, leaves[0].max_def) == (1, 2)
+    # 'array'-named single-child repeated group = the element itself
+    els = [group("col", 1, 1, {6: 3}), group("array", 1, rep=2),
+           leaf("x", 2, 1)]
+    f, _ = _build_node(els, 0, 0, 0, [], ())
+    assert pa.types.is_list(f.type)
+    assert pa.types.is_struct(f.type.value_type)
+    # key-only map raises instead of corrupting the walk
+    els = [group("m", 1, 1, {6: 1}), group("key_value", 1, rep=2),
+           leaf("key", 6, 0, {6: 0})]
+    with pytest.raises(NotImplementedError):
+        _build_node(els, 0, 0, 0, [], ())
+
+
+def test_footer_kernels_rejects_pf(tmp_path):
+    p = os.path.join(str(tmp_path), "t.parquet")
+    pq.write_table(pa.table({"x": [1]}), p)
+    with pytest.raises(ValueError):
+        read_parquet_via_kernels(p, footer="kernels",
+                                 pf=pq.ParquetFile(p))
+
+
 def test_footer_rejects_non_parquet(tmp_path):
     p = os.path.join(str(tmp_path), "junk")
     with open(p, "wb") as fh:
