@@ -140,7 +140,8 @@ def read_sink_manifest(path: str, filesystem=None) -> dict:
 
 
 def read_parquet_kernels(path: str, columns: list[str] | None = None,
-                         predicate=None, concurrency=None):
+                         predicate=None, footer: str = "pyarrow",
+                         concurrency=None):
     """Distributed parquet READ through our kernels: the inverse of
     ``write_parquet_kernels`` — one decode task per file, column-chunk
     pruning via ``columns``, returns a ``ray.data.Dataset``.
@@ -163,7 +164,16 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     footer min/max provably cannot match are never decoded (the
     writer's chunk statistics feed this), then the EXACT filter is
     applied to the decoded rows — pushdown as pruning, not as
-    semantics."""
+    semantics.
+
+    ``footer="kernels"`` parses footers through our thrift kernels too
+    (`parquet_footer.py`) — zero pyarrow on the read path.  Predicates
+    keep the pyarrow footer (row-group pruning reads its parsed
+    statistics)."""
+    if footer not in ("pyarrow", "kernels"):
+        raise ValueError(f"footer must be 'pyarrow' or 'kernels', got {footer!r}")
+    if predicate is not None and footer != "pyarrow":
+        raise ValueError("predicate pruning requires footer='pyarrow'")
     import os
 
     import ray
@@ -220,9 +230,15 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     if columns is not None or preds:
         # fail fast on the driver, not as a deferred per-task RayTaskError
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        sch = pq.read_schema(files[0])
+        if footer == "kernels":
+            from .parquet_footer import read_footer_via_kernels
+
+            sch = read_footer_via_kernels(files[0]).schema
+        else:
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(files[0])
         known = set(sch.names)
         missing = set(columns or []) - known
         if preds:
@@ -262,7 +278,8 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                 if not rgs:
                     continue  # file provably empty for this predicate
             t = read_parquet_via_kernels(p, columns=read_cols,
-                                         row_groups=rgs, pf=pf)
+                                         row_groups=rgs, pf=pf,
+                                         footer=footer)
             if preds:
                 mask = None
                 for col, op, val in preds:
