@@ -217,7 +217,13 @@ def parse_footer(blob: bytes) -> KernelFileMetaData:
     for rg in meta.get(4, []):
         cols = []
         for cc in rg[1]:
-            cm = cc[3]
+            cm = cc.get(3)
+            if cm is None:
+                # ColumnChunk.meta_data is optional: some writers park
+                # it in a separate file via file_path/file_offset
+                raise NotImplementedError(
+                    "kernel footer: column chunk without inline "
+                    "meta_data (external file_path metadata)")
             cols.append(ChunkInfo(
                 codec=_CODEC[cm[4]], num_values=cm[5],
                 data_page_offset=cm[9],
