@@ -782,12 +782,21 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
     pruning half of predicate pushdown; the caller still applies the
     exact filter).  Missing/typeless stats keep the row group.
 
-    Only FLAT top-level columns prune (leaf ``path`` == bare name) — a
-    nested leaf that happens to share a flat column's name (``s.x`` vs
-    ``x``) must never shadow it: wrong stats would silently drop
-    matching rows."""
-    name_to_leaf = {meta.schema.column(i).path: i
-                    for i in range(meta.num_columns)}
+    Only FLAT top-level columns prune.  The map is built by walking the
+    arrow schema with the same contiguous leaf-count bookkeeping
+    ``read_parquet_via_kernels`` uses — NOT by keying every leaf's
+    dotted ``path_in_schema``: a flat column literally named ``"s.x"``
+    and a nested leaf at path ``s.x`` (struct ``s``, field ``x``) both
+    stringify to ``"s.x"``, and whichever came later in footer order
+    would shadow the other, silently pruning on the wrong column's
+    stats (= silently dropping matching rows)."""
+    sch = meta.schema.to_arrow_schema()
+    name_to_leaf = {}
+    next_leaf = 0
+    for f in sch:
+        if not pa.types.is_nested(f.type):
+            name_to_leaf[f.name] = next_leaf
+        next_leaf += _leaf_count(f.type)
     kept = []
     for rg in range(meta.num_row_groups):
         ok = True

@@ -194,9 +194,27 @@ def test_prune_stats_nested_leaf_never_shadows(tmp_path):
     # flat x has min 1: the row group MUST survive x < 5 (the shadow
     # bug checked s.x's stats, min 100, and dropped it)
     assert prune_row_groups_by_stats(meta, [("x", "<", 5)]) == [0]
-    # an explicit dotted path addresses the nested leaf's own stats
-    assert prune_row_groups_by_stats(meta, [("s.x", "<", 5)]) == []
-    assert prune_row_groups_by_stats(meta, [("s.x", ">=", 100)]) == [0]
+    # a nested leaf addressed by dotted path never prunes (predicates
+    # on nested columns are rejected upstream; pruning must stay
+    # conservative here)
+    assert prune_row_groups_by_stats(meta, [("s.x", "<", 5)]) == [0]
+
+    # the inverse collision: a FLAT column literally named "s.x" whose
+    # dotted name equals a nested leaf's path_in_schema — it must prune
+    # on ITS OWN stats, whichever side of the nested leaf it sits in
+    # footer order (keying by path_in_schema let the later leaf win and
+    # pruned every row group for ("s.x", "<=", 3), returning zero rows)
+    for decl in ({"s.x": pa.array([1, 2, 3]),
+                  "s": pa.array([{"x": 100}] * 3,
+                                pa.struct([("x", pa.int64())]))},
+                 {"s": pa.array([{"x": 100}] * 3,
+                                pa.struct([("x", pa.int64())])),
+                  "s.x": pa.array([1, 2, 3])}):
+        p2 = os.path.join(str(tmp_path), "collide.parquet")
+        write_parquet_via_kernels(pa.table(decl), p2)
+        m2 = pq.read_metadata(p2)
+        assert prune_row_groups_by_stats(m2, [("s.x", "<=", 3)]) == [0]
+        assert prune_row_groups_by_stats(m2, [("s.x", ">", 50)]) == []
 
 
 def test_kernel_read_commit_semantics(ray_session, tmp_path):
