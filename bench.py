@@ -52,6 +52,21 @@ def _sf_tag() -> str:
     return os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 
 
+def _quiet_worker_logs() -> None:
+    """Worker-side logging setup: the testdata parquet carries b'pandas'
+    schema metadata, and a schema WITH metadata is unhashable in this
+    pyarrow, so Ray's unify_schemas dedup fast-path logs "Failed to
+    hash the schemas" from inside read tasks (cosmetic; it falls back
+    to full unification).  read_sized strips the metadata right after
+    the read; this hook covers the read task itself, keeping the bench
+    capture a clean JSON line."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
 def main() -> None:
     import ray
 
@@ -61,7 +76,11 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        runtime_env={"env_vars": {"MALLOC_MMAP_MAX_": "0", "MALLOC_TRIM_THRESHOLD_": "-1"}},
+        runtime_env={
+            "env_vars": {"MALLOC_MMAP_MAX_": "0",
+                         "MALLOC_TRIM_THRESHOLD_": "-1"},
+            "worker_process_setup_hook": _quiet_worker_logs,
+        },
     )
     import ray.data
 

@@ -34,15 +34,32 @@ def sized_num_blocks(nbytes: int, cpus: int | None = None) -> int:
     return max(n_min, min(2 * cpus, max(1, nbytes // MIN_BLOCK_BYTES)))
 
 
+def _strip_schema_metadata(t):
+    """Drop file-level schema metadata (the ``b'pandas'`` block pandas
+    writers stamp).  Two real failure classes hang off it: (a) a schema
+    WITH metadata is unhashable in this pyarrow, so every shuffle reduce
+    task logs Ray's "Failed to hash the schemas (for deduplication)"
+    warning (unify_schemas' dedup fast-path), and (b) ndarray extension
+    dtypes recorded in pandas metadata poison later ``to_pandas`` reads
+    (the ann_ivf_indexed flake).  Zero-copy: only the schema object is
+    rebuilt."""
+    return t.replace_schema_metadata(None)
+
+
 def read_sized(path: str, **kwargs) -> "ray.data.Dataset":
     """``ray.data.read_parquet`` with a size-derived ``override_num_blocks``
     (local paths only; falls back to Ray's default when the size is
-    unknowable, e.g. non-local filesystems)."""
+    unknowable, e.g. non-local filesystems).  Blocks are re-stamped
+    without file-level schema metadata (see ``_strip_schema_metadata``);
+    the stage fuses with the read."""
     import ray.data
 
     try:
         nbytes = os.path.getsize(path)
     except OSError:
-        return ray.data.read_parquet(path, **kwargs)
-    return ray.data.read_parquet(
-        path, override_num_blocks=sized_num_blocks(nbytes), **kwargs)
+        ds = ray.data.read_parquet(path, **kwargs)
+    else:
+        ds = ray.data.read_parquet(
+            path, override_num_blocks=sized_num_blocks(nbytes), **kwargs)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
