@@ -899,6 +899,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_read_pruned"] = kernel_read_pruned
 
+    def kernel_read_pruned_kernels(sf):
+        # the same pruned distributed read with footer="kernels": OUR
+        # thrift footer parser supplies the chunk Statistics
+        # (min_value/max_value, parquet_footer.py — the struct the
+        # reference models at Types/Primitives.hs:79-87), so row-group
+        # pruning, footer, pages, levels, values and assembly are ALL
+        # self-hosted — zero pyarrow anywhere on the pruned read.
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_parquet_kernels, write_parquet_kernels)
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "lineitem.parquet")).sort(
+                "l_orderkey").repartition(4)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            write_parquet_kernels(ds, out, compression="SNAPPY",
+                                  encodings="auto", row_group_size=2000)
+            back = read_parquet_kernels(
+                out, columns=["l_orderkey", "l_linenumber",
+                              "l_quantity"],
+                predicate=[("l_orderkey", "<=", 4000),
+                           ("l_linenumber", ">", 1)],
+                footer="kernels")
+            t = pa.concat_tables(
+                [ray.get(r) for r in back.to_arrow_refs()])
+        return t.sort_by([("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])
+
+    q["kernel_read_pruned_kernels"] = kernel_read_pruned_kernels
+
     def kernel_footer_decode(sf):
         # the FULLY self-hosted read: footer (thrift compact
         # FileMetaData, schema tree, leaf rep/def levels), pages,
@@ -3200,6 +3236,13 @@ FROM s GROUP BY seq_id
     # kernel_read_pruned: stats-based row-group pruning + exact filter
     # on the kernel read path.
     o["kernel_read_pruned"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
+        " ORDER BY l_orderkey, l_linenumber"
+    )
+    # kernel_read_pruned_kernels: the same pruned read with OUR footer
+    # parser supplying the statistics — zero pyarrow on the pruned path.
+    o["kernel_read_pruned_kernels"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
         " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
         " ORDER BY l_orderkey, l_linenumber"

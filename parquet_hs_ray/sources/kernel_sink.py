@@ -141,61 +141,69 @@ def read_sink_manifest(path: str, filesystem=None) -> dict:
 
 def read_parquet_kernels(path: str, columns: list[str] | None = None,
                          predicate=None, footer: str = "pyarrow",
-                         concurrency=None):
+                         filesystem=None, concurrency=None):
     """Distributed parquet READ through our kernels: the inverse of
-    ``write_parquet_kernels`` — one decode task per file, column-chunk
-    pruning via ``columns``, returns a ``ray.data.Dataset``.
+    ``write_parquet_kernels`` — returns a ``ray.data.Dataset``.
+
+    Two distributed stages: (1) a footer stage parses each file's
+    metadata, prunes row groups against ``predicate`` statistics, and
+    emits one ``(path, row_group)`` work item per SURVIVING row group;
+    (2) a decode stage decodes one row group per task.  The row-group
+    seam — not the file — is the unit of parallelism and of per-task
+    memory, so one multi-GB file decodes as many bounded tasks instead
+    of a single task holding the whole decoded table.  Blocks stream
+    out with backpressure; the driver never holds data.
 
     ``path`` is a single parquet file, a directory, or an explicit
     list of files.  A directory holding a ``_kernel_manifest.json``
     reads the COMMITTED file list (a sink dir without one is an
     aborted write and raises — partial data never reads back
     silently); other directories glob ``*.parquet`` with ``_``/``.``
-    entries skipped per parquet dataset convention.  Blocks stream out
-    of the decode tasks with backpressure; the driver never holds the
-    data.  pyarrow appears only for footer metadata — page decode,
-    levels and record assembly are the `parquet_pages.py` kernels.
-    Local filesystem only (the kernel decode seeks raw local files);
-    the manifest-committed layout is what a remote store would sync
-    down.
+    entries skipped per parquet dataset convention.
 
     ``predicate`` is one ``(column, op, value)`` tuple or a list of
     them (AND semantics; ops ``== != < <= > >=``): row groups whose
-    footer min/max provably cannot match are never decoded (the
-    writer's chunk statistics feed this), then the EXACT filter is
-    applied to the decoded rows — pushdown as pruning, not as
-    semantics.
+    footer min/max provably cannot match are never decoded, then the
+    EXACT filter is applied to the decoded rows — pushdown as pruning,
+    not as semantics.
 
-    ``footer="kernels"`` parses footers through our thrift kernels too
-    (`parquet_footer.py`) — zero pyarrow on the read path.  Predicates
-    keep the pyarrow footer (row-group pruning reads its parsed
-    statistics)."""
+    ``footer="kernels"`` parses footers AND statistics through our
+    thrift kernels (`parquet_footer.py`) — zero pyarrow anywhere on
+    the read path, pruned reads included.
+
+    ``filesystem`` (any pyarrow FileSystem, e.g.
+    ``state.httpfs.http_range_filesystem``) makes every footer and
+    column-chunk read a ranged GET through it — the reference's
+    ``remoteParquetFile`` (`Reader.hs:223-248`) at Dataset scale."""
     if footer not in ("pyarrow", "kernels"):
         raise ValueError(f"footer must be 'pyarrow' or 'kernels', got {footer!r}")
-    if predicate is not None and footer != "pyarrow":
-        raise ValueError("predicate pruning requires footer='pyarrow'")
-    import os
-
     import ray
 
+    from ..state import fsio
     from .parquet_pages import read_parquet_via_kernels
+
+    def _isdir(p: str) -> bool:
+        import pyarrow.fs as pafs
+
+        fs, rp = fsio.resolve(p, filesystem)
+        return fs.get_file_info(rp).type == pafs.FileType.Directory
 
     if isinstance(path, (list, tuple)):
         files = list(path)
-    elif os.path.isdir(path):
-        marker = os.path.join(path, MANIFEST_NAME)
-        listing = sorted(
-            n for n in os.listdir(path)
-            if n.endswith(".parquet") and not n.startswith(("_", ".")))
-        if os.path.exists(marker):
-            manifest = read_sink_manifest(path)
+    elif _isdir(path):
+        marker = fsio.join(path, MANIFEST_NAME)
+        listing = [
+            n for n in fsio.list_files(path, filesystem)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))]
+        if fsio.exists(marker, filesystem):
+            manifest = read_sink_manifest(path, filesystem)
             names = [r["file"] for r in manifest["files"]]
             missing = set(names) - set(listing)
             if missing:
                 raise FileNotFoundError(
                     f"manifest lists files absent on disk: "
                     f"{sorted(missing)[:5]}")
-            files = [os.path.join(path, n) for n in names]
+            files = [fsio.join(path, n) for n in names]
             if not files:  # committed EMPTY write: 0-row dataset
                 import pyarrow as pa
 
@@ -206,9 +214,9 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                 f"{marker} missing: refusing to read a possibly "
                 "partial kernel-sink write")
         else:
-            files = [os.path.join(path, n) for n in listing]
+            files = [fsio.join(path, n) for n in listing]
     else:
-        if not os.path.exists(path):
+        if not fsio.exists(path, filesystem):
             raise FileNotFoundError(path)
         files = [path]
     if not files:
@@ -234,11 +242,15 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
         if footer == "kernels":
             from .parquet_footer import read_footer_via_kernels
 
-            sch = read_footer_via_kernels(files[0]).schema
+            sch = read_footer_via_kernels(files[0],
+                                          filesystem=filesystem).schema
         else:
             import pyarrow.parquet as pq
 
-            sch = pq.read_schema(files[0])
+            sch = pq.read_schema(
+                fsio.open_parquet_input(files[0], filesystem)
+                if filesystem is not None or "://" in files[0]
+                else files[0])
         known = set(sch.names)
         missing = set(columns or []) - known
         if preds:
@@ -258,45 +270,81 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
         read_cols = columns + [c for c, _, _ in preds
                                if c not in columns]
 
-    def decode_one(batch):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+    def enumerate_row_groups(batch):
+        """Footer stage: one (path, row_group) item per surviving row
+        group.  File index 0 emits a row_group=-1 sentinel when fully
+        pruned so the dataset always carries ≥1 decode task and a
+        stable schema (a fully-pruned read returns 0 rows with the
+        RIGHT columns, never an empty {} block)."""
+        import numpy as np
 
-        from .parquet_pages import prune_row_groups_by_stats
+        paths = batch["path"].tolist()
+        idxs = batch["index"].tolist()
+        out_p, out_rg = [], []
+        for p, fi in zip(paths, idxs):
+            if footer == "kernels":
+                from .parquet_footer import (
+                    prune_row_groups_by_stats_kernels,
+                    read_footer_via_kernels)
+
+                km = read_footer_via_kernels(p, filesystem=filesystem)
+                rgs = (prune_row_groups_by_stats_kernels(km, preds)
+                       if preds else range(len(km.row_groups)))
+            else:
+                import pyarrow.parquet as pq
+
+                from .parquet_pages import prune_row_groups_by_stats
+
+                pf = pq.ParquetFile(
+                    p if filesystem is None and "://" not in p
+                    else fsio.open_parquet_input(p, filesystem))
+                rgs = (prune_row_groups_by_stats(pf.metadata, preds)
+                       if preds else range(pf.metadata.num_row_groups))
+            rgs = list(rgs)
+            if not rgs and fi == 0:
+                rgs = [-1]  # schema-anchor sentinel
+            out_p.extend([p] * len(rgs))
+            out_rg.extend(rgs)
+        return {"path": np.array(out_p, dtype=object),
+                "row_group": np.array(out_rg, dtype=np.int64)}
+
+    def decode_one(batch):
+        import pyarrow.compute as pc
 
         op_fn = {"==": pc.equal, "!=": pc.not_equal,
                  "<": pc.less, "<=": pc.less_equal,
                  ">": pc.greater, ">=": pc.greater_equal}
-        paths = batch["path"].tolist()
-        out = []
-        for p in paths:
-            rgs, pf = None, None
-            if preds:
-                pf = pq.ParquetFile(p)  # one footer parse, reused below
-                rgs = prune_row_groups_by_stats(pf.metadata, preds)
-                if not rgs:
-                    continue  # file provably empty for this predicate
-            t = read_parquet_via_kernels(p, columns=read_cols,
-                                         row_groups=rgs, pf=pf,
-                                         footer=footer)
-            if preds:
-                mask = None
-                for col, op, val in preds:
-                    m = op_fn[op](t[col], val)
-                    mask = m if mask is None else pc.and_kleene(mask, m)
-                t = t.filter(pc.fill_null(mask, False))
-                if columns is not None:
-                    t = t.select(columns)
-            out.append(t)
-        if not out:
-            # all row groups pruned: a 0-row table with the RIGHT
-            # schema (an empty {} block poisons downstream concat)
-            return read_parquet_via_kernels(paths[0], columns=columns,
-                                            row_groups=[])
-        return pa.concat_tables(out)
+        p = batch["path"].tolist()[0]
+        rg = int(batch["row_group"][0])
+        if rg < 0:  # sentinel: 0-row table with the read schema
+            return read_parquet_via_kernels(
+                p, columns=columns, row_groups=[], footer=footer,
+                filesystem=filesystem)
+        t = read_parquet_via_kernels(p, columns=read_cols,
+                                     row_groups=[rg], footer=footer,
+                                     filesystem=filesystem)
+        if preds:
+            mask = None
+            for col, op, val in preds:
+                m = op_fn[op](t[col], val)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            t = t.filter(pc.fill_null(mask, False))
+            if columns is not None:
+                t = t.select(columns)
+        return t
 
-    return ray.data.from_items(
-        [{"path": p} for p in files]).map_batches(
-            decode_one, batch_size=1, batch_format="numpy",
-            concurrency=concurrency)
+    items = [{"path": p, "index": i} for i, p in enumerate(files)]
+    # num_cpus=0.25 on the footer stage is the honest cost model
+    # (metadata-only ranged reads) AND keeps Ray Data from fusing it
+    # with the decode stage — fused, one file's whole row-group list
+    # would decode inside a single task, re-creating the
+    # one-task-per-file scale problem this seam exists to prevent
+    return ray.data.from_items(items).map_batches(
+        enumerate_row_groups, batch_size=64, batch_format="numpy",
+        num_cpus=0.25
+    ).repartition(
+        # streaming split (no shuffle): one (path, row_group) work item
+        # per block, so the decode operator gets one TASK per row group
+        target_num_rows_per_block=1
+    ).map_batches(decode_one, batch_size=1, batch_format="numpy",
+                  concurrency=concurrency)

@@ -45,6 +45,23 @@ class LeafInfo:
 
 
 @dataclass
+class StatsInfo:
+    """Raw chunk ``Statistics`` (parquet.thrift): ``min_value`` /
+    ``max_value`` are the spec's TYPE_ORDER-comparable encodings (plain
+    little-endian ints/floats, raw bytes for BYTE_ARRAY, big-endian
+    two's-complement for decimal FLBA); decode with
+    :func:`decode_stat_value`.  The deprecated signed-order ``min`` /
+    ``max`` (fields 1/2) are accepted as a fallback ONLY for types
+    where both orderings agree (see ``parse_footer``).  The reference
+    models the same struct (`/root/reference/src/Parquet/Types/
+    Primitives.hs:79-87`)."""
+    min_raw: bytes | None = None
+    max_raw: bytes | None = None
+    null_count: int | None = None
+    deprecated_order: bool = False  # values came from fields 1/2
+
+
+@dataclass
 class ChunkInfo:
     """One column chunk inside a row group."""
     codec: str
@@ -52,6 +69,11 @@ class ChunkInfo:
     data_page_offset: int
     dictionary_page_offset: int | None
     total_compressed_size: int
+    statistics: StatsInfo | None = None
+    offset_index_offset: int | None = None
+    offset_index_length: int | None = None
+    column_index_offset: int | None = None
+    column_index_length: int | None = None
 
 
 @dataclass
@@ -224,11 +246,28 @@ def parse_footer(blob: bytes) -> KernelFileMetaData:
                 raise NotImplementedError(
                     "kernel footer: column chunk without inline "
                     "meta_data (external file_path metadata)")
+            st = cm.get(12)
+            stats = None
+            if st is not None:
+                # prefer the TYPE_ORDER min_value/max_value (5/6); the
+                # deprecated min/max (2/1) used SIGNED ordering, so they
+                # are only trusted where both orderings agree (see
+                # decode_stat_value's callers)
+                stats = StatsInfo(
+                    min_raw=st.get(6, st.get(2)),
+                    max_raw=st.get(5, st.get(1)),
+                    null_count=st.get(3),
+                    deprecated_order=6 not in st and 5 not in st)
             cols.append(ChunkInfo(
                 codec=_CODEC[cm[4]], num_values=cm[5],
                 data_page_offset=cm[9],
                 dictionary_page_offset=cm.get(11),
-                total_compressed_size=cm[7]))
+                total_compressed_size=cm[7],
+                statistics=stats,
+                offset_index_offset=cc.get(4),
+                offset_index_length=cc.get(5),
+                column_index_offset=cc.get(6),
+                column_index_length=cc.get(7)))
         row_groups.append(RowGroupInfo(num_rows=rg[3],
                                        total_byte_size=rg[2],
                                        columns=cols))
@@ -238,15 +277,149 @@ def parse_footer(blob: bytes) -> KernelFileMetaData:
         schema=pa.schema(fields), leaves=leaves, row_groups=row_groups)
 
 
-def read_footer_via_kernels(path: str) -> KernelFileMetaData:
-    """Read + parse a parquet file's footer through our kernels only:
-    tail magic, u32-LE length, thrift compact FileMetaData."""
-    import os
+def decode_stat_value(raw: bytes, physical: str, typ: pa.DataType,
+                      type_length: int = 0):
+    """Decode one TYPE_ORDER-encoded statistics value (parquet.thrift
+    ``min_value``/``max_value``) to a comparable Python value, or None
+    when the type has no unambiguous decode (pruning then skips it)."""
+    import datetime
+    import decimal
+    import struct
 
-    size = os.path.getsize(path)
-    if size < 12:
-        raise ValueError(f"{path}: too small to be parquet")
-    with open(path, "rb") as fh:
+    if raw is None:
+        return None
+    try:
+        if pa.types.is_decimal(typ):
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-typ.scale)
+        if physical == "BOOLEAN":
+            return bool(raw[0]) if raw else None
+        if physical in ("INT32", "INT64"):
+            signed = not (pa.types.is_unsigned_integer(typ))
+            v = int.from_bytes(raw, "little", signed=signed)
+            if pa.types.is_date32(typ):
+                return (datetime.date(1970, 1, 1)
+                        + datetime.timedelta(days=v))
+            if pa.types.is_timestamp(typ):
+                unit = {"s": 1_000_000_000, "ms": 1_000_000,
+                        "us": 1_000, "ns": 1}[typ.unit]
+                if (v * unit) % 1000:
+                    # sub-microsecond precision would truncate, and a
+                    # truncated MAX could wrongly prune a matching row
+                    # group — skip pruning instead
+                    return None
+                ts = datetime.datetime(1970, 1, 1) + \
+                    datetime.timedelta(microseconds=v * unit // 1000)
+                if typ.tz is not None:
+                    ts = ts.replace(tzinfo=datetime.timezone.utc)
+                return ts
+            if pa.types.is_time(typ):
+                return None  # rarely predicated on; skip pruning
+            return v
+        if physical == "FLOAT":
+            return struct.unpack("<f", raw)[0]
+        if physical == "DOUBLE":
+            return struct.unpack("<d", raw)[0]
+        if physical == "BYTE_ARRAY":
+            return raw.decode() if pa.types.is_string(typ) else bytes(raw)
+        if physical == "FIXED_LEN_BYTE_ARRAY":
+            if pa.types.is_float16(typ):
+                return struct.unpack("<e", raw)[0]
+            return bytes(raw)
+    except (ValueError, OverflowError, struct.error):
+        return None
+    return None  # INT96 and anything else: no pruning
+
+
+# deprecated (signed-order) min/max agree with TYPE_ORDER only here
+_DEPRECATED_ORDER_OK = ("INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN")
+
+
+def prune_row_groups_by_stats_kernels(km: KernelFileMetaData,
+                                      preds: list) -> list[int]:
+    """Self-hosted twin of ``prune_row_groups_by_stats``
+    (`parquet_pages.py`): row groups that MAY satisfy every ``(column,
+    op, value)`` predicate, judged from OUR footer parser's chunk
+    statistics — zero pyarrow metadata anywhere.  Same flat-top-level
+    contiguous-leaf mapping (a flat column literally named ``"s.x"``
+    must not collide with a nested leaf path ``s.x``); missing or
+    undecodable stats keep the row group."""
+    from .parquet_pages import _PRED_OPS, _leaf_count
+
+    name_to_leaf: dict[str, tuple[int, pa.DataType]] = {}
+    next_leaf = 0
+    for f in km.schema:
+        if not pa.types.is_nested(f.type):
+            name_to_leaf[f.name] = (next_leaf, f.type)
+        next_leaf += _leaf_count(f.type)
+    kept = []
+    for rg_i, rg in enumerate(km.row_groups):
+        ok = True
+        for col, op, val in preds:
+            ent = name_to_leaf.get(col)
+            if ent is None or op not in _PRED_OPS:
+                continue  # nested/unknown column: cannot prune on it
+            li, typ = ent
+            leaf = km.leaves[li]
+            st = rg.columns[li].statistics
+            if st is None or st.min_raw is None or st.max_raw is None:
+                continue
+            if st.deprecated_order and \
+                    (leaf.physical not in _DEPRECATED_ORDER_OK
+                     or pa.types.is_unsigned_integer(typ)):
+                continue
+            lo = decode_stat_value(st.min_raw, leaf.physical, typ,
+                                   leaf.type_length)
+            hi = decode_stat_value(st.max_raw, leaf.physical, typ,
+                                   leaf.type_length)
+            if lo is None or hi is None:
+                continue
+            try:
+                if not _PRED_OPS[op](lo, hi, val):
+                    ok = False
+                    break
+            except TypeError:  # incomparable types: no pruning
+                continue
+        if ok:
+            kept.append(rg_i)
+    return kept
+
+
+def read_footer_via_kernels(path: str,
+                            filesystem=None) -> KernelFileMetaData:
+    """Read + parse a parquet file's footer through our kernels only:
+    tail magic, u32-LE length, thrift compact FileMetaData.
+
+    ``filesystem`` (any ``pyarrow.fs.FileSystem``, e.g. the HTTP-range
+    filesystem in `state/httpfs.py`) makes this two ranged reads —
+    8-byte tail, then the footer blob — the reference's
+    ``remoteParquetFile`` access pattern
+    (`/root/reference/src/Parquet/Reader.hs:223-248`)."""
+    if filesystem is None and "://" not in path:
+        import os
+
+        size = os.path.getsize(path)
+        if size < 12:
+            raise ValueError(f"{path}: too small to be parquet")
+        with open(path, "rb") as fh:
+            fh.seek(size - 8)
+            tail = fh.read(8)
+            if tail[4:] != b"PAR1":
+                raise ValueError(f"{path}: missing PAR1 tail magic")
+            flen = int.from_bytes(tail[:4], "little")
+            if flen + 12 > size:
+                raise ValueError(
+                    f"{path}: footer length {flen} overruns file")
+            fh.seek(size - 8 - flen)
+            blob = fh.read(flen)
+        return parse_footer(blob)
+    from ..state import fsio
+
+    fs, p = fsio.resolve(path, filesystem)
+    with fs.open_input_file(p) as fh:
+        size = fh.size()
+        if size < 12:
+            raise ValueError(f"{path}: too small to be parquet")
         fh.seek(size - 8)
         tail = fh.read(8)
         if tail[4:] != b"PAR1":

