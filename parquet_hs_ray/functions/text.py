@@ -46,21 +46,30 @@ def flatten_words(words: pd.Series, lens: np.ndarray) -> np.ndarray:
     return np.fromiter(chain.from_iterable(words), dtype=object, count=total)
 
 
-def word_count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+def word_count_partial(t):
     """Per-batch (word, n) counts over the standard ``[a-z0-9]+``
     lower-cased tokenization — the shared pre-combine of
     unigram_surprisal / vocab_coverage / train_bpe.  ONE definition
     keeps those operators' hash-exact SQL twins tokenization-identical:
     a regex tweak in a single copy would silently break the others'
-    parity."""
-    words = batch["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-    lens = words.str.len().astype(np.int64).to_numpy()
-    flat = flatten_words(words, lens)
-    if not len(flat):
-        return pd.DataFrame({"word": pd.Series([], dtype=object),
-                             "n": pd.Series([], dtype=np.int64)})
-    uniq, counts = np.unique(flat, return_counts=True)
-    return pd.DataFrame({"word": uniq, "n": counts.astype(np.int64)})
+    parity.
+
+    Arrow-native (``batch_format="pyarrow"``): lower + re2
+    complement-split + flatten + value_counts, all zero-copy kernels —
+    splitting on ``[^a-z0-9]+`` and dropping empty pieces yields
+    exactly the ``findall(r"[a-z0-9]+")`` token stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = pc.utf8_lower(pc.fill_null(t["text"], ""))
+    flat = pc.list_flatten(pc.split_pattern_regex(txt, "[^a-z0-9]+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if len(flat) == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    vc = pc.value_counts(flat)
+    return pa.table({"word": vc.field(0),
+                     "n": pc.cast(vc.field(1), pa.int64())})
 
 
 def ws_token_count(texts: pd.Series) -> np.ndarray:

@@ -556,7 +556,7 @@ def unigram_surprisal(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     from .groupagg import grouped_sum
 
     freq = grouped_sum(docs.map_batches(word_count_partial,
-                                        batch_format="pandas"),
+                                        batch_format="pyarrow"),
                        ["word"], ["n"]).to_pandas()
     n_total = int(freq["n"].sum()) if len(freq) else 0
     v = int(len(freq))

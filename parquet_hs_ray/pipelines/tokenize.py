@@ -145,7 +145,7 @@ def vocab_coverage(docs: "ray.data.Dataset",
     from .groupagg import grouped_sum
 
     wc = (grouped_sum(docs.map_batches(word_count_partial,
-                                       batch_format="pandas"),
+                                       batch_format="pyarrow"),
                       ["word"], ["n"]).to_pandas())
     if not len(wc):
         return pd.DataFrame({"size": pd.Series(sizes, dtype=np.int64),
@@ -163,10 +163,10 @@ def vocab_coverage(docs: "ray.data.Dataset",
         {"size": np.int64, "n_covered": np.int64, "n_total": np.int64})
 
 
-def _bpe_pair_frame(syms_seq, n_seq) -> pd.DataFrame:
-    """Weighted adjacent-pair counts over \\x00-joined symbol strings —
-    one partial frame (a, b, cnt).  Shared by the distributed per-batch
-    partial and the driver fast path so both routes are bit-identical."""
+def _bpe_pair_counts(syms_seq, n_seq):
+    """Weighted adjacent-pair Counter over \\x00-joined symbol strings.
+    Shared by the distributed per-batch partial and the driver fast
+    path so both routes are bit-identical."""
     from collections import Counter
 
     c: "Counter" = Counter()
@@ -174,6 +174,12 @@ def _bpe_pair_frame(syms_seq, n_seq) -> pd.DataFrame:
         parts = syms.split("\x00")
         for a, b in zip(parts[:-1], parts[1:]):
             c[(a, b)] += int(n)
+    return c
+
+
+def _bpe_pair_frame(syms_seq, n_seq) -> pd.DataFrame:
+    """Driver-path view of :func:`_bpe_pair_counts` as (a, b, cnt)."""
+    c = _bpe_pair_counts(syms_seq, n_seq)
     if not c:
         return pd.DataFrame({"a": pd.Series([], dtype=object),
                              "b": pd.Series([], dtype=object),
@@ -244,19 +250,24 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 40,
     from .groupagg import grouped_sum
 
     wc = grouped_sum(docs.map_batches(word_count_partial,
-                                      batch_format="pandas"),
+                                      batch_format="pyarrow"),
                      ["word"], ["n"])
 
-    def to_syms(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    def to_syms(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
             # join on \x00 (cannot occur in [a-z0-9]+ words): symbol
             # sequences stay a flat string column — Arrow-friendly blocks,
             # no ndarray-in-object-cell hazards
-            "syms": ["\x00".join(w) for w in batch["word"]],
-            "n": batch["n"].astype(np.int64),
+            "syms": pa.array(["\x00".join(w)
+                              for w in t["word"].to_pylist()],
+                             pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
         })
 
-    state = wc.map_batches(to_syms, batch_format="pandas").materialize()
+    state = wc.map_batches(to_syms, batch_format="pyarrow").materialize()
     merges: list[tuple[str, str, int]] = []
 
     def pick_best(counts: pd.DataFrame):
@@ -278,11 +289,20 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 40,
             merges.append(best)
             syms = _bpe_apply(syms, best[0], best[1])
     else:
+        def pair_partial(t):
+            import pyarrow as pa
+
+            c = _bpe_pair_counts(t["syms"].to_pylist(),
+                                 t["n"].to_numpy(zero_copy_only=False))
+            ks = list(c)
+            return pa.table({
+                "a": pa.array([k[0] for k in ks], pa.string()),
+                "b": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([c[k] for k in ks], pa.int64())})
+
         for _ in range(n_merges):
             counts = grouped_sum(
-                state.map_batches(
-                    lambda b: _bpe_pair_frame(b["syms"], b["n"]),
-                    batch_format="pandas"),
+                state.map_batches(pair_partial, batch_format="pyarrow"),
                 ["a", "b"], ["cnt"]).to_pandas()
             best = pick_best(counts)
             if best is None:
@@ -290,14 +310,20 @@ def train_bpe(docs: "ray.data.Dataset", n_merges: int = 40,
             merges.append(best)
             left, right = best[0], best[1]
 
-            def apply(batch: pd.DataFrame, left=left, right=right) -> pd.DataFrame:
-                return pd.DataFrame({
-                    "syms": _bpe_apply(batch["syms"], left, right),
-                    "n": batch["n"].astype(np.int64)})
+            def apply(t, left=left, right=right):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                return pa.table({
+                    "syms": pa.array(
+                        _bpe_apply(t["syms"].to_pylist(), left, right),
+                        pa.string()),
+                    "n": pc.cast(t["n"], pa.int64())})
 
             # materialize per round: the next pair count must read the
             # merged state once, not re-execute the merge chain lazily
-            state = state.map_batches(apply, batch_format="pandas").materialize()
+            state = state.map_batches(
+                apply, batch_format="pyarrow").materialize()
     return pd.DataFrame({
         "rank": np.arange(len(merges), dtype=np.int64),
         "left": [m[0] for m in merges],
@@ -318,11 +344,14 @@ class BpeEncoderStage:
     (every character falls back to its byte id)."""
 
     def __init__(self, merges_ref):
+        import re
+
         merges: pd.DataFrame = ray.get(merges_ref)
         self._merges = list(zip(merges["left"], merges["right"]))
         self._sym_id = {l + r: 256 + int(k)
                         for k, (l, r) in enumerate(self._merges)}
         self._memo: dict = {}
+        self._re = re.compile(_TOKEN_RE)
 
     def _segment(self, word: str) -> "np.ndarray":
         got = self._memo.get(word)
@@ -346,21 +375,28 @@ class BpeEncoderStage:
         self._memo[word] = ids
         return ids
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        words = batch["text"].fillna("").str.lower().str.findall(_TOKEN_RE)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t["text"]
+        texts = pc.utf8_lower(pc.coalesce(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col, "")).to_pylist()
+        findall = self._re.findall
         toks = []
-        for ws in words:
+        for s in texts:
+            ws = findall(s)
             if ws:
                 toks.append(np.concatenate([self._segment(w) for w in ws]))
             else:
                 toks.append(np.empty(0, dtype=np.int64))
         offs = np.zeros(len(toks) + 1, dtype=np.int32)
-        np.cumsum([len(t) for t in toks], out=offs[1:])
+        np.cumsum([len(x) for x in toks], out=offs[1:])
         flat = (np.concatenate(toks) if len(toks) else
                 np.empty(0, dtype=np.int64))
         arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                        pa.array(flat, pa.int64()))
-        return pa.table({"doc_id": pa.array(batch["doc_id"].to_numpy()),
+        return pa.table({"doc_id": t["doc_id"],
                          "tokens": arr,
                          "n_tok": pa.array((offs[1:] - offs[:-1])
                                            .astype(np.int32))})
@@ -377,7 +413,7 @@ def bpe_encode(docs: "ray.data.Dataset", merges: pd.DataFrame,
     ref = ray.put(merges)
     return docs.map_batches(BpeEncoderStage, fn_constructor_kwargs={"merges_ref": ref},
                             batch_size=512, concurrency=concurrency,
-                            num_cpus=1, batch_format="pandas")
+                            num_cpus=1, batch_format="pyarrow")
 
 
 def remap_tokens_by_frequency(tok: "ray.data.Dataset",
@@ -485,48 +521,57 @@ def bigram_surprisal_tokens(tok: "ray.data.Dataset",
     occ = occ.materialize()  # reused for counts AND scoring
 
     big = grouped_sum(occ.map_batches(
-        lambda b: b[["a", "b", "n"]], batch_format="pandas"),
+        lambda t: t.select(["a", "b", "n"]), batch_format="pyarrow"),
         ["a", "b"], ["n"]).materialize()
     cp = grouped_sum(big.map_batches(
-        lambda b: pd.DataFrame({"a": b["a"], "np": b["n"]}),
-        batch_format="pandas"), ["a"], ["np"])
+        lambda t: pa.table({"a": t["a"], "np": t["n"]}),
+        batch_format="pyarrow"), ["a"], ["np"])
     n_distinct = big.count()
 
     svt = big.join(cp, join_type="inner", num_partitions=num_partitions,
                    on=("a",))
 
-    def sv_of(b: pd.DataFrame) -> pd.DataFrame:
-        q = ((b["np"].to_numpy(dtype=np.int64) + np.int64(n_distinct))
-             // (b["n"].to_numpy(dtype=np.int64) + 1))
+    def sv_of(t):
+        q = ((t["np"].to_numpy(zero_copy_only=False).astype(np.int64)
+              + np.int64(n_distinct))
+             // (t["n"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64) + 1))
         sv = _bit_lengths(q.astype(np.uint64)).astype(np.int64) - 1
-        return pd.DataFrame({"a": b["a"], "b": b["b"], "sv": sv})
+        return pa.table({"a": t["a"], "b": t["b"], "sv": pa.array(sv)})
 
-    svt = _enforce_schema(svt.map_batches(sv_of, batch_format="pandas"),
+    svt = _enforce_schema(svt.map_batches(sv_of, batch_format="pyarrow"),
                           pa.schema([("a", pa.int64()), ("b", pa.int64()),
                                      ("sv", pa.int64())]))
 
     j = occ.join(svt, join_type="inner", num_partitions=num_partitions,
                  on=("a", "b"))
 
-    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["n"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"doc_id": b["doc_id"], "n_bigrams": n,
-                             "surprisal_sum": n * b["sv"].to_numpy(np.int64)})
+    def doc_partial(t):
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_bigrams": pa.array(n),
+                         "surprisal_sum": pa.array(n * sv)})
 
-    agg = grouped_sum(j.map_batches(doc_partial, batch_format="pandas"),
+    agg = grouped_sum(j.map_batches(doc_partial, batch_format="pyarrow"),
                       ["doc_id"], ["n_bigrams", "surprisal_sum"])
     agg = _enforce_schema(agg, pa.schema([("doc_id", pa.string()),
                                           ("n_bigrams", pa.int64()),
                                           ("surprisal_sum", pa.int64())]))
 
     base = tok.map_batches(
-        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype(str)}),
-        batch_format="pandas")
+        lambda t: pa.table({"doc_id": pa.compute.cast(t["doc_id"],
+                                                      pa.string())}),
+        batch_format="pyarrow")
     out = base.join(agg, join_type="left_outer",
                     num_partitions=num_partitions, on=("doc_id",))
-    return out.map_batches(
-        lambda b: pd.DataFrame({
-            "doc_id": b["doc_id"],
-            "n_bigrams": b["n_bigrams"].fillna(0).astype(np.int64),
-            "surprisal_sum": b["surprisal_sum"].fillna(0).astype(np.int64)}),
-        batch_format="pandas")
+    def fin(t):
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pc.cast(pc.fill_null(t["n_bigrams"], 0),
+                                 pa.int64()),
+            "surprisal_sum": pc.cast(pc.fill_null(t["surprisal_sum"], 0),
+                                     pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -86,12 +86,21 @@ def tumbling_window(events: "ray.data.Dataset", window_us: int = _HOUR_US) -> "r
 
     agg = grouped_sum(partials, ["user_id", "win"], ["n_events", "sum_value"])
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype(np.int64)
-        batch["sum_value"] = batch["sum_value"].round(6)
-        return batch
+    return agg.map_batches(_finish_win_agg, batch_format="pyarrow")
 
-    return agg.map_batches(finish, batch_format="pandas")
+
+def _finish_win_agg(t: "pa.Table") -> "pa.Table":
+    """Shared tumbling/hopping finisher, Arrow-native (no
+    pandas round-trip on the post-aggregate stream): int64 counts,
+    half-to-even 6-decimal rounding (pandas ``.round`` parity)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = t.set_column(t.schema.get_field_index("n_events"), "n_events",
+                     pc.cast(t["n_events"], pa.int64()))
+    return t.set_column(
+        t.schema.get_field_index("sum_value"), "sum_value",
+        pc.round(t["sum_value"], ndigits=6, round_mode="half_to_even"))
 
 
 def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) -> "ray.data.Dataset":
@@ -168,14 +177,16 @@ def sessionize(events: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000) ->
 
     agg = sorted_block_aggregate(partials, ["user_id"], merge_fragments, merge_fragments)
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": batch["user_id"],
-            "n_sessions": (batch["n_breaks"] + 1).astype(np.int64),
-            "n_events": batch["n_events"].astype(np.int64),
+    def finish(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_sessions": pc.add(pc.cast(t["n_breaks"], pa.int64()), 1),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
         })
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
@@ -209,12 +220,7 @@ def hopping_window(events: "ray.data.Dataset", window_us: int = _HOUR_US,
 
     agg = grouped_sum(partials, ["user_id", "win"], ["n_events", "sum_value"])
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype(np.int64)
-        batch["sum_value"] = batch["sum_value"].round(6)
-        return batch
-
-    return agg.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(_finish_win_agg, batch_format="pyarrow")
 
 
 def running_totals(events: "ray.data.Dataset", key: str = "user_id",
@@ -442,16 +448,20 @@ def funnel(events: "ray.data.Dataset", stages: "list[str]",
         m = grouped_agg(ev, [key], {ts_col: "min"}).materialize()
         if m.count() == 0:
             break
-        stage_no = np.int64(i + 1)
+        stage_no = i + 1
 
-        def tag(b: pd.DataFrame, n=stage_no) -> pd.DataFrame:
-            return pd.DataFrame({key: b[key],
-                                 "n_stages": np.full(len(b), n, np.int64)})
+        def tag(t, n=stage_no):
+            import pyarrow as pa
 
-        reached.append(m.map_batches(tag, batch_format="pandas"))
+            return pa.table({
+                key: t[key],
+                "n_stages": pa.array(np.full(t.num_rows, n, np.int64))})
+
+        reached.append(m.map_batches(tag, batch_format="pyarrow"))
         prev = m.map_batches(
-            lambda b: b.rename(columns={ts_col: "t_prev"}),
-            batch_format="pandas")
+            lambda t: t.select([key, ts_col]).rename_columns(
+                [key, "t_prev"]),
+            batch_format="pyarrow")
     if not reached:
         return ray.data.from_pandas(pd.DataFrame({
             key: pd.Series([], dtype=np.int64),
@@ -480,20 +490,25 @@ def retention_cohorts(events: "ray.data.Dataset", key: str = "user_id",
     from .groupagg import grouped_agg, grouped_sum
     from .relational import broadcast_join, hash_join
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        wk = (_ts_us(batch[ts_col]) // _WEEK_US).astype(np.int64)
-        return (pd.DataFrame({key: batch[key], "week": wk, "one": np.int64(1)})
-                .drop_duplicates(subset=[key, "week"]))
+    def pairs(t):
+        import pyarrow as pa
+
+        wk = (_ts_us_arrow(t[ts_col]) // _WEEK_US).astype(np.int64)
+        g = pa.table({key: t[key], "week": pa.array(wk)})
+        d = g.group_by([key, "week"]).aggregate([])  # per-batch distinct
+        return d.append_column(
+            "one", pa.array(np.ones(d.num_rows, np.int64)))
 
     # per-batch distinct is a pre-combine only — the same (user, week) can
     # recur across blocks, so a global grouped distinct follows (max of a
     # constant == distinct-row projection)
-    uw = (grouped_agg(events.map_batches(pairs, batch_format="pandas"),
+    uw = (grouped_agg(events.map_batches(pairs, batch_format="pyarrow"),
                       [key, "week"], {"one": "max"})
           .select_columns([key, "week"]).materialize())
     cohorts = (grouped_agg(uw, [key], {"week": "min"})
-               .map_batches(lambda b: b.rename(columns={"week": "cohort_week"}),
-                            batch_format="pandas").materialize())
+               .map_batches(lambda t: t.select([key, "week"])
+                            .rename_columns([key, "cohort_week"]),
+                            batch_format="pyarrow").materialize())
     try:
         small = (cohorts.size_bytes() or 0) < (32 << 20)
     except Exception:
@@ -504,16 +519,22 @@ def retention_cohorts(events: "ray.data.Dataset", key: str = "user_id",
     else:
         joined = hash_join(uw, cohorts, key, key)
 
-    def cell(batch: pd.DataFrame) -> pd.DataFrame:
+    def cell(t):
         # input rows are globally distinct (user, week): a count is a sum
-        age = (batch["week"] - batch["cohort_week"]).astype(np.int64)
-        return (pd.DataFrame({"cohort_week": batch["cohort_week"],
-                              "age": age,
-                              "n_users": np.int64(1)})
-                .groupby(["cohort_week", "age"], sort=False, as_index=False)
-                .sum())
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return grouped_sum(joined.map_batches(cell, batch_format="pandas"),
+        g = pa.table({
+            "cohort_week": t["cohort_week"],
+            "age": pc.subtract(t["week"], t["cohort_week"]),
+            "n_users": pa.array(np.ones(t.num_rows, np.int64))})
+        out = g.group_by(["cohort_week", "age"]).aggregate(
+            [("n_users", "sum")])
+        return pa.table({"cohort_week": out["cohort_week"],
+                         "age": out["age"],
+                         "n_users": out["n_users_sum"]})
+
+    return grouped_sum(joined.map_batches(cell, batch_format="pyarrow"),
                        ["cohort_week", "age"], ["n_users"])
 
 
@@ -530,25 +551,35 @@ def calendar_rollup(events: "ray.data.Dataset", unit: str = "month",
     if unit not in ("day", "week", "month"):
         raise ValueError(f"unit must be day|week|month: {unit}")
 
-    def trunc(s: pd.Series) -> pd.Series:
-        t = pd.to_datetime(s)
-        if unit == "day":
-            return t.dt.floor("D")
-        if unit == "week":
-            return t.dt.to_period("W-SUN").dt.start_time
-        return t.dt.to_period("M").dt.start_time
+    def partial(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cents = np.round(batch[val_col].to_numpy(dtype=np.float64)
-                         * 100.0).astype(np.int64)
-        g = pd.DataFrame({"bucket": trunc(batch[ts_col]),
-                          key: batch[key], "n": np.int64(1),
-                          "value_cents": cents})
-        return g.groupby(["bucket", key], sort=False, as_index=False).sum()
+        ts = pc.cast(t[ts_col], pa.timestamp("us"))
+        if unit == "day":
+            bucket = pc.floor_temporal(ts, unit="day")
+        elif unit == "week":
+            # Monday start == pandas 'W-SUN' period start (the DuckDB
+            # date_trunc('week') convention)
+            bucket = pc.floor_temporal(ts, unit="week",
+                                       week_starts_monday=True)
+        else:
+            bucket = pc.floor_temporal(ts, unit="month")
+        cents = pc.cast(pc.round(
+            pc.multiply(pc.cast(t[val_col], pa.float64()), 100.0),
+            ndigits=0, round_mode="half_to_even"), pa.int64())
+        g = pa.table({"bucket": bucket, key: t[key],
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "value_cents": cents})
+        out = g.group_by(["bucket", key]).aggregate(
+            [("n", "sum"), ("value_cents", "sum")])
+        return pa.table({"bucket": out["bucket"], key: out[key],
+                         "n": out["n_sum"],
+                         "value_cents": out["value_cents_sum"]})
 
     from .groupagg import grouped_sum
 
-    return grouped_sum(events.map_batches(partial, batch_format="pandas"),
+    return grouped_sum(events.map_batches(partial, batch_format="pyarrow"),
                        ["bucket", key], ["n", "value_cents"])
 
 
@@ -830,20 +861,31 @@ def growth_accounting(events: "ray.data.Dataset", key: str = "user_id",
     even at 10^12 events."""
     from .groupagg import grouped_agg, grouped_sum
 
-    def first_seen(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: b[key].to_numpy(),
-                             "bucket": pd.to_datetime(b[ts_col]).dt.floor("D")})
+    def first_seen(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            key: t[key],
+            "bucket": pc.floor_temporal(
+                pc.cast(t[ts_col], pa.timestamp("us")), unit="day")})
 
     firsts = grouped_agg(
-        events.map_batches(first_seen, batch_format="pandas"),
+        events.map_batches(first_seen, batch_format="pyarrow"),
         [key], {"bucket": "min"})
 
-    def day_count(b: pd.DataFrame) -> pd.DataFrame:
-        return (pd.DataFrame({"bucket": b["bucket"].to_numpy(),
-                              "new_users": np.ones(len(b), dtype=np.int64)})
-                .groupby("bucket", sort=False, as_index=False).sum())
+    def day_count(t):
+        import pyarrow as pa
 
-    daily = grouped_sum(firsts.map_batches(day_count, batch_format="pandas"),
+        g = pa.table({"bucket": t["bucket"],
+                      "new_users": pa.array(
+                          np.ones(t.num_rows, np.int64))})
+        out = g.group_by(["bucket"]).aggregate([("new_users", "sum")])
+        return pa.table({"bucket": out["bucket"],
+                         "new_users": out["new_users_sum"]})
+
+    daily = grouped_sum(firsts.map_batches(day_count,
+                                           batch_format="pyarrow"),
                         ["bucket"], ["new_users"]).to_pandas()
     daily = daily.sort_values("bucket").reset_index(drop=True)
     daily["cum_users"] = daily["new_users"].cumsum().astype(np.int64)
@@ -984,20 +1026,19 @@ def first_last_value(events: "ray.data.Dataset", key: str = "user_id",
                           tiebreak=id_col, how="max")
 
     def trim(name):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            out = b[[key, val_col]].copy()
-            return out.rename(columns={val_col: name})
+        def f(t):
+            return t.select([key, val_col]).rename_columns([key, name])
         return f
 
-    fds = first.map_batches(trim(f"first_{val_col}"), batch_format="pandas")
-    lds = last.map_batches(trim(f"last_{val_col}"), batch_format="pandas")
+    fds = first.map_batches(trim(f"first_{val_col}"),
+                            batch_format="pyarrow")
+    lds = last.map_batches(trim(f"last_{val_col}"),
+                           batch_format="pyarrow")
 
     base_cols = [key, id_col, val_col]
 
-    def keep(b: pd.DataFrame) -> pd.DataFrame:
-        return b[base_cols]
-
-    out = events.map_batches(keep, batch_format="pandas")
+    out = events.map_batches(lambda t: t.select(base_cols),
+                             batch_format="pyarrow")
     from .relational import broadcast_join, hash_join
 
     for side in (fds, lds):
@@ -1139,10 +1180,8 @@ def rolling_time_sum(events: "ray.data.Dataset", interval_us: int,
     slim = events.map_batches(ev_slim, batch_format="pyarrow")
     joined = hash_join(slim, winsums, [key, "_us"], [key, "_us"], how="left")
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        return b[[id_col, key, "win_c"]].copy()
-
-    return joined.map_batches(finish, batch_format="pandas")
+    return joined.map_batches(lambda t: t.select([id_col, key, "win_c"]),
+                              batch_format="pyarrow")
 
 
 
