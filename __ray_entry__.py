@@ -935,6 +935,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_read_pruned_kernels"] = kernel_read_pruned_kernels
 
+    def kernel_read_page_pruned(sf):
+        # PAGE-granular pruning (parquet-format PageIndex.md; the
+        # reference parses the same ColumnChunk index offsets,
+        # Types/ColumnChunk.hs:19-30): the kernel writer paginates
+        # flat chunks (data_page_rows) and emits ColumnIndex /
+        # OffsetIndex; the distributed read prunes to page-level row
+        # ranges inside each surviving row group and decodes ONLY the
+        # overlapping pages — fully self-hosted end to end.
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_parquet_kernels, write_parquet_kernels)
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "lineitem.parquet")).sort(
+                "l_orderkey").repartition(2)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            write_parquet_kernels(ds, out, compression="SNAPPY",
+                                  row_group_size=1 << 20,
+                                  data_page_rows=512)
+            back = read_parquet_kernels(
+                out, columns=["l_orderkey", "l_linenumber",
+                              "l_quantity"],
+                predicate=[("l_orderkey", "<=", 4000),
+                           ("l_linenumber", ">", 1)],
+                footer="kernels")
+            t = pa.concat_tables(
+                [ray.get(r) for r in back.to_arrow_refs()])
+        return t.sort_by([("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])
+
+    q["kernel_read_page_pruned"] = kernel_read_page_pruned
+
     def kernel_footer_decode(sf):
         # the FULLY self-hosted read: footer (thrift compact
         # FileMetaData, schema tree, leaf rep/def levels), pages,
@@ -3243,6 +3281,13 @@ FROM s GROUP BY seq_id
     # kernel_read_pruned_kernels: the same pruned read with OUR footer
     # parser supplying the statistics — zero pyarrow on the pruned path.
     o["kernel_read_pruned_kernels"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
+        " ORDER BY l_orderkey, l_linenumber"
+    )
+    # kernel_read_page_pruned: ColumnIndex/OffsetIndex page-granular
+    # pruning inside surviving row groups, self-hosted end to end.
+    o["kernel_read_page_pruned"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
         " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
         " ORDER BY l_orderkey, l_linenumber"

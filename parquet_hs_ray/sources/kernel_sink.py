@@ -41,7 +41,8 @@ class KernelParquetDatasink(Datasink):
     def __init__(self, path: str, compression: str = "SNAPPY",
                  row_group_size: int = 1 << 20,
                  use_dictionary: bool = True, encodings: str = "classic",
-                 page_version: str = "1.0", filesystem=None):
+                 page_version: str = "1.0", filesystem=None,
+                 data_page_rows: int | None = None):
         # validate up front: on_write_start destructively clears the
         # destination, so a bad mode must fail before any cleanup
         if encodings not in ("classic", "auto"):
@@ -60,6 +61,7 @@ class KernelParquetDatasink(Datasink):
         self._encodings = encodings
         self._page_version = page_version
         self._filesystem = filesystem
+        self._data_page_rows = data_page_rows
 
     def get_name(self) -> str:
         return "KernelParquet"
@@ -90,7 +92,8 @@ class KernelParquetDatasink(Datasink):
                 row_group_size=self._row_group_size,
                 use_dictionary=self._use_dictionary,
                 encodings=self._encodings,
-                page_version=self._page_version)
+                page_version=self._page_version,
+                data_page_rows=self._data_page_rows)
             name = f"part-{ctx.task_idx:06d}-{seq:04d}.parquet"
             fsio.write_atomic(fsio.join(self._path, name), blob,
                               self._filesystem)
@@ -116,7 +119,8 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                           use_dictionary: bool = True,
                           encodings: str = "classic",
                           page_version: str = "1.0",
-                          filesystem=None, concurrency=None) -> dict:
+                          filesystem=None, concurrency=None,
+                          data_page_rows: int | None = None) -> dict:
     """``Dataset.write_parquet`` twin over the kernel writer: streams
     the dataset's blocks through ``KernelParquetDatasink`` and returns
     the committed manifest."""
@@ -125,7 +129,8 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                                  use_dictionary=use_dictionary,
                                  encodings=encodings,
                                  page_version=page_version,
-                                 filesystem=filesystem)
+                                 filesystem=filesystem,
+                                 data_page_rows=data_page_rows)
     ds.write_datasink(sink, concurrency=concurrency)
     return read_sink_manifest(path, filesystem)
 
@@ -141,7 +146,8 @@ def read_sink_manifest(path: str, filesystem=None) -> dict:
 
 def read_parquet_kernels(path: str, columns: list[str] | None = None,
                          predicate=None, footer: str = "pyarrow",
-                         filesystem=None, concurrency=None):
+                         filesystem=None, concurrency=None,
+                         page_index: bool = True):
     """Distributed parquet READ through our kernels: the inverse of
     ``write_parquet_kernels`` — returns a ``ray.data.Dataset``.
 
@@ -169,7 +175,13 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
 
     ``footer="kernels"`` parses footers AND statistics through our
     thrift kernels (`parquet_footer.py`) — zero pyarrow anywhere on
-    the read path, pruned reads included.
+    the read path, pruned reads included.  With ``page_index`` (the
+    default) predicates additionally prune at PAGE granularity inside
+    each surviving row group via the ColumnIndex/OffsetIndex
+    structures when the file carries them (our writer emits them;
+    parquet-format PageIndex.md) — only pages whose row ranges may
+    match are read and decoded.  pyarrow's Python API does not expose
+    the index offsets, so page pruning applies to footer='kernels'.
 
     ``filesystem`` (any pyarrow FileSystem, e.g.
     ``state.httpfs.http_range_filesystem``) makes every footer and
@@ -320,9 +332,27 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
             return read_parquet_via_kernels(
                 p, columns=columns, row_groups=[], footer=footer,
                 filesystem=filesystem)
-        t = read_parquet_via_kernels(p, columns=read_cols,
-                                     row_groups=[rg], footer=footer,
-                                     filesystem=filesystem)
+        t = None
+        if preds and page_index and footer == "kernels":
+            from .parquet_footer import (prune_pages_by_index,
+                                         read_footer_via_kernels)
+            from .parquet_pages import read_row_group_page_pruned
+
+            km = read_footer_via_kernels(p, filesystem=filesystem)
+            ranges = prune_pages_by_index(km, p, rg, preds,
+                                          filesystem=filesystem)
+            if ranges is not None:
+                t = read_row_group_page_pruned(
+                    p, km, rg, ranges, columns=read_cols,
+                    filesystem=filesystem)
+            else:
+                t = read_parquet_via_kernels(
+                    p, columns=read_cols, row_groups=[rg],
+                    footer=footer, filesystem=filesystem, km=km)
+        if t is None:
+            t = read_parquet_via_kernels(p, columns=read_cols,
+                                         row_groups=[rg], footer=footer,
+                                         filesystem=filesystem)
         if preds:
             mask = None
             for col, op, val in preds:

@@ -385,6 +385,136 @@ def prune_row_groups_by_stats_kernels(km: KernelFileMetaData,
     return kept
 
 
+@dataclass
+class PageLocation:
+    """OffsetIndex entry (parquet.thrift PageLocation)."""
+    offset: int
+    compressed_page_size: int  # header included, per spec
+    first_row_index: int
+
+
+@dataclass
+class ColumnIndexInfo:
+    """ColumnIndex (parquet.thrift): per-page null flags, TYPE_ORDER
+    min/max encodings and null counts."""
+    null_pages: list
+    min_values: list
+    max_values: list
+    boundary_order: int = 0
+    null_counts: list | None = None
+
+
+def parse_offset_index(blob: bytes) -> list[PageLocation]:
+    """Thrift compact OffsetIndex -> page locations."""
+    s, _ = _read_compact_struct(blob, 0)
+    return [PageLocation(offset=p[1], compressed_page_size=p[2],
+                         first_row_index=p[3]) for p in s[1]]
+
+
+def parse_column_index(blob: bytes) -> ColumnIndexInfo:
+    """Thrift compact ColumnIndex -> per-page statistics."""
+    s, _ = _read_compact_struct(blob, 0)
+    return ColumnIndexInfo(null_pages=s[1], min_values=s[2],
+                           max_values=s[3], boundary_order=s.get(4, 0),
+                           null_counts=s.get(5))
+
+
+def _merge_ranges(ranges: list) -> list:
+    """Sorted disjoint union of half-open [a, b) row ranges."""
+    out = []
+    for a, b in sorted(ranges):
+        if out and a <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+def _intersect_ranges(x: list, y: list) -> list:
+    """Intersection of two sorted disjoint half-open range lists."""
+    out, i, j = [], 0, 0
+    while i < len(x) and j < len(y):
+        a = max(x[i][0], y[j][0])
+        b = min(x[i][1], y[j][1])
+        if a < b:
+            out.append((a, b))
+        if x[i][1] <= y[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def prune_pages_by_index(km: KernelFileMetaData, path: str, rg: int,
+                         preds: list, filesystem=None) -> list | None:
+    """PAGE-granular pruning: candidate row ranges of row group ``rg``
+    that MAY satisfy every ``(column, op, value)`` predicate, judged
+    from the chunk ColumnIndex/OffsetIndex structures (parquet-format
+    PageIndex.md; the reference parses the same ColumnChunk offsets,
+    `/root/reference/src/Parquet/Types/ColumnChunk.hs:19-30`).
+
+    Returns a sorted disjoint list of half-open row ranges, or None
+    when no predicate column carries a usable page index OR the index
+    cannot rule out any rows — callers then fall back to whole-row-
+    group decode.  All-null pages cannot satisfy any of the supported
+    ops (they are all value comparisons; SQL NULL never matches), so
+    they prune.  Undecodable/missing stats keep a page."""
+    from .parquet_pages import _PRED_OPS, _leaf_count
+
+    name_to_leaf: dict = {}
+    next_leaf = 0
+    for f in km.schema:
+        if not pa.types.is_nested(f.type):
+            name_to_leaf[f.name] = (next_leaf, f.type)
+        next_leaf += _leaf_count(f.type)
+    n_rows = km.row_groups[rg].num_rows
+    result = None  # None = "all rows" until a usable index narrows it
+    for col, op, val in preds:
+        ent = name_to_leaf.get(col)
+        if ent is None or op not in _PRED_OPS:
+            continue
+        li, typ = ent
+        leaf = km.leaves[li]
+        cc = km.row_groups[rg].columns[li]
+        if cc.column_index_offset is None or cc.offset_index_offset is None:
+            continue
+        from .parquet_pages import _read_range
+
+        cidx = parse_column_index(_read_range(
+            path, cc.column_index_offset, cc.column_index_length,
+            filesystem))
+        oidx = parse_offset_index(_read_range(
+            path, cc.offset_index_offset, cc.offset_index_length,
+            filesystem))
+        if len(cidx.null_pages) != len(oidx):
+            continue  # malformed index: do not prune on it
+        kept = []
+        for i, loc in enumerate(oidx):
+            row_a = loc.first_row_index
+            row_b = (oidx[i + 1].first_row_index if i + 1 < len(oidx)
+                     else n_rows)
+            if cidx.null_pages[i]:
+                continue  # all-null page: no value comparison matches
+            lo = decode_stat_value(cidx.min_values[i], leaf.physical,
+                                   typ, leaf.type_length)
+            hi = decode_stat_value(cidx.max_values[i], leaf.physical,
+                                   typ, leaf.type_length)
+            if lo is None or hi is None:
+                kept.append((row_a, row_b))
+                continue
+            try:
+                if _PRED_OPS[op](lo, hi, val):
+                    kept.append((row_a, row_b))
+            except TypeError:
+                kept.append((row_a, row_b))
+        kept = _merge_ranges(kept)
+        result = kept if result is None else _intersect_ranges(result,
+                                                               kept)
+    if result is None or result == [(0, n_rows)]:
+        return None
+    return result
+
+
 def read_footer_via_kernels(path: str,
                             filesystem=None) -> KernelFileMetaData:
     """Read + parse a parquet file's footer through our kernels only:

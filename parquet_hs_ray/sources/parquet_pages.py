@@ -843,6 +843,134 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
     return kept
 
 
+def read_row_group_page_pruned(path: str, km, rg: int, ranges: list,
+                               columns: list[str] | None = None,
+                               filesystem=None) -> pa.Table:
+    """Decode ONLY the pages of row group ``rg`` overlapping the given
+    half-open row ``ranges`` (from ``prune_pages_by_index``), through
+    our kernels — the page-granular step below row-group pruning.
+
+    Per selected column and range: the OffsetIndex locates the run of
+    pages covering the range; one ranged read fetches the dictionary
+    page (if any) plus that contiguous page run; the standard page-loop
+    decoder runs on the spliced bytes and the assembled rows slice to
+    the exact range.  Row-aligned leaves (max_rep == 0, one level entry
+    per row — what our writer paginates) decode page-granular; nested
+    leaves decode their whole chunk once (cached) and slice, which is
+    exact because ranges are row ranges.  Requires footer='kernels'
+    metadata (``km``) — pyarrow's Python API does not expose the index
+    offsets."""
+    from .parquet_footer import parse_offset_index
+
+    n_rows = km.row_groups[rg].num_rows
+    for a, b in ranges:
+        if not (0 <= a < b <= n_rows):
+            raise ValueError(f"bad row range ({a}, {b}) for a row group "
+                             f"of {n_rows} rows")
+    schema = km.schema
+    if columns is not None:
+        missing = set(columns) - set(schema.names)
+        if missing:
+            raise KeyError(f"columns not in schema: {sorted(missing)}")
+
+    oidx_cache: dict = {}
+
+    def offset_index(ci: int):
+        if ci not in oidx_cache:
+            cc = km.row_groups[rg].columns[ci]
+            oidx_cache[ci] = (None if cc.offset_index_offset is None
+                              else parse_offset_index(_read_range(
+                                  path, cc.offset_index_offset,
+                                  cc.offset_index_length, filesystem)))
+        return oidx_cache[ci]
+
+    def decode_run(ci: int, a: int, b: int):
+        """(values rows [ra, rb) covering [a, b), ra) for leaf ci."""
+        leaf, cc = km.leaves[ci], km.row_groups[rg].columns[ci]
+        codec = _page_codec(cc.codec)
+        oidx = offset_index(ci)
+        chunk_start = cc.dictionary_page_offset or cc.data_page_offset
+        dict_span = (b"" if not cc.dictionary_page_offset else
+                     _read_range(path, cc.dictionary_page_offset,
+                                 cc.data_page_offset
+                                 - cc.dictionary_page_offset,
+                                 filesystem))
+        first_rows = [p.first_row_index for p in oidx]
+        import bisect
+
+        p0 = bisect.bisect_right(first_rows, a) - 1
+        p1 = bisect.bisect_left(first_rows, b, lo=p0) - 1
+        if p1 < p0:
+            p1 = p0
+        ra = first_rows[p0]
+        rb = first_rows[p1 + 1] if p1 + 1 < len(oidx) else n_rows
+        span = _read_range(
+            path, oidx[p0].offset,
+            oidx[p1].offset + oidx[p1].compressed_page_size
+            - oidx[p0].offset, filesystem)
+        rep, dfl, vals = decode_column_chunk_pages(
+            dict_span + span, rb - ra, leaf.physical, leaf.max_rep,
+            leaf.max_def, codec=codec, type_length=leaf.type_length)
+        return (np.asarray(rep, np.int64), np.asarray(dfl, np.int64),
+                vals, leaf.max_def), ra, rb
+
+    full_cache: dict = {}
+
+    def decode_full(ci: int):
+        if ci not in full_cache:
+            leaf, cc = km.leaves[ci], km.row_groups[rg].columns[ci]
+            codec = _page_codec(cc.codec)
+            start = cc.dictionary_page_offset or cc.data_page_offset
+            chunk = _read_range(path, start, cc.total_compressed_size,
+                                filesystem)
+            rep, dfl, vals = decode_column_chunk_pages(
+                chunk, cc.num_values, leaf.physical, leaf.max_rep,
+                leaf.max_def, codec=codec, type_length=leaf.type_length)
+            full_cache[ci] = (np.asarray(rep, np.int64),
+                              np.asarray(dfl, np.int64), vals,
+                              leaf.max_def)
+        return full_cache[ci]
+
+    full_field_cache: dict = {}
+    cols = {}
+    next_leaf = 0
+    for name in schema.names:
+        field = schema.field(name)
+        k = _leaf_count(field.type)
+        idxs = list(range(next_leaf, next_leaf + k))
+        next_leaf += k
+        if columns is not None and name not in columns:
+            continue
+        # page-granular only when every leaf is row-aligned AND indexed
+        row_aligned = (k == 1 and km.leaves[idxs[0]].max_rep == 0
+                       and km.leaves[idxs[0]].max_def <= 1
+                       and offset_index(idxs[0]) is not None)
+        parts = []
+        for a, b in ranges:
+            if row_aligned:
+                leaves, ra, _ = decode_run(idxs[0], a, b)
+                arr = assemble_record_tree(field, [leaves],
+                                           leaves[0].shape[0])
+                parts.append(arr.slice(a - ra, b - a))
+            else:
+                if name not in full_field_cache:
+                    leaves = [decode_full(ci) for ci in idxs]
+                    full_field_cache[name] = assemble_record_tree(
+                        field, leaves, n_rows)
+                parts.append(full_field_cache[name].slice(a, b - a))
+        if not parts:
+            cols[name] = pa.array([], type=field.type)
+        else:
+            cols[name] = (pa.concat_arrays(parts) if len(parts) > 1
+                          else parts[0])
+    if columns is not None:
+        if not columns:
+            nr = sum(b - a for a, b in ranges)
+            return pa.table({"__n": pa.nulls(nr)}).drop_columns(["__n"])
+        return pa.table({c: cols[c] for c in columns})
+    return pa.table(cols)
+
+
 def read_parquet_via_kernels(path: str,
                              columns: list[str] | None = None,
                              row_groups: list[int] | None = None,

@@ -103,11 +103,24 @@ class _Struct:
                              + b"".join(_ivarint(v) for v in vals)))
         return self
 
-    def list_binary(self, fid: int, vals: list[str]) -> "_Struct":
-        body = b"".join(_uvarint(len(v.encode())) + v.encode()
-                        for v in vals)
+    def list_binary(self, fid: int, vals: "list[str | bytes]") -> "_Struct":
+        bs = [v.encode() if isinstance(v, str) else v for v in vals]
+        body = b"".join(_uvarint(len(b)) + b for b in bs)
         self._fields.append((fid, _CT_LIST,
                              _list_header(len(vals), _CT_BINARY) + body))
+        return self
+
+    def list_bool(self, fid: int, vals: list[bool]) -> "_Struct":
+        # compact-protocol bool LIST elements are one byte each (1/2)
+        body = bytes(1 if v else 2 for v in vals)
+        self._fields.append((fid, _CT_LIST,
+                             _list_header(len(vals), _CT_BOOL_TRUE) + body))
+        return self
+
+    def list_i64(self, fid: int, vals: list[int]) -> "_Struct":
+        self._fields.append((fid, _CT_LIST,
+                             _list_header(len(vals), _CT_I64)
+                             + b"".join(_ivarint(v) for v in vals)))
         return self
 
     def list_struct(self, fid: int, vals: list["_Struct"]) -> "_Struct":
@@ -283,9 +296,11 @@ def _plain_size(arr: pa.Array, physical: str,
 
 
 def _dict_encode(arr: pa.Array, physical: str):
-    """Classic PLAIN_DICTIONARY chunk: (dict-page PLAIN values,
-    data-page body = 1-byte bit width + hybrid indices), or None when
-    the type/cardinality makes a dictionary pointless."""
+    """Classic PLAIN_DICTIONARY chunk: (dict-page PLAIN values, int64
+    index codes in non-null order, index bit width, dictionary size),
+    or None when the type/cardinality makes a dictionary pointless.
+    The caller encodes codes (or per-page slices of them) with
+    ``_dict_index_body``."""
     if physical in ("BOOLEAN", "FIXED_LEN_BYTE_ARRAY"):
         return None
     vals = arr.drop_null()
@@ -297,9 +312,13 @@ def _dict_encode(arr: pa.Array, physical: str):
         return None  # high cardinality: dictionary would not pay
     idx = np.asarray(denc.indices, dtype=np.int64)
     width = max(1, int(len(dictionary) - 1).bit_length())
-    index_body = bytes([width]) + encode_hybrid(idx.astype(np.uint64),
-                                                width)
-    return _plain_encode(dictionary, physical), index_body, len(dictionary)
+    return (_plain_encode(dictionary, physical), idx, width,
+            len(dictionary))
+
+
+def _dict_index_body(idx: np.ndarray, width: int) -> bytes:
+    """Dictionary data-page body: 1-byte bit width + hybrid indices."""
+    return bytes([width]) + encode_hybrid(idx.astype(np.uint64), width)
 
 
 def _delta_bp_encode(vals: np.ndarray, bits: int = 64,
@@ -378,24 +397,35 @@ def _bss_encode(arr: pa.Array, physical: str) -> bytes:
     return np.ascontiguousarray(mat.T).tobytes()
 
 
+def _minmax_bytes(arr: pa.Array, physical: str):
+    """TYPE_ORDER-encoded (min, max) bytes for the types with
+    unambiguous orderings, or None (floats are skipped — NaN
+    semantics).  Shared by the chunk Statistics struct and the
+    per-page ColumnIndex."""
+    import pyarrow.compute as pc
+
+    if physical not in ("INT32", "INT64", "BYTE_ARRAY") or \
+            len(arr) - arr.null_count == 0:
+        return None
+    mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
+    if physical == "BYTE_ARRAY":
+        lo = mn.encode() if isinstance(mn, str) else mn
+        hi = mx.encode() if isinstance(mx, str) else mx
+    else:
+        w = 4 if physical == "INT32" else 8
+        lo = int(mn).to_bytes(w, "little", signed=True)
+        hi = int(mx).to_bytes(w, "little", signed=True)
+    return lo, hi
+
+
 def _statistics(arr: pa.Array, physical: str, n_values: int):
     """Statistics struct (min_value/max_value/null_count) for the types
     with unambiguous orderings; floats are skipped (NaN semantics)."""
-    import pyarrow.compute as pc
-
     null_count = n_values - (len(arr) - arr.null_count)
     st = _Struct().i64(3, null_count)
-    if physical in ("INT32", "INT64", "BYTE_ARRAY") and \
-            len(arr) - arr.null_count > 0:
-        mn, mx = pc.min(arr).as_py(), pc.max(arr).as_py()
-        if physical == "BYTE_ARRAY":
-            lo = mn.encode() if isinstance(mn, str) else mn
-            hi = mx.encode() if isinstance(mx, str) else mx
-        else:
-            w = 4 if physical == "INT32" else 8
-            lo = int(mn).to_bytes(w, "little", signed=True)
-            hi = int(mx).to_bytes(w, "little", signed=True)
-        st.binary(5, hi).binary(6, lo)
+    mm = _minmax_bytes(arr, physical)
+    if mm is not None:
+        st.binary(5, mm[1]).binary(6, mm[0])
     return st
 
 
@@ -596,9 +626,11 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                         codec, compression: str,
                         use_dictionary: bool,
                         encodings_mode: str = "classic",
-                        page_version: str = "1.0") -> int:
-    """Emit one leaf's pages into ``out`` and its ColumnChunk struct
-    into ``col_chunks``; returns the chunk's uncompressed byte size.
+                        page_version: str = "1.0",
+                        data_page_rows: int | None = None) -> int:
+    """Emit one leaf's pages into ``out`` and a chunk record (meta
+    struct + per-page locations/stats for the page index) into
+    ``col_chunks``; returns the chunk's uncompressed byte size.
 
     ``encodings_mode="auto"`` extends the per-chunk codec selection
     beyond dict-vs-plain: DELTA_BINARY_PACKED for int chunks when it
@@ -607,10 +639,19 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     better).  ``page_version="2.0"`` emits DataPageHeaderV2 pages:
     level streams stay UNCOMPRESSED at the page front with their byte
     lengths in the header (no u32 prefixes), only the values section
-    compresses."""
+    compresses.
+
+    ``data_page_rows`` splits ROW-ALIGNED leaves (max_rep == 0 and one
+    leaf entry per level entry — every top-level flat column) into
+    multiple data pages of that many rows, each starting on a record
+    boundary, so the ColumnIndex/OffsetIndex the footer emits can
+    prune at PAGE granularity (parquet-format PageIndex.md; the
+    reference parses the offsets, `/root/reference/src/Parquet/Types/
+    ColumnChunk.hs:19-30`).  Nested leaves keep one page per chunk."""
     physical, max_rep, max_def = lm["physical"], lm["max_rep"], lm["max_def"]
     leaf = _storage_cast(leaf)
     n_values = len(dfl) if dfl is not None else len(leaf)
+    type_length = lm.get("type_length", 0)
 
     # dictionary attempt: classic PLAIN_DICTIONARY (dict page +
     # 1-byte-width hybrid indices) when it actually shrinks the
@@ -618,13 +659,15 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     dict_blob = None
     if use_dictionary:
         enc = _dict_encode(leaf, physical)
-        if enc is not None and (len(enc[0]) + len(enc[1])
-                                < _plain_size(leaf, physical)):
-            dict_blob = enc
-    value_enc, value_body = None, None
+        if enc is not None:
+            dict_plain, dict_idx, dict_width, n_dict = enc
+            full_index_body = _dict_index_body(dict_idx, dict_width)
+            if (len(dict_plain) + len(full_index_body)
+                    < _plain_size(leaf, physical)):
+                dict_blob = (dict_plain, full_index_body)
+    value_enc = None
     if dict_blob is not None:
-        dict_values_plain, index_body, n_dict = dict_blob
-        value_enc, value_body = _ENC_PLAIN_DICT, index_body
+        value_enc = _ENC_PLAIN_DICT
     elif encodings_mode == "auto":
         if physical in ("INT32", "INT64") and len(leaf):
             vals = leaf.drop_null().to_numpy(zero_copy_only=False)
@@ -633,14 +676,11 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                 bits=32 if physical == "INT32" else 64,
                 max_bytes=_plain_size(leaf, physical) - 1)
             if delta is not None:
-                value_enc, value_body = _ENC_DELTA_BP, delta
+                value_enc = _ENC_DELTA_BP
         elif physical in ("FLOAT", "DOUBLE") and codec is not None:
             value_enc = _ENC_BYTE_STREAM_SPLIT
-            value_body = _bss_encode(leaf, physical)
     if value_enc is None:
         value_enc = _ENC_PLAIN
-        value_body = _plain_encode(leaf, physical,
-                                   lm.get("type_length", 0))
     if dict_blob is not None and page_version == "2.0":
         # the spec deprecates PLAIN_DICTIONARY for v2 data pages: the
         # dict page declares PLAIN, the data page RLE_DICTIONARY
@@ -648,6 +688,38 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         encodings = [_ENC_PLAIN, _ENC_RLE_DICT, _ENC_RLE]
     else:
         encodings = [value_enc, _ENC_RLE]
+
+    # page split: row-aligned leaves only (one leaf entry per level
+    # entry, no repetition) — every page starts on a record boundary
+    paginate = (data_page_rows is not None and max_rep == 0
+                and len(leaf) == n_values
+                and n_values > int(data_page_rows))
+    if paginate:
+        step = int(data_page_rows)
+        bounds = [(a, min(a + step, n_values))
+                  for a in range(0, n_values, step)]
+    else:
+        bounds = [(0, n_values)]
+    if dict_blob is not None and len(bounds) > 1:
+        # per-page index slices need the non-null prefix counts
+        nn_prefix = np.concatenate(
+            [[0], np.cumsum(~leaf.is_null().to_numpy(
+                zero_copy_only=False))])
+
+    def page_value_body(a: int, b: int, leaf_pg: pa.Array) -> bytes:
+        if dict_blob is not None:
+            if len(bounds) == 1:
+                return dict_blob[1]
+            return _dict_index_body(
+                dict_idx[nn_prefix[a]:nn_prefix[b]], dict_width)
+        if value_enc == _ENC_DELTA_BP:
+            v = leaf_pg.drop_null().to_numpy(zero_copy_only=False)
+            return _delta_bp_encode(
+                np.asarray(v, np.int64),
+                bits=32 if physical == "INT32" else 64)
+        if value_enc == _ENC_BYTE_STREAM_SPLIT:
+            return _bss_encode(leaf_pg, physical)
+        return _plain_encode(leaf_pg, physical, type_length)
 
     first_offset = len(out)
     dict_page_offset = None
@@ -664,7 +736,7 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
 
     if dict_blob is not None:
         # dictionary pages keep the v1 layout under both page versions
-        body = dict_values_plain
+        body = dict_blob[0]
         comp = codec.compress(body).to_pybytes() if codec else body
         denc = _ENC_PLAIN if page_version == "2.0" else _ENC_PLAIN_DICT
         dphd = _Struct().i32(1, n_dict).i32(2, denc)
@@ -673,37 +745,57 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
              .struct(7, dphd), len(body), comp)
 
     data_page_offset = len(out)
-    if page_version == "2.0":
-        rep_b = (encode_hybrid(rep.astype(np.uint64),
-                               int(max_rep).bit_length())
-                 if max_rep else b"")
-        def_b = (encode_hybrid(dfl.astype(np.uint64),
-                               int(max_def).bit_length())
-                 if max_def else b"")
-        vals_comp = (codec.compress(value_body).to_pybytes()
-                     if codec else value_body)
-        num_rows = int((rep == 0).sum()) if max_rep else n_values
-        num_nulls = n_values - (len(leaf) - leaf.null_count)
-        dph2 = (_Struct().i32(1, n_values).i32(2, num_nulls)
-                .i32(3, num_rows).i32(4, value_enc)
-                .i32(5, len(def_b)).i32(6, len(rep_b))
-                .bool_(7, codec is not None))
-        uncomp = len(rep_b) + len(def_b) + len(value_body)
-        emit(_Struct().i32(1, 3).i32(2, uncomp)
-             .i32(3, len(rep_b) + len(def_b) + len(vals_comp))
-             .struct(8, dph2), uncomp, rep_b, def_b, vals_comp)
-    else:
-        levels = b""
-        if max_rep:
-            levels += _level_stream(rep, max_rep)
-        if max_def:
-            levels += _level_stream(dfl, max_def)
-        body = levels + value_body
-        comp = codec.compress(body).to_pybytes() if codec else body
-        dph = (_Struct().i32(1, n_values).i32(2, value_enc)
-               .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
-        emit(_Struct().i32(1, 0).i32(2, len(body)).i32(3, len(comp))
-             .struct(5, dph), len(body), comp)
+    pages = []  # per page: location + stats for the page index
+    for a, b in bounds:
+        leaf_pg = leaf if len(bounds) == 1 else leaf.slice(a, b - a)
+        rep_pg = rep if len(bounds) == 1 else None  # paginate => no rep
+        dfl_pg = (dfl if len(bounds) == 1
+                  else (dfl[a:b] if dfl is not None else None))
+        n_vals_pg = b - a
+        value_body = page_value_body(a, b, leaf_pg)
+        page_off = len(out)
+        if page_version == "2.0":
+            rep_b = (encode_hybrid(rep_pg.astype(np.uint64),
+                                   int(max_rep).bit_length())
+                     if max_rep else b"")
+            def_b = (encode_hybrid(dfl_pg.astype(np.uint64),
+                                   int(max_def).bit_length())
+                     if max_def else b"")
+            vals_comp = (codec.compress(value_body).to_pybytes()
+                         if codec else value_body)
+            num_rows = (int((rep_pg == 0).sum()) if max_rep
+                        else n_vals_pg)
+            num_nulls = n_vals_pg - (len(leaf_pg) - leaf_pg.null_count)
+            dph2 = (_Struct().i32(1, n_vals_pg).i32(2, num_nulls)
+                    .i32(3, num_rows).i32(4, value_enc)
+                    .i32(5, len(def_b)).i32(6, len(rep_b))
+                    .bool_(7, codec is not None))
+            uncomp = len(rep_b) + len(def_b) + len(value_body)
+            emit(_Struct().i32(1, 3).i32(2, uncomp)
+                 .i32(3, len(rep_b) + len(def_b) + len(vals_comp))
+                 .struct(8, dph2), uncomp, rep_b, def_b, vals_comp)
+        else:
+            levels = b""
+            if max_rep:
+                levels += _level_stream(rep_pg, max_rep)
+            if max_def:
+                levels += _level_stream(dfl_pg, max_def)
+            body = levels + value_body
+            comp = codec.compress(body).to_pybytes() if codec else body
+            dph = (_Struct().i32(1, n_vals_pg).i32(2, value_enc)
+                   .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
+            emit(_Struct().i32(1, 0).i32(2, len(body)).i32(3, len(comp))
+                 .struct(5, dph), len(body), comp)
+        n_nonnull = len(leaf_pg) - leaf_pg.null_count
+        pages.append({
+            "offset": page_off,
+            "size": len(out) - page_off,  # header included, per spec
+            "first_row": a if max_rep == 0 else 0,
+            "mm": _minmax_bytes(leaf_pg, physical),
+            "nulls": n_vals_pg - n_nonnull,
+            "null_page": n_nonnull == 0,
+        })
+
     meta = (_Struct().i32(1, _PT[physical])
             .list_i32(2, encodings)
             .list_binary(3, lm["path"])
@@ -717,7 +809,11 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     st = _statistics(leaf, physical, n_values)
     if st is not None:
         meta.struct(12, st)
-    col_chunks.append(_Struct().i64(2, first_offset).struct(3, meta))
+    col_chunks.append({"first_offset": first_offset, "meta": meta,
+                       "pages": pages,
+                       "index_ok": all(p["mm"] is not None
+                                       or p["null_page"]
+                                       for p in pages)})
     return uncomp_total
 
 
@@ -726,7 +822,8 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                               row_group_size: int = 1 << 20,
                               use_dictionary: bool = True,
                               encodings: str = "classic",
-                              page_version: str = "1.0") -> dict:
+                              page_version: str = "1.0",
+                              data_page_rows: int | None = None) -> dict:
     """Write ``table`` as standard Parquet through our kernels.
 
     Returns a small stats dict ({rows, row_groups, bytes})."""
@@ -734,7 +831,8 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                                 row_group_size=row_group_size,
                                 use_dictionary=use_dictionary,
                                 encodings=encodings,
-                                page_version=page_version)
+                                page_version=page_version,
+                                data_page_rows=data_page_rows)
     with open(path, "wb") as fh:
         fh.write(blob)
     return {"rows": table.num_rows,
@@ -747,13 +845,23 @@ def encode_parquet_bytes(table: pa.Table,
                          row_group_size: int = 1 << 20,
                          use_dictionary: bool = True,
                          encodings: str = "classic",
-                         page_version: str = "1.0") -> bytearray:
+                         page_version: str = "1.0",
+                         data_page_rows: int | None = None,
+                         write_page_index: bool = True) -> bytearray:
     """Encode ``table`` as a standard Parquet file image through our
     kernels (thrift footer, Dremel shredding, RLE levels, PLAIN /
-    PLAIN_DICTIONARY values).  One data page per column chunk per row
-    group (pages are whole-chunk; fine at the row_group_size
-    granularity this writer targets).  Returns the bytearray itself —
-    no defensive copy; file.write / fsio.write_atomic take it as-is."""
+    PLAIN_DICTIONARY values).  Returns the bytearray itself —
+    no defensive copy; file.write / fsio.write_atomic take it as-is.
+
+    ``data_page_rows`` splits row-aligned (flat) column chunks into
+    data pages of that many rows; ``write_page_index`` (default on)
+    emits the parquet PageIndex structures after the row groups —
+    per-chunk OffsetIndex (page locations + first row) always, and
+    ColumnIndex (per-page min/max/null counts, parquet-format
+    PageIndex.md) whenever every page has computable statistics — so
+    readers can prune at page granularity without touching the pages.
+    Without ``data_page_rows`` chunks stay one page each (the index is
+    then row-group-equivalent but still spec-complete)."""
     compression = compression.upper()
     if compression == "NONE":
         compression = "UNCOMPRESSED"
@@ -772,12 +880,12 @@ def encode_parquet_bytes(table: pa.Table,
                    for f in table.schema]
 
     out = bytearray(b"PAR1")
-    row_groups: list[_Struct] = []
+    rg_records: list[tuple[list[dict], int, int]] = []
     for start in range(0, max(table.num_rows, 1), row_group_size):
         chunk = table.slice(start, row_group_size)
         if chunk.num_rows == 0 and start > 0:
             break
-        col_chunks: list[_Struct] = []
+        col_chunks: list[dict] = []
         total_uncomp = 0
         for ci, field in enumerate(table.schema):
             arr = chunk.column(ci).combine_chunks()
@@ -790,13 +898,60 @@ def encode_parquet_bytes(table: pa.Table,
             for (rep, dfl, leaf), lm in zip(streams, metas):
                 total_uncomp += _write_column_chunk(
                     out, col_chunks, leaf, rep, dfl, lm, codec,
-                    compression, use_dictionary, encodings, page_version)
-        # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
-        # parquet spec (readers use it to budget decode memory)
-        row_groups.append(_Struct().list_struct(1, col_chunks)
-                          .i64(2, total_uncomp).i64(3, chunk.num_rows))
+                    compression, use_dictionary, encodings, page_version,
+                    data_page_rows)
+        rg_records.append((col_chunks, total_uncomp, chunk.num_rows))
         if table.num_rows == 0:
             break
+
+    # PageIndex structures (parquet-format PageIndex.md): all
+    # ColumnIndexes, then all OffsetIndexes, between the last page and
+    # the footer — readers locate them via ColumnChunk fields 4-7
+    if write_page_index:
+        for col_chunks, _, _ in rg_records:
+            for rec in col_chunks:
+                if not rec["index_ok"]:
+                    continue
+                pgs = rec["pages"]
+                ci_struct = (_Struct()
+                             .list_bool(1, [p["null_page"] for p in pgs])
+                             .list_binary(2, [b"" if p["mm"] is None
+                                              else p["mm"][0]
+                                              for p in pgs])
+                             .list_binary(3, [b"" if p["mm"] is None
+                                              else p["mm"][1]
+                                              for p in pgs])
+                             .i32(4, 0)  # BoundaryOrder.UNORDERED
+                             .list_i64(5, [p["nulls"] for p in pgs]))
+                blob = ci_struct.tobytes()
+                rec["column_index"] = (len(out), len(blob))
+                out += blob
+        for col_chunks, _, _ in rg_records:
+            for rec in col_chunks:
+                locs = [_Struct().i64(1, p["offset"])
+                        .i32(2, p["size"]).i64(3, p["first_row"])
+                        for p in rec["pages"]]
+                blob = _Struct().list_struct(1, locs).tobytes()
+                rec["offset_index"] = (len(out), len(blob))
+                out += blob
+
+    row_groups: list[_Struct] = []
+    for col_chunks, total_uncomp, n_rows in rg_records:
+        cc_structs = []
+        for rec in col_chunks:
+            s = (_Struct().i64(2, rec["first_offset"])
+                 .struct(3, rec["meta"]))
+            if "offset_index" in rec:
+                s.i64(4, rec["offset_index"][0])
+                s.i32(5, rec["offset_index"][1])
+            if "column_index" in rec:
+                s.i64(6, rec["column_index"][0])
+                s.i32(7, rec["column_index"][1])
+            cc_structs.append(s)
+        # RowGroup.total_byte_size is the UNCOMPRESSED data size per the
+        # parquet spec (readers use it to budget decode memory)
+        row_groups.append(_Struct().list_struct(1, cc_structs)
+                          .i64(2, total_uncomp).i64(3, n_rows))
 
     # column_orders: TYPE_ORDER for every leaf — without it readers
     # (pyarrow included) ignore min_value/max_value statistics

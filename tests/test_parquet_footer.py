@@ -348,3 +348,161 @@ def test_footer_over_http_is_two_ranged_reads(tmp_path):
         assert stats["full_gets"] == 0
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Page index (VERDICT r4 #5): the writer emits ColumnIndex/OffsetIndex
+# (parquet-format PageIndex.md; the reference parses the same ColumnChunk
+# offsets, Types/ColumnChunk.hs:19-30), the footer parser reads them, the
+# pruner narrows to page-level row ranges, and the page-granular reader
+# decodes only the overlapping pages.
+# ---------------------------------------------------------------------------
+
+def test_page_index_parse_matches_pyarrow_written():
+    """Fuzz vs pyarrow-WRITTEN page indexes: our OffsetIndex locations
+    point at real page headers whose decoded per-page min/max equal our
+    ColumnIndex entries."""
+    import numpy as np
+
+    from parquet_hs_ray.sources.parquet_footer import (
+        parse_column_index, parse_offset_index, decode_stat_value)
+    from parquet_hs_ray.sources.parquet_pages import (
+        _read_range, decode_column_chunk_pages, _page_codec)
+
+    import tempfile
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    tbl = pa.table({
+        "i": pa.array(np.sort(rng.integers(-10**6, 10**6, n))),
+        "s": pa.array([f"w{v:06d}" for v in rng.integers(0, n, n)]),
+        "f": pa.array(rng.normal(size=n)),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "pa_idx.parquet")
+        pq.write_table(tbl, p, row_group_size=2000, data_page_size=4096,
+                       write_page_index=True, store_schema=False,
+                       use_dictionary=False, compression="snappy")
+        km = read_footer_via_kernels(p)
+        checked_pages = 0
+        for rg_i, rg in enumerate(km.row_groups):
+            for ci_i, cc in enumerate(rg.columns):
+                assert cc.offset_index_offset is not None
+                oidx = parse_offset_index(_read_range(
+                    p, cc.offset_index_offset, cc.offset_index_length))
+                cidx = parse_column_index(_read_range(
+                    p, cc.column_index_offset, cc.column_index_length))
+                assert len(oidx) == len(cidx.null_pages)
+                assert oidx[0].first_row_index == 0
+                leaf = km.leaves[ci_i]
+                typ = km.schema.field(km.schema.names[ci_i]).type
+                codec = _page_codec(cc.codec)
+                for i, loc in enumerate(oidx):
+                    nrows = ((oidx[i + 1].first_row_index
+                              if i + 1 < len(oidx) else rg.num_rows)
+                             - loc.first_row_index)
+                    span = _read_range(p, loc.offset,
+                                       loc.compressed_page_size)
+                    _, _, vals = decode_column_chunk_pages(
+                        span, nrows, leaf.physical, leaf.max_rep,
+                        leaf.max_def, codec=codec)
+                    lo = decode_stat_value(cidx.min_values[i],
+                                           leaf.physical, typ)
+                    hi = decode_stat_value(cidx.max_values[i],
+                                           leaf.physical, typ)
+                    if leaf.physical == "BYTE_ARRAY":
+                        arr = vals.to_arrow(pa.string())
+                        import pyarrow.compute as pc
+
+                        assert lo == pc.min(arr).as_py()
+                        assert hi == pc.max(arr).as_py()
+                    else:
+                        assert lo == vals.min() or abs(lo - vals.min()) < 1e-12
+                        assert hi == vals.max() or abs(hi - vals.max()) < 1e-12
+                    checked_pages += 1
+        assert checked_pages > 12  # real pagination happened
+
+
+def test_page_pruned_read_matches_full(tmp_path):
+    """Kernel-written paginated file: page pruning decodes strictly
+    fewer rows than the row group and the exact filter result equals
+    the full decode's — on sorted AND unsorted layouts, with nulls,
+    strings and a nested fallback column present."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from parquet_hs_ray.sources.parquet_footer import (
+        prune_pages_by_index)
+    from parquet_hs_ray.sources.parquet_pages import (
+        read_row_group_page_pruned)
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    for layout in ("sorted", "unsorted"):
+        k = rng.integers(0, 10**6, n)
+        if layout == "sorted":
+            k = np.sort(k)
+        tbl = pa.table({
+            "k": pa.array(k),
+            "s": pa.array([None if i % 11 == 0 else f"x{i:05d}"
+                           for i in range(n)]),
+            "lst": pa.array([[i] * (i % 3) for i in range(n)],
+                            pa.list_(pa.int64())),
+        })
+        p = os.path.join(str(tmp_path), f"{layout}.parquet")
+        write_parquet_via_kernels(tbl, p, compression="SNAPPY",
+                                  row_group_size=n, data_page_rows=200)
+        km = read_footer_via_kernels(p)
+        full = read_parquet_via_kernels(p, footer="kernels")
+        cut = int(np.quantile(k, 0.1))
+        preds = [("k", "<=", cut)]
+        ranges = prune_pages_by_index(km, p, 0, preds)
+        if layout == "sorted":
+            assert ranges is not None
+            covered = sum(b - a for a, b in ranges)
+            assert covered < n  # pruning actually skipped pages
+            t = read_row_group_page_pruned(p, km, 0, ranges)
+            got = t.filter(pc.less_equal(t["k"], cut))
+            want = full.filter(pc.less_equal(full["k"], cut))
+            assert got.cast(want.schema).equals(want)
+        else:
+            # random layout: every page straddles the cut — pruning
+            # legitimately keeps everything (None) or nearly so; if it
+            # narrows, the result must still be exact
+            if ranges is not None:
+                t = read_row_group_page_pruned(p, km, 0, ranges)
+                got = t.filter(pc.less_equal(t["k"], cut))
+                want = full.filter(pc.less_equal(full["k"], cut))
+                assert got.cast(want.schema).equals(want)
+
+
+def test_distributed_read_uses_page_index(ray_session, tmp_path):
+    """read_parquet_kernels(footer='kernels') with a predicate over a
+    paginated kernel-sink store: page pruning produces blocks smaller
+    than whole row groups and the result hash-equals the page_index=False
+    path."""
+    import ray
+
+    from parquet_hs_ray.sources.kernel_sink import (
+        read_parquet_kernels, write_parquet_kernels)
+
+    src = pq.read_table(f"{SF}/orders.parquet").replace_schema_metadata(
+        None).sort_by("o_orderkey")
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_arrow(src).repartition(2)
+    write_parquet_kernels(ds, out, compression="SNAPPY",
+                          row_group_size=1 << 20, data_page_rows=100)
+    cut = src["o_orderkey"][200].as_py()
+    pred = ("o_orderkey", "<=", cut)
+    res = {}
+    for pi in (True, False):
+        d = read_parquet_kernels(out, columns=["o_orderkey", "o_custkey"],
+                                 predicate=pred, footer="kernels",
+                                 page_index=pi).materialize()
+        t = pa.concat_tables(ray.get(d.to_arrow_refs()))
+        res[pi] = t.sort_by("o_orderkey")
+    assert res[True].equals(res[False])
+    want = src.filter(
+        pa.compute.less_equal(src["o_orderkey"], cut)).select(
+            ["o_orderkey", "o_custkey"]).sort_by("o_orderkey")
+    assert res[True].cast(want.schema).equals(want)
