@@ -1054,3 +1054,54 @@ FROM (SELECT doc_id, tokens, coalesce(len(tokens), 0)::BIGINT AS n
             f"FROM ({sq})")
     return (" UNION ALL ".join(f"({b})" for b in branches)
             + " ORDER BY doc_id")
+
+
+def hll_ndv_sql(table: str = "events", key: str = "event_type",
+                col: str = "user_id", p: int = 12) -> str:
+    """SQL twin of ``stats.grouped_ndv_hll``: HyperLogLog is a
+    DETERMINISTIC sketch, so the estimate replays exactly — distinct
+    (key, value) pairs -> splitmix64(value) -> register plane (index =
+    top ``p`` hash bits, rank = leading zeros of the remaining bits
+    + 1, max per register) -> the standard estimator with the
+    small-range linear-counting correction (Flajolet et al. 2007).
+    Integer columns only (the kernel hashes ints via the same
+    splitmix64 finalizer these projection layers emulate)."""
+    m = 1 << p
+    rem = 1 << (64 - p)
+    inner = (f"SELECT DISTINCT {key}, {col}::HUGEINT AS h FROM {table} "
+             f"WHERE {col} IS NOT NULL")
+    for layer in _splitmix_layers("h"):
+        inner = f"{layer} FROM ({inner})"
+    return f"""
+WITH hashed AS ({inner}),
+slots AS (
+  SELECT {key},
+         (h // {rem}::HUGEINT)::BIGINT AS idx,
+         (h % {rem}::HUGEINT)::UBIGINT AS w
+  FROM hashed
+),
+regs AS (
+  SELECT {key}, idx,
+         max(CASE WHEN w = 0 THEN {64 - p + 1}
+             ELSE {64 - p + 1} - length(bin(w)) END) AS reg
+  FROM slots GROUP BY {key}, idx
+),
+per_key AS (
+  SELECT {key},
+         sum(power(2.0, -reg)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY {key}
+),
+est AS (
+  SELECT {key},
+         (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+           / (s_present + ({m} - n_present)) AS e,
+         {m} - n_present AS zeros
+  FROM per_key
+)
+SELECT {key},
+       CAST(round(CASE WHEN e <= 2.5 * {m} AND zeros > 0
+                  THEN {m} * ln({m} / zeros::DOUBLE)
+                  ELSE e END) AS BIGINT) AS ndv_hll
+FROM est ORDER BY {key}
+"""
