@@ -364,17 +364,22 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
         return t
 
     items = [{"path": p, "index": i} for i, p in enumerate(files)]
-    # num_cpus=0.25 on the footer stage is the honest cost model
-    # (metadata-only ranged reads) AND keeps Ray Data from fusing it
-    # with the decode stage — fused, one file's whole row-group list
-    # would decode inside a single task, re-creating the
-    # one-task-per-file scale problem this seam exists to prevent
-    return ray.data.from_items(items).map_batches(
+    # Footer stage: DISTRIBUTED (Ray tasks parse/prune footers,
+    # num_cpus=0.25 is the honest metadata-only cost) but materialized
+    # eagerly — the work list is one (path, row_group) record per
+    # surviving row group, bytes per entry, the same driver-side
+    # metadata contract as ray.data.read_parquet's planning phase.
+    # An earlier streaming formulation (map_batches -> streaming
+    # repartition -> decode) drip-fed the decode operator through ONE
+    # repartition task's generator backpressure (~50 ms per work item,
+    # measured), serializing a 92-row-group file to ~5 s regardless of
+    # CPU count; the eager list costs driver memory O(row groups) and
+    # dispatches every decode task immediately.
+    work = ray.data.from_items(items).map_batches(
         enumerate_row_groups, batch_size=64, batch_format="numpy",
-        num_cpus=0.25
-    ).repartition(
-        # streaming split (no shuffle): one (path, row_group) work item
-        # per block, so the decode operator gets one TASK per row group
-        target_num_rows_per_block=1
+        num_cpus=0.25).take_all()
+    # one block per work item => one decode TASK per row group
+    return ray.data.from_items(
+        work, override_num_blocks=len(work)
     ).map_batches(decode_one, batch_size=1, batch_format="numpy",
                   concurrency=concurrency)
