@@ -3322,16 +3322,18 @@ FROM s GROUP BY seq_id
     # hash-checked), doc_text_stats (BPE count needs a
     # lookahead regex RE2 lacks; the fingerprint half IS oracled as
     # doc_roll_fp), ann_ivf / ann_ivf_indexed / emb_neardup_ivf
-    # (approximate by design, recall-tested instead), media_features
-    # (opaque-bytes fake path), media_real_decode (real stdlib PNG/WAV
+    # (approximate by design, recall-tested instead), media_real_decode
+    # (real stdlib PNG/WAV
     # decode; content equality pytest-asserted), emb_pca
     # (eigendecomposition — numpy-parity pytest-asserted instead).
     # Promoted in r4: doc_decontaminate_bloom and events_quantiles_kmv
     # (both deterministic sketches — their SQL twins replay the Bloom
     # probe positions / the splitmix bottom-k sample exactly).
-    # Promoted in r5: encode_job_f1 (above) and events_user_ndv_hll
+    # Promoted in r5: encode_job_f1 (above), events_user_ndv_hll
     # (HyperLogLog is a deterministic sketch: the SQL twin replays the
-    # splitmix64 register plane and the estimator arithmetic exactly).
+    # splitmix64 register plane and the estimator arithmetic exactly)
+    # and media_features (the fake-feature byte math replays as exact
+    # HUGEINT arithmetic; float32 casts exact below 2^24).
     # sequential scrub: each rule counted against the text as the
     # previous rules left it (nested projections mirror the kernel)
     p1, r1 = _SCRUB_RULES[0]
@@ -3405,6 +3407,15 @@ ORDER BY doc_id, line_no
 
     o["events_user_ndv_hll"] = hll_ndv_sql(
         "events", key="event_type", col="user_id", p=12)
+    # the multimodal FAKE feature path is deterministic byte math over
+    # the (ASCII) text payloads — the SQL twin replays the prefix
+    # polynomial hashes and mean-byte feature bit-exactly (float32
+    # casts are exact: every value < 2^24) — promoted from rows-only
+    # in r5; the REAL PNG/WAV decode path stays pytest-verified
+    # (media_real_decode)
+    from parquet_hs_ray.functions.sql_oracles import media_features_sql
+
+    o["media_features"] = media_features_sql("documents")
     o["doc_corpus_overlap"] = corpus_overlap_sql("documents", mod=17)
     o["doc_span_dedup"] = span_dedup_sql("documents", window=5)
     from parquet_hs_ray.functions.sql_oracles import span_dedup_rewrite_sql

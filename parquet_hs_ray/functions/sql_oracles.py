@@ -1105,3 +1105,43 @@ SELECT {key},
                   ELSE e END) AS BIGINT) AS ndv_hll
 FROM est ORDER BY {key}
 """
+
+
+def media_features_sql(table: str = "documents") -> str:
+    """SQL twin of the multimodal fake-feature stage
+    (`stages/multimodal.py: MediaFeatureStage._fake_features`) over
+    text payloads: byte length, mean byte value, and six prefix
+    polynomial hashes (base 131 over the first k bytes, k = 2..7,
+    mixed by (k-1) * the splitmix64 constant mod 2^64, top 24 bits) —
+    all exact integer arithmetic in HUGEINT (prefix < 2^50 and the
+    mixed product < 2^114 both fit without partial products), cast to
+    FLOAT exactly (< 2^24).  ASCII-only equivalence: ord(substr())
+    yields codepoints, the kernel hashes bytes — identical on the
+    ASCII synthetic corpus (same caveat as the shingle oracles)."""
+    C = 0x9E3779B97F4A7C15
+    M = 1 << 64
+    ln = "strlen(text)"
+
+    def first_k(k: int) -> str:
+        terms = []
+        for j in range(k):
+            terms.append(
+                f"CASE WHEN {ln} > {j} THEN "
+                f"ord(substr(text, {j + 1}, 1))::HUGEINT * "
+                f"power(131, least({ln}, {k}) - 1 - {j})::HUGEINT "
+                f"ELSE 0::HUGEINT END")
+        return " + ".join(terms)
+
+    feats = [f"{ln}::FLOAT",
+             f"CASE WHEN {ln} = 0 THEN 0.0::FLOAT ELSE "
+             f"(list_aggregate(list_transform(string_split(text, ''), "
+             f"x -> ord(x)), 'sum')::DOUBLE / greatest({ln}, 1))::FLOAT "
+             f"END"]
+    for k in range(2, 8):
+        mix = ((k - 1) * C) % M
+        feats.append(
+            f"((({first_k(k)}) * {mix}::HUGEINT) % {M}::HUGEINT "
+            f"// {1 << 40}::HUGEINT)::FLOAT")
+    vec = "[" + ", ".join(feats) + "]"
+    return (f"SELECT doc_id AS media_id, {ln}::BIGINT AS n_bytes, "
+            f"{vec} AS features FROM {table} ORDER BY media_id")
