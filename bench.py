@@ -258,6 +258,22 @@ def main() -> None:
         sink_manifest = write_parquet_kernels(ds, d, compression="SNAPPY",
                                               encodings="auto")
         sink_times.append(time.perf_counter() - t0)
+    # r5 surface: the row-group-granular distributed kernel READ of the
+    # sink store, fully self-hosted (footer="kernels"), full + pruned
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    kread_times, kread_pruned_times = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = read_parquet_kernels(d, footer="kernels").count()
+        kread_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        read_parquet_kernels(
+            d, columns=["l_orderkey", "l_quantity"],
+            predicate=("l_orderkey", "<=", 4000),
+            footer="kernels").count()
+        kread_pruned_times.append(time.perf_counter() - t0)
+    assert n == sink_manifest["rows"]
     shutil.rmtree("/tmp/bench_kernel_sink", ignore_errors=True)
 
     # compression comparison vs pyarrow parquet (reference world: dict on,
@@ -292,6 +308,8 @@ def main() -> None:
         "kernel_sink_sec": round(min(sink_times), 3),
         "kernel_sink_passes": [round(t, 3) for t in sink_times],
         "kernel_sink_bytes": sink_manifest["bytes"],
+        "kernel_read_sec": round(min(kread_times), 3),
+        "kernel_read_pruned_sec": round(min(kread_pruned_times), 3),
     }
     # real-table compression vs the reference world (exercises the full
     # codec family: ALP decimals, FSST/dict strings, FOR/delta ints,
