@@ -32,9 +32,12 @@ Scope STARTED as the reference's — PLAIN / PLAIN_DICTIONARY, INT64 /
 BYTE_ARRAY leaves — and is now a strict superset on every axis the
 reference errors on:
 
-- compression: SNAPPY / GZIP / ZSTD / BROTLI pages decompress via
-  pyarrow's bundled codecs (the reference rejects everything but
-  UNCOMPRESSED, `validateCompression`, Stream/Reader.hs:316-322).
+- compression: SNAPPY / GZIP / ZSTD / BROTLI / LZ4_RAW pages
+  decompress via pyarrow's bundled codecs, and the deprecated
+  Hadoop-framed LZ4 (codec id 5) via `_HadoopLz4Codec` with
+  parquet-cpp's raw-block fallback (the reference rejects everything
+  but UNCOMPRESSED, `validateCompression`, Stream/Reader.hs:316-322,
+  but enumerates all of these ids, `Enums.hs:34-42`).
 - physical types: ALL of them — INT32 / FLOAT / DOUBLE / BOOLEAN,
   FIXED_LEN_BYTE_ARRAY (decimal128 big-endian two's-complement,
   fixed-size binary, float16) and deprecated INT96 timestamps
@@ -400,20 +403,76 @@ def _decode_delta_byte_array(buf: bytes, pos: int, n: int
     return ByteArrayValues(lens, data.copy()), pos
 
 
-# page-codec map: unambiguous one-shot formats only.  Parquet's legacy
-# LZ4 is the Hadoop block framing, which pyarrow's "lz4" (frame) codec
-# does NOT read — both LZ4 variants stay rejected.  The reference rejects
-# EVERYTHING but UNCOMPRESSED (validateCompression, Stream/Reader.hs:
-# 316-322); supporting real codecs is a strict superset.
+# page-codec map: one-shot formats with a direct pyarrow block codec.
+# LZ4_RAW (codec id 7) is the plain LZ4 block format; legacy LZ4 (id 5)
+# is the Hadoop block framing handled by _HadoopLz4Codec below.  The
+# reference rejects EVERYTHING but UNCOMPRESSED (validateCompression,
+# Stream/Reader.hs:316-322); supporting real codecs is a strict superset.
 _PAGE_CODECS = {"SNAPPY": "snappy", "GZIP": "gzip", "ZSTD": "zstd",
-                "BROTLI": "brotli"}
+                "BROTLI": "brotli", "LZ4_RAW": "lz4_raw"}
+
+
+class _HadoopLz4Codec:
+    """Parquet's deprecated LZ4 (codec id 5): Hadoop block framing —
+    repeated ``[u32 BE uncompressed][u32 BE compressed][lz4 block]``
+    frames — with parquet-cpp's compatibility fallback of treating the
+    whole buffer as ONE plain LZ4 block when the framing does not parse
+    (some historical writers emitted raw blocks under codec id 5).
+    Mimics the two-method ``pa.Codec`` surface the page loop uses.
+
+    NOT pyarrow's ``lz4`` codec, which is the LZ4 *frame* format and
+    reads neither parquet variant."""
+
+    def __init__(self):
+        self._raw = pa.Codec("lz4_raw")
+
+    def decompress(self, data, expected: int):
+        data = bytes(data)
+        out = self._try_hadoop(data, expected)
+        if out is None:  # raw-block fallback
+            out = self._raw.decompress(data, expected).to_pybytes()
+        return pa.py_buffer(out)
+
+    def _try_hadoop(self, data: bytes, expected: int):
+        import struct as _st
+
+        parts, pos, total = [], 0, 0
+        while pos < len(data):
+            if pos + 8 > len(data):
+                return None
+            n_out, n_comp = _st.unpack_from(">II", data, pos)
+            pos += 8
+            if pos + n_comp > len(data) or total + n_out > expected:
+                return None
+            try:
+                parts.append(self._raw.decompress(
+                    data[pos:pos + n_comp], n_out).to_pybytes())
+            except Exception:
+                return None
+            pos += n_comp
+            total += n_out
+        if total != expected:
+            return None
+        return b"".join(parts)
+
+    def compress(self, data):
+        import struct as _st
+
+        body = self._raw.compress(bytes(data)).to_pybytes()
+        return pa.py_buffer(
+            _st.pack(">II", len(bytes(data)), len(body)) + body)
 
 
 def _page_codec(compression: str):
-    """pa.Codec for a parquet column-chunk compression, or None for
-    UNCOMPRESSED; unknown/unavailable codecs raise (never garbage)."""
+    """pa.Codec (or equivalent) for a parquet column-chunk compression,
+    None for UNCOMPRESSED; unknown/unavailable codecs raise (never
+    garbage)."""
     if compression == "UNCOMPRESSED":
         return None
+    if compression == "LZ4":
+        if not pa.Codec.is_available("lz4_raw"):
+            raise ValueError("unsupported compression LZ4")
+        return _HadoopLz4Codec()
     name = _PAGE_CODECS.get(compression)
     if name is None or not pa.Codec.is_available(name):
         raise ValueError(f"unsupported compression {compression}")
@@ -455,7 +514,17 @@ def read_column_chunk_values(path: str, row_group: int, column: int,
     f = pf if pf is not None else pq.ParquetFile(
         path if filesystem is None else _fs_input(path, filesystem))
     meta = f.metadata.row_group(row_group).column(column)
-    codec = _page_codec(meta.compression)
+    comp = meta.compression
+    if comp == "UNKNOWN":
+        # pyarrow's Python metadata labels codec id 5 (the deprecated
+        # Hadoop-framed LZ4) "UNKNOWN" (and mislabels id 7 LZ4_RAW as
+        # "LZ4" — harmless here: _HadoopLz4Codec falls back to raw
+        # blocks).  Resolve the true id from our own footer parser.
+        from .parquet_footer import read_footer_via_kernels
+
+        comp = (read_footer_via_kernels(path, filesystem=filesystem)
+                .row_groups[row_group].columns[column].codec)
+    codec = _page_codec(comp)
     schema = f.metadata.schema
     leaf = schema.column(column)
     max_rep, max_def = leaf.max_repetition_level, leaf.max_definition_level

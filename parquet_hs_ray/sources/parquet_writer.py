@@ -19,7 +19,8 @@ primitive leaf types plus timestamp/date32 logical types (the same
 shapes the kernel reader's general record assembly decodes); PLAIN /
 PLAIN_DICTIONARY values, with opt-in ``encodings="auto"`` per-chunk
 selection of DELTA_BINARY_PACKED (ints) and BYTE_STREAM_SPLIT
-(floats); RLE levels; UNCOMPRESSED / SNAPPY / GZIP / ZSTD page
+(floats); RLE levels; UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4 /
+LZ4_RAW page
 compression; multiple row groups.
 """
 
@@ -42,7 +43,8 @@ _CT_STRUCT = 12
 # parquet physical types
 _PT = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4, "DOUBLE": 5,
        "BYTE_ARRAY": 6, "FIXED_LEN_BYTE_ARRAY": 7}
-_CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+_CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "LZ4": 5,
+           "ZSTD": 6, "LZ4_RAW": 7}
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_RLE_DICT, _ENC_BYTE_STREAM_SPLIT = 5, 8, 9
 _CONVERTED_UTF8, _CONVERTED_MAP, _CONVERTED_LIST = 0, 1, 3
@@ -873,8 +875,14 @@ def encode_parquet_bytes(table: pa.Table,
     if page_version not in ("1.0", "2.0"):
         raise ValueError(
             f"page_version must be '1.0' or '2.0', got {page_version!r}")
-    codec = (None if compression == "UNCOMPRESSED"
-             else pa.Codec(compression.lower()))
+    if compression == "UNCOMPRESSED":
+        codec = None
+    elif compression == "LZ4":  # deprecated Hadoop-framed variant
+        from .parquet_pages import _HadoopLz4Codec
+
+        codec = _HadoopLz4Codec()
+    else:
+        codec = pa.Codec(compression.lower())
     table = table.combine_chunks()
     field_metas = [_walk_leaves(f.name, f.type, f.nullable, 0, 0, ())
                    for f in table.schema]

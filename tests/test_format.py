@@ -289,19 +289,22 @@ def test_parquet_pages_fuzz_vs_pyarrow(seed, use_dict, page_version,
 
 
 def test_parquet_pages_unsupported_codec_raises():
-    """Ambiguous/unmapped codecs (parquet legacy LZ4 = Hadoop framing,
-    which pyarrow's lz4-frame codec cannot read) raise cleanly."""
+    """Unmapped codecs raise cleanly (never garbage); both LZ4 variants
+    are now SUPPORTED (test_parquet_writer.py::test_lz4_both_variants),
+    so only a truly unknown name rejects."""
     import os
     import tempfile
 
-    from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+    from parquet_hs_ray.sources.parquet_pages import (
+        _page_codec, read_parquet_via_kernels)
 
+    with pytest.raises(ValueError, match="unsupported compression"):
+        _page_codec("LZO")
     tbl = pa.table({"a": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "t.parquet")
         pq.write_table(tbl, path, compression="lz4", use_dictionary=False)
-        with pytest.raises(ValueError, match="unsupported compression"):
-            read_parquet_via_kernels(path)
+        assert read_parquet_via_kernels(path).equals(tbl)
 
 
 def test_sliced_array_roundtrip():

@@ -22,12 +22,12 @@ def _roundtrip(tbl: pa.Table, tmpdir, compression="UNCOMPRESSED",
     path = os.path.join(str(tmpdir), "t.parquet")
     write_parquet_via_kernels(tbl, path, compression=compression,
                               row_group_size=row_group_size)
-    for tag, back in (
-        ("pyarrow", pq.read_table(path)),
-        ("duckdb", duckdb.sql(
-            f"SELECT * FROM read_parquet('{path}')").arrow()),
-        ("kernels", read_parquet_via_kernels(path)),
-    ):
+    readers = [("pyarrow", pq.read_table(path)),
+               ("kernels", read_parquet_via_kernels(path))]
+    if compression != "LZ4":  # duckdb rejects the deprecated Hadoop
+        readers.append(("duckdb", duckdb.sql(  # framing (id 5) outright
+            f"SELECT * FROM read_parquet('{path}')").arrow()))
+    for tag, back in readers:
         # list element names canonicalize to parquet's "element"; cast
         # back for comparison (nullability itself is preserved)
         assert back.cast(tbl.schema).equals(tbl), (tag, compression)
@@ -47,8 +47,59 @@ def test_writer_all_types_with_nulls(tmp_path):
     })
     sch = tbl.schema.set(7, pa.field("req", pa.int64(), nullable=False))
     tbl = tbl.cast(sch)
-    for comp in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"):
+    for comp in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4",
+                 "LZ4_RAW"):
         _roundtrip(tbl, tmp_path, compression=comp)
+
+
+def test_lz4_both_variants(tmp_path):
+    """Both parquet LZ4s: codec id 7 (LZ4_RAW, plain blocks) and the
+    deprecated id 5 (Hadoop ``[u32 BE out][u32 BE comp][block]``
+    framing).  pyarrow's writer emits id 7 but its Python metadata
+    labels it "LZ4" (and labels true id 5 "UNKNOWN"), so the kernel
+    reader resolves UNKNOWN through our own footer parser and relies on
+    the Hadoop->raw fallback for the mislabel."""
+    import os
+
+    tbl = pa.table({"x": pa.array(np.arange(20000) % 321),
+                    "s": pa.array([f"v{i % 97}" for i in range(20000)]),
+                    "f": pa.array(np.arange(20000) * 0.5)})
+    # ours -> three readers, multiple row groups, both page versions
+    for comp in ("LZ4", "LZ4_RAW"):
+        _roundtrip(tbl, tmp_path, compression=comp, row_group_size=7000)
+        p = os.path.join(str(tmp_path), "v2.parquet")
+        write_parquet_via_kernels(tbl, p, compression=comp,
+                                  page_version="2.0")
+        assert read_parquet_via_kernels(p).equals(tbl)
+        assert pq.read_table(p).equals(tbl)
+    # our id-5 file through the PYARROW footer path (the UNKNOWN label)
+    p5 = os.path.join(str(tmp_path), "id5.parquet")
+    write_parquet_via_kernels(tbl, p5, compression="LZ4")
+    assert (pq.ParquetFile(p5).metadata.row_group(0).column(0)
+            .compression == "UNKNOWN")
+    assert read_parquet_via_kernels(p5, footer="pyarrow").equals(tbl)
+    # pyarrow-written lz4 (true id 7) through both footer paths
+    ppa = os.path.join(str(tmp_path), "pa.parquet")
+    pq.write_table(tbl, ppa, compression="lz4")
+    for foot in ("pyarrow", "kernels"):
+        assert read_parquet_via_kernels(ppa, footer=foot).equals(tbl)
+
+
+def test_hadoop_lz4_raw_block_fallback():
+    """A plain LZ4 block under codec id 5 (historical writers) must
+    decompress through the Hadoop codec's raw fallback, and framed data
+    through the framed path; garbage must raise, not return bytes."""
+    from parquet_hs_ray.sources.parquet_pages import _HadoopLz4Codec
+
+    codec = _HadoopLz4Codec()
+    raw = bytes(range(256)) * 64
+    plain_block = pa.Codec("lz4_raw").compress(raw).to_pybytes()
+    assert codec.decompress(plain_block, len(raw)).to_pybytes() == raw
+    framed = codec.compress(raw).to_pybytes()
+    assert framed[:4] == len(raw).to_bytes(4, "big")
+    assert codec.decompress(framed, len(raw)).to_pybytes() == raw
+    with pytest.raises(Exception):
+        codec.decompress(b"\xff\xfe\xfd" * 10, 64)
 
 
 def test_writer_multi_row_group_and_empty(tmp_path):
