@@ -840,6 +840,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_sink_roundtrip"] = kernel_sink_roundtrip
 
+    def kernel_roundtrip_lz4(sf):
+        # BOTH parquet LZ4 variants through our write kernels: LZ4_RAW
+        # (codec id 7) written by us and read back by DuckDB (the
+        # independent reader — duckdb supports lz4_raw), and the
+        # deprecated Hadoop-framed LZ4 (id 5, which DuckDB rejects)
+        # written by us and read back by our OWN page kernels, asserted
+        # equal to the source before returning the DuckDB-read result.
+        import os
+        import tempfile
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
+        from parquet_hs_ray.sources.parquet_writer import write_parquet_via_kernels
+
+        t = pq.read_table(os.path.join(sf, "part.parquet"))
+        t = t.replace_schema_metadata(None)
+        with tempfile.TemporaryDirectory() as d:
+            p5 = os.path.join(d, "part_lz4.parquet")
+            write_parquet_via_kernels(t, p5, compression="LZ4")
+            assert read_parquet_via_kernels(p5, footer="kernels").equals(
+                t.combine_chunks())
+            p7 = os.path.join(d, "part_lz4raw.parquet")
+            write_parquet_via_kernels(t, p7, compression="LZ4_RAW")
+            out = duckdb.sql(
+                "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice"
+                f" FROM read_parquet('{p7}') ORDER BY p_partkey"
+            ).arrow()
+        return out
+
+    q["kernel_roundtrip_lz4"] = kernel_roundtrip_lz4
+
     def kernel_read_dataset(sf):
         # the DISTRIBUTED kernel READ path: kernel-sink a table, then
         # read the directory back as a ray.data.Dataset decoded by OUR
@@ -3269,6 +3302,13 @@ FROM s GROUP BY seq_id
     o["kernel_sink_roundtrip"] = (
         "SELECT event_id, ts, user_id, event_type, value, props"
         " FROM events ORDER BY event_id"
+    )
+    # kernel_roundtrip_lz4: LZ4_RAW written by our kernels, DuckDB as
+    # the independent reader (the Hadoop-framed LZ4 leg is asserted
+    # in-query against our own reader — DuckDB rejects codec id 5).
+    o["kernel_roundtrip_lz4"] = (
+        "SELECT p_partkey, p_name, p_brand, p_size, p_retailprice"
+        " FROM part ORDER BY p_partkey"
     )
     # kernel_read_dataset: distributed kernel READ (per-file decode
     # tasks, column-chunk pruning) over a kernel-sink'd v2/auto store.
