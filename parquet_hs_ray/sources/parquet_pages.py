@@ -505,7 +505,8 @@ def _read_range(path: str, start: int, length: int,
 
 
 def read_column_chunk_values(path: str, row_group: int, column: int,
-                             pf=None, filesystem=None):
+                             pf=None, filesystem=None,
+                             verify_crc: bool = False):
     """Decode one column chunk -> (rep_levels, def_levels, values,
     max_rep, max_def). Values has one entry per non-null leaf slot.
     ``pf`` reuses an already-open ``pq.ParquetFile`` (its parsed
@@ -536,7 +537,8 @@ def read_column_chunk_values(path: str, row_group: int, column: int,
     tl = leaf.length if meta.physical_type == "FIXED_LEN_BYTE_ARRAY" else 0
     rep, dfl, vals = decode_column_chunk_pages(chunk, meta.num_values, meta.physical_type,
                                               max_rep, max_def, codec=codec,
-                                              type_length=tl)
+                                              type_length=tl,
+                                              verify_crc=verify_crc)
     return rep, dfl, vals, max_rep, max_def
 
 
@@ -556,7 +558,8 @@ def _decode_levels_v2(buf: bytes, pos: int, byte_len: int, n: int,
 
 def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
                               max_rep: int, max_def: int, codec=None,
-                              type_length: int = 0):
+                              type_length: int = 0,
+                              verify_crc: bool = False):
     """Page loop over one column chunk's raw bytes -> (rep, def, values).
     V1 level encodings come from the DataPageHeader
     (definition_level_encoding = field 3, repetition_level_encoding =
@@ -578,6 +581,13 @@ def decode_column_chunk_pages(chunk: bytes, n_total: int, physical: str,
         page_len = header[3]  # compressed_page_size
         body = chunk[pos : pos + page_len]
         pos += page_len
+        if verify_crc and 4 in header:
+            import zlib
+
+            if zlib.crc32(body) & 0xFFFFFFFF != header[4] & 0xFFFFFFFF:
+                raise ValueError(
+                    f"page CRC-32 mismatch (page type {ptype}, "
+                    f"{page_len} stored bytes) — corrupt page")
         if codec is not None and ptype in (_PAGE_DICT, _PAGE_DATA):
             # V1 pages (and dict pages) compress the WHOLE body
             body = codec.decompress(body, header[2]).to_pybytes()
@@ -1044,7 +1054,8 @@ def read_parquet_via_kernels(path: str,
                              columns: list[str] | None = None,
                              row_groups: list[int] | None = None,
                              pf=None, footer: str = "pyarrow",
-                             filesystem=None, km=None
+                             filesystem=None, km=None,
+                             verify_crc: bool = False
                              ) -> pa.Table:
     """Decode a whole parquet file through our kernels: thrift page
     reader + bit-level value kernels + general record assembly.
@@ -1063,7 +1074,13 @@ def read_parquet_via_kernels(path: str,
     ``filesystem`` (any pyarrow FileSystem) makes footer and chunk
     reads ranged GETs through it — the reference's
     ``remoteParquetFile`` pattern.  ``km`` reuses an already-parsed
-    `KernelFileMetaData` (the footer='kernels' twin of ``pf``)."""
+    `KernelFileMetaData` (the footer='kernels' twin of ``pf``).
+
+    ``verify_crc=True`` checks each page's stored CRC-32 (PageHeader
+    field 4, written by our writer always and by pyarrow under
+    ``write_page_checksum=True``) against the page body before
+    decoding and raises on mismatch; pages without a stored CRC pass
+    (same opt-in contract as parquet-cpp's checksum verification)."""
     if footer == "kernels":
         if pf is not None:
             raise ValueError(
@@ -1091,7 +1108,7 @@ def read_parquet_via_kernels(path: str,
             rep, dfl, vals = decode_column_chunk_pages(
                 chunk, cc.num_values, leaf.physical, leaf.max_rep,
                 leaf.max_def, codec=codec,
-                type_length=leaf.type_length)
+                type_length=leaf.type_length, verify_crc=verify_crc)
             return rep, dfl, vals, leaf.max_rep, leaf.max_def
     elif footer == "pyarrow":
         if km is not None:
@@ -1110,7 +1127,8 @@ def read_parquet_via_kernels(path: str,
 
         def read_chunk(rg: int, ci: int):
             return read_column_chunk_values(path, rg, ci, pf=f,
-                                            filesystem=filesystem)
+                                            filesystem=filesystem,
+                                            verify_crc=verify_crc)
     else:
         raise ValueError(f"footer must be 'pyarrow' or 'kernels', "
                          f"got {footer!r}")

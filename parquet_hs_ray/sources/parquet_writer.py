@@ -19,7 +19,8 @@ primitive leaf types plus timestamp/date32 logical types (the same
 shapes the kernel reader's general record assembly decodes); PLAIN /
 PLAIN_DICTIONARY values, with opt-in ``encodings="auto"`` per-chunk
 selection of DELTA_BINARY_PACKED (ints) and BYTE_STREAM_SPLIT
-(floats); RLE levels; UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4 /
+(floats); RLE levels; CRC-32 page checksums (PageHeader field 4,
+always written); UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4 /
 LZ4_RAW page
 compression; multiple row groups.
 """
@@ -48,6 +49,19 @@ _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "LZ4": 5,
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE = 0, 2, 3
 _ENC_DELTA_BP, _ENC_RLE_DICT, _ENC_BYTE_STREAM_SPLIT = 5, 8, 9
 _CONVERTED_UTF8, _CONVERTED_MAP, _CONVERTED_LIST = 0, 1, 3
+
+
+def _crc32_signed(*parts: bytes) -> int:
+    """CRC-32 of a page's stored bytes as parquet's signed i32
+    (PageHeader field 4 — computed on the page body exactly as written:
+    compressed data, and for v2 pages the uncompressed level streams
+    followed by the compressed values section)."""
+    import zlib
+
+    c = 0
+    for p in parts:
+        c = zlib.crc32(p, c)
+    return c - (1 << 32) if c >= (1 << 31) else c
 
 
 def _uvarint(v: int) -> bytes:
@@ -744,7 +758,7 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
         dphd = _Struct().i32(1, n_dict).i32(2, denc)
         dict_page_offset = len(out)
         emit(_Struct().i32(1, 2).i32(2, len(body)).i32(3, len(comp))
-             .struct(7, dphd), len(body), comp)
+             .i32(4, _crc32_signed(comp)).struct(7, dphd), len(body), comp)
 
     data_page_offset = len(out)
     pages = []  # per page: location + stats for the page index
@@ -775,6 +789,7 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
             uncomp = len(rep_b) + len(def_b) + len(value_body)
             emit(_Struct().i32(1, 3).i32(2, uncomp)
                  .i32(3, len(rep_b) + len(def_b) + len(vals_comp))
+                 .i32(4, _crc32_signed(rep_b, def_b, vals_comp))
                  .struct(8, dph2), uncomp, rep_b, def_b, vals_comp)
         else:
             levels = b""
@@ -787,7 +802,8 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
             dph = (_Struct().i32(1, n_vals_pg).i32(2, value_enc)
                    .i32(3, _ENC_RLE).i32(4, _ENC_RLE))
             emit(_Struct().i32(1, 0).i32(2, len(body)).i32(3, len(comp))
-                 .struct(5, dph), len(body), comp)
+                 .i32(4, _crc32_signed(comp)).struct(5, dph), len(body),
+                 comp)
         n_nonnull = len(leaf_pg) - leaf_pg.null_count
         pages.append({
             "offset": page_off,

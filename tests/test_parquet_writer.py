@@ -85,6 +85,35 @@ def test_lz4_both_variants(tmp_path):
         assert read_parquet_via_kernels(ppa, footer=foot).equals(tbl)
 
 
+def test_page_crc_checksums(tmp_path):
+    """The writer stores CRC-32 on every page (PageHeader field 4);
+    pyarrow's opt-in verification accepts our files, our opt-in
+    verification accepts pyarrow's, and a flipped byte raises instead
+    of decoding garbage."""
+    import os
+
+    tbl = pa.table({"x": pa.array(np.arange(30000) % 777),
+                    "s": pa.array([f"v{i % 131}" for i in range(30000)])})
+    for pv in ("1.0", "2.0"):
+        p = os.path.join(str(tmp_path), f"crc_{pv}.parquet")
+        write_parquet_via_kernels(tbl, p, compression="SNAPPY",
+                                  page_version=pv, row_group_size=9000)
+        assert pq.read_table(p, page_checksum_verification=True).equals(tbl)
+        assert read_parquet_via_kernels(p, verify_crc=True).equals(tbl)
+    ppa = os.path.join(str(tmp_path), "pa.parquet")
+    pq.write_table(tbl, ppa, write_page_checksum=True)
+    assert read_parquet_via_kernels(ppa, verify_crc=True).equals(tbl)
+    # flip one byte mid-pages: verify_crc raises; default read stays
+    # permissive (parquet-cpp's contract)
+    pc = os.path.join(str(tmp_path), "corrupt.parquet")
+    write_parquet_via_kernels(tbl, pc, compression="UNCOMPRESSED")
+    data = bytearray(open(pc, "rb").read())
+    data[4000] ^= 0xFF
+    open(pc, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="CRC-32 mismatch"):
+        read_parquet_via_kernels(pc, verify_crc=True)
+
+
 def test_hadoop_lz4_raw_block_fallback():
     """A plain LZ4 block under codec id 5 (historical writers) must
     decompress through the Hadoop codec's raw fallback, and framed data
