@@ -42,17 +42,20 @@ class KernelParquetDatasink(Datasink):
                  row_group_size: int = 1 << 20,
                  use_dictionary: bool = True, encodings: str = "classic",
                  page_version: str = "1.0", filesystem=None,
-                 data_page_rows: int | None = None):
+                 data_page_rows: int | None = None,
+                 bloom_filters=None):
         # validate up front: on_write_start destructively clears the
         # destination, so a bad mode must fail before any cleanup
+        from .parquet_writer import _CODECS
+
         if encodings not in ("classic", "auto"):
             raise ValueError(
                 f"encodings must be 'classic' or 'auto', got {encodings!r}")
         if page_version not in ("1.0", "2.0"):
             raise ValueError(
                 f"page_version must be '1.0' or '2.0', got {page_version!r}")
-        if compression.upper() not in ("UNCOMPRESSED", "NONE", "SNAPPY",
-                                       "GZIP", "ZSTD"):
+        if compression.upper() not in _CODECS and \
+                compression.upper() != "NONE":
             raise ValueError(f"unsupported compression {compression}")
         self._path = path
         self._compression = compression
@@ -62,6 +65,7 @@ class KernelParquetDatasink(Datasink):
         self._page_version = page_version
         self._filesystem = filesystem
         self._data_page_rows = data_page_rows
+        self._bloom_filters = bloom_filters
 
     def get_name(self) -> str:
         return "KernelParquet"
@@ -93,7 +97,8 @@ class KernelParquetDatasink(Datasink):
                 use_dictionary=self._use_dictionary,
                 encodings=self._encodings,
                 page_version=self._page_version,
-                data_page_rows=self._data_page_rows)
+                data_page_rows=self._data_page_rows,
+                bloom_filters=self._bloom_filters)
             name = f"part-{ctx.task_idx:06d}-{seq:04d}.parquet"
             fsio.write_atomic(fsio.join(self._path, name), blob,
                               self._filesystem)
@@ -120,17 +125,21 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                           encodings: str = "classic",
                           page_version: str = "1.0",
                           filesystem=None, concurrency=None,
-                          data_page_rows: int | None = None) -> dict:
+                          data_page_rows: int | None = None,
+                          bloom_filters=None) -> dict:
     """``Dataset.write_parquet`` twin over the kernel writer: streams
     the dataset's blocks through ``KernelParquetDatasink`` and returns
-    the committed manifest."""
+    the committed manifest.  ``bloom_filters`` (column names or
+    ``{name: fpp}``) emits per-chunk split-block bloom filters the
+    read path probes for equality predicates (`bloom.py`)."""
     sink = KernelParquetDatasink(path, compression=compression,
                                  row_group_size=row_group_size,
                                  use_dictionary=use_dictionary,
                                  encodings=encodings,
                                  page_version=page_version,
                                  filesystem=filesystem,
-                                 data_page_rows=data_page_rows)
+                                 data_page_rows=data_page_rows,
+                                 bloom_filters=bloom_filters)
     ds.write_datasink(sink, concurrency=concurrency)
     return read_sink_manifest(path, filesystem)
 
@@ -147,7 +156,8 @@ def read_sink_manifest(path: str, filesystem=None) -> dict:
 def read_parquet_kernels(path: str, columns: list[str] | None = None,
                          predicate=None, footer: str = "pyarrow",
                          filesystem=None, concurrency=None,
-                         page_index: bool = True):
+                         page_index: bool = True,
+                         bloom: bool = True):
     """Distributed parquet READ through our kernels: the inverse of
     ``write_parquet_kernels`` — returns a ``ray.data.Dataset``.
 
@@ -182,6 +192,13 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     parquet-format PageIndex.md) — only pages whose row ranges may
     match are read and decoded.  pyarrow's Python API does not expose
     the index offsets, so page pruning applies to footer='kernels'.
+
+    ``bloom`` (default on, footer='kernels' only): equality predicates
+    additionally probe each candidate row group's split-block bloom
+    filter when the file carries one (`bloom.py`; our writer emits
+    them under ``bloom_filters=``) — the unsorted-high-cardinality
+    case where min/max statistics prune nothing.  One-sided: a missing
+    or foreign filter keeps the row group.
 
     ``filesystem`` (any pyarrow FileSystem, e.g.
     ``state.httpfs.http_range_filesystem``) makes every footer and
@@ -302,6 +319,17 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                 km = read_footer_via_kernels(p, filesystem=filesystem)
                 rgs = (prune_row_groups_by_stats_kernels(km, preds)
                        if preds else range(len(km.row_groups)))
+                if preds and bloom and any(op == "==" for _, op, _
+                                           in preds):
+                    # split-block bloom probes (bloom.py): row groups
+                    # whose filter PROVES an equality value absent are
+                    # dropped even when min/max could not prune (the
+                    # unsorted high-cardinality case); one-sided
+                    from .bloom import prune_row_groups_by_bloom
+
+                    rgs = prune_row_groups_by_bloom(
+                        km, preds, p, filesystem=filesystem,
+                        candidates=list(rgs))
             else:
                 import pyarrow.parquet as pq
 

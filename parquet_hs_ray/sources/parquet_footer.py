@@ -74,6 +74,8 @@ class ChunkInfo:
     offset_index_length: int | None = None
     column_index_offset: int | None = None
     column_index_length: int | None = None
+    bloom_filter_offset: int | None = None   # ColumnMetaData field 14
+    bloom_filter_length: int | None = None   # ColumnMetaData field 15
 
 
 @dataclass
@@ -267,7 +269,9 @@ def parse_footer(blob: bytes) -> KernelFileMetaData:
                 offset_index_offset=cc.get(4),
                 offset_index_length=cc.get(5),
                 column_index_offset=cc.get(6),
-                column_index_length=cc.get(7)))
+                column_index_length=cc.get(7),
+                bloom_filter_offset=cm.get(14),
+                bloom_filter_length=cm.get(15)))
         row_groups.append(RowGroupInfo(num_rows=rg[3],
                                        total_byte_size=rg[2],
                                        columns=cols))

@@ -643,7 +643,8 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
                         use_dictionary: bool,
                         encodings_mode: str = "classic",
                         page_version: str = "1.0",
-                        data_page_rows: int | None = None) -> int:
+                        data_page_rows: int | None = None,
+                        bloom_fpp: float | None = None) -> int:
     """Emit one leaf's pages into ``out`` and a chunk record (meta
     struct + per-page locations/stats for the page index) into
     ``col_chunks``; returns the chunk's uncompressed byte size.
@@ -827,11 +828,17 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     st = _statistics(leaf, physical, n_values)
     if st is not None:
         meta.struct(12, st)
-    col_chunks.append({"first_offset": first_offset, "meta": meta,
-                       "pages": pages,
-                       "index_ok": all(p["mm"] is not None
-                                       or p["null_page"]
-                                       for p in pages)})
+    rec = {"first_offset": first_offset, "meta": meta,
+           "pages": pages,
+           "index_ok": all(p["mm"] is not None
+                           or p["null_page"]
+                           for p in pages)}
+    if bloom_fpp is not None:
+        from .bloom import hash_plain_values
+
+        rec["bloom"] = (np.unique(hash_plain_values(leaf, physical)),
+                        bloom_fpp)
+    col_chunks.append(rec)
     return uncomp_total
 
 
@@ -841,16 +848,21 @@ def write_parquet_via_kernels(table: pa.Table, path: str,
                               use_dictionary: bool = True,
                               encodings: str = "classic",
                               page_version: str = "1.0",
-                              data_page_rows: int | None = None) -> dict:
+                              data_page_rows: int | None = None,
+                              bloom_filters=None) -> dict:
     """Write ``table`` as standard Parquet through our kernels.
 
-    Returns a small stats dict ({rows, row_groups, bytes})."""
+    ``bloom_filters``: list of flat top-level column names (or a
+    ``{name: fpp}`` dict) to emit split-block bloom filters for — see
+    ``encode_parquet_bytes``.  Returns a small stats dict
+    ({rows, row_groups, bytes})."""
     blob = encode_parquet_bytes(table, compression=compression,
                                 row_group_size=row_group_size,
                                 use_dictionary=use_dictionary,
                                 encodings=encodings,
                                 page_version=page_version,
-                                data_page_rows=data_page_rows)
+                                data_page_rows=data_page_rows,
+                                bloom_filters=bloom_filters)
     with open(path, "wb") as fh:
         fh.write(blob)
     return {"rows": table.num_rows,
@@ -865,7 +877,8 @@ def encode_parquet_bytes(table: pa.Table,
                          encodings: str = "classic",
                          page_version: str = "1.0",
                          data_page_rows: int | None = None,
-                         write_page_index: bool = True) -> bytearray:
+                         write_page_index: bool = True,
+                         bloom_filters=None) -> bytearray:
     """Encode ``table`` as a standard Parquet file image through our
     kernels (thrift footer, Dremel shredding, RLE levels, PLAIN /
     PLAIN_DICTIONARY values).  Returns the bytearray itself —
@@ -879,7 +892,16 @@ def encode_parquet_bytes(table: pa.Table,
     PageIndex.md) whenever every page has computable statistics — so
     readers can prune at page granularity without touching the pages.
     Without ``data_page_rows`` chunks stay one page each (the index is
-    then row-group-equivalent but still spec-complete)."""
+    then row-group-equivalent but still spec-complete).
+
+    ``bloom_filters`` (list of flat top-level column names, or a
+    ``{name: fpp}`` dict, default fpp 0.01) emits a split-block bloom
+    filter per column chunk (parquet-format BloomFilter.md; XXH64 over
+    plain encodings — `bloom.py`), stored after the page indexes and
+    referenced from ColumnMetaData fields 14/15, for point-lookup
+    row-group pruning on unsorted high-cardinality columns where
+    min/max statistics prune nothing.  Supported on INT32/INT64/FLOAT/
+    DOUBLE/BYTE_ARRAY flat columns; anything else raises up front."""
     compression = compression.upper()
     if compression == "NONE":
         compression = "UNCOMPRESSED"
@@ -903,6 +925,19 @@ def encode_parquet_bytes(table: pa.Table,
     field_metas = [_walk_leaves(f.name, f.type, f.nullable, 0, 0, ())
                    for f in table.schema]
 
+    bloom_spec: dict[str, float] = {}
+    if bloom_filters:
+        bloom_spec = (dict(bloom_filters)
+                      if isinstance(bloom_filters, dict)
+                      else {c: 0.01 for c in bloom_filters})
+        flat = {f.name for f, m in zip(table.schema, field_metas)
+                if len(m) == 1 and len(m[0]["path"]) == 1}
+        bad = set(bloom_spec) - flat
+        if bad:
+            raise ValueError(
+                f"bloom_filters must name flat top-level columns; "
+                f"not flat/present: {sorted(bad)}")
+
     out = bytearray(b"PAR1")
     rg_records: list[tuple[list[dict], int, int]] = []
     for start in range(0, max(table.num_rows, 1), row_group_size):
@@ -920,10 +955,12 @@ def encode_parquet_bytes(table: pa.Table,
                     f"leaf stream count mismatch for {field.name}: "
                     f"{len(streams)} streams vs {len(metas)} leaves")
             for (rep, dfl, leaf), lm in zip(streams, metas):
+                fpp = (bloom_spec.get(lm["path"][0])
+                       if len(lm["path"]) == 1 else None)
                 total_uncomp += _write_column_chunk(
                     out, col_chunks, leaf, rep, dfl, lm, codec,
                     compression, use_dictionary, encodings, page_version,
-                    data_page_rows)
+                    data_page_rows, bloom_fpp=fpp)
         rg_records.append((col_chunks, total_uncomp, chunk.num_rows))
         if table.num_rows == 0:
             break
@@ -957,6 +994,22 @@ def encode_parquet_bytes(table: pa.Table,
                         for p in rec["pages"]]
                 blob = _Struct().list_struct(1, locs).tobytes()
                 rec["offset_index"] = (len(out), len(blob))
+                out += blob
+
+    # split-block bloom filters, one per opted-in column chunk, after
+    # the page indexes; ColumnMetaData fields 14/15 point at each
+    if bloom_spec:
+        from .bloom import SplitBlockBloom, encode_bloom_blob
+
+        for col_chunks, _, _ in rg_records:
+            for rec in col_chunks:
+                if "bloom" not in rec:
+                    continue
+                hashes, fpp = rec["bloom"]
+                f = SplitBlockBloom.for_ndv(len(hashes), fpp)
+                f.add_hashes(hashes)
+                blob = encode_bloom_blob(f)
+                rec["meta"].i64(14, len(out)).i32(15, len(blob))
                 out += blob
 
     row_groups: list[_Struct] = []

@@ -468,7 +468,9 @@ def test_kernel_sink_rejects_bad_modes_before_cleanup(tmp_path):
     with pytest.raises(ValueError):
         KernelParquetDatasink(str(tmp_path), encodings="delta")
     with pytest.raises(ValueError):
-        KernelParquetDatasink(str(tmp_path), compression="LZ4")
+        KernelParquetDatasink(str(tmp_path), compression="LZO")
+    # LZ4 / LZ4_RAW are supported sink compressions now
+    KernelParquetDatasink(str(tmp_path), compression="LZ4_RAW")
 
 
 @given(st.integers(min_value=0, max_value=10**9))
