@@ -1009,6 +1009,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_read_page_pruned"] = kernel_read_page_pruned
 
+    def kernel_read_bloom_pruned(sf):
+        # Split-block BLOOM pruning (parquet-format BloomFilter.md,
+        # sources/bloom.py): a point lookup on an UNSORTED
+        # high-cardinality column (l_partkey — every row group spans
+        # nearly the full key range, so min/max statistics prune
+        # nothing) — the kernel sink writes per-chunk XXH64
+        # split-block filters and the distributed read probes them,
+        # decoding only row groups whose filter admits the value.  The
+        # probe is data-derived (the first lineitem row's partkey) so
+        # the query is deterministic at every sf.
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_parquet_kernels, write_parquet_kernels)
+
+        src = os.path.join(sf, "lineitem.parquet")
+        head = pq.read_table(src, columns=["l_orderkey", "l_linenumber",
+                                           "l_partkey"])
+        min_ok = pc.min(head["l_orderkey"]).as_py()
+        first = head.filter(pc.and_(
+            pc.equal(head["l_orderkey"], min_ok),
+            pc.equal(head["l_linenumber"], 1)))
+        probe = first["l_partkey"][0].as_py()
+        ds = ray.data.read_parquet(src)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            write_parquet_kernels(ds, out, compression="SNAPPY",
+                                  row_group_size=2000,
+                                  bloom_filters=["l_partkey"])
+            back = read_parquet_kernels(
+                out, columns=["l_orderkey", "l_linenumber", "l_partkey"],
+                predicate=("l_partkey", "==", probe),
+                footer="kernels")
+            t = pa.concat_tables(
+                [ray.get(r) for r in back.to_arrow_refs()])
+        return t.sort_by([("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])
+
+    q["kernel_read_bloom_pruned"] = kernel_read_bloom_pruned
+
     def kernel_footer_decode(sf):
         # the FULLY self-hosted read: footer (thrift compact
         # FileMetaData, schema tree, leaf rep/def levels), pages,
@@ -3335,6 +3381,15 @@ FROM s GROUP BY seq_id
     o["kernel_read_page_pruned"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
         " WHERE l_orderkey <= 4000 AND l_linenumber > 1"
+        " ORDER BY l_orderkey, l_linenumber"
+    )
+    # kernel_read_bloom_pruned: split-block bloom point lookup on an
+    # unsorted high-cardinality column; probe = first row's comment.
+    o["kernel_read_bloom_pruned"] = (
+        "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem"
+        " WHERE l_partkey = (SELECT l_partkey FROM lineitem"
+        "   WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)"
+        "   AND l_linenumber = 1)"
         " ORDER BY l_orderkey, l_linenumber"
     )
     # kernel_footer_decode: fully self-hosted read (our thrift footer
