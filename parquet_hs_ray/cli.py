@@ -207,7 +207,8 @@ def main(argv=None):
     trc.add_argument("--input", required=True, help="parquet file or dir")
     trc.add_argument("--out", required=True, help="output directory")
     trc.add_argument("--compression", default="SNAPPY",
-                     choices=("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"))
+                     choices=("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD",
+                              "LZ4", "LZ4_RAW"))
     trc.add_argument("--encodings", default="auto",
                      choices=("classic", "auto"))
     trc.add_argument("--page-version", default="1.0",
@@ -215,6 +216,12 @@ def main(argv=None):
     trc.add_argument("--row-group-size", type=int, default=1 << 20)
     trc.add_argument("--partitions", type=int, default=None,
                      help="repartition before writing (file count)")
+    trc.add_argument("--data-page-rows", type=int, default=None,
+                     help="paginate flat chunks to this many rows per "
+                     "page (enables page-granular index pruning)")
+    trc.add_argument("--bloom", default=None,
+                     help="comma-separated columns to write split-block "
+                     "bloom filters for (point-lookup pruning)")
 
     lay = sub.add_parser(
         "layout", help="rewrite parquet clustered along the 2-D Morton "
@@ -371,7 +378,10 @@ def main(argv=None):
                 ds, args.out, compression=args.compression,
                 encodings=args.encodings,
                 page_version=args.page_version,
-                row_group_size=args.row_group_size)
+                row_group_size=args.row_group_size,
+                data_page_rows=args.data_page_rows,
+                bloom_filters=([c.strip() for c in args.bloom.split(",")]
+                               if args.bloom else None))
             print(json.dumps({"rows": manifest["rows"],
                               "bytes": manifest["bytes"],
                               "files": len(manifest["files"]),
