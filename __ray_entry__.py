@@ -1017,8 +1017,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nothing) — the kernel sink writes per-chunk XXH64
         # split-block filters and the distributed read probes them,
         # decoding only row groups whose filter admits the value.  The
-        # probe is data-derived (the first lineitem row's partkey) so
-        # the query is deterministic at every sf.
+        # probe is data-derived (the smallest partkey within the
+        # smallest order — a unique, sf-independent choice; linenumbers
+        # in the testdata are not sequential, so "linenumber 1 of the
+        # first order" would not exist at every sf).
         import os
         import tempfile
 
@@ -1031,13 +1033,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_parquet_kernels, write_parquet_kernels)
 
         src = os.path.join(sf, "lineitem.parquet")
-        head = pq.read_table(src, columns=["l_orderkey", "l_linenumber",
-                                           "l_partkey"])
+        head = pq.read_table(src, columns=["l_orderkey", "l_partkey"])
         min_ok = pc.min(head["l_orderkey"]).as_py()
-        first = head.filter(pc.and_(
-            pc.equal(head["l_orderkey"], min_ok),
-            pc.equal(head["l_linenumber"], 1)))
-        probe = first["l_partkey"][0].as_py()
+        first = head.filter(pc.equal(head["l_orderkey"], min_ok))
+        probe = pc.min(first["l_partkey"]).as_py()
         ds = ray.data.read_parquet(src)
         with tempfile.TemporaryDirectory() as d:
             out = os.path.join(d, "sink")
@@ -3387,9 +3386,8 @@ FROM s GROUP BY seq_id
     # unsorted high-cardinality column; probe = first row's comment.
     o["kernel_read_bloom_pruned"] = (
         "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem"
-        " WHERE l_partkey = (SELECT l_partkey FROM lineitem"
-        "   WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)"
-        "   AND l_linenumber = 1)"
+        " WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem"
+        "   WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem))"
         " ORDER BY l_orderkey, l_linenumber"
     )
     # kernel_footer_decode: fully self-hosted read (our thrift footer

@@ -326,8 +326,16 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                     # dropped even when min/max could not prune (the
                     # unsorted high-cardinality case); one-sided
                     from .bloom import prune_row_groups_by_bloom
+                    from .parquet_pages import prune_row_groups_by_dict
 
                     rgs = prune_row_groups_by_bloom(
+                        km, preds, p, filesystem=filesystem,
+                        candidates=list(rgs))
+                    # dictionary-membership pruning: definitive where
+                    # PageEncodingStats prove all-dict data pages —
+                    # catches bloom false positives AND files written
+                    # with no blooms at all (pyarrow/DuckDB defaults)
+                    rgs = prune_row_groups_by_dict(
                         km, preds, p, filesystem=filesystem,
                         candidates=list(rgs))
             else:

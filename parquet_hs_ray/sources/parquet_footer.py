@@ -76,6 +76,8 @@ class ChunkInfo:
     column_index_length: int | None = None
     bloom_filter_offset: int | None = None   # ColumnMetaData field 14
     bloom_filter_length: int | None = None   # ColumnMetaData field 15
+    # PageEncodingStats (field 13): (page_type, encoding, count)
+    encoding_stats: "list[tuple[int, int, int]] | None" = None
 
 
 @dataclass
@@ -271,7 +273,10 @@ def parse_footer(blob: bytes) -> KernelFileMetaData:
                 column_index_offset=cc.get(6),
                 column_index_length=cc.get(7),
                 bloom_filter_offset=cm.get(14),
-                bloom_filter_length=cm.get(15)))
+                bloom_filter_length=cm.get(15),
+                encoding_stats=(
+                    [(e.get(1, 0), e.get(2, 0), e.get(3, 0))
+                     for e in cm[13]] if 13 in cm else None)))
         row_groups.append(RowGroupInfo(num_rows=rg[3],
                                        total_byte_size=rg[2],
                                        columns=cols))

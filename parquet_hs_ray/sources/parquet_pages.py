@@ -880,6 +880,123 @@ _PRED_OPS = {
 }
 
 
+def read_chunk_dictionary(path: str, km, rg: int, ci: int,
+                          filesystem=None):
+    """Decode ONLY one column chunk's dictionary page (the region
+    ``[dictionary_page_offset, data_page_offset)`` — one small ranged
+    read, no data pages touched), or None when the chunk has no
+    dictionary.  Returns the plain-decoded dictionary values
+    (np array or ByteArrayValues)."""
+    cc = km.row_groups[rg].columns[ci]
+    start = cc.dictionary_page_offset
+    if not start:
+        return None
+    length = cc.data_page_offset - start
+    if length <= 0:
+        return None
+    leaf = km.leaves[ci]
+    raw = _read_range(path, start, length, filesystem)
+    try:
+        header, pos = _read_compact_struct(raw, 0)
+        if header[1] != _PAGE_DICT:
+            return None
+        body = raw[pos:pos + header[3]]
+        codec = _page_codec(cc.codec)
+        if codec is not None:
+            body = codec.decompress(body, header[2]).to_pybytes()
+        vals, _ = _decode_plain_values(body, 0, header[7][1],
+                                       leaf.physical, leaf.type_length)
+        return vals
+    except (ValueError, KeyError, IndexError):
+        return None
+
+
+def _dict_contains(vals, probe, physical: str) -> bool:
+    """Is ``probe`` in the decoded dictionary?  Unjudgeable
+    combinations answer True (keep — pruning must be one-sided)."""
+    if isinstance(vals, ByteArrayValues):
+        if isinstance(probe, str):
+            b = probe.encode()
+        elif isinstance(probe, (bytes, bytearray)):
+            b = bytes(probe)
+        else:
+            return True
+        data = vals.data.tobytes()
+        off = 0
+        for ln in vals.lens:
+            ln = int(ln)
+            if ln == len(b) and data[off:off + ln] == b:
+                return True
+            off += ln
+        return False
+    if isinstance(probe, bool) or not isinstance(
+            probe, (int, float, np.integer, np.floating)):
+        return True
+    arr = np.asarray(vals)
+    if arr.dtype.kind not in "iuf":
+        return True
+    with np.errstate(over="ignore", invalid="ignore"):
+        return bool((arr == probe).any())
+
+
+def prune_row_groups_by_dict(km, preds: list, path: str,
+                             filesystem=None,
+                             candidates: "list[int] | None" = None,
+                             max_dict_bytes: int = 4 << 20
+                             ) -> list[int]:
+    """Dictionary-membership pruning (parquet-mr's "dictionary
+    filtering"): drop a row group when an ``==`` predicate's value is
+    absent from the chunk's dictionary page — valid ONLY when the
+    footer's PageEncodingStats (ColumnMetaData field 13, which our
+    writer and pyarrow both emit) PROVE every data page is
+    dict-encoded (a plain-fallback page could hold values outside the
+    dictionary).  One small ranged read per probed chunk; chunks with
+    dictionaries larger than ``max_dict_bytes`` are skipped.
+    One-sided: anything unprovable keeps the row group.  Complements
+    bloom filters — this works on files from ANY writer (pyarrow,
+    DuckDB, parquet-mr) with no opt-in at write time."""
+    import pyarrow as pa
+
+    name_to_leaf: dict[str, int] = {}
+    next_leaf = 0
+    for fld in km.schema:
+        k = _leaf_count(fld.type)
+        if k == 1 and not pa.types.is_nested(fld.type):
+            name_to_leaf[fld.name] = next_leaf
+        next_leaf += k
+    eq = [(name_to_leaf[c], v) for c, op, v in preds
+          if op == "==" and c in name_to_leaf]
+    rgs = range(len(km.row_groups)) if candidates is None else candidates
+    if not eq:
+        return list(rgs)
+    keep = []
+    for rg in rgs:
+        ok = True
+        for ci, probe in eq:
+            cc = km.row_groups[rg].columns[ci]
+            es = cc.encoding_stats
+            if es is None or not cc.dictionary_page_offset:
+                continue
+            data_pages = [(enc, cnt) for pt, enc, cnt in es
+                          if pt in (_PAGE_DATA, _PAGE_DATA_V2)]
+            if not data_pages or any(
+                    enc not in (_ENC_PLAIN_DICT, _ENC_RLE_DICT)
+                    for enc, cnt in data_pages if cnt > 0):
+                continue
+            if cc.data_page_offset - cc.dictionary_page_offset > \
+                    max_dict_bytes:
+                continue
+            vals = read_chunk_dictionary(path, km, rg, ci, filesystem)
+            if vals is None:
+                continue
+            if not _dict_contains(vals, probe, km.leaves[ci].physical):
+                ok = False
+                break
+        if ok:
+            keep.append(rg)
+    return keep
+
+
 def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
     """Row groups that MAY satisfy every ``(column, op, value)``
     predicate, judged from the footer min/max statistics (the scan-

@@ -828,6 +828,17 @@ def _write_column_chunk(out: bytearray, col_chunks: list, leaf: pa.Array,
     st = _statistics(leaf, physical, n_values)
     if st is not None:
         meta.struct(12, st)
+    # PageEncodingStats (ColumnMetaData field 13): per-page-type
+    # encoding counts — lets readers PROVE "every data page is
+    # dict-encoded" and prune equality predicates by dictionary
+    # membership alone (parquet-mr's dictionary filtering)
+    enc_stats = []
+    if dict_blob is not None:
+        enc_stats.append(_Struct().i32(1, 2).i32(2, denc).i32(3, 1))
+    enc_stats.append(_Struct()
+                     .i32(1, 3 if page_version == "2.0" else 0)
+                     .i32(2, value_enc).i32(3, len(bounds)))
+    meta.list_struct(13, enc_stats)
     rec = {"first_offset": first_offset, "meta": meta,
            "pages": pages,
            "index_ok": all(p["mm"] is not None

@@ -1,0 +1,102 @@
+"""Dictionary-membership pruning (parquet-mr's "dictionary
+filtering"): equality predicates prune row groups by probing ONLY the
+chunk's dictionary page, valid when PageEncodingStats (ColumnMetaData
+field 13 — now emitted by our writer, parsed by our footer parser)
+prove every data page is dict-encoded.  Works on files from ANY
+writer; no write-time opt-in."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_hs_ray.sources.parquet_footer import read_footer_via_kernels
+from parquet_hs_ray.sources.parquet_pages import (
+    _dict_contains, prune_row_groups_by_dict, read_chunk_dictionary)
+from parquet_hs_ray.sources.parquet_writer import write_parquet_via_kernels
+
+
+@pytest.fixture(scope="module")
+def dict_files(tmp_path_factory):
+    rng = np.random.default_rng(2)
+    n = 64000
+    tags = [f"t{int(x)}" for x in rng.integers(0, 50, n)]
+    tags[:8000] = ["only_in_rg0"] * 8000
+    t = pa.table({"tag": pa.array(tags),
+                  "code": pa.array((np.arange(n) % 37).astype(np.int64)),
+                  "x": pa.array(np.arange(n))})
+    d = tmp_path_factory.mktemp("dictprune")
+    ours = str(d / "ours.parquet")
+    write_parquet_via_kernels(t, ours, compression="SNAPPY",
+                              row_group_size=8000)
+    theirs = str(d / "pyarrow.parquet")
+    pq.write_table(t, theirs, row_group_size=8000)
+    return ours, theirs, t
+
+
+def test_encoding_stats_roundtrip(dict_files):
+    ours, theirs, t = dict_files
+    for p in (ours, theirs):
+        km = read_footer_via_kernels(p)
+        es = km.row_groups[0].columns[0].encoding_stats
+        assert es is not None
+        # exactly one dict page; every data page dict-encoded
+        assert [e for e in es if e[0] == 2]
+        assert all(e[1] in (2, 8) for e in es if e[0] in (0, 3))
+    # our emitted stats are readable by pyarrow's metadata API too
+    assert "PLAIN_DICTIONARY" in pq.ParquetFile(ours).metadata.row_group(
+        0).column(0).encodings
+
+
+def test_dict_page_only_read(dict_files):
+    ours, _, t = dict_files
+    km = read_footer_via_kernels(ours)
+    d = read_chunk_dictionary(ours, km, 0, 0)
+    assert len(d) == 1  # rg0 holds a single distinct tag
+    assert _dict_contains(d, "only_in_rg0", "BYTE_ARRAY")
+    assert not _dict_contains(d, "t7", "BYTE_ARRAY")
+    d1 = read_chunk_dictionary(ours, km, 1, 0)
+    assert len(d1) == 50
+
+
+def test_prune_by_dict_both_writers(dict_files):
+    ours, theirs, t = dict_files
+    n_rg = 8
+    for p in (ours, theirs):
+        km = read_footer_via_kernels(p)
+        # value unique to rg0 -> exactly rg0 survives
+        assert prune_row_groups_by_dict(
+            km, [("tag", "==", "only_in_rg0")], p) == [0]
+        # absent value -> nothing survives
+        assert prune_row_groups_by_dict(
+            km, [("tag", "==", "absent")], p) == []
+        # common value -> rg0 (whose dict lacks it) pruned, rest kept
+        assert prune_row_groups_by_dict(
+            km, [("tag", "==", "t7")], p) == list(range(1, n_rg))
+        # int dict column
+        assert prune_row_groups_by_dict(
+            km, [("code", "==", 36)], p) == list(range(n_rg))
+        assert prune_row_groups_by_dict(
+            km, [("code", "==", 999)], p) == []
+        # non-== predicates and unknown columns never prune
+        assert prune_row_groups_by_dict(
+            km, [("tag", ">", "a")], p) == list(range(n_rg))
+        # unjudgeable probe type keeps everything (one-sided)
+        assert prune_row_groups_by_dict(
+            km, [("tag", "==", 5)], p) == list(range(n_rg))
+
+
+def test_distributed_read_dict_prunes(dict_files, ray_session):
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    ours, _, t = dict_files
+    ds = read_parquet_kernels(ours, predicate=("tag", "==", "only_in_rg0"),
+                              footer="kernels")
+    mt = ds.materialize()
+    assert mt.count() == 8000
+    assert mt.num_blocks() == 1  # 7 of 8 row groups dict-pruned
+    # absent -> 0 rows, schema preserved via the sentinel block
+    empty = read_parquet_kernels(ours, predicate=("tag", "==", "nope"),
+                                 footer="kernels").materialize()
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"tag", "code", "x"}
