@@ -413,11 +413,25 @@ def _bss_encode(arr: pa.Array, physical: str) -> bytes:
     return np.ascontiguousarray(mat.T).tobytes()
 
 
+# statistics truncation bound for BYTE_ARRAY (parquet-cpp uses the
+# same 64-byte default): footers must stay O(columns), not O(value
+# length) — a document-length string as a chunk min would otherwise
+# embed whole in the footer AND once per page in the ColumnIndex
+_STAT_TRUNC = 64
+
+
 def _minmax_bytes(arr: pa.Array, physical: str):
     """TYPE_ORDER-encoded (min, max) bytes for the types with
     unambiguous orderings, or None (floats are skipped — NaN
     semantics).  Shared by the chunk Statistics struct and the
-    per-page ColumnIndex."""
+    per-page ColumnIndex.
+
+    Long BYTE_ARRAY values truncate: min to a 64-byte prefix (any
+    prefix is a valid lower bound in unsigned lexicographic order),
+    max to a 64-byte prefix with its last non-0xFF byte incremented
+    (a strict upper bound); an all-0xFF prefix cannot produce an
+    upper bound, so the pair is dropped (readers then skip pruning —
+    one-sided, never wrong)."""
     import pyarrow.compute as pc
 
     if physical not in ("INT32", "INT64", "BYTE_ARRAY") or \
@@ -427,6 +441,16 @@ def _minmax_bytes(arr: pa.Array, physical: str):
     if physical == "BYTE_ARRAY":
         lo = mn.encode() if isinstance(mn, str) else mn
         hi = mx.encode() if isinstance(mx, str) else mx
+        if len(lo) > _STAT_TRUNC:
+            lo = lo[:_STAT_TRUNC]
+        if len(hi) > _STAT_TRUNC:
+            t = bytearray(hi[:_STAT_TRUNC])
+            while t and t[-1] == 0xFF:
+                t.pop()
+            if not t:
+                return None
+            t[-1] += 1
+            hi = bytes(t)
     else:
         w = 4 if physical == "INT32" else 8
         lo = int(mn).to_bytes(w, "little", signed=True)

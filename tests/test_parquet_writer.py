@@ -85,6 +85,45 @@ def test_lz4_both_variants(tmp_path):
         assert read_parquet_via_kernels(ppa, footer=foot).equals(tbl)
 
 
+def test_long_string_stats_truncate(tmp_path):
+    """BYTE_ARRAY min/max truncate to 64 bytes (min = prefix, max =
+    prefix with last byte incremented — still a valid bound pair), so
+    document-length strings never bloat the footer or ColumnIndex;
+    pruning on the truncated bounds stays correct for every reader."""
+    import os
+
+    from parquet_hs_ray.sources.parquet_footer import (
+        prune_row_groups_by_stats_kernels, read_footer_via_kernels)
+
+    rows = ["a" * 10 + f"{i:05d}" + "x" * 200 for i in range(3000)] + \
+           ["z" * 70 + f"{i:05d}" for i in range(3000)]
+    t = pa.table({"s": pa.array(rows), "i": pa.array(range(6000))})
+    p = os.path.join(str(tmp_path), "trunc.parquet")
+    write_parquet_via_kernels(t, p, compression="SNAPPY",
+                              row_group_size=3000)
+    km = read_footer_via_kernels(p)
+    for rg in km.row_groups:
+        st = rg.columns[0].statistics
+        assert len(st.min_raw) <= 64 and len(st.max_raw) <= 65
+    assert pq.read_table(p).equals(t)
+    assert read_parquet_via_kernels(p).equals(t)
+    assert prune_row_groups_by_stats_kernels(km, [("s", ">=", "z")]) == [1]
+    assert prune_row_groups_by_stats_kernels(km, [("s", "<=", "b")]) == [0]
+    # pyarrow's own row-group filtering honors the truncated bounds
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(p).to_table(
+        filter=(pads.field("s") >= "z")).num_rows == 3000
+    # the all-0xFF-prefix edge drops the pair instead of writing a
+    # wrong bound
+    from parquet_hs_ray.sources.parquet_writer import _minmax_bytes
+
+    assert _minmax_bytes(pa.array([b"\xff" * 80]), "BYTE_ARRAY") is None
+    lo, hi = _minmax_bytes(pa.array([b"a" * 90, b"b" * 90]),
+                           "BYTE_ARRAY")
+    assert lo == b"a" * 64 and hi == b"b" * 63 + b"c"
+
+
 def test_page_crc_checksums(tmp_path):
     """The writer stores CRC-32 on every page (PageHeader field 4);
     pyarrow's opt-in verification accepts our files, our opt-in
