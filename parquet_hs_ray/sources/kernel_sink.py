@@ -178,10 +178,10 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     entries skipped per parquet dataset convention.
 
     ``predicate`` is one ``(column, op, value)`` tuple or a list of
-    them (AND semantics; ops ``== != < <= > >=``): row groups whose
-    footer min/max provably cannot match are never decoded, then the
-    EXACT filter is applied to the decoded rows — pushdown as pruning,
-    not as semantics.
+    them (AND semantics; ops ``== != < <= > >= in`` — ``in`` takes a
+    list of members): row groups whose footer min/max provably cannot
+    match are never decoded, then the EXACT filter is applied to the
+    decoded rows — pushdown as pruning, not as semantics.
 
     ``footer="kernels"`` parses footers AND statistics through our
     thrift kernels (`parquet_footer.py`) — zero pyarrow anywhere on
@@ -319,8 +319,8 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                 km = read_footer_via_kernels(p, filesystem=filesystem)
                 rgs = (prune_row_groups_by_stats_kernels(km, preds)
                        if preds else range(len(km.row_groups)))
-                if preds and bloom and any(op == "==" for _, op, _
-                                           in preds):
+                if preds and bloom and any(op in ("==", "in")
+                                           for _, op, _ in preds):
                     # split-block bloom probes (bloom.py): row groups
                     # whose filter PROVES an equality value absent are
                     # dropped even when min/max could not prune (the
@@ -359,9 +359,13 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
     def decode_one(batch):
         import pyarrow.compute as pc
 
+        import pyarrow as pa
+
         op_fn = {"==": pc.equal, "!=": pc.not_equal,
                  "<": pc.less, "<=": pc.less_equal,
-                 ">": pc.greater, ">=": pc.greater_equal}
+                 ">": pc.greater, ">=": pc.greater_equal,
+                 "in": lambda arr, v: pc.is_in(
+                     arr, value_set=pa.array(list(v)))}
         p = batch["path"].tolist()[0]
         rg = int(batch["row_group"][0])
         if rg < 0:  # sentinel: 0-row table with the read schema

@@ -877,6 +877,9 @@ _PRED_OPS = {
     "<=": lambda lo, hi, v: lo <= v,
     ">": lambda lo, hi, v: hi > v,
     ">=": lambda lo, hi, v: hi >= v,
+    # membership: prunes when NO member can fall inside [lo, hi];
+    # bloom and dictionary pruning refine it per member
+    "in": lambda lo, hi, v: any(lo <= x <= hi for x in v),
 }
 
 
@@ -964,15 +967,16 @@ def prune_row_groups_by_dict(km, preds: list, path: str,
         if k == 1 and not pa.types.is_nested(fld.type):
             name_to_leaf[fld.name] = next_leaf
         next_leaf += k
-    eq = [(name_to_leaf[c], v) for c, op, v in preds
-          if op == "==" and c in name_to_leaf]
+    eq = [(name_to_leaf[c], [v] if op == "==" else list(v))
+          for c, op, v in preds
+          if op in ("==", "in") and c in name_to_leaf]
     rgs = range(len(km.row_groups)) if candidates is None else candidates
     if not eq:
         return list(rgs)
     keep = []
     for rg in rgs:
         ok = True
-        for ci, probe in eq:
+        for ci, probes in eq:
             cc = km.row_groups[rg].columns[ci]
             es = cc.encoding_stats
             if es is None or not cc.dictionary_page_offset:
@@ -989,7 +993,8 @@ def prune_row_groups_by_dict(km, preds: list, path: str,
             vals = read_chunk_dictionary(path, km, rg, ci, filesystem)
             if vals is None:
                 continue
-            if not _dict_contains(vals, probe, km.leaves[ci].physical):
+            if not any(_dict_contains(vals, pr, km.leaves[ci].physical)
+                       for pr in probes):
                 ok = False
                 break
         if ok:

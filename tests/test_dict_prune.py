@@ -86,6 +86,40 @@ def test_prune_by_dict_both_writers(dict_files):
             km, [("tag", "==", 5)], p) == list(range(n_rg))
 
 
+def test_in_predicate_end_to_end(dict_files, ray_session):
+    """The 'in' predicate: stats accept any member in [lo, hi], bloom
+    and dictionary pruning accept any member present, and the exact
+    filter is pc.is_in over the decoded rows."""
+    from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
+
+    ours, _, t = dict_files
+    km = read_footer_via_kernels(ours)
+    n_rg = 8
+    # dict prune keeps the union of the members' groups
+    assert prune_row_groups_by_dict(
+        km, [("tag", "in", ["only_in_rg0", "nope"])], ours) == [0]
+    assert prune_row_groups_by_dict(
+        km, [("tag", "in", ["only_in_rg0", "t7"])], ours) == \
+        list(range(n_rg))
+    assert prune_row_groups_by_dict(
+        km, [("tag", "in", ["no1", "no2"])], ours) == []
+    # distributed read: rows for exactly the members, schema stable
+    got = read_parquet_kernels(
+        ours, predicate=("tag", "in", ["only_in_rg0", "nope"]),
+        footer="kernels").materialize()
+    assert got.count() == 8000
+    assert got.num_blocks() == 1
+    import pandas as pd
+
+    df = pd.DataFrame(got.take_all())
+    assert set(df["tag"]) == {"only_in_rg0"}
+    # stats-only path ('in' against min/max) on a sorted int column
+    got2 = read_parquet_kernels(
+        ours, predicate=("x", "in", [5, 63999]),
+        footer="kernels").take_all()
+    assert sorted(r["x"] for r in got2) == [5, 63999]
+
+
 def test_distributed_read_dict_prunes(dict_files, ray_session):
     from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
 
