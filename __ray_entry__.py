@@ -40,6 +40,24 @@ _TABLES = [
 _F1_ROWS = 2000  # correctness-scale synthetic tokens table
 
 
+def _rp(path, **kwargs):
+    """``ray.data.read_parquet`` with a metadata-stripped ``schema=``:
+    testdata files carry a ``b'pandas'`` schema stamp that makes
+    pa.Schema unhashable, so every ReadParquet split task would log
+    Ray's "Failed to hash the schemas (for deduplication)" warning
+    (see `sources/reader.py:_strip_schema_metadata`)."""
+    import ray.data
+
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.parquet as pq
+
+            kwargs["schema"] = pq.read_schema(path).remove_metadata()
+        except Exception:
+            pass
+    return ray.data.read_parquet(path, **kwargs)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     """Size-aware table read (see sources/reader.py: 64 KB floor /
     128 MB ceiling per block, 2x CPUs preferred in between).
@@ -164,7 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         f1_src, _ = _f1_out_dir(sf)
         # pinned blocking -> deterministic chunk count for the rows-only check
-        ds = ray.data.read_parquet(f1_src, override_num_blocks=4)
+        ds = _rp(f1_src, override_num_blocks=4)
         return pack_sequences(ds, context_len=2048)
 
     q["pack_sequences"] = pack_f1
@@ -201,7 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         f1_src, _ = _f1_out_dir(sf)
         # blocking-INDEPENDENT canonical packing: any override_num_blocks
         # yields the identical output (hash-checked vs the SQL twin)
-        ds = ray.data.read_parquet(f1_src, override_num_blocks=4)
+        ds = _rp(f1_src, override_num_blocks=4)
         return pack_sequences_global(ds, context_len=2048)
 
     q["pack_global"] = pack_global
@@ -212,7 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.pipelines.packing import length_bucket_batches
 
         f1_src, _ = _f1_out_dir(sf)
-        return length_bucket_batches(ray.data.read_parquet(f1_src),
+        return length_bucket_batches(_rp(f1_src),
                                      "doc_id", "n_tok",
                                      width=256, batch_rows=32)
 
@@ -226,7 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         f1_src, _ = _f1_out_dir(sf)
         # sequence-length profile per source: the distribution that sizes
         # context_len / bucket widths for packing and batching
-        return grouped_histogram(ray.data.read_parquet(f1_src),
+        return grouped_histogram(_rp(f1_src),
                                  "source", "n_tok", 256.0)
 
     q["f1_len_hist"] = f1_len_hist
@@ -337,7 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
 
         src, _ = _f1_out_dir(sf)
-        ds = ray.data.read_parquet(src)
+        ds = _rp(src)
         base = ds.map_batches(
             lambda t: t.filter(pc.less_equal(t["n_tok"], 200)),
             batch_format="pyarrow")
@@ -387,7 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.pipelines.cleaning import decontaminate_tokens
 
         src, _ = _f1_out_dir(sf)
-        ds = ray.data.read_parquet(src)
+        ds = _rp(src)
         docs = ds.map_batches(
             lambda t: t.filter(pc.less_equal(t["n_tok"], 200)),
             batch_format="pyarrow")
@@ -408,7 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.pipelines.packing import pack_global_doc_starts
 
         src, _ = _f1_out_dir(sf)
-        return pack_global_doc_starts(ray.data.read_parquet(src),
+        return pack_global_doc_starts(_rp(src),
                                       context_len=2048)
 
     q["pack_doc_starts"] = pack_starts
@@ -826,7 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.sources.kernel_sink import (
             read_sink_manifest, write_parquet_kernels)
 
-        ds = ray.data.read_parquet(
+        ds = _rp(
             os.path.join(sf, "events.parquet")).repartition(4)
         with tempfile.TemporaryDirectory() as d:
             out = os.path.join(d, "sink")
@@ -888,7 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.sources.kernel_sink import (
             read_parquet_kernels, write_parquet_kernels)
 
-        ds = ray.data.read_parquet(
+        ds = _rp(
             os.path.join(sf, "events.parquet")).repartition(4)
         with tempfile.TemporaryDirectory() as d:
             out = os.path.join(d, "sink")
@@ -916,7 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.sources.kernel_sink import (
             read_parquet_kernels, write_parquet_kernels)
 
-        ds = ray.data.read_parquet(
+        ds = _rp(
             os.path.join(sf, "lineitem.parquet")).sort(
                 "l_orderkey").repartition(4)
         with tempfile.TemporaryDirectory() as d:
@@ -951,7 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.sources.kernel_sink import (
             read_parquet_kernels, write_parquet_kernels)
 
-        ds = ray.data.read_parquet(
+        ds = _rp(
             os.path.join(sf, "lineitem.parquet")).sort(
                 "l_orderkey").repartition(4)
         with tempfile.TemporaryDirectory() as d:
@@ -988,7 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.sources.kernel_sink import (
             read_parquet_kernels, write_parquet_kernels)
 
-        ds = ray.data.read_parquet(
+        ds = _rp(
             os.path.join(sf, "lineitem.parquet")).sort(
                 "l_orderkey").repartition(2)
         with tempfile.TemporaryDirectory() as d:
@@ -1037,7 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         min_ok = pc.min(head["l_orderkey"]).as_py()
         first = head.filter(pc.equal(head["l_orderkey"], min_ok))
         probe = pc.min(first["l_partkey"]).as_py()
-        ds = ray.data.read_parquet(src)
+        ds = _rp(src)
         with tempfile.TemporaryDirectory() as d:
             out = os.path.join(d, "sink")
             write_parquet_kernels(ds, out, compression="SNAPPY",
@@ -1139,7 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from parquet_hs_ray.pipelines.tokenize import remap_tokens_by_frequency
 
         src, _ = _f1_out_dir(sf)
-        return remap_tokens_by_frequency(ray.data.read_parquet(src))
+        return remap_tokens_by_frequency(_rp(src))
 
     q["token_remap"] = token_remap
 
@@ -1147,7 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
 
         src, _ = _f1_out_dir(sf)
-        return ray.data.read_parquet(src)
+        return _rp(src)
 
     # training-prep family over the native pre-tokenized table
     def token_mask_mlm(sf):

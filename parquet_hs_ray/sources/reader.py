@@ -51,9 +51,20 @@ def read_sized(path: str, **kwargs) -> "ray.data.Dataset":
     (local paths only; falls back to Ray's default when the size is
     unknowable, e.g. non-local filesystems).  Blocks are re-stamped
     without file-level schema metadata (see ``_strip_schema_metadata``);
-    the stage fuses with the read."""
+    the stage fuses with the read.  The read itself also gets a
+    metadata-stripped ``schema=`` so blocks are BORN without the
+    pandas stamp — the map-stage strip runs after the ReadParquet
+    operator's own schema dedup, which otherwise logs Ray's
+    "Failed to hash the schemas" warning per split task."""
     import ray.data
 
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.parquet as pq
+
+            kwargs["schema"] = pq.read_schema(path).remove_metadata()
+        except Exception:
+            pass  # directories/remote: Ray infers the schema itself
     try:
         nbytes = os.path.getsize(path)
     except OSError:
