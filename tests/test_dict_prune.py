@@ -120,6 +120,57 @@ def test_in_predicate_end_to_end(dict_files, ray_session):
     assert sorted(r["x"] for r in got2) == [5, 63999]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=15, deadline=None)
+def test_prune_one_sided_property(seed):
+    """Fuzz the ONE-SIDED contract: for a random table, random row
+    grouping, and probes both present and absent, the combination of
+    stats + bloom + dictionary pruning NEVER drops a row group that
+    contains the probe."""
+    import os
+    import tempfile
+
+    from parquet_hs_ray.sources.bloom import prune_row_groups_by_bloom
+    from parquet_hs_ray.sources.parquet_footer import (
+        prune_row_groups_by_stats_kernels)
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(200, 4000))
+    rg = int(rng.integers(50, max(51, n // 2)))
+    card = int(rng.integers(2, 200))
+    t = pa.table({
+        "k": pa.array(rng.integers(0, card, n).astype(np.int64)),
+        "s": pa.array([f"v{int(x)}" for x in
+                       rng.integers(0, card, n)]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.parquet")
+        write_parquet_via_kernels(
+            t, p, compression="SNAPPY", row_group_size=rg,
+            bloom_filters=["k", "s"] if seed % 2 else None)
+        km = read_footer_via_kernels(p)
+        n_rg = len(km.row_groups)
+        bounds = [(i * rg, min(n, (i + 1) * rg)) for i in range(n_rg)]
+        for col, probe in (("k", int(t["k"][int(rng.integers(n))].as_py())),
+                           ("k", card + 7),
+                           ("s", t["s"][int(rng.integers(n))].as_py()),
+                           ("s", "absent")):
+            preds = [(col, "==", probe)]
+            keep = prune_row_groups_by_stats_kernels(km, preds)
+            keep = prune_row_groups_by_bloom(km, preds, p,
+                                             candidates=keep)
+            keep = prune_row_groups_by_dict(km, preds, p,
+                                            candidates=keep)
+            colvals = t[col].to_pylist()
+            truth = {i for i, (a, b) in enumerate(bounds)
+                     if probe in colvals[a:b]}
+            assert truth <= set(keep), (seed, col, probe, truth, keep)
+
+
 def test_distributed_read_dict_prunes(dict_files, ray_session):
     from parquet_hs_ray.sources.kernel_sink import read_parquet_kernels
 
