@@ -1072,6 +1072,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kernel_read_bloom_pruned"] = kernel_read_bloom_pruned
 
+    def kernel_read_in_pruned(sf):
+        # the 'in' predicate end to end: stats keep row groups where
+        # ANY member may land in [min,max], bloom keeps those whose
+        # filter admits a member, dictionary-membership keeps those
+        # whose dict holds one, then pc.is_in filters exactly.  Probes
+        # are data-derived (smallest partkey within the smallest and
+        # largest orders).
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+
+        from parquet_hs_ray.sources.kernel_sink import (
+            read_parquet_kernels, write_parquet_kernels)
+
+        src = os.path.join(sf, "lineitem.parquet")
+        head = pq.read_table(src, columns=["l_orderkey", "l_partkey"])
+        lo_ok = pc.min(head["l_orderkey"]).as_py()
+        hi_ok = pc.max(head["l_orderkey"]).as_py()
+        probes = sorted({
+            pc.min(head.filter(pc.equal(head["l_orderkey"], lo_ok))
+                   ["l_partkey"]).as_py(),
+            pc.min(head.filter(pc.equal(head["l_orderkey"], hi_ok))
+                   ["l_partkey"]).as_py()})
+        ds = _rp(src)
+        with tempfile.TemporaryDirectory() as d:
+            out = os.path.join(d, "sink")
+            write_parquet_kernels(ds, out, compression="SNAPPY",
+                                  row_group_size=2000,
+                                  bloom_filters=["l_partkey"])
+            back = read_parquet_kernels(
+                out, columns=["l_orderkey", "l_linenumber", "l_partkey"],
+                predicate=("l_partkey", "in", probes),
+                footer="kernels")
+            t = pa.concat_tables(
+                [ray.get(r) for r in back.to_arrow_refs()])
+        return t.sort_by([("l_orderkey", "ascending"),
+                          ("l_linenumber", "ascending")])
+
+    q["kernel_read_in_pruned"] = kernel_read_in_pruned
+
     def kernel_footer_decode(sf):
         # the FULLY self-hosted read: footer (thrift compact
         # FileMetaData, schema tree, leaf rep/def levels), pages,
@@ -3406,6 +3450,19 @@ FROM s GROUP BY seq_id
         "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem"
         " WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem"
         "   WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem))"
+        " ORDER BY l_orderkey, l_linenumber"
+    )
+    # kernel_read_in_pruned: 'in' membership predicate through the
+    # stats -> bloom -> dictionary pruning chain; probes data-derived.
+    o["kernel_read_in_pruned"] = (
+        "WITH probes AS ("
+        "  SELECT min(l_partkey) AS p FROM lineitem"
+        "   WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)"
+        "  UNION"
+        "  SELECT min(l_partkey) FROM lineitem"
+        "   WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem))"
+        " SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem"
+        " WHERE l_partkey IN (SELECT p FROM probes)"
         " ORDER BY l_orderkey, l_linenumber"
     )
     # kernel_footer_decode: fully self-hosted read (our thrift footer
