@@ -48,7 +48,9 @@ def _rp(path, **kwargs):
     (see `sources/reader.py:_strip_schema_metadata`)."""
     import ray.data
 
-    if "schema" not in kwargs:
+    if "schema" not in kwargs and "columns" not in kwargs:
+        # schema= + columns= breaks Ray's read task when the projection
+        # reorders fields (Table.from_batches validates the FULL schema)
         try:
             import pyarrow.parquet as pq
 

@@ -58,7 +58,11 @@ def read_sized(path: str, **kwargs) -> "ray.data.Dataset":
     "Failed to hash the schemas" warning per split task."""
     import ray.data
 
-    if "schema" not in kwargs:
+    if "schema" not in kwargs and "columns" not in kwargs:
+        # schema= with columns= breaks Ray's read task when the
+        # projection reorders fields (Table.from_batches validates
+        # against the FULL schema); projected reads keep the map-stage
+        # strip only
         try:
             import pyarrow.parquet as pq
 
