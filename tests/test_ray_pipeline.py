@@ -939,3 +939,27 @@ def test_backfill_with_unify_schema_keeps_family(ray_session, tmp_path):
     with pytest.raises(Exception, match="shadowing"):
         backfill_columns(out, "bad", lambda t: pa.table(
             {"n_tok": pa.array(np.zeros(t.num_rows, np.int64))}))
+
+
+def test_read_sized_projection_and_full(ray_session, f1_dir):
+    """read_sized must honor column projections in ANY order (a full
+    schema= passed alongside columns= makes Ray's read task fail on
+    reordered projections — the 73-query regression of r5) and strip
+    the pandas schema stamp on full reads."""
+    from parquet_hs_ray.sources.reader import read_sized
+
+    path = sorted(glob.glob(f"{f1_dir}/*.parquet"))[0]
+    full_names = pq.read_schema(path).names
+    # reversed projection: order preserved, read succeeds
+    proj = list(reversed(full_names[:3]))
+    ds = read_sized(path, columns=proj).materialize()
+    assert ds.schema().names == proj
+    assert ds.count() == pq.ParquetFile(path).metadata.num_rows
+    # full read: schema metadata stripped at the source
+    ds2 = read_sized(path).materialize()
+    assert ds2.schema().names == full_names
+    ref = ray.get(ds2.to_arrow_refs()[0])
+    assert ref.schema.metadata in (None, {})
+
+
+import ray  # noqa: E402  (used by the projection test above)
