@@ -157,7 +157,8 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                          predicate=None, footer: str = "pyarrow",
                          filesystem=None, concurrency=None,
                          page_index: bool = True,
-                         bloom: bool = True):
+                         bloom: bool = True,
+                         verify_crc: bool = False):
     """Distributed parquet READ through our kernels: the inverse of
     ``write_parquet_kernels`` — returns a ``ray.data.Dataset``.
 
@@ -372,6 +373,7 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
             return read_parquet_via_kernels(
                 p, columns=columns, row_groups=[], footer=footer,
                 filesystem=filesystem)
+        vc = verify_crc
         t = None
         if preds and page_index and footer == "kernels":
             from .parquet_footer import (prune_pages_by_index,
@@ -384,15 +386,17 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
             if ranges is not None:
                 t = read_row_group_page_pruned(
                     p, km, rg, ranges, columns=read_cols,
-                    filesystem=filesystem)
+                    filesystem=filesystem, verify_crc=vc)
             else:
                 t = read_parquet_via_kernels(
                     p, columns=read_cols, row_groups=[rg],
-                    footer=footer, filesystem=filesystem, km=km)
+                    footer=footer, filesystem=filesystem, km=km,
+                    verify_crc=vc)
         if t is None:
             t = read_parquet_via_kernels(p, columns=read_cols,
                                          row_groups=[rg], footer=footer,
-                                         filesystem=filesystem)
+                                         filesystem=filesystem,
+                                         verify_crc=vc)
         if preds:
             mask = None
             for col, op, val in preds:

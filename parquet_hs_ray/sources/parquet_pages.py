@@ -1046,7 +1046,8 @@ def prune_row_groups_by_stats(meta, preds: list) -> list[int]:
 
 def read_row_group_page_pruned(path: str, km, rg: int, ranges: list,
                                columns: list[str] | None = None,
-                               filesystem=None) -> pa.Table:
+                               filesystem=None,
+                               verify_crc: bool = False) -> pa.Table:
     """Decode ONLY the pages of row group ``rg`` overlapping the given
     half-open row ``ranges`` (from ``prune_pages_by_index``), through
     our kernels — the page-granular step below row-group pruning.
@@ -1111,7 +1112,8 @@ def read_row_group_page_pruned(path: str, km, rg: int, ranges: list,
             - oidx[p0].offset, filesystem)
         rep, dfl, vals = decode_column_chunk_pages(
             dict_span + span, rb - ra, leaf.physical, leaf.max_rep,
-            leaf.max_def, codec=codec, type_length=leaf.type_length)
+            leaf.max_def, codec=codec, type_length=leaf.type_length,
+            verify_crc=verify_crc)
         return (np.asarray(rep, np.int64), np.asarray(dfl, np.int64),
                 vals, leaf.max_def), ra, rb
 
@@ -1126,7 +1128,8 @@ def read_row_group_page_pruned(path: str, km, rg: int, ranges: list,
                                 filesystem)
             rep, dfl, vals = decode_column_chunk_pages(
                 chunk, cc.num_values, leaf.physical, leaf.max_rep,
-                leaf.max_def, codec=codec, type_length=leaf.type_length)
+                leaf.max_def, codec=codec, type_length=leaf.type_length,
+                verify_crc=verify_crc)
             full_cache[ci] = (np.asarray(rep, np.int64),
                               np.asarray(dfl, np.int64), vals,
                               leaf.max_def)

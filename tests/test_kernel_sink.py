@@ -12,7 +12,8 @@ import pytest
 import duckdb
 
 from parquet_hs_ray.sources.kernel_sink import (
-    MANIFEST_NAME, read_sink_manifest, write_parquet_kernels)
+    MANIFEST_NAME, read_parquet_kernels, read_sink_manifest,
+    write_parquet_kernels)
 from parquet_hs_ray.sources.parquet_pages import read_parquet_via_kernels
 
 SF = "/root/testdata/sf0.001"
@@ -402,3 +403,33 @@ def test_kernel_read_over_http_is_ranged(ray_session, tmp_path):
         assert stats["full_gets"] == 0
     finally:
         srv.shutdown()
+
+
+def test_distributed_read_verify_crc(tmp_path, ray_session):
+    """verify_crc= threads through the distributed read (full, pruned
+    and page-pruned paths); a corrupted part file fails the read
+    loudly instead of decoding garbage (the specific error depends on
+    whether the flipped byte lands in a page header or page body)."""
+    import glob
+
+    import ray
+
+    src = f"{SF}/lineitem.parquet"
+    d = str(tmp_path / "crc_sink")
+    write_parquet_kernels(ray.data.read_parquet(src).repartition(2), d,
+                          compression="SNAPPY", data_page_rows=512)
+    assert read_parquet_kernels(d, footer="kernels",
+                                verify_crc=True).count() == 6000
+    assert read_parquet_kernels(
+        d, predicate=("l_orderkey", "<=", 500), footer="kernels",
+        verify_crc=True).count() == \
+        read_parquet_kernels(
+            d, predicate=("l_orderkey", "<=", 500),
+            footer="kernels").count()
+    f = sorted(glob.glob(d + "/*.parquet"))[0]
+    blob = bytearray(open(f, "rb").read())
+    blob[6000] ^= 0xFF
+    open(f, "wb").write(bytes(blob))
+    with pytest.raises(Exception):
+        read_parquet_kernels(d, footer="kernels",
+                             verify_crc=True).materialize()
