@@ -24,6 +24,7 @@ with ``repartition`` / block size.
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterable
 
 from ray.data import Datasink
@@ -142,6 +143,34 @@ def write_parquet_kernels(ds, path: str, compression: str = "SNAPPY",
                                  bloom_filters=bloom_filters)
     ds.write_datasink(sink, concurrency=concurrency)
     return read_sink_manifest(path, filesystem)
+
+
+# worker-local parsed-footer cache: decode tasks for the same file
+# reuse one KernelFileMetaData instead of re-parsing the footer per
+# ROW GROUP (a 92-row-group file would otherwise parse its footer 92
+# times across the decode stage).  Keyed by (path, size, mtime_ns) so
+# an overwritten file re-parses; bounded; local paths only (remote
+# filesystems skip the cache — no cheap validity key).
+_KM_CACHE: dict = {}
+
+
+def _cached_km(path: str, filesystem):
+    from .parquet_footer import read_footer_via_kernels
+
+    if filesystem is not None or "://" in path:
+        return read_footer_via_kernels(path, filesystem=filesystem)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return read_footer_via_kernels(path, filesystem=filesystem)
+    km = _KM_CACHE.get(key)
+    if km is None:
+        km = read_footer_via_kernels(path, filesystem=filesystem)
+        if len(_KM_CACHE) >= 64:
+            _KM_CACHE.clear()
+        _KM_CACHE[key] = km
+    return km
 
 
 def read_sink_manifest(path: str, filesystem=None) -> dict:
@@ -314,10 +343,9 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
         for p, fi in zip(paths, idxs):
             if footer == "kernels":
                 from .parquet_footer import (
-                    prune_row_groups_by_stats_kernels,
-                    read_footer_via_kernels)
+                    prune_row_groups_by_stats_kernels)
 
-                km = read_footer_via_kernels(p, filesystem=filesystem)
+                km = _cached_km(p, filesystem)
                 rgs = (prune_row_groups_by_stats_kernels(km, preds)
                        if preds else range(len(km.row_groups)))
                 if preds and bloom and any(op in ("==", "in")
@@ -376,11 +404,10 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
         vc = verify_crc
         t = None
         if preds and page_index and footer == "kernels":
-            from .parquet_footer import (prune_pages_by_index,
-                                         read_footer_via_kernels)
+            from .parquet_footer import prune_pages_by_index
             from .parquet_pages import read_row_group_page_pruned
 
-            km = read_footer_via_kernels(p, filesystem=filesystem)
+            km = _cached_km(p, filesystem)
             ranges = prune_pages_by_index(km, p, rg, preds,
                                           filesystem=filesystem)
             if ranges is not None:
@@ -393,10 +420,11 @@ def read_parquet_kernels(path: str, columns: list[str] | None = None,
                     footer=footer, filesystem=filesystem, km=km,
                     verify_crc=vc)
         if t is None:
-            t = read_parquet_via_kernels(p, columns=read_cols,
-                                         row_groups=[rg], footer=footer,
-                                         filesystem=filesystem,
-                                         verify_crc=vc)
+            t = read_parquet_via_kernels(
+                p, columns=read_cols, row_groups=[rg], footer=footer,
+                filesystem=filesystem, verify_crc=vc,
+                km=(_cached_km(p, filesystem)
+                    if footer == "kernels" else None))
         if preds:
             mask = None
             for col, op, val in preds:
